@@ -1,0 +1,242 @@
+"""TableEnvironment — the engine's user-facing facade.
+
+Mirrors the reference's TableEnvironment.executeSql surface (reference:
+flink-table/flink-table-api-java/.../TableEnvironmentImpl.java:947) as a thin
+layer over SparkSession: ANSI SQL passes straight to ``spark.sql`` (Catalyst
+does parse/optimize/codegen); the dialect-specific statements the reference
+adds — ``CREATE TABLE ... WITH ('connector'=...)`` incl. ``WATERMARK FOR``
+— are handled here and lowered onto DataFrame/reader primitives.
+
+Connector registry (SURVEY §2.1): filesystem (csv/json/parquet/orc/avro),
+datagen, print, blackhole, values, rate, socket.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_spark.session import prepare_session
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: list[tuple[str, str]]  # (name, sql type)
+    options: dict[str, str]
+    watermark: tuple[str, str] | None = None  # (column, delay expr e.g. "5 seconds")
+    primary_key: list[str] = field(default_factory=list)
+
+    @property
+    def connector(self) -> str:
+        return self.options.get("connector", "filesystem")
+
+    def ddl_schema(self) -> str:
+        return ", ".join(f"{c} {t}" for c, t in self.columns)
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WATERMARK_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+(?P<col2>\w+)\s*-\s*INTERVAL\s*"
+    r"'(?P<n>[\d.]+)'\s*(?P<unit>\w+)",
+    re.IGNORECASE,
+)
+_PK_RE = re.compile(
+    r"PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*(NOT\s+ENFORCED)?", re.IGNORECASE
+)
+_OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+_TYPE_MAP = {
+    # Flink SQL type → Spark SQL type (SURVEY §1.2)
+    "STRING": "STRING",
+    "VARCHAR": "STRING",
+    "CHAR": "STRING",
+    "BOOLEAN": "BOOLEAN",
+    "BYTES": "BINARY",
+    "VARBINARY": "BINARY",
+    "BINARY": "BINARY",
+    "TINYINT": "TINYINT",
+    "SMALLINT": "SMALLINT",
+    "INT": "INT",
+    "INTEGER": "INT",
+    "BIGINT": "BIGINT",
+    "FLOAT": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "DATE": "DATE",
+    "TIMESTAMP": "TIMESTAMP_NTZ",
+    "TIMESTAMP_LTZ": "TIMESTAMP",
+    "TIME": "INT",  # millis-of-day; no native TIME in Spark
+}
+
+
+def _map_type(flink_type: str) -> str:
+    t = flink_type.strip()
+    m = re.match(r"(\w+)(\(.*\))?", t)
+    if not m:
+        return t
+    base, params = m.group(1).upper(), m.group(2) or ""
+    if base == "DECIMAL" or base == "NUMERIC":
+        return f"DECIMAL{params or '(10,0)'}"
+    if base in ("ARRAY", "MAP", "ROW", "MULTISET"):
+        return t  # structured types pass through (ROW→STRUCT handled by Spark DDL)
+    if base in ("TIMESTAMP", "TIMESTAMP_LTZ", "TIME"):
+        return _TYPE_MAP[base]
+    return _TYPE_MAP.get(base, t)
+
+
+class TableEnvironment:
+    """Facade: catalog of declared tables + SQL execution."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = prepare_session(spark)
+        self.tables: dict[str, TableSpec] = {}
+
+    # -- DDL ---------------------------------------------------------------
+
+    def execute_sql(self, sql: str):
+        stmt = sql.strip().rstrip(";")
+        m = _CREATE_RE.match(stmt)
+        if m:
+            return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
+        if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
+            return self.spark.sql(stmt)
+        if re.match(r"^\s*INSERT\b", stmt, re.IGNORECASE):
+            return self.spark.sql(stmt)
+        return self.spark.sql(stmt)
+
+    def _create_table(self, name: str, body: str, opts: str):
+        options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
+        watermark = None
+        wm = _WATERMARK_RE.search(body)
+        if wm:
+            watermark = (wm.group("col"), f"{wm.group('n')} {wm.group('unit').lower()}s"
+                         if not wm.group("unit").lower().endswith("s")
+                         else f"{wm.group('n')} {wm.group('unit').lower()}")
+            body = _WATERMARK_RE.sub("", body)
+        pk: list[str] = []
+        pkm = _PK_RE.search(body)
+        if pkm:
+            pk = [c.strip() for c in pkm.group("cols").split(",")]
+            body = _PK_RE.sub("", body)
+        columns = []
+        for piece in _split_top_level(body):
+            piece = piece.strip().rstrip(",").strip()
+            if not piece:
+                continue
+            cm = re.match(r"(`?\w+`?)\s+(.+)", piece, re.DOTALL)
+            if cm:
+                columns.append((cm.group(1).strip("`"), _map_type(cm.group(2))))
+        spec = TableSpec(name=name, columns=columns, options=options,
+                         watermark=watermark, primary_key=pk)
+        self.tables[name] = spec
+        df = self._source_df(spec)
+        if df is not None:
+            df.createOrReplaceTempView(name)
+        return None
+
+    # -- connectors --------------------------------------------------------
+
+    def _source_df(self, spec: TableSpec) -> DataFrame | None:
+        conn = spec.connector
+        schema = spec.ddl_schema()
+        if conn == "filesystem":
+            fmt = spec.options.get("format", "parquet")
+            path = spec.options["path"]
+            reader = self.spark.read.format(fmt)
+            if fmt in ("csv", "json"):
+                reader = reader.schema(schema)
+                if spec.options.get("csv.include-header", "false") == "true":
+                    reader = reader.option("header", "true")
+            return reader.load(path)
+        if conn == "values":
+            data = spec.options.get("data", "")
+            rows = [tuple(x.strip() for x in r.split("|")) for r in data.split(";") if r]
+            return self.spark.createDataFrame(rows, schema=schema)
+        if conn == "datagen":
+            n = int(spec.options.get("number-of-rows", "1000"))
+            df = self.spark.range(n).withColumnRenamed("id", "__seq__")
+            from pyspark.sql import functions as F
+
+            cols = []
+            for c, t in spec.columns:
+                kind = spec.options.get(f"fields.{c}.kind", "random")
+                if kind == "sequence":
+                    start = int(spec.options.get(f"fields.{c}.start", "0"))
+                    cols.append((F.col("__seq__") + start).cast(t).alias(c))
+                elif t in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
+                    mx = int(spec.options.get(f"fields.{c}.max", "1000000"))
+                    cols.append((F.floor(F.rand(seed=42) * mx)).cast(t).alias(c))
+                elif t in ("DOUBLE", "FLOAT"):
+                    cols.append(F.rand(seed=42).cast(t).alias(c))
+                elif t.startswith("TIMESTAMP"):
+                    cols.append(F.current_timestamp().cast(t).alias(c))
+                else:
+                    ln = int(spec.options.get(f"fields.{c}.length", "10"))
+                    cols.append(
+                        F.substring(F.sha2(F.col("__seq__").cast("string"), 256), 1, ln).alias(c)
+                    )
+            return df.select(*cols)
+        if conn in ("print", "blackhole"):
+            return None  # sink-only
+        if conn == "rate":
+            return (
+                self.spark.readStream.format("rate")
+                .option("rowsPerSecond", spec.options.get("rows-per-second", "10"))
+                .load()
+            )
+        if conn == "socket":
+            return (
+                self.spark.readStream.format("socket")
+                .option("host", spec.options.get("hostname", "localhost"))
+                .option("port", spec.options.get("port", "9999"))
+                .load()
+            )
+        raise ValueError(f"unknown connector: {conn}")
+
+    # -- streaming helpers -------------------------------------------------
+
+    def from_table(self, name: str) -> DataFrame:
+        """Table → DataFrame, applying declared watermark if present."""
+        df = self.spark.table(name)
+        spec = self.tables.get(name)
+        if spec and spec.watermark and df.isStreaming:
+            col, delay = spec.watermark
+            df = df.withWatermark(col, delay)
+        return df
+
+    def sql_query(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside (), <>, or quotes."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "(<":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

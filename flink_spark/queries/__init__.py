@@ -1,0 +1,19 @@
+"""Query registry: every implemented operator from SURVEY.md §2 registers a
+named query (Spark DataFrame program) plus, where SQL-expressible, an exact
+DuckDB oracle. The driver (and our pytest gate) runs both at sf0.01 and
+hash-matches results.
+
+Importing this package populates the registry.
+"""
+
+from flink_spark.queries.registry import QUERIES, query, get_queries, get_oracles
+
+# Import for registration side effects.
+from flink_spark.queries import tpch  # noqa: F401
+from flink_spark.queries import relational  # noqa: F401
+from flink_spark.queries import analytic  # noqa: F401
+from flink_spark.queries import functions_suite  # noqa: F401
+from flink_spark.queries import windows_suite  # noqa: F401
+from flink_spark.queries import llm_suite  # noqa: F401
+
+__all__ = ["QUERIES", "query", "get_queries", "get_oracles"]

@@ -1,0 +1,76 @@
+"""SparkSession construction and per-session runtime configuration.
+
+Two entry points:
+  - ``get_spark()``: build a tuned local session (tests / bench).
+  - ``prepare_session(spark)``: apply the runtime-settable subset of our
+    config to a session we did not build (the verification driver hands us
+    its own session). Every query entry point calls this — it is idempotent
+    and cheap.
+
+Scale notes (the configs below are chosen for cluster execution, not just
+local mode):
+  - AQE on: runtime coalescing of small shuffle partitions, skew-join
+    splitting, and dynamic broadcast-join conversion are the main levers
+    that keep a 100 TB plan healthy without hand-tuning per query.
+  - shuffle.partitions is a floor; AQE coalesces down from it. On a real
+    cluster this would be set ~2-3x total cores via
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+  - Session timezone pinned to UTC so timestamp semantics are deterministic
+    and match the parquet NTZ data.
+  - nanosAsLong: the events table carries parquet TIMESTAMP(NANOS) which the
+    vectorized reader rejects; we read the raw int64 and convert to
+    TIMESTAMP_NTZ JVM-side (see sources/tables.py) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is runtime-settable on an existing session (all spark.sql.*).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # cross joins are used deliberately (hop-window expansion, tiny dims)
+    "spark.sql.crossJoin.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime config to a session we were handed. Idempotent."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable on this build — keep going, defaults are sane
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned local session."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare_session(spark)

@@ -1,0 +1,58 @@
+"""Parquet table loaders for the test-data star schema.
+
+Mirrors the reference's filesystem connector surface (a declared table over
+partitioned files; see reference flink-connector-files FileSystemTableSource)
+as plain ``spark.read.parquet`` — scans stay vectorized/columnar and Catalyst
+pushes filters and projections into the parquet reader.
+
+The ``events`` table needs one normalization: the driver wrote its ``ts``
+column as parquet TIMESTAMP(NANOS), which Spark's reader rejects. With
+``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as raw int64
+nanos; we convert to TIMESTAMP_NTZ with integer µs division — a codegen'd
+JVM expression, zero Python cost, exactly DuckDB's nanos→micros truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.session import prepare_session
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events nanos timestamp."""
+    prepare_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views for spark.sql use."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
