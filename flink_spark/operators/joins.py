@@ -1,0 +1,146 @@
+"""Join operators the DataFrame API lacks as one-liners: interval join,
+as-of (temporal) join, lookup join.
+
+Reference semantics:
+  - interval join: reference StreamExecIntervalJoin.java:86 /
+    TimeIntervalJoin.java:53 — pairs (l, r) with equal keys and
+    r.ts ∈ [l.ts + lower, l.ts + upper].
+  - as-of join: reference StreamExecTemporalJoin.java:77 /
+    TemporalRowTimeJoinOperator.java:84 — each left row matches the latest
+    right row with r.ts <= l.ts per key (``FOR SYSTEM_TIME AS OF``).
+
+Scale design: the as-of join is NOT implemented as a range join (which
+degenerates to per-key cross products). It is a union + single sort:
+tag both sides, union, one shuffle on the key, one per-key ordered pass
+filling the "latest right row" forward (last_value IGNORE NULLS over rows
+unbounded-preceding..current). Cost = one shuffle + sort of |L|+|R| —
+the same asymptotic shape as a sort-merge as-of, and it parallelizes
+per key group. Skewed keys can be salted upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """r.ts BETWEEN l.ts + lower AND l.ts + upper, with equi keys.
+
+    Catalyst plans equi-keys as the shuffle keys (sort-merge/shuffled-hash)
+    and applies the time band as a residual predicate — the right shape for
+    scale; in streaming mode the same condition bounds state retention.
+    """
+    cond = None
+    for lk, rk in keys:
+        c = left[lk] == right[rk]
+        cond = c if cond is None else cond & c
+    band = (right[right_ts] >= left[left_ts] + F.expr(f"INTERVAL {lower}")) & (
+        right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}")
+    )
+    cond = band if cond is None else cond & band
+    return left.join(right, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: latest right row with right.ts <= left.ts per key.
+
+    union-tag + ordered last_value fill — one shuffle, no range explosion.
+    Ties (right.ts == left.ts) match, mirroring FOR SYSTEM_TIME AS OF
+    inclusive semantics; among right rows with identical ts the one with
+    the greatest ts wins deterministically via the (ts, side) sort.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    payload = F.struct(
+        right[right_ts].alias("__rts"), *[right[c] for c in right_cols]
+    )
+    r = right.select(
+        right[key].alias(key),
+        right[right_ts].alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        left[left_ts].alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    l = l.select(*left.columns, "__ts", "__side", "__payload")
+    unioned = l.unionByName(
+        r.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c != key
+                else F.col(key)
+                for c in left.columns
+            ],
+            "__ts",
+            "__side",
+            "__payload",
+        )
+    )
+    # right rows (side=0) sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side", "__payload")
+    for c in right_cols:
+        out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
+    out = out.withColumn(right_ts + suffix, F.col("__match.__rts")).drop("__match")
+    return out
+
+
+def lookup_join(
+    stream: DataFrame,
+    build_lookup,  # Callable[[pd.Series], pd.DataFrame-like dict lookups]
+    key: str,
+    result_schema: str,
+):
+    """Lookup join (reference StreamExecLookupJoin.java:82): probe an
+    external system per batch of rows. Arrow-batched via mapInPandas so one
+    RPC / cache probe serves a whole batch, with an executor-local cache —
+    the Spark analog of Flink's LookupJoinRunner + cache.
+
+    ``build_lookup`` receives a pandas Series of distinct keys and returns a
+    dict key→row-dict. Kept generic; connectors supply the callable.
+    """
+    import pandas as pd  # local import: only the lookup path needs pandas
+
+    def run(iterator):
+        cache: dict = {}
+        for pdf in iterator:
+            missing = pdf[key][~pdf[key].isin(cache.keys())].drop_duplicates()
+            if len(missing):
+                cache.update(build_lookup(missing))
+            looked = pd.DataFrame(
+                [cache.get(k, {}) for k in pdf[key]], index=pdf.index
+            )
+            yield pd.concat([pdf, looked], axis=1)
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(run, schema=df.schema.simpleString()[7:-1] + "," + result_schema)
+
+    return apply(stream)

@@ -1,0 +1,80 @@
+"""Window table-valued functions: TUMBLE / HOP / CUMULATE / SESSION.
+
+Reference semantics: Flink window TVFs (reference
+flink-table/.../functions/sql/Sql{Tumble,Hop,Cumulate,Session}TableFunction.java,
+runtime .../operators/window/tvf/slicing/SliceAssigners.java): each input row
+is assigned to one or more [start, end) windows; aggregation then groups by
+(window, keys).
+
+Spark-first lowering (works identically on batch and streaming DataFrames):
+  - TUMBLE → ``F.window(ts, size)``                      (native)
+  - HOP    → ``F.window(ts, size, slide)``               (native)
+  - SESSION→ ``F.session_window(ts, gap)``               (native)
+  - CUMULATE has no built-in: lowered to an *explode of expanding window
+    ends* — the row's tumble(max_size) start plus ``sequence(start+step,
+    start+size, step)`` exploded, keeping ends > ts. Pure JVM expressions
+    (sequence+explode), no Python; the expansion factor is size/step, the
+    same row-amplification Flink's slicing assigner pays logically.
+
+All emit ``window_start``/``window_end`` columns (TIMESTAMP_NTZ in, same
+out), matching the TVF's virtual columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _flatten_window(df: DataFrame, w: Column) -> DataFrame:
+    return (
+        df.withColumn("__w", w)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def tumble(df: DataFrame, ts_col: str, size: str) -> DataFrame:
+    """TUMBLE(table, DESCRIPTOR(ts), size) — fixed, non-overlapping."""
+    return _flatten_window(df, F.window(ts_col, size))
+
+
+def hop(df: DataFrame, ts_col: str, slide: str, size: str) -> DataFrame:
+    """HOP(table, DESCRIPTOR(ts), slide, size) — sliding windows.
+
+    F.window emits one struct per covering window (rows with size/slide
+    window memberships are expanded by Spark's generated expand node —
+    exactly Flink's slice expansion)."""
+    return _flatten_window(df, F.window(ts_col, size, slide))
+
+
+def session(df: DataFrame, ts_col: str, gap: str) -> DataFrame:
+    """SESSION(table PARTITION BY k, DESCRIPTOR(ts), gap).
+
+    Emits Spark's session_window struct; the *end* of a merged session is
+    last-event-ts + gap (Flink semantics match). Must be grouped on
+    (session_window, keys) by the caller in the same aggregation."""
+    return df.withColumn("__w", F.session_window(ts_col, gap))
+
+
+def cumulate(df: DataFrame, ts_col: str, step: str, size: str) -> DataFrame:
+    """CUMULATE(table, DESCRIPTOR(ts), step, size) — expanding windows.
+
+    A row at time t with base window start S (= tumble start for `size`)
+    belongs to windows [S, S+k*step) for every k where S+k*step > t.
+    Lowered to sequence()+explode of window ends — JVM-side, no UDF.
+    """
+    base = F.window(ts_col, size)
+    ends = F.sequence(
+        F.col("__base.start") + F.expr(f"INTERVAL {step}"),
+        F.col("__base.end"),
+        F.expr(f"INTERVAL {step}"),
+    )
+    return (
+        df.withColumn("__base", base)
+        .withColumn("window_start", F.col("__base.start"))
+        .withColumn("window_end", F.explode(ends))
+        .filter(F.col(ts_col) < F.col("window_end"))
+        .drop("__base")
+    )

@@ -1,1 +1,557 @@
-"""Placeholder — populated in this round."""
+"""Batch relational operator coverage: join zoo, set ops, agg shapes,
+grouping sets, unnest/lateral, subqueries (SURVEY §2.3, §2.4, §2.9, §2.10).
+
+Each query pins one operator family; oracles are exact (see queries.util).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.queries.registry import query
+from flink_spark.queries.util import dsum, davg, sql_dsum, sql_davg, DEC
+from flink_spark.sources.tables import load_table, register_views
+
+
+# ---------------------------------------------------------------- joins ----
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER JOIN with a pushed join-side predicate; unmatched
+    customers keep NULL aggregates. Flink analog FlinkJoinType.LEFT
+    (reference FlinkJoinType.java)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spent"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """RIGHT OUTER JOIN preserving the orders side."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return cu.join(
+        o, (cu.c_custkey == o.o_custkey) & (cu.c_acctbal > 9000), "right"
+    ).select("o_orderkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer WHERE c_acctbal > 9990 GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER JOIN of two aggregates with disjoint key coverage."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    """EXISTS → left_semi join (reference FlinkJoinType.SEMI)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    """NOT EXISTS → left_anti join (reference FlinkJoinType.ANTI)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def join_null_aware_anti(spark, sf_dir):
+    """NOT IN subquery → null-aware anti join (reference
+    NullAwareJoinHelper.java). Exercises the SQL layer: Catalyst's
+    RewritePredicateSubquery performs the same rewrite Flink's
+    FlinkSubQueryRemoveRule does."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        """
+    )
+
+
+@query(
+    "join_theta_band",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_close
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 5.0 AND s.s_acctbal + 5.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta_band(spark, sf_dir):
+    """Pure theta (non-equi band) join → BroadcastNestedLoopJoin with the
+    small side broadcast (reference BatchExecNestedLoopJoin.java:61)."""
+    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        cu.join(
+            su,
+            (cu.c_acctbal >= su.s_acctbal - 5.0) & (cu.c_acctbal <= su.s_acctbal + 5.0),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of two tiny dims."""
+    re = load_table(spark, sf_dir, "region")
+    na = load_table(spark, sf_dir, "nation")
+    return re.crossJoin(na).select("r_name", "n_name")
+
+
+# ------------------------------------------------------------- set ops ----
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 100
+    UNION
+    SELECT s_nationkey FROM supplier WHERE s_acctbal < 2000
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 100)
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 2000)
+    return (
+        cu.select(F.col("c_nationkey").alias("nationkey"))
+        .union(su.select("s_nationkey"))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_intersect(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return cu.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        su.select("s_nationkey")
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 200
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset semantics (reference rewrites via
+    $REPLICATE_ROWS$1; Spark has native exceptAll)."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    su = load_table(spark, sf_dir, "supplier")
+    return cu.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        su.select("s_nationkey")
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 100
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    su = load_table(spark, sf_dir, "supplier")
+    return cu.select(F.col("c_nationkey").alias("nationkey")).intersectAll(
+        su.select("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------- agg shapes ----
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with GROUPING() markers → Spark Expand node, the same
+    decomposition as reference DecomposeGroupingSetsRule.java."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice', 'sum_price')}, COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price"), F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(dsum("l_quantity", "sum_qty"))
+
+
+@query(
+    "agg_distinct_mix",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_parts,
+           COUNT(DISTINCT l_suppkey) AS nd_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_d_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_mix(spark, sf_dir):
+    """Multiple DISTINCT aggregates + plain count in one group-by → Spark's
+    RewriteDistinctAggregates expand (reference
+    FlinkAggregateExpandDistinctAggregatesRule.java)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_d_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """MAX_BY/MIN_BY (reference SingleValue-/FirstValue-family aggregates)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """LISTAGG (reference ListAggFunction) = sorted collect_set + join —
+    deterministic output ordering by sorting the collected set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+@query(
+    "agg_stddev_var_exact",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(l_discount) AS n,
+           CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,12))) AS DOUBLE)
+            - CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE)
+              * CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(l_discount))
+           / (COUNT(l_discount) - 1) AS var_samp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_var_exact(spark, sf_dir):
+    """Variance via exact decimal moments (sum, sum-of-squares) then one
+    double formula — order-independent, unlike streaming Welford; the same
+    two-moment decomposition the reference's WelfordM2 retract agg keeps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount")
+    s1 = F.sum(d.cast(DEC)).cast("double")
+    s2 = F.sum((d * d).cast("DECIMAL(30,12)")).cast("double")
+    n = F.count(d)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_samp"),
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark, sf_dir):
+    """approx_count_distinct — HLL++ (reference
+    BatchApproxCountDistinctAggFunctions.java uses the same algorithm).
+    Sketch values are engine-specific → rows-only check; the companion
+    exact count is covered by agg_distinct_mix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ------------------------------------------------------ subqueries etc ----
+
+
+@query(
+    "scalar_subquery",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE)
+                              / COUNT(c_acctbal) * 1.9 FROM customer)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate (reference TABLE_SUBQUERY_RULES)."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE)
+                                  / COUNT(c_acctbal) * 1.9 FROM customer)
+        """
+    )
+
+
+@query(
+    "correlated_exists_having",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_rich
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 2
+    """,
+)
+def correlated_exists_having(spark, sf_dir):
+    """Correlated EXISTS + HAVING — decorrelation path (reference
+    FlinkDecorrelateProgram ↔ Catalyst DecorrelateInnerQuery)."""
+    register_views(spark, sf_dir, "nation", "customer", "orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_rich
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9000
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        GROUP BY n.n_name
+        HAVING COUNT(*) > 2
+        """
+    )
+
+
+@query(
+    "values_inline",
+    oracle="""
+    SELECT v.nk AS nationkey, v.tier, n.n_name
+    FROM (VALUES (0, 'gold'), (1, 'silver'), (2, 'bronze')) v(nk, tier)
+    JOIN nation n ON n.n_nationkey = v.nk
+    """,
+)
+def values_inline(spark, sf_dir):
+    """VALUES source (reference StreamExecValues.java:44)."""
+    na = load_table(spark, sf_dir, "nation")
+    v = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], "nk INT, tier STRING"
+    )
+    return v.join(F.broadcast(na), na.n_nationkey == v.nk).select(
+        F.col("nk").alias("nationkey"), "tier", "n_name"
+    )
+
+
+# -------------------------------------------------------- unnest family ----
+
+
+@query(
+    "unnest_words",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS freq
+    FROM part, LATERAL (SELECT unnest(string_split(p_name, ' ')) AS w) u
+    GROUP BY w
+    """,
+)
+def unnest_words(spark, sf_dir):
+    """UNNEST / explode (reference $UNNEST_ROWS$1 builtin → CorrelateExec)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@query(
+    "unnest_with_ordinality",
+    oracle="""
+    SELECT p_partkey, u.i - 1 AS pos, u.w AS word
+    FROM part,
+         LATERAL (SELECT unnest(string_split(p_name,' ')) AS w,
+                         generate_subscripts(string_split(p_name,' '), 1) AS i) u
+    WHERE p_partkey <= 200
+    """,
+)
+def unnest_with_ordinality(spark, sf_dir):
+    """UNNEST WITH ORDINALITY → posexplode."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """PIVOT — Flink expresses this as FILTER'd aggs; Spark has it native."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
