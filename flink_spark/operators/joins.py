@@ -108,8 +108,10 @@ def asof_join(
     )
     out = filled.filter(F.col("__side") == 1).drop("__ts", "__side", "__payload")
     for c in right_cols:
-        out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
-    out = out.withColumn(right_ts + suffix, F.col("__match.__rts")).drop("__match")
+        name = c + suffix if c in left.columns else c
+        out = out.withColumn(name, F.col(f"__match.{c}"))
+    rts_name = right_ts + suffix if right_ts in left.columns else right_ts
+    out = out.withColumn(rts_name, F.col("__match.__rts")).drop("__match")
     return out
 
 

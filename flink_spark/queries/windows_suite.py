@@ -1,1 +1,268 @@
-"""Placeholder — populated in this round."""
+"""Window TVF + time-join operator coverage over the events table
+(SURVEY §2.5, §2.3 streaming rows) — batch-mode semantics of the streaming
+operators, value-checked against DuckDB.
+
+The same flink_spark.operators implementations run unchanged on streaming
+DataFrames (watermark-driven emission); tests/test_streaming.py exercises
+that path. Here the batch projection is verified value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_spark.operators import windows as W
+from flink_spark.operators.joins import asof_join, interval_join
+from flink_spark.queries.registry import query
+from flink_spark.queries.util import DEC, dsum
+from flink_spark.sources.tables import load_table
+
+# DuckDB time_bucket origin for sub-day widths is 2000-01-03 00:00 (Monday);
+# Spark windows align to the unix epoch 1970-01-01 (Thursday). Both are
+# midnight-aligned, so buckets agree for widths that divide 24h; for the
+# 4-hour hop step they also agree (both origins are midnight). Oracles below
+# use time_bucket only for day-dividing widths.
+
+
+@query(
+    "window_tumble",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumble(spark, sf_dir):
+    """TUMBLE TVF (reference SqlTumbleTableFunction, WindowAggOperator.java:96)
+    → native F.window; on a stream the same groupBy emits on window close."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        W.tumble(ev, "ts", "1 hour")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "window_hop",
+    oracle=f"""
+    WITH k AS (SELECT unnest([0, 1]) AS i)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes'
+             AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes'
+             + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+)
+def window_hop(spark, sf_dir):
+    """HOP TVF (reference SqlHopTableFunction; slice sharing in
+    SliceAssigners.java) → F.window(ts, size, slide); the oracle expands the
+    size/slide=2 window memberships explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        W.hop(ev, "ts", slide="30 minutes", size="1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "window_cumulate",
+    oracle=f"""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, ts, value FROM events
+    ), k AS (SELECT unnest([1, 2, 3, 4]) AS i)
+    SELECT ws AS window_start,
+           ws + i * INTERVAL '15 minutes' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM base CROSS JOIN k
+    WHERE ts < ws + i * INTERVAL '15 minutes'
+    GROUP BY 1, 2
+    """,
+)
+def window_cumulate(spark, sf_dir):
+    """CUMULATE TVF (reference SqlCumulateTableFunction — no Spark builtin):
+    lowered to sequence+explode of expanding window ends (operators.windows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        W.cumulate(ev, "ts", step="15 minutes", size="1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "window_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark, sf_dir):
+    """SESSION TVF (reference SqlSessionTableFunction; merging assigner in
+    .../groupwindow/assigners/) → native F.session_window (gap-merged;
+    session end = last event + gap). Oracle = gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_topn",
+    oracle=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS user_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, user_sum, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY user_sum DESC, user_id) AS rn
+      FROM agg) t
+    WHERE rn <= 3
+    """,
+)
+def window_topn(spark, sf_dir):
+    """Window Top-N (reference StreamExecWindowRank.java:77): rank within
+    each closed window. 6-hour tumble → top-3 users by summed value."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        W.tumble(ev, "ts", "6 hours")
+        .groupBy("window_start", "user_id")
+        .agg(dsum("value", "user_sum"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("user_sum"), "user_id")
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "window_dedup",
+    oracle="""
+    SELECT window_start, user_id, event_id, ts FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                                             user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def window_dedup(spark, sf_dir):
+    """Window deduplication (reference StreamExecWindowDeduplicate.java:69):
+    first row per key per window."""
+    ev = load_table(spark, sf_dir, "events")
+    t = W.tumble(ev, "ts", "1 hour")
+    w = Window.partitionBy("window_start", "user_id").orderBy("ts", "event_id")
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "user_id", "event_id", "ts")
+    )
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """Interval join (reference StreamExecIntervalJoin.java:86 /
+    TimeIntervalJoin.java:53): clicks matched to purchases within
+    [ts, ts+30m] per user. Equi-key drives the shuffle; the band is a
+    residual predicate (and, in streaming, the state-cleanup bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        keys=[("user_id", "p_user_id")],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return joined.select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS ts_r, c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of / temporal join (reference StreamExecTemporalJoin.java:77,
+    TemporalRowTimeJoinOperator.java:84 — FOR SYSTEM_TIME AS OF): each
+    purchase joined to the latest prior click per user. Implemented as
+    union-tag + ordered last_value fill (one shuffle, no range explosion);
+    oracle = DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "ts_r", "click_event_id")
