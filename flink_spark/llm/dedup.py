@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+  - exact: one hash-shuffle on the fingerprint — O(n).
+  - n-gram Jaccard: exact pairwise similarity via a shingle inverted index
+    (explode→self-join on shingle→pair counts). Correct but the join fans
+    out quadratically inside hot shingle buckets — the small-data oracle.
+  - MinHash+LSH: the 100 TB path. Signatures are fixed size (K hashes) per
+    doc regardless of doc length; banding turns near-dup search into an
+    equality join on (band, band-signature) — no cross product. Candidate
+    pairs are then verified on signature agreement.
+  - SimHash: 60-bit fingerprint; hamming-ball pairing.
+
+Everything is JVM expressions (md5/conv arithmetic, explode, groupBy) —
+deterministic across engines, which is what lets DuckDB oracle-check the
+exact same pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared verbatim with the SQL oracles.
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_K = 32  # signature length
+MH_BAND_ROWS = 4  # rows per LSH band → 8 bands
+# deterministic odd multipliers / offsets
+MH_PARAMS = [(2 * i + 1, 101 * i + 17) for i in range(MH_K)]
+
+
+def _portable_hash(col: Column) -> Column:
+    """60-bit integer hash of a string, identical in Spark and DuckDB:
+    first 15 hex digits of md5. Spark: conv(hex,16,10); DuckDB:
+    ('0x'||substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM transform+explode)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+    )
+    return (
+        df.select(id_col, F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: keep min-id doc per
+    group, report group size. One shuffle on the 128-bit hash."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    sh = word_shingles(df, text_col, n, id_col).cache()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """K-row minhash table (doc_id, i, mh): mh_i = min over shingles of
+    (a_i * H(shingle) + b_i) mod P. Long-format keeps the plan columnar and
+    lets banding/verification be plain groupBy/join."""
+    sh = word_shingles(df, text_col, 3, id_col)
+    params = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(MH_PARAMS)
+        ]
+    )
+    hashed = sh.withColumn("h", _portable_hash(F.col("shingle")) % MH_PRIME)
+    exploded = hashed.select(
+        id_col, "h", F.explode(params).alias("p")
+    ).select(
+        id_col,
+        F.col("p.i").alias("i"),
+        ((F.col("p.a") * F.col("h") + F.col("p.b")) % MH_PRIME).alias("hv"),
+    )
+    return exploded.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_agree: int = MH_K // 2) -> DataFrame:
+    """MinHash LSH candidate pairs + signature-agreement verification.
+
+    bands: group signature rows into MH_K/MH_BAND_ROWS bands; band key =
+    concatenated minhashes. Docs sharing any band bucket are candidates
+    (equality join — no cross product); candidates verified by counting
+    agreeing signature positions (>= min_agree of MH_K).
+    """
+    sig = minhash_signatures(df, text_col, id_col).cache()
+    # collect_list order is nondeterministic → sort by i inside the band
+    bands = (
+        sig.withColumn("band", (F.col("i") / MH_BAND_ROWS).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    ba = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    bb = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), "i", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), "i", F.col("mh").alias("mh_b"))
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_agree"))
+    )
+    return (
+        agree.filter(F.col("n_agree") >= min_agree)
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(float(MH_K)))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: sign-sum of token-hash bits. 60-bit (15 hex
+    chars of md5) to stay in exact int64 range on both engines."""
+    toks = (
+        df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .withColumn("h", _portable_hash(F.col("w")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = toks.select(id_col, "h", bit).withColumn(
+        "v",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("v").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. Pairing is blocked on
+    the top-16 bits (docs differing there can still pair only if the high
+    bits agree — with max_hamming<=3 we additionally check the 4-block
+    pigeonhole: at least one of four 15-bit blocks must match exactly)."""
+    sh = simhash(df, text_col, id_col).cache()
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright(F.col("simhash"), 15 * k)
+                        .bitwiseAND((1 << 15) - 1)
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+    la = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "key"
+    )
+    lb = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "key"
+    )
+    cand = (
+        la.join(lb, ["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

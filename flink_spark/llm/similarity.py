@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference surface: VECTOR_SEARCH table function
+(reference StreamExecVectorSearchTableFunction, VectorSearchCodeGenerator.scala)
+— top-k nearest neighbors for a query set against an embedding table.
+
+Two paths:
+  - brute-force cosine top-k: exact baseline. Broadcast the (small) query
+    set, one pass over the candidate table, per-query top-k via window —
+    scales linearly in candidates, embarrassingly parallel.
+  - LSH-bucketed (random hyperplane signs): the scale path — candidates
+    restricted to matching sign-sketch buckets before scoring; recall<1,
+    cost ~ bucket size instead of full scan.
+
+Determinism: dot products accumulate per-term products cast to DECIMAL —
+order-independent exact sums (see queries/util.py) — so results hash-match
+DuckDB's unordered SUM-over-unnest evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# exact, order-independent dot product / norm over double arrays.
+# Per-term DECIMAL(25,20); accumulator DECIMAL(30,20): the add result is
+# (31,20) — same scale, so the cast back to (30,20) is lossless (overflow
+# impossible for |terms| ≤ 10^9). Matches DuckDB SUM(DECIMAL(25,20)) exactly.
+_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(25,20))), "
+    "CAST(0 AS DECIMAL(30,20)), (acc, v) -> CAST(acc + v AS DECIMAL(30,20))) AS DOUBLE)"
+)
+
+
+def cosine(a: str, b: str) -> Column:
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan candidates.
+
+    queries: (query_id, embedding); candidates: (cand_id, embedding).
+    """
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cos_sim", cosine("__qv", "__cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        # rank on the raw value; report rounded (decimal-exact sums still
+        # pass through one double divide whose last ulp is engine-specific)
+        .select(query_id, cand_id, F.round("cos_sim", 12).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_sketch(df: DataFrame, vec: str, n_planes: int = 16,
+                      dim: int = 64) -> DataFrame:
+    """Sign-sketch for LSH bucketing: bit j = sign(v · r_j) where r_j is a
+    deterministic pseudo-random hyperplane derived from md5(j, i) — no RNG
+    at runtime, reproducible across engines/runs."""
+    planes = []
+    for j in range(n_planes):
+        # deterministic ±1 plane from bit-mix of (j, i)
+        comps = F.array(
+            *[
+                F.when(
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"{j}:{i}")), 1, 8), 16, 10
+                    ).cast("bigint")
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for i in range(dim)
+            ]
+        )
+        dot = F.expr(
+            f"aggregate(zip_with({vec}, __plane_{j}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        planes.append((comps, dot, j))
+    out = df
+    for comps, _, j in planes:
+        out = out.withColumn(f"__plane_{j}", comps)
+    bucket = None
+    for _, dot, j in planes:
+        bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    out = out.withColumn("bucket", bucket.cast("int"))
+    return out.drop(*[f"__plane_{j}" for j in range(n_planes)])
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's sign bucket.
+    Equality join on bucket → no cross product; recall traded for cost."""
+    qs = hyperplane_sketch(
+        queries.select(query_id, F.col(vec).alias("__qv")), "__qv", n_planes, dim
+    )
+    cs = hyperplane_sketch(
+        candidates.select(cand_id, F.col(vec).alias("__cv")), "__cv", n_planes, dim
+    )
+    scored = qs.join(cs, "bucket").withColumn("cos_sim", cosine("__qv", "__cv"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, F.round("cos_sim", 12).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization stats, quality scoring, language ID, fingerprinting.
+
+All hot paths are JVM expressions (split/regexp/aggregate) — no Python UDFs —
+so they run inside whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and shared with the SQL oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "los", "que"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col) -> Column:
+    """BPE-ish sub-word split: words plus punctuation as separate tokens
+    (regex token boundary model, the pre-pass real BPE tokenizers use)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # match sequences of word chars OR single non-space punctuation
+    return F.expr(
+        f"regexp_extract_all({c._jc.toString() if hasattr(c, '_jc') else col}, "
+        "'[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score features: length, token stats, stopword ratio,
+    punctuation ratio, mean word length. Mirrors common pretraining-data
+    quality filters (length/punct/stopword heuristics)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("ttr"),  # type-token ratio
+        n_stop.alias("n_stopword_types"),
+        n_punct.alias("n_punct"),
+        ((F.length(t) - n_tok + 1) / n_tok).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = number of language-marker
+    words present; argmax with deterministic tiebreak on language code.
+    JVM-only (array_intersect per language)."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array([F.lit(w) for w in words]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    # array_max over structs: compares score first, then lang; to make the
+    # tiebreak prefer the *earliest* lang code at equal score, invert lang
+    # ordering via a sortable key.
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.select(
+        "*",
+        best["score"].alias("lang_score"),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key. Also a 60-bit integer projection for compact
+    storage/joins."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    h = F.md5(norm)
+    return df.select(
+        "*",
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )

@@ -1,1 +1,322 @@
-"""Placeholder — populated in this round."""
+"""LLM training-data pipeline operator coverage (SURVEY §7.1 north star):
+dedup (exact/jaccard/minhash-LSH/simhash), similarity search, text
+analysis, multimodal plumbing — over documents/embeddings.
+
+Oracles replicate the exact same deterministic constructions in DuckDB SQL
+(portable 60-bit md5 hash, shared minhash parameters, decimal-exact dot
+products), so pair sets and scores hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.llm import dedup as D
+from flink_spark.llm import multimodal as MM
+from flink_spark.llm import similarity as SIM
+from flink_spark.llm import text as TXT
+from flink_spark.queries.registry import query
+from flink_spark.sources.tables import load_table
+
+# shared SQL fragments ------------------------------------------------------
+
+_MH_PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MH_PARAMS))
+
+_SHINGLES_SQL = """
+  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+         WHERE i <= len(ws) - 2)
+"""
+
+_MINHASH_SQL = f"""
+  params(i, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+  hashed AS (SELECT doc_id,
+                    (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {D.MH_PRIME} AS h
+             FROM sh),
+  sig AS (SELECT doc_id, i, MIN((a * h + b) % {D.MH_PRIME}) AS mh
+          FROM hashed CROSS JOIN params GROUP BY doc_id, i)
+"""
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-shuffle on the normalized-text md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs)
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+           ('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp_int
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 + 60-bit integer projection (portable
+    across engines: Spark conv(hex,16,10) ≡ DuckDB hex-literal cast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.fingerprint(docs).select("doc_id", "fp_md5", "fp_int")
+
+
+@query(
+    "llm_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           len(list_distinct(toks)) / len(toks) AS ttr
+    FROM t
+    """,
+)
+def llm_token_stats(spark, sf_dir):
+    """Token counting + type-token ratio (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(toks) AS n_tokens,
+           len(list_intersect(list_distinct(toks),
+                              ['the','and','of','to','a'])) AS n_stopword_types,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_punct,
+           (length(text) - len(toks) + 1) / len(toks) AS mean_word_len
+    FROM t
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """Quality-scoring features: length / stopword presence / punctuation /
+    mean word length — the standard pretraining quality filters, all JVM
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TXT.quality_metrics(docs)
+    return out.select(
+        "doc_id", "n_chars_m", "n_tokens", "n_stopword_types", "n_punct",
+        "mean_word_len",
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+               FROM documents),
+    scores AS (
+      SELECT doc_id, s.lang,
+             len(list_intersect(toks, s.words)) AS score
+      FROM t, (
+        SELECT 'de' AS lang, ['der','die','und','das','ein'] AS words UNION ALL
+        SELECT 'en', ['the','and','of','to','a'] UNION ALL
+        SELECT 'es', ['el','la','de','los','que'] UNION ALL
+        SELECT 'fr', ['le','la','et','les','des'] UNION ALL
+        SELECT 'zh', ['的','是','了','在','我']
+      ) s
+    ), best AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id, score AS lang_score,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+    """,
+)
+def llm_lang_id(spark, sf_dir):
+    """Language ID via stopword-profile argmax (deterministic tiebreak:
+    higher score, then lexicographically-last code — mirrored in oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.language_id(docs).select("doc_id", "lang_score", "lang_pred")
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           n_common / (ca.n + cb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common / (ca.n + cb.n - n_common) >= 0.8
+    """,
+)
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "llm_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    bands AS (SELECT doc_id, i // {D.MH_BAND_ROWS} AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+              FROM sig GROUP BY doc_id, i // {D.MH_BAND_ROWS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+              FROM cand c
+              JOIN sig x ON x.doc_id = c.doc_a
+              JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, n_agree, n_agree / {float(D.MH_K)} AS est_jaccard
+    FROM agree WHERE n_agree >= {D.MH_K // 2}
+    """,
+)
+def llm_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — the 100 TB dedup path: fixed-size
+    signatures, banding → equality join, no cross product. Identical
+    deterministic hash family on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs)
+
+
+@query(
+    "llm_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents),
+    th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, b.bit,
+                    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, (SELECT unnest(range(60)) AS bit) b
+             GROUP BY doc_id, b.bit),
+    sh AS (SELECT doc_id,
+                  SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           FROM bits GROUP BY doc_id),
+    blocks AS (SELECT doc_id, simhash, k.blk,
+                      (simhash >> (15 * k.blk)) & 32767 AS key
+               FROM sh, (SELECT unnest(range(4)) AS blk) k),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM blocks a JOIN blocks b
+               ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def llm_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 60-bit sign-sum fingerprint, 4-block
+    pigeonhole blocking, hamming <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs)
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    terms AS (SELECT query_id, cand_id,
+                     CAST(qv[i]::DOUBLE * cv[i]::DOUBLE AS DECIMAL(25,20)) AS xy,
+                     CAST(qv[i]::DOUBLE * qv[i]::DOUBLE AS DECIMAL(25,20)) AS xx,
+                     CAST(cv[i]::DOUBLE * cv[i]::DOUBLE AS DECIMAL(25,20)) AS yy
+              FROM q CROSS JOIN c,
+                   LATERAL (SELECT generate_subscripts(qv, 1) AS i) t),
+    dots AS (SELECT query_id, cand_id,
+                    CAST(SUM(xy) AS DOUBLE) AS dot,
+                    CAST(SUM(xx) AS DOUBLE) AS na,
+                    CAST(SUM(yy) AS DOUBLE) AS nb
+             FROM terms GROUP BY query_id, cand_id),
+    scored AS (SELECT query_id, cand_id,
+                      dot / (sqrt(na) * sqrt(nb)) AS cos_sim
+               FROM dots)
+    SELECT query_id, cand_id, round(cos_sim, 12) AS cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark, sf_dir):
+    """Vector search (reference VECTOR_SEARCH TVF): exact brute-force
+    cosine top-5 for 10 query vectors. Dot products are decimal-exact →
+    identical ranking on both engines; broadcast queries × one candidate
+    scan at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return SIM.brute_force_topk(q, c, k=5)
+
+
+@query("llm_lsh_topk", oracle=None)
+def llm_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets — the scale path
+    (recall < 1 by design → no SQL oracle; rows-only check here, recall
+    measured in tests/test_llm.py against the brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return SIM.lsh_topk(q, c, k=5, n_planes=4)
+
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           md5(text) AS payload_md5,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def llm_multimodal_meta(spark, sf_dir):
+    """Multimodal ingest metadata: binary payload + JVM-computed size/hash
+    (decode-free filtering at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.attach_binary(docs).select("doc_id", "n_bytes", "payload_md5", "mime")
+
+
+@query("llm_multimodal_features", oracle=None)
+def llm_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (stubbed
+    codec — see flink_spark/llm/multimodal.py). Rows-only check: the
+    pandas-UDF path is not SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.attach_binary(docs))
