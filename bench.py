@@ -14,12 +14,30 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Full TPC-H 22 (BASELINE.md bench discipline: sec/query at sf0.1).
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
