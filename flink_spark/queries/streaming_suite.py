@@ -1,0 +1,267 @@
+"""Streaming operator coverage (SURVEY §2.5, §2.7, §2.13, M2/M3): the same
+operators as the batch windows suite, executed through Structured Streaming
+(file source → watermark → stateful operator → AvailableNow drain → memory
+sink), value-checked against DuckDB.
+
+Because the input is bounded and the processors order rows by event time
+(not arrival), every emitted row — including changelog op sequences — is
+deterministic, so even the retraction operators get *exact* SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.operators import windows as W
+from flink_spark.queries.registry import query
+from flink_spark.queries.util import DEC, dsum
+from flink_spark.streaming import changelog as CL
+from flink_spark.streaming.core import ntz_windows, run_to_memory, stream_table
+
+
+@query(
+    "stream_tumble_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumble_agg(spark, sf_dir):
+    """Streaming TUMBLE agg (reference StreamExecWindowAggregate.java:92,
+    WindowAggOperator.java:96): watermark-driven window close; complete
+    output over bounded input equals the batch projection."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
+    agg = (
+        W.tumble(ev, "ts", "1 hour")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    return ntz_windows(run_to_memory(agg, "complete", "tumble"),
+                       "window_start", "window_end")
+
+
+@query(
+    "stream_hop_agg",
+    oracle=f"""
+    WITH k AS (SELECT unnest([0, 1]) AS i)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes'
+             AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes'
+             + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+)
+def stream_hop_agg(spark, sf_dir):
+    """Streaming HOP agg (slice sharing: SliceAssigners.java): Spark's
+    expand node assigns each row its size/slide covering windows."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
+    agg = (
+        W.hop(ev, "ts", slide="30 minutes", size="1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    return ntz_windows(run_to_memory(agg, "complete", "hop"),
+                       "window_start", "window_end")
+
+
+@query(
+    "stream_session_agg",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """Streaming SESSION agg (merging assigner, reference
+    .../groupwindow/assigners/): gap-merged per-key sessions."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute")).filter(
+        F.col("user_id") <= 100
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ntz_windows(run_to_memory(agg, "complete", "session"),
+                       "session_start", "session_end")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (reference StreamExecIntervalJoin.java:86,
+    TimeIntervalJoin.java:53): native Structured Streaming join — watermarks
+    + the time-band condition bound state retention on both sides."""
+    ev1 = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    ev2 = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    clicks = ev1.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev2.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return ntz_windows(run_to_memory(joined, "append", "ijoin"),
+                       "click_ts", "purchase_ts")
+
+
+@query(
+    "stream_dedup_first",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark, sf_dir):
+    """Streaming keep-first dedup (reference StreamExecDeduplicate.java:94,
+    RowTimeDeduplicateKeepFirstRow): first row per user by event time via a
+    keyed stateful processor — deterministic, unlike arrival-order
+    dropDuplicates."""
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = CL.dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
+    return run_to_memory(out, "append", "dedupf")
+
+
+@query(
+    "stream_changelog_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_ts,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_eid,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_val
+      FROM events WHERE user_id <= 200)
+    SELECT '+I' AS op, user_id, ts, event_id, value FROM v WHERE rn = 1
+    UNION ALL
+    SELECT '-U', user_id, p_ts, p_eid, p_val FROM v WHERE rn > 1
+    UNION ALL
+    SELECT '+U', user_id, ts, event_id, value FROM v WHERE rn > 1
+    """,
+)
+def stream_changelog_normalize(spark, sf_dir):
+    """Changelog normalize (reference StreamExecChangelogNormalize.java:81):
+    upsert stream keyed by user_id → retract stream. Each version emits the
+    -U of its predecessor; the whole op sequence is deterministic (event-time
+    ordering) so the oracle reconstructs it with LAG."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = CL.changelog_normalize(ev, ["user_id"], ["ts", "event_id"])
+    return run_to_memory(out, "append", "cnorm")
+
+
+@query(
+    "stream_topn_changelog",
+    oracle=f"""
+    WITH agg AS (
+      SELECT user_id, event_type, value, event_id FROM events
+      WHERE user_id <= 200)
+    SELECT '+I' AS op, rank, user_id, event_type, value, event_id FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY value DESC, event_id) AS INT) AS rank
+      FROM agg) t
+    WHERE rank <= 5
+    """,
+)
+def stream_topn_changelog(spark, sf_dir):
+    """Streaming Top-N (reference StreamExecRank.java:93,
+    RetractableTopNFunction.java:56): per event_type top-5 by value. On
+    bounded single-batch input the emitted changelog is exactly the +I rows
+    of the final ranking (rank shifts would add -U/+U pairs)."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200).select(
+        "user_id", "event_type", "value", "event_id"
+    )
+    out = CL.streaming_topn(
+        ev, ["event_type"], ["value", "event_id"], n=5, ascending=[False, True]
+    )
+    return run_to_memory(out, "append", "topn")
+
+
+@query(
+    "stream_upsert_materialize",
+    oracle=f"""
+    SELECT user_id, ts, event_id, value FROM (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id <= 200) t
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_materialize(spark, sf_dir):
+    """Changelog → upsert sink fold (reference StreamExecSink.java:137 upsert
+    materialization): normalize to a retract stream, keep +I/+U, fold to the
+    latest version per key — the foreachBatch MERGE pattern, batch-checked."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cl = CL.changelog_normalize(ev, ["user_id"], ["ts", "event_id"])
+    collected = run_to_memory(cl, "append", "upsert")
+    ups = CL.drop_update_before(collected)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ups.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )

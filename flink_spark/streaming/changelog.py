@@ -1,0 +1,203 @@
+"""Changelog (retraction) layer: the op-column protocol plus the stateful
+operators that produce/consume it.
+
+Flink models a Table over a stream as a *changelog*: each row carries a
+RowKind of +I/-U/+U/-D (reference flink-core/.../types/RowKind.java:25-52,
+ChangelogMode.java:76-103). Spark has no native equivalent (SURVEY §1.1 —
+the hardest semantic gap), so we encode the kind in an explicit ``op``
+string column and implement the changelog-producing operators as keyed
+stateful processors (``applyInPandasWithState`` — Arrow-batched, one state
+row per key in the state store; the Spark analog of Flink's keyed state,
+reference KeyedStateBackend.java:36):
+
+  - ``changelog_normalize``  ↔ StreamExecChangelogNormalize.java:81
+    (upsert stream → retract stream: emit -U of the previous version).
+  - ``streaming_topn``       ↔ StreamExecRank.java:93 /
+    RetractableTopNFunction.java:56 (Top-N with retractions as ranks shift).
+  - ``dedup_keep_first``     ↔ StreamExecDeduplicate.java:94 keep-first
+    (insert-only output; later duplicates are absorbed).
+  - ``drop_update_before``   ↔ StreamExecDropUpdateBefore /
+    DropUpdateBeforeFunction.java (upsert consumers don't need -U).
+
+Determinism: within a micro-batch, rows of a key are processed in
+``seq_cols`` order (event time + id), not arrival order — so results are
+reproducible across partitionings and match the SQL oracles.
+
+Scale: state is partitioned by the grouping key and lives in the state
+store (RocksDB provider in production). Per-key state is O(1) rows for
+normalize / dedup and O(N) for Top-N, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OP_INSERT = "+I"
+OP_UPDATE_BEFORE = "-U"
+OP_UPDATE_AFTER = "+U"
+OP_DELETE = "-D"
+
+OP_FIELD = StructField("op", StringType(), False)
+
+
+def _with_op(schema: StructType) -> StructType:
+    return StructType([OP_FIELD, *schema.fields])
+
+
+def changelog_normalize(
+    stream: DataFrame, key_cols: list[str], seq_cols: list[str]
+) -> DataFrame:
+    """Upsert stream → retract stream (+I first version, then -U/+U pairs).
+
+    Keeps the last row per key in state; each new version emits the -U of
+    its predecessor. Required in front of retract-sensitive aggregations
+    when the source is CDC/upsert — exactly where Flink's planner inserts
+    ChangelogNormalize.
+    """
+    import pandas as pd
+
+    schema = stream.schema
+    cols = schema.fieldNames()
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_cols, kind="mergesort")[cols]
+        prev = tuple(state.get) if state.exists else None
+        out = []
+        for row in pdf.itertuples(index=False, name=None):
+            if prev is None:
+                out.append((OP_INSERT, *row))
+            else:
+                out.append((OP_UPDATE_BEFORE, *prev))
+                out.append((OP_UPDATE_AFTER, *row))
+            prev = row
+        if prev is not None:
+            state.update(prev)
+        yield pd.DataFrame(out, columns=["op", *cols])
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, _with_op(schema), schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def dedup_keep_first(
+    stream: DataFrame, key_cols: list[str], seq_cols: list[str]
+) -> DataFrame:
+    """Event-time keep-first dedup (deterministic, unlike arrival-order
+    ``dropDuplicates``): first row by ``seq_cols`` per key wins; later
+    duplicates are absorbed. Insert-only output."""
+    import pandas as pd
+
+    schema = stream.schema
+    cols = schema.fieldNames()
+    state_schema = StructType([StructField("seen", IntegerType(), True)])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        first = pdf.sort_values(seq_cols, kind="mergesort").head(1)[cols]
+        state.update((1,))
+        yield first
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_topn(
+    stream: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    n: int,
+    ascending: list[bool] | None = None,
+) -> DataFrame:
+    """Streaming Top-N emitting a changelog of rank movements.
+
+    State = the current top rows (column-wise arrays). Per batch: merge new
+    rows, re-rank; emit -D for rows leaving the Top-N, +I for rows entering
+    and -U/+U pairs for surviving rows whose rank moved (rank in payload).
+    ``ascending`` gives per-column sort direction (default all-descending);
+    pass an ascending id tiebreak for determinism.
+    """
+    import pandas as pd
+
+    asc = ascending if ascending is not None else [False] * len(order_cols)
+    schema = stream.schema
+    cols = schema.fieldNames()
+    state_schema = StructType(
+        [StructField(f.name, ArrayType(f.dataType), True) for f in schema.fields]
+    )
+    out_schema = StructType(
+        [OP_FIELD, StructField("rank", IntegerType(), False), *schema.fields]
+    )
+
+    def rank(pdf):
+        return (
+            pdf.sort_values(order_cols, ascending=asc, kind="mergesort")
+            .head(n)
+            .reset_index(drop=True)
+        )
+
+    def keyed(pdf):
+        return {
+            tuple(r): i + 1
+            for i, r in enumerate(pdf.itertuples(index=False, name=None))
+        }
+
+    def fn(key, pdfs, state):
+        new = pd.concat(list(pdfs), ignore_index=True)[cols]
+        if state.exists:
+            stored = state.get
+            old = pd.DataFrame({c: list(stored[i]) for i, c in enumerate(cols)})
+        else:
+            old = pd.DataFrame({c: pd.Series(dtype=new[c].dtype) for c in cols})
+        ranked = rank(pd.concat([old, new], ignore_index=True))
+        state.update(tuple(list(ranked[c]) for c in cols))
+        old_ranks = keyed(rank(old)) if len(old) else {}
+        new_ranks = keyed(ranked)
+        out = []
+        for row, rk in old_ranks.items():
+            if row not in new_ranks:
+                out.append((OP_DELETE, rk, *row))
+        for row, rk in new_ranks.items():
+            if row not in old_ranks:
+                out.append((OP_INSERT, rk, *row))
+            elif old_ranks[row] != rk:
+                out.append((OP_UPDATE_BEFORE, old_ranks[row], *row))
+                out.append((OP_UPDATE_AFTER, rk, *row))
+        yield pd.DataFrame(out, columns=["op", "rank", *cols])
+
+    return stream.groupBy(*partition_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def drop_update_before(changelog: DataFrame) -> DataFrame:
+    """Strip -U rows for upsert-capable consumers."""
+    return changelog.filter(F.col("op") != OP_UPDATE_BEFORE)
+
+
+def materialize(changelog: DataFrame, key_cols: list[str], seq_cols: list[str]) -> DataFrame:
+    """Batch-fold a collected changelog back to a table: the latest +I/+U
+    version (by ``seq_cols``) per key wins. (Test/sink helper — the
+    foreachBatch MERGE upsert sink applies the same fold per batch.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    return (
+        drop_update_before(changelog)
+        .filter(F.col("op") != OP_DELETE)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "op")
+    )

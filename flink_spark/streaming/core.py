@@ -1,0 +1,119 @@
+"""Streaming source/sink plumbing: file-source streams over the test
+tables, watermarks, and a run-to-completion helper.
+
+Reference surface: FLIP-27 sources + unified Sink V2 (reference
+flink-core/.../api/connector/source/Source.java, .../sink2/Sink.java) map to
+``spark.readStream`` / ``writeStream``. Flink's bounded-stream execution of
+a batch table ("batch is a special case of streaming") is exactly
+Structured Streaming's ``Trigger.AvailableNow`` over a file source: the
+same operators run watermark-driven, then the query drains and stops.
+
+``run_to_memory`` is the test/driver bridge: execute a streaming plan to
+completion on bounded input and hand back the result as a batch DataFrame —
+which is what lets the DuckDB oracle gate value-check *streaming* operators.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.session import prepare_session
+
+_COUNTER = itertools.count()
+
+_STREAM_DIR_ROOT = "/tmp/flink_spark_stream_src"
+
+
+def _as_dir(file_path: str) -> str:
+    """The file stream source requires a *directory*; expose a single
+    parquet file through a stable symlink directory under /tmp."""
+    key = file_path.strip("/").replace("/", "_")
+    d = os.path.join(_STREAM_DIR_ROOT, key)
+    link = os.path.join(d, os.path.basename(file_path))
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(file_path, link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Open one test table as a *streaming* DataFrame (file source).
+
+    The schema is taken from a batch read of the same path (schema
+    inference is disabled for streaming file sources); the events table's
+    nanos→TIMESTAMP_NTZ normalization matches sources/tables.py.
+    ``watermark=(col, delay)`` applies ``withWatermark`` — the Spark
+    surface of Flink's WATERMARK DDL (bounded out-of-orderness).
+    """
+    prepare_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(_as_dir(path))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    if watermark is not None:
+        col, delay = watermark
+        # Spark watermarks require TIMESTAMP (LTZ). Session tz is pinned to
+        # UTC (prepare_session), so the NTZ→LTZ cast is value-preserving;
+        # window bounds are cast back to NTZ by ntz_windows() on output.
+        df = df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(
+            col, delay
+        )
+    return df
+
+
+def ntz_windows(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast LTZ window-bound columns back to TIMESTAMP_NTZ (UTC session)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", prefix: str = "fs_stream"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    name = f"{prefix}_{next(_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_files_in_batches(
+    spark: SparkSession,
+    dir_path: str,
+    schema,
+    transform,
+    output_mode: str = "append",
+    files_per_trigger: int = 1,
+    prefix: str = "fs_batched",
+) -> DataFrame:
+    """Stream a directory one file per micro-batch (watermark advances
+    between batches — the late-data test harness)."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(dir_path)
+    )
+    return run_to_memory(transform(src), output_mode, prefix)

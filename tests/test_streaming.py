@@ -1,0 +1,209 @@
+"""Streaming semantics beyond the oracle gate: watermark late-data drop
+across micro-batches, changelog emission over multiple batches, upsert
+materialization, and the datagen/blackhole connector surface.
+
+Modeled on the reference's stream ITCases (SURVEY §5.3): scripted
+event-time inputs split into files → one file per micro-batch → assert on
+the emitted rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.streaming import changelog as CL
+from flink_spark.streaming.core import run_to_memory
+
+
+def _write_batches(spark, tmp_path, batches, schema_cols):
+    """Write each batch as one parquet file named/timestamped so the file
+    stream source processes them in submission order."""
+    import shutil
+
+    d = str(tmp_path / "src")
+    os.makedirs(d, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage_{i}")
+        df = spark.createDataFrame(rows, schema_cols)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dest = os.path.join(d, f"batch_{i:04d}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dest)
+        os.utime(dest, (now + 10 * i, now + 10 * i))
+    return d
+
+
+def _stream_dir(spark, d, schema, files_per_trigger=100):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(d)
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumble agg late-data semantics (reference
+    WindowOperator.java:102 drop-late; Spark watermark).
+
+    Spark's guarantee is eviction-based: a late row is dropped once its
+    window was emitted+evicted (end of the batch where the watermark passed
+    the window end). A row arriving in the *same* batch as the eviction
+    still merges — so the drop needs three batches: data → watermark
+    advance (evicts the window) → late row (dropped, no duplicate window).
+    """
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+    import datetime as dt
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", DoubleType()),
+    ])
+
+    def parse(s):
+        return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    # The watermark used by batch N is computed from batches < N, and
+    # eviction runs against that value — so the [10:00,10:10) window is
+    # evicted during batch 2 (wm 10:49), and the late row must arrive in
+    # batch 3 to hit the evicted-window drop path.
+    batches = [
+        [(1, parse("2024-01-01 10:05:00"), 1.0)],   # window [10:00,10:10)
+        [(2, parse("2024-01-01 10:59:00"), 1.0)],   # raises max event time
+        [(3, parse("2024-01-01 11:10:00"), 1.0)],   # wm=10:49 → evicts 10:00
+        [(4, parse("2024-01-01 10:07:00"), 100.0),  # late: dropped
+         (5, parse("2024-01-01 11:30:00"), 1.0)],
+    ]
+    d = _write_batches(spark, tmp_path, batches, schema)
+    src = _stream_dir(spark, d, schema, files_per_trigger=1).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = src.groupBy(F.window("ts", "10 minutes")).agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    out = run_to_memory(agg, "append", "late")
+    got = {
+        (r["window"].start.strftime("%H:%M"), r["sv"]) for r in out.collect()
+    }
+    # the late 10:07 row (v=100) must not appear: the 10:00 window was
+    # already finalized with sv=1.0 and no duplicate window may follow
+    assert ("10:00", 1.0) in got, got
+    assert not any(sv > 1.0 for _, sv in got), got
+
+
+def test_changelog_normalize_across_batches(spark, tmp_path):
+    """-U must carry the version from the *previous batch* (state carry)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("seq", LongType()),
+        StructField("val", LongType()),
+    ])
+    batches = [[(1, 1, 10)], [(1, 2, 20), (1, 3, 30)]]
+    d = _write_batches(spark, tmp_path, batches, schema)
+    src = _stream_dir(spark, d, schema, files_per_trigger=1)
+    out = run_to_memory(
+        CL.changelog_normalize(src, ["k"], ["seq"]), "append", "cnorm_t"
+    ).collect()
+    ops = [(r.op, r.seq, r.val) for r in sorted(out, key=lambda r: (r.seq, r.op))]
+    assert ("+I", 1, 10) in ops
+    # version 2 retracts version 1 (cross-batch state), then asserts itself
+    assert ("-U", 1, 10) in ops and ("+U", 2, 20) in ops
+    assert ("-U", 2, 20) in ops and ("+U", 3, 30) in ops
+
+
+def test_streaming_topn_rank_movement(spark, tmp_path):
+    """Ranks shifting across batches emit -D / -U/+U retractions
+    (reference RetractableTopNFunction semantics)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("g", LongType()), StructField("score", LongType()),
+        StructField("id", LongType()),
+    ])
+    batches = [
+        [(1, 50, 1), (1, 40, 2)],            # top2 = [50, 40]
+        [(1, 60, 3)],                         # top2 = [60, 50]; 40 drops out
+    ]
+    d = _write_batches(spark, tmp_path, batches, schema)
+    src = _stream_dir(spark, d, schema, files_per_trigger=1)
+    out = run_to_memory(
+        CL.streaming_topn(src, ["g"], ["score", "id"], n=2, ascending=[False, True]),
+        "append",
+        "topn_t",
+    ).collect()
+    ops = {(r.op, r.rank, r.score) for r in out}
+    assert ("+I", 1, 50) in ops and ("+I", 2, 40) in ops  # batch 1
+    assert ("+I", 1, 60) in ops                            # batch 2 insert
+    assert ("-D", 2, 40) in ops                            # 40 leaves top-2
+    assert ("-U", 1, 50) in ops and ("+U", 2, 50) in ops   # 50 slides to rank 2
+
+
+def test_materialize_folds_changelog(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("seq", LongType()),
+        StructField("val", LongType()),
+    ])
+    batches = [[(1, 1, 10), (2, 1, 5)], [(1, 2, 20)]]
+    d = _write_batches(spark, tmp_path, batches, schema)
+    src = _stream_dir(spark, d, schema, files_per_trigger=1)
+    cl = run_to_memory(CL.changelog_normalize(src, ["k"], ["seq"]), "append", "mat_t")
+    final = {
+        (r.k, r.val) for r in CL.materialize(cl, ["k"], ["seq"]).collect()
+    }
+    assert final == {(1, 20), (2, 5)}
+
+
+def test_datagen_and_blackhole(spark):
+    from flink_spark.sources.datagen import (
+        blackhole_sink, choice_field, datagen, random_double_field,
+        sequence_field,
+    )
+
+    df = datagen(
+        spark,
+        rows_per_second=1000,
+        fields=[
+            sequence_field("id"),
+            random_double_field("value", 0.0, 1.0),
+            choice_field("kind", ["a", "b", "c"]),
+        ],
+    )
+    q = blackhole_sink(df)
+    try:
+        time.sleep(2.0)
+        assert q.isActive
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    # rate source produced batches; schema synthesized as declared
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert dict(df.dtypes)["kind"] == "string"
+
+
+def test_dedup_keep_first_across_batches(spark, tmp_path):
+    """A key seen in batch 1 must be suppressed in batch 2 (state carry)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("seq", LongType()),
+    ])
+    batches = [[(1, 1), (2, 7)], [(1, 99), (3, 3)]]
+    d = _write_batches(spark, tmp_path, batches, schema)
+    src = _stream_dir(spark, d, schema, files_per_trigger=1)
+    out = run_to_memory(
+        CL.dedup_keep_first(src, ["k"], ["seq"]), "append", "dedup_t"
+    ).collect()
+    assert {(r.k, r.seq) for r in out} == {(1, 1), (2, 7), (3, 3)}
