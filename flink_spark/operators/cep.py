@@ -1,0 +1,220 @@
+"""CEP / MATCH_RECOGNIZE: pattern matching over keyed event sequences.
+
+Reference semantics (SURVEY §2.11): Flink's CEP library and SQL
+MATCH_RECOGNIZE (reference flink-libraries/flink-cep/.../cep/CEP.java,
+pattern/Pattern.java, nfa/NFA.java:76, operator/CepOperator.java:83; SQL
+surface StreamExecMatch.java:61). Supported here:
+
+  - pattern sequence of named steps with per-step predicates,
+  - quantifiers: once / optional / oneOrMore / zeroOrMore (greedy or
+    reluctant, as in Pattern.oneOrMore().greedy() — reference
+    pattern/Quantifier.java),
+  - contiguity: strict (``next``) or relaxed (``followedBy``) per step,
+  - ``within`` — max first-to-last event time span (Pattern.within),
+  - after-match skip: PAST_LAST_ROW (default, as Flink SQL) or TO_NEXT_ROW
+    (reference AfterMatchSkipStrategy).
+
+Spark-first lowering: Flink runs a per-key NFA with a shared buffer inside
+a keyed operator. The equivalent Spark shape is ``groupBy(key).
+applyInPandas`` — one Arrow batch per key, rows sorted by event time, and
+a backtracking matcher (equivalent to the NFA for these quantifiers; the
+shared-buffer machinery exists to deduplicate state under *streaming*
+incremental evaluation, which batch evaluation doesn't need). Parallelism
+is across keys — the same distribution Flink has; per-key evaluation is
+inherently sequential in both systems.
+
+Output is the matched-events relation in long format: (key, match_id,
+var, seq_no, <event columns>) — one row per matched event, from which
+ONE ROW PER MATCH measures are plain aggregations (the decomposition
+Flink's MATCH_RECOGNIZE MEASURES clause compiles to).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SKIP_PAST_LAST_ROW = "past_last_row"
+SKIP_TO_NEXT_ROW = "to_next_row"
+
+
+@dataclass
+class Step:
+    name: str
+    where: Callable  # row(dict) -> bool
+    quantifier: str = "once"  # once|optional|oneOrMore|zeroOrMore
+    greedy: bool = True
+    strict: bool = True  # strict contiguity to the PREVIOUS step (next vs followedBy)
+
+
+@dataclass
+class Pattern:
+    """Builder mirroring Flink's Pattern API (begin/next/followedBy +
+    quantifier modifiers)."""
+
+    steps: list[Step] = field(default_factory=list)
+    within_span: str | None = None
+
+    @staticmethod
+    def begin(name: str, where: Callable) -> "Pattern":
+        return Pattern(steps=[Step(name, where, strict=True)])
+
+    def next(self, name: str, where: Callable) -> "Pattern":
+        self.steps.append(Step(name, where, strict=True))
+        return self
+
+    def followed_by(self, name: str, where: Callable) -> "Pattern":
+        self.steps.append(Step(name, where, strict=False))
+        return self
+
+    def one_or_more(self, greedy: bool = True) -> "Pattern":
+        self.steps[-1].quantifier = "oneOrMore"
+        self.steps[-1].greedy = greedy
+        return self
+
+    def zero_or_more(self, greedy: bool = True) -> "Pattern":
+        self.steps[-1].quantifier = "zeroOrMore"
+        self.steps[-1].greedy = greedy
+        return self
+
+    def optional(self) -> "Pattern":
+        self.steps[-1].quantifier = "optional"
+        return self
+
+    def within(self, span: str) -> "Pattern":
+        self.within_span = span
+        return self
+
+
+def _span_to_timedelta(span: str):
+    import pandas as pd
+
+    return pd.Timedelta(span)
+
+
+def _match_from(rows, steps, start, within_td, ts_col):
+    """Backtracking matcher: try to match the step list beginning at
+    ``start``. Returns list of (row_index, var_name) or None.
+
+    Equivalent to Flink's NFA for this quantifier set: each Step compiles
+    to a take/ignore state; greedy vs reluctant decides the branch order.
+    """
+    n = len(rows)
+    t0 = rows[start][ts_col] if start < n else None
+
+    def in_window(i):
+        return within_td is None or rows[i][ts_col] - t0 <= within_td
+
+    def rec(step_idx, pos, acc):
+        if step_idx == len(steps):
+            return acc
+        st = steps[step_idx]
+        # strict (next): this step starts exactly at pos; relaxed
+        # (followedBy): any number of non-matching rows may be skipped
+        starts = [pos] if st.strict else list(range(pos, n + 1))
+        for s in starts:
+            if st.quantifier == "once":
+                if s < n and in_window(s) and st.where(rows[s]):
+                    r = rec(step_idx + 1, s + 1, acc + [(s, st.name)])
+                    if r is not None:
+                        return r
+            elif st.quantifier == "optional":
+                for take in ([1, 0] if st.greedy else [0, 1]):
+                    if take:
+                        if s < n and in_window(s) and st.where(rows[s]):
+                            r = rec(step_idx + 1, s + 1, acc + [(s, st.name)])
+                            if r is not None:
+                                return r
+                    else:
+                        r = rec(step_idx + 1, s, acc)
+                        if r is not None:
+                            return r
+            else:  # oneOrMore / zeroOrMore: consecutive repetition at s
+                takes = []
+                j = s
+                while j < n and in_window(j) and st.where(rows[j]):
+                    takes.append(j)
+                    j += 1
+                min_k = 0 if st.quantifier == "zeroOrMore" else 1
+                ks = (
+                    range(len(takes), min_k - 1, -1)
+                    if st.greedy
+                    else range(min_k, len(takes) + 1)
+                )
+                for k in ks:
+                    r = rec(
+                        step_idx + 1,
+                        s + k,
+                        acc + [(takes[x], st.name) for x in range(k)],
+                    )
+                    if r is not None:
+                        return r
+        return None
+
+    first = steps[0]
+    if start >= n or not in_window(start) or not first.where(rows[start]):
+        return None
+    return rec(1, start + 1, [(start, first.name)])
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    skip: str = SKIP_PAST_LAST_ROW,
+) -> DataFrame:
+    """Run the pattern per key over time-ordered rows; emit matched events.
+
+    Output columns: key cols + (match_id, var, seq_no) + all input columns.
+    ``match_id`` numbers matches per key in match order; ``seq_no`` numbers
+    events within the match.
+    """
+    import pandas as pd
+
+    order_cols = order_cols or [ts_col]
+    within_td = (
+        _span_to_timedelta(pattern.within_span) if pattern.within_span else None
+    )
+    steps = pattern.steps
+    in_schema = df.schema
+    out_schema = StructType(
+        [
+            StructField("match_id", LongType(), False),
+            StructField("var", StringType(), False),
+            StructField("seq_no", LongType(), False),
+            *in_schema.fields,
+        ]
+    )
+    cols = in_schema.fieldNames()
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        rows = pdf.to_dict("records")
+        out = []
+        match_id = 0
+        i = 0
+        n = len(rows)
+        while i < n:
+            m = _match_from(rows, steps, i, within_td, ts_col)
+            if m is None:
+                i += 1
+                continue
+            match_id += 1
+            for seq_no, (ri, var) in enumerate(m, start=1):
+                out.append(
+                    {"match_id": match_id, "var": var, "seq_no": seq_no, **rows[ri]}
+                )
+            if skip == SKIP_PAST_LAST_ROW:
+                i = max(ri for ri, _ in m) + 1
+            else:  # TO_NEXT_ROW
+                i = i + 1
+        if not out:
+            return pd.DataFrame(columns=["match_id", "var", "seq_no", *cols])
+        return pd.DataFrame(out)[["match_id", "var", "seq_no", *cols]]
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema=out_schema)

@@ -1,0 +1,166 @@
+"""MATCH_RECOGNIZE / CEP coverage (SURVEY §2.11) over the events table.
+
+Patterns are chosen so the NFA's SKIP PAST LAST ROW results coincide with a
+window-function SQL formulation (no two matches can overlap for these
+alphabets), giving exact DuckDB oracles for the pattern operator. Richer
+quantifier/greediness/skip semantics are unit-tested in tests/test_cep.py
+on scripted sequences (the reference's CEP ITCase style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.operators.cep import Pattern, match_pattern
+from flink_spark.queries.registry import query
+from flink_spark.sources.tables import load_table
+
+
+@query(
+    "cep_click_purchase_adjacent",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(ts) OVER w AS nxt_ts,
+             LEAD(event_id) OVER w AS nxt_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id AS click_id, nxt_id AS purchase_id,
+           ts AS click_ts, nxt_ts AS purchase_ts
+    FROM s
+    WHERE event_type = 'click' AND nxt_type = 'purchase'
+      AND nxt_ts <= ts + INTERVAL '30 minutes'
+    """,
+)
+def cep_click_purchase_adjacent(spark, sf_dir):
+    """PATTERN (A B) WITHIN 30m: click immediately followed by purchase in
+    the user's event sequence (reference StreamExecMatch.java:61 /
+    NFA.java:76 — strict contiguity, SKIP PAST LAST ROW). Matches cannot
+    overlap (B is never a valid A), so the LEAD-based SQL is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .next("B", lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.max(F.when(F.col("var") == "A", F.col("event_id"))).alias("click_id"),
+            F.max(F.when(F.col("var") == "B", F.col("event_id"))).alias("purchase_id"),
+            F.max(F.when(F.col("var") == "A", F.col("ts"))).alias("click_ts"),
+            F.max(F.when(F.col("var") == "B", F.col("ts"))).alias("purchase_ts"),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )
+
+
+@query(
+    "cep_browse_then_buy",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    nxt AS (
+      SELECT *,
+             MIN(CASE WHEN event_type <> 'view' THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nnv_rn
+      FROM s)
+    SELECT a.user_id, a.event_id AS click_id, c.event_id AS purchase_id,
+           c.rn - a.rn - 1 AS n_views,
+           a.ts AS click_ts, c.ts AS purchase_ts
+    FROM nxt a
+    JOIN s c ON c.user_id = a.user_id AND c.rn = a.nnv_rn
+    WHERE a.event_type = 'click' AND c.event_type = 'purchase'
+      AND c.ts <= a.ts + INTERVAL '2 hours'
+    """,
+)
+def cep_browse_then_buy(spark, sf_dir):
+    """PATTERN (A B* C) WITHIN 2h: click, any run of views, then purchase —
+    the canonical funnel pattern (reference CEP quantifiers,
+    pattern/Quantifier.java; B* = greedy consecutive zeroOrMore). The
+    matched span contains no clicks besides A and no non-view rows besides
+    C, so matches cannot overlap and the next-non-view SQL is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .next("B", lambda r: r["event_type"] == "view")
+        .zero_or_more()
+        .next("C", lambda r: r["event_type"] == "purchase")
+        .within("2 hours")
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.max(F.when(F.col("var") == "A", F.col("event_id"))).alias("click_id"),
+            F.max(F.when(F.col("var") == "C", F.col("event_id"))).alias("purchase_id"),
+            F.sum((F.col("var") == "B").cast("bigint")).alias("n_views"),
+            F.max(F.when(F.col("var") == "A", F.col("ts"))).alias("click_ts"),
+            F.max(F.when(F.col("var") == "C", F.col("ts"))).alias("purchase_ts"),
+        )
+        .select(
+            "user_id", "click_id", "purchase_id", "n_views",
+            "click_ts", "purchase_ts",
+        )
+    )
+
+
+@query(
+    "cep_error_burst",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events),
+    runs AS (
+      SELECT *, rn - SUM(is_err) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s WHERE is_err = 1)
+    SELECT user_id,
+           COUNT(*) AS n_errors,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           MIN(event_id) AS first_event_id
+    FROM runs
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def cep_error_burst(spark, sf_dir):
+    """PATTERN (E{3,}) — maximal consecutive error runs of length >= 3
+    (greedy oneOrMore absorbs the whole run; SKIP PAST LAST ROW makes runs
+    disjoint — exactly SQL gaps-and-islands on the error flag)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin("E1", lambda r: r["event_type"] == "error")
+        .next("E2", lambda r: r["event_type"] == "error")
+        .next("E", lambda r: r["event_type"] == "error")
+        .one_or_more()
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select("user_id", "n_errors", "first_ts", "last_ts", "first_event_id")
+    )

@@ -1,0 +1,146 @@
+"""CEP matcher semantics on scripted sequences (modeled on the reference's
+flink-cep PatternITCase style): quantifiers, greedy vs reluctant, strict vs
+relaxed contiguity, within-span, and after-match skip strategies."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_spark.operators.cep import (
+    SKIP_TO_NEXT_ROW,
+    Pattern,
+    match_pattern,
+)
+
+
+def _events(spark, seq, gap_minutes=1):
+    """seq: list of event_type strings → one keyed, minute-spaced stream."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i * gap_minutes), s)
+        for i, s in enumerate(seq)
+    ]
+    return spark.createDataFrame(rows, "k INT, event_id INT, ts TIMESTAMP, t STRING")
+
+
+def _matches(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.match_id, []).append((r.var, r.event_id))
+    return [sorted(v, key=lambda x: x[1]) for _, v in sorted(out.items())]
+
+
+def test_strict_vs_relaxed(spark):
+    ev = _events(spark, ["a", "x", "b"])
+    strict = Pattern.begin("A", lambda r: r["t"] == "a").next(
+        "B", lambda r: r["t"] == "b"
+    )
+    relaxed = Pattern.begin("A", lambda r: r["t"] == "a").followed_by(
+        "B", lambda r: r["t"] == "b"
+    )
+    assert _matches(match_pattern(ev, strict, ["k"])) == []
+    assert _matches(match_pattern(ev, relaxed, ["k"])) == [
+        [("A", 0), ("B", 2)]
+    ]
+
+
+def test_one_or_more_greedy_absorbs_run(spark):
+    ev = _events(spark, ["a", "b", "b", "b", "c"])
+    pat = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .one_or_more()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("A", 0), ("B", 1), ("B", 2), ("B", 3), ("C", 4)]
+    ]
+
+
+def test_reluctant_takes_minimum(spark):
+    # a b b : reluctant B+ stops at the first b that lets the rest match
+    ev = _events(spark, ["a", "b", "b"])
+    pat = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .one_or_more(greedy=False)
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("A", 0), ("B", 1)]
+    ]
+
+
+def test_zero_or_more_empty_match(spark):
+    ev = _events(spark, ["a", "c"])
+    pat = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .zero_or_more()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("A", 0), ("C", 1)]
+    ]
+
+
+def test_optional_present_and_absent(spark):
+    pat = lambda: (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .optional()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(_events(spark, ["a", "b", "c"]), pat(), ["k"])) == [
+        [("A", 0), ("B", 1), ("C", 2)]
+    ]
+    assert _matches(match_pattern(_events(spark, ["a", "c"]), pat(), ["k"])) == [
+        [("A", 0), ("C", 1)]
+    ]
+
+
+def test_within_span_excludes_slow_matches(spark):
+    # events 10 minutes apart; pattern must complete within 15 minutes
+    ev = _events(spark, ["a", "b"], gap_minutes=10)
+    ok = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .within("15 minutes")
+    )
+    too_tight = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b")
+        .within("5 minutes")
+    )
+    assert len(_matches(match_pattern(ev, ok, ["k"]))) == 1
+    assert _matches(match_pattern(ev, too_tight, ["k"])) == []
+
+
+def test_skip_past_last_row_vs_to_next_row(spark):
+    # overlapping aa-pairs: a a a  → PAST_LAST_ROW: one match; TO_NEXT_ROW: two
+    ev = _events(spark, ["a", "a", "a"])
+    pat = lambda: Pattern.begin("A", lambda r: r["t"] == "a").next(
+        "B", lambda r: r["t"] == "a"
+    )
+    past = _matches(match_pattern(ev, pat(), ["k"]))
+    nxt = _matches(match_pattern(ev, pat(), ["k"], skip=SKIP_TO_NEXT_ROW))
+    assert past == [[("A", 0), ("B", 1)]]
+    assert nxt == [[("A", 0), ("B", 1)], [("A", 1), ("B", 2)]]
+
+
+def test_matches_are_per_key(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, t0, "a"), (2, 1, t0 + dt.timedelta(minutes=1), "b"),
+        (1, 2, t0 + dt.timedelta(minutes=2), "b"),
+    ]
+    ev = spark.createDataFrame(rows, "k INT, event_id INT, ts TIMESTAMP, t STRING")
+    pat = Pattern.begin("A", lambda r: r["t"] == "a").next(
+        "B", lambda r: r["t"] == "b"
+    )
+    out = match_pattern(ev, pat, ["k"]).collect()
+    # key 2 has no 'a'; key 1's a(0) is followed (within key 1) by b(2)
+    assert {(r.k, r.var, r.event_id) for r in out} == {
+        (1, "A", 0), (1, "B", 2)
+    }
