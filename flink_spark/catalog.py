@@ -157,7 +157,13 @@ class TableEnvironment:
         if conn == "values":
             data = spec.options.get("data", "")
             rows = [tuple(x.strip() for x in r.split("|")) for r in data.split(";") if r]
-            return self.spark.createDataFrame(rows, schema=schema)
+            names = [c for c, _ in spec.columns]
+            raw = self.spark.createDataFrame(rows, schema=names)
+            from pyspark.sql import functions as F
+
+            return raw.select(
+                *[F.col(c).cast(t).alias(c) for c, t in spec.columns]
+            )
         if conn == "datagen":
             n = int(spec.options.get("number-of-rows", "1000"))
             df = self.spark.range(n).withColumnRenamed("id", "__seq__")
@@ -185,11 +191,27 @@ class TableEnvironment:
         if conn in ("print", "blackhole"):
             return None  # sink-only
         if conn == "rate":
-            return (
+            src = (
                 self.spark.readStream.format("rate")
                 .option("rowsPerSecond", spec.options.get("rows-per-second", "10"))
                 .load()
             )
+            # map rate's (timestamp, value) onto the declared columns: the
+            # first timestamp-typed column gets the event time, the first
+            # integer column the sequence number
+            from pyspark.sql import functions as F
+
+            out, used_ts, used_val = [], False, False
+            for c, t in spec.columns:
+                if t.startswith("TIMESTAMP") and not used_ts:
+                    out.append(F.col("timestamp").cast(t).alias(c))
+                    used_ts = True
+                elif t in ("BIGINT", "INT", "SMALLINT") and not used_val:
+                    out.append(F.col("value").cast(t).alias(c))
+                    used_val = True
+                else:
+                    out.append(F.lit(None).cast(t).alias(c))
+            return src.select(*out)
         if conn == "socket":
             return (
                 self.spark.readStream.format("socket")

@@ -17,5 +17,7 @@ from flink_spark.queries import windows_suite  # noqa: F401
 from flink_spark.queries import llm_suite  # noqa: F401
 from flink_spark.queries import streaming_suite  # noqa: F401
 from flink_spark.queries import cep_suite  # noqa: F401
+from flink_spark.queries import functions_suite2  # noqa: F401
+from flink_spark.queries import lookup_suite  # noqa: F401
 
 __all__ = ["QUERIES", "query", "get_queries", "get_oracles"]
