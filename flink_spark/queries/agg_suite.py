@@ -1,0 +1,221 @@
+"""Aggregate-function families beyond the core suite (SURVEY §2.4, §2.12):
+JSON_OBJECTAGG / JSON_ARRAYAGG, exact percentile / median (continuous and
+discrete), COLLECT → MULTISET, table aggregate (UDTAF), and the BITMAP_*
+aggregate/scalar family.
+
+Reference: .../runtime/functions/aggregate/ JsonObjectAggFunction,
+JsonArrayAggFunction, PercentileAggFunction, CollectAggFunction,
+Bitmap*Agg; GroupTableAggFunction.java; scalar Bitmap*.java.
+
+Determinism notes: JSON/collection outputs are serialized in a sorted,
+engine-neutral form in BOTH engines (Spark `to_json(sort_array(...))`
+versus DuckDB `string_agg(... ORDER BY ...)` building the same compact
+JSON text). Percentiles run over integer inputs with binary-exact
+fractions (.25/.5/.75), so linear interpolation is bit-identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_spark.functions import bitmap as BM
+from flink_spark.operators.tableagg import group_table_agg
+from flink_spark.queries.registry import query
+from flink_spark.sources.tables import load_table
+
+
+@query(
+    "agg_json_objectagg",
+    oracle="""
+    WITH g AS (SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS c
+               FROM orders GROUP BY 1, 2)
+    SELECT p,
+           '{' || string_agg('"' || s || '":' || c, ',' ORDER BY s) || '}'
+             AS status_obj,
+           '[' || string_agg(CAST(c AS VARCHAR), ',' ORDER BY c, s) || ']'
+             AS count_arr
+    FROM g GROUP BY p
+    """,
+)
+def agg_json_objectagg(spark, sf_dir):
+    """JSON_OBJECTAGG / JSON_ARRAYAGG (reference JsonObjectAggFunction,
+    JsonArrayAggFunction): per-priority JSON object of status→count and
+    JSON array of counts. Two-level agg: the inner count is a plain
+    hash agg, the outer collect is per-group small (|statuses|)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("c"))
+    return g.groupBy("p").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("s", "c"))))
+        ).alias("status_obj"),
+        F.to_json(F.sort_array(F.collect_list(F.struct("c", "s")))).alias("__raw"),
+    ).select(
+        "p",
+        "status_obj",
+        # [{"c":976,...}] → [976,...]: project the counts back out in the
+        # same (c, s) sort order the struct sort produced
+        F.to_json(
+            F.transform(
+                F.from_json(F.col("__raw"), "array<struct<c:bigint,s:string>>"),
+                lambda x: x["c"],
+            )
+        ).alias("count_arr"),
+    )
+
+
+@query(
+    "agg_percentile_family",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(CAST(FLOOR(value*100) AS BIGINT), 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(CAST(FLOOR(value*100) AS BIGINT), 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(CAST(FLOOR(value*100) AS BIGINT), 0.75) AS DOUBLE) AS p75,
+           CAST(quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.50) AS DOUBLE) AS p50_disc,
+           CAST(median(CAST(FLOOR(value*100) AS BIGINT)) AS DOUBLE) AS med
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_family(spark, sf_dir):
+    """PERCENTILE / PERCENTILE_DISC / MEDIAN (reference
+    PercentileAggFunction.java). Exact percentile is a sort-based agg;
+    at scale prefer approx_percentile — the exact variant shuffles full
+    groups (documented trade-off, same as Flink's)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.expr("CAST(FLOOR(value*100) AS BIGINT)")
+    )
+    return ev.groupBy("event_type").agg(
+        F.percentile("v", 0.25).alias("p25"),
+        F.percentile("v", 0.50).alias("p50"),
+        F.percentile("v", 0.75).alias("p75"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS DOUBLE)")
+        .alias("p50_disc"),
+        F.median("v").cast("double").alias("med"),
+    )
+
+
+@query(
+    "agg_collect_multiset",
+    oracle="""
+    WITH g AS (SELECT user_id, event_type AS e, COUNT(*) AS c
+               FROM events WHERE user_id <= 200 GROUP BY 1, 2)
+    SELECT user_id,
+           '{' || string_agg('"' || e || '":' || c, ',' ORDER BY e) || '}'
+             AS type_multiset
+    FROM g GROUP BY user_id
+    """,
+)
+def agg_collect_multiset(spark, sf_dir):
+    """COLLECT → MULTISET (reference CollectAggFunction.java; MULTISET's
+    runtime encoding is exactly map<elem,count> — SURVEY §1.2), serialized
+    as sorted JSON for engine-neutral comparison."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    g = ev.groupBy("user_id", F.col("event_type").alias("e")).agg(
+        F.count("*").alias("c")
+    )
+    return g.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("e", "c"))))
+        ).alias("type_multiset")
+    )
+
+
+@query(
+    "agg_table_agg_top2",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal, rank_in_nation FROM (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rank_in_nation
+      FROM supplier) t
+    WHERE rank_in_nation <= 2
+    """,
+)
+def agg_table_agg_top2(spark, sf_dir):
+    """Table aggregate emitting multiple rows per group — the canonical
+    Top2 UDTAF from the reference docs (TableAggregateFunction.java:39-68,
+    GroupTableAggFunction.java) — via Arrow `applyInPandas`."""
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", "s_acctbal"
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["s_acctbal", "s_suppkey"], ascending=[False, True]
+        ).head(2)
+        out = out.assign(rank_in_nation=range(1, len(out) + 1))
+        return out
+
+    return group_table_agg(
+        su,
+        ["s_nationkey"],
+        top2,
+        "s_nationkey long, s_suppkey long, s_acctbal double, rank_in_nation int",
+    )
+
+
+@query(
+    "agg_bitmap_build",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS card,
+           MIN(user_id) AS min_id,
+           MAX(user_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_build(spark, sf_dir):
+    """BITMAP_BUILD + BITMAP_CARDINALITY/MIN/MAX (reference Bitmap*Agg,
+    scalar Bitmap*.java). Two-phase build: map-side partial bitmaps,
+    OR-merge after a partials-only shuffle (see functions/bitmap.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    bm = BM.bitmap_build(ev, "event_type", "user_id")
+    return bm.select(
+        "event_type",
+        BM.bitmap_cardinality("bitmap").alias("card"),
+        BM.bitmap_min("bitmap").alias("min_id"),
+        BM.bitmap_max("bitmap").alias("max_id"),
+    )
+
+
+@query(
+    "agg_bitmap_ops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+             AS and_card,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION
+                                  SELECT user_id FROM p) u) AS or_card,
+           (SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p))
+             AS andnot_card,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id
+             FROM p) u WHERE u.user_id NOT IN
+             (SELECT user_id FROM c WHERE user_id IN (SELECT user_id FROM p)))
+             AS xor_card
+    """,
+)
+def agg_bitmap_ops(spark, sf_dir):
+    """BITMAP_AND/OR/XOR/ANDNOT set algebra between the click and purchase
+    audience bitmaps — the audience-overlap pattern bitmaps exist for:
+    the set intersection runs on two small binary blobs, not a join of
+    the underlying key sets."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bm = BM.bitmap_build(ev, "event_type", "user_id")
+    c = bm.filter(F.col("event_type") == "click").select(
+        F.col("bitmap").alias("cb")
+    )
+    p = bm.filter(F.col("event_type") == "purchase").select(
+        F.col("bitmap").alias("pb")
+    )
+    both = c.crossJoin(p)
+    return both.select(
+        BM.bitmap_cardinality(BM.bitmap_and("cb", "pb")).alias("and_card"),
+        BM.bitmap_cardinality(BM.bitmap_or("cb", "pb")).alias("or_card"),
+        BM.bitmap_cardinality(BM.bitmap_andnot("cb", "pb")).alias("andnot_card"),
+        BM.bitmap_cardinality(BM.bitmap_xor("cb", "pb")).alias("xor_card"),
+    )
