@@ -146,3 +146,36 @@ def lookup_join(
         return df.mapInPandas(run, schema=df.schema.simpleString()[7:-1] + "," + result_schema)
 
     return apply(stream)
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    size: str,
+    keys: list[tuple[str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """Window join (reference StreamExecWindowJoin.java:70,
+    WindowJoinOperator.java:57): pair rows that fall in the SAME tumbling
+    window and satisfy the equi-keys.
+
+    Both sides are windowed first, then equi-joined on
+    (window_start, keys) — window equality becomes part of the shuffle
+    key, so Catalyst plans a plain hash/sort-merge join and, on streams,
+    Spark bounds state by the watermark because the join key embeds the
+    event-time window (the documented stream-stream window-join shape).
+    """
+    from flink_spark.operators.windows import tumble
+
+    lw = tumble(left, left_ts, size)
+    rw = (
+        tumble(right, right_ts, size)
+        .withColumnRenamed("window_start", "__r_ws")
+        .withColumnRenamed("window_end", "__r_we")
+    )
+    cond = lw["window_start"] == rw["__r_ws"]
+    for lk, rk in keys:
+        cond = cond & (lw[lk] == rw[rk])
+    return lw.join(rw, cond, how).drop("__r_ws", "__r_we")

@@ -1,0 +1,68 @@
+"""ML_PREDICT + async-calc coverage (SURVEY §2.12 ML/vector row, §2.2
+async calc row): model serving over a table column and an asynchronous
+scalar function inside a projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.functions.ml import FixedPointLinearModel, ml_predict
+from flink_spark.operators.asynccalc import async_calc
+from flink_spark.queries.registry import query
+from flink_spark.sources.tables import load_table
+
+
+@query(
+    "ml_predict_linear",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             ((((i * 37) % 21)) - 10)
+               * CAST(FLOOR(embedding[i]::DOUBLE * 1000) AS BIGINT) AS term
+      FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i) s
+      WHERE vec_id < 500)
+    SELECT vec_id, SUM(term) AS score, ABS(SUM(term)) % 3 AS pred_label
+    FROM t GROUP BY vec_id
+    """,
+)
+def ml_predict_linear(spark, sf_dir):
+    """ML_PREDICT over the embeddings table (reference PredictFunction.java,
+    StreamExecMLPredictTableFunction): Arrow-batched model serving with a
+    deterministic fixed-point linear model; the oracle replays the integer
+    arithmetic in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return ml_predict(
+        emb.select("vec_id", "embedding"),
+        FixedPointLinearModel,
+        "embedding",
+    ).select("vec_id", "score", "pred_label")
+
+
+@query(
+    "async_calc_enrich",
+    oracle="""
+    SELECT doc_id, md5(text) AS digest, upper(lang) AS lang_uc
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def async_calc_enrich(spark, sf_dir):
+    """Async scalar function in a projection (reference StreamExecAsyncCalc,
+    AsyncScalarFunction.java): each Arrow batch fans out through an asyncio
+    loop (ordered gather — Flink's ORDERED AsyncWaitOperator mode). The
+    awaitable stands in for an external service call; md5 keeps it
+    deterministic and SQL-checkable."""
+    import hashlib
+
+    async def enrich(row: dict) -> dict:
+        return {
+            "digest": hashlib.md5(row["text"].encode()).hexdigest(),
+            "lang_uc": row["lang"].upper(),
+        }
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text", "lang")
+    return async_calc(docs, enrich, "digest string, lang_uc string").select(
+        "doc_id", "digest", "lang_uc"
+    )

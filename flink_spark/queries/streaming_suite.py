@@ -265,3 +265,34 @@ def stream_upsert_materialize(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "ts", "event_id", "value")
     )
+
+
+@query(
+    "stream_over_rows",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS running_cnt,
+           CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS running_sum
+    FROM events WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_rows(spark, sf_dir):
+    """Streaming OVER aggregate (reference StreamExecOverAggregate.java:105,
+    RowTimeRowsUnboundedPrecedingFunction): running count + exact sum per
+    user through the real streaming path — keyed accumulator state carried
+    across micro-batches (see streaming/overagg.py)."""
+    from flink_spark.streaming.overagg import streaming_over_rows
+
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    out = streaming_over_rows(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        value_col="value",
+    )
+    res = run_to_memory(out, "append", "over_rows")
+    return ntz_windows(res, "ts").select(
+        "event_id", "user_id", "ts", "running_cnt", "running_sum"
+    )

@@ -266,3 +266,42 @@ def asof_join_events(spark, sf_dir):
         right_cols=["click_event_id"],
     )
     return out.select("event_id", "user_id", "ts", "ts_r", "click_event_id")
+
+
+@query(
+    "window_join_events",
+    oracle="""
+    WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_id AS click_id
+               FROM events WHERE event_type = 'click' AND user_id <= 300),
+         p AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase' AND user_id <= 300)
+    SELECT c.user_id, c.window_start,
+           c.window_start + INTERVAL '1 hour' AS window_end,
+           c.click_id, p.purchase_id
+    FROM c JOIN p USING (user_id, window_start)
+    """,
+)
+def window_join_events(spark, sf_dir):
+    """Window join (reference StreamExecWindowJoin.java:70,
+    WindowJoinOperator.java:57): clicks × purchases by the same user inside
+    the same 1-hour tumble. The window becomes part of the equi-join key —
+    one shuffle, and bounded state on streams."""
+    from flink_spark.operators.joins import window_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 300)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = window_join(
+        clicks, purchases, "ts", "p_ts", "1 hour",
+        keys=[("user_id", "p_user_id")],
+    )
+    return joined.select(
+        "user_id", "window_start", "window_end", "click_id", "purchase_id"
+    )

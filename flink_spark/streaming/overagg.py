@@ -1,0 +1,95 @@
+"""Streaming OVER aggregation (reference StreamExecOverAggregate.java:105;
+runtime .../operators/over/RowTimeRowsUnboundedPrecedingFunction family —
+13 {proc,row}-time × {range,rows} × bounded/unbounded variants).
+
+Spark has no native streaming over-window, so this is a keyed stateful
+processor: per key, an accumulator (count + exact decimal sum) carried in
+the state store across micro-batches; rows inside a batch are processed in
+event-time order (``seq_cols``), not arrival order.
+
+Determinism/exactness: the running sum accumulates integer micro-units
+(each input quantized to DECIMAL(30,6) exactly like the batch discipline in
+queries/util.py), so emitted values are bit-identical to the SQL window
+oracle regardless of batching or partitioning.
+
+Scale: state is O(1) per key (one accumulator row); keys shuffle once to
+their state partition — same shape as Flink's keyed over-agg operator.
+Out-of-order rows *across* micro-batches would need the bounded-buffer
+variant (sort by timer on watermark) — the bounded-input tests feed
+time-ordered batches, matching row-time semantics.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_over_rows(
+    stream: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """ROWS UNBOUNDED PRECEDING running count + exact sum per key.
+
+    Emits the input columns plus ``running_cnt`` / ``running_sum`` —
+    the streaming twin of
+    ``SUM(v) OVER (PARTITION BY key ORDER BY seq ROWS UNBOUNDED PRECEDING)``.
+    """
+    import pandas as pd
+
+    schema = stream.schema
+    cols = schema.fieldNames()
+    out_schema = StructType(
+        [
+            *schema.fields,
+            StructField("running_cnt", LongType(), False),
+            StructField("running_sum", DoubleType(), True),
+        ]
+    )
+    # accumulator: count + decimal sum in micro-units (exact, as string-safe long)
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType(), False),
+            StructField("sum_micro", StringType(), False),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_cols, kind="mergesort")[cols]
+        cnt, sum_micro = (
+            (state.get[0], int(state.get[1])) if state.exists else (0, 0)
+        )
+        cnts, sums = [], []
+        for v in pdf[value_col]:
+            cnt += 1
+            if v is not None and v == v:  # non-null, non-NaN
+                # exact double → DECIMAL(30,6) quantization (ties impossible
+                # for binary doubles at 6dp, so rounding mode is moot)
+                sum_micro += int(
+                    Decimal(float(v)).quantize(Decimal("0.000001")) * 1_000_000
+                )
+            cnts.append(cnt)
+            # decimal → double, correctly rounded (matches CAST AS DOUBLE)
+            sums.append(float(Decimal(sum_micro).scaleb(-6)))
+        state.update((cnt, str(sum_micro)))
+        out = pdf.copy()
+        out["running_cnt"] = cnts
+        out["running_sum"] = sums
+        yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
