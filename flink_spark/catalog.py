@@ -97,6 +97,19 @@ class TableEnvironment:
         self.spark = prepare_session(spark)
         self.tables: dict[str, TableSpec] = {}
 
+    # -- functions ---------------------------------------------------------
+
+    def create_temporary_function(self, name: str, fn) -> None:
+        """CREATE TEMPORARY FUNCTION (reference SqlCreateFunction DDL,
+        UserDefinedFunctionHelper.java): register a ScalarFunction subclass
+        (or any callable) for SQL use in this session."""
+        from flink_spark.functions.udf import ScalarFunction, scalar_udf
+
+        if isinstance(fn, ScalarFunction):
+            self.spark.udf.register(name, scalar_udf(fn))
+        else:
+            self.spark.udf.register(name, fn)
+
     # -- DDL ---------------------------------------------------------------
 
     def execute_sql(self, sql: str):

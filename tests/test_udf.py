@@ -1,0 +1,199 @@
+"""UDF surface tests (SURVEY §2.14): the Flink contract classes executed
+through their Spark paths, value-checked against native-Spark equivalents
+(and through SQL registration via TableEnvironment)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.functions.udf import (
+    AggregateFunction,
+    ScalarFunction,
+    TableAggregateFunction,
+    TableFunction,
+    apply_aggregate,
+    apply_aggregate_two_phase,
+    apply_table_aggregate,
+    lateral,
+    scalar_udf,
+)
+from flink_spark.sources.tables import load_table
+
+
+# UDF classes are built inside factories: locally-defined classes are
+# cloudpickled BY VALUE, so executors don't need this test module on their
+# PYTHONPATH (module-level classes would pickle by reference and fail).
+
+
+def make_hash_len(vectorized=False):
+    class HashLen(ScalarFunction):
+        result_type = "bigint"
+
+        def eval(self, s):
+            return len(s) if s is not None else None
+
+    class VecHashLen(HashLen):
+        def eval_batch(self, col: pd.Series) -> pd.Series:
+            return col.str.len().astype("int64")
+
+    return VecHashLen() if vectorized else HashLen()
+
+
+def make_split_words():
+    class SplitWords(TableFunction):
+        result_schema = "word string, pos int"
+
+        def eval(self, text):
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    return SplitWords()
+
+
+def make_weighted_avg():
+    class WeightedAvg(AggregateFunction):
+        """The reference docs' canonical UDAF (AggregateFunction.java:39-68)."""
+
+        result_type = "double"
+
+        def create_accumulator(self):
+            return (0.0, 0)
+
+        def accumulate(self, acc, value, weight):
+            return (acc[0] + value * weight, acc[1] + weight)
+
+        def retract(self, acc, value, weight):
+            return (acc[0] - value * weight, acc[1] - weight)
+
+        def merge(self, acc, other):
+            return (acc[0] + other[0], acc[1] + other[1])
+
+        def get_value(self, acc):
+            return acc[0] / acc[1] if acc[1] else None
+
+    return WeightedAvg()
+
+
+def make_top2():
+    class Top2(TableAggregateFunction):
+        result_schema = "val double, rank_no int"
+
+        def create_accumulator(self):
+            return []
+
+        def accumulate(self, acc, v):
+            acc = sorted(acc + [v], reverse=True)[:2]
+            return acc
+
+        def emit_value(self, acc):
+            for i, v in enumerate(acc):
+                yield (v, i + 1)
+
+    return Top2()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text", "lang")
+        .cache()
+    )
+
+
+def test_scalar_udf_per_row_and_vectorized(spark, docs):
+    expected = docs.select("doc_id", F.length("text").alias("n")).collect()
+    for fn in (make_hash_len(), make_hash_len(vectorized=True)):
+        got = docs.select("doc_id", scalar_udf(fn)("text").alias("n")).collect()
+        assert sorted(got) == sorted(expected)
+
+
+def test_scalar_udf_sql_registration(spark, docs):
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.create_temporary_function("hash_len", make_hash_len())
+    docs.createOrReplaceTempView("udf_docs")
+    got = spark.sql(
+        "SELECT doc_id, hash_len(text) AS n FROM udf_docs"
+    ).collect()
+    expected = docs.select("doc_id", F.length("text").alias("n")).collect()
+    assert sorted(got) == sorted(expected)
+
+
+def test_table_function_lateral(spark, docs):
+    got = lateral(docs.select("doc_id", "text"), make_split_words(), ["text"])
+    expected = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select("doc_id", "text", "word", "pos")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_table_function_outer(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], "id int, t string")
+
+    class NonEmpty(TableFunction):
+        result_schema = "w string"
+
+        def eval(self, t):
+            yield from ((w,) for w in t.split())
+
+    rows = sorted(map(tuple, lateral(df, NonEmpty(), ["t"], outer=True).collect()))
+    assert rows == [(1, "a b", "a"), (1, "a b", "b"), (2, "", None)]
+
+
+def test_aggregate_function_both_phases(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select("user_id", "value", F.lit(2).alias("w"))
+        .na.drop(subset=["value"])
+    )
+    expected = {
+        r["user_id"]: r["wavg"]
+        for r in ev.groupBy("user_id")
+        .agg((F.sum(F.col("value") * 2) / F.sum("w")).alias("wavg"))
+        .collect()
+    }
+    for applier in (apply_aggregate, apply_aggregate_two_phase):
+        got = {
+            r["user_id"]: r["agg_value"]
+            for r in applier(
+                ev, make_weighted_avg(), ["user_id"], ["value", "w"]
+            ).collect()
+        }
+        assert got.keys() == expected.keys()
+        for k in expected:
+            assert got[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_aggregate_retract_contract():
+    fn = make_weighted_avg()
+    acc = fn.create_accumulator()
+    acc = fn.accumulate(acc, 10.0, 1)
+    acc = fn.accumulate(acc, 20.0, 3)
+    acc = fn.retract(acc, 10.0, 1)
+    assert fn.get_value(acc) == pytest.approx(20.0)
+
+
+def test_table_aggregate_top2(spark, sf_dir):
+    su = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    got = apply_table_aggregate(su, make_top2(), ["s_nationkey"], ["s_acctbal"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    expected = (
+        su.withColumn("rank_no", F.row_number().over(w))
+        .filter(F.col("rank_no") <= 2)
+        .select("s_nationkey", F.col("s_acctbal").alias("val"), "rank_no")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
