@@ -754,7 +754,17 @@ def q17(spark, sf_dir):
     joined back to lineitem (exactly Flink's decorrelation result)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # The per-part average is only consumed for Brand#23 parts, so prune
+    # lineitem with a broadcast semi-join BEFORE aggregating: the avg per
+    # surviving part is unchanged, and the aggregate's shuffle shrinks by
+    # the brand selectivity (~50x) — the semi-join-transpose rewrite
+    # Flink/Catalyst won't derive across the decorrelated aggregate.
+    li_b = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    pa = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
             "avg_qty"
         )
