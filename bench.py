@@ -38,6 +38,12 @@ HEADLINE = [
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_waiting",
     "tpch_q22_global_sales_opportunity",
+    # streaming micro-suite (BASELINE.md bench discipline): the events
+    # table through real Structured Streaming (AvailableNow drain)
+    "stream_tumble_agg",
+    "stream_interval_join",
+    "stream_dedup_first",
+    "stream_topn_changelog",
 ]
 
 

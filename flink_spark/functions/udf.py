@@ -240,3 +240,65 @@ def apply_table_aggregate(
     return df.groupBy(*group_cols).applyInPandas(
         agg, f"{gtypes}, {fn.result_schema}"
     )
+
+
+class ProcessTableFunction:
+    """User stateful table-in/table-out function (reference
+    ProcessTableFunction.java; exec StreamExecProcessTableFunction, runner
+    ProcessTableRunnerGenerator.scala): per-key invocation with persistent
+    state across micro-batches — the most general user hook.
+
+    Contract: ``process(key, rows, state)`` receives the key tuple, the
+    key's rows for this batch as a pandas DataFrame (ordered by
+    ``seq_cols``), and a mutable dict persisted between batches; it returns
+    a DataFrame of emitted rows (``result_schema``).
+    """
+
+    result_schema: str = "out string"
+    # state is pickled into one binary state-store row per key (RocksDB
+    # provider in production) — same placement as Flink keyed state.
+
+    def open(self) -> None:
+        pass
+
+    def process(self, key: tuple, rows: pd.DataFrame, state: dict) -> pd.DataFrame:
+        raise NotImplementedError
+
+
+def apply_ptf(
+    stream: DataFrame,
+    fn: ProcessTableFunction,
+    key_cols: list[str],
+    seq_cols: list[str] | None = None,
+) -> DataFrame:
+    """Run a ProcessTableFunction over a keyed stream
+    (``applyInPandasWithState`` — Arrow batches, keyed state, append mode).
+    Works on bounded streams too (AvailableNow drain)."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    out_schema = _parse_datatype_string(f"struct<{fn.result_schema}>")
+    out_schema = StructType(out_schema.fields)
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+
+    def runner(key, pdfs, state):
+        fn.open()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if seq_cols:
+            pdf = pdf.sort_values(seq_cols, kind="mergesort")
+        st = pickle.loads(state.get[0]) if state.exists else {}
+        out = fn.process(key, pdf, st)
+        state.update((pickle.dumps(st),))
+        if out is not None and len(out):
+            yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        runner, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

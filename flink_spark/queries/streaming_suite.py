@@ -296,3 +296,57 @@ def stream_over_rows(spark, sf_dir):
     return ntz_windows(res, "ts").select(
         "event_id", "user_id", "ts", "running_cnt", "running_sum"
     )
+
+
+@query(
+    "ptf_event_gaps",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           date_diff('microsecond',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events WHERE user_id <= 40
+    """,
+)
+def ptf_event_gaps(spark, sf_dir):
+    """ProcessTableFunction (reference ProcessTableFunction.java, exec
+    StreamExecProcessTableFunction): user stateful table-in/table-out —
+    per-user gap since the previous event, the last-seen timestamp carried
+    in keyed state across micro-batches. SQL-expressible as LAG, which is
+    exactly what makes it oracle-checkable."""
+    from flink_spark.functions.udf import ProcessTableFunction, apply_ptf
+
+    class EventGaps(ProcessTableFunction):
+        result_schema = (
+            "event_id bigint, user_id bigint, ts timestamp, gap_us bigint"
+        )
+
+        def process(self, key, rows, state):
+            import pandas as pd
+
+            prev = state.get("prev_ts")
+            gaps = []
+            for ts in rows["ts"]:
+                # exact integer microseconds (pandas ns // 1000) — matches
+                # DuckDB date_diff('microsecond', ...) bit-for-bit
+                gaps.append((ts - prev).value // 1000 if prev is not None else None)
+                prev = ts
+            state["prev_ts"] = prev
+            return pd.DataFrame(
+                {
+                    "event_id": rows["event_id"].values,
+                    "user_id": rows["user_id"].values,
+                    "ts": rows["ts"].values,
+                    "gap_us": gaps,
+                }
+            )
+
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    out = apply_ptf(
+        ev.select("event_id", "user_id", "ts"),
+        EventGaps(),
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+    )
+    res = run_to_memory(out, "append", "ptf_gaps")
+    return ntz_windows(res, "ts").select("event_id", "user_id", "ts", "gap_us")

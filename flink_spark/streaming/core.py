@@ -87,17 +87,35 @@ def run_to_memory(
     sdf: DataFrame, output_mode: str = "append", prefix: str = "fs_stream"
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
-    sink; return the sink contents as a batch DataFrame."""
+    sink; return the sink contents as a batch DataFrame.
+
+    State-partition sizing: the number of state-store instances is fixed at
+    query start from ``spark.sql.shuffle.partitions``, and each instance
+    pays per-batch snapshot/commit overhead — so streaming queries use
+    their own partition count (``SPARK_GRAFT_STREAM_SHUFFLE``, default 8
+    for local runs; on a cluster set it ~1-2x total cores, it bounds both
+    state parallelism AND per-batch commit fan-out). The batch setting is
+    restored after the drain.
+    """
+    import os
+
+    spark = sdf.sparkSession
     name = f"{prefix}_{next(_COUNTER)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)
 
 
 def run_files_in_batches(
