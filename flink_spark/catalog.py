@@ -119,9 +119,50 @@ class TableEnvironment:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
         if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
             return self.spark.sql(stmt)
-        if re.match(r"^\s*INSERT\b", stmt, re.IGNORECASE):
-            return self.spark.sql(stmt)
+        im = re.match(
+            r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+"
+            r"(?P<query>.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if im and im.group("name") in self.tables:
+            return self._insert(
+                im.group("name"),
+                self.spark.sql(im.group("query")),
+                overwrite=im.group("mode").upper() == "OVERWRITE",
+            )
         return self.spark.sql(stmt)
+
+    def _insert(self, name: str, df: DataFrame, overwrite: bool = False):
+        """INSERT INTO/OVERWRITE a connector table (reference
+        FileSystemTableSink.java, PrintTableSinkFactory, BlackHole...):
+        lower onto DataFrameWriter for filesystem, show/noop for the
+        utility sinks. Partitioned writes honor 'partition.keys'."""
+        spec = self.tables[name]
+        conn = spec.connector
+        if conn == "print":
+            df.show(truncate=False)
+            return None
+        if conn == "blackhole":
+            df.write.format("noop").mode("overwrite").save()
+            return None
+        if conn == "filesystem":
+            fmt = spec.options.get("format", "parquet")
+            writer = df.write.format(fmt).mode(
+                "overwrite" if overwrite else "append"
+            )
+            if fmt == "csv" and spec.options.get("csv.include-header") == "true":
+                writer = writer.option("header", "true")
+            pk = spec.options.get("partition.keys")
+            if pk:
+                writer = writer.partitionBy(*[c.strip() for c in pk.split(",")])
+            writer.save(spec.options["path"])
+            # refresh the registered view so subsequent reads see the write
+            src = self._source_df(spec)
+            if src is not None:
+                src.createOrReplaceTempView(name)
+            return None
+        raise ValueError(f"connector {conn!r} is not writable")
 
     def _create_table(self, name: str, body: str, opts: str):
         options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
@@ -161,11 +202,14 @@ class TableEnvironment:
         if conn == "filesystem":
             fmt = spec.options.get("format", "parquet")
             path = spec.options["path"]
-            reader = self.spark.read.format(fmt)
-            if fmt in ("csv", "json"):
-                reader = reader.schema(schema)
-                if spec.options.get("csv.include-header", "false") == "true":
-                    reader = reader.option("header", "true")
+            # declared schema applies to every format: no inference pass
+            # over the files (one less S3 listing+footer scan at scale),
+            # and empty/not-yet-written sink paths stay readable
+            reader = self.spark.read.format(fmt).schema(schema)
+            if fmt == "csv" and spec.options.get(
+                "csv.include-header", "false"
+            ) == "true":
+                reader = reader.option("header", "true")
             return reader.load(path)
         if conn == "values":
             data = spec.options.get("data", "")
