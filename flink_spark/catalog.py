@@ -110,6 +110,63 @@ class TableEnvironment:
         else:
             self.spark.udf.register(name, fn)
 
+    # -- plans (COMPILE PLAN / EXPLAIN, SURVEY §2.15) ----------------------
+
+    def create_statement_set(self) -> "StatementSet":
+        return StatementSet(self)
+
+    def explain_sql(self, sql: str, mode: str = "formatted") -> str:
+        """EXPLAIN (reference SqlRichExplain): the optimized physical plan
+        text for a query."""
+        df = self.spark.sql(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
+    def compile_plan_sql(self, sql: str, path: str) -> dict:
+        """COMPILE PLAN ... FOR <insert/query> (reference
+        SqlCompilePlan.java; ExecNodeGraph JSON serialization): persist the
+        statement plus its analyzed schema and optimized-plan fingerprint.
+        Catalyst plans are not portable artifacts the way ExecNodeGraph is,
+        so the replayable unit is the SQL + schema contract; the plan text
+        lets a restart detect optimizer drift (the restore-test concern)."""
+        import hashlib
+        import json
+
+        df = self.spark.sql(sql)
+        optimized = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+        plan = {
+            "version": 1,
+            "sql": sql,
+            "schema": df.schema.jsonValue(),
+            "plan_sha256": hashlib.sha256(optimized.encode()).hexdigest(),
+            "optimized_plan": optimized,
+        }
+        with open(path, "w") as f:
+            json.dump(plan, f, indent=1)
+        return plan
+
+    def execute_plan(self, path: str) -> DataFrame:
+        """EXECUTE PLAN '<path>' (reference SqlExecutePlan): replay a
+        compiled plan; fails fast if the result schema drifted from the
+        compiled contract."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        with open(path) as f:
+            plan = json.load(f)
+        df = self.spark.sql(plan["sql"])
+        expected = StructType.fromJson(plan["schema"])
+        if df.schema != expected:
+            raise ValueError(
+                f"compiled plan schema drift: expected {expected.simpleString()}, "
+                f"got {df.schema.simpleString()}"
+            )
+        return df
+
     # -- DDL ---------------------------------------------------------------
 
     def execute_sql(self, sql: str):
@@ -189,7 +246,12 @@ class TableEnvironment:
         spec = TableSpec(name=name, columns=columns, options=options,
                          watermark=watermark, primary_key=pk)
         self.tables[name] = spec
-        df = self._source_df(spec)
+        try:
+            df = self._source_df(spec)
+        except Exception:
+            # sink-only for now (e.g. filesystem path not written yet);
+            # _insert re-registers the view after the first write
+            df = None
         if df is not None:
             df.createOrReplaceTempView(name)
         return None
@@ -319,3 +381,44 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return out
+
+
+class StatementSet:
+    """Multi-sink statement set (reference TableEnvironmentImpl
+    .createStatementSet; SqlExecute/statement sets in the DDL parser):
+    buffer INSERTs, run them as one unit. Flink dedups common subplans
+    across the set (StreamCommonSubGraphBasedOptimizer.scala:47); the
+    Spark analog caches sources referenced by more than one statement for
+    the duration of the execute."""
+
+    def __init__(self, env: "TableEnvironment"):
+        self.env = env
+        self._inserts: list[str] = []
+
+    def add_insert_sql(self, sql: str) -> "StatementSet":
+        self._inserts.append(sql)
+        return self
+
+    def execute(self) -> None:
+        import re as _re
+
+        # shared-scan detection: tables referenced by 2+ inserts get cached
+        # for the duration of the set (the common-subplan dedup analog)
+        counts: dict[str, int] = {}
+        for stmt in self._inserts:
+            for v in set(_re.findall(r"\bFROM\s+([\w.]+)", stmt, _re.IGNORECASE)):
+                counts[v] = counts.get(v, 0) + 1
+        cached = []
+        for v in [v for v, n in counts.items() if n > 1]:
+            try:
+                df = self.env.spark.table(v)
+                df.cache()
+                cached.append(df)
+            except Exception:
+                pass
+        try:
+            for stmt in self._inserts:
+                self.env.execute_sql(stmt)
+        finally:
+            for df in cached:
+                df.unpersist()

@@ -78,3 +78,24 @@ def cumulate(df: DataFrame, ts_col: str, step: str, size: str) -> DataFrame:
         .filter(F.col(ts_col) < F.col("window_end"))
         .drop("__base")
     )
+
+
+def count_window(
+    df: DataFrame, key_cols: list[str], order_cols: list[str], size: int
+) -> DataFrame:
+    """COUNT window (reference groupwindow assigners
+    Tumbling/SlidingCountWindows, .../operators/window/groupwindow/assigners/
+    CountTumblingWindowAssigner.java; ElementTriggers.CountElement): fixed
+    N-element tumbling windows per key, by deterministic event order.
+
+    Batch shape: one shuffle+sort (row_number), window_id = (rn-1) / size.
+    Streaming shape: the same assignment runs in a keyed processor with a
+    row-counter in state (count carried across micro-batches).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn(
+        "window_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(size)).cast("bigint"),
+    )

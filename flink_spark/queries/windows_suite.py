@@ -305,3 +305,31 @@ def window_join_events(spark, sf_dir):
     return joined.select(
         "user_id", "window_start", "window_end", "click_id", "purchase_id"
     )
+
+
+@query(
+    "window_count_tumble",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id <= 100)
+    SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS window_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def window_count_tumble(spark, sf_dir):
+    """COUNT(10) tumbling window per user (reference
+    CountTumblingWindowAssigner.java, ElementTriggers.CountElement):
+    every 10th event per key closes a window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    win = W.count_window(
+        ev.select("user_id", "ts", "event_id", "value"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"], size=10,
+    )
+    return win.groupBy("user_id", "window_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )

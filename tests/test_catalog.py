@@ -90,3 +90,66 @@ def test_ansi_sql_passthrough(spark):
     env = TableEnvironment(spark)
     out = env.execute_sql("SELECT 1 + 1 AS two")
     assert out.collect()[0].two == 2
+
+
+def test_statement_set_multi_sink(spark, sf_dir, tmp_path):
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ss_src")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    env.execute_sql(f"""CREATE TABLE ss_a (s_suppkey BIGINT, s_acctbal DOUBLE)
+        WITH ('connector'='filesystem','format'='parquet','path'='{p1}')""")
+    env.execute_sql(f"""CREATE TABLE ss_b (s_nationkey BIGINT, cnt BIGINT)
+        WITH ('connector'='filesystem','format'='parquet','path'='{p2}')""")
+    (
+        env.create_statement_set()
+        .add_insert_sql("INSERT INTO ss_a SELECT s_suppkey, s_acctbal FROM ss_src")
+        .add_insert_sql(
+            "INSERT INTO ss_b SELECT s_nationkey, COUNT(*) AS cnt "
+            "FROM ss_src GROUP BY s_nationkey"
+        )
+        .execute()
+    )
+    n_src = spark.table("ss_src").count()
+    assert spark.table("ss_a").count() == n_src
+    assert spark.table("ss_b").count() == spark.table("ss_src").select(
+        "s_nationkey"
+    ).distinct().count()
+
+
+def test_compile_and_execute_plan(spark, sf_dir, tmp_path):
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("cp_nation")
+    sql = "SELECT n_regionkey, COUNT(*) AS cnt FROM cp_nation GROUP BY n_regionkey"
+    path = str(tmp_path / "plan.json")
+    plan = env.compile_plan_sql(sql, path)
+    assert plan["plan_sha256"] and "Aggregate" in plan["optimized_plan"]
+    df = env.execute_plan(path)
+    assert df.count() == 5
+    # schema drift detection
+    import json
+
+    with open(path) as f:
+        broken = json.load(f)
+    broken["schema"]["fields"] = broken["schema"]["fields"][:1]
+    with open(path, "w") as f:
+        json.dump(broken, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema drift"):
+        env.execute_plan(path)
+
+
+def test_explain_sql(spark, sf_dir):
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("ex_region")
+    txt = env.explain_sql("SELECT r_regionkey FROM ex_region WHERE r_regionkey > 1")
+    assert "Physical Plan" in txt
