@@ -46,3 +46,38 @@ def dedup_keep_last(
 ) -> DataFrame:
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
     return top_n(df, keys, order, 1, keep_rank=False)
+
+
+def salted_top_n(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    n: int,
+    salt_buckets: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Skew-resistant Top-N: two-phase rank for hot keys.
+
+    A plain window Top-N shuffles every row of a key to one task — a hot
+    key (power-law user, null-ish default key) serializes on one core and
+    can OOM it. Phase 1 ranks within (keys × random salt) and keeps ≤ n
+    candidates per salt — map-reducible, bounded per task; phase 2 ranks
+    the ≤ n·salt_buckets survivors per key. Same result set as ``top_n``
+    for any deterministic total order; cost shifts from |hot key| to
+    n·salt_buckets. (The same remedy Flink applies via SplitAggregateRule
+    to skewed distinct aggs; AQE skew-join handles the join analog.)
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    w1 = Window.partitionBy(*partition_by, "__salt").orderBy(*order_by)
+    cand = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
+    )

@@ -320,3 +320,41 @@ def llm_multimodal_features(spark, sf_dir):
     pandas-UDF path is not SQL-expressible."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.attach_binary(docs))
+
+
+@query(
+    "llm_cosine_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.embedding AS va, b.embedding AS vb
+              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    terms AS (SELECT id_a, id_b,
+                     CAST(va[i]::DOUBLE * vb[i]::DOUBLE AS DECIMAL(25,20)) AS xy,
+                     CAST(va[i]::DOUBLE * va[i]::DOUBLE AS DECIMAL(25,20)) AS xx,
+                     CAST(vb[i]::DOUBLE * vb[i]::DOUBLE AS DECIMAL(25,20)) AS yy
+              FROM pairs, LATERAL (SELECT generate_subscripts(va, 1) AS i) t),
+    dots AS (SELECT id_a, id_b, CAST(SUM(xy) AS DOUBLE) AS dot,
+                    CAST(SUM(xx) AS DOUBLE) AS na, CAST(SUM(yy) AS DOUBLE) AS nb
+             FROM terms GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           round(dot / (sqrt(na) * sqrt(nb)), 12) AS cos_sim
+    FROM dots
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.7
+    """,
+)
+def llm_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup family's vector
+    member): all pairs with cosine ≥ 0.7 over a 250-vector slice.
+    Decimal-exact dot products → identical pair sets on both engines.
+    Scale path: replace the O(n²) pair join with LSH sign-buckets
+    (similarity.hyperplane_sketch) before scoring — same scorer, candidate
+    set shrinks to bucket collisions."""
+    from flink_spark.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__cv"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cos_sim", F.round(cosine("__qv", "__cv"), 12))
+    return scored.filter(F.col("cos_sim") >= 0.7).select("id_a", "id_b", "cos_sim")

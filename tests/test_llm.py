@@ -67,3 +67,17 @@ def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
     # agreement >= 0.5 — banding probability at j=0.8 is ~1-(1-0.8^4)^8 ≈ 0.99
     found = sum(1 for p in true_pairs if p in est_pairs)
     assert found >= 0.9 * len(true_pairs), (found, len(true_pairs))
+
+
+def test_salted_top_n_matches_plain(spark, sf_dir):
+    """Skew-resistant two-phase Top-N ≡ plain window Top-N for a total order."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.operators.rank import salted_top_n, top_n
+    from flink_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    order = [F.desc("value"), F.asc("event_id")]
+    plain = top_n(ev, ["user_id"], order, 5)
+    salted = salted_top_n(ev, ["user_id"], order, 5, salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
