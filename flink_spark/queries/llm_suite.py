@@ -340,12 +340,14 @@ def llm_multimodal_features(spark, sf_dir):
     SELECT id_a, id_b,
            round(dot / (sqrt(na) * sqrt(nb)), 12) AS cos_sim
     FROM dots
-    WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.7
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.35
     """,
 )
 def llm_cosine_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the dedup family's vector
-    member): all pairs with cosine ≥ 0.7 over a 250-vector slice.
+    member): all pairs with cosine ≥ 0.35 over a 250-vector slice
+    (threshold sits at the ~99.9th percentile of this synthetic corpus's
+    pair similarity, so the pair set is small but non-empty at every SF).
     Decimal-exact dot products → identical pair sets on both engines.
     Scale path: replace the O(n²) pair join with LSH sign-buckets
     (similarity.hyperplane_sketch) before scoring — same scorer, candidate
@@ -357,4 +359,4 @@ def llm_cosine_neardup_pairs(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__cv"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("cos_sim", F.round(cosine("__qv", "__cv"), 12))
-    return scored.filter(F.col("cos_sim") >= 0.7).select("id_a", "id_b", "cos_sim")
+    return scored.filter(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
