@@ -167,10 +167,54 @@ class TableEnvironment:
             )
         return df
 
+    # -- dialect: window TVFs ----------------------------------------------
+
+    _TVF_RE = re.compile(
+        r"TABLE\s*\(\s*(?P<fn>TUMBLE|HOP|CUMULATE)\s*\(\s*"
+        r"TABLE\s+(?P<tbl>[\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+        r"(?P<ivs>INTERVAL\s+'[^']+'\s+\w+(?:\s*,\s*INTERVAL\s+'[^']+'\s+\w+)?)"
+        r"\s*\)\s*\)",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _parse_intervals(text: str) -> list[str]:
+        return [
+            f"{n} {u.lower()}" + ("" if u.lower().endswith("s") else "s")
+            for n, u in re.findall(r"INTERVAL\s+'([^']+)'\s+(\w+)", text, re.IGNORECASE)
+        ]
+
+    def _rewrite_window_tvfs(self, stmt: str) -> str:
+        """Flink window-TVF SQL (SqlTumble/Hop/CumulateTableFunction;
+        SURVEY §2.5) → a registered windowed view. TUMBLE/HOP/CUMULATE are
+        row-local window assignments, so the TVF result is itself a table;
+        SESSION merges during aggregation and is exposed via the DataFrame
+        op (operators.windows.session) instead."""
+        from flink_spark.operators import windows as W
+
+        def repl(m: re.Match) -> str:
+            fn = m.group("fn").upper()
+            df = self.spark.table(m.group("tbl"))
+            iv = self._parse_intervals(m.group("ivs"))
+            ts = m.group("ts")
+            if fn == "TUMBLE":
+                out = W.tumble(df, ts, iv[0])
+            elif fn == "HOP":
+                out = W.hop(df, ts, slide=iv[0], size=iv[1])
+            else:
+                out = W.cumulate(df, ts, step=iv[0], size=iv[1])
+            name = f"__tvf_{fn.lower()}_{abs(hash((m.group('tbl'), ts, tuple(iv)))) % 10**8}"
+            out.createOrReplaceTempView(name)
+            return name
+
+        return self._TVF_RE.sub(repl, stmt)
+
     # -- DDL ---------------------------------------------------------------
 
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
+        if self._TVF_RE.search(stmt):
+            stmt = self._rewrite_window_tvfs(stmt)
         m = _CREATE_RE.match(stmt)
         if m:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))

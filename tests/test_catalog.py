@@ -153,3 +153,44 @@ def test_explain_sql(spark, sf_dir):
     load_table(spark, sf_dir, "region").createOrReplaceTempView("ex_region")
     txt = env.explain_sql("SELECT r_regionkey FROM ex_region WHERE r_regionkey > 1")
     assert "Physical Plan" in txt
+
+
+def test_window_tvf_sql_rewrite(spark, sf_dir):
+    """Flink window-TVF SQL text executes through the dialect layer."""
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.operators import windows as W
+    from flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("tvf_events")
+
+    got = env.execute_sql("""
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    expected = (
+        W.tumble(ev, "ts", "1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    got_hop = env.execute_sql("""
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts),
+                       INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """)
+    expected_hop = (
+        W.hop(ev, "ts", slide="30 minutes", size="1 hour")
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got_hop.collect())) == sorted(
+        map(tuple, expected_hop.collect())
+    )
