@@ -500,7 +500,15 @@ def q9(spark, sf_dir):
     sc_micros = F.floor(
         F.col("l_extendedprice") / F.col("l_quantity") * 1000000.0 + 0.5
     )
-    supm = li.groupBy(
+    # min-supplycost is per (partkey, suppkey) and only consumed for red%
+    # parts — prune its input with the same broadcast semi-join first, so
+    # the aggregate's shuffle carries ~1/25th of lineitem (cf. q17)
+    li_p = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    supm = li_p.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(F.min(sc_micros).alias("sc_micros"))
     amount_micros = F.floor(
