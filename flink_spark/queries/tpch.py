@@ -230,11 +230,22 @@ _SUPPLY_SQL = """supply AS (
   FROM lineitem GROUP BY 1, 2)"""
 
 
-def _supply(spark, sf_dir):
+def _supply(spark, sf_dir, part_keys=None):
     """partsupp stand-in derived from lineitem (see module note). One
     shuffle on (partkey, suppkey); at 100 TB this is the same shuffle the
-    downstream join would need, so deriving it adds no extra exchange."""
+    downstream join would need, so deriving it adds no extra exchange.
+
+    ``part_keys``: optional single-column DataFrame of p_partkey — when the
+    consumer filters parts anyway, a broadcast semi-join prunes lineitem
+    BEFORE the aggregate, shrinking its shuffle by the part selectivity
+    (per-(partkey,suppkey) results are unchanged; cf. q17/q9)."""
     li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys),
+            li.l_partkey == part_keys[part_keys.columns[0]],
+            "left_semi",
+        )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -269,10 +280,10 @@ def q2(spark, sf_dir):
     window MIN over the regional supply (Flink rewrites the correlated
     scalar subquery the same way; SURVEY §4.1 subquery rewrite). Dims
     broadcast; supply shuffles once on partkey for the window."""
-    sp = _supply(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
+    sp = _supply(spark, sf_dir, part_keys=p.select("p_partkey"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -886,7 +897,8 @@ def q19(spark, sf_dir):
 def q20(spark, sf_dir):
     """Potential promotion: chained IN subqueries → two left-semi joins;
     the availability comparison uses exact-decimal quantity sums."""
-    sp = _supply(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sp = _supply(spark, sf_dir, part_keys=p.select("p_partkey"))
     li96 = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -896,7 +908,6 @@ def q20(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty96"))
     )
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     excess = (
         sp.join(
             li96,
