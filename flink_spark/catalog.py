@@ -209,12 +209,68 @@ class TableEnvironment:
 
         return self._TVF_RE.sub(repl, stmt)
 
+    # -- dialect: temporal join --------------------------------------------
+
+    _TEMPORAL_RE = re.compile(
+        r"^\s*SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<lt>[\w.]+)(?:\s+AS)?\s+(?P<la>\w+)\s+"
+        r"JOIN\s+(?P<rt>[\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+        r"(?P<wa>\w+)\.(?P<wts>\w+)(?:\s+AS)?\s+(?P<ra>\w+)\s+"
+        r"ON\s+(?P<lk>\w+\.\w+)\s*=\s*(?P<rk>\w+\.\w+)"
+        r"(?:\s+WHERE\s+(?P<where>.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_temporal_join(self, m: re.Match):
+        """``JOIN dim FOR SYSTEM_TIME AS OF l.ts AS d ON l.k = d.k``
+        (reference StreamExecTemporalJoin.java:77, SqlSnapshot parsing):
+        each left row joins the dim version in effect at its timestamp.
+        Supported form: single left table, equi-key, versioned right table
+        whose time attribute comes from its WATERMARK DDL declaration (or
+        a 'version.column' option). Lowered onto operators.joins.asof_join
+        — union + ordered fill, no range explosion."""
+        from flink_spark.operators.joins import asof_join
+
+        la, ra = m.group("la"), m.group("ra")
+        lk = m.group("lk").split(".")[1]
+        rk = m.group("rk").split(".")[1]
+        lts = m.group("wts")
+        rt_name = m.group("rt")
+        spec = self.tables.get(rt_name)
+        version_col = None
+        if spec is not None:
+            version_col = (
+                spec.options.get("version.column")
+                or (spec.watermark[0] if spec.watermark else None)
+            )
+        if version_col is None:
+            raise ValueError(
+                f"temporal join: {rt_name!r} has no declared version column "
+                "(WATERMARK DDL or 'version.column' option)"
+            )
+        left = self.spark.table(m.group("lt"))
+        right = self.spark.table(rt_name)
+        if rk != lk:
+            right = right.withColumnRenamed(rk, lk)
+        joined = asof_join(
+            left, right, key=lk, left_ts=lts, right_ts=version_col
+        )
+        view = f"__temporal_{abs(hash(m.group(0))) % 10**8}"
+        joined.createOrReplaceTempView(view)
+        cols = re.sub(rf"\b({la}|{ra})\.", "", m.group("cols"))
+        sql = f"SELECT {cols} FROM {view}"
+        if m.group("where"):
+            sql += " WHERE " + re.sub(rf"\b({la}|{ra})\.", "", m.group("where"))
+        return self.spark.sql(sql)
+
     # -- DDL ---------------------------------------------------------------
 
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
         if self._TVF_RE.search(stmt):
             stmt = self._rewrite_window_tvfs(stmt)
+        tm = self._TEMPORAL_RE.match(stmt)
+        if tm and "FOR SYSTEM_TIME" in stmt.upper():
+            return self._rewrite_temporal_join(tm)
         m = _CREATE_RE.match(stmt)
         if m:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))

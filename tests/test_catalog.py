@@ -194,3 +194,35 @@ def test_window_tvf_sql_rewrite(spark, sf_dir):
     assert sorted(map(tuple, got_hop.collect())) == sorted(
         map(tuple, expected_hop.collect())
     )
+
+
+def test_temporal_join_sql(spark, sf_dir, tmp_path):
+    """FOR SYSTEM_TIME AS OF through the dialect layer: each probe row
+    joins the dim version in effect at its timestamp."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    dim = str(tmp_path / "rates")
+    spark.createDataFrame(
+        [("EUR", 1, 10.0), ("EUR", 5, 20.0), ("JPY", 2, 7.0)],
+        "ccy string, rts long, rate double",
+    ).selectExpr("ccy", "CAST(timestamp_seconds(rts) AS TIMESTAMP_NTZ) AS rts",
+                 "rate").write.parquet(dim)
+    env.execute_sql(f"""
+        CREATE TABLE rates (ccy STRING, rts TIMESTAMP(3), rate DOUBLE,
+                            WATERMARK FOR rts AS rts - INTERVAL '5' SECOND)
+        WITH ('connector'='filesystem','format'='parquet','path'='{dim}')
+    """)
+    spark.createDataFrame(
+        [(1, "EUR", 0), (2, "EUR", 3), (3, "EUR", 6), (4, "JPY", 4)],
+        "oid long, ccy string, ots long",
+    ).selectExpr("oid", "ccy",
+                 "CAST(timestamp_seconds(ots) AS TIMESTAMP_NTZ) AS ots"
+                 ).createOrReplaceTempView("orders_t")
+    got = env.execute_sql("""
+        SELECT oid, rate FROM orders_t AS o
+        JOIN rates FOR SYSTEM_TIME AS OF o.ots AS r
+        ON o.ccy = r.ccy
+    """)
+    rows = {r["oid"]: r["rate"] for r in got.collect()}
+    assert rows == {1: None, 2: 10.0, 3: 20.0, 4: 7.0}
