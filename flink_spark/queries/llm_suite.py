@@ -360,3 +360,19 @@ def llm_cosine_neardup_pairs(spark, sf_dir):
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("cos_sim", F.round(cosine("__qv", "__cv"), 12))
     return scored.filter(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
+
+
+@query("llm_ivf_topk", oracle=None)
+def llm_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate ANN (the inverted-file scale path next to LSH;
+    reference surface VECTOR_SEARCH): k-means cells + n_probe nearest
+    cells per query. Approximate by design → rows-only check here; recall
+    vs brute force asserted in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return SIM.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2)

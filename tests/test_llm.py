@@ -81,3 +81,29 @@ def test_salted_top_n_matches_plain(spark, sf_dir):
     plain = top_n(ev, ["user_id"], order, 5)
     salted = salted_top_n(ev, ["user_id"], order, 5, salt_buckets=8)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with n_probe=half the cells must recover most exact neighbors."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.llm.similarity import brute_force_topk, ivf_topk
+    from flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_topk(q, c, k=5, n_centroids=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
