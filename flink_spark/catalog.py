@@ -271,6 +271,12 @@ class TableEnvironment:
         tm = self._TEMPORAL_RE.match(stmt)
         if tm and "FOR SYSTEM_TIME" in stmt.upper():
             return self._rewrite_temporal_join(tm)
+        if "MATCH_RECOGNIZE" in stmt.upper():
+            from flink_spark.sql_match import MATCH_RE, rewrite_match_recognize
+
+            mr = MATCH_RE.match(stmt)
+            if mr:
+                return rewrite_match_recognize(self.spark, mr)
         m = _CREATE_RE.match(stmt)
         if m:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
