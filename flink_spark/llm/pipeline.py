@@ -1,0 +1,230 @@
+"""Corpus-preparation operators for large-scale training-data pipelines:
+normalization, PII redaction, Gopher-style quality filtering, repetition
+statistics, deterministic stratified sampling, source mixing weights,
+corpus vocabulary statistics, and incremental (anti-join) dedup.
+
+Scale design:
+  - Every per-document transform is a JVM expression (regexp/split/
+    higher-order array functions) — whole-stage codegen, no Python, linear
+    in input splits, no shuffle.
+  - Corpus-level statistics (vocab, mixing weights) are classic two-phase
+    aggregations: map-side partials shrink the shuffle to |vocab| /
+    |sources| rows regardless of corpus size.
+  - Sampling is HASH-deterministic (md5 of the id), not rand(): the same
+    row is kept on every run, on any cluster layout, at any parallelism —
+    a requirement for reproducible training mixes, and what makes the
+    DuckDB oracle exact.
+  - Incremental dedup is a left-anti join on the fingerprint. At 100 TB
+    the "seen" side is a compact (fp) projection; AQE picks broadcast vs
+    shuffle join by its actual size. (Flink's analog is the lookup/
+    temporal join against a dedup store; reference semantics:
+    flink-table/flink-table-runtime .../deduplicate/ operators.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_spark.llm.text import LANG_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# normalization + PII
+
+# PII patterns — RE2/Java-compatible (no lookbehind), shared with oracles.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization: trim, collapse whitespace, lowercase,
+    strip non-word/space punctuation. One codegen'd expression chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.trim(c))
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    return F.regexp_replace(c, r"\s+", " ")
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans (email/phone/IPv4/SSN) with typed placeholders and
+    count matches per category. Pure regexp_replace — linear scan."""
+    out = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.select("*", out.alias("text_redacted"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN_MIN = 2.0
+GOPHER_MEAN_WORD_LEN_MAX = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_TYPES = 2
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality filter (word count band, mean word length band,
+    symbol-to-char ratio, stopword-presence) → per-rule booleans + keep.
+    All JVM expressions; the filter itself is a codegen'd predicate that
+    Catalyst can push below later joins."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    mean_wl = (F.length(F.col(text_col)) - n_words + 1) / n_words
+    n_symbols = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[#@\.\*]", "")
+    )
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = (mean_wl >= GOPHER_MEAN_WORD_LEN_MIN) & (
+        mean_wl <= GOPHER_MEAN_WORD_LEN_MAX
+    )
+    ok_sym = (n_symbols / F.length(F.col(text_col))) <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORD_TYPES
+    return df.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher repetition signals)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document 2-gram repetition: total bigrams, share held by the
+    most frequent bigram, share of bigrams occurring more than once.
+    Explode → two keyed aggregations; partial aggregation keeps the
+    shuffle proportional to distinct (doc, gram), and the doc_id grouping
+    key means the second agg is a near-local rollup."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - 1, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, 2)))"
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (F.max("n") / F.sum("n")).alias("top_bigram_frac"),
+            (
+                F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+                / F.sum("n")
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + mixing
+
+
+def _hash_bucket(col, buckets: int = 1000) -> Column:
+    """Deterministic [0, buckets) bucket from the 60-bit md5 projection —
+    identical in Spark (conv) and DuckDB (hex-literal cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its id-hash bucket
+    falls under the stratum's rate. No shuffle at all — a pure filter the
+    scanner can evaluate — and reproducible independent of partitioning."""
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.where(_hash_bucket(id_col) < (rate * 1000).cast("bigint"))
+
+
+def source_mix_weights(df: DataFrame, stratum_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-source corpus share and the resampling weight that would flatten
+    the mix to uniform: weight = target_share / actual_token_share.
+    One partial-aggregated shuffle to |sources| rows, then a broadcast-size
+    window for the totals."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_src = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    n_src = F.count("*").over(w)
+    return per_src.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        ((1.0 / n_src) / share).alias("uniform_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-level token frequencies, top k by (count desc, token asc).
+    The canonical two-phase word count: explode → partial counts map-side →
+    one shuffle keyed by token → global counts → tiny sort-limit."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    counts = (
+        df.select(toks)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+        .select(
+            "token",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("token")))
+            .alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+
+
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Anti-join the incoming batch against an already-ingested corpus on
+    the exact-dedup fingerprint. The seen side is projected to just (fp)
+    and de-duplicated before the join, so at scale it is the minimal
+    possible build side; AQE broadcasts it when it fits."""
+    norm_new = F.lower(F.regexp_replace(F.trim(new_df[text_col]), r"\s+", " "))
+    norm_seen = F.lower(F.regexp_replace(F.trim(seen_df[text_col]), r"\s+", " "))
+    seen_fp = seen_df.select(F.md5(norm_seen).alias("fp")).distinct()
+    tagged = new_df.select(F.col(id_col), F.md5(norm_new).alias("fp"))
+    return tagged.join(seen_fp, "fp", "left_anti").select(id_col, "fp")

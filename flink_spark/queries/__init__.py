@@ -22,5 +22,6 @@ from flink_spark.queries import lookup_suite  # noqa: F401
 from flink_spark.queries import agg_suite  # noqa: F401
 from flink_spark.queries import ml_async_suite  # noqa: F401
 from flink_spark.queries import functions_suite3  # noqa: F401
+from flink_spark.queries import pipeline_suite  # noqa: F401
 
 __all__ = ["QUERIES", "query", "get_queries", "get_oracles"]

@@ -1,0 +1,221 @@
+"""Corpus-preparation pipeline queries (beyond-reference mandate, SURVEY
+§7.1 north star): normalization, PII redaction, Gopher-style quality
+filtering, repetition statistics, deterministic stratified sampling,
+mixing weights, corpus vocabulary, incremental dedup.
+
+Every query has an exact DuckDB oracle: all transforms are deterministic
+JVM expressions (regex/array/hash arithmetic) shared verbatim with the
+SQL, and all ratios divide the same integer operands so the IEEE doubles
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_spark.llm import pipeline as P
+from flink_spark.queries.registry import query
+from flink_spark.sources.tables import load_table
+
+# Sampling plan for the stratified-sample query (rate per source stratum,
+# buckets of 1000) — shared with the oracle CASE expression.
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+_HASH_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000"
+
+_RATE_CASE_SQL = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1000))}"
+        for k, v in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE {int(round(SAMPLE_DEFAULT * 1000))} END"
+)
+
+
+@query(
+    "pipe_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'),
+                          '\s+', ' ', 'g') AS text_norm
+    FROM documents
+    """,
+)
+def pipe_normalize(spark, sf_dir):
+    """Canonical normalization: trim → lower → strip punctuation → collapse
+    whitespace. One codegen'd expression chain, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", P.normalize_text("text").alias("text_norm"))
+
+
+@query(
+    "pipe_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text_redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+    FROM documents
+    """,
+)
+def pipe_pii_redact(spark, sf_dir):
+    """PII scrub: typed placeholder redaction + per-category match counts
+    (email/phone/IPv4/SSN), all regexp expressions (linear scan).
+
+    Note: the redaction order is email→phone→ipv4→ssn, replicated in the
+    oracle's nesting, so overlapping matches resolve identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = P.pii_redact(docs)
+    return out.select(
+        "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4", "n_ssn"
+    )
+
+
+@query(
+    "pipe_quality_filter",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, text, len(toks) AS n_words,
+                 (length(text) - len(toks) + 1) / len(toks) AS mean_wl,
+                 length(text) - length(regexp_replace(text, '[#@\.\*]', '', 'g'))
+                   AS n_sym,
+                 len(list_intersect(list_distinct(toks),
+                     ['the','and','of','to','a'])) AS n_stop
+          FROM t)
+    SELECT doc_id,
+           n_words >= {P.GOPHER_MIN_WORDS} AND n_words <= {P.GOPHER_MAX_WORDS}
+             AS ok_word_count,
+           mean_wl >= {P.GOPHER_MEAN_WORD_LEN_MIN}
+             AND mean_wl <= {P.GOPHER_MEAN_WORD_LEN_MAX} AS ok_mean_word_len,
+           n_sym / length(text) <= {P.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+           n_stop >= {P.GOPHER_MIN_STOPWORD_TYPES} AS ok_stopwords,
+           (n_words >= {P.GOPHER_MIN_WORDS} AND n_words <= {P.GOPHER_MAX_WORDS})
+             AND (mean_wl >= {P.GOPHER_MEAN_WORD_LEN_MIN}
+                  AND mean_wl <= {P.GOPHER_MEAN_WORD_LEN_MAX})
+             AND (n_sym / length(text) <= {P.GOPHER_MAX_SYMBOL_RATIO})
+             AND (n_stop >= {P.GOPHER_MIN_STOPWORD_TYPES}) AS keep
+    FROM m
+    """,
+)
+def pipe_quality_filter(spark, sf_dir):
+    """Gopher-rules quality filter: word-count band, mean-word-length band,
+    symbol ratio, stopword presence → per-rule flags + keep decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.gopher_quality_flags(docs).select(
+        "doc_id", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_stopwords", "keep",
+    )
+
+
+@query(
+    "pipe_repetition_stats",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+          FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+          WHERE i <= len(ws) - 1),
+    c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+    SELECT doc_id, SUM(n) AS n_bigrams,
+           MAX(n) / SUM(n) AS top_bigram_frac,
+           SUM(CASE WHEN n > 1 THEN n ELSE 0 END) / SUM(n) AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def pipe_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals: per-doc bigram total, top-bigram share,
+    duplicated-bigram share (explode → two partial-aggregated groupBys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.repetition_stats(docs)
+
+
+@query(
+    "pipe_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_HASH_SQL} < {_RATE_CASE_SQL}
+    """,
+)
+def pipe_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling by source — a pure
+    filter (no shuffle, no rand()), reproducible at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.stratified_sample(
+        docs, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "source")
+
+
+@query(
+    "pipe_source_mix",
+    oracle=r"""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                        SUM(len(string_split_regex(trim(text), '\s+')))
+                          AS n_tokens
+                 FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           n_tokens / SUM(n_tokens) OVER () AS token_share,
+           (1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())
+             AS uniform_weight
+    FROM per
+    """,
+)
+def pipe_source_mix(spark, sf_dir):
+    """Data-mixing weights: per-source token share and the resampling
+    weight that flattens the mix to uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.source_mix_weights(docs)
+
+
+@query(
+    "pipe_vocab_top100",
+    oracle=r"""
+    WITH c AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents),
+    n AS (SELECT token, COUNT(*) AS n FROM c GROUP BY token)
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+    FROM n ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def pipe_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary: two-phase word count (map-side partials → one
+    token-keyed shuffle) → top-100 by (count desc, token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.vocab_topk(docs, k=100)
+
+
+@query(
+    "pipe_incremental_dedup",
+    oracle=r"""
+    WITH seen AS (SELECT DISTINCT
+                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                  FROM documents WHERE source = 'src0'),
+    batch AS (SELECT doc_id,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE source <> 'src0')
+    SELECT doc_id, fp FROM batch
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = batch.fp)
+    """,
+)
+def pipe_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: anti-join an incoming batch (source<>'src0')
+    against the already-ingested corpus's fingerprint set (source='src0');
+    the seen side is a minimal (fp) projection AQE can broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.incremental_dedup(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
