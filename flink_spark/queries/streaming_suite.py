@@ -350,3 +350,39 @@ def ptf_event_gaps(spark, sf_dir):
     )
     res = run_to_memory(out, "append", "ptf_gaps")
     return ntz_windows(res, "ts").select("event_id", "user_id", "ts", "gap_us")
+
+
+@query(
+    "stream_temporal_sort",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 - 5000 AS wm
+               FROM events WHERE user_id <= 20)
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events, m
+    WHERE user_id <= 20 AND epoch_us(ts) // 1000 <= wm
+    """,
+)
+def stream_temporal_sort(spark, sf_dir):
+    """Streaming temporal sort (reference StreamExecTemporalSort.java,
+    RowTimeSortOperator.java): per-user event-time ordering with rows held
+    until the watermark passes them; ``seq`` is the per-key emission index,
+    which equals ROW_NUMBER over (ts, event_id) on the emitted subset.
+    Rows inside the final 5 s watermark horizon stay buffered at stream
+    end — the oracle applies the same cutoff (max ts − delay in watermark
+    ms units, over the *filtered* subset: Catalyst pushes the user_id
+    filter below the EventTimeWatermark node, so the watermark tracks the
+    filtered stream's max event time)."""
+    from flink_spark.streaming.temporal_sort import temporal_sort
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "5 seconds"))
+    out = temporal_sort(
+        ev.select("event_id", "user_id", "ts", "value").filter(
+            F.col("user_id") <= 20
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    res = run_to_memory(out, "append", "tsort")
+    return ntz_windows(res, "ts")
