@@ -573,12 +573,18 @@ def q11(spark, sf_dir):
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
         (F.min(sc_micros) * F.sum("l_quantity").cast("bigint")).alias("value_micros")
-    ).cache()
-    pv = supm.groupBy("ps_partkey").agg(
-        (F.sum("value_micros").cast("double") / 1000000.0).alias("value")
     )
-    tot = supm.agg(
-        (F.sum("value_micros").cast("double") / 1000000.0).alias("total")
+    # roll up to per-part BEFORE sharing: the reused (cached) set is |parts|
+    # rows, not |part×supp|, and the integer total over it is identical
+    pvm = supm.groupBy("ps_partkey").agg(
+        F.sum("value_micros").alias("pv_micros")
+    ).cache()
+    pv = pvm.select(
+        "ps_partkey",
+        (F.col("pv_micros").cast("double") / 1000000.0).alias("value"),
+    )
+    tot = pvm.agg(
+        (F.sum("pv_micros").cast("double") / 1000000.0).alias("total")
     )
     return (
         pv.crossJoin(F.broadcast(tot))
@@ -738,12 +744,14 @@ def q15(spark, sf_dir):
 def q16(spark, sf_dir):
     """Parts/supplier: NOT IN over a non-null key → left-anti join (the
     null-aware path isn't needed; keys are non-null by construction)."""
-    sp = _supply(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45")
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 36))
     )
+    # the inner join on filtered parts lets the supply aggregate's lineitem
+    # input be semi-join pruned first (per-(partkey,suppkey) rows unchanged)
+    sp = _supply(spark, sf_dir, part_keys=p.select("p_partkey"))
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
         sp.join(F.broadcast(p), sp.ps_partkey == p.p_partkey)
