@@ -1,0 +1,90 @@
+"""Embedding clustering for corpus analysis / semantic bucketing:
+deterministic Lloyd's k-means over an ``array<float>`` column.
+
+Spark-first design:
+  - The assignment step is pure JVM: the k current centroids are inlined
+    as literal nested arrays, each distance is a ``zip_with`` +
+    ``aggregate`` fold (sequential, deterministic order), and the argmin
+    is a ``sort_array`` over (dist, idx) structs — no Python in the
+    per-row hot path, scales linearly with input splits.
+  - The update step is a two-phase aggregation: ``posexplode`` the vector
+    to (cluster, dim, value), partial-aggregate map-side, shuffle only
+    k×d group keys. The k×d result (tiny) is collected to the driver and
+    re-inlined for the next iteration — the classic broadcast-iterate
+    loop, the same dataflow Flink's bulk iteration would schedule.
+  - Init is deterministic (the k lowest-id vectors), so runs are
+    reproducible; centroid means are rounded to 1e-9 to damp
+    shuffle-order float jitter between runs.
+
+At 100 TB: per iteration = one scan + one k×d shuffle; the driver only
+ever holds k×d floats. For very large k use the IVF path in
+llm/similarity.py (cell assignment by the same argmin construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_sq(vec_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance via a sequential fold — deterministic order."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Add ``cluster`` (argmin over centroids, ties → lowest index) and
+    ``dist_sq`` columns. All-JVM expression, no shuffle."""
+    v = F.col(vec_col)
+    scored = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    _dist_sq(v, c).alias("d"), F.lit(i).alias("i")
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )[0]
+    return df.select(
+        "*", scored["i"].alias("cluster"), scored["d"].alias("dist_sq")
+    )
+
+
+def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic Lloyd's k-means; returns (assigned_df, centroids).
+
+    ``assigned_df`` carries cluster + dist_sq for every row; ``centroids``
+    is the final k×d python list (ordered by cluster index).
+    """
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, centroids, vec_col)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [
+                round(dims[d], 9) for d in range(len(centroids[0]))
+            ]
+        centroids = new_c
+    return assign_clusters(df, centroids, vec_col), centroids

@@ -228,3 +228,42 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     seen_fp = seen_df.select(F.md5(norm_seen).alias("fp")).distinct()
     tagged = new_df.select(F.col(id_col), F.md5(norm_new).alias("fp"))
     return tagged.join(seen_fp, "fp", "left_anti").select(id_col, "fp")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+
+SEQ_LEN = 256  # tokens per training sequence (small to exercise multi-bin)
+
+
+def sequence_pack(df: DataFrame, seq_len: int = SEQ_LEN,
+                  stratum_col: str = "source", order_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order per stratum and cut into fixed-capacity token
+    bins; each doc gets its (bin, offset) placement.
+
+    bin = floor(tokens_before / seq_len), offset = tokens_before % seq_len
+    — i.e. the contiguous token stream is chunked every ``seq_len`` tokens
+    (docs may straddle a boundary; the offset says where they start).
+
+    Scale: one window per stratum (partitionBy source) — strata pack in
+    parallel and nothing is global, unlike a whole-corpus running sum.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    before = cum - n_tok
+    return df.select(
+        order_col,
+        stratum_col,
+        n_tok.alias("n_tokens"),
+        (before / seq_len).cast("bigint").alias("bin_id"),
+        (before % seq_len).alias("bin_offset"),
+    )

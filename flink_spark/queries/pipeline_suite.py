@@ -219,3 +219,41 @@ def pipe_incremental_dedup(spark, sf_dir):
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
     )
+
+
+@query(
+    "pipe_sequence_pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS before
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           before // {P.SEQ_LEN} AS bin_id,
+           before % {P.SEQ_LEN} AS bin_offset
+    FROM c
+    """,
+)
+def pipe_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-source deterministic doc
+    order, cut into fixed 256-token bins; each doc gets (bin, offset).
+    One window per stratum — strata pack in parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.sequence_pack(docs)
+
+
+@query("pipe_kmeans_clusters", oracle=None)
+def pipe_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 5 iters) over the embeddings
+    table — JVM argmin assignment + two-phase k×d mean update (rows-only:
+    iterative, not SQL-expressible; invariants are pytest-checked in
+    tests/test_pipeline.py::test_kmeans_assignment_consistent)."""
+    from flink_spark.llm.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=8, n_iter=5)
+    return assigned.select("vec_id", "cluster", "dist_sq")
