@@ -386,3 +386,59 @@ def stream_temporal_sort(spark, sf_dir):
     )
     res = run_to_memory(out, "append", "tsort")
     return ntz_windows(res, "ts")
+
+
+@query(
+    "stream_cep_click_purchase",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(ts) OVER w AS nxt_ts,
+             LEAD(event_id) OVER w AS nxt_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id AS click_id, nxt_id AS purchase_id,
+           ts AS click_ts, nxt_ts AS purchase_ts
+    FROM s, m
+    WHERE event_type = 'click' AND nxt_type = 'purchase'
+      AND nxt_ts <= ts + INTERVAL '30 minutes'
+      AND epoch_us(ts) + 1800000000 <= (mx - 10000) * 1000
+    """,
+)
+def stream_cep_click_purchase(spark, sf_dir):
+    """Streaming CEP (reference CepOperator watermark timers): the
+    click→purchase adjacency pattern through Structured Streaming — NFA
+    run incrementally per user, matches emitted once the 30-minute match
+    window is provably closed by the watermark (10 s delay). The oracle is
+    the batch LEAD formulation restricted to the same closed-window cutoff
+    (click_ts + 30 min ≤ final watermark)."""
+    from flink_spark.operators.cep import Pattern
+    from flink_spark.streaming.cep_stream import stream_match_pattern
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 seconds"))
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .next("B", lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = stream_match_pattern(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    res = run_to_memory(m, "append", "cep_stream")
+    agg = (
+        res.groupBy("user_id", "match_id")
+        .agg(
+            F.max(F.when(F.col("var") == "A", F.col("event_id"))).alias("click_id"),
+            F.max(F.when(F.col("var") == "B", F.col("event_id"))).alias("purchase_id"),
+            F.max(F.when(F.col("var") == "A", F.col("ts"))).alias("click_ts"),
+            F.max(F.when(F.col("var") == "B", F.col("ts"))).alias("purchase_ts"),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )
+    return ntz_windows(agg, "click_ts", "purchase_ts")

@@ -1,0 +1,121 @@
+"""Streaming CEP: the batch NFA (operators/cep.py) run incrementally over
+a watermarked stream (reference StreamExecMatch.java:61, CepOperator.java —
+NFA state + event-time timers; watermark advance triggers pruning/matching).
+
+Finality rule: a match attempt starting at row *r* is decidable once
+``r.ts + within ≤ watermark`` — by the watermark contract no future row
+can still land inside r's window, so running the batch matcher on the
+buffered prefix gives the same result it would give on the complete
+stream. Attempts whose window is still open stay buffered (with their
+row tail) and are re-tried when the watermark advances (event-time
+timeout, exactly Flink's CepOperator watermark timer). ``within()`` is
+therefore REQUIRED — the same condition Flink needs to prune NFA state.
+
+Scale: per-key state is only the undecided suffix (bounded by the
+``within`` span × per-key event rate), identical to Flink's pruned
+shared-buffer; keys are shuffled once to their state partition.
+"""
+
+from __future__ import annotations
+
+import base64
+import pickle
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from flink_spark.operators.cep import (
+    SKIP_PAST_LAST_ROW,
+    Pattern,
+    _match_from,
+    _span_to_timedelta,
+)
+
+
+def stream_match_pattern(
+    stream: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    skip: str = SKIP_PAST_LAST_ROW,
+) -> DataFrame:
+    """Streaming twin of ``match_pattern`` — same output columns
+    (match_id, var, seq_no + input), same match semantics on the decided
+    prefix; matches whose window is still open at stream end stay pending.
+    """
+    import pandas as pd
+
+    if not pattern.within_span:
+        raise ValueError("streaming CEP requires Pattern.within() "
+                         "(unbounded patterns cannot prune state)")
+    within_td = _span_to_timedelta(pattern.within_span)
+    steps = pattern.steps
+    order_cols = order_cols or [ts_col]
+    cols = stream.schema.fieldNames()
+    out_schema = StructType(
+        [
+            StructField("match_id", LongType(), False),
+            StructField("var", StringType(), False),
+            StructField("seq_no", LongType(), False),
+            *stream.schema.fields,
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_matches", LongType(), False),
+            StructField("buf", StringType(), False),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        chunks = [p[cols] for p in pdfs if len(p)]
+        if state.exists:
+            n_matches = state.get[0]
+            chunks.append(pickle.loads(base64.b64decode(state.get[1])))
+        else:
+            n_matches = 0
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                order_cols, kind="mergesort"
+            )
+        else:
+            pdf = pd.DataFrame(columns=cols)
+        wm = state.getCurrentWatermarkMs()
+        wm_ts = pd.Timestamp(wm, unit="ms", tz="UTC")
+        rows = pdf.to_dict("records")
+        out = []
+        i, n = 0, len(rows)
+        while i < n:
+            t0 = rows[i][ts_col]
+            t0 = t0.tz_localize("UTC") if t0.tzinfo is None else t0
+            if t0 + within_td > wm_ts:
+                break  # window still open → undecidable; later rows too
+            m = _match_from(rows, steps, i, within_td, ts_col)
+            if m is None:
+                i += 1
+                continue
+            n_matches += 1
+            for seq_no, (ri, var) in enumerate(m, start=1):
+                out.append(
+                    {
+                        "match_id": n_matches,
+                        "var": var,
+                        "seq_no": seq_no,
+                        **rows[ri],
+                    }
+                )
+            i = (max(ri for ri, _ in m) + 1) if skip == SKIP_PAST_LAST_ROW else i + 1
+        rest = pdf.iloc[i:]
+        state.update(
+            (n_matches, base64.b64encode(pickle.dumps(rest)).decode("ascii"))
+        )
+        if len(rest):
+            state.setTimeoutTimestamp(wm + 1)
+        if out:
+            yield pd.DataFrame(out)[["match_id", "var", "seq_no", *cols]]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
