@@ -442,3 +442,71 @@ def stream_cep_click_purchase(spark, sf_dir):
         .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
     )
     return ntz_windows(agg, "click_ts", "purchase_ts")
+
+
+@query(
+    "stream_multiway_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id AND v.event_type = 'view'
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '6 hours'
+    JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '6 hours'
+    """,
+)
+def stream_multiway_join(spark, sf_dir):
+    """Multi-way streaming join (reference StreamExecMultiJoin /
+    FLIP-516 — n-way streaming join without intermediate-state blowup):
+    Spark expresses it as chained stream-stream interval joins; the time
+    bands bound each pairwise state store exactly as the two-way case,
+    so the chain's state is the sum of the pairwise states, not a
+    product. view→click→purchase funnel within 6-hour hops."""
+    v = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    c = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    p = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    views = v.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = c.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = p.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    vc = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 hours")),
+        "inner",
+    )
+    # a stream may carry at most ONE event-time column into the next
+    # stateful operator: demote view_ts to a plain value (alias-of-cast
+    # drops the watermark metadata) and keep click_ts as the event time
+    vc = vc.select(
+        "view_id", "click_id", "user_id", "click_ts",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+    vcp = vc.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 hours")),
+        "inner",
+    ).select(
+        "view_id", "click_id", "purchase_id", "user_id",
+        "view_ts", "click_ts", "purchase_ts",
+    )
+    return ntz_windows(run_to_memory(vcp, "append", "mwjoin"),
+                       "view_ts", "click_ts", "purchase_ts")
