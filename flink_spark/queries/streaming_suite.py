@@ -16,6 +16,7 @@ from flink_spark.operators import windows as W
 from flink_spark.queries.registry import query
 from flink_spark.queries.util import DEC, dsum
 from flink_spark.streaming import changelog as CL
+from flink_spark.sources.tables import load_table
 from flink_spark.streaming.core import ntz_windows, run_to_memory, stream_table
 
 
@@ -510,3 +511,36 @@ def stream_multiway_join(spark, sf_dir):
     )
     return ntz_windows(run_to_memory(vcp, "append", "mwjoin"),
                        "view_ts", "click_ts", "purchase_ts")
+
+
+@query(
+    "stream_static_lookup_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           c.c_name, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_lookup_join(spark, sf_dir):
+    """Stream-static (lookup) join — reference StreamExecLookupJoin.java /
+    FLIP-486 delta join's no-state pattern: the streaming side probes a
+    bounded dimension re-read per micro-batch; no stream state at all, and
+    Spark broadcasts the dim when it fits. Enriches purchase events with
+    customer + nation."""
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "ts", "value", "c_name", "nation"
+    )
+    return run_to_memory(joined, "append", "slookup")

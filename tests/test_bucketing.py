@@ -1,0 +1,68 @@
+"""Bucketed-table co-located join: same-bucketed fact tables join with NO
+exchange on either side, and results equal the plain-join results."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    from flink_spark.sources.bucketing import ensure_database
+
+    loc = tmp_path_factory.mktemp("bucket_warehouse")
+    ensure_database(spark, "bdb", str(loc))
+    yield "bdb"
+    spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_colocated_join_has_no_exchange(spark, bucket_db):
+    from flink_spark.sources.bucketing import shuffle_free_join, write_bucketed
+    from flink_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, f"{bucket_db}.li_b", ["l_orderkey"], 8)
+    write_bucketed(o, f"{bucket_db}.o_b", ["l_orderkey"], 8)
+
+    # bucketed joins need AQE off to show the static no-exchange plan
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = shuffle_free_join(spark, f"{bucket_db}.li_b", f"{bucket_db}.o_b",
+                              ["l_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        n_bucketed = j.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    n_plain = li.join(o, "l_orderkey").count()
+    assert n_bucketed == n_plain
+
+
+def test_bucketed_agg_skips_shuffle(spark, bucket_db):
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        agg = (
+            spark.table(f"{bucket_db}.li_b")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert agg.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
