@@ -96,8 +96,19 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession):
         self.spark = prepare_session(spark)
         self.tables: dict[str, TableSpec] = {}
+        # temporal table functions: name -> (table, time_attribute, key)
+        self.temporal_fns: dict[str, tuple[str, str, str]] = {}
 
     # -- functions ---------------------------------------------------------
+
+    def create_temporal_table_function(
+        self, name: str, table: str, time_attribute: str, primary_key: str
+    ) -> None:
+        """Register a temporal table function over a versioned table
+        (reference TemporalTableFunction.java, `createTemporalTableFunction`
+        on Flink's Table API): ``LATERAL TABLE (name(o.ts))`` then resolves
+        each probe row against the version in effect at its timestamp."""
+        self.temporal_fns[name] = (table, time_attribute, primary_key)
 
     def create_temporary_function(self, name: str, fn) -> None:
         """CREATE TEMPORARY FUNCTION (reference SqlCreateFunction DDL,
@@ -220,6 +231,46 @@ class TableEnvironment:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _LATERAL_TTF_RE = re.compile(
+        r"^\s*SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<lt>[\w.]+)(?:\s+AS)?\s+(?P<la>\w+)\s*,\s*"
+        r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*(?P<wa>\w+)\.(?P<wts>\w+)\s*\)\s*\)"
+        r"(?:\s+AS)?\s+(?P<ra>\w+)\s+"
+        r"WHERE\s+(?P<lk>\w+\.\w+)\s*=\s*(?P<rk>\w+\.\w+)"
+        r"(?:\s+AND\s+(?P<where>.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_lateral_ttf(self, m: re.Match):
+        """``FROM orders o, LATERAL TABLE (Rates(o.ts)) AS r WHERE o.k=r.k``
+        (reference SqlSnapshot / temporal table function correlate,
+        StreamExecTemporalJoin.java:77): the lateral-snapshot form of the
+        temporal join — lowered onto the same asof_join as FOR SYSTEM_TIME."""
+        from flink_spark.operators.joins import asof_join
+
+        table, rts, rkey = self.temporal_fns[m.group("fn")]
+        la, ra = m.group("la"), m.group("ra")
+        k1a, k1c = m.group("lk").split(".")
+        _k2a, k2c = m.group("rk").split(".")
+        lk, rk = (k1c, k2c) if k1a == la else (k2c, k1c)
+        if rk != rkey:
+            raise ValueError(
+                f"lateral temporal join on {rk!r} but {m.group('fn')!r} is "
+                f"keyed by {rkey!r}"
+            )
+        left = self.spark.table(m.group("lt"))
+        right = self.spark.table(table)
+        if rk != lk:
+            right = right.withColumnRenamed(rk, lk)
+        joined = asof_join(left, right, key=lk, left_ts=m.group("wts"),
+                           right_ts=rts)
+        view = f"__ttf_{abs(hash(m.group(0))) % 10**8}"
+        joined.createOrReplaceTempView(view)
+        cols = re.sub(rf"\b({la}|{ra})\.", "", m.group("cols"))
+        sql = f"SELECT {cols} FROM {view}"
+        if m.group("where"):
+            sql += " WHERE " + re.sub(rf"\b({la}|{ra})\.", "", m.group("where"))
+        return self.spark.sql(sql)
+
     def _rewrite_temporal_join(self, m: re.Match):
         """``JOIN dim FOR SYSTEM_TIME AS OF l.ts AS d ON l.k = d.k``
         (reference StreamExecTemporalJoin.java:77, SqlSnapshot parsing):
@@ -271,6 +322,10 @@ class TableEnvironment:
         tm = self._TEMPORAL_RE.match(stmt)
         if tm and "FOR SYSTEM_TIME" in stmt.upper():
             return self._rewrite_temporal_join(tm)
+        if "LATERAL TABLE" in stmt.upper():
+            lm = self._LATERAL_TTF_RE.match(stmt)
+            if lm and lm.group("fn") in self.temporal_fns:
+                return self._rewrite_lateral_ttf(lm)
         if "MATCH_RECOGNIZE" in stmt.upper():
             from flink_spark.sql_match import MATCH_RE, rewrite_match_recognize
 

@@ -226,3 +226,41 @@ def test_temporal_join_sql(spark, sf_dir, tmp_path):
     """)
     rows = {r["oid"]: r["rate"] for r in got.collect()}
     assert rows == {1: None, 2: 10.0, 3: 20.0, 4: 7.0}
+
+
+def test_lateral_temporal_table_function_sql(spark, sf_dir, tmp_path):
+    """LATERAL TABLE (Rates(o.ots)) — the temporal-table-function form of
+    the temporal join, resolved through the same as-of lowering."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    dim = str(tmp_path / "rates_ttf")
+    spark.createDataFrame(
+        [("EUR", 1, 10.0), ("EUR", 5, 20.0), ("JPY", 2, 7.0)],
+        "ccy string, rts long, rate double",
+    ).selectExpr("ccy", "CAST(timestamp_seconds(rts) AS TIMESTAMP_NTZ) AS rts",
+                 "rate").createOrReplaceTempView("rates_hist")
+    env.create_temporal_table_function("Rates", "rates_hist", "rts", "ccy")
+    spark.createDataFrame(
+        [(1, "EUR", 0), (2, "EUR", 3), (3, "EUR", 6), (4, "JPY", 4)],
+        "oid long, ccy string, ots long",
+    ).selectExpr("oid", "ccy",
+                 "CAST(timestamp_seconds(ots) AS TIMESTAMP_NTZ) AS ots"
+                 ).createOrReplaceTempView("orders_ttf")
+    got = env.execute_sql("""
+        SELECT oid, rate FROM orders_ttf AS o,
+        LATERAL TABLE (Rates(o.ots)) AS r
+        WHERE o.ccy = r.ccy
+    """)
+    rows = {r["oid"]: r["rate"] for r in got.collect()}
+    assert rows == {1: None, 2: 10.0, 3: 20.0, 4: 7.0}
+
+    # declared key mismatch is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        env.execute_sql("""
+            SELECT oid, rate FROM orders_ttf AS o,
+            LATERAL TABLE (Rates(o.ots)) AS r
+            WHERE o.oid = r.rate
+        """)
