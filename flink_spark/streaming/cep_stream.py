@@ -33,6 +33,34 @@ from flink_spark.operators.cep import (
 )
 
 
+def advance_prefix(rows, steps, within_td, wm_ts, skip, n_matches, ts_col):
+    """Pure incremental step: given the undecided row buffer (ts-sorted
+    dict records), emit every match whose start window is closed by
+    ``wm_ts``; return (emitted, first_undecided_index, n_matches).
+
+    Factored out of the stateful processor so the finality rule is
+    property-testable without Spark (tests/test_cep_stream_model.py)."""
+    out = []
+    i, n = 0, len(rows)
+    while i < n:
+        t0 = rows[i][ts_col]
+        if getattr(t0, "tzinfo", None) is None and getattr(wm_ts, "tzinfo", None) is not None:
+            t0 = t0.tz_localize(wm_ts.tzinfo)
+        if t0 + within_td > wm_ts:
+            break  # window still open → undecidable; later rows too
+        m = _match_from(rows, steps, i, within_td, ts_col)
+        if m is None:
+            i += 1
+            continue
+        n_matches += 1
+        for seq_no, (ri, var) in enumerate(m, start=1):
+            out.append(
+                {"match_id": n_matches, "var": var, "seq_no": seq_no, **rows[ri]}
+            )
+        i = (max(ri for ri, _ in m) + 1) if skip == SKIP_PAST_LAST_ROW else i + 1
+    return out, i, n_matches
+
+
 def stream_match_pattern(
     stream: DataFrame,
     pattern: Pattern,
@@ -85,28 +113,9 @@ def stream_match_pattern(
         wm = state.getCurrentWatermarkMs()
         wm_ts = pd.Timestamp(wm, unit="ms", tz="UTC")
         rows = pdf.to_dict("records")
-        out = []
-        i, n = 0, len(rows)
-        while i < n:
-            t0 = rows[i][ts_col]
-            t0 = t0.tz_localize("UTC") if t0.tzinfo is None else t0
-            if t0 + within_td > wm_ts:
-                break  # window still open → undecidable; later rows too
-            m = _match_from(rows, steps, i, within_td, ts_col)
-            if m is None:
-                i += 1
-                continue
-            n_matches += 1
-            for seq_no, (ri, var) in enumerate(m, start=1):
-                out.append(
-                    {
-                        "match_id": n_matches,
-                        "var": var,
-                        "seq_no": seq_no,
-                        **rows[ri],
-                    }
-                )
-            i = (max(ri for ri, _ in m) + 1) if skip == SKIP_PAST_LAST_ROW else i + 1
+        out, i, n_matches = advance_prefix(
+            rows, steps, within_td, wm_ts, skip, n_matches, ts_col
+        )
         rest = pdf.iloc[i:]
         state.update(
             (n_matches, base64.b64encode(pickle.dumps(rest)).decode("ascii"))
