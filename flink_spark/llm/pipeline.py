@@ -267,3 +267,34 @@ def sequence_pack(df: DataFrame, seq_len: int = SEQ_LEN,
         (before / seq_len).cast("bigint").alias("bin_id"),
         (before % seq_len).alias("bin_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(train_df: DataFrame, eval_df: DataFrame,
+                  n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Flag training documents that share any word n-gram with an eval/
+    benchmark set (the standard pre-training decontamination pass).
+
+    Plan shape: the eval side collapses to a DISTINCT shingle set (tiny
+    relative to the corpus — benchmarks are small), the train side explodes
+    to (doc, shingle) and semi-joins it; AQE broadcasts the eval shingles.
+    Output: per-train-doc hit count of distinct contaminated shingles
+    (docs with no hits are absent — filter-join semantics).
+    """
+    from flink_spark.llm.dedup import word_shingles
+
+    train_sh = word_shingles(train_df, text_col, n, id_col)
+    eval_sh = (
+        word_shingles(eval_df, text_col, n, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(eval_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )

@@ -257,3 +257,30 @@ def pipe_kmeans_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(emb, k=8, n_iter=5)
     return assigned.select("vec_id", "cluster", "dist_sq")
+
+
+@query(
+    "pipe_decontaminate",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+           WHERE i <= len(ws) - 2),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src19')
+    SELECT s.doc_id, COUNT(*) AS n_contaminated_shingles
+    FROM sh s JOIN ev ON s.shingle = ev.shingle
+    WHERE s.source <> 'src19'
+    GROUP BY s.doc_id
+    """,
+)
+def pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs (source<>'src19') flagged by
+    distinct 3-gram overlap with the eval set (source='src19'); eval
+    shingle set broadcast by AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.decontaminate(
+        docs.where(F.col("source") != "src19"),
+        docs.where(F.col("source") == "src19"),
+    )
