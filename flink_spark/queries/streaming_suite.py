@@ -544,3 +544,71 @@ def stream_static_lookup_join(spark, sf_dir):
         "event_id", "user_id", "ts", "value", "c_name", "nation"
     )
     return run_to_memory(joined, "append", "slookup")
+
+
+@query(
+    "stream_coprocess_threshold",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+    mx AS (SELECT p.event_id,
+                  MAX(c.value) AS max_click
+           FROM p JOIN c
+             ON c.user_id = p.user_id
+            AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+           GROUP BY p.event_id)
+    SELECT p.user_id, p.event_id, p.ts, p.value
+    FROM p JOIN mx ON mx.event_id = p.event_id
+    WHERE p.value > mx.max_click
+    """,
+)
+def stream_coprocess_threshold(spark, sf_dir):
+    """Co-process / connected streams (reference CoProcessFunction,
+    DataStream.connect): clicks and purchases of the same user flow into
+    one keyed two-input processor; a purchase is emitted when its value
+    exceeds the max click value seen earlier in event time. The running
+    max is keyed state carried across micro-batches."""
+    from flink_spark.streaming.coprocess import co_process
+
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+
+    def fn(key, clicks_pdf, purchases_pdf, state):
+        import pandas as pd
+
+        mx = state.get("mx")
+        rows = []
+        merged = []
+        for _, r in clicks_pdf.iterrows():
+            merged.append((r["ts"], r["event_id"], "c", r["value"]))
+        for _, r in purchases_pdf.iterrows():
+            merged.append((r["ts"], r["event_id"], "p", r["value"]))
+        merged.sort(key=lambda t: (t[0], t[1]))
+        for ts, eid, side, val in merged:
+            if side == "c":
+                mx = val if mx is None else max(mx, val)
+            elif mx is not None and val > mx:
+                rows.append((key[0], eid, ts, val))
+        state["mx"] = mx
+        if not rows:
+            return None
+        return pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value"]
+        )
+
+    out = co_process(
+        clicks, purchases,
+        key_cols=["user_id"],
+        fn=fn,
+        out_schema="user_id bigint, event_id bigint, ts timestamp_ntz, value double",
+        left_seq=["ts", "event_id"],
+        right_seq=["ts", "event_id"],
+    )
+    return run_to_memory(out, "append", "coproc")
