@@ -612,3 +612,33 @@ def stream_coprocess_threshold(spark, sf_dir):
         right_seq=["ts", "event_id"],
     )
     return run_to_memory(out, "append", "coproc")
+
+
+@query(
+    "stream_cumulate_agg",
+    oracle=f"""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, ts, value FROM events
+    ), k AS (SELECT unnest([1, 2, 3, 4]) AS i)
+    SELECT ws AS window_start,
+           ws + i * INTERVAL '15 minutes' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM base CROSS JOIN k
+    WHERE ts < ws + i * INTERVAL '15 minutes'
+    GROUP BY 1, 2
+    """,
+)
+def stream_cumulate_agg(spark, sf_dir):
+    """Streaming CUMULATE agg (reference CumulativeWindowAssigner,
+    SliceAssigners.java cumulate slices): the expanding-window explode
+    runs inside the micro-batch; complete-mode output over bounded input
+    equals the batch TVF projection."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
+    agg = (
+        W.cumulate(ev, "ts", step="15 minutes", size="1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    return ntz_windows(run_to_memory(agg, "complete", "cumulate"),
+                       "window_start", "window_end")
