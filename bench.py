@@ -44,6 +44,14 @@ HEADLINE = [
     "stream_interval_join",
     "stream_dedup_first",
     "stream_topn_changelog",
+    # training-data pipeline suite (BASELINE.md third group): dedup,
+    # similarity search, quality filtering, packing, vocabulary
+    "llm_dedup_exact",
+    "llm_minhash_lsh_pairs",
+    "llm_cosine_topk",
+    "pipe_quality_filter",
+    "pipe_sequence_pack",
+    "pipe_vocab_top100",
 ]
 
 

@@ -93,22 +93,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """K-row minhash table (doc_id, i, mh): mh_i = min over shingles of
-    (a_i * H(shingle) + b_i) mod P. Long-format keeps the plan columnar and
-    lets banding/verification be plain groupBy/join."""
+def minhash_signatures_wide(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Wide minhash table (doc_id, mh_0..mh_{K-1}): all K mins in ONE
+    doc-keyed aggregation — the shuffle carries K partial mins per doc,
+    not K× the shingle rows (32× less exchange volume than the
+    explode-then-group formulation at any scale)."""
     sh = word_shingles(df, text_col, 3, id_col)
     hashed = sh.withColumn("h", _portable_hash(F.col("shingle")) % MH_PRIME)
-    # all K mins in ONE doc-keyed aggregation (wide): the shuffle carries
-    # K partial mins per doc, not K× the shingle rows — 32× less exchange
-    # volume than the explode-then-group formulation at any scale
-    wide = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
             for i, (a, b) in enumerate(MH_PARAMS)
         ]
     )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """K-row minhash table (doc_id, i, mh) — the long-format view of
+    ``minhash_signatures_wide`` (explode is per-row, no extra shuffle)."""
+    wide = minhash_signatures_wide(df, text_col, id_col)
     sig_pairs = F.array(
         *[
             F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("mh"))
@@ -130,22 +135,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (equality join — no cross product); candidates verified by counting
     agreeing signature positions (>= min_agree of MH_K).
     """
-    sig = minhash_signatures(df, text_col, id_col).cache()
-    # collect_list order is nondeterministic → sort by i inside the band
-    bands = (
-        sig.withColumn("band", (F.col("i") / MH_BAND_ROWS).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
-                    ),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
+    wide = minhash_signatures_wide(df, text_col, id_col).cache()
+    # band signatures straight off the wide row — a per-row expression,
+    # no (doc, band) regroup shuffle and no collect_list nondeterminism
+    n_bands = MH_K // MH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * MH_BAND_ROWS + r}").cast("string")
+                        for r in range(MH_BAND_ROWS)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = wide.select(id_col, F.explode(band_structs).alias("p")).select(
+        id_col, F.col("p.band").alias("band"), F.col("p.sig").alias("sig")
     )
     ba = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     bb = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -155,16 +165,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("doc_a"), "i", F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), "i", F.col("mh").alias("mh_b"))
-    agree = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_agree"))
+    # verification: two wide-row joins + a 32-term agreement expression —
+    # no per-position explode, no (doc, i) join
+    wa = wide.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MH_K)],
+    )
+    wb = wide.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MH_K)],
+    )
+    n_agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(MH_K)
     )
     return (
-        agree.filter(F.col("n_agree") >= min_agree)
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
         .withColumn("est_jaccard", F.col("n_agree") / F.lit(float(MH_K)))
     )
 

@@ -22,13 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# exact, order-independent dot product / norm over double arrays.
-# Per-term DECIMAL(25,20); accumulator DECIMAL(30,20): the add result is
-# (31,20) — same scale, so the cast back to (30,20) is lossless (overflow
-# impossible for |terms| ≤ 10^9). Matches DuckDB SUM(DECIMAL(25,20)) exactly.
+# Exact cross-engine dot product / norm over double arrays WITHOUT decimal
+# arithmetic: Spark's `aggregate` is a sequential left fold (0.0 + x1 + x2
+# + …) and DuckDB's `list_reduce` folds the same order starting from x1;
+# since 0.0 + x1 == x1 bitwise, the two IEEE-double sums are identical.
+# All-double codegen is ~10× faster than the interpreted DECIMAL(25,20)
+# fold this replaced (12.8 s → ~1 s for the sf0.1 brute-force top-k).
 _DOT = (
-    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(25,20))), "
-    "CAST(0 AS DECIMAL(30,20)), (acc, v) -> CAST(acc + v AS DECIMAL(30,20))) AS DOUBLE)"
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
 

@@ -245,17 +245,14 @@ def llm_simhash_pairs(spark, sf_dir):
                WHERE vec_id < 10),
     c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
           WHERE vec_id >= 10),
-    terms AS (SELECT query_id, cand_id,
-                     CAST(qv[i]::DOUBLE * cv[i]::DOUBLE AS DECIMAL(25,20)) AS xy,
-                     CAST(qv[i]::DOUBLE * qv[i]::DOUBLE AS DECIMAL(25,20)) AS xx,
-                     CAST(cv[i]::DOUBLE * cv[i]::DOUBLE AS DECIMAL(25,20)) AS yy
-              FROM q CROSS JOIN c,
-                   LATERAL (SELECT generate_subscripts(qv, 1) AS i) t),
     dots AS (SELECT query_id, cand_id,
-                    CAST(SUM(xy) AS DOUBLE) AS dot,
-                    CAST(SUM(xx) AS DOUBLE) AS na,
-                    CAST(SUM(yy) AS DOUBLE) AS nb
-             FROM terms GROUP BY query_id, cand_id),
+                    list_reduce(list_transform(range(1, len(qv) + 1),
+                      i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y) AS dot,
+                    list_reduce(list_transform(range(1, len(qv) + 1),
+                      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y) AS na,
+                    list_reduce(list_transform(range(1, len(cv) + 1),
+                      i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y) AS nb
+             FROM q CROSS JOIN c),
     scored AS (SELECT query_id, cand_id,
                       dot / (sqrt(na) * sqrt(nb)) AS cos_sim
                FROM dots)
@@ -329,14 +326,14 @@ def llm_multimodal_features(spark, sf_dir):
     pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      a.embedding AS va, b.embedding AS vb
               FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    terms AS (SELECT id_a, id_b,
-                     CAST(va[i]::DOUBLE * vb[i]::DOUBLE AS DECIMAL(25,20)) AS xy,
-                     CAST(va[i]::DOUBLE * va[i]::DOUBLE AS DECIMAL(25,20)) AS xx,
-                     CAST(vb[i]::DOUBLE * vb[i]::DOUBLE AS DECIMAL(25,20)) AS yy
-              FROM pairs, LATERAL (SELECT generate_subscripts(va, 1) AS i) t),
-    dots AS (SELECT id_a, id_b, CAST(SUM(xy) AS DOUBLE) AS dot,
-                    CAST(SUM(xx) AS DOUBLE) AS na, CAST(SUM(yy) AS DOUBLE) AS nb
-             FROM terms GROUP BY id_a, id_b)
+    dots AS (SELECT id_a, id_b,
+                    list_reduce(list_transform(range(1, len(va) + 1),
+                      i -> va[i]::DOUBLE * vb[i]::DOUBLE), (x, y) -> x + y) AS dot,
+                    list_reduce(list_transform(range(1, len(va) + 1),
+                      i -> va[i]::DOUBLE * va[i]::DOUBLE), (x, y) -> x + y) AS na,
+                    list_reduce(list_transform(range(1, len(vb) + 1),
+                      i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x, y) -> x + y) AS nb
+             FROM pairs)
     SELECT id_a, id_b,
            round(dot / (sqrt(na) * sqrt(nb)), 12) AS cos_sim
     FROM dots
