@@ -59,3 +59,22 @@ def test_sequence_pack_bins_contiguous(spark):
             g.bin_id.iloc[-1] * P.SEQ_LEN + g.bin_offset.iloc[-1]
             == g.n_tokens.iloc[:-1].sum()
         )
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """Hash sampling must keep the SAME rows at any parallelism — the
+    reproducibility contract rand()-based sampling cannot give."""
+    from flink_spark.llm import pipeline as P
+    from flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"src0": 0.5, "src1": 0.25}
+    a = set(
+        r["doc_id"]
+        for r in P.stratified_sample(docs.repartition(3), rates).collect()
+    )
+    b = set(
+        r["doc_id"]
+        for r in P.stratified_sample(docs.repartition(17, "source"), rates).collect()
+    )
+    assert a == b and len(a) > 0
