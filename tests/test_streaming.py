@@ -207,3 +207,45 @@ def test_dedup_keep_first_across_batches(spark, tmp_path):
         CL.dedup_keep_first(src, ["k"], ["seq"]), "append", "dedup_t"
     ).collect()
     assert {(r.k, r.seq) for r in out} == {(1, 1), (2, 7), (3, 3)}
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The at-scale state backend (reference flink-statebackend-rocksdb):
+    Spark's RocksDB state store provider must carry our stateful operators
+    with identical results to the default HDFS-backed store."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.streaming import changelog as CL
+    from flink_spark.streaming.core import run_to_memory, stream_table
+    from tests.conftest import SMOKE_SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_table(spark, SMOKE_SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        out = CL.dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
+        got = {r["user_id"]: r["event_id"]
+               for r in run_to_memory(out, "append", "rocks").collect()}
+    finally:
+        spark.conf.set(key, saved)
+
+    import duckdb
+
+    exp = dict(
+        duckdb.sql(
+            f"""SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM read_parquet('{SMOKE_SF_DIR}/events.parquet')) t
+            WHERE rn = 1"""
+        ).fetchall()
+    )
+    assert got == exp
