@@ -88,3 +88,57 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
             ]
         centroids = new_c
     return assign_clusters(df, centroids, vec_col), centroids
+
+
+def semantic_neardup_pairs(df, k: int = 8, n_iter: int = 3,
+                           threshold: float = 0.35,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Semantic (cluster-scoped) near-duplicate pairs: k-means bucket the
+    corpus, then score cosine only within a cluster — the standard way to
+    cut the O(n²) pair join to O(Σ|cluster|²) at corpus scale (SemDeDup-
+    style). Returns (id_a, id_b, cos_sim ≥ threshold) with cos rounded to
+    12 dp like the exact pair query.
+
+    Recall is < 1 by construction (near-dups straddling every probed
+    cluster boundary are missed); MULTI-PROBE (each vector lands in its
+    ``n_probe`` nearest clusters) trades pair-join fan-out for recall —
+    tests/test_pipeline.py measures it against the exact pair set."""
+    from flink_spark.llm.similarity import cosine
+
+    _, centroids = kmeans(df, k=k, n_iter=n_iter, id_col=id_col,
+                          vec_col=vec_col)
+    n_probe = 2
+    v = F.col(vec_col)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(_dist_sq(v, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    probes = df.select(
+        F.col(id_col), v,
+        F.explode(
+            F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
+        ).alias("cluster"),
+    )
+    a = probes.select(
+        "cluster", F.col(id_col).alias("id_a"), v.alias("__va")
+    )
+    b = probes.select(
+        "cluster", F.col(id_col).alias("id_b"), v.alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        # a pair may share several probe clusters; duplicate rows are
+        # identical (same vectors), so keep-any is deterministic
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine("__va", "__vb"), 12).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

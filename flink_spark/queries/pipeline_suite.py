@@ -284,3 +284,15 @@ def pipe_decontaminate(spark, sf_dir):
         docs.where(F.col("source") != "src19"),
         docs.where(F.col("source") == "src19"),
     )
+
+
+@query("pipe_semantic_neardup", oracle=None)
+def pipe_semantic_neardup(spark, sf_dir):
+    """Semantic dedup (SemDeDup-style): k-means bucket then cosine-score
+    within clusters only — the O(Σ|cluster|²) scale path for the exact
+    O(n²) `llm_cosine_neardup_pairs`. Rows-only (k-means is iterative);
+    recall vs the exact pair set is asserted in tests/test_pipeline.py."""
+    from flink_spark.llm.clustering import semantic_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    return semantic_neardup_pairs(emb, k=8, n_iter=3, threshold=0.35)

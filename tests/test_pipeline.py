@@ -78,3 +78,22 @@ def test_stratified_sample_partition_invariant(spark):
         for r in P.stratified_sample(docs.repartition(17, "source"), rates).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_semantic_neardup_recall(spark):
+    """Cluster-scoped pairs must be a subset of the exact cosine pairs,
+    with usable recall on this corpus."""
+    from flink_spark.queries.registry import QUERIES
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["llm_cosine_neardup_pairs"].fn(spark, SF_DIR).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["pipe_semantic_neardup"].fn(spark, SF_DIR).collect()
+    }
+    assert sem <= exact, f"false positives: {sorted(sem - exact)[:5]}"
+    assert len(exact) > 0
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f}"
