@@ -302,3 +302,25 @@ def apply_ptf(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         runner, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def register_udtf(spark, name: str, fn: "TableFunction"):
+    """Register a TableFunction as a NATIVE Spark Python UDTF (Spark 3.5+
+    ``spark.udtf``), usable directly in SQL:
+    ``SELECT t.* FROM src, LATERAL fn(src.col) t`` — the 1:1 surface of
+    Flink's ``CREATE TEMPORARY FUNCTION`` + ``LATERAL TABLE`` correlate
+    (reference TableFunction.java, StreamExecCorrelate.java:53). The
+    ``lateral()`` helper remains the Arrow-batched mapInPandas path; this
+    is the SQL-registration path."""
+    from pyspark.sql.functions import udtf
+
+    table_fn = fn  # close over the instance
+
+    class _Adapter:
+        def eval(self, *args):
+            for row in table_fn.eval(*args):
+                yield row if isinstance(row, tuple) else (row,)
+
+    shaped = udtf(_Adapter, returnType=fn.result_schema)
+    spark.udtf.register(name, shaped)
+    return shaped

@@ -197,3 +197,28 @@ def test_table_aggregate_top2(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_native_python_udtf_registration(spark):
+    """TableFunction through Spark's native Python UDTF surface: SQL
+    LATERAL correlate with the same emissions as the lateral() helper."""
+    from flink_spark.functions.udf import TableFunction, register_udtf
+
+    class SplitWords(TableFunction):
+        result_schema = "word string, n_chars int"
+
+        def eval(self, s):
+            for w in (s or "").split():
+                yield (w, len(w))
+
+    register_udtf(spark, "split_words", SplitWords())
+    spark.createDataFrame(
+        [(1, "a bb ccc"), (2, ""), (3, "dd")], "id int, txt string"
+    ).createOrReplaceTempView("udtf_src")
+    got = spark.sql(
+        "SELECT id, t.word, t.n_chars FROM udtf_src, "
+        "LATERAL split_words(txt) t ORDER BY id, word"
+    ).collect()
+    assert [(r["id"], r["word"], r["n_chars"]) for r in got] == [
+        (1, "a", 1), (1, "bb", 2), (1, "ccc", 3), (3, "dd", 2),
+    ]
