@@ -99,3 +99,10 @@ def count_window(
         "window_id",
         F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(size)).cast("bigint"),
     )
+
+
+def tumble_offset(df: DataFrame, ts_col: str, size: str, offset: str) -> DataFrame:
+    """TUMBLE with window offset (reference window TVF `offset` argument,
+    SliceAssigners.tumbling(...).withOffset): buckets aligned to
+    epoch+offset instead of epoch. Spark: ``F.window(..., startTime)``."""
+    return _flatten_window(df, F.window(ts_col, size, size, offset))

@@ -307,3 +307,34 @@ def lateral_topk_per_nation(spark, sf_dir):
     return top2.join(F.broadcast(na), top2.c_nationkey == na.n_nationkey).select(
         "n_name", "c_custkey", "c_acctbal"
     )
+
+
+@query(
+    "topn_variable_rank_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 1 + o_custkey % 3
+    """,
+)
+def topn_variable_rank_range(spark, sf_dir):
+    """Variable rank range (reference VariableRankRange.java — the TopN
+    where N comes from a per-key expression): rank filtered against a
+    key-derived limit. Catalyst still inserts WindowGroupLimit for the
+    max possible N when constant; for a variable bound the window runs
+    full and the filter prunes — same as Flink's variable-range path."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1 + F.col("o_custkey") % 3)
+    )

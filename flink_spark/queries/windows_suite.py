@@ -333,3 +333,28 @@ def window_count_tumble(spark, sf_dir):
     return win.groupBy("user_id", "window_id").agg(
         F.count("*").alias("n_events"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "window_tumble_offset",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01 00:15:00')
+             AS window_start,
+           time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01 00:15:00')
+             + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumble_offset(spark, sf_dir):
+    """TUMBLE with a 15-minute alignment offset (reference window TVF
+    `offset` argument; Spark `window(..., startTime)` ↔ DuckDB
+    `time_bucket(..., origin)`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        W.tumble_offset(ev, "ts", "1 hour", "15 minutes")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
