@@ -642,3 +642,34 @@ def stream_cumulate_agg(spark, sf_dir):
     )
     return ntz_windows(run_to_memory(agg, "complete", "cumulate"),
                        "window_start", "window_end")
+
+
+@query(
+    "stream_over_rows_bounded",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS frame_cnt,
+           CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS frame_sum
+    FROM events WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_rows_bounded(spark, sf_dir):
+    """Streaming bounded-frame OVER agg (reference
+    RowTimeRowsBoundedPrecedingFunction): sliding 4-row sum/count per
+    user through keyed state that retains only the frame."""
+    from flink_spark.streaming.overagg import streaming_over_rows_bounded
+
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    out = streaming_over_rows_bounded(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        value_col="value",
+        n_preceding=3,
+    )
+    res = run_to_memory(out, "append", "over_bounded")
+    return ntz_windows(res, "ts").select(
+        "event_id", "user_id", "ts", "frame_cnt", "frame_sum"
+    )

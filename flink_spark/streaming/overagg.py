@@ -93,3 +93,63 @@ def streaming_over_rows(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_over_rows_bounded(
+    stream: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    value_col: str,
+    n_preceding: int,
+) -> DataFrame:
+    """ROWS BETWEEN n PRECEDING AND CURRENT ROW sliding sum/count per key
+    (reference RowTimeRowsBoundedPrecedingFunction.java:66): keyed state
+    holds only the last n+1 quantized values — O(frame) per key, the
+    bounded-frame analog of the unbounded accumulator above."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = stream.schema
+    cols = schema.fieldNames()
+    out_schema = StructType(
+        [
+            *schema.fields,
+            StructField("frame_cnt", LongType(), False),
+            StructField("frame_sum", DoubleType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("buf", StringType(), False)])
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_cols, kind="mergesort")[cols]
+        buf = [int(x) for x in state.get[0].split(",") if x] if state.exists else []
+        cnts, sums = [], []
+        for v in pdf[value_col]:
+            micro = (
+                int(Decimal(float(v)).quantize(Decimal("0.000001")) * 1_000_000)
+                if v is not None and v == v
+                else None
+            )
+            buf.append(micro if micro is not None else 0)
+            if len(buf) > n_preceding + 1:
+                buf.pop(0)
+            cnts.append(len(buf))
+            sums.append(float(Decimal(sum(buf)).scaleb(-6)))
+        state.update((",".join(str(x) for x in buf),))
+        out = pdf.copy()
+        out["frame_cnt"] = cnts
+        out["frame_sum"] = sums
+        yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
