@@ -673,3 +673,35 @@ def stream_over_rows_bounded(spark, sf_dir):
     return ntz_windows(res, "ts").select(
         "event_id", "user_id", "ts", "frame_cnt", "frame_sum"
     )
+
+
+@query(
+    "stream_over_range_bounded",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS frame_cnt,
+           CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS frame_sum
+    FROM events WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '2 hours' PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_range_bounded(spark, sf_dir):
+    """Streaming RANGE-bounded OVER agg (reference
+    RowTimeRangeBoundedPrecedingFunction): per-user 2-hour sliding
+    sum/count; keyed state holds only the rows inside the horizon."""
+    from flink_spark.streaming.overagg import streaming_over_range_bounded
+
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    out = streaming_over_range_bounded(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        value_col="value",
+        preceding="2 hours",
+    )
+    res = run_to_memory(out, "append", "over_range")
+    return ntz_windows(res, "ts").select(
+        "event_id", "user_id", "ts", "frame_cnt", "frame_sum"
+    )

@@ -153,3 +153,82 @@ def streaming_over_rows_bounded(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_over_range_bounded(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str],
+    value_col: str,
+    preceding: str,
+) -> DataFrame:
+    """RANGE BETWEEN interval PRECEDING AND CURRENT ROW per key (reference
+    RowTimeRangeBoundedPrecedingFunction.java:56): keyed state retains the
+    (ts, value) pairs inside the time horizon; older entries are evicted
+    as each row's frame is computed — state is O(rows within horizon).
+
+    Peer caveat: SQL RANGE frames include peers (identical ts) that sort
+    AFTER the current row; this sequential processor only sees already-
+    arrived rows, so it matches SQL exactly when (key, ts) is unique —
+    true for the events table at every SF (verified) — and otherwise
+    differs only on same-ts peers, like Flink's row-granular operator."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    horizon = pd.Timedelta(preceding)
+    schema = stream.schema
+    cols = schema.fieldNames()
+    out_schema = StructType(
+        [
+            *schema.fields,
+            StructField("frame_cnt", LongType(), False),
+            StructField("frame_sum", DoubleType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("buf", StringType(), False)])
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="mergesort")[cols]
+        # buffered (ts_us, micro) pairs within the horizon of the last row
+        buf: list[tuple[int, int]] = []
+        if state.exists and state.get[0]:
+            buf = [
+                (int(a), int(b))
+                for a, b in (p.split(":") for p in state.get[0].split(","))
+            ]
+        cnts, sums = [], []
+        rows_ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # µs
+        horizon_us = horizon.value // 1000
+        vals = pdf[value_col]
+        # RANGE frames: process in ts order; peers (same ts) share a frame
+        # boundary but each row still sees all buffered peers ≤ its ts
+        for t_us, v in zip(rows_ts, vals):
+            micro = (
+                int(Decimal(float(v)).quantize(Decimal("0.000001")) * 1_000_000)
+                if v is not None and v == v
+                else 0
+            )
+            buf.append((int(t_us), micro))
+            lo = t_us - horizon_us
+            buf = [(t, m) for t, m in buf if t >= lo]
+            cnts.append(len(buf))
+            sums.append(float(Decimal(sum(m for _, m in buf)).scaleb(-6)))
+        state.update((",".join(f"{t}:{m}" for t, m in buf),))
+        out = pdf.copy()
+        out["frame_cnt"] = cnts
+        out["frame_sum"] = sums
+        yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
