@@ -705,3 +705,72 @@ def stream_over_range_bounded(spark, sf_dir):
     return ntz_windows(res, "ts").select(
         "event_id", "user_id", "ts", "frame_cnt", "frame_sum"
     )
+
+
+@query(
+    "cdc_debezium_materialize",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE user_id <= 100),
+    last AS (SELECT user_id, event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e)
+    SELECT user_id, event_id, value
+    FROM last WHERE rn = 1 AND user_id % 10 <> 0
+    """,
+)
+def cdc_debezium_materialize(spark, sf_dir):
+    """CDC ingestion end-to-end (reference flink-formats/flink-json
+    debezium-json, DebeziumJsonDeserializationSchema): each user's event
+    history is encoded as Debezium envelopes (first=c, rest=u with
+    before/after, every 10th user ends with d), decoded back into
+    +I/-U/+U/-D changelog rows, and folded to the final row per key —
+    deleted keys absent, survivors hold their last payload."""
+    from pyspark.sql import Window
+
+    from flink_spark.streaming.cdc import decode_debezium, materialize_upserts
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    payload = lambda seq: F.struct(  # noqa: E731
+        F.col("user_id"), seq.alias("seq_no"), F.col("event_id"), F.col("value")
+    )
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", rn.alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    rows_env = base.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("rn") == 1, "c").otherwise("u").alias("op"),
+                F.when(F.col("rn") > 1,
+                       F.lag(payload(F.col("rn"))).over(
+                           Window.partitionBy("user_id").orderBy("ts", "event_id")
+                       )).alias("before"),
+                payload(F.col("rn")).alias("after"),
+            )
+        ).alias("envelope")
+    )
+    del_env = (
+        base.filter((F.col("rn") == F.col("n")) & (F.col("user_id") % 10 == 0))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("d").alias("op"),
+                    payload(F.col("rn") + 1).alias("before"),
+                    F.lit(None).cast(
+                        "struct<user_id:bigint,seq_no:int,event_id:bigint,value:double>"
+                    ).alias("after"),
+                )
+            ).alias("envelope")
+        )
+    )
+    envelopes = rows_env.unionByName(del_env)
+    changelog = decode_debezium(
+        envelopes, "envelope",
+        "user_id bigint, seq_no int, event_id bigint, value double",
+    )
+    final = materialize_upserts(changelog, ["user_id"], ["seq_no"])
+    return final.select("user_id", "event_id", "value")
