@@ -87,3 +87,42 @@ def materialize_upserts(changelog: DataFrame, key_cols: list[str],
         .filter(F.col("__rn") == 1)
         .drop("__last_op", "__rn", "op")
     )
+
+
+def decode_canal(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode a Canal JSON envelope (reference flink-formats/flink-json
+    canal-json, CanalJsonDeserializationSchema): ``type`` INSERT/UPDATE/
+    DELETE with ``data`` (array of rows) and ``old`` (array of changed
+    columns for UPDATE). Emits the same RowKinds as decode_debezium;
+    UPDATE merges ``old`` over ``data`` for the -U image (Canal sends only
+    changed columns in ``old``)."""
+    env = F.from_json(
+        F.col(value_col),
+        f"struct<type string, data array<struct<{payload_schema}>>, "
+        f"old array<struct<{payload_schema}>>>",
+    )
+    d = df.withColumn("__env", env)
+    ins = (
+        d.filter(F.col("__env.type") == "INSERT")
+        .select(F.explode("__env.data").alias("__r"))
+        .select(F.lit(OP_INSERT).alias("op"), F.col("__r.*"))
+    )
+    dele = (
+        d.filter(F.col("__env.type") == "DELETE")
+        .select(F.explode("__env.data").alias("__r"))
+        .select(F.lit(OP_DELETE).alias("op"), F.col("__r.*"))
+    )
+    upd = d.filter(F.col("__env.type") == "UPDATE").select(
+        F.arrays_zip("__env.data", "__env.old").alias("__z")
+    ).select(F.explode("__z").alias("__p"))
+    fields = [f.strip().split()[0] for f in payload_schema.split(",")]
+    before_cols = [
+        F.coalesce(F.col(f"__p.old.{c}"), F.col(f"__p.data.{c}")).alias(c)
+        for c in fields
+    ]
+    upd_b = upd.select(F.lit(OP_UPDATE_BEFORE).alias("op"), *before_cols)
+    upd_a = upd.select(F.lit(OP_UPDATE_AFTER).alias("op"), F.col("__p.data.*"))
+    out = ins
+    for p in (upd_b, upd_a, dele):
+        out = out.unionByName(p)
+    return out

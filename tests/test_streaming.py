@@ -249,3 +249,23 @@ def test_rocksdb_state_store_provider(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_canal_json_decode(spark):
+    """Canal envelope decode: INSERT/UPDATE (old merged over data)/DELETE
+    produce the same RowKinds as the debezium path."""
+    from flink_spark.streaming.cdc import decode_canal
+
+    rows = [
+        ('{"type":"INSERT","data":[{"id":1,"v":10}],"old":null}',),
+        ('{"type":"UPDATE","data":[{"id":1,"v":20}],"old":[{"id":null,"v":10}]}',),
+        ('{"type":"DELETE","data":[{"id":1,"v":20}],"old":null}',),
+    ]
+    df = spark.createDataFrame(rows, "envelope string")
+    got = sorted(
+        (r["op"], r["id"], r["v"])
+        for r in decode_canal(df, "envelope", "id int, v int").collect()
+    )
+    assert got == [
+        ("+I", 1, 10), ("+U", 1, 20), ("-D", 1, 20), ("-U", 1, 10),
+    ]
