@@ -774,3 +774,54 @@ def cdc_debezium_materialize(spark, sf_dir):
     )
     final = materialize_upserts(changelog, ["user_id"], ["seq_no"])
     return final.select("user_id", "event_id", "value")
+
+
+@query(
+    "stream_window_join",
+    oracle="""
+    WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_id AS click_id
+               FROM events WHERE event_type = 'click' AND user_id <= 300),
+         p AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase' AND user_id <= 300)
+    SELECT c.user_id, c.window_start,
+           c.window_start + INTERVAL '1 hour' AS window_end,
+           c.click_id, p.purchase_id
+    FROM c JOIN p USING (user_id, window_start)
+    """,
+)
+def stream_window_join(spark, sf_dir):
+    """Streaming window join (reference StreamExecWindowJoin.java:70):
+    both streams windowed first, joined on the window STRUCT + user key —
+    Spark's documented stream-stream window-join shape, where the
+    event-time window in the join key is what lets the watermark evict
+    pairwise state window-by-window."""
+    ev1 = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    ev2 = stream_table(spark, sf_dir, "events", watermark=("ts", "1 hour"))
+    clicks = ev1.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") <= 300)
+    ).select(
+        F.window("ts", "1 hour").alias("w"), "user_id",
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev2.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") <= 300)
+    ).select(
+        F.window("ts", "1 hour").alias("pw"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("w") == F.col("pw")) & (F.col("user_id") == F.col("p_user_id")),
+        "inner",
+    ).select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "click_id", "purchase_id",
+    )
+    return ntz_windows(
+        run_to_memory(joined, "append", "wjoin"), "window_start", "window_end"
+    )
