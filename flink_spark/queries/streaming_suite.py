@@ -825,3 +825,50 @@ def stream_window_join(spark, sf_dir):
     return ntz_windows(
         run_to_memory(joined, "append", "wjoin"), "window_start", "window_end"
     )
+
+
+@query(
+    "stream_interval_join_left",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 - 10000 AS wm FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    CROSS JOIN m
+    WHERE p.purchase_id IS NOT NULL
+       OR epoch_us(c.click_ts + INTERVAL '30 minutes') // 1000 <= m.wm
+    """,
+)
+def stream_interval_join_left(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join (reference
+    StreamExecIntervalJoin outer variants, TimeIntervalJoin.java): matched
+    pairs emit immediately; an unmatched click emits its null row only
+    once the watermark proves no purchase can still arrive (the state
+    eviction point). The oracle applies the same cutoff: null rows only
+    for clicks whose whole join window is below the final watermark."""
+    ev1 = stream_table(spark, sf_dir, "events", watermark=("ts", "10 seconds"))
+    ev2 = stream_table(spark, sf_dir, "events", watermark=("ts", "10 seconds"))
+    clicks = ev1.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev2.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return ntz_windows(run_to_memory(joined, "append", "lojoin"),
+                       "click_ts", "purchase_ts")
