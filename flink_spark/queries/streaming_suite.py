@@ -872,3 +872,28 @@ def stream_interval_join_left(spark, sf_dir):
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return ntz_windows(run_to_memory(joined, "append", "lojoin"),
                        "click_ts", "purchase_ts")
+
+
+@query(
+    "stream_drop_update_before",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id <= 200)
+    SELECT '+I' AS op, user_id, ts, event_id, value FROM v WHERE rn = 1
+    UNION ALL
+    SELECT '+U', user_id, ts, event_id, value FROM v WHERE rn > 1
+    """,
+)
+def stream_drop_update_before(spark, sf_dir):
+    """Drop update-before (reference StreamExecDropUpdateBefore,
+    DropUpdateBeforeFunction.java): strips -U rows from a retract stream
+    for upsert-capable sinks — the retract stream minus its -U images."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = CL.drop_update_before(
+        CL.changelog_normalize(ev, ["user_id"], ["ts", "event_id"])
+    )
+    return run_to_memory(out, "append", "dropub")
