@@ -126,3 +126,34 @@ def decode_canal(df: DataFrame, value_col: str, payload_schema: str) -> DataFram
     for p in (upd_b, upd_a, dele):
         out = out.unionByName(p)
     return out
+
+
+def decode_maxwell(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode a Maxwell JSON envelope (reference flink-formats/flink-json
+    maxwell-json, MaxwellJsonDeserializationSchema): ``type`` insert/
+    update/delete with ``data`` (the row) and ``old`` (changed columns'
+    previous values for update)."""
+    env = F.from_json(
+        F.col(value_col),
+        f"struct<type string, data struct<{payload_schema}>, "
+        f"old struct<{payload_schema}>>",
+    )
+    d = df.withColumn("__env", env)
+    ins = d.filter(F.col("__env.type") == "insert").select(
+        F.lit(OP_INSERT).alias("op"), F.col("__env.data.*")
+    )
+    dele = d.filter(F.col("__env.type") == "delete").select(
+        F.lit(OP_DELETE).alias("op"), F.col("__env.data.*")
+    )
+    upd = d.filter(F.col("__env.type") == "update")
+    fields = [f.strip().split()[0] for f in payload_schema.split(",")]
+    before_cols = [
+        F.coalesce(F.col(f"__env.old.{c}"), F.col(f"__env.data.{c}")).alias(c)
+        for c in fields
+    ]
+    upd_b = upd.select(F.lit(OP_UPDATE_BEFORE).alias("op"), *before_cols)
+    upd_a = upd.select(F.lit(OP_UPDATE_AFTER).alias("op"), F.col("__env.data.*"))
+    out = ins
+    for p in (upd_b, upd_a, dele):
+        out = out.unionByName(p)
+    return out

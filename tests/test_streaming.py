@@ -269,3 +269,22 @@ def test_canal_json_decode(spark):
     assert got == [
         ("+I", 1, 10), ("+U", 1, 20), ("-D", 1, 20), ("-U", 1, 10),
     ]
+
+
+def test_maxwell_json_decode(spark):
+    """Maxwell envelope decode parity with the canal/debezium paths."""
+    from flink_spark.streaming.cdc import decode_maxwell
+
+    rows = [
+        ('{"type":"insert","data":{"id":1,"v":10},"old":null}',),
+        ('{"type":"update","data":{"id":1,"v":20},"old":{"v":10}}',),
+        ('{"type":"delete","data":{"id":1,"v":20},"old":null}',),
+    ]
+    df = spark.createDataFrame(rows, "envelope string")
+    got = sorted(
+        (r["op"], r["id"], r["v"])
+        for r in decode_maxwell(df, "envelope", "id int, v int").collect()
+    )
+    assert got == [
+        ("+I", 1, 10), ("+U", 1, 20), ("-D", 1, 20), ("-U", 1, 10),
+    ]
