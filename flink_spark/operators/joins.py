@@ -179,3 +179,45 @@ def window_join(
     for lk, rk in keys:
         cond = cond & (lw[lk] == rw[rk])
     return lw.join(rw, cond, how).drop("__r_ws", "__r_we")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: the LEFT (large, skewed) side gets a
+    deterministic salt from its row identity; the RIGHT (smaller) side is
+    replicated once per salt value. The join key becomes (key, salt), so a
+    hot key's rows spread over ``n_salts`` shuffle partitions instead of
+    one straggler task.
+
+    This is the manual form of what AQE's skew-join splitting does at
+    runtime (reference: Flink's adaptive skewed join, FLIP-510 /
+    AdaptiveSkewedJoinOptimizationStrategy) — useful when salting must be
+    planned statically (e.g. the skew is known and AQE is off, or the
+    engine's split threshold is too coarse). Results are identical to the
+    plain join; the salt never leaves the operator.
+
+    ``id_col``: column giving the left row identity for deterministic
+    salting (defaults to the key itself — still effective because the
+    replicated right side bounds each task at |hot key| / n_salts ONLY
+    when identities differ, so pass a unique id when available).
+    """
+    salt_src = F.col(id_col if id_col is not None else left_key)
+    lsalted = left.withColumn(
+        "__salt",
+        (F.conv(F.substring(F.md5(salt_src.cast("string")), 1, 15), 16, 10)
+         .cast("bigint") % n_salts).cast("int"),
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    rsalted = right.withColumn("__salt", salts)
+    joined = lsalted.join(
+        rsalted,
+        (lsalted[left_key] == rsalted[right_key])
+        & (lsalted["__salt"] == rsalted["__salt"]),
+    )
+    return joined.drop("__salt")

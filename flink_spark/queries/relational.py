@@ -555,3 +555,29 @@ def pivot_status(spark, sf_dir):
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice, o_custkey, o_totalprice
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted equi-join (manual skew mitigation; reference FLIP-510
+    adaptive skewed join): lineitem salted by row id, orders replicated
+    per salt — result identical to the plain join, hot orderkeys spread
+    across n_salts tasks."""
+    from flink_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8,
+                    id_col="l_linenumber")
+    return j.select("l_orderkey", "l_extendedprice", "o_custkey", "o_totalprice")
