@@ -897,3 +897,27 @@ def stream_drop_update_before(spark, sf_dir):
         CL.changelog_normalize(ev, ["user_id"], ["ts", "event_id"])
     )
     return run_to_memory(out, "append", "dropub")
+
+
+@query(
+    "stream_dedup_first_ttl",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM (
+      SELECT event_id, ts, user_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_ts
+      FROM events WHERE user_id <= 100) t
+    WHERE p_ts IS NULL OR ts - p_ts > INTERVAL '6 hours'
+    """,
+)
+def stream_dedup_first_ttl(spark, sf_dir):
+    """Keep-first dedup with 6-hour state TTL (reference StateTtlConfig
+    OnReadAndWrite + table.exec.state.ttl): a user's first event emits,
+    later events refresh the state silently, and after a 6-hour quiet gap
+    the next event re-emits as a fresh first."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = CL.dedup_keep_first_ttl(
+        ev, ["user_id"], "ts", ["event_id"], ttl="6 hours"
+    )
+    return run_to_memory(out, "append", "dedupttl")

@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -200,4 +201,46 @@ def materialize(changelog: DataFrame, key_cols: list[str], seq_cols: list[str]) 
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "op")
+    )
+
+
+def dedup_keep_first_ttl(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str],
+    ttl: str,
+) -> DataFrame:
+    """Keep-first dedup with state TTL (reference StateTtlConfig
+    OnReadAndWrite + `table.exec.state.ttl` on StreamExecDeduplicate):
+    the key's state refreshes on every sighting, and once the event-time
+    gap since the last sighting exceeds ``ttl`` the state is considered
+    expired — the next row re-emits as a fresh "first".
+
+    Equivalent closed form (what makes the oracle exact): emit a row iff
+    it has no predecessor for the key within ``ttl``
+    (LAG(ts) IS NULL OR ts - LAG(ts) > ttl)."""
+    import pandas as pd
+
+    ttl_us = int(pd.Timedelta(ttl).value // 1000)
+    schema = stream.schema
+    cols = schema.fieldNames()
+    state_schema = StructType([StructField("last_seen_us", LongType(), True)])
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="mergesort")[cols]
+        last = state.get[0] if state.exists else None
+        keep = []
+        ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        for i, t in enumerate(ts_us):
+            if last is None or t - last > ttl_us:
+                keep.append(i)
+            last = int(t)  # OnReadAndWrite: every sighting refreshes
+        state.update((last,))
+        if keep:
+            yield pdf.iloc[keep]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
