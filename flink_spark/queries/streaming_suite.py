@@ -921,3 +921,53 @@ def stream_dedup_first_ttl(spark, sf_dir):
         ev, ["user_id"], "ts", ["event_id"], ttl="6 hours"
     )
     return run_to_memory(out, "append", "dedupttl")
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, value,
+                      CASE WHEN event_type = 'error' THEN INTERVAL '10 minutes'
+                           ELSE INTERVAL '30 minutes' END AS gap
+               FROM events WHERE user_id <= 100),
+    m AS (SELECT *, MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS prev_end FROM e),
+    f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END AS new_s FROM m),
+    n AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS sid FROM f)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts + gap) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM n GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """Dynamic session gap (reference session gap extractor,
+    SessionWindowTimeGapExtractor): each event carries its own gap —
+    error events close after 10 minutes, others after 30 — and sessions
+    merge while the intervals [ts, ts+gap) overlap. The oracle replays
+    the merge with a running MAX(ts+gap) interval-union."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute")).filter(
+        F.col("user_id") <= 100
+    )
+    # session_window's per-row gap must be CalendarIntervalType: a
+    # duration-string column satisfies it (cast internally)
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ntz_windows(run_to_memory(agg, "complete", "dynsession"),
+                       "session_start", "session_end")
