@@ -221,3 +221,46 @@ def salted_join(
         & (lsalted["__salt"] == rsalted["__salt"]),
     )
     return joined.drop("__salt")
+
+
+def async_lookup_join(
+    stream: DataFrame,
+    async_lookup,  # Callable[[object], Awaitable[dict]] — one key → row dict
+    key: str,
+    result_schema: str,
+    concurrency: int = 64,
+):
+    """Async lookup join (reference AsyncLookupFunction.java,
+    AsyncWaitOperator ordered mode): per Arrow batch, every DISTINCT miss
+    key issues its awaitable concurrently (bounded by ``concurrency``)
+    through one asyncio loop, results land in an executor-local cache,
+    and rows emit in input order — Flink's ordered async I/O with caching,
+    without thread pools or per-row latency stacking."""
+    import asyncio
+
+    import pandas as pd
+
+    def run(iterator):
+        cache: dict = {}
+
+        async def fetch_all(keys):
+            sem = asyncio.Semaphore(concurrency)
+
+            async def one(k):
+                async with sem:
+                    return k, await async_lookup(k)
+
+            return await asyncio.gather(*[one(k) for k in keys])
+
+        for pdf in iterator:
+            missing = pdf[key][~pdf[key].isin(cache.keys())].drop_duplicates()
+            if len(missing):
+                cache.update(dict(asyncio.run(fetch_all(list(missing)))))
+            looked = pd.DataFrame(
+                [cache.get(k, {}) for k in pdf[key]], index=pdf.index
+            )
+            yield pd.concat([pdf, looked], axis=1)
+
+    return stream.mapInPandas(
+        run, schema=stream.schema.simpleString()[7:-1] + "," + result_schema
+    )

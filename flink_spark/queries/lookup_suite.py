@@ -50,3 +50,53 @@ def lookup_join_events(spark, sf_dir):
         ev, build_lookup, key="user_id",
         result_schema="c_name STRING, c_mktsegment STRING",
     )
+
+
+@query(
+    "async_lookup_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name AS cust_name,
+           c.c_acctbal AS cust_acctbal
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'signup'
+    """,
+)
+def async_lookup_join_events(spark, sf_dir):
+    """Async lookup join (reference AsyncLookupFunction + AsyncWaitOperator
+    ordered mode): signup events enriched against the customer "service" —
+    an async callable per distinct key, gathered concurrently per Arrow
+    batch with an executor-local cache."""
+    import os
+
+    from flink_spark.operators.joins import async_lookup_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    ).select("event_id", "user_id")
+
+    path = os.path.join(sf_dir, "customer.parquet")
+
+    def make_lookup():
+        state = {}
+
+        async def lookup(k):
+            if "df" not in state:
+                import pandas as pd
+
+                pdf = pd.read_parquet(path, columns=["c_custkey", "c_name", "c_acctbal"])
+                state["df"] = pdf.set_index("c_custkey")
+            df = state["df"]
+            if k in df.index:
+                r = df.loc[k]
+                return {"cust_name": r["c_name"], "cust_acctbal": float(r["c_acctbal"])}
+            return {}
+
+        return lookup
+
+    out = async_lookup_join(
+        ev, make_lookup(), key="user_id",
+        result_schema="cust_name string, cust_acctbal double",
+    )
+    return out.where(F.col("cust_name").isNotNull()).select(
+        "event_id", "user_id", "cust_name", "cust_acctbal"
+    )
