@@ -358,3 +358,75 @@ def window_tumble_offset(spark, sf_dir):
         .groupBy("window_start", "window_end")
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
     )
+
+
+@query(
+    "session_window_join",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WHERE user_id <= 100 AND event_type IN ('click', 'error')
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM base),
+    sessions AS (
+      SELECT user_id, event_type, sid,
+             MIN(ts) AS s_start, MAX(ts) + INTERVAL '30 minutes' AS s_end,
+             COUNT(*) AS n
+      FROM numbered GROUP BY user_id, event_type, sid)
+    SELECT c.user_id,
+           c.s_start AS click_start, c.s_end AS click_end, c.n AS n_clicks,
+           e.s_start AS error_start, e.s_end AS error_end, e.n AS n_errors
+    FROM sessions c JOIN sessions e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.s_start < e.s_end AND e.s_start < c.s_end
+    """,
+)
+def session_window_join(spark, sf_dir):
+    """Session-window join (reference window join over SESSION windows —
+    the one window-join shape with merging windows): both event types are
+    sessionized per user (30-minute gaps) and sessions that OVERLAP in
+    time are paired — an interval-overlap theta join over the two tiny
+    sessionized tables, so the expensive part (sessionization) stays a
+    keyed aggregation and only session-level rows reach the join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") <= 100) & F.col("event_type").isin("click", "error")
+    )
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id", "event_type",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+        )
+    )
+    c = sessions.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("s_start").alias("click_start"), F.col("s_end").alias("click_end"),
+        F.col("n").alias("n_clicks"),
+    )
+    e = sessions.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("s_start").alias("error_start"), F.col("s_end").alias("error_end"),
+        F.col("n").alias("n_errors"),
+    )
+    return (
+        c.join(
+            e,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("click_start") < F.col("error_end"))
+            & (F.col("error_start") < F.col("click_end")),
+        )
+        .select(
+            "user_id", "click_start", "click_end", "n_clicks",
+            "error_start", "error_end", "n_errors",
+        )
+    )
