@@ -581,3 +581,26 @@ def join_salted_skew(spark, sf_dir):
     j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8,
                     id_col="l_linenumber")
     return j.select("l_orderkey", "l_extendedprice", "o_custkey", "o_totalprice")
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING / GROUPING_ID over a CUBE (reference
+    BuiltInFunctionDefinitions GROUPING/GROUPING_ID, Expand node): the
+    bitmask identifying which grouping-set each output row belongs to."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        F.count("*").alias("n"),
+    )
