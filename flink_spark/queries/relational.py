@@ -604,3 +604,20 @@ def agg_grouping_id(spark, sf_dir):
         F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "set_except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 200
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_distinct(spark, sf_dir):
+    """EXCEPT (distinct) — set semantics (Calcite Minus; Spark subtract)."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    su = load_table(spark, sf_dir, "supplier")
+    return cu.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        su.select("s_nationkey")
+    )
