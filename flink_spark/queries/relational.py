@@ -611,13 +611,13 @@ def agg_grouping_id(spark, sf_dir):
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 200
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_suppkey <= 10
     """,
 )
 def set_except_distinct(spark, sf_dir):
     """EXCEPT (distinct) — set semantics (Calcite Minus; Spark subtract)."""
     cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    su = load_table(spark, sf_dir, "supplier")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10)
     return cu.select(F.col("c_nationkey").alias("nationkey")).subtract(
         su.select("s_nationkey")
     )
