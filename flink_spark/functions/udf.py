@@ -180,7 +180,10 @@ def apply_aggregate_two_phase(
             if len(pdf) == 0:
                 continue
             out = []
-            for key, sub in pdf.groupby(group_cols, sort=False):
+            # dropna=False: SQL GROUP BY keeps NULL keys as a group;
+            # pandas' default would silently drop them and diverge from
+            # the one-phase apply_aggregate path.
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 acc = fn.create_accumulator()
                 for r in sub[arg_cols].itertuples(index=False):

@@ -80,6 +80,53 @@ def cumulate(df: DataFrame, ts_col: str, step: str, size: str) -> DataFrame:
     )
 
 
+def cumulate_stream(
+    df: DataFrame, ts_col: str, step: str, size: str, delay: str
+) -> DataFrame:
+    """Streaming CUMULATE: same expanding-window explode as ``cumulate``,
+    but emits a single ``window`` STRUCT<start,end> column *tagged with
+    event-time watermark metadata* (``spark.watermarkDelayMs``) so that an
+    append-mode aggregation grouped on it gets native watermark eviction:
+    Spark's StateStoreSave purges grouped rows once watermark ≥ window.end
+    — exactly Flink's cumulate fire-and-purge (reference
+    .../window/tvf/common/WindowAggOperator.java:96,
+    SliceAssigners.java cumulate slices).
+
+    This is the same mechanism ``F.window_time`` uses to re-arm a window
+    column as event time for chained aggregations; state is bounded by the
+    number of open cumulate windows (size/step per active period).
+    ``delay`` must equal the source's withWatermark delay.
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(\w+?)s?\s*", delay)
+    unit_ms = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[m.group(2).lower()]
+    delay_ms = int(m.group(1)) * unit_ms
+
+    base = F.window(ts_col, size)
+    ends = F.sequence(
+        F.col("__base.start") + F.expr(f"INTERVAL {step}"),
+        F.col("__base.end"),
+        F.expr(f"INTERVAL {step}"),
+    )
+    keep = [c for c in df.columns]
+    w = F.struct(
+        F.col("__base.start").alias("start"), F.col("__wend").alias("end")
+    ).alias("window", metadata={"spark.watermarkDelayMs": delay_ms})
+    return (
+        df.withColumn("__base", base)
+        .withColumn("__wend", F.explode(ends))
+        .filter(F.col(ts_col) < F.col("__wend"))
+        .select(w, *keep)
+    )
+
+
 def count_window(
     df: DataFrame, key_cols: list[str], order_cols: list[str], size: int
 ) -> DataFrame:

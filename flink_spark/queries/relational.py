@@ -409,17 +409,32 @@ def agg_stddev_var_exact(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """approx_count_distinct — HLL++ (reference
     BatchApproxCountDistinctAggFunctions.java uses the same algorithm).
-    Sketch values are engine-specific → rows-only check; the companion
-    exact count is covered by agg_distinct_mix."""
+    HLL sketch values are engine-specific, so the *gated* columns are the
+    exact distinct count plus a materialized relative-error check: the
+    HLL++ default rsd is 5%, the gate asserts |approx-exact|/exact ≤ 15%
+    (3σ) as a boolean the oracle pins to TRUE — turning the estimator into
+    an exactly-checkable query instead of a rows-only row."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey")
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx - exact) <= 0.15 * exact
+        ).alias("approx_within_bound"),
+    ).select("l_returnflag", "exact_parts", "approx_within_bound")
 
 
 # ------------------------------------------------------ subqueries etc ----

@@ -34,15 +34,27 @@ from flink_spark.streaming.core import ntz_windows, run_to_memory, stream_table
 )
 def stream_tumble_agg(spark, sf_dir):
     """Streaming TUMBLE agg (reference StreamExecWindowAggregate.java:92,
-    WindowAggOperator.java:96): watermark-driven window close; complete
-    output over bounded input equals the batch projection."""
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
-    agg = (
-        W.tumble(ev, "ts", "1 hour")
-        .groupBy("window_start", "window_end", "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    WindowAggOperator.java:96 fire-and-purge): groups on the native window
+    struct so append mode evicts each window from the state store the
+    moment the watermark passes its end — state is bounded by the number
+    of *open* windows, matching Flink. The closed-source sentinel plays
+    the role of Flink's end-of-input MAX_WATERMARK so the drain flushes
+    the tail windows."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
     )
-    return ntz_windows(run_to_memory(agg, "complete", "tumble"),
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ntz_windows(run_to_memory(agg, "append", "tumble"),
                        "window_start", "window_end")
 
 
@@ -62,14 +74,23 @@ def stream_tumble_agg(spark, sf_dir):
 )
 def stream_hop_agg(spark, sf_dir):
     """Streaming HOP agg (slice sharing: SliceAssigners.java): Spark's
-    expand node assigns each row its size/slide covering windows."""
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
-    agg = (
-        W.hop(ev, "ts", slide="30 minutes", size="1 hour")
-        .groupBy("window_start", "window_end")
-        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    expand node assigns each row its size/slide covering windows; grouping
+    on the window struct keeps append-mode watermark eviction (each slide
+    purged at watermark ≥ end, as WindowAggOperator.java:96 does)."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
     )
-    return ntz_windows(run_to_memory(agg, "complete", "hop"),
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ntz_windows(run_to_memory(agg, "append", "hop"),
                        "window_start", "window_end")
 
 
@@ -101,9 +122,9 @@ def stream_hop_agg(spark, sf_dir):
 def stream_session_agg(spark, sf_dir):
     """Streaming SESSION agg (merging assigner, reference
     .../groupwindow/assigners/): gap-merged per-key sessions."""
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute")).filter(
-        F.col("user_id") <= 100
-    )
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
+    ).filter(F.col("user_id") <= 100)
     agg = (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
@@ -115,7 +136,7 @@ def stream_session_agg(spark, sf_dir):
             "sum_value",
         )
     )
-    return ntz_windows(run_to_memory(agg, "complete", "session"),
+    return ntz_windows(run_to_memory(agg, "append", "session"),
                        "session_start", "session_end")
 
 
@@ -632,15 +653,25 @@ def stream_coprocess_threshold(spark, sf_dir):
 def stream_cumulate_agg(spark, sf_dir):
     """Streaming CUMULATE agg (reference CumulativeWindowAssigner,
     SliceAssigners.java cumulate slices): the expanding-window explode
-    runs inside the micro-batch; complete-mode output over bounded input
-    equals the batch TVF projection."""
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute"))
-    agg = (
-        W.cumulate(ev, "ts", step="15 minutes", size="1 hour")
-        .groupBy("window_start", "window_end")
-        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    emits an event-time-tagged window struct (W.cumulate_stream), so the
+    append-mode aggregation purges each expanding window at watermark ≥
+    window.end — fire-and-purge, bounded state, Flink semantics."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
     )
-    return ntz_windows(run_to_memory(agg, "complete", "cumulate"),
+    agg = (
+        W.cumulate_stream(ev, "ts", step="15 minutes", size="1 hour",
+                          delay="1 minute")
+        .groupBy("window")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ntz_windows(run_to_memory(agg, "append", "cumulate"),
                        "window_start", "window_end")
 
 
@@ -950,9 +981,9 @@ def stream_session_dynamic_gap(spark, sf_dir):
     error events close after 10 minutes, others after 30 — and sessions
     merge while the intervals [ts, ts+gap) overlap. The oracle replays
     the merge with a running MAX(ts+gap) interval-union."""
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "1 minute")).filter(
-        F.col("user_id") <= 100
-    )
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
+    ).filter(F.col("user_id") <= 100)
     # session_window's per-row gap must be CalendarIntervalType: a
     # duration-string column satisfies it (cast internally)
     gap = F.when(
@@ -969,5 +1000,5 @@ def stream_session_dynamic_gap(spark, sf_dir):
             "sum_value",
         )
     )
-    return ntz_windows(run_to_memory(agg, "complete", "dynsession"),
+    return ntz_windows(run_to_memory(agg, "append", "dynsession"),
                        "session_start", "session_end")

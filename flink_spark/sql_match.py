@@ -58,9 +58,37 @@ _MEASURE_RE = re.compile(
 )
 
 
+#: AST whitelist for DEFINE predicates: boolean logic, comparisons, basic
+#: arithmetic, bare column names, literals. Notably NO Attribute / Call /
+#: Subscript nodes — that closes the classic ``().__class__...`` escape, so
+#: untrusted SQL text cannot reach arbitrary Python even though the
+#: validated expression is then executed with compile/eval (the reference
+#: path is Calcite codegen, which has the same property by construction).
+_ALLOWED_AST_NODES = (
+    "Expression", "BoolOp", "And", "Or", "UnaryOp", "Not", "USub", "UAdd",
+    "Compare", "Eq", "NotEq", "Lt", "LtE", "Gt", "GtE", "Is", "IsNot",
+    "BinOp", "Add", "Sub", "Mult", "Div", "Mod", "Name", "Load", "Constant",
+)
+
+
+def _validate_predicate_ast(e: str, origin: str) -> None:
+    import ast
+
+    tree = ast.parse(e, mode="eval")
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _ALLOWED_AST_NODES:
+            raise ValueError(
+                f"unsupported construct {kind!r} in MATCH_RECOGNIZE DEFINE "
+                f"predicate {origin!r} — only comparisons, boolean logic, "
+                "+-*/% arithmetic, column names and literals are allowed"
+            )
+
+
 def _sql_bool_to_python(expr: str, var: str):
     """Translate a restricted SQL boolean over ``var.col`` refs into a
-    compiled Python predicate over a row dict."""
+    compiled Python predicate over a row dict. The translated source is
+    AST-validated against a strict whitelist before compilation."""
     e = re.sub(rf"\b{var}\.(\w+)", r"\1", expr)
     e = re.sub(r"<>", "!=", e)
     e = re.sub(r"(?<![<>=!])=(?!=)", "==", e)
@@ -68,6 +96,7 @@ def _sql_bool_to_python(expr: str, var: str):
     e = re.sub(r"\bOR\b", "or", e, flags=re.IGNORECASE)
     e = re.sub(r"\bNOT\b", "not", e, flags=re.IGNORECASE)
     e = re.sub(r"\bNULL\b", "None", e, flags=re.IGNORECASE)
+    _validate_predicate_ast(e, expr)
     code = compile(e, f"<define:{var}>", "eval")
     names = sorted(
         {n for n in code.co_names if n not in ("and", "or", "not", "None")}

@@ -150,10 +150,16 @@ def streaming_topn(
         )
 
     def keyed(pdf):
-        return {
-            tuple(r): i + 1
-            for i, r in enumerate(pdf.itertuples(index=False, name=None))
-        }
+        # Key on (row, occurrence_index) so duplicate identical rows inside
+        # the Top-N stay distinct entries — keying on the bare row tuple
+        # would collapse ties and lose +I/-D emissions for the duplicates.
+        counts: dict = {}
+        out = {}
+        for i, r in enumerate(pdf.itertuples(index=False, name=None)):
+            occ = counts.get(r, 0)
+            counts[r] = occ + 1
+            out[(r, occ)] = i + 1
+        return out
 
     def fn(key, pdfs, state):
         new = pd.concat(list(pdfs), ignore_index=True)[cols]
@@ -167,14 +173,14 @@ def streaming_topn(
         old_ranks = keyed(rank(old)) if len(old) else {}
         new_ranks = keyed(ranked)
         out = []
-        for row, rk in old_ranks.items():
-            if row not in new_ranks:
+        for (row, _occ), rk in old_ranks.items():
+            if (row, _occ) not in new_ranks:
                 out.append((OP_DELETE, rk, *row))
-        for row, rk in new_ranks.items():
-            if row not in old_ranks:
+        for (row, _occ), rk in new_ranks.items():
+            if (row, _occ) not in old_ranks:
                 out.append((OP_INSERT, rk, *row))
-            elif old_ranks[row] != rk:
-                out.append((OP_UPDATE_BEFORE, old_ranks[row], *row))
+            elif old_ranks[(row, _occ)] != rk:
+                out.append((OP_UPDATE_BEFORE, old_ranks[(row, _occ)], *row))
                 out.append((OP_UPDATE_AFTER, rk, *row))
         yield pd.DataFrame(out, columns=["op", "rank", *cols])
 

@@ -27,11 +27,18 @@ _COUNTER = itertools.count()
 
 _STREAM_DIR_ROOT = "/tmp/flink_spark_stream_src"
 
+#: Event-time of the watermark-advancing sentinel row (see
+#: ``stream_table(closed=True)``) and the cutoff that filters it back out.
+#: Any real event-time in the test tables is < 2090; the sentinel sits at
+#: 2100 so the final watermark passes every real window's end.
+_SENTINEL_ISO = "2100-01-01 00:00:00"
+_SENTINEL_CUTOFF_ISO = "2090-01-01 00:00:00"
 
-def _as_dir(file_path: str) -> str:
+
+def _as_dir(file_path: str, suffix: str = "") -> str:
     """The file stream source requires a *directory*; expose a single
     parquet file through a stable symlink directory under /tmp."""
-    key = file_path.strip("/").replace("/", "_")
+    key = file_path.strip("/").replace("/", "_") + suffix
     d = os.path.join(_STREAM_DIR_ROOT, key)
     link = os.path.join(d, os.path.basename(file_path))
     if not os.path.islink(link):
@@ -43,11 +50,45 @@ def _as_dir(file_path: str) -> str:
     return d
 
 
+def _closed_dir(file_path: str, wm_col: str) -> str:
+    """A stream-source directory for ``file_path`` plus one *sentinel* row
+    whose event time (2100) out-runs every real row. Draining it under
+    AvailableNow advances the final watermark past every real window's end,
+    so ``append``-mode stateful operators fire-and-purge all state — the
+    micro-batch analog of Flink's end-of-input MAX_WATERMARK flush
+    (reference flink-core/.../eventtime/Watermark.java MAX_WATERMARK,
+    emitted by SourceOperator on bounded input end)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _as_dir(file_path, suffix=f"_closed_{wm_col}")
+    sentinel = os.path.join(d, "zz_watermark_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        sch = pq.read_schema(file_path).remove_metadata()
+        import datetime
+
+        ts_val = datetime.datetime.fromisoformat(_SENTINEL_ISO)
+        arrays = []
+        for field in sch:
+            if field.name == wm_col:
+                if pa.types.is_timestamp(field.type):
+                    val = ts_val
+                else:  # int64 epoch-nanos variant of the events table
+                    val = int(ts_val.timestamp() * 1_000_000_000)
+                arrays.append(pa.array([val], type=field.type))
+            else:
+                arrays.append(pa.array([None], type=field.type))
+        pq.write_table(pa.table(arrays, schema=sch), sentinel + ".tmp")
+        os.replace(sentinel + ".tmp", sentinel)
+    return d
+
+
 def stream_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     watermark: tuple[str, str] | None = None,
+    closed: bool = False,
 ) -> DataFrame:
     """Open one test table as a *streaming* DataFrame (file source).
 
@@ -56,11 +97,24 @@ def stream_table(
     nanos→TIMESTAMP_NTZ normalization matches sources/tables.py.
     ``watermark=(col, delay)`` applies ``withWatermark`` — the Spark
     surface of Flink's WATERMARK DDL (bounded out-of-orderness).
+
+    ``closed=True`` (requires ``watermark``) adds a year-2100 sentinel row
+    to the source and filters it back out *after* the watermark operator:
+    the sentinel still raises the final watermark (event-time stats are
+    collected as rows pass the EventTimeWatermark node, before the filter),
+    so append-mode windows all close on the drain — Flink's end-of-input
+    MAX_WATERMARK semantics — without the sentinel polluting any result.
     """
     prepare_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
-    df = spark.readStream.schema(schema).parquet(_as_dir(path))
+    if closed:
+        if watermark is None:
+            raise ValueError("closed=True requires a watermark")
+        src_dir = _closed_dir(path, watermark[0])
+    else:
+        src_dir = _as_dir(path)
+    df = spark.readStream.schema(schema).parquet(src_dir)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
@@ -73,6 +127,20 @@ def stream_table(
         df = df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(
             col, delay
         )
+        if closed:
+            # The `spark_partition_id() >= -1` conjunct is always true; it
+            # makes this filter NON-DETERMINISTIC so Catalyst cannot merge
+            # later, caller-added filters into it nor push them below the
+            # EventTimeWatermark node. Without the barrier, a filter like
+            # `user_id <= 100` (NULL for the sentinel row → false) would be
+            # pushed below the watermark and drop the sentinel *before*
+            # event-time stats are collected, silencing the final flush.
+            # (`rand() >= -1` doesn't work: the optimizer knows rand's
+            # bounds and folds it away.)
+            df = df.filter(
+                (F.spark_partition_id() >= F.lit(-1))
+                & (F.col(col) < F.lit(_SENTINEL_CUTOFF_ISO).cast("timestamp"))
+            )
     return df
 
 

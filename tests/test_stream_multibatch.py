@@ -29,7 +29,11 @@ def chunked_events_dir(tmp_path_factory):
     shutil.rmtree(str(d), ignore_errors=True)
 
 
-def _stream_chunks(spark, dir_path, watermark):
+def _stream_chunks(spark, dir_path, watermark, pre_filter=None):
+    """``pre_filter`` is applied BEFORE withWatermark, so the watermark
+    stats deterministically reflect the filtered rows — whether Catalyst
+    pushes a post-watermark filter below the EventTimeWatermark node is
+    version/plan dependent, and the test model must not hinge on it."""
     from flink_spark.streaming.core import prepare_session
 
     prepare_session(spark)
@@ -43,6 +47,8 @@ def _stream_chunks(spark, dir_path, watermark):
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
         )
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
     col, delay = watermark
     return df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(col, delay)
 
@@ -51,9 +57,12 @@ def test_temporal_sort_across_batches(spark, chunked_events_dir):
     from flink_spark.streaming.core import run_to_memory
     from flink_spark.streaming.temporal_sort import temporal_sort
 
-    ev = _stream_chunks(spark, chunked_events_dir, ("ts", "5 seconds"))
+    ev = _stream_chunks(
+        spark, chunked_events_dir, ("ts", "5 seconds"),
+        pre_filter=F.col("user_id") <= 20,
+    )
     out = temporal_sort(
-        ev.select("event_id", "user_id", "ts").filter(F.col("user_id") <= 20),
+        ev.select("event_id", "user_id", "ts"),
         key_cols=["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
     )
     got = run_to_memory(out, "append", "tsort_mb").toPandas()
@@ -63,7 +72,7 @@ def test_temporal_sort_across_batches(spark, chunked_events_dir):
     pdf = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
     pdf["ts"] = pd.to_datetime(pdf.ts)
     sub = pdf[pdf.user_id <= 20].copy()
-    ts_ms = sub.ts.astype("int64") // 1_000_000
+    ts_ms = sub.ts.astype("datetime64[ns]").astype("int64") // 1_000_000
     wm = ts_ms.max() - 5000
     exp = sub[ts_ms <= wm].sort_values(["user_id", "ts", "event_id"])
     exp["seq"] = exp.groupby("user_id").cumcount() + 1
@@ -101,10 +110,13 @@ def test_stream_cep_across_batches(spark, chunked_events_dir):
         pat, key_cols=["user_id"], ts_col="ts", order_cols=["ts", "event_id"],
     ).toPandas()
     pdf = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
-    wm_ms = pd.to_datetime(pdf.ts).astype("int64").max() // 1_000_000 - 10_000
-    batch_ts_us = pd.to_datetime(batch.ts).astype("int64") // 1000
+    wm_ms = (pd.to_datetime(pdf.ts).astype("datetime64[ns]").astype("int64").max()
+             // 1_000_000 - 10_000)
+    batch_ts_us = (pd.to_datetime(batch.ts).astype("datetime64[ns]")
+                   .astype("int64") // 1000)
     start_us = batch.groupby(["user_id", "match_id"]).ts.transform("min")
-    start_us = pd.to_datetime(start_us).astype("int64") // 1000
+    start_us = (pd.to_datetime(start_us).astype("datetime64[ns]")
+                .astype("int64") // 1000)
     closed = batch[start_us + 30 * 60 * 1_000_000 <= wm_ms * 1000]
     assert sorted(got.event_id.tolist()) == sorted(closed.event_id.tolist())
     assert len(got) > 0
