@@ -43,17 +43,38 @@ SKIP_TO_NEXT_ROW = "to_next_row"
 
 @dataclass
 class Step:
+    """One pattern position. ``alts`` carries the alternation branches
+    (reference Calcite SqlMatchRecognize PATTERN ``(A|B)``): a row matches
+    the step if any branch predicate accepts it, and the *first* accepting
+    branch (declaration order) names the matched variable — Calcite's
+    deterministic alternation preference."""
+
     name: str
-    where: Callable  # row(dict) -> bool
-    quantifier: str = "once"  # once|optional|oneOrMore|zeroOrMore
+    where: Callable | None = None  # row(dict) -> bool (single-var steps)
+    quantifier: str = "once"  # once|optional|oneOrMore|zeroOrMore|times
     greedy: bool = True
     strict: bool = True  # strict contiguity to the PREVIOUS step (next vs followedBy)
+    alts: list | None = None  # [(var_name, predicate)] alternation branches
+    min_times: int = 0  # for quantifier == "times" (A{n,m}; Pattern.times)
+    max_times: int | None = None  # None = unbounded ({n,})
+
+    def __post_init__(self):
+        if self.alts is None:
+            self.alts = [(self.name, self.where or (lambda row: True))]
+
+    def match_var(self, row) -> str | None:
+        """Name of the first alternation branch accepting ``row``."""
+        for nm, wh in self.alts:
+            if wh(row):
+                return nm
+        return None
 
 
 @dataclass
 class Pattern:
     """Builder mirroring Flink's Pattern API (begin/next/followedBy +
-    quantifier modifiers)."""
+    quantifier modifiers, times(n,m) — reference pattern/Pattern.java
+    ``times(int from, int to)``, Quantifier.java)."""
 
     steps: list[Step] = field(default_factory=list)
     within_span: str | None = None
@@ -62,8 +83,17 @@ class Pattern:
     def begin(name: str, where: Callable) -> "Pattern":
         return Pattern(steps=[Step(name, where, strict=True)])
 
+    @staticmethod
+    def begin_any(alts: list) -> "Pattern":
+        return Pattern(steps=[Step(alts[0][0], strict=True, alts=list(alts))])
+
     def next(self, name: str, where: Callable) -> "Pattern":
         self.steps.append(Step(name, where, strict=True))
+        return self
+
+    def next_any(self, alts: list) -> "Pattern":
+        """Strictly-contiguous alternation step: ``(A|B)`` in PATTERN."""
+        self.steps.append(Step(alts[0][0], strict=True, alts=list(alts)))
         return self
 
     def followed_by(self, name: str, where: Callable) -> "Pattern":
@@ -84,6 +114,15 @@ class Pattern:
         self.steps[-1].quantifier = "optional"
         return self
 
+    def times(self, n: int, m: int | None = -1, greedy: bool = True) -> "Pattern":
+        """A{n}, A{n,m}, A{n,} (m=None) — reference Pattern.times(from,to).
+        Default m=-1 means "exactly n"."""
+        self.steps[-1].quantifier = "times"
+        self.steps[-1].min_times = n
+        self.steps[-1].max_times = n if m == -1 else m
+        self.steps[-1].greedy = greedy
+        return self
+
     def within(self, span: str) -> "Pattern":
         self.within_span = span
         return self
@@ -100,64 +139,78 @@ def _match_from(rows, steps, start, within_td, ts_col):
     ``start``. Returns list of (row_index, var_name) or None.
 
     Equivalent to Flink's NFA for this quantifier set: each Step compiles
-    to a take/ignore state; greedy vs reluctant decides the branch order.
+    to a take/ignore state; greedy vs reluctant decides the branch order;
+    alternation branches dispatch per row (first accepting branch wins).
+    The match is anchored: its first consumed row must be ``start`` (the
+    outer scan supplies later anchors itself).
     """
     n = len(rows)
-    t0 = rows[start][ts_col] if start < n else None
+    if start >= n:
+        return None
+    t0 = rows[start][ts_col]
 
     def in_window(i):
         return within_td is None or rows[i][ts_col] - t0 <= within_td
 
     def rec(step_idx, pos, acc):
         if step_idx == len(steps):
-            return acc
+            return acc if acc else None  # SQL forbids empty matches
         st = steps[step_idx]
         # strict (next): this step starts exactly at pos; relaxed
         # (followedBy): any number of non-matching rows may be skipped
         starts = [pos] if st.strict else list(range(pos, n + 1))
         for s in starts:
             if st.quantifier == "once":
-                if s < n and in_window(s) and st.where(rows[s]):
-                    r = rec(step_idx + 1, s + 1, acc + [(s, st.name)])
-                    if r is not None:
-                        return r
+                if s < n and in_window(s):
+                    v = st.match_var(rows[s])
+                    if v is not None:
+                        r = rec(step_idx + 1, s + 1, acc + [(s, v)])
+                        if r is not None:
+                            return r
             elif st.quantifier == "optional":
                 for take in ([1, 0] if st.greedy else [0, 1]):
                     if take:
-                        if s < n and in_window(s) and st.where(rows[s]):
-                            r = rec(step_idx + 1, s + 1, acc + [(s, st.name)])
-                            if r is not None:
-                                return r
+                        if s < n and in_window(s):
+                            v = st.match_var(rows[s])
+                            if v is not None:
+                                r = rec(step_idx + 1, s + 1, acc + [(s, v)])
+                                if r is not None:
+                                    return r
                     else:
                         r = rec(step_idx + 1, s, acc)
                         if r is not None:
                             return r
-            else:  # oneOrMore / zeroOrMore: consecutive repetition at s
-                takes = []
+            else:  # oneOrMore / zeroOrMore / times: consecutive repetition
+                takes = []  # [(row_index, var_name)]
                 j = s
-                while j < n and in_window(j) and st.where(rows[j]):
-                    takes.append(j)
+                cap = st.max_times if st.quantifier == "times" else None
+                while j < n and in_window(j) and (cap is None or len(takes) < cap):
+                    v = st.match_var(rows[j])
+                    if v is None:
+                        break
+                    takes.append((j, v))
                     j += 1
-                min_k = 0 if st.quantifier == "zeroOrMore" else 1
+                if st.quantifier == "times":
+                    min_k = st.min_times
+                elif st.quantifier == "zeroOrMore":
+                    min_k = 0
+                else:
+                    min_k = 1
                 ks = (
                     range(len(takes), min_k - 1, -1)
                     if st.greedy
                     else range(min_k, len(takes) + 1)
                 )
                 for k in ks:
-                    r = rec(
-                        step_idx + 1,
-                        s + k,
-                        acc + [(takes[x], st.name) for x in range(k)],
-                    )
+                    r = rec(step_idx + 1, s + k, acc + takes[:k])
                     if r is not None:
                         return r
         return None
 
-    first = steps[0]
-    if start >= n or not in_window(start) or not first.where(rows[start]):
-        return None
-    return rec(1, start + 1, [(start, first.name)])
+    r = rec(0, start, [])
+    if r is not None and r[0][0] == start:
+        return r
+    return None
 
 
 def match_pattern(

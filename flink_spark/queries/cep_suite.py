@@ -146,11 +146,8 @@ def cep_error_burst(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    pat = (
-        Pattern.begin("E1", lambda r: r["event_type"] == "error")
-        .next("E2", lambda r: r["event_type"] == "error")
-        .next("E", lambda r: r["event_type"] == "error")
-        .one_or_more()
+    pat = Pattern.begin("E", lambda r: r["event_type"] == "error").times(
+        3, None
     )
     m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
                       order_cols=["ts", "event_id"])
@@ -163,4 +160,172 @@ def cep_error_burst(spark, sf_dir):
             F.min("event_id").alias("first_event_id"),
         )
         .select("user_id", "n_errors", "first_ts", "last_ts", "first_event_id")
+    )
+
+
+@query(
+    "cep_error_triples",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events),
+    runs AS (
+      SELECT *, rn - SUM(is_err) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s WHERE is_err = 1),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY rn) - 1
+               AS i
+      FROM runs)
+    SELECT user_id, MIN(event_id) AS first_err, MAX(event_id) AS last_err,
+           MIN(ts) AS first_ts
+    FROM idx
+    GROUP BY user_id, grp, i // 3
+    HAVING COUNT(*) = 3
+    """,
+)
+def cep_error_triples(spark, sf_dir):
+    """PATTERN (E{3}) — exact-count quantifier (reference
+    pattern/Pattern.java ``times(int)``, Quantifier.java): each maximal
+    error run splits greedily into floor(len/3) disjoint triples under
+    SKIP PAST LAST ROW; leftovers < 3 don't match. The oracle replays the
+    split with gaps-and-islands + index-div-3 grouping."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = Pattern.begin("E", lambda r: r["event_type"] == "error").times(3)
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.min("event_id").alias("first_err"),
+            F.max("event_id").alias("last_err"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select("user_id", "first_err", "last_err", "first_ts")
+    )
+
+
+@query(
+    "cep_alternation_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS is_cv
+      FROM events),
+    runs AS (
+      SELECT *, rn - SUM(is_cv) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s WHERE is_cv = 1),
+    islands AS (
+      SELECT user_id, grp, MIN(rn) AS lo, MAX(rn) AS hi,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+      FROM runs GROUP BY user_id, grp)
+    SELECT i.user_id,
+           CAST(i.n_clicks AS BIGINT) AS n_clicks,
+           CAST(i.n_views AS BIGINT) AS n_views,
+           p.event_id AS purchase_id
+    FROM islands i
+    JOIN s p ON p.user_id = i.user_id AND p.rn = i.hi + 1
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def cep_alternation_funnel(spark, sf_dir):
+    """PATTERN ((C|V)+ P) — alternation group under a quantifier
+    (reference Calcite SqlMatchRecognize pattern alternation; branch
+    dispatch per repetition): a maximal consecutive run of clicks-or-views
+    immediately followed by a purchase. Greedy (C|V)+ anchored at run
+    start absorbs the whole run, P is strict-next, so matches are the
+    islands whose successor row is a purchase — exactly the oracle's
+    gaps-and-islands + successor join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin_any(
+            [
+                ("C", lambda r: r["event_type"] == "click"),
+                ("V", lambda r: r["event_type"] == "view"),
+            ]
+        )
+        .one_or_more()
+        .next("P", lambda r: r["event_type"] == "purchase")
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.sum((F.col("var") == "C").cast("bigint")).alias("n_clicks"),
+            F.sum((F.col("var") == "V").cast("bigint")).alias("n_views"),
+            F.max(F.when(F.col("var") == "P", F.col("event_id")))
+            .alias("purchase_id"),
+        )
+        .select("user_id", "n_clicks", "n_views", "purchase_id")
+    )
+
+
+@query(
+    "sql_match_all_rows_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(ts) OVER w AS nxt_ts,
+             LEAD(event_id) OVER w AS nxt_id,
+             LEAD(value) OVER w AS nxt_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    pairs AS (
+      SELECT * FROM s
+      WHERE event_type = 'click' AND nxt_type = 'purchase'
+        AND nxt_ts <= ts + INTERVAL '30 minutes')
+    SELECT user_id, event_id, ts, 'A' AS cls, event_id AS click_id,
+           CAST(0 AS BIGINT) AS running_buys, value AS row_value
+    FROM pairs
+    UNION ALL
+    SELECT user_id, nxt_id, nxt_ts, 'B', event_id,
+           CAST(1 AS BIGINT), nxt_value
+    FROM pairs
+    """,
+)
+def sql_match_all_rows_pairs(spark, sf_dir):
+    """MATCH_RECOGNIZE ... ALL ROWS PER MATCH through the SQL front-end
+    (SQL:2016 / Calcite row-per-event output with RUNNING measures;
+    reference StreamExecMatch ALL ROWS path): every matched event emits a
+    row carrying CLASSIFIER(), the running COUNT(B.*), and FIRST(A...).
+    Non-overlap of (click→purchase) adjacent pairs makes the LEAD-based
+    two-rows-per-match oracle exact."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.createOrReplaceTempView("cep_allrows_events")
+    out = env.execute_sql("""
+        SELECT * FROM cep_allrows_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS cls,
+                     FIRST(A.event_id) AS click_id,
+                     COUNT(B.*) AS running_buys,
+                     LAST(X.value) AS ignore_me
+            ALL ROWS PER MATCH
+            PATTERN (A B)
+            WITHIN INTERVAL '30' MINUTE
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+    """)
+    return out.select(
+        "user_id", "event_id", "ts", "cls", "click_id", "running_buys",
+        F.col("value").alias("row_value"),
     )

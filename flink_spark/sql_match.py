@@ -42,18 +42,34 @@ MATCH_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w,\s]+?)\s+"
     r"MEASURES\s+(?P<measures>.+?)\s+"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<rowsmode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[^)]+?)\s*\)\s*"
+    r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))+?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+)\s*)?"
     r"(?:DEFINE\s+(?P<define>.+?)\s*)?"
     r"\)\s*(?:AS\s+\w+\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
 
+#: PATTERN tokens: a variable or an alternation group ``(A|B)``, followed
+#: by an optional quantifier ``+ * ? {n} {n,} {n,m}`` and an optional
+#: reluctance marker ``?`` (reference Calcite SqlMatchRecognize pattern
+#: grammar; quantifier semantics in flink-cep pattern/Quantifier.java).
+_PAT_TOKEN_RE = re.compile(
+    r"\s*(?:\(\s*(?P<group>\w+(?:\s*\|\s*\w+)+)\s*\)|(?P<var>\w+))"
+    r"(?P<quant>\{\d+(?:\s*,\s*\d*)?\}|[+*?])?(?P<reluctant>\?)?"
+)
+
 _MEASURE_RE = re.compile(
     r"^\s*(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*)?(?P<var>\w+)\.(?P<col>\w+|\*)\s*"
     r"\)?\s+AS\s+(?P<name>\w+)\s*$",
+    re.IGNORECASE,
+)
+
+#: CLASSIFIER() / MATCH_NUMBER() measures (Calcite SqlMatchRecognize
+#: built-ins; Flink MatchCodeGenerator.scala classifier/matchNumber).
+_SPECIAL_MEASURE_RE = re.compile(
+    r"^\s*(?P<fn>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+(?P<name>\w+)\s*$",
     re.IGNORECASE,
 )
 
@@ -129,6 +145,55 @@ def _split_top_level_commas(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _parse_pattern(pattern_text: str, defines: dict) -> Pattern:
+    """Tokenize PATTERN: variables / alternation groups, each with an
+    optional quantifier (+ * ? {n} {n,} {n,m}) and reluctance marker."""
+
+    def where_of(var: str):
+        return (
+            _sql_bool_to_python(defines[var], var)
+            if var in defines
+            else (lambda row: True)
+        )
+
+    pat = None
+    pos, text = 0, pattern_text.strip()
+    while pos < len(text):
+        tok = _PAT_TOKEN_RE.match(text, pos)
+        if not tok or tok.end() == pos:
+            raise ValueError(f"unsupported PATTERN syntax at: {text[pos:]!r}")
+        pos = tok.end()
+        if tok.group("group"):
+            names = [v.strip().upper() for v in tok.group("group").split("|")]
+            alts = [(v, where_of(v)) for v in names]
+            pat = Pattern.begin_any(alts) if pat is None else pat.next_any(alts)
+        else:
+            var = tok.group("var").upper()
+            pat = (
+                Pattern.begin(var, where_of(var))
+                if pat is None
+                else pat.next(var, where_of(var))
+            )
+        quant = tok.group("quant") or ""
+        greedy = not tok.group("reluctant")
+        if quant == "+":
+            pat = pat.one_or_more(greedy=greedy)
+        elif quant == "*":
+            pat = pat.zero_or_more(greedy=greedy)
+        elif quant == "?":
+            pat = pat.optional()
+        elif quant.startswith("{"):
+            inner = quant[1:-1]
+            if "," in inner:
+                lo, hi = (p.strip() for p in inner.split(","))
+                pat = pat.times(int(lo), int(hi) if hi else None, greedy=greedy)
+            else:
+                pat = pat.times(int(inner), greedy=greedy)
+    if pat is None:
+        raise ValueError("empty PATTERN")
+    return pat
+
+
 def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
     part_cols = [c.strip() for c in m.group("part").split(",")]
     order_cols = [c.strip() for c in m.group("order").split(",")]
@@ -140,25 +205,7 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
                 raise ValueError(f"unsupported DEFINE clause: {d!r}")
             defines[dm.group(1).upper()] = dm.group(2).strip()
 
-    # PATTERN (A B+ C? D*) — strict contiguity, greedy quantifiers
-    pat = None
-    for tok in m.group("pattern").split():
-        quant = ""
-        if tok[-1] in "+*?":
-            tok, quant = tok[:-1], tok[-1]
-        var = tok.upper()
-        where = (
-            _sql_bool_to_python(defines[var], tok)
-            if var in defines
-            else (lambda row: True)
-        )
-        pat = Pattern.begin(var, where) if pat is None else pat.next(var, where)
-        if quant == "+":
-            pat = pat.one_or_more(greedy=True)
-        elif quant == "*":
-            pat = pat.zero_or_more(greedy=True)
-        elif quant == "?":
-            pat = pat.optional()
+    pat = _parse_pattern(m.group("pattern"), defines)
     if m.group("wn"):
         unit = m.group("wu").lower()
         pat = pat.within(f"{m.group('wn')} {unit}{'' if unit.endswith('s') else 's'}")
@@ -177,9 +224,28 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
         skip=skip,
     )
 
-    # MEASURES over the long-format match relation: per (partition, match)
+    all_rows = bool(
+        m.group("rowsmode") and m.group("rowsmode").upper().startswith("ALL")
+    )
+    measures = _split_top_level_commas(m.group("measures"))
+    if all_rows:
+        return _all_rows_per_match(long_df, part_cols, measures)
+    return _one_row_per_match(long_df, part_cols, measures)
+
+
+def _one_row_per_match(long_df, part_cols, measures) -> DataFrame:
+    """MEASURES over the long-format match relation: per (partition,
+    match) aggregation — FINAL semantics, as ONE ROW PER MATCH implies."""
     aggs = []
-    for piece in _split_top_level_commas(m.group("measures")):
+    for piece in measures:
+        sm = _SPECIAL_MEASURE_RE.match(piece)
+        if sm:
+            fn, name = sm.group("fn").upper(), sm.group("name")
+            if fn == "MATCH_NUMBER":
+                aggs.append(F.first("match_id").alias(name))
+            else:  # CLASSIFIER(): the last row's pattern variable
+                aggs.append(F.max_by("var", "seq_no").alias(name))
+            continue
         mm = _MEASURE_RE.match(piece)
         if not mm:
             raise ValueError(f"unsupported MEASURES clause: {piece!r}")
@@ -199,3 +265,50 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
                 .alias(name)
             )
     return long_df.groupBy(*part_cols, "match_id").agg(*aggs).drop("match_id")
+
+
+def _all_rows_per_match(long_df, part_cols, measures) -> DataFrame:
+    """ALL ROWS PER MATCH: one output row per matched event, measures
+    evaluated with RUNNING semantics (SQL:2016 / Calcite default inside
+    ALL ROWS PER MATCH; Flink MatchCodeGenerator running aggregates) — a
+    window over the match's rows up to the current one. The window
+    partitions on (partition keys, match_id), so it sees |match| rows,
+    never the fact table."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*part_cols, "match_id")
+        .orderBy("seq_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = long_df
+    names = []
+    for piece in measures:
+        sm = _SPECIAL_MEASURE_RE.match(piece)
+        if sm:
+            fn, name = sm.group("fn").upper(), sm.group("name")
+            col = F.col("match_id") if fn == "MATCH_NUMBER" else F.col("var")
+            out = out.withColumn(name, col)
+            names.append(name)
+            continue
+        mm = _MEASURE_RE.match(piece)
+        if not mm:
+            raise ValueError(f"unsupported MEASURES clause: {piece!r}")
+        fn = (mm.group("fn") or "LAST").upper()
+        var, col, name = mm.group("var").upper(), mm.group("col"), mm.group("name")
+        isvar = F.col("var") == var
+        if fn == "COUNT":
+            expr = F.sum(F.when(isvar, 1).otherwise(0)).over(w)
+        elif fn == "FIRST":
+            expr = F.min_by(
+                F.when(isvar, F.col(col)), F.when(isvar, F.col("seq_no"))
+            ).over(w)
+        else:  # RUNNING LAST
+            expr = F.max_by(
+                F.when(isvar, F.col(col)), F.when(isvar, F.col("seq_no"))
+            ).over(w)
+        out = out.withColumn(name, expr)
+        names.append(name)
+    # SQL:2016 ALL ROWS PER MATCH output: the input row, plus measures.
+    base = [c for c in long_df.columns if c not in ("match_id", "var", "seq_no")]
+    return out.select(*base, *names)

@@ -144,3 +144,76 @@ def test_matches_are_per_key(spark):
     assert {(r.k, r.var, r.event_id) for r in out} == {
         (1, "A", 0), (1, "B", 2)
     }
+
+
+def test_times_exact_and_range(spark):
+    ev = _events(spark, ["a", "b", "b", "b", "c"])
+    # B{2} exactly two (greedy run capped at 2): anchors at first b-run
+    pat2 = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b").times(2)
+        .next("C", lambda r: r["t"] == "c")
+    )
+    # a b b b c: A@0, B must be exactly rows 1-2, then C must be row 3 ('b') → no match
+    assert _matches(match_pattern(ev, pat2, ["k"])) == []
+    pat23 = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .next("B", lambda r: r["t"] == "b").times(2, 3)
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat23, ["k"])) == [
+        [("A", 0), ("B", 1), ("B", 2), ("B", 3), ("C", 4)]
+    ]
+
+
+def test_times_open_ended(spark):
+    ev = _events(spark, ["b", "b", "b", "c"])
+    pat = (
+        Pattern.begin("B", lambda r: r["t"] == "b").times(2, None)
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("B", 0), ("B", 1), ("B", 2), ("C", 3)]
+    ]
+
+
+def test_alternation_branch_naming(spark):
+    ev = _events(spark, ["a", "x", "b", "c"])
+    pat = (
+        Pattern.begin_any(
+            [("A", lambda r: r["t"] == "a"), ("B", lambda r: r["t"] == "b")]
+        )
+        .one_or_more()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    # run of (a|b) must be consecutive and end right before c: only 'b'@2
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("B", 2), ("C", 3)]
+    ]
+
+
+def test_alternation_mixed_run(spark):
+    ev = _events(spark, ["a", "b", "a", "c"])
+    pat = (
+        Pattern.begin_any(
+            [("A", lambda r: r["t"] == "a"), ("B", lambda r: r["t"] == "b")]
+        )
+        .one_or_more()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("A", 0), ("B", 1), ("A", 2), ("C", 3)]
+    ]
+
+
+def test_leading_quantifier_anchors_at_run_start(spark):
+    # regression: a quantified FIRST step must absorb the whole run from
+    # its anchor, not just the final element
+    ev = _events(spark, ["b", "b", "c"])
+    pat = (
+        Pattern.begin("B", lambda r: r["t"] == "b").one_or_more()
+        .next("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(ev, pat, ["k"])) == [
+        [("B", 0), ("B", 1), ("C", 2)]
+    ]

@@ -76,3 +76,110 @@ def test_match_recognize_within_and_skip(spark, sf_dir):
     """)
     rows = got.collect()
     assert all(r["n_err"] == 2 for r in rows)
+
+
+def _mk_seq(spark, seq):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), s) for i, s in enumerate(seq)]
+    return spark.createDataFrame(
+        rows, "k INT, event_id INT, ts TIMESTAMP, t STRING"
+    )
+
+
+def test_match_recognize_alternation_and_classifier(spark):
+    env = TableEnvironment(spark)
+    _mk_seq(spark, ["a", "b", "a", "c", "x", "b", "c"]).createOrReplaceTempView(
+        "mr_alt"
+    )
+    got = env.execute_sql("""
+        SELECT * FROM mr_alt MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mn,
+                     CLASSIFIER() AS last_var,
+                     COUNT(A.*) AS n_a,
+                     COUNT(B.*) AS n_b,
+                     LAST(C.event_id) AS c_id
+            ONE ROW PER MATCH
+            PATTERN ((A|B)+ C)
+            DEFINE A AS A.t = 'a', B AS B.t = 'b', C AS C.t = 'c'
+        )
+    """)
+    rows = sorted(map(tuple, got.select("mn", "last_var", "n_a", "n_b", "c_id")
+                      .collect()))
+    # match 1: a b a c → 2 a's, 1 b, C=3; match 2: b c → 0 a, 1 b, C=6
+    assert rows == [(1, "C", 2, 1, 3), (2, "C", 0, 1, 6)]
+
+
+def test_match_recognize_times_quantifier(spark):
+    env = TableEnvironment(spark)
+    _mk_seq(spark, ["e", "e", "e", "e", "x", "e", "e"]).createOrReplaceTempView(
+        "mr_times"
+    )
+    got = env.execute_sql("""
+        SELECT * FROM mr_times MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts, event_id
+            MEASURES FIRST(E.event_id) AS first_e, COUNT(E.*) AS n_e
+            ONE ROW PER MATCH
+            PATTERN (E{2,3})
+            DEFINE E AS E.t = 'e'
+        )
+    """)
+    rows = sorted(map(tuple, got.select("first_e", "n_e").collect()))
+    # greedy: rows 0-2 (3 e's), then row 3 alone can't reach 2... but rows
+    # 3 is a single leftover 'e' → no match; rows 5-6 → one match of 2
+    assert rows == [(0, 3), (5, 2)]
+
+
+def test_match_recognize_all_rows_per_match(spark):
+    env = TableEnvironment(spark)
+    _mk_seq(spark, ["a", "b", "b", "c", "a", "c"]).createOrReplaceTempView(
+        "mr_allrows"
+    )
+    got = env.execute_sql("""
+        SELECT * FROM mr_allrows MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mn,
+                     CLASSIFIER() AS cls,
+                     COUNT(B.*) AS running_b,
+                     FIRST(A.event_id) AS a_id
+            ALL ROWS PER MATCH
+            PATTERN (A B* C)
+            DEFINE A AS A.t = 'a', B AS B.t = 'b', C AS C.t = 'c'
+        )
+    """)
+    rows = sorted(
+        map(tuple, got.select("event_id", "mn", "cls", "running_b", "a_id")
+            .collect())
+    )
+    # match 1 rows: a(0) b(1) b(2) c(3); match 2 rows: a(4) c(5)
+    assert rows == [
+        (0, 1, "A", 0, 0),
+        (1, 1, "B", 1, 0),
+        (2, 1, "B", 2, 0),
+        (3, 1, "C", 2, 0),
+        (4, 2, "A", 0, 4),
+        (5, 2, "C", 0, 4),
+    ]
+
+
+def test_match_recognize_reluctant_quantifier(spark):
+    env = TableEnvironment(spark)
+    _mk_seq(spark, ["a", "b", "b", "c"]).createOrReplaceTempView("mr_rel")
+    got = env.execute_sql("""
+        SELECT * FROM mr_rel MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts, event_id
+            MEASURES COUNT(B.*) AS n_b, LAST(X.event_id) AS x_id
+            ONE ROW PER MATCH
+            PATTERN (A B+? X)
+            DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )
+    """)
+    rows = sorted(map(tuple, got.select("n_b", "x_id").collect()))
+    # reluctant B+?: shortest B run that lets X (any row) match → 1 b
+    assert rows == [(1, 2)]
