@@ -1002,3 +1002,129 @@ def stream_session_dynamic_gap(spark, sf_dir):
     )
     return ntz_windows(run_to_memory(agg, "append", "dynsession"),
                        "session_start", "session_end")
+
+
+@query(
+    "stream_temporal_sort_ttl",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '6 hours'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM events WHERE user_id <= 20),
+    isl AS (
+      SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+      FROM s)
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, island
+                              ORDER BY ts, event_id) AS seq
+    FROM isl
+    """,
+)
+def stream_temporal_sort_ttl(spark, sf_dir):
+    """Temporal sort with state TTL (reference StateTtlConfig /
+    `table.exec.state.ttl` on StreamExecTemporalSort): the per-key seq
+    counter expires after a 6-hour event-time quiet gap — the next row
+    restarts at seq=1 — and the idle key's state row is deleted by an
+    event-time timer, so keys seen once don't occupy the store forever.
+    Expiry is defined on event-time gaps (arrival-independent), which is
+    what makes the LAG-islands oracle exact; the closed drain emits every
+    row."""
+    from flink_spark.streaming.temporal_sort import temporal_sort
+
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "5 seconds"), closed=True
+    )
+    out = temporal_sort(
+        ev.select("event_id", "user_id", "ts", "value").filter(
+            F.col("user_id") <= 20
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        state_ttl="6 hours",
+    )
+    res = run_to_memory(out, "append", "tsort_ttl")
+    return ntz_windows(res, "ts")
+
+
+@query(
+    "stream_cep_ttl",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(ts) OVER w AS nxt_ts,
+             LEAD(event_id) OVER w AS nxt_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '6 hours'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_island
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+      FROM s),
+    pairs AS (
+      SELECT user_id, island, ts, event_id AS click_id, nxt_id AS purchase_id
+      FROM isl
+      WHERE event_type = 'click' AND nxt_type = 'purchase'
+        AND nxt_ts <= ts + INTERVAL '30 minutes')
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, island
+                              ORDER BY ts, click_id) AS match_id,
+           click_id, purchase_id
+    FROM pairs
+    """,
+)
+def stream_cep_ttl(spark, sf_dir):
+    """Streaming CEP with state TTL (reference StateTtlConfig on
+    StreamExecMatch): match numbering restarts after a 6-hour event-time
+    quiet gap and the idle key's NFA state row is timer-deleted. A match
+    (within 30 min) can never span a TTL gap, so the oracle re-numbers
+    the LEAD-pairs within LAG-islands. The closed drain decides every
+    match window."""
+    from flink_spark.operators.cep import Pattern
+    from flink_spark.streaming.cep_stream import stream_match_pattern
+
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "10 seconds"), closed=True
+    )
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .next("B", lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = stream_match_pattern(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        state_ttl="6 hours",
+    )
+    res = run_to_memory(m, "append", "cep_ttl")
+    # (user_id, match_id) is NOT unique across TTL resets — numbering
+    # restarts per island — so pair each A with its adjacent B row in the
+    # matched-rows relation instead of grouping by match_id.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        res.withColumn("purchase_id", F.lead("event_id").over(w))
+        .filter(F.col("var") == "A")
+        .select(
+            "user_id",
+            F.col("match_id").cast("bigint").alias("match_id"),
+            F.col("event_id").alias("click_id"),
+            "purchase_id",
+        )
+    )

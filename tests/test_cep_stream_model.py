@@ -86,7 +86,7 @@ def test_incremental_equals_batch_with_cutoff(types, gaps, cuts, pat_i):
             cand = rows[-1]["ts"] - pd.Timedelta(milliseconds=DELAY_MS)
         wm_ts = max(wm_ts, cand)  # watermarks are monotonic
         buf = sorted(buf + chunk, key=lambda r: (r["ts"].value, r["eid"]))
-        out, i, mid = advance_prefix(
+        out, i, mid, _prev = advance_prefix(
             buf, pat.steps, within_td, wm_ts, SKIP_PAST_LAST_ROW, mid, "ts"
         )
         emitted.extend(out)
