@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flink_spark.operators.joins import lookup_join
 from flink_spark.queries.registry import query
+from flink_spark.queries.util import DEC
 from flink_spark.sources.tables import load_table
 
 
@@ -99,4 +100,43 @@ def async_lookup_join_events(spark, sf_dir):
     )
     return out.where(F.col("cust_name").isNotNull()).select(
         "event_id", "user_id", "cust_name", "cust_acctbal"
+    )
+
+
+@query(
+    "format_protobuf_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def format_protobuf_roundtrip(spark, sf_dir):
+    """Protobuf format (reference flink-formats/flink-protobuf
+    PbCodegenSerializer/Deserializer): events rows serialized to proto3
+    wire bytes and decoded back, then aggregated — the aggregate equals
+    the one over the original table iff the codec is lossless. Uses the
+    JVM spark-protobuf path when that data source is loaded, else the
+    Arrow-batched pure-Python wire codec (flink_spark/formats/protobuf.py)
+    — both emit standard proto3 wire format."""
+    from flink_spark.formats.protobuf import decode_protobuf, encode_protobuf
+    from flink_spark.queries.util import dsum
+
+    FIELDS = [
+        ("event_id", 1, "int64"),
+        ("event_type", 2, "string"),
+        ("value", 3, "double"),
+    ]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    enc = encode_protobuf(ev, FIELDS)
+    dec = decode_protobuf(enc, "pb", FIELDS)
+    return dec.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value", "sum_value"),
+        F.sum("event_id").alias("id_sum"),
     )

@@ -1128,3 +1128,74 @@ def stream_cep_ttl(spark, sf_dir):
             "purchase_id",
         )
     )
+
+
+@query(
+    "stream_session_window_join",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WHERE user_id <= 100 AND event_type IN ('click', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM base),
+    sessions AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end
+      FROM numbered GROUP BY user_id, sid)
+    SELECT s.user_id, s.session_start, s.session_end,
+           c.event_id AS click_id, e.event_id AS error_id
+    FROM sessions s
+    JOIN numbered c ON c.user_id = s.user_id AND c.sid = s.sid
+                   AND c.event_type = 'click'
+    JOIN numbered e ON e.user_id = s.user_id AND e.sid = s.sid
+                   AND e.event_type = 'error'
+    """,
+)
+def stream_session_window_join(spark, sf_dir):
+    """Fully streaming session-window join (reference session window join,
+    WindowJoinOperator.java with merging session assigner): Flink
+    sessionizes the UNION of both inputs — elements of either side merge
+    the same session — then pairs left×right within each session. Spark
+    lowering: one native session_window aggregation over the tagged union
+    (append mode, watermark-evicted — the only stateful operator),
+    collecting per-side element lists; the pair expansion is a stateless
+    explode of the emitted final sessions. State is bounded by open
+    sessions; the cross product runs per-session on closed output."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
+    ).filter(
+        (F.col("user_id") <= 100) & F.col("event_type").isin("click", "error")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("event_id"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "error", F.col("event_id"))
+            ).alias("errors"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "clicks",
+            "errors",
+        )
+    )
+    sessions = run_to_memory(agg, "append", "sessjoin")
+    pairs = (
+        sessions.withColumn("click_id", F.explode("clicks"))
+        .withColumn("error_id", F.explode("errors"))
+        .select(
+            "user_id", "session_start", "session_end", "click_id", "error_id"
+        )
+    )
+    return ntz_windows(pairs, "session_start", "session_end")

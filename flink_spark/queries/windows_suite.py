@@ -430,3 +430,99 @@ def session_window_join(spark, sf_dir):
             "error_start", "error_end", "n_errors",
         )
     )
+
+
+@query(
+    "window_time_evictor",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, ts, value
+      FROM events),
+    m AS (
+      SELECT *, MAX(ts) OVER (PARTITION BY window_start) AS wmax FROM w)
+    SELECT window_start,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_kept
+    FROM m
+    WHERE ts > wmax - INTERVAL '15 minutes'
+    GROUP BY 1
+    """,
+)
+def window_time_evictor(spark, sf_dir):
+    """TimeEvictor (reference TimeEvictor.java): 1-hour tumble windows
+    keep only the trailing 15 minutes relative to each window's max
+    event time, then aggregate — evict-before-emit as a pre-agg filter
+    against the window's own max (one extra window pass, all JVM)."""
+    from flink_spark.operators.evictors import time_evictor
+
+    ev = W.tumble(
+        load_table(spark, sf_dir, "events"), "ts", "1 hour"
+    )
+    kept = time_evictor(ev, ["window_start"], "ts", "15 minutes")
+    return kept.groupBy("window_start").agg(
+        F.count("*").alias("n_kept"), dsum("value", "sum_kept")
+    )
+
+
+@query(
+    "window_count_evictor",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT window_start,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_kept
+    FROM w WHERE rn <= 5
+    GROUP BY 1
+    """,
+)
+def window_count_evictor(spark, sf_dir):
+    """CountEvictor (reference CountEvictor.java): keep the last 5
+    elements per window (front-eviction in event order) before the
+    aggregation — a rank filter over the window key."""
+    from flink_spark.operators.evictors import count_evictor
+
+    ev = W.tumble(load_table(spark, sf_dir, "events"), "ts", "1 hour")
+    kept = count_evictor(ev, ["window_start"], ["ts", "event_id"], 5)
+    return kept.groupBy("window_start").agg(
+        F.count("*").alias("n_kept"), dsum("value", "sum_kept")
+    )
+
+
+@query(
+    "window_delta_evictor",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             ts, event_id, value
+      FROM events),
+    m AS (
+      SELECT *, LAST_VALUE(value) OVER (PARTITION BY window_start
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS last_val
+      FROM w)
+    SELECT window_start,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_kept
+    FROM m
+    WHERE ABS(value - last_val) <= 25.0
+    GROUP BY 1
+    """,
+)
+def window_delta_evictor(spark, sf_dir):
+    """DeltaEvictor (reference DeltaEvictor.java): evict elements whose
+    value differs from the window's LAST element (event order) by more
+    than the threshold; the reference element comes from max_by over the
+    window key."""
+    from flink_spark.operators.evictors import delta_evictor
+
+    ev = W.tumble(load_table(spark, sf_dir, "events"), "ts", "1 hour")
+    kept = delta_evictor(ev, ["window_start"], ["ts", "event_id"], "value", 25.0)
+    return kept.groupBy("window_start").agg(
+        F.count("*").alias("n_kept"), dsum("value", "sum_kept")
+    )

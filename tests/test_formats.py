@@ -101,3 +101,83 @@ def test_blackhole_and_print(env, spark, capsys):
     )
     env.execute_sql("INSERT INTO pr SELECT 42 AS x")
     assert "42" in capsys.readouterr().out
+
+
+class TestProtobuf:
+    FIELDS = [
+        ("event_id", 1, "int64"),
+        ("event_type", 2, "string"),
+        ("value", 3, "double"),
+        ("flag", 4, "bool"),
+    ]
+
+    def test_roundtrip_identity(self, spark):
+        from flink_spark.formats.protobuf import (
+            decode_protobuf,
+            encode_protobuf,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "click", 1.5, True),
+                (2, "", 0.0, False),  # proto3 defaults: omitted then refilled
+                (-3, "view", -2.5, True),  # negative varint (10-byte form)
+            ],
+            "event_id long, event_type string, value double, flag boolean",
+        )
+        dec = decode_protobuf(encode_protobuf(df, self.FIELDS), "pb", self.FIELDS)
+        assert sorted(map(tuple, dec.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+
+    def test_wire_format_golden(self):
+        """Bytes must be standard proto3 wire format, not a private codec:
+        field 1 varint, field 2 length-delimited, field 3 fixed64."""
+        import struct
+
+        from flink_spark.formats.protobuf import _decode_row, _encode_row
+
+        b = _encode_row(
+            {"event_id": 1, "event_type": "click", "value": 1.5, "flag": True},
+            self.FIELDS,
+        )
+        expected = (
+            b"\x08\x01"                       # 1<<3|0, varint 1
+            b"\x12\x05click"                  # 2<<3|2, len 5
+            b"\x19" + struct.pack("<d", 1.5)  # 3<<3|1, fixed64
+            + b"\x20\x01"                     # 4<<3|0, varint 1
+        )
+        assert b == expected
+        assert _decode_row(expected, {n: (f, t) for f, n, t in self.FIELDS}) == {
+            "event_id": 1, "event_type": "click", "value": 1.5, "flag": True,
+        }
+
+    def test_unknown_fields_skipped(self):
+        from flink_spark.formats.protobuf import _decode_row, _encode_row
+
+        b = _encode_row(
+            {"event_id": 7, "event_type": "x", "value": 2.0, "flag": False},
+            self.FIELDS,
+        )
+        # decoder only knows field 1 → other fields skipped, not an error
+        assert _decode_row(b, {1: ("event_id", "int64")}) == {"event_id": 7}
+
+    def test_descriptor_set_shape(self):
+        """The generated FileDescriptorSet is parseable with our own wire
+        reader: file entry (field 1) wrapping a FileDescriptorProto whose
+        name (field 1) and syntax (field 12) match."""
+        from flink_spark.formats.protobuf import (
+            _read_varint,
+            descriptor_set,
+        )
+
+        blob = descriptor_set("Event", self.FIELDS)
+        key, i = _read_varint(blob, 0)
+        assert key == (1 << 3) | 2  # FileDescriptorSet.file, LD
+        ln, i = _read_varint(blob, i)
+        fdp = blob[i : i + ln]
+        key, j = _read_varint(fdp, 0)
+        assert key == (1 << 3) | 2  # FileDescriptorProto.name
+        ln2, j = _read_varint(fdp, j)
+        assert fdp[j : j + ln2] == b"inline.proto"
+        assert b"proto3" in fdp
