@@ -98,6 +98,16 @@ class TableEnvironment:
         self.tables: dict[str, TableSpec] = {}
         # temporal table functions: name -> (table, time_attribute, key)
         self.temporal_fns: dict[str, tuple[str, str, str]] = {}
+        self._materialized = None
+
+    @property
+    def materialized(self):
+        """Materialized-table manager (FLIP-435), created on first use."""
+        if self._materialized is None:
+            from flink_spark.materialized import MaterializedTableManager
+
+            self._materialized = MaterializedTableManager(self.spark)
+        return self._materialized
 
     # -- functions ---------------------------------------------------------
 
@@ -317,6 +327,22 @@ class TableEnvironment:
 
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
+        if "MATERIALIZED" in stmt.upper():
+            from flink_spark.materialized import (
+                MT_ALTER_RE,
+                MT_CREATE_RE,
+                MT_DROP_RE,
+            )
+
+            cm = MT_CREATE_RE.match(stmt)
+            if cm:
+                return self.materialized.create(cm)
+            am = MT_ALTER_RE.match(stmt)
+            if am:
+                return self.materialized.alter(am)
+            dm = MT_DROP_RE.match(stmt)
+            if dm:
+                return self.materialized.drop(dm)
         if self._TVF_RE.search(stmt):
             stmt = self._rewrite_window_tvfs(stmt)
         tm = self._TEMPORAL_RE.match(stmt)

