@@ -1199,3 +1199,45 @@ def stream_session_window_join(spark, sf_dir):
         )
     )
     return ntz_windows(pairs, "session_start", "session_end")
+
+
+@query(
+    "stream_delta_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           l_linenumber, l_quantity, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND l_quantity > 40
+    """,
+)
+def stream_delta_join(spark, sf_dir):
+    """Delta join (FLIP-486; reference StreamingDeltaJoinOperator.java,
+    planner StreamExecDeltaJoin): a streaming equi-join whose state is the
+    *stored side tables themselves*, not twin operator state stores. Each
+    micro-batch joins only its deltas against the compacted opposite side
+    (ΔL ⋈ R ∪ L ⋈ ΔR), so every orders×lineitem pair is produced exactly
+    once across arbitrary batch placements — both inputs arrive chunked
+    over two micro-batches here to prove the cross-batch algebra. Store
+    tables are key-hash-bucket partitioned (the parquet analog of the
+    reference's source-index lookup)."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.deltajoin import delta_join, tag_union
+
+    o = chunked_table_stream(spark, sf_dir, "orders", 2, "o_orderkey").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = chunked_table_stream(spark, sf_dir, "lineitem", 2, "l_orderkey").filter(
+        F.col("l_quantity") > 40
+    )
+    left_cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    right_cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    tagged = tag_union(o.select(*left_cols), li.select(*right_cols),
+                       left_cols, right_cols)
+    joined = delta_join(
+        tagged, left_cols, right_cols,
+        left_keys=["o_orderkey"], right_keys=["l_orderkey"],
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    )

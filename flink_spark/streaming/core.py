@@ -199,6 +199,50 @@ def run_to_memory(
     return spark.table(name)
 
 
+def chunked_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_chunks: int = 2,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Open one test table as a streaming DataFrame delivered in
+    ``n_chunks`` micro-batches (one file per trigger). The chunked copy is
+    materialized once under /tmp, split on ``order_col`` order (arrival
+    order for None) — the harness for operators whose correctness must
+    hold *across* micro-batch boundaries."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = path.strip("/").replace("/", "_") + f"_chunks{n_chunks}_{order_col or 'arrival'}"
+    d = os.path.join(_STREAM_DIR_ROOT, key)
+    marker = os.path.join(d, f"_chunked_{n_chunks}")
+    if not os.path.exists(marker):
+        import pandas as pd
+
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        pdf = pd.read_parquet(path)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        n = len(pdf)
+        for i in range(n_chunks):
+            part = pdf.iloc[i * n // n_chunks : (i + 1) * n // n_chunks]
+            part.to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
 def run_files_in_batches(
     spark: SparkSession,
     dir_path: str,
