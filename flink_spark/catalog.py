@@ -392,6 +392,20 @@ class TableEnvironment:
             return None
         if conn == "filesystem":
             fmt = spec.options.get("format", "parquet")
+            if fmt == "avro" and not self._jvm_avro():
+                # spark-avro jar absent → the self-contained binary codec
+                # (flink_spark/formats/avro.py) writes standard OCF files
+                from flink_spark.formats.avro import write_avro
+
+                write_avro(
+                    df,
+                    spec.options["path"],
+                    mode="overwrite" if overwrite else "append",
+                )
+                src = self._source_df(spec)
+                if src is not None:
+                    src.createOrReplaceTempView(name)
+                return None
             writer = df.write.format(fmt).mode(
                 "overwrite" if overwrite else "append"
             )
@@ -445,6 +459,13 @@ class TableEnvironment:
 
     # -- connectors --------------------------------------------------------
 
+    def _jvm_avro(self) -> bool:
+        if not hasattr(self, "_jvm_avro_cached"):
+            from flink_spark.formats.avro import jvm_avro_available
+
+            self._jvm_avro_cached = jvm_avro_available(self.spark)
+        return self._jvm_avro_cached
+
     def _source_df(self, spec: TableSpec) -> DataFrame | None:
         conn = spec.connector
         schema = spec.ddl_schema()
@@ -454,6 +475,10 @@ class TableEnvironment:
             # declared schema applies to every format: no inference pass
             # over the files (one less S3 listing+footer scan at scale),
             # and empty/not-yet-written sink paths stay readable
+            if fmt == "avro" and not self._jvm_avro():
+                from flink_spark.formats.avro import read_avro
+
+                return read_avro(self.spark, path, schema)
             reader = self.spark.read.format(fmt).schema(schema)
             if fmt == "csv" and spec.options.get(
                 "csv.include-header", "false"

@@ -47,3 +47,76 @@ def materialized_table_refresh(spark, sf_dir):
     mt = env.materialized.tables["mt_returnflag_rollup"]
     assert mt.refresh_mode == "full" and mt.version == 2
     return spark.table("mt_returnflag_rollup").orderBy("l_returnflag")
+
+
+@query(
+    "format_avro_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS {DEC})) AS DOUBLE) AS sum_bal,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def format_avro_roundtrip(spark, sf_dir):
+    """Avro format (reference flink-formats/flink-avro
+    AvroRowDataSerializationSchema, AvroFileFormatFactory): supplier rows
+    written as standard Avro object container files and read back, then
+    aggregated — equal to the source aggregate iff the codec is lossless.
+    Runs through the self-contained zigzag-varint binary codec
+    (flink_spark/formats/avro.py) when the spark-avro jar is absent."""
+    import tempfile
+
+    from flink_spark.formats.avro import read_avro, write_avro
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="flink_spark_avro_q_")
+    write_avro(sup, path, mode="overwrite")
+    back = read_avro(spark, path, sup.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("sum_bal"),
+        F.sum("s_suppkey").alias("key_sum"),
+    )
+
+
+@query(
+    "format_avro_confluent_roundtrip",
+    oracle="""
+    SELECT c_nationkey AS nation, COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def format_avro_confluent_roundtrip(spark, sf_dir):
+    """Confluent-registry avro (reference
+    flink-avro-confluent-registry RegistryAvroFormatFactory,
+    ConfluentSchemaRegistryCoder): customer keys encoded into the wire
+    format (0x00 magic + big-endian schema id + avro body), decoded back
+    through the registry stand-in, and aggregated."""
+    from pyspark.sql import types as T
+
+    from flink_spark.formats.avro import (
+        SchemaRegistry,
+        from_avro_confluent,
+        to_avro_confluent,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    reg = SchemaRegistry()
+    sid = reg.register(
+        T.StructType([cust.schema["c_custkey"], cust.schema["c_nationkey"]])
+    )
+    enc = to_avro_confluent(cust, ["c_custkey", "c_nationkey"], "payload", sid)
+    dec = from_avro_confluent(enc, "payload", reg)
+    return dec.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
