@@ -406,11 +406,33 @@ class TableEnvironment:
                 if src is not None:
                     src.createOrReplaceTempView(name)
                 return None
+            if fmt in ("sequencefile", "sequence-file"):
+                # Hadoop SequenceFile (flink-sequence-file): two Writable
+                # columns; each INSERT rewrites the store (no append API)
+                from flink_spark.formats.seqfile import write_sequence_file
+
+                import shutil as _shutil
+
+                kc, vc = (c for c, _ in spec.columns)
+                _shutil.rmtree(spec.options["path"], ignore_errors=True)
+                write_sequence_file(df, spec.options["path"], kc, vc)
+                src = self._source_df(spec)
+                if src is not None:
+                    src.createOrReplaceTempView(name)
+                return None
             writer = df.write.format(fmt).mode(
                 "overwrite" if overwrite else "append"
             )
             if fmt == "csv" and spec.options.get("csv.include-header") == "true":
                 writer = writer.option("header", "true")
+            codec = spec.options.get("compression") or spec.options.get(
+                "compress.codec"
+            )
+            if codec:
+                # flink-compress CompressWriterFactory: map the codec onto
+                # the Spark writer's compression option (gzip/bzip2/
+                # deflate for text formats; snappy/zstd/gzip for columnar)
+                writer = writer.option("compression", codec)
             pk = spec.options.get("partition.keys")
             if pk:
                 writer = writer.partitionBy(*[c.strip() for c in pk.split(",")])
@@ -479,6 +501,17 @@ class TableEnvironment:
                 from flink_spark.formats.avro import read_avro
 
                 return read_avro(self.spark, path, schema)
+            if fmt in ("sequencefile", "sequence-file"):
+                import os
+
+                from flink_spark.formats.seqfile import read_sequence_file
+
+                (kc, kt), (vc, vt) = spec.columns
+                if not os.path.isdir(path):
+                    return self.spark.createDataFrame([], schema)
+                return read_sequence_file(
+                    self.spark, path, kc, vc, kt.lower(), vt.lower()
+                )
             reader = self.spark.read.format(fmt).schema(schema)
             if fmt == "csv" and spec.options.get(
                 "csv.include-header", "false"

@@ -120,3 +120,70 @@ def format_avro_confluent_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("c_custkey").alias("key_sum"),
     )
+
+
+@query(
+    "format_sequence_file_roundtrip",
+    oracle="""
+    SELECT n_name AS k, CAST(n_regionkey AS VARCHAR) AS v
+    FROM nation
+    """,
+)
+def format_sequence_file_roundtrip(spark, sf_dir):
+    """Hadoop SequenceFile format (reference flink-formats/
+    flink-sequence-file SequenceFileWriterFactory): nation rows written as
+    Text/Text Writable pairs through the Hadoop writer and read back via
+    the splittable SequenceFile input format."""
+    import tempfile
+
+    from flink_spark.formats.seqfile import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name"), F.col("n_regionkey").cast("string").alias("v")
+    )
+    path = tempfile.mkdtemp(prefix="flink_spark_seq_q_") + "/store"
+    write_sequence_file(nat, path, "n_name", "v")
+    return read_sequence_file(spark, path, "k", "v")
+
+
+@query(
+    "format_compressed_write",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def format_compressed_write(spark, sf_dir):
+    """Compressed filesystem sink (reference flink-formats/flink-compress
+    CompressWriterFactory): supplier written as gzip csv through the DDL
+    layer's 'compression' option, read back transparently, aggregated."""
+    import os
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).createOrReplaceTempView("comp_src_supplier")
+    path = tempfile.mkdtemp(prefix="flink_spark_comp_q_")
+    env.execute_sql(f"""
+        CREATE TABLE comp_q_sink (s_suppkey BIGINT, s_nationkey BIGINT)
+        WITH ('connector' = 'filesystem', 'format' = 'csv',
+              'path' = '{path}', 'compression' = 'gzip')
+    """)
+    env.execute_sql(
+        "INSERT INTO comp_q_sink SELECT * FROM comp_src_supplier"
+    )
+    files = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    assert files and all(f.endswith(".csv.gz") for f in files), files
+    return (
+        spark.table("comp_q_sink")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("s_suppkey").alias("key_sum"))
+    )

@@ -264,3 +264,92 @@ def test_avro_confluent_roundtrip(spark):
     dec = from_avro_confluent(enc, "payload", reg)
     got = sorted((r.k, r.s, r.v) for r in dec.collect())
     assert got == [(1, "a", 1.5), (2, "b", -2.0), (3, None, None)]
+
+
+# ------------------------------------------------------- sequence-file ----
+
+
+def test_sequence_file_text_roundtrip(spark, tmp_path):
+    from flink_spark.formats.seqfile import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k3", "")], "k string, v string"
+    )
+    path = str(tmp_path / "seq_text")
+    write_sequence_file(df, path, "k", "v")
+    got = sorted(map(tuple, read_sequence_file(spark, path, "k", "v").collect()))
+    assert got == [("k1", "v1"), ("k2", "v2"), ("k3", "")]
+
+    # Writables cannot hold NULL — the writer must say so clearly
+    bad = spark.createDataFrame([("k", None)], "k string, v string")
+    with pytest.raises(Exception, match="NULL"):
+        write_sequence_file(bad, str(tmp_path / "seq_null"), "k", "v")
+
+
+def test_sequence_file_binary_roundtrip(spark, tmp_path):
+    from flink_spark.formats.seqfile import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"\x00\x01\xff"), ("b", b"")], "k string, v binary"
+    )
+    path = str(tmp_path / "seq_bin")
+    write_sequence_file(df, path, "k", "v")
+    got = sorted(
+        map(
+            tuple,
+            read_sequence_file(
+                spark, path, "k", "v", "string", "binary"
+            ).collect(),
+        )
+    )
+    assert got == [("a", b"\x00\x01\xff"), ("b", b"")]
+
+
+def test_sequence_file_ddl_roundtrip(env, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("seq_ddl")) + "/store"
+    env.execute_sql(f"""
+        CREATE TABLE seq_sink (k STRING, v STRING)
+        WITH ('connector' = 'filesystem', 'format' = 'sequence-file',
+              'path' = '{path}')
+    """)
+    env.execute_sql(
+        "INSERT INTO seq_sink SELECT s_name AS k, CAST(s_suppkey AS STRING) "
+        "AS v FROM fmt_src"
+    )
+    n = env.spark.table("seq_sink").count()
+    assert n == env.spark.table("fmt_src").count()
+
+
+# ------------------------------------------------------------ compress ----
+
+
+@pytest.mark.parametrize("fmt,codec,ext", [
+    ("csv", "gzip", ".csv.gz"),
+    ("json", "deflate", ".json.deflate"),
+    ("parquet", "zstd", ".zstd.parquet"),
+])
+def test_compressed_write_roundtrip(env, src_rows, tmp_path_factory, fmt, codec, ext):
+    """flink-compress CompressWriterFactory analog: the 'compression'
+    table option reaches the files on disk and reads stay transparent."""
+    import os
+
+    path = str(tmp_path_factory.mktemp(f"comp_{fmt}_{codec}"))
+    header = ", 'csv.include-header' = 'true'" if fmt == "csv" else ""
+    env.execute_sql(f"""
+        CREATE TABLE comp_{fmt}_{codec} (
+            s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT,
+            s_acctbal DOUBLE
+        ) WITH ('connector' = 'filesystem', 'format' = '{fmt}',
+                'path' = '{path}', 'compression' = '{codec}'{header})
+    """)
+    env.execute_sql(f"INSERT INTO comp_{fmt}_{codec} SELECT * FROM fmt_src")
+    files = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    assert files and all(f.endswith(ext) for f in files), files
+    got = sorted(map(tuple, env.spark.table(f"comp_{fmt}_{codec}").collect()))
+    assert got == src_rows
