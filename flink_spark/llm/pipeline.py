@@ -269,6 +269,81 @@ def sequence_pack(df: DataFrame, seq_len: int = SEQ_LEN,
     )
 
 
+def sequence_pack_ranged(df: DataFrame, seq_len: int = SEQ_LEN,
+                         stratum_col: str = "source", order_col: str = "doc_id",
+                         text_col: str = "text", n_buckets: int = 64) -> DataFrame:
+    """``sequence_pack`` with parallelism independent of |strata| — the
+    two-pass distributed prefix sum for the single-giant-stratum case
+    (where one window partition would serialize the whole corpus).
+
+      pass 1  bucket each doc by ``order_col`` range inside its stratum
+              (min/max from one tiny agg → fixed-width ranges, order-
+              preserving), then aggregate per-(stratum, bucket) token
+              totals — a plain distributed groupBy.
+      seam    running-total the |strata|×n_buckets bucket rows into
+              per-bucket prefix offsets — a window over tiny data.
+      pass 2  running sum *within* each (stratum, bucket) partition;
+              global offset = bucket prefix + local running sum.
+
+    Output is bit-identical to ``sequence_pack`` (same bins, same
+    offsets); only the partitioning changes: the widest window partition
+    shrinks from a whole stratum to 1/n_buckets of it, so a single
+    100 TB stratum still packs on every executor. ``order_col`` must be
+    numeric for range bucketing (doc ids here)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        order_col, stratum_col, n_tok.alias("n_tokens")
+    )
+    # pass 1a: per-stratum order range → fixed-width, order-preserving buckets
+    rng = base.groupBy(stratum_col).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    width = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_buckets)),
+    )
+    bucketed = base.join(F.broadcast(rng), stratum_col).withColumn(
+        "__bucket", F.floor((F.col(order_col) - F.col("__lo")) / width)
+    ).drop("__lo", "__hi")
+    # pass 1b: per-bucket token totals (distributed agg, no wide window)
+    totals = bucketed.groupBy(stratum_col, "__bucket").agg(
+        F.sum("n_tokens").alias("__bucket_tokens")
+    )
+    # seam: prefix offsets over the tiny (|strata| × n_buckets) frame
+    wseam = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = totals.select(
+        stratum_col,
+        "__bucket",
+        (F.sum("__bucket_tokens").over(wseam) - F.col("__bucket_tokens")).alias(
+            "__bucket_prefix"
+        ),
+    )
+    # pass 2: local running sum inside each (stratum, bucket) partition
+    wlocal = (
+        Window.partitionBy(stratum_col, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_before = F.sum("n_tokens").over(wlocal) - F.col("n_tokens")
+    before = F.col("__bucket_prefix") + local_before
+    return (
+        bucketed.join(F.broadcast(prefixes), [stratum_col, "__bucket"])
+        .select(
+            order_col,
+            stratum_col,
+            "n_tokens",
+            (before / seq_len).cast("bigint").alias("bin_id"),
+            (before % seq_len).alias("bin_offset"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 

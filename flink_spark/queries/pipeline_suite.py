@@ -296,3 +296,30 @@ def pipe_semantic_neardup(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     return semantic_neardup_pairs(emb, k=8, n_iter=3, threshold=0.35)
+
+
+@query(
+    "pipe_sequence_pack_ranged",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS before
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           before // {P.SEQ_LEN} AS bin_id,
+           before % {P.SEQ_LEN} AS bin_offset
+    FROM c
+    """,
+)
+def pipe_sequence_pack_ranged(spark, sf_dir):
+    """Range-bucketed two-pass sequence packing — same bins/offsets as
+    pipe_sequence_pack (identical oracle) but the widest window partition
+    is 1/n_buckets of a stratum, so a single giant stratum still packs in
+    parallel: bucket token totals (distributed agg) → tiny seam prefix →
+    local running sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.sequence_pack_ranged(docs, n_buckets=16)

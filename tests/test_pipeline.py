@@ -97,3 +97,20 @@ def test_semantic_neardup_recall(spark):
     assert len(exact) > 0
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.7, f"recall {recall:.2f}"
+
+
+def test_sequence_pack_ranged_equals_single_window(spark, sf_dir):
+    """The two-pass range-bucketed packer must be bit-identical to the
+    one-window-per-stratum reference for every bucket count, including
+    n_buckets=1 (degenerates to the single window) and n_buckets larger
+    than the per-stratum doc count (many empty buckets)."""
+    from flink_spark.llm.pipeline import sequence_pack, sequence_pack_ranged
+    from flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(map(tuple, sequence_pack(docs).collect()))
+    for nb in (1, 7, 1000):
+        got = sorted(
+            map(tuple, sequence_pack_ranged(docs, n_buckets=nb).collect())
+        )
+        assert got == want, f"n_buckets={nb}"
