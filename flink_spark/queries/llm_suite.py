@@ -373,3 +373,27 @@ def llm_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("cand_id"), "embedding"
     )
     return SIM.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2)
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(doc_id % 100 AS DOUBLE) + 31.5 AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def llm_multimodal_decode(spark, sf_dir):
+    """REAL image decode path (no codec stub): deterministic 8×8 P6 PPM
+    payloads synthesized per doc (R gradient doc_id%100 + pixel index —
+    no uint8 wraparound, so the channel mean is closed-form; G/B constant
+    planes), then decoded back by parsing the actual PPM bytes
+    (multimodal.decode_image: header parse + numpy frombuffer) and
+    reduced to geometry + per-channel means. The exact oracle holds iff
+    every pixel of every payload round-trips correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_features(MM.synthesize_images(docs))

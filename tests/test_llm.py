@@ -107,3 +107,69 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+
+
+class TestImageDecode:
+    def test_ppm_roundtrip_exact(self):
+        import numpy as np
+
+        from flink_spark.llm.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    def test_ppm_comment_and_whitespace_tolerant(self):
+        import numpy as np
+
+        from flink_spark.llm.multimodal import decode_ppm
+
+        raw = b"P6 # comment\n# another\n 2\n1 \n255\n" + bytes(
+            [1, 2, 3, 4, 5, 6]
+        )
+        img = decode_ppm(raw)
+        assert img.shape == (1, 2, 3) and img.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+    def test_bmp_decode_hand_built(self):
+        """Hand-assemble a 2×2 bottom-up 24-bit BMP (BGR, 4-byte row
+        padding: 2 px × 3 B = 6 → stride 8) and check RGB/row order."""
+        import struct
+
+        from flink_spark.llm.multimodal import decode_bmp
+
+        w = h = 2
+        stride = 8
+        # rows bottom-up: file row 0 is image bottom row
+        bottom = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"  # blue, green (BGR)
+        top = bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # red, white
+        pix = bottom + top
+        header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                           2835, 2835, 0, 0)
+        img = decode_bmp(header + info + pix)
+        assert img.shape == (2, 2, 3)
+        assert img[0].tolist() == [[255, 0, 0], [255, 255, 255]]  # top: red, white
+        assert img[1].tolist() == [[0, 0, 255], [0, 255, 0]]      # bottom: blue, green
+
+    def test_unknown_codec_raises_without_pil(self):
+        import importlib.util
+
+        import pytest
+
+        from flink_spark.llm.multimodal import decode_image
+
+        if importlib.util.find_spec("PIL") is not None:
+            pytest.skip("PIL present; gate exercises the no-codec branch")
+        with pytest.raises(NotImplementedError, match="no codec"):
+            decode_image(b"\x89PNG\r\n\x1a\n....", mime="image/png")
+
+    def test_synthesized_images_are_real_ppm(self, spark):
+        from flink_spark.llm.multimodal import decode_ppm, synthesize_images
+
+        df = spark.createDataFrame([(3,), (107,)], "doc_id long")
+        rows = {r.doc_id: bytes(r.payload) for r in synthesize_images(df).collect()}
+        img = decode_ppm(rows[107])
+        assert img.shape == (8, 8, 3)
+        assert img[0, 0, 0] == 7          # doc 107: R starts at 107%100
+        assert img[0, 0, 1] == (107 * 7) % 256
+        assert img[0, 0, 2] == (107 * 13) % 256
