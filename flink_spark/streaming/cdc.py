@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_spark.catalog import _split_top_level
 from flink_spark.streaming.changelog import (
     OP_DELETE,
     OP_INSERT,
@@ -115,7 +116,7 @@ def decode_canal(df: DataFrame, value_col: str, payload_schema: str) -> DataFram
     upd = d.filter(F.col("__env.type") == "UPDATE").select(
         F.arrays_zip("__env.data", "__env.old").alias("__z")
     ).select(F.explode("__z").alias("__p"))
-    fields = [f.strip().split()[0] for f in payload_schema.split(",")]
+    fields = [f.strip().split()[0] for f in _split_top_level(payload_schema)]
     before_cols = [
         F.coalesce(F.col(f"__p.old.{c}"), F.col(f"__p.data.{c}")).alias(c)
         for c in fields
@@ -146,7 +147,7 @@ def decode_maxwell(df: DataFrame, value_col: str, payload_schema: str) -> DataFr
         F.lit(OP_DELETE).alias("op"), F.col("__env.data.*")
     )
     upd = d.filter(F.col("__env.type") == "update")
-    fields = [f.strip().split()[0] for f in payload_schema.split(",")]
+    fields = [f.strip().split()[0] for f in _split_top_level(payload_schema)]
     before_cols = [
         F.coalesce(F.col(f"__env.old.{c}"), F.col(f"__env.data.{c}")).alias(c)
         for c in fields

@@ -288,3 +288,42 @@ def test_maxwell_json_decode(spark):
     assert got == [
         ("+I", 1, 10), ("+U", 1, 20), ("-D", 1, 20), ("-U", 1, 10),
     ]
+
+
+def test_cdc_decimal_payload_schema(spark):
+    """Payload DDL types containing commas — decimal(p,s), map<k,v> —
+    must parse with the depth-aware splitter (ROADMAP known gap)."""
+    from decimal import Decimal
+
+    from flink_spark.streaming.cdc import decode_canal, decode_maxwell
+
+    canal = spark.createDataFrame(
+        [(
+            '{"type":"UPDATE",'
+            '"data":[{"id":1,"amt":12.30,"tags":{"a":2}}],'
+            '"old":[{"amt":10.00}]}',
+        )],
+        "envelope string",
+    )
+    rows = {
+        (r.op, r.id, r.amt)
+        for r in decode_canal(
+            canal, "envelope", "id int, amt decimal(10,2), tags map<string,int>"
+        ).collect()
+    }
+    assert (("-U", 1, Decimal("10.00")) in rows
+            and ("+U", 1, Decimal("12.30")) in rows)
+
+    mx = spark.createDataFrame(
+        [(
+            '{"type":"update","data":{"id":1,"amt":5.50},"old":{"amt":4.25}}',
+        )],
+        "envelope string",
+    )
+    rows = {
+        (r.op, r.id, r.amt)
+        for r in decode_maxwell(
+            mx, "envelope", "id int, amt decimal(6,2)"
+        ).collect()
+    }
+    assert rows == {("-U", 1, Decimal("4.25")), ("+U", 1, Decimal("5.50"))}
