@@ -17,6 +17,16 @@ that make TPC-DS harder than TPC-H onto the existing star schema:
   - cumulative-window channel comparison, FULL OUTER      (q51)
   - EXISTS chains over two facts                          (q10/q35)
   - channel overlap via FULL OUTER distinct keys          (q97)
+  - INTERSECT chains across channels                      (q38, q14)
+  - year-over-year growth-ratio comparison                (q74/q11)
+  - moving-average deviation with LAG/LEAD                (q47)
+  - latency-band CASE pivot on date arithmetic            (q50)
+  - near-equal cross-channel balance ratios               (q58)
+  - sales net of returns via anti-join                    (q78)
+  - double-EXISTS (multi-supplier + returns) chains       (q95)
+  - spend-band histograms (stacked aggregations)          (q54)
+  - quarter-over-quarter growth via window LAG            (q31)
+  - active-customer semi-join + ROLLUP demographics       (q35)
 
 Role mapping: lineitem = store_sales fact, events = web_sales fact,
 orders carries the date dimension (o_orderdate), part = item,
@@ -739,4 +749,585 @@ def tpcds_q97_channel_overlap(spark, sf_dir):
         F.count_if(F.col("sk").isNull() & F.col("wk").isNotNull()).alias(
             "web_only"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: ten more distinct TPC-DS plan shapes
+# (channel proxy: l_linenumber % 3 → store/web/catalog; returns proxy:
+#  l_returnflag = 'R'; cents-BIGINT arithmetic where ratios/thresholds
+#  must be exact across engines)
+
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+def _cents_col():
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+
+
+@query(
+    "tpcds_q38_channel_intersect",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_linenumber % 3 = 0
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_linenumber % 3 = 1
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_linenumber % 3 = 2
+    ) t
+    """,
+)
+def tpcds_q38_channel_intersect(spark, sf_dir):
+    """TPC-DS q38 shape (customers present in ALL three channels via
+    INTERSECT of distinct keys; reference query38.sql): each branch
+    reduces to a distinct key set before the set op, so the INTERSECTs
+    run over |customers| rows, not fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def channel(c):
+        return (
+            o.join(
+                li.filter(F.col("l_linenumber") % 3 == c),
+                o.o_orderkey == li.l_orderkey,
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    all3 = channel(0).intersect(channel(1)).intersect(channel(2))
+    return all3.agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "tpcds_q74_yoy_growth",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+             l_linenumber % 3 = 1 AS is_web,
+             SUM({_CENTS}) AS cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2, 3),
+    cells AS (
+      SELECT custkey,
+             SUM(CASE WHEN is_web AND yr = 1995 THEN cents ELSE 0 END) AS w95,
+             SUM(CASE WHEN is_web AND yr = 1996 THEN cents ELSE 0 END) AS w96,
+             SUM(CASE WHEN NOT is_web AND yr = 1995 THEN cents ELSE 0 END) AS s95,
+             SUM(CASE WHEN NOT is_web AND yr = 1996 THEN cents ELSE 0 END) AS s96
+      FROM rev GROUP BY 1)
+    SELECT custkey,
+           CAST(w96 AS DOUBLE) / w95 AS web_ratio,
+           CAST(s96 AS DOUBLE) / s95 AS store_ratio
+    FROM cells
+    WHERE w95 > 0 AND w96 > 0 AND s95 > 0 AND s96 > 0
+      AND CAST(w96 AS DOUBLE) / w95 > CAST(s96 AS DOUBLE) / s95
+    """,
+)
+def tpcds_q74_yoy_growth(spark, sf_dir):
+    """TPC-DS q74/q11 shape (year-over-year growth ratio compared across
+    two channels per customer; reference query74.sql): one conditional
+    aggregation builds all four (channel × year) cells in a single fact
+    pass — no self-join of yearly aggregates — then an exact-cents ratio
+    filter. The classic 4-way CTE self-join collapses to one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        (F.col("l_linenumber") % 3 == 1).alias("is_web"),
+        _cents_col().alias("cents"),
+    )
+
+    def cell(web, yr):
+        cond = (F.col("is_web") == web) & (F.col("yr") == yr)
+        return F.sum(F.when(cond, F.col("cents")).otherwise(0))
+
+    cells = j.groupBy("custkey").agg(
+        cell(True, 1995).alias("w95"), cell(True, 1996).alias("w96"),
+        cell(False, 1995).alias("s95"), cell(False, 1996).alias("s96"),
+    )
+    web_ratio = F.col("w96").cast("double") / F.col("w95")
+    store_ratio = F.col("s96").cast("double") / F.col("s95")
+    return (
+        cells.filter(
+            (F.col("w95") > 0) & (F.col("w96") > 0)
+            & (F.col("s95") > 0) & (F.col("s96") > 0)
+            & (web_ratio > store_ratio)
+        )
+        .select(
+            "custkey",
+            web_ratio.alias("web_ratio"),
+            store_ratio.alias("store_ratio"),
+        )
+    )
+
+
+@query(
+    "tpcds_q47_moving_deviation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p_brand AS brand,
+             date_trunc('month', o_orderdate) AS mon,
+             SUM({_CENTS}) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE 'STANDARD%'
+      GROUP BY 1, 2),
+    win AS (
+      SELECT brand, mon, cents,
+             SUM(cents) OVER (PARTITION BY brand, EXTRACT(YEAR FROM mon)) AS yr_cents,
+             COUNT(*) OVER (PARTITION BY brand, EXTRACT(YEAR FROM mon)) AS yr_months,
+             LAG(cents)  OVER (PARTITION BY brand ORDER BY mon) AS prev_cents,
+             LEAD(cents) OVER (PARTITION BY brand ORDER BY mon) AS next_cents
+      FROM monthly)
+    SELECT brand, mon,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(yr_cents AS DOUBLE) / (100 * yr_months) AS yr_avg,
+           CAST(prev_cents AS DOUBLE) / 100 AS prev_revenue,
+           CAST(next_cents AS DOUBLE) / 100 AS next_revenue
+    FROM win
+    WHERE 10 * cents * yr_months < 9 * yr_cents
+       OR 10 * cents * yr_months > 11 * yr_cents
+    """,
+)
+def tpcds_q47_moving_deviation(spark, sf_dir):
+    """TPC-DS q47 shape (months deviating ±10% from the brand's yearly
+    average, reported with neighbor months via LAG/LEAD; reference
+    query47.sql): windows run over the aggregated |brand × month| frame,
+    and the deviation test is exact integer-cents arithmetic
+    (10·rev·months vs 9/11·year-total) so the boundary can't float-flip
+    between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("STANDARD%")
+    ).select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(_cents_col()).alias("cents"))
+    )
+    wyr = Window.partitionBy("brand", F.year("mon"))
+    wseq = Window.partitionBy("brand").orderBy("mon")
+    win = monthly.select(
+        "brand", "mon", "cents",
+        F.sum("cents").over(wyr).alias("yr_cents"),
+        F.count("*").over(wyr).alias("yr_months"),
+        F.lag("cents").over(wseq).alias("prev_cents"),
+        F.lead("cents").over(wseq).alias("next_cents"),
+    )
+    dev = (10 * F.col("cents") * F.col("yr_months") < 9 * F.col("yr_cents")) | (
+        10 * F.col("cents") * F.col("yr_months") > 11 * F.col("yr_cents")
+    )
+    return win.filter(dev).select(
+        "brand", "mon",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("yr_cents").cast("double") / (100 * F.col("yr_months"))).alias("yr_avg"),
+        (F.col("prev_cents").cast("double") / 100).alias("prev_revenue"),
+        (F.col("next_cents").cast("double") / 100).alias("next_revenue"),
+    )
+
+
+@query(
+    "tpcds_q50_returns_latency",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d_30,
+           CAST(SUM(CASE WHEN dd > 30 AND dd <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d_60,
+           CAST(SUM(CASE WHEN dd > 60 AND dd <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_90,
+           CAST(SUM(CASE WHEN dd > 90 AND dd <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_120,
+           CAST(SUM(CASE WHEN dd > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+    FROM (
+      SELECT s_nationkey,
+             CAST(FLOOR((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0) AS BIGINT) AS dd
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_returnflag = 'R') r
+    JOIN nation ON r.s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def tpcds_q50_returns_latency(spark, sf_dir):
+    """TPC-DS q50 shape (returns bucketed by days between sale and
+    return, CASE-pivoted into latency-band counts per store; reference
+    query50.sql): the day difference is epoch arithmetic (identical IEEE
+    ops both engines), buckets are integer CASE sums, dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dd = F.floor(
+        (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")) / 86400.0
+    ).cast("bigint")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), dd.alias("dd"))
+    )
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    d = F.col("dd")
+    return j.groupBy("nation").agg(
+        band(d <= 30, "d_30"),
+        band((d > 30) & (d <= 60), "d_60"),
+        band((d > 60) & (d <= 90), "d_90"),
+        band((d > 90) & (d <= 120), "d_120"),
+        band(d > 120, "d_more"),
+    )
+
+
+@query(
+    "tpcds_q58_balanced_channels",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_partkey AS partkey,
+             SUM(CASE WHEN l_linenumber % 3 = 0 THEN {_CENTS} ELSE 0 END) AS store_c,
+             SUM(CASE WHEN l_linenumber % 3 = 1 THEN {_CENTS} ELSE 0 END) AS web_c,
+             SUM(CASE WHEN l_linenumber % 3 = 2 THEN {_CENTS} ELSE 0 END) AS cat_c
+      FROM lineitem GROUP BY 1)
+    SELECT partkey,
+           CAST(store_c AS DOUBLE) / 100 AS store_rev,
+           CAST(web_c AS DOUBLE) / 100 AS web_rev,
+           CAST(cat_c AS DOUBLE) / 100 AS cat_rev
+    FROM per
+    WHERE store_c > 0 AND web_c > 0 AND cat_c > 0
+      AND 30 * store_c BETWEEN 9 * (store_c + web_c + cat_c)
+                           AND 11 * (store_c + web_c + cat_c)
+      AND 30 * web_c   BETWEEN 9 * (store_c + web_c + cat_c)
+                           AND 11 * (store_c + web_c + cat_c)
+      AND 30 * cat_c   BETWEEN 9 * (store_c + web_c + cat_c)
+                           AND 11 * (store_c + web_c + cat_c)
+    """,
+)
+def tpcds_q58_balanced_channels(spark, sf_dir):
+    """TPC-DS q58 shape (items whose revenue is near-equal — within ±10%
+    of the cross-channel average — in all three channels; reference
+    query58.sql): the three channel CTEs collapse to one conditional
+    aggregation pass; the balance test is exact integer cents
+    (30·channel vs 9/11·total ⇔ ±10% of total/3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = _cents_col()
+
+    def chan(c, name):
+        return F.sum(
+            F.when(F.col("l_linenumber") % 3 == c, cents).otherwise(0)
+        ).alias(name)
+
+    per = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        chan(0, "store_c"), chan(1, "web_c"), chan(2, "cat_c")
+    )
+    total = F.col("store_c") + F.col("web_c") + F.col("cat_c")
+
+    def near(c):
+        return (30 * F.col(c) >= 9 * total) & (30 * F.col(c) <= 11 * total)
+
+    return (
+        per.filter(
+            (F.col("store_c") > 0) & (F.col("web_c") > 0) & (F.col("cat_c") > 0)
+            & near("store_c") & near("web_c") & near("cat_c")
+        )
+        .select(
+            "partkey",
+            (F.col("store_c").cast("double") / 100).alias("store_rev"),
+            (F.col("web_c").cast("double") / 100).alias("web_rev"),
+            (F.col("cat_c").cast("double") / 100).alias("cat_rev"),
+        )
+    )
+
+
+@query(
+    "tpcds_q78_net_of_returns",
+    oracle=f"""
+    WITH returned AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+           p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_CENTS}) AS DOUBLE) / 100 AS net_revenue
+    FROM lineitem l
+    JOIN orders ON l.l_orderkey = o_orderkey
+    JOIN part ON l.l_partkey = p_partkey
+    WHERE l.l_returnflag <> 'R'
+      AND NOT EXISTS (SELECT 1 FROM returned r
+                      WHERE r.l_orderkey = l.l_orderkey
+                        AND r.l_partkey = l.l_partkey)
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_q78_net_of_returns(spark, sf_dir):
+    """TPC-DS q78 shape (sales net of returns: exclude any sale whose
+    (order, item) has a matching return row, then a year/brand report;
+    reference query78.sql): a genuine anti-join against the distinct
+    returned-key set — cross-row semantics a mere filter can't express —
+    with the returned side reduced before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sales = li.filter(F.col("l_returnflag") != "R").join(
+        returned, ["l_orderkey", "l_partkey"], "left_anti"
+    )
+    return (
+        sales.join(o, sales.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), sales.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count("*").alias("n_sales"),
+            dsum("l_quantity", "sum_qty"),
+            (F.sum(_cents_col()).cast("double") / 100).alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "tpcds_q95_multi_supplier_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_suppkey <> l2.l_suppkey
+                  WHERE l1.l_orderkey = o.o_orderkey)
+      AND EXISTS (SELECT 1 FROM lineitem lr
+                  WHERE lr.l_orderkey = o.o_orderkey
+                    AND lr.l_returnflag = 'R')
+    """,
+)
+def tpcds_q95_multi_supplier_orders(spark, sf_dir):
+    """TPC-DS q95 shape (web orders shipped from more than one warehouse
+    AND having a return, double-EXISTS chain; reference query95.sql).
+    Spark lowering: the correlated self-join EXISTS becomes a per-order
+    COUNT(DISTINCT supplier) ≥ 2 aggregate — one shuffle instead of a
+    fact×fact self-join — and both EXISTS become semi-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    with_ret = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    keep = o.join(
+        multi, o.o_orderkey == multi.l_orderkey, "left_semi"
+    ).join(with_ret, o.o_orderkey == with_ret.l_orderkey, "left_semi")
+    return keep.agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "tpcds_q54_spend_bands",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, SUM({_CENTS}) AS cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1)
+    SELECT CAST(cents // 500000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM spend
+    GROUP BY 1
+    """,
+)
+def tpcds_q54_spend_bands(spark, sf_dir):
+    """TPC-DS q54 shape (customer revenue segmented into fixed spend
+    bands, histogram of band populations; reference query54.sql): two
+    stacked aggregations — per-customer exact cents, then integer-divide
+    banding — both plain hash aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spend = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents_col()).alias("cents"))
+    )
+    return (
+        spend.groupBy(
+            F.floor(F.col("cents") / 500000).cast("bigint").alias("band")
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "tpcds_q31_qoq_growth",
+    oracle=f"""
+    WITH q AS (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+             EXTRACT(QUARTER FROM o_orderdate)::BIGINT AS qtr,
+             SUM({_CENTS}) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT nation, yr, qtr,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(cents AS DOUBLE) / lag_cents AS qoq_ratio
+    FROM (SELECT nation, yr, qtr, cents,
+                 LAG(cents) OVER (PARTITION BY nation ORDER BY yr, qtr) AS lag_cents
+          FROM q) t
+    WHERE lag_cents IS NOT NULL AND lag_cents > 0
+    """,
+)
+def tpcds_q31_qoq_growth(spark, sf_dir):
+    """TPC-DS q31 shape (quarter-over-quarter share growth per region;
+    reference query31.sql): quarterly aggregate per nation, then a LAG
+    window over the tiny |nation × quarter| frame for the growth ratio —
+    exact cents numerator/denominator, one IEEE division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .agg(F.sum(_cents_col()).alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr", "qtr")
+    t = q.withColumn("lag_cents", F.lag("cents").over(w))
+    return t.filter(
+        F.col("lag_cents").isNotNull() & (F.col("lag_cents") > 0)
+    ).select(
+        "nation", "yr", "qtr",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("cents").cast("double") / F.col("lag_cents")).alias("qoq_ratio"),
+    )
+
+
+@query(
+    "tpcds_q35_active_rollup",
+    oracle=f"""
+    SELECT n_name AS nation, c_mktsegment AS segment,
+           CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def tpcds_q35_active_rollup(spark, sf_dir):
+    """TPC-DS q35 shape (active customers — EXISTS over the fact — then a
+    demographic ROLLUP report with GROUPING disambiguation; reference
+    query35.sql): the EXISTS is a semi-join against distinct buyer keys;
+    the rollup runs over the reduced dim-sized frame."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+        )
+    )
+    return (
+        active.rollup("nation", "segment")
+        .agg(
+            (F.grouping("nation") * 2 + F.grouping("segment"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n_cust"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "tpcds_q14_cross_channel_items",
+    oracle=f"""
+    WITH cross_items AS (
+      SELECT l_partkey FROM lineitem WHERE l_linenumber % 3 = 0
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_linenumber % 3 = 1
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_linenumber % 3 = 2),
+    avg_sales AS (
+      SELECT CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) AS threshold
+      FROM lineitem)
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_CENTS}) AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+      AND {_CENTS} > (SELECT threshold FROM avg_sales)
+    GROUP BY 1
+    """,
+)
+def tpcds_q14_cross_channel_items(spark, sf_dir):
+    """TPC-DS q14 shape (items sold in every channel — INTERSECT chain —
+    filtered by a global average-sales scalar subquery, then a brand
+    report; reference query14.sql): the INTERSECT runs over distinct part
+    keys, the scalar threshold broadcasts, and only qualifying fact rows
+    reach the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = _cents_col()
+
+    def chan(c):
+        return li.filter(F.col("l_linenumber") % 3 == c).select("l_partkey").distinct()
+
+    cross_items = chan(0).intersect(chan(1)).intersect(chan(2))
+    threshold = li.agg(
+        (F.sum(cents).cast("double") / F.count("*")).alias("threshold")
+    )
+    return (
+        li.withColumn("cents", cents)
+        .join(cross_items, "l_partkey", "left_semi")
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("cents").cast("double") > F.col("threshold"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+        )
     )
