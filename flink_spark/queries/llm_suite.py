@@ -397,3 +397,57 @@ def llm_multimodal_decode(spark, sf_dir):
     every pixel of every payload round-trips correctly."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.image_features(MM.synthesize_images(docs))
+
+
+def _ann_recall_gate(spark, sf_dir, method: str):
+    """Exact-checkable harness for an approximate ANN method: recall@k is
+    measured in-plan against the brute-force exact top-k (itself a Spark
+    job), and the *gated* output is the boolean ``recall_ok`` — the same
+    design that turned approx_count_distinct into an exact gate. The ANN
+    path stays approximate; its contract (recall ≥ floor) becomes the
+    value-checked fact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(q, c, k=5).select("query_id", "cand_id")
+    if method == "lsh":
+        approx = SIM.lsh_topk(q, c, k=5, n_planes=2)
+    else:
+        approx = SIM.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2)
+    hits = exact.join(
+        approx.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
+        .select(
+            F.col("n_exact"),
+            (F.col("n_hit") >= 0.3 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "llm_lsh_recall_gate",
+    oracle="SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+)
+def llm_lsh_recall_gate(spark, sf_dir):
+    """LSH ANN with a value-checked recall contract: 2-plane bucketed
+    top-5 must recover ≥30% of the brute-force exact top-5 pairs over the
+    10-query slice (50 exact pairs). Companion to the rows-only
+    llm_lsh_topk entry, which stays for result inspection."""
+    return _ann_recall_gate(spark, sf_dir, "lsh")
+
+
+@query(
+    "llm_ivf_recall_gate",
+    oracle="SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+)
+def llm_ivf_recall_gate(spark, sf_dir):
+    """IVF-Flat ANN with a value-checked recall contract (k-means cells,
+    n_probe=2): same ≥30% recall floor against the exact top-5 pairs."""
+    return _ann_recall_gate(spark, sf_dir, "ivf")
