@@ -51,6 +51,18 @@ _PK_RE = re.compile(
     r"PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*(NOT\s+ENFORCED)?", re.IGNORECASE
 )
 _OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+#: CTAS (reference SqlCreateTableAs / SqlReplaceTableAs): schema derived
+#: from the query, storage from the WITH options
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+    r"WITH\s*\((?P<opts>.*?)\)\s+AS\s+(?P<query>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SET_RE = re.compile(
+    r"^\s*(?P<verb>SET|RESET)\s*(?:'(?P<k>[^']+)'\s*(?:=\s*'(?P<v>[^']*)')?)?\s*$",
+    re.IGNORECASE,
+)
 
 _TYPE_MAP = {
     # Flink SQL type → Spark SQL type (SURVEY §1.2)
@@ -361,6 +373,69 @@ class TableEnvironment:
         m = _CREATE_RE.match(stmt)
         if m:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
+        ctas = _CTAS_RE.match(stmt)
+        if ctas:
+            return self._create_table_as(
+                ctas.group("name"),
+                ctas.group("opts"),
+                ctas.group("query"),
+                replace=bool(ctas.group("replace")),
+            )
+        sm = _SET_RE.match(stmt)
+        if sm:
+            # SET 'k' = 'v' / SET (list) / RESET 'k' / RESET (reference
+            # SqlSet.java, SqlReset.java → session conf)
+            verb = sm.group("verb").upper()
+            key, val = sm.group("k"), sm.group("v")
+            if verb == "SET" and key is not None:
+                self.spark.conf.set(key, val)
+                return None
+            if verb == "RESET":
+                from flink_spark.session import RUNTIME_CONF
+
+                keys = [key] if key is not None else list(RUNTIME_CONF)
+                for k in keys:
+                    try:
+                        self.spark.conf.unset(k)
+                    except Exception:  # noqa: BLE001 - non-unsettable key
+                        pass
+                # re-pin the engine's required runtime conf
+                from flink_spark.session import prepare_session
+
+                prepare_session(self.spark)
+                return None
+            return self.spark.sql("SET")
+        if re.match(r"^\s*SHOW\s+JOBS\s*$", stmt, re.IGNORECASE):
+            # reference SqlShowJobs: list active streaming queries
+            rows = [
+                (q.id, q.name or "", "RUNNING" if q.isActive else "FINISHED")
+                for q in self.spark.streams.active
+            ]
+            return self.spark.createDataFrame(
+                rows, "job_id string, job_name string, status string"
+            )
+        stop = re.match(
+            r"^\s*STOP\s+JOB\s+'(?P<jid>[^']+)'\s*$", stmt, re.IGNORECASE
+        )
+        if stop:
+            # reference SqlStopJob.java → stop the streaming query handle
+            for q in self.spark.streams.active:
+                if q.id == stop.group("jid") or (q.name or "") == stop.group("jid"):
+                    q.stop()
+                    return None
+            raise ValueError(f"no active job {stop.group('jid')!r}")
+        sct = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if sct and sct.group("name") in self.tables:
+            spec = self.tables[sct.group("name")]
+            opts = ", ".join(f"'{k}' = '{v}'" for k, v in spec.options.items())
+            ddl = (
+                f"CREATE TABLE {spec.name} ({spec.ddl_schema()}) WITH ({opts})"
+            )
+            return self.spark.createDataFrame([(ddl,)], "ddl string")
         if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
             return self.spark.sql(stmt)
         im = re.match(
@@ -443,6 +518,22 @@ class TableEnvironment:
                 src.createOrReplaceTempView(name)
             return None
         raise ValueError(f"connector {conn!r} is not writable")
+
+    def _create_table_as(
+        self, name: str, opts: str, query: str, replace: bool = False
+    ):
+        """CTAS (reference SqlCreateTableAs.java / SqlReplaceTableAs.java):
+        derive the table schema from the SELECT, register the connector
+        table, and run the initial insert atomically-per-statement."""
+        if name in self.tables and not replace:
+            raise ValueError(f"table {name!r} already exists (use OR REPLACE)")
+        df = self.spark.sql(query)
+        options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
+        columns = [(f.name, f.dataType.simpleString().upper()) for f in df.schema.fields]
+        spec = TableSpec(name=name, columns=columns, options=options)
+        self.tables[name] = spec
+        self._insert(name, df, overwrite=replace)
+        return None
 
     def _create_table(self, name: str, body: str, opts: str):
         options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}

@@ -187,3 +187,37 @@ def format_compressed_write(spark, sf_dir):
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n"), F.sum("s_suppkey").alias("key_sum"))
     )
+
+
+@query(
+    "ctas_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ctas_roundtrip(spark, sf_dir):
+    """CTAS (reference SqlCreateTableAs.java): schema derived from the
+    SELECT, storage from the WITH clause, initial insert in the same
+    statement — read back from the created connector table."""
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ctas_src_orders")
+    path = tempfile.mkdtemp(prefix="flink_spark_ctas_q_")
+    env.execute_sql(f"""
+        CREATE OR REPLACE TABLE ctas_q_priority
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{path}')
+        AS SELECT o_orderpriority AS priority,
+                  COUNT(*) AS n,
+                  SUM(o_custkey) AS cust_sum
+           FROM ctas_src_orders
+           GROUP BY o_orderpriority
+    """)
+    return spark.table("ctas_q_priority")

@@ -264,3 +264,61 @@ def test_lateral_temporal_table_function_sql(spark, sf_dir, tmp_path):
             LATERAL TABLE (Rates(o.ots)) AS r
             WHERE o.oid = r.rate
         """)
+
+
+def test_set_reset_statements(spark):
+    env = TableEnvironment(spark)
+    env.execute_sql("SET 'spark.sql.shuffle.partitions' = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    env.execute_sql("RESET 'spark.sql.shuffle.partitions'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+
+
+def test_ctas_and_show_create(spark, tmp_path):
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "ctas_store")
+    env.execute_sql(f"""
+        CREATE TABLE ctas_t WITH ('connector' = 'filesystem',
+                                  'format' = 'parquet', 'path' = '{path}')
+        AS SELECT id AS k, id * 2 AS v FROM range(5)
+    """)
+    got = sorted((r.k, r.v) for r in env.spark.table("ctas_t").collect())
+    assert got == [(i, 2 * i) for i in range(5)]
+    # OR REPLACE overwrites both schema registration and data
+    env.execute_sql(f"""
+        CREATE OR REPLACE TABLE ctas_t
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{path}')
+        AS SELECT id AS k, id * 10 AS v FROM range(3)
+    """)
+    got = sorted((r.k, r.v) for r in env.spark.table("ctas_t").collect())
+    assert got == [(0, 0), (1, 10), (2, 20)]
+    ddl = env.execute_sql("SHOW CREATE TABLE ctas_t").collect()[0].ddl
+    assert "CREATE TABLE ctas_t" in ddl and "'connector' = 'filesystem'" in ddl
+
+
+def test_show_jobs_and_stop_job(spark, tmp_path):
+    import time
+
+    env = TableEnvironment(spark)
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .queryName("catalog_job_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        jobs = {
+            (r.job_name, r.status)
+            for r in env.execute_sql("SHOW JOBS").collect()
+        }
+        assert ("catalog_job_probe", "RUNNING") in jobs
+        env.execute_sql("STOP JOB 'catalog_job_probe'")
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
