@@ -27,6 +27,12 @@ that make TPC-DS harder than TPC-H onto the existing star schema:
   - spend-band histograms (stacked aggregations)          (q54)
   - quarter-over-quarter growth via window LAG            (q31)
   - active-customer semi-join + ROLLUP demographics       (q35)
+  - before/after pivot around an event date               (q40)
+  - 12-column monthly CASE pivot                          (q66)
+  - year-over-year decline, net of returns                (q75)
+  - ROLLUP + RANK within each rollup level                (q70)
+  - per-channel ranked return ratios                      (q49)
+  - EXISTS + NOT EXISTS distinct-count report             (q16)
 
 Role mapping: lineitem = store_sales fact, events = web_sales fact,
 orders carries the date dimension (o_orderdate), part = item,
@@ -1330,4 +1336,312 @@ def tpcds_q14_cross_channel_items(spark, sf_dir):
             F.count("*").alias("n_lines"),
             (F.sum("cents").cast("double") / 100).alias("revenue"),
         )
+    )
+
+
+@query(
+    "tpcds_q40_pivot_around_date",
+    oracle=f"""
+    SELECT n_name AS nation, p_brand AS brand,
+           CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                    THEN {_CENTS} ELSE 0 END) AS DOUBLE) / 100 AS rev_before,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN {_CENTS} ELSE 0 END) AS DOUBLE) / 100 AS rev_after
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_q40_pivot_around_date(spark, sf_dir):
+    """TPC-DS q40 shape (before/after revenue pivot around an event date
+    per warehouse × item; reference query40.sql): one fact pass with two
+    conditional cents-sums — the date split never becomes a self-join —
+    dims broadcast, item filter pushed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select(
+        "p_partkey", "p_brand"
+    )
+    pivot = F.lit("1998-01-01").cast("timestamp_ntz")
+    cents = _cents_col()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            (F.sum(F.when(F.col("o_orderdate") < pivot, cents).otherwise(0))
+             .cast("double") / 100).alias("rev_before"),
+            (F.sum(F.when(F.col("o_orderdate") >= pivot, cents).otherwise(0))
+             .cast("double") / 100).alias("rev_after"),
+        )
+    )
+
+
+@query(
+    "tpcds_q66_monthly_pivot",
+    oracle=f"""
+    SELECT n_name AS nation,
+           EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = {m} "
+               f"THEN {_CENTS} ELSE 0 END) AS DOUBLE) / 100 AS m{m:02d}"
+               for m in range(1, 13)
+           )}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_q66_monthly_pivot(spark, sf_dir):
+    """TPC-DS q66 shape (12 monthly revenue columns per warehouse × year
+    — the widest CASE pivot in the suite; reference query66.sql): twelve
+    conditional aggregates evaluate in the same single fact pass (one
+    shuffle on the group key carries all 12 cells)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = _cents_col()
+    aggs = [
+        (
+            F.sum(
+                F.when(F.month("o_orderdate") == m, cents).otherwise(0)
+            ).cast("double") / 100
+        ).alias(f"m{m:02d}")
+        for m in range(1, 13)
+    ]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(*aggs)
+    )
+
+
+@query(
+    "tpcds_q75_yoy_decline",
+    oracle=f"""
+    WITH cells AS (
+      SELECT p_brand AS brand,
+             SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995
+                      AND l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT)
+                      ELSE 0 END) AS q95,
+             SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                      AND l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT)
+                      ELSE 0 END) AS q96
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+      GROUP BY 1)
+    SELECT brand,
+           CAST(q95 AS BIGINT) AS prev_qty,
+           CAST(q96 AS BIGINT) AS cur_qty,
+           CAST(q96 - q95 AS BIGINT) AS qty_diff
+    FROM cells
+    WHERE q95 > 0 AND q96 < q95
+    """,
+)
+def tpcds_q75_yoy_decline(spark, sf_dir):
+    """TPC-DS q75 shape (brands whose current-year net-of-returns volume
+    declined vs the prior year; reference query75.sql): both yearly
+    totals come out of one conditional-aggregation fact pass (no
+    aggregate self-join), returns excluded inline, exact BIGINT
+    quantities so the decline comparison cannot float-flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    ).select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def yr_qty(y):
+        cond = (
+            (F.year("o_orderdate") == y) & (F.col("l_returnflag") != "R")
+        )
+        return F.sum(
+            F.when(cond, F.col("l_quantity").cast("bigint")).otherwise(0)
+        )
+
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(yr_qty(1995).alias("q95"), yr_qty(1996).alias("q96"))
+    )
+    return cells.filter(
+        (F.col("q95") > 0) & (F.col("q96") < F.col("q95"))
+    ).select(
+        "brand",
+        F.col("q95").alias("prev_qty"),
+        F.col("q96").alias("cur_qty"),
+        (F.col("q96") - F.col("q95")).alias("qty_diff"),
+    )
+
+
+@query(
+    "tpcds_q70_share_rank_rollup",
+    oracle=f"""
+    WITH agg AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+             SUM({_CENTS}) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment))
+    SELECT nation, segment, gid,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(RANK() OVER (PARTITION BY gid, nation
+                             ORDER BY cents DESC, segment) AS BIGINT) AS rank_in_nation
+    FROM agg
+    """,
+)
+def tpcds_q70_share_rank_rollup(spark, sf_dir):
+    """TPC-DS q70 shape (ROLLUP report with RANK within each rollup
+    level; reference query70.sql): the rank window partitions by
+    (grouping id, nation) so segment rows rank inside their nation while
+    subtotal rows rank trivially — the window runs over the aggregated
+    frame only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            _cents_col().alias("cents"),
+        )
+    )
+    agg = base.rollup("nation", "segment").agg(
+        (F.grouping("nation") * 2 + F.grouping("segment"))
+        .cast("bigint")
+        .alias("gid"),
+        F.sum("cents").alias("cents"),
+    )
+    w = Window.partitionBy("gid", "nation").orderBy(
+        F.desc("cents"), F.col("segment")
+    )
+    return agg.select(
+        "nation", "segment", "gid",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.rank().over(w).cast("bigint").alias("rank_in_nation"),
+    )
+
+
+@query(
+    "tpcds_q49_return_ratio_rank",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_linenumber % 2 = 0 AS is_web, l_partkey AS partkey,
+             SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS ret_qty,
+             SUM(CAST(l_quantity AS BIGINT)) AS tot_qty
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT CASE WHEN is_web THEN 'web' ELSE 'store' END AS channel,
+             partkey,
+             CAST(ret_qty AS DOUBLE) / tot_qty AS return_ratio,
+             CAST(RANK() OVER (PARTITION BY is_web
+                  ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC, partkey)
+                  AS BIGINT) AS rnk
+      FROM per WHERE tot_qty > 0)
+    SELECT channel, partkey, return_ratio, rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def tpcds_q49_return_ratio_rank(spark, sf_dir):
+    """TPC-DS q49 shape (worst return ratios ranked per channel, results
+    unioned across channels; reference query49.sql): per-channel ratios
+    from one conditional aggregation, rank windows over the aggregated
+    frame with a deterministic key tiebreak, top-10 filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy(
+            (F.col("l_linenumber") % 2 == 0).alias("is_web"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(0)
+            ).alias("ret_qty"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("tot_qty"),
+        )
+        .filter(F.col("tot_qty") > 0)
+    )
+    ratio = F.col("ret_qty").cast("double") / F.col("tot_qty")
+    w = Window.partitionBy("is_web").orderBy(ratio.desc(), F.col("partkey"))
+    return (
+        per.select(
+            F.when(F.col("is_web"), "web").otherwise("store").alias("channel"),
+            "partkey",
+            ratio.alias("return_ratio"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@query(
+    "tpcds_q16_semi_anti_report",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l JOIN supplier s
+                  ON l.l_suppkey = s.s_suppkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  WHERE l.l_orderkey = o.o_orderkey AND n.n_name = 'NATION_3')
+      AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                      WHERE lr.l_orderkey = o.o_orderkey
+                        AND lr.l_returnflag = 'R')
+    """,
+)
+def tpcds_q16_semi_anti_report(spark, sf_dir):
+    """TPC-DS q16 shape (orders filtered by EXISTS on one dimension path
+    and NOT EXISTS on an exclusion set, then a distinct-count report;
+    reference query16.sql): the EXISTS becomes a semi-join against
+    nation-filtered supplier lineitems, the NOT EXISTS an anti-join
+    against returned order keys — both sides key-reduced before joining."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    from_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    keep = o.join(
+        from_nation, o.o_orderkey == from_nation.l_orderkey, "left_semi"
+    ).join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+    return keep.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
     )
