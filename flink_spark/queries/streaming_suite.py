@@ -1241,3 +1241,61 @@ def stream_delta_join(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderpriority",
         "l_linenumber", "l_quantity", "l_extendedprice",
     )
+
+
+@query(
+    "stream_topn_ttl",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, value, ts FROM events
+               WHERE user_id <= 20),
+    g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 28800
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    i AS (SELECT *, SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS island
+          FROM g),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, island
+                      ORDER BY value DESC, event_id) AS rn
+          FROM i)
+    SELECT event_type, event_id, value, ts FROM r WHERE rn <= 5
+    """,
+)
+def stream_topn_ttl(spark, sf_dir):
+    """Streaming Top-N with state TTL (reference StateTtlConfig on
+    StreamExecRank, `table.exec.state.ttl`): an event-time quiet gap
+    > 8h expires a partition's leaderboard silently (no retractions —
+    Flink's TTL drop), so the materialized changelog equals the union
+    over TTL islands of each island's final top-5. The oracle computes
+    exactly that closed form (gap → island → per-island ROW_NUMBER);
+    input arrives over three micro-batches so boards and expiry cross
+    batch boundaries."""
+    from flink_spark.streaming.changelog import streaming_topn_ttl
+    from flink_spark.streaming.core import chunked_table_stream
+
+    ev = (
+        chunked_table_stream(spark, sf_dir, "events", 3, "ts")
+        .filter(F.col("user_id") <= 20)
+        .select("event_type", "event_id", "value", "ts")
+    )
+    cl = streaming_topn_ttl(
+        ev,
+        partition_cols=["event_type"],
+        order_cols=["value", "event_id"],
+        n=5,
+        ts_col="ts",
+        ttl="8 hours",
+        ascending=[False, True],
+    )
+    res = run_to_memory(cl, "append", "topn_ttl")
+    member = F.sum(
+        F.when(F.col("op").isin("+I", "+U"), 1)
+        .when(F.col("op").isin("-U", "-D"), -1)
+        .otherwise(0)
+    )
+    return (
+        res.groupBy("event_type", "event_id", "value", "ts")
+        .agg(member.alias("m"))
+        .filter(F.col("m") == 1)
+        .drop("m")
+    )

@@ -250,3 +250,120 @@ def dedup_keep_first_ttl(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn, schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_topn_ttl(
+    stream: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    n: int,
+    ts_col: str,
+    ttl: str,
+    ascending: list[bool] | None = None,
+) -> DataFrame:
+    """Streaming Top-N with state TTL (reference StateTtlConfig on
+    StreamExecRank / `table.exec.state.ttl`): a partition whose event-time
+    quiet gap exceeds ``ttl`` has its leaderboard state dropped — silently,
+    with no retractions, exactly Flink's TTL semantics — and the next row
+    starts a fresh board.
+
+    Closed form (what makes the oracle exact): TTL gaps split each
+    partition's timeline into islands; the materialized fold of the
+    changelog is the union over islands of each island's final top-n
+    (expired boards were emitted and never retracted).
+
+    Rows are processed in event-time order inside each batch, so expiry
+    is arrival-schedule-independent; state per key is the board (≤ n
+    rows) plus one timestamp."""
+    import pandas as pd
+
+    asc = ascending if ascending is not None else [False] * len(order_cols)
+    ttl_us = int(pd.Timedelta(ttl).value // 1000)
+    schema = stream.schema
+    cols = schema.fieldNames()
+    state_schema = StructType(
+        [StructField(f.name, ArrayType(f.dataType), True) for f in schema.fields]
+        + [StructField("last_us", LongType(), True)]
+    )
+    out_schema = StructType(
+        [OP_FIELD, StructField("rank", IntegerType(), False), *schema.fields]
+    )
+
+    def rank(pdf):
+        return (
+            pdf.sort_values(order_cols, ascending=asc, kind="mergesort")
+            .head(n)
+            .reset_index(drop=True)
+        )
+
+    def keyed(pdf):
+        counts: dict = {}
+        out = {}
+        for i, r in enumerate(pdf.itertuples(index=False, name=None)):
+            occ = counts.get(r, 0)
+            counts[r] = occ + 1
+            out[(r, occ)] = i + 1
+        return out
+
+    def diffs(old, new):
+        old_ranks = keyed(old) if len(old) else {}
+        new_ranks = keyed(new)
+        out = []
+        for (row, occ), rk in old_ranks.items():
+            if (row, occ) not in new_ranks:
+                out.append((OP_DELETE, rk, *row))
+        for (row, occ), rk in new_ranks.items():
+            if (row, occ) not in old_ranks:
+                out.append((OP_INSERT, rk, *row))
+            elif old_ranks[(row, occ)] != rk:
+                out.append((OP_UPDATE_BEFORE, old_ranks[(row, occ)], *row))
+                out.append((OP_UPDATE_AFTER, rk, *row))
+        return out
+
+    def fn(key, pdfs, state):
+        new = pd.concat(list(pdfs), ignore_index=True)[cols]
+        new = new.sort_values(
+            [ts_col, *[c for c in cols if c != ts_col]], kind="mergesort"
+        ).reset_index(drop=True)
+        if state.exists:
+            stored = state.get
+            board = pd.DataFrame(
+                {c: list(stored[i]) for i, c in enumerate(cols)}
+            )
+            last_us = stored[len(cols)]
+        else:
+            board = pd.DataFrame(
+                {c: pd.Series(dtype=new[c].dtype) for c in cols}
+            )
+            last_us = None
+        ts_us = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        # split the batch at TTL gaps (vs the running last-activity time)
+        breaks = [0]
+        prev = last_us
+        for i, t in enumerate(ts_us):
+            if prev is not None and t - prev > ttl_us:
+                breaks.append(i)
+            prev = int(t)
+        breaks.append(len(new))
+        out = []
+        for bi in range(len(breaks) - 1):
+            lo, hi = breaks[bi], breaks[bi + 1]
+            if lo == hi:
+                continue
+            seg = new.iloc[lo:hi]
+            # any segment after the first begins at a TTL gap (a gap on
+            # the very first row shows up as a duplicate break at 0,
+            # making the pre-gap segment empty and skipped above)
+            if bi > 0:
+                board = board.iloc[0:0]  # TTL drop: no retractions
+            merged = rank(pd.concat([board, seg], ignore_index=True))
+            out.extend(diffs(rank(board) if len(board) else board, merged))
+            board = merged
+        if len(ts_us):
+            last_us = int(ts_us.iloc[-1])
+        state.update(tuple(list(board[c]) for c in cols) + (last_us,))
+        yield pd.DataFrame(out, columns=["op", "rank", *cols])
+
+    return stream.groupBy(*partition_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -327,3 +327,58 @@ def test_cdc_decimal_payload_schema(spark):
         ).collect()
     }
     assert rows == {("-U", 1, Decimal("4.25")), ("+U", 1, Decimal("5.50"))}
+
+
+def test_streaming_topn_ttl_islands(spark):
+    """TTL expiry drops the board without retractions: two activity
+    islands separated by a > ttl quiet gap each keep their own final
+    top-2; rank movements inside an island still retract."""
+    import pandas as pd
+
+    from flink_spark.streaming.changelog import streaming_topn_ttl
+
+    rows = [
+        # island 1 (t=0..2min): values 5, 9, 7 → final top2 = 9, 7
+        ("a", 1, 5.0, "2024-01-01 00:00:00"),
+        ("a", 2, 9.0, "2024-01-01 00:01:00"),
+        ("a", 3, 7.0, "2024-01-01 00:02:00"),
+        # > 1h gap → island 2: values 1, 3 → final top2 = 3, 1
+        ("a", 4, 1.0, "2024-01-01 02:00:00"),
+        ("a", 5, 3.0, "2024-01-01 02:01:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "event_id", "value", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    # two micro-batches: the 7.0 row arrives after the 9/5 board exists,
+    # so its entry must evict the 5.0 row with a real -D
+    pdf.iloc[:2].to_parquet(f"{d}/part-0.parquet", index=False)
+    pdf.iloc[2:].to_parquet(f"{d}/part-1.parquet", index=False)
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    cl = streaming_topn_ttl(
+        src, ["k"], ["value", "event_id"], n=2, ts_col="ts", ttl="1 hour",
+        ascending=[False, True],
+    )
+    from flink_spark.streaming.core import run_to_memory
+
+    res = run_to_memory(cl, "append", "topn_ttl_unit")
+    ops = [(r.op, r.event_id, r.rank) for r in res.collect()]
+    # island 1: +I 5@1, +I 9@1 / -U,+U move of 5 to rank2, -D 5 when 7 enters
+    assert ("-D", 1, 2) in ops  # value-5 row evicted by 7
+    # island 2 entries appear fresh, no -D for island-1 rows at the gap
+    assert ("+I", 5, 1) in ops and ("+I", 4, 2) in ops
+    deletes_at_gap = [o for o in ops if o[0] == "-D" and o[1] in (2, 3)]
+    assert deletes_at_gap == []
+    # final membership = union of island finals
+    import collections
+
+    m = collections.Counter()
+    for op, eid, _ in ops:
+        m[eid] += 1 if op in ("+I", "+U") else (-1 if op in ("-U", "-D") else 0)
+    assert sorted(eid for eid, v in m.items() if v == 1) == [2, 3, 4, 5]
