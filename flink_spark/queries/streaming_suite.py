@@ -1299,3 +1299,53 @@ def stream_topn_ttl(spark, sf_dir):
         .filter(F.col("m") == 1)
         .drop("m")
     )
+
+
+@query(
+    "stream_delta_join_ttl",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.user_id <= 100
+      AND abs(epoch(c.ts) - epoch(p.ts)) <= 3600
+    """,
+)
+def stream_delta_join_ttl(spark, sf_dir):
+    """Delta join with state TTL (reference StreamingDeltaJoinOperator +
+    `table.exec.state.ttl`): store rows older than the batch's event-time
+    low-water mark minus the TTL are skipped at lookup — bounding state
+    the way Flink's regular-join TTL does — and under in-order delivery
+    the joinable pairs are exactly the |Δts| ≤ ttl interval band, which
+    is the exact oracle here (clicks × purchases per user within 1h,
+    streamed over three micro-batches each side)."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.deltajoin import delta_join, tag_union
+
+    base = lambda: chunked_table_stream(spark, sf_dir, "events", 3, "ts").filter(
+        F.col("user_id") <= 100
+    )
+    clicks = base().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = base().filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lc = ["c_user", "click_id", "click_ts"]
+    rc = ["p_user", "purchase_id", "purchase_ts"]
+    tagged = tag_union(clicks, buys, lc, rc)
+    joined = delta_join(
+        tagged, lc, rc, ["c_user"], ["p_user"],
+        ttl="1 hour", left_ts="click_ts", right_ts="purchase_ts",
+        prefix="delta_join_ttl",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "purchase_id", "click_ts", "purchase_ts",
+    )

@@ -54,6 +54,9 @@ def delta_join(
     right_keys: list[str],
     num_buckets: int = 16,
     prefix: str = "delta_join",
+    ttl: str | None = None,
+    left_ts: str | None = None,
+    right_ts: str | None = None,
 ) -> DataFrame:
     """Drain a two-sided tagged stream through an incremental delta join;
     return the append-only join result as a batch DataFrame.
@@ -62,8 +65,20 @@ def delta_join(
     union of both sides' (disjoint) columns, nulls on the foreign side —
     the single-query bridge for Spark's one-sink-per-query model (the
     reference operator is a genuine TwoInputStreamOperator).
+
+    ``ttl`` (with ``left_ts``/``right_ts``) bounds store growth the way
+    `table.exec.state.ttl` bounds Flink's regular-join state: each
+    batch's lookups ignore store rows older than ``batch_max_ts - ttl``
+    (at 100 TB the physical removal is the store table's compaction job),
+    and pairs must satisfy ``|l.ts - r.ts| <= ttl`` — under in-order
+    delivery a TTL'd regular join degenerates to exactly this interval
+    band (the equivalence Flink's own docs draw), which is what makes
+    the TTL path exactly oracle-checkable.
     """
+    import pandas as pd
+
     spark = tagged.sparkSession
+    ttl_delta = pd.Timedelta(ttl) if ttl else None
     root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
     l_store, r_store = f"{root}/left", f"{root}/right"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
@@ -84,6 +99,21 @@ def delta_join(
             have_r = os.path.isdir(r_store)
             old_l = sess.read.parquet(l_store) if have_l else None
             old_r = sess.read.parquet(r_store) if have_r else None
+            if ttl_delta is not None:
+                # state TTL: under in-order delivery, store rows older
+                # than (batch's earliest event time - ttl) can never be
+                # matched by this or any later batch — skip them
+                lo = (
+                    delta_l.agg(F.min(left_ts).alias("m")).collect()[0].m,
+                    delta_r.agg(F.min(right_ts).alias("m")).collect()[0].m,
+                )
+                lwm = min((t for t in lo if t is not None), default=None)
+                if lwm is not None:
+                    cutoff = lwm - ttl_delta
+                    if old_l is not None:
+                        old_l = old_l.filter(F.col(left_ts) >= F.lit(cutoff))
+                    if old_r is not None:
+                        old_r = old_r.filter(F.col(right_ts) >= F.lit(cutoff))
 
             def join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 # explicit aliases: both deltas descend from the same
@@ -94,6 +124,19 @@ def delta_join(
                     F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}")
                     for lk, rk in zip(left_keys, right_keys)
                 ]
+                if ttl_delta is not None:
+                    # NTZ → LTZ is value-preserving (session tz is UTC);
+                    # LTZ → double = epoch seconds, same IEEE op DuckDB's
+                    # epoch() performs
+                    lts = (
+                        F.col(f"__dj_l.{left_ts}").cast("timestamp").cast("double")
+                    )
+                    rts = (
+                        F.col(f"__dj_r.{right_ts}").cast("timestamp").cast("double")
+                    )
+                    cond.append(
+                        F.abs(lts - rts) <= ttl_delta.total_seconds()
+                    )
                 return l.join(r, cond).select(
                     *[F.col(f"__dj_l.{c}") for c in left_cols],
                     *[F.col(f"__dj_r.{c}") for c in right_cols],
