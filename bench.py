@@ -68,11 +68,19 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     QUERIES[names[0]].fn(spark, sf_dir).collect()
 
+    # Two passes, per-query min: single-pass numbers at sf0.1 carry ±20%
+    # JVM/GC + page-cache noise that swamps real plan regressions; the
+    # min of two warm runs tracks the plan cost, which is the thing a
+    # round-over-round comparison should gate on (BASELINE.md section
+    # "methodology").
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
