@@ -211,7 +211,11 @@ class SqlGatewayServer:
         sess.operations[oh] = op
 
         def run() -> None:
+            sc = self.spark.sparkContext
             try:
+                # job group = operation handle (thread-local), so cancel
+                # reaches the actual Spark jobs, not just the HTTP state
+                sc.setJobGroup(oh, f"sql-gateway {oh}", interruptOnCancel=True)
                 res = sess.env.execute_sql(stmt)
                 if isinstance(res, DataFrame):
                     op.columns = [
@@ -227,9 +231,14 @@ class SqlGatewayServer:
                 if op.status == "RUNNING":
                     op.status = "FINISHED"
             except Exception as e:  # noqa: BLE001
-                op.status = "ERROR"
-                op.error = str(e)
+                if op.status != "CANCELED":
+                    op.status = "ERROR"
+                    op.error = str(e)
             finally:
+                try:
+                    sc.setJobGroup(None, None)
+                except Exception:  # noqa: BLE001
+                    pass
                 op.done.set()
 
         self.pool.submit(run)
@@ -266,6 +275,11 @@ class SqlGatewayServer:
         op = self.sessions[sh].operations[oh]
         if op.status == "RUNNING":
             op.status = "CANCELED"
+            # interrupt the Spark jobs tagged with this operation
+            try:
+                self.spark.sparkContext.cancelJobGroup(oh)
+            except Exception:  # noqa: BLE001
+                pass
         return 200, {"status": op.status}
 
     def _h_op_close(self, body, sh, oh):

@@ -122,3 +122,22 @@ def test_multi_page_results(gw, spark):
     _, p1 = _call(gw, "GET", p0["nextResultUri"].replace(gw, ""))
     assert len(p1["results"]["data"]) == 5 and "nextResultUri" not in p1
     _call(gw, "DELETE", f"/v1/sessions/{sh}")
+
+
+def test_cancel_interrupts_running_job(gw):
+    """Cancel must reach the Spark jobs (cancelJobGroup on the operation
+    handle), not just flip the HTTP status — a deliberately huge
+    aggregation finishes as CANCELED well before it could complete."""
+    _, s = _call(gw, "POST", "/v1/sessions", {})
+    sh = s["sessionHandle"]
+    _, op = _call(gw, "POST", f"/v1/sessions/{sh}/statements", {
+        "statement": "SELECT COUNT(*) AS n FROM range(1000000000) a "
+                     "CROSS JOIN range(100000) b"
+    })
+    oh = op["operationHandle"]
+    time.sleep(1.0)  # let the job start
+    _, c = _call(gw, "POST", f"/v1/sessions/{sh}/operations/{oh}/cancel", {})
+    assert c["status"] == "CANCELED"
+    st = _wait_finished(gw, sh, oh, timeout=30)
+    assert st["status"] == "CANCELED"
+    _call(gw, "DELETE", f"/v1/sessions/{sh}")
