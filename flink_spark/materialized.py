@@ -62,7 +62,8 @@ MT_CREATE_RE = re.compile(
 
 MT_ALTER_RE = re.compile(
     r"^\s*ALTER\s+MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s+"
-    r"(?P<verb>SUSPEND|RESUME|REFRESH)\s*$",
+    r"(?P<verb>SUSPEND|RESUME|REFRESH)"
+    r"(?:\s+PARTITION\s*\(\s*(?P<pcol>\w+)\s*=\s*'(?P<pval>[^']*)'\s*\))?\s*$",
     re.IGNORECASE,
 )
 
@@ -85,9 +86,11 @@ class MaterializedTable:
     state: str = "RUNNING"      # 'RUNNING' | 'SUSPENDED'
     version: int = 0
     last_refresh: float | None = None
+    streaming: bool = False     # continuous mode over a streaming query
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
     _lock: threading.Lock = field(default_factory=threading.Lock)
+    _stream_query: object | None = None
 
 
 class MaterializedTableManager:
@@ -121,6 +124,17 @@ class MaterializedTableManager:
             partition_keys=part,
         )
         self.tables[name] = mt
+        probe = self.spark.sql(mt.as_query)
+        if probe.isStreaming:
+            # genuinely continuous: the defining query IS a streaming
+            # plan — run it as one Structured Streaming job into the
+            # store (micro-batch cadence = freshness), not a recompute
+            # loop. Append-only defining queries only (a parquet sink
+            # constraint shared with any file-backed store).
+            mt.refresh_mode = "continuous"
+            mt.streaming = True
+            self._start_stream(mt, probe)
+            return
         # start mode default: initialize from scratch with an immediate
         # refresh, then keep it fresh (SqlStartMode.java START_FROM_SCRATCH)
         self.refresh(name)
@@ -130,36 +144,71 @@ class MaterializedTableManager:
         name, verb = m.group("name"), m.group("verb").upper()
         mt = self._get(name)
         if verb == "REFRESH":
-            self.refresh(name)
+            if mt.streaming:
+                raise ValueError(
+                    "streaming materialized table refreshes continuously; "
+                    "SUSPEND/RESUME control it"
+                )
+            pcol = m.group("pcol")
+            if pcol:
+                self.refresh(name, partition=(pcol, m.group("pval")))
+            else:
+                self.refresh(name)
         elif verb == "SUSPEND":
-            self._stop_loop(mt)
+            if mt.streaming:
+                self._stop_stream(mt)
+            else:
+                self._stop_loop(mt)
             mt.state = "SUSPENDED"
         elif verb == "RESUME":
             if mt.state == "SUSPENDED":
                 mt.state = "RUNNING"
-                self._start_loop(mt)
+                if mt.streaming:
+                    self._start_stream(mt, self.spark.sql(mt.as_query))
+                else:
+                    self._start_loop(mt)
 
     def drop(self, m: re.Match) -> None:
         name = m.group("name")
         mt = self.tables.pop(name, None)
         if mt is None:
             return
+        self._stop_stream(mt)
         self._stop_loop(mt)
         self.spark.catalog.dropTempView(name)
         shutil.rmtree(mt.root, ignore_errors=True)
 
     def shutdown(self) -> None:
         for mt in list(self.tables.values()):
+            self._stop_stream(mt)
             self._stop_loop(mt)
 
     # -- refresh machinery -------------------------------------------------
 
-    def refresh(self, name: str) -> None:
-        """One synchronous full refresh: run the defining query, write a
-        new snapshot version, swap the view pointer, prune old snapshots."""
+    def refresh(self, name: str, partition: tuple[str, str] | None = None) -> None:
+        """One synchronous refresh: run the defining query, write a new
+        snapshot version, swap the view pointer, prune old snapshots.
+
+        ``partition=(col, value)`` scopes the recompute (reference
+        SqlAlterMaterializedTableRefresh with PARTITION): only that
+        partition's rows come from the fresh query; every other row is
+        carried over from the previous snapshot. (With versioned-dir
+        snapshots the carry-over is a copy; a table format would swap
+        partition metadata instead — same semantics.)"""
+        from pyspark.sql import functions as F
+
         mt = self._get(name)
         with mt._lock:
             df: DataFrame = self.spark.sql(mt.as_query)
+            if partition is not None:
+                pcol, pval = partition
+                fresh = df.filter(F.col(pcol).cast("string") == pval)
+                if mt.version > 0:
+                    prev = self.spark.read.parquet(f"{mt.root}/v={mt.version}")
+                    carried = prev.filter(F.col(pcol).cast("string") != pval)
+                    df = carried.unionByName(fresh)
+                else:
+                    df = fresh
             new_version = mt.version + 1
             path = f"{mt.root}/v={new_version}"
             writer = df.write.mode("overwrite")
@@ -175,6 +224,42 @@ class MaterializedTableManager:
             stale = old - 1
             if stale > 0:
                 shutil.rmtree(f"{mt.root}/v={stale}", ignore_errors=True)
+
+    def _start_stream(self, mt: MaterializedTable, sdf) -> None:
+        """Continuous mode over a streaming defining query: one
+        Structured Streaming job appends into the store; SUSPEND stops
+        it and RESUME restarts from the shared checkpoint (exactly-once
+        file-sink semantics)."""
+        import os
+
+        out = f"{mt.root}/stream"
+        ckpt = f"{mt.root}/ckpt"
+        os.makedirs(out, exist_ok=True)
+        spark = self.spark
+        # until the first batch lands, the table reads as empty
+        spark.createDataFrame([], sdf.schema).createOrReplaceTempView(mt.name)
+
+        def sink(batch, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+            # re-point the view so readers see a FRESH file listing (a
+            # batch parquet DataFrame caches its file index at creation)
+            spark.read.schema(batch.schema).parquet(out).createOrReplaceTempView(
+                mt.name
+            )
+            mt.version += 1
+            mt.last_refresh = time.time()
+
+        mt._stream_query = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{max(mt.freshness_sec, 0.5)} seconds")
+            .start()
+        )
+
+    def _stop_stream(self, mt: MaterializedTable) -> None:
+        if mt._stream_query is not None:
+            mt._stream_query.stop()
+            mt._stream_query = None
 
     def _start_loop(self, mt: MaterializedTable) -> None:
         if mt._thread is not None and mt._thread.is_alive():

@@ -120,3 +120,76 @@ def test_snapshot_pruning_keeps_two(spark, tmp_path):
     )
     assert mt.version == 5 and versions == [4, 5]
     env.execute_sql("DROP MATERIALIZED TABLE mt_prune")
+
+
+def test_partition_scoped_refresh(spark):
+    """REFRESH PARTITION recomputes only the named partition; other
+    partitions keep their previous snapshot even though the source
+    changed for them too."""
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_p", [("a", 1), ("b", 10)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_part FRESHNESS = INTERVAL '1' DAY
+        AS SELECT k, SUM(v) AS total FROM mt_src_p GROUP BY k
+    """)
+    _mk_source(spark, "mt_src_p", [("a", 5), ("b", 99)])
+    env.execute_sql("ALTER MATERIALIZED TABLE mt_part REFRESH PARTITION (k = 'a')")
+    got = {(r.k, r.total) for r in spark.table("mt_part").collect()}
+    assert got == {("a", 5), ("b", 10)}  # b carried over, a recomputed
+    env.execute_sql("ALTER MATERIALIZED TABLE mt_part REFRESH")
+    got = {(r.k, r.total) for r in spark.table("mt_part").collect()}
+    assert got == {("a", 5), ("b", 99)}
+    env.execute_sql("DROP MATERIALIZED TABLE mt_part")
+
+
+def test_continuous_streaming_materialized_table(spark, tmp_path):
+    """A streaming defining query runs as one Structured Streaming job
+    into the store: rows land continuously, SUSPEND stops consumption,
+    RESUME picks up from the checkpoint (no reprocessing, no loss)."""
+    import time
+
+    import pandas as pd
+
+    env = TableEnvironment(spark)
+    src = tmp_path / "mt_stream_src"
+    src.mkdir()
+
+    def add_file(i, rows):
+        pd.DataFrame(rows, columns=["k", "v"]).to_parquet(
+            src / f"part-{i}.parquet", index=False
+        )
+
+    add_file(0, [("x", 1), ("y", 2)])
+    schema = spark.read.parquet(str(src)).schema
+    spark.readStream.schema(schema).parquet(str(src)).createOrReplaceTempView(
+        "mt_stream_view"
+    )
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_live_stream
+        FRESHNESS = INTERVAL '1' SECOND
+        AS SELECT k, v * 10 AS v10 FROM mt_stream_view
+    """)
+    mt = env.materialized.tables["mt_live_stream"]
+    try:
+        assert mt.streaming and mt.refresh_mode == "continuous"
+
+        def rows():
+            return {(r.k, r.v10) for r in spark.table("mt_live_stream").collect()}
+
+        deadline = time.time() + 60
+        while time.time() < deadline and rows() != {("x", 10), ("y", 20)}:
+            time.sleep(0.3)
+        assert rows() == {("x", 10), ("y", 20)}
+
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_live_stream SUSPEND")
+        add_file(1, [("z", 3)])
+        time.sleep(2.5)
+        assert rows() == {("x", 10), ("y", 20)}  # suspended: nothing consumed
+
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_live_stream RESUME")
+        deadline = time.time() + 60
+        while time.time() < deadline and ("z", 30) not in rows():
+            time.sleep(0.3)
+        assert rows() == {("x", 10), ("y", 20), ("z", 30)}
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_live_stream")
