@@ -54,6 +54,22 @@ HEADLINE = [
     "pipe_vocab_top100",
 ]
 
+# Round-2 operators, timed and reported under "extra" WITHOUT entering the
+# headline value — the headline suite stays fixed so the BASELINE.md band
+# remains comparable across rounds.
+EXTRA = [
+    "stream_delta_join",
+    "stream_delta_join_ttl",
+    "stream_topn_ttl",
+    "materialized_table_refresh",
+    "format_avro_roundtrip",
+    "pipe_sequence_pack_ranged",
+    "llm_multimodal_decode",
+    "tpcds_q66_monthly_pivot",
+    "tpcds_q78_net_of_returns",
+    "tpcds_q74_yoy_growth",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,12 +98,20 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
 
+    extra: dict[str, float] = {}
+    for name in (n for n in EXTRA if n in QUERIES):
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        extra[name] = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "extra": extra,
+        "extra_sec": round(sum(extra.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(out))
