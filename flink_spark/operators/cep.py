@@ -39,6 +39,9 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 SKIP_PAST_LAST_ROW = "past_last_row"
 SKIP_TO_NEXT_ROW = "to_next_row"
+#: parameterized strategies take the pattern variable: ("to_first", "A")
+SKIP_TO_FIRST = "to_first"
+SKIP_TO_LAST = "to_last"
 
 
 @dataclass
@@ -264,8 +267,28 @@ def match_pattern(
                 )
             if skip == SKIP_PAST_LAST_ROW:
                 i = max(ri for ri, _ in m) + 1
-            else:  # TO_NEXT_ROW
+            elif skip == SKIP_TO_NEXT_ROW:
                 i = i + 1
+            else:
+                # SKIP TO FIRST/LAST <var> (reference
+                # AfterMatchSkipStrategy.skipToFirst/skipToLast): resume
+                # scanning AT that element of the current match
+                mode, var = skip
+                var_rows = [ri for ri, v in m if v == var]
+                if not var_rows:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {mode[3:].upper()} {var}: "
+                        f"variable {var!r} not present in match"
+                    )
+                target = var_rows[0] if mode == SKIP_TO_FIRST else var_rows[-1]
+                if target <= m[0][0]:
+                    # the reference throws here too — resuming at the
+                    # match start would loop forever
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {mode[3:].upper()} {var} "
+                        "does not advance past the match start"
+                    )
+                i = target
         if not out:
             return pd.DataFrame(columns=["match_id", "var", "seq_no", *cols])
         return pd.DataFrame(out)[["match_id", "var", "seq_no", *cols]]

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from flink_spark.operators.cep import (
     SKIP_PAST_LAST_ROW,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
     SKIP_TO_NEXT_ROW,
     Pattern,
     match_pattern,
@@ -43,7 +45,8 @@ MATCH_RE = re.compile(
     r"ORDER\s+BY\s+(?P<order>[\w,\s]+?)\s+"
     r"MEASURES\s+(?P<measures>.+?)\s+"
     r"(?:(?P<rowsmode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+    r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))+?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+)\s*)?"
     r"(?:DEFINE\s+(?P<define>.+?)\s*)?"
@@ -210,11 +213,15 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
         unit = m.group("wu").lower()
         pat = pat.within(f"{m.group('wn')} {unit}{'' if unit.endswith('s') else 's'}")
 
-    skip = (
-        SKIP_TO_NEXT_ROW
-        if m.group("skip") and "NEXT" in m.group("skip").upper()
-        else SKIP_PAST_LAST_ROW
-    )
+    skip_txt = (m.group("skip") or "").split()
+    if [t.upper() for t in skip_txt[:2]] == ["TO", "FIRST"]:
+        skip = (SKIP_TO_FIRST, skip_txt[2])
+    elif [t.upper() for t in skip_txt[:2]] == ["TO", "LAST"]:
+        skip = (SKIP_TO_LAST, skip_txt[2])
+    elif [t.upper() for t in skip_txt[:2]] == ["TO", "NEXT"]:
+        skip = SKIP_TO_NEXT_ROW
+    else:
+        skip = SKIP_PAST_LAST_ROW
     long_df = match_pattern(
         spark.table(m.group("tbl")),
         pat,

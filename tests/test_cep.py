@@ -217,3 +217,61 @@ def test_leading_quantifier_anchors_at_run_start(spark):
     assert _matches(match_pattern(ev, pat, ["k"])) == [
         [("B", 0), ("B", 1), ("C", 2)]
     ]
+
+
+class TestAfterMatchSkipToVar:
+    """AFTER MATCH SKIP TO FIRST/LAST <var> (reference
+    AfterMatchSkipStrategy.skipToFirst/skipToLast): scanning resumes AT
+    the chosen element, producing overlapping matches; a strategy that
+    would not advance past the match start raises, as the reference
+    does."""
+
+    def _df(self, spark):
+        rows = [
+            # a b b c  → A B+ C with SKIP TO LAST B resumes at the last b
+            (1, "a", "2024-01-01 00:00:00"),
+            (2, "b", "2024-01-01 00:01:00"),
+            (3, "b", "2024-01-01 00:02:00"),
+            (4, "c", "2024-01-01 00:03:00"),
+            (5, "a", "2024-01-01 00:04:00"),
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "event_id int, etype string, ts string")
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+            "k", F.lit("x")
+        )
+
+    def test_skip_to_last_resumes_at_var(self, spark):
+        from flink_spark.operators.cep import SKIP_TO_LAST, match_pattern
+
+        pat = (
+            Pattern.begin("A", lambda r: r["etype"] == "a")
+            .followed_by("B", lambda r: r["etype"] == "b")
+            .one_or_more()
+            .followed_by("C", lambda r: r["etype"] == "c")
+        )
+        got = match_pattern(
+            self._df(spark), pat, ["k"], ts_col="ts",
+            skip=(SKIP_TO_LAST, "B"),
+        ).collect()
+        by_match = {}
+        for r in got:
+            by_match.setdefault(r.match_id, []).append((r.var, r.event_id))
+        # match 1 consumes a b b c; resume AT the last B (row 3): no 'a'
+        # there, so no second match — but resume point is 3, not 5
+        assert by_match[1] == [("A", 1), ("B", 2), ("B", 3), ("C", 4)]
+        assert len(by_match) == 1
+
+    def test_skip_to_first_non_advancing_raises(self, spark):
+        from flink_spark.operators.cep import SKIP_TO_FIRST, match_pattern
+
+        pat = (
+            Pattern.begin("A", lambda r: r["etype"] == "a")
+            .followed_by("B", lambda r: r["etype"] == "b")
+        )
+        with pytest.raises(Exception, match="does not advance"):
+            match_pattern(
+                self._df(spark), pat, ["k"], ts_col="ts",
+                skip=(SKIP_TO_FIRST, "A"),
+            ).collect()

@@ -183,3 +183,37 @@ def test_match_recognize_reluctant_quantifier(spark):
     rows = sorted(map(tuple, got.select("n_b", "x_id").collect()))
     # reluctant B+?: shortest B run that lets X (any row) match → 1 b
     assert rows == [(1, 2)]
+
+
+def test_after_match_skip_to_last_var_sql(spark):
+    """AFTER MATCH SKIP TO LAST <var> parses and resumes scanning at the
+    last row of that variable (overlap-capable strategy surface)."""
+    import pandas as pd
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    pdf = pd.DataFrame({
+        "k": ["x"] * 5,
+        "event_id": [1, 2, 3, 4, 5],
+        "etype": ["a", "b", "b", "c", "a"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:01:00",
+            "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+            "2024-01-01 00:04:00",
+        ]),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("skipvar_src")
+    out = env.execute_sql("""
+        SELECT * FROM skipvar_src MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS last_b,
+                     C.event_id AS c_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST B
+            PATTERN (A B+ C)
+            DEFINE A AS A.etype = 'a', B AS B.etype = 'b', C AS C.etype = 'c'
+        )
+    """).collect()
+    assert [(r.a_id, r.last_b, r.c_id) for r in out] == [(1, 3, 4)]
