@@ -436,6 +436,50 @@ class TableEnvironment:
                 f"CREATE TABLE {spec.name} ({spec.ddl_schema()}) WITH ({opts})"
             )
             return self.spark.createDataFrame([(ddl,)], "ddl string")
+        tr = re.match(
+            r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", stmt, re.IGNORECASE
+        )
+        if tr and tr.group("name") in self.tables:
+            # reference SqlTruncateTable: drop the data, keep the table
+            import shutil as _shutil
+
+            spec = self.tables[tr.group("name")]
+            if spec.connector != "filesystem":
+                raise ValueError(
+                    f"TRUNCATE TABLE: connector {spec.connector!r} has no data to drop"
+                )
+            _shutil.rmtree(spec.options["path"], ignore_errors=True)
+            self.spark.createDataFrame(
+                [], spec.ddl_schema()
+            ).createOrReplaceTempView(spec.name)
+            return None
+        an = re.match(
+            r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if an:
+            # reference SqlAnalyzeTable: row count + per-column
+            # min/max/ndv/null-count, the stats CBO planners feed on
+            name = an.group("name")
+            df = self.spark.table(name)
+            from pyspark.sql import functions as F
+
+            cols = (
+                [c.strip() for c in an.group("cols").split(",")]
+                if an.group("cols")
+                else df.columns
+            )
+            aggs = [F.count(F.lit(1)).alias("row_count")]
+            for c in cols:
+                aggs += [
+                    F.min(c).cast("string").alias(f"{c}_min"),
+                    F.max(c).cast("string").alias(f"{c}_max"),
+                    F.approx_count_distinct(c).alias(f"{c}_ndv"),
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+                ]
+            return df.agg(*aggs)
         if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
             return self.spark.sql(stmt)
         im = re.match(

@@ -1349,3 +1349,40 @@ def stream_delta_join_ttl(spark, sf_dir):
         F.col("c_user").alias("user_id"),
         "click_id", "purchase_id", "click_ts", "purchase_ts",
     )
+
+
+@query(
+    "stream_window_dedup",
+    oracle="""
+    SELECT window_start, user_id, event_id, ts FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                                             user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_window_dedup(spark, sf_dir):
+    """Streaming window deduplication (reference
+    StreamExecWindowDeduplicate.java:69): first row per key per tumbling
+    window as a native windowed MIN over the (ts, event_id) struct —
+    append mode, watermark-evicted, state bounded by open windows (no
+    per-row keep-first state at all; the keep-first row IS the window's
+    running minimum)."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            F.col("first.event_id").alias("event_id"),
+            F.col("first.ts").alias("ts"),
+        )
+    )
+    out = run_to_memory(agg, "append", "wdedup")
+    return ntz_windows(out, "window_start", "ts")

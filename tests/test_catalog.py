@@ -322,3 +322,33 @@ def test_show_jobs_and_stop_job(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_truncate_table(spark, tmp_path):
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "trunc_store")
+    env.execute_sql(f"""
+        CREATE TABLE trunc_t (k BIGINT, v STRING)
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{path}')
+    """)
+    env.execute_sql("INSERT INTO trunc_t SELECT id AS k, 'x' AS v FROM range(4)")
+    assert spark.table("trunc_t").count() == 4
+    env.execute_sql("TRUNCATE TABLE trunc_t")
+    assert spark.table("trunc_t").count() == 0
+    # table survives: schema intact, writable again
+    env.execute_sql("INSERT INTO trunc_t SELECT id AS k, 'y' AS v FROM range(2)")
+    assert spark.table("trunc_t").count() == 2
+
+
+def test_analyze_table_statistics(spark):
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "c")], "k int, s string"
+    ).createOrReplaceTempView("an_src")
+    row = env.execute_sql(
+        "ANALYZE TABLE an_src COMPUTE STATISTICS FOR COLUMNS k, s"
+    ).collect()[0]
+    assert row.row_count == 4
+    assert row.k_min == "1" and row.k_max == "3" and row.k_nulls == 0
+    assert row.s_nulls == 1 and row.s_ndv >= 3
