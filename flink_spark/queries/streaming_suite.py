@@ -1386,3 +1386,52 @@ def stream_window_dedup(spark, sf_dir):
     )
     out = run_to_memory(agg, "append", "wdedup")
     return ntz_windows(out, "window_start", "ts")
+
+
+@query(
+    "stream_window_topn",
+    oracle=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS user_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, user_sum, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY user_sum DESC, user_id) AS rn
+      FROM agg) t
+    WHERE rn <= 3
+    """,
+)
+def stream_window_topn(spark, sf_dir):
+    """Streaming window Top-N (reference StreamExecWindowRank.java:77,
+    WindowRankOperator): per-window per-user sums aggregate in the
+    stream (append mode, watermark-evicted — the only stateful step);
+    ranking runs on each window's rows AS THEY CLOSE, i.e. a stateless
+    pass over the emitted output, exactly when the reference's window
+    rank fires. State never holds more than the open windows' partial
+    sums."""
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "1 minute"), closed=True
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours"), "user_id")
+        .agg(dsum("value", "user_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "user_sum",
+        )
+    )
+    from pyspark.sql import Window
+
+    closed_windows = ntz_windows(
+        run_to_memory(agg, "append", "wtopn"), "window_start"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("user_sum"), "user_id"
+    )
+    return (
+        closed_windows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
