@@ -1435,3 +1435,47 @@ def stream_window_topn(spark, sf_dir):
         closed_windows.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "stream_current_watermark",
+    oracle="""
+    WITH allr AS (SELECT event_id, user_id, ts,
+                         ROW_NUMBER() OVER (ORDER BY ts) - 1 AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM events),
+    ch AS (SELECT *, CASE WHEN rn < n // 3 THEN 0
+                          WHEN rn < (2 * n) // 3 THEN 1 ELSE 2 END AS chunk
+           FROM allr),
+    mx AS (SELECT chunk, MAX(ts) AS mxts FROM ch GROUP BY chunk),
+    wm AS (SELECT c.chunk,
+                  (SELECT make_timestamp((epoch_ms(MAX(m.mxts)) - 60000) * 1000)
+                   FROM mx m WHERE m.chunk < c.chunk) AS w
+           FROM (SELECT DISTINCT chunk FROM ch) c)
+    SELECT ch.event_id, ch.user_id, ch.ts,
+           COALESCE(wm.w, TIMESTAMP '1970-01-01 00:00:00') AS wm
+    FROM ch JOIN wm ON ch.chunk = wm.chunk
+    """,
+)
+def stream_current_watermark(spark, sf_dir):
+    """CURRENT_WATERMARK(rowtime) (reference SqlCurrentWatermarkFunction,
+    FlinkSqlOperatorTable CURRENT_WATERMARK): every row stamped with the
+    watermark in effect while it was processed, surfaced through
+    GroupState.getCurrentWatermarkMs in an Arrow-batched pass-through
+    processor. Delivery is chunked into three deterministic micro-batches,
+    so the exact oracle reconstructs each batch's watermark as the
+    ms-truncated max event time of all prior batches minus the 1-minute
+    delay (epoch 1970 before the first watermark)."""
+    from flink_spark.streaming.core import (
+        chunked_table_stream,
+        with_current_watermark,
+    )
+
+    ev = chunked_table_stream(spark, sf_dir, "events", 3, "ts")
+    ev = ev.select("event_id", "user_id", "ts").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "1 minute")
+    out = run_to_memory(
+        with_current_watermark(ev, ["user_id"]), "append", "curwm"
+    )
+    return ntz_windows(out, "ts")

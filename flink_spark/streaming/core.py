@@ -260,3 +260,41 @@ def run_files_in_batches(
         .parquet(dir_path)
     )
     return run_to_memory(transform(src), output_mode, prefix)
+
+
+def with_current_watermark(
+    stream: DataFrame, key_cols: list[str], out_col: str = "wm"
+) -> DataFrame:
+    """CURRENT_WATERMARK(rowtime) (reference SqlCurrentWatermarkFunction,
+    FlinkSqlOperatorTable CURRENT_WATERMARK): annotate every row with the
+    watermark in effect while it was processed.
+
+    Spark exposes the running watermark to stateful processors via
+    ``GroupState.getCurrentWatermarkMs`` — an Arrow-batched pass-through
+    processor stamps it onto each row (ms resolution, Spark's watermark
+    granularity; 1970-01-01 before the first watermark is computed)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        list(stream.schema.fields) + [StructField(out_col, TimestampNTZType())]
+    )
+    state_schema = StructType([StructField("seen", LongType(), True)])
+
+    def fn(key, pdfs, state):
+        wm = pd.Timestamp(state.getCurrentWatermarkMs(), unit="ms")
+        for pdf in pdfs:
+            pdf = pdf.copy()
+            pdf[out_col] = wm
+            yield pdf
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
