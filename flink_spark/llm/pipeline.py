@@ -344,6 +344,42 @@ def sequence_pack_ranged(df: DataFrame, seq_len: int = SEQ_LEN,
     )
 
 
+def passage_dedup(df: DataFrame, chunk_words: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb paragraph-dedup pass,
+    applied to fixed ``chunk_words``-word passages since the synthetic
+    corpus has no paragraph breaks): identical passages across the corpus
+    keep only their first occurrence in (doc, position) order; the rest
+    are flagged removed. Emits per-doc kept/removed counts.
+
+    Plan shape (100 TB): explode to (doc, idx, passage) — all JVM array
+    ops — one shuffle on the passage for the keep-first window, one
+    re-aggregation per doc. No pairwise comparisons anywhere."""
+    from pyspark.sql import Window
+
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.floor(F.size(ws) / chunk_words).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(
+                F.slice(ws, i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("removed_chunks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 

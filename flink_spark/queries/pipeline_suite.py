@@ -323,3 +323,31 @@ def pipe_sequence_pack_ranged(spark, sf_dir):
     local running sums."""
     docs = load_table(spark, sf_dir, "documents")
     return P.sequence_pack_ranged(docs, n_buckets=16)
+
+
+@query(
+    "pipe_passage_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+               FROM documents),
+    c AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ws[(10*i + 1):(10*i + 10)], ' ') AS chunk
+          FROM w, LATERAL (SELECT unnest(range(len(ws) // 10)) AS i) t),
+    r AS (SELECT doc_id, chunk_idx,
+                 ROW_NUMBER() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_chunks
+    FROM r GROUP BY doc_id
+    """,
+)
+def pipe_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (C4/RefinedWeb paragraph-dedup pass over
+    fixed 10-word passages): identical passages keep only their first
+    (doc, position) occurrence corpus-wide; per-doc kept/removed counts.
+    One shuffle on the passage text, no pairwise comparisons."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.passage_dedup(docs)

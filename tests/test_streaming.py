@@ -382,3 +382,61 @@ def test_streaming_topn_ttl_islands(spark):
     for op, eid, _ in ops:
         m[eid] += 1 if op in ("+I", "+U") else (-1 if op in ("-U", "-D") else 0)
     assert sorted(eid for eid, v in m.items() if v == 1) == [2, 3, 4, 5]
+
+
+def test_idle_source_watermark_policy(spark, tmp_path):
+    """Source idleness (reference WatermarkStrategy.withIdleness:147):
+    Spark has no per-source idle markers, but the documented workaround —
+    spark.sql.streaming.multipleWatermarkPolicy=max — lets an idle input
+    stop holding back the union's watermark. min policy (default,
+    Flink-aligned): windows past the idle source's last watermark never
+    close; max policy: the active source drives eviction."""
+    import pandas as pd
+
+    def mk(dirname, hours):
+        d = tmp_path / dirname
+        d.mkdir()
+        rows = [
+            ("k", h, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h))
+            for h in hours
+        ]
+        pdf = pd.DataFrame(rows, columns=["k", "v", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet nanos → bigint
+        pdf.to_parquet(d / "part-0.parquet", index=False)
+        return str(d)
+
+    active = mk("src_active", [0.5, 1.5, 2.5, 3.5, 4.5, 5.5])
+    idle = mk("src_idle", [0.25, 0.75])  # stops after the first hour
+
+    def run(policy):
+        from flink_spark.streaming.core import run_to_memory
+
+        saved = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            schema = spark.read.parquet(active).schema
+
+            def src(path):
+                return (
+                    spark.readStream.schema(schema).parquet(path)
+                    .withColumn("ts", F.col("ts").cast("timestamp"))
+                    .withWatermark("ts", "1 minute")
+                )
+
+            agg = (
+                src(active).unionByName(src(idle))
+                .groupBy(F.window("ts", "1 hour"), "k")
+                .agg(F.count("*").alias("n"))
+                .select(F.col("window.start").alias("ws"), "n")
+            )
+            out = run_to_memory(agg, "append", f"idle_{policy}")
+            return sorted(r.ws.hour for r in out.collect())
+        finally:
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)
+
+    # min (default): watermark stuck at the idle source's 00:45-1min,
+    # which never passes any window end → nothing ever closes
+    assert run("min") == []
+    # max: the active source's watermark (05:30-1min) closes everything
+    # except the still-open 05:00 window
+    assert run("max") == [0, 1, 2, 3, 4]
