@@ -198,3 +198,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, F.round("cos_sim", 12).alias("cos_sim"), "rank")
     )
+
+
+def quantize_int8(df: DataFrame, vec: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the standard
+    vector-index prep (FAISS SQ8-style): per-vector scale = 127/max|v|,
+    q_i = floor(v_i·scale + 0.5). All JVM higher-order array functions;
+    nothing crosses to Python, no shuffle at all (pure map).
+
+    Emits per-vector checksums (L1 norm and max of the quantized values)
+    rather than the int8 array itself so the result is compact and
+    exactly comparable across engines."""
+    x = F.col(vec)
+    absmax = F.aggregate(
+        F.transform(x, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = F.lit(127.0) / absmax
+    q = F.transform(x, lambda v: F.floor(v.cast("double") * scale + 0.5))
+    return df.filter(absmax > 0).select(
+        id_col,
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + F.abs(v)).alias("q_l1"),
+        F.aggregate(q, F.lit(-(2 ** 31)).cast("bigint"),
+                    lambda acc, v: F.greatest(acc, v)).alias("q_max"),
+    )

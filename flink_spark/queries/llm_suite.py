@@ -451,3 +451,35 @@ def llm_ivf_recall_gate(spark, sf_dir):
     """IVF-Flat ANN with a value-checked recall contract (k-means cells,
     n_probe=2): same ≥30% recall floor against the exact top-5 pairs."""
     return _ann_recall_gate(spark, sf_dir, "ivf")
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             127.0 / list_reduce(list_transform(embedding,
+                       x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)) AS scale
+      FROM embeddings
+      WHERE list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+                        (a, b) -> greatest(a, b)) > 0)
+    SELECT e.vec_id,
+           q.scale,
+           list_reduce(list_transform(e.embedding,
+             x -> abs(floor(x::DOUBLE * q.scale + 0.5))::BIGINT),
+             (a, b) -> a + b) AS q_l1,
+           list_reduce(list_transform(e.embedding,
+             x -> floor(x::DOUBLE * q.scale + 0.5)::BIGINT),
+             (a, b) -> greatest(a, b)) AS q_max
+    FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    """,
+)
+def llm_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (FAISS SQ8-style index
+    prep): per-vector scale 127/max|v|, floor(v*scale+0.5) — pure JVM
+    higher-order array ops, zero shuffles. Checksums (L1, max) gate the
+    whole quantized vector exactly."""
+    from flink_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
