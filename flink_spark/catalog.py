@@ -63,6 +63,12 @@ _SET_RE = re.compile(
     r"^\s*(?P<verb>SET|RESET)\s*(?:'(?P<k>[^']+)'\s*(?:=\s*'(?P<v>[^']*)')?)?\s*$",
     re.IGNORECASE,
 )
+#: CREATE TABLE ... LIKE (reference SqlTableLike.java)
+_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s+)?LIKE\s+(?P<src>[\w.]+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _TYPE_MAP = {
     # Flink SQL type → Spark SQL type (SURVEY §1.2)
@@ -370,6 +376,29 @@ class TableEnvironment:
             mr = MATCH_RE.match(stmt)
             if mr:
                 return rewrite_match_recognize(self.spark, mr)
+        lk = _LIKE_RE.match(stmt)
+        if lk and lk.group("src") in self.tables:
+            # CREATE TABLE ... LIKE (reference SqlTableLike.java): clone
+            # the source spec; WITH options override the inherited ones
+            src = self.tables[lk.group("src")]
+            options = dict(src.options)
+            options.update(
+                {m2.group("k"): m2.group("v")
+                 for m2 in _OPT_RE.finditer(lk.group("opts") or "")}
+            )
+            spec = TableSpec(
+                name=lk.group("name"), columns=list(src.columns),
+                options=options, watermark=src.watermark,
+                primary_key=list(src.primary_key),
+            )
+            self.tables[spec.name] = spec
+            try:
+                df = self._source_df(spec)
+            except Exception:  # noqa: BLE001 - sink-only until first write
+                df = None
+            if df is not None:
+                df.createOrReplaceTempView(spec.name)
+            return None
         m = _CREATE_RE.match(stmt)
         if m:
             return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
@@ -484,14 +513,28 @@ class TableEnvironment:
             return self.spark.sql(stmt)
         im = re.match(
             r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+"
+            r"(?:PARTITION\s*\(\s*(?P<pcol>\w+)\s*=\s*'(?P<pval>[^']*)'\s*\)\s+)?"
             r"(?P<query>.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if im and im.group("name") in self.tables:
+            df = self.spark.sql(im.group("query"))
+            if im.group("pcol"):
+                # static partition insert (reference SqlPartitionUtils /
+                # INSERT ... PARTITION): the partition column is a
+                # constant, cast to the declared column type
+                spec0 = self.tables[im.group("name")]
+                ptype = dict(spec0.columns).get(im.group("pcol"), "STRING")
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    im.group("pcol"),
+                    F.lit(im.group("pval")).cast(ptype),
+                )
             return self._insert(
                 im.group("name"),
-                self.spark.sql(im.group("query")),
+                df,
                 overwrite=im.group("mode").upper() == "OVERWRITE",
             )
         return self.spark.sql(stmt)

@@ -352,3 +352,45 @@ def test_analyze_table_statistics(spark):
     assert row.row_count == 4
     assert row.k_min == "1" and row.k_max == "3" and row.k_nulls == 0
     assert row.s_nulls == 1 and row.s_ndv >= 3
+
+
+def test_create_table_like(spark, tmp_path):
+    env = TableEnvironment(spark)
+    src_path = str(tmp_path / "like_src")
+    dst_path = str(tmp_path / "like_dst")
+    env.execute_sql(f"""
+        CREATE TABLE like_src_t (k BIGINT, v STRING)
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{src_path}')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE like_dst_t WITH ('path' = '{dst_path}') LIKE like_src_t
+    """)
+    spec = env.tables["like_dst_t"]
+    assert spec.columns == env.tables["like_src_t"].columns
+    assert spec.options["path"] == dst_path           # overridden
+    assert spec.options["format"] == "parquet"        # inherited
+    env.execute_sql("INSERT INTO like_dst_t SELECT id AS k, 'x' AS v FROM range(3)")
+    assert spark.table("like_dst_t").count() == 3
+
+
+def test_static_partition_insert(spark, tmp_path):
+    import os
+
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "spart")
+    env.execute_sql(f"""
+        CREATE TABLE spart_t (k BIGINT, region STRING)
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{path}', 'partition.keys' = 'region')
+    """)
+    env.execute_sql(
+        "INSERT INTO spart_t PARTITION (region = 'emea') SELECT id AS k FROM range(4)"
+    )
+    env.execute_sql(
+        "INSERT INTO spart_t PARTITION (region = 'apac') SELECT id AS k FROM range(2)"
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("region="))
+    assert dirs == ["region=apac", "region=emea"]
+    got = {(r.k, r.region) for r in spark.table("spart_t").collect()}
+    assert got == {(i, "emea") for i in range(4)} | {(i, "apac") for i in range(2)}
