@@ -443,6 +443,25 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 rows, "job_id string, job_name string, status string"
             )
+        dj = re.match(
+            r"^\s*DESCRIBE\s+JOB\s+'(?P<jid>[^']+)'\s*$", stmt, re.IGNORECASE
+        )
+        if dj:
+            # reference SqlDescribeJob: one row for the named job handle
+            for q in self.spark.streams.active:
+                if q.id == dj.group("jid") or (q.name or "") == dj.group("jid"):
+                    lp = q.lastProgress or {}
+                    return self.spark.createDataFrame(
+                        [(
+                            q.id, q.name or "",
+                            "RUNNING" if q.isActive else "FINISHED",
+                            str(lp.get("batchId", "")),
+                            str(lp.get("timestamp", "")),
+                        )],
+                        "job_id string, job_name string, status string, "
+                        "last_batch string, last_progress_ts string",
+                    )
+            raise ValueError(f"no active job {dj.group('jid')!r}")
         stop = re.match(
             r"^\s*STOP\s+JOB\s+'(?P<jid>[^']+)'\s*$", stmt, re.IGNORECASE
         )

@@ -394,3 +394,20 @@ def test_static_partition_insert(spark, tmp_path):
     assert dirs == ["region=apac", "region=emea"]
     got = {(r.k, r.region) for r in spark.table("spart_t").collect()}
     assert got == {(i, "emea") for i in range(4)} | {(i, "apac") for i in range(2)}
+
+
+def test_describe_job(spark, tmp_path):
+    env = TableEnvironment(spark)
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .queryName("describe_job_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dj"))
+        .start()
+    )
+    try:
+        row = env.execute_sql("DESCRIBE JOB 'describe_job_probe'").collect()[0]
+        assert row.job_name == "describe_job_probe" and row.status == "RUNNING"
+        assert row.job_id == q.id
+    finally:
+        q.stop()
