@@ -2,7 +2,10 @@
 TableEnvironment (reference flink-table/flink-sql-gateway
 rest/handler/session/OpenSessionHandler.java, CloseSessionHandler.java,
 statement/ExecuteStatementHandler.java, FetchResultsHandler.java,
-SqlGatewayRestAPIVersion.java — v1 URL shapes).
+SqlGatewayRestAPIVersion.java — v1 URL shapes; result paging mirrors
+rest/.../result/ResultFetcher.java: lazily-pulled pages addressed by a
+monotonic token, with the *current* token re-fetchable and older tokens
+rejected).
 
 Endpoints (v1):
 
@@ -18,25 +21,38 @@ Endpoints (v1):
     POST   /v1/sessions/{sh}/operations/{oh}/cancel
     POST   /v1/sessions/{sh}/operations/{oh}/close
 
-Execution model: statements run on a worker pool; fetches page through
-the materialized result with a row-count token exactly like the
-reference's FetchResultsHandler (PAYLOAD pages then an EOS page with no
-nextResultUri). Statements route through TableEnvironment.execute_sql,
-so the whole DDL dialect (window TVFs, MATCH_RECOGNIZE, materialized
-tables, connectors) is reachable over HTTP.
+Execution model: statements run on a worker pool; SELECT results are
+**streamed**, never fully materialized on the driver — the worker only
+plans the query and hands the operation a ``DataFrame.toLocalIterator``;
+each ``result/{token}`` fetch pulls at most one page (plus a one-row
+lookahead to decide ``nextResultUri``) from that iterator, so driver
+memory per operation is O(PAGE_SIZE) regardless of result size (the
+reference's ResultFetcher streams identically). Tokens follow the
+reference contract: re-fetching the current token replays the cached
+page; ``token+1`` advances; anything else is an error.
 
-Honest divergences from the reference, by construction: sessions share
-the single SparkSession catalog (Flink isolates per-session catalogs);
-there is no JDBC driver (the protocol surface is REST-only); results are
-fully materialized per operation rather than streamed incrementally —
-acceptable for gateway-sized result sets, and paging bounds each
-response. The scale story is unchanged: the gateway only fronts plans
-that run distributed."""
+Catalog isolation: each gateway session wraps ``spark.newSession()``, so
+temp views / SQL conf are per-session (reference
+service/session/SessionManagerImpl.java gives each session its own
+SessionContext + catalog manager) while cached data and the cluster are
+shared.
+
+Threading: PySpark pinned-thread mode (PYSPARK_PIN_THREAD, default on
+since Spark 3.2) is REQUIRED — job groups are thread-local only under
+pinned threads, and cancel() relies on ``cancelJobGroup(operation
+handle)`` reaching exactly that operation's jobs. The server refuses to
+start when it is explicitly disabled. Shared maps (sessions,
+per-session operations, per-operation fetch state) are lock-guarded;
+HTTP handlers run concurrently.
+
+Honest divergences from the reference: no JDBC driver (the protocol
+surface is REST-only; SURVEY §7.3)."""
 
 from __future__ import annotations
 
 import base64
 import json
+import os
 import re
 import threading
 import uuid
@@ -90,21 +106,81 @@ def _json_value(v):
 
 
 class _Operation:
+    """One statement execution: status + a lazily-pulled result stream.
+
+    Fetch state (guarded by ``lock``): ``_iter`` yields result rows on
+    demand; ``_pushback`` holds the single lookahead row; ``_pages``
+    caches only the current token's page so a client may re-fetch it
+    (reference ResultFetcher keeps exactly the in-flight buffer)."""
+
     def __init__(self) -> None:
         self.status = "RUNNING"
         self.error: str | None = None
         self.columns: list[dict] = []
-        self.rows: list[list] = []
         self.done = threading.Event()
+        self.lock = threading.Lock()
+        self._iter = iter(())
+        self._pushback: list | None = None
+        self._pages: dict[int, tuple[list[list], bool]] = {}
+        self._next_token = 0
+
+    def attach_iter(self, it) -> None:
+        self._iter = it
+
+    def attach_rows(self, rows: list[list]) -> None:
+        self._iter = iter(rows)
+
+    def cached_rows(self) -> int:
+        """Rows resident on the driver for this operation (test hook)."""
+        with self.lock:
+            n = sum(len(p) for p, _ in self._pages.values())
+            return n + (1 if self._pushback is not None else 0)
+
+    def _pull_page(self) -> tuple[list[list], bool]:
+        """Pull ≤ PAGE_SIZE rows + decide has-more via one-row lookahead."""
+        page: list[list] = []
+        if self._pushback is not None:
+            page.append(self._pushback)
+            self._pushback = None
+        while len(page) < PAGE_SIZE:
+            try:
+                page.append([_json_value(v) for v in next(self._iter)])
+            except StopIteration:
+                return page, False
+        try:
+            self._pushback = [_json_value(v) for v in next(self._iter)]
+        except StopIteration:
+            return page, False
+        return page, True
+
+    def fetch(self, token: int) -> tuple[list[list], bool]:
+        """Page for ``token``: replay the cached current page, or advance.
+
+        Raises KeyError for tokens that are neither the current one nor
+        the immediate successor (the reference rejects those too)."""
+        with self.lock:
+            if token in self._pages:
+                return self._pages[token]
+            if token != self._next_token:
+                raise KeyError(token)
+            page, more = self._pull_page()
+            self._pages = {token: (page, more)}  # drop older pages
+            self._next_token = token + 1
+            return page, more
 
 
 class _Session:
+    """Per-session TableEnvironment over ``spark.newSession()`` — temp
+    views and SQL conf are isolated per session (reference
+    SessionManagerImpl gives each session its own SessionContext)."""
+
     def __init__(self, spark: SparkSession, properties: dict) -> None:
         from flink_spark.catalog import TableEnvironment
 
-        self.env = TableEnvironment(spark)
+        self.env = TableEnvironment(spark.newSession())
         self.properties = dict(properties)
         self.operations: dict[str, _Operation] = {}
+        self.lock = threading.Lock()
 
 
 class SqlGatewayServer:
@@ -112,8 +188,16 @@ class SqlGatewayServer:
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
                  port: int = 0, workers: int = 4) -> None:
+        if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
+            raise RuntimeError(
+                "SQL gateway requires PySpark pinned-thread mode "
+                "(PYSPARK_PIN_THREAD, default on since Spark 3.2): job "
+                "groups are thread-local only under pinned threads, and "
+                "statement cancellation relies on per-operation job groups."
+            )
         self.spark = spark
         self.sessions: dict[str, _Session] = {}
+        self._lock = threading.Lock()
         self.pool = ThreadPoolExecutor(max_workers=workers,
                                        thread_name_prefix="sql-gateway")
         gateway = self
@@ -179,6 +263,17 @@ class SqlGatewayServer:
         self.httpd.server_close()
         self.pool.shutdown(wait=False, cancel_futures=True)
 
+    # -- handle lookups (lock-guarded) -------------------------------------
+
+    def _session(self, sh: str) -> _Session:
+        with self._lock:
+            return self.sessions[sh]
+
+    def _operation(self, sh: str, oh: str) -> _Operation:
+        sess = self._session(sh)
+        with sess.lock:
+            return sess.operations[oh]
+
     # -- handlers ----------------------------------------------------------
 
     def _h_info(self, body):
@@ -189,32 +284,36 @@ class SqlGatewayServer:
 
     def _h_open_session(self, body):
         sh = uuid.uuid4().hex
-        self.sessions[sh] = _Session(self.spark, body.get("properties", {}))
+        sess = _Session(self.spark, body.get("properties", {}))
+        with self._lock:
+            self.sessions[sh] = sess
         return 200, {"sessionHandle": sh}
 
     def _h_get_session(self, body, sh):
-        return 200, {"properties": self.sessions[sh].properties}
+        return 200, {"properties": self._session(sh).properties}
 
     def _h_close_session(self, body, sh):
-        self.sessions.pop(sh)
+        with self._lock:
+            self.sessions.pop(sh)
         return 200, {"status": "CLOSED"}
 
     def _h_heartbeat(self, body, sh):
-        self.sessions[sh]  # 404 via KeyError if expired
+        self._session(sh)  # 404 via KeyError if expired
         return 200, {}
 
     def _h_execute(self, body, sh):
-        sess = self.sessions[sh]
+        sess = self._session(sh)
         stmt = body.get("statement", "")
         oh = uuid.uuid4().hex
         op = _Operation()
-        sess.operations[oh] = op
+        with sess.lock:
+            sess.operations[oh] = op
+        sc = self.spark.sparkContext
 
         def run() -> None:
-            sc = self.spark.sparkContext
             try:
-                # job group = operation handle (thread-local), so cancel
-                # reaches the actual Spark jobs, not just the HTTP state
+                # job group = operation handle (thread-local under pinned
+                # threads), so cancel reaches the actual Spark jobs
                 sc.setJobGroup(oh, f"sql-gateway {oh}", interruptOnCancel=True)
                 res = sess.env.execute_sql(stmt)
                 if isinstance(res, DataFrame):
@@ -222,12 +321,15 @@ class SqlGatewayServer:
                         {"name": f.name, "logicalType": f.dataType.simpleString()}
                         for f in res.schema.fields
                     ]
-                    op.rows = [
-                        [_json_value(v) for v in row] for row in res.collect()
-                    ]
+                    # stream, don't materialize: fetches pull pages from
+                    # this iterator on demand (reference ResultFetcher);
+                    # prefetch exactly one page so the operation stays
+                    # RUNNING (and cancellable) until a page is computable
+                    op.attach_iter(res.toLocalIterator(prefetchPartitions=True))
+                    op.fetch(0)
                 else:
                     op.columns = [{"name": "result", "logicalType": "string"}]
-                    op.rows = [["OK"]]
+                    op.attach_rows([["OK"]])
                 if op.status == "RUNNING":
                     op.status = "FINISHED"
             except Exception as e:  # noqa: BLE001
@@ -245,34 +347,52 @@ class SqlGatewayServer:
         return 200, {"operationHandle": oh}
 
     def _h_op_status(self, body, sh, oh):
-        op = self.sessions[sh].operations[oh]
+        op = self._operation(sh, oh)
         out = {"status": op.status}
         if op.error:
             out["errors"] = [op.error]
         return 200, out
 
     def _h_op_result(self, body, sh, oh, token):
-        op = self.sessions[sh].operations[oh]
+        op = self._operation(sh, oh)
         if op.status == "RUNNING":
             return 200, {"resultType": "NOT_READY",
                          "nextResultUri": self._result_uri(sh, oh, token)}
         if op.status in ("ERROR", "CANCELED"):
             return 500, {"resultType": op.status, "errors": [op.error or ""]}
-        start = int(token) * PAGE_SIZE
-        page = op.rows[start : start + PAGE_SIZE]
-        if not page and start > 0:
+        sc = self.spark.sparkContext
+        try:
+            # pulls may run Spark jobs on this HTTP thread — tag them with
+            # the operation's job group so cancel still reaches them
+            sc.setJobGroup(oh, f"sql-gateway fetch {oh}", interruptOnCancel=True)
+            try:
+                page, more = op.fetch(int(token))
+            finally:
+                try:
+                    sc.setJobGroup(None, None)
+                except Exception:  # noqa: BLE001
+                    pass
+        except KeyError:
+            return 404, {"errors": [f"invalid fetch token {token}: only the "
+                                    "current page may be re-fetched"]}
+        except Exception as e:  # noqa: BLE001
+            if op.status != "CANCELED":
+                op.status = "ERROR"
+                op.error = str(e)
+            return 500, {"resultType": op.status, "errors": [op.error or ""]}
+        if not page and int(token) > 0:
             return 200, {"resultType": "EOS",
                          "results": {"columns": op.columns, "data": []}}
         out = {
             "resultType": "PAYLOAD",
             "results": {"columns": op.columns, "data": page},
         }
-        if start + PAGE_SIZE < len(op.rows):
+        if more:
             out["nextResultUri"] = self._result_uri(sh, oh, int(token) + 1)
         return 200, out
 
     def _h_op_cancel(self, body, sh, oh):
-        op = self.sessions[sh].operations[oh]
+        op = self._operation(sh, oh)
         if op.status == "RUNNING":
             op.status = "CANCELED"
             # interrupt the Spark jobs tagged with this operation
@@ -283,7 +403,9 @@ class SqlGatewayServer:
         return 200, {"status": op.status}
 
     def _h_op_close(self, body, sh, oh):
-        self.sessions[sh].operations.pop(oh)
+        sess = self._session(sh)
+        with sess.lock:
+            sess.operations.pop(oh)
         return 200, {"status": "CLOSED"}
 
     @staticmethod
