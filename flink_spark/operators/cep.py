@@ -126,6 +126,26 @@ class Pattern:
         self.steps[-1].greedy = greedy
         return self
 
+    def not_next(self, name: str, where: Callable) -> "Pattern":
+        """Negative strict step (reference pattern/Pattern.java:306
+        ``notNext``, NOT-state compilation in nfa/compiler/NFACompiler.java):
+        the event immediately after the previous step's match must NOT
+        satisfy ``where``. Consumes no rows."""
+        self.steps.append(Step(name, where, quantifier="not_next", strict=True))
+        return self
+
+    def not_followed_by(self, name: str, where: Callable) -> "Pattern":
+        """Negative relaxed step (reference Pattern.java:336
+        ``notFollowedBy``): no event satisfying ``where`` may occur between
+        the previous step's match and the next step's match. As the LAST
+        step it is the timeout pattern — the match holds only if no such
+        event arrives within the ``within`` window (the reference rejects a
+        trailing notFollowedBy without a window; so does this engine)."""
+        self.steps.append(
+            Step(name, where, quantifier="not_followed_by", strict=False)
+        )
+        return self
+
     def within(self, span: str) -> "Pattern":
         self.within_span = span
         return self
@@ -155,14 +175,40 @@ def _match_from(rows, steps, start, within_td, ts_col):
     def in_window(i):
         return within_td is None or rows[i][ts_col] - t0 <= within_td
 
-    def rec(step_idx, pos, acc):
+    def rec(step_idx, pos, acc, forbidden=()):
         if step_idx == len(steps):
             return acc if acc else None  # SQL forbids empty matches
         st = steps[step_idx]
+        if st.quantifier == "not_next":
+            # notNext: the immediate next event must not match; consumes
+            # nothing (reference NFACompiler NOT-states)
+            if pos < n and in_window(pos) and st.match_var(rows[pos]) is not None:
+                return None
+            return rec(step_idx + 1, pos, acc, forbidden)
+        if st.quantifier == "not_followed_by":
+            if step_idx == len(steps) - 1:
+                # trailing notFollowedBy = timeout pattern: the match holds
+                # iff no matching event arrives inside the within window
+                # (caller validated that within is set)
+                for j in range(pos, n):
+                    if not in_window(j):
+                        break
+                    if st.match_var(rows[j]) is not None:
+                        return None
+                return acc if acc else None
+            # in-between notFollowedBy: forbid matching rows in the gap
+            # before the next positive step's match
+            return rec(step_idx + 1, pos, acc, forbidden + (st,))
         # strict (next): this step starts exactly at pos; relaxed
         # (followedBy): any number of non-matching rows may be skipped
         starts = [pos] if st.strict else list(range(pos, n + 1))
         for s in starts:
+            if s > pos and any(
+                fb.match_var(rows[s - 1]) is not None for fb in forbidden
+            ):
+                # a forbidden event sits in the gap — no later start is
+                # valid either (the gap only grows)
+                break
             if st.quantifier == "once":
                 if s < n and in_window(s):
                     v = st.match_var(rows[s])
@@ -180,7 +226,9 @@ def _match_from(rows, steps, start, within_td, ts_col):
                                 if r is not None:
                                     return r
                     else:
-                        r = rec(step_idx + 1, s, acc)
+                        # step consumed nothing — the gap (and any
+                        # notFollowedBy constraint on it) continues
+                        r = rec(step_idx + 1, s, acc, forbidden)
                         if r is not None:
                             return r
             else:  # oneOrMore / zeroOrMore / times: consecutive repetition
@@ -205,7 +253,8 @@ def _match_from(rows, steps, start, within_td, ts_col):
                     else range(min_k, len(takes) + 1)
                 )
                 for k in ks:
-                    r = rec(step_idx + 1, s + k, acc + takes[:k])
+                    r = rec(step_idx + 1, s + k, acc + takes[:k],
+                            forbidden if k == 0 else ())
                     if r is not None:
                         return r
         return None
@@ -218,13 +267,18 @@ def _match_from(rows, steps, start, within_td, ts_col):
 
 def match_pattern(
     df: DataFrame,
-    pattern: Pattern,
+    pattern: "Pattern | list[Pattern]",
     key_cols: list[str],
     ts_col: str = "ts",
     order_cols: list[str] | None = None,
     skip: str = SKIP_PAST_LAST_ROW,
 ) -> DataFrame:
     """Run the pattern per key over time-ordered rows; emit matched events.
+
+    ``pattern`` may be a list of alternative patterns tried in declaration
+    order at each anchor, first match wins — the expansion Calcite applies
+    to ``PATTERN (PERMUTE (A, B))`` (SqlMatchRecognize): PERMUTE(A,B) ≡
+    (A B | B A) with lexicographic preference.
 
     Output columns: key cols + (match_id, var, seq_no) + all input columns.
     ``match_id`` numbers matches per key in match order; ``seq_no`` numbers
@@ -233,10 +287,26 @@ def match_pattern(
     import pandas as pd
 
     order_cols = order_cols or [ts_col]
-    within_td = (
-        _span_to_timedelta(pattern.within_span) if pattern.within_span else None
-    )
-    steps = pattern.steps
+    variants = pattern if isinstance(pattern, list) else [pattern]
+    compiled = []  # [(steps, within_td)]
+    for pat in variants:
+        within_td = (
+            _span_to_timedelta(pat.within_span) if pat.within_span else None
+        )
+        steps = pat.steps
+        if (
+            steps
+            and steps[-1].quantifier == "not_followed_by"
+            and within_td is None
+        ):
+            # reference NFACompiler: "NotFollowedBy is not supported as a
+            # last part of a Pattern without windowTime"
+            raise ValueError(
+                "notFollowedBy as the last pattern step requires within()"
+            )
+        if steps and steps[0].quantifier in ("not_next", "not_followed_by"):
+            raise ValueError("a pattern cannot begin with a negative step")
+        compiled.append((steps, within_td))
     in_schema = df.schema
     out_schema = StructType(
         [
@@ -256,7 +326,11 @@ def match_pattern(
         i = 0
         n = len(rows)
         while i < n:
-            m = _match_from(rows, steps, i, within_td, ts_col)
+            m = None
+            for steps, within_td in compiled:
+                m = _match_from(rows, steps, i, within_td, ts_col)
+                if m is not None:
+                    break
             if m is None:
                 i += 1
                 continue

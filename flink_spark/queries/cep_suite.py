@@ -329,3 +329,170 @@ def sql_match_all_rows_pairs(spark, sf_dir):
         "user_id", "event_id", "ts", "cls", "click_id", "running_buys",
         F.col("value").alias("row_value"),
     )
+
+
+@query(
+    "cep_abandoned_click",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL '30 minutes')
+    """,
+)
+def cep_abandoned_click(spark, sf_dir):
+    """PATTERN: click notFollowedBy(purchase) WITHIN 30m — the timeout /
+    absence pattern (reference Pattern.java:336 ``notFollowedBy``; a
+    trailing NOT requires a window, NFACompiler). A match consumes only
+    the click, so every click is its own anchor and the NOT-EXISTS
+    anti-join over the (ts, event_id) sequence order is the exact
+    closed form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .not_followed_by("NP", lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"])
+    return m.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+
+@query(
+    "cep_clean_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    nxt AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_rn,
+             MIN(CASE WHEN event_type = 'error' THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e_rn
+      FROM s)
+    SELECT a.user_id, a.event_id AS click_id, p.event_id AS purchase_id,
+           a.ts AS click_ts, p.ts AS purchase_ts
+    FROM nxt a
+    JOIN s p ON p.user_id = a.user_id AND p.rn = a.p_rn
+    WHERE a.event_type = 'click'
+      AND (a.e_rn IS NULL OR a.e_rn > a.p_rn)
+      AND p.ts <= a.ts + INTERVAL '2 hours'
+    """,
+)
+def cep_clean_conversion(spark, sf_dir):
+    """PATTERN: click notFollowedBy(error) purchase WITHIN 2h, AFTER MATCH
+    SKIP TO NEXT ROW — conversions with no error event in the gap
+    (reference notFollowedBy between steps; NFACompiler STOP-states kill
+    partial matches when the forbidden event arrives). SKIP TO NEXT ROW
+    evaluates every click anchor independently, so the first-following-
+    purchase-vs-first-following-error window SQL is exact: a click
+    converts iff its next purchase precedes its next error and lands in
+    the window (ts ascends with rn, so only the first purchase can
+    qualify)."""
+    from flink_spark.operators.cep import SKIP_TO_NEXT_ROW
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .not_followed_by("NE", lambda r: r["event_type"] == "error")
+        .followed_by("C", lambda r: r["event_type"] == "purchase")
+        .within("2 hours")
+    )
+    m = match_pattern(ev, pat, key_cols=["user_id"], ts_col="ts",
+                      order_cols=["ts", "event_id"], skip=SKIP_TO_NEXT_ROW)
+    return (
+        m.groupBy("user_id", "match_id")
+        .agg(
+            F.max(F.when(F.col("var") == "A", F.col("event_id")))
+            .alias("click_id"),
+            F.max(F.when(F.col("var") == "C", F.col("event_id")))
+            .alias("purchase_id"),
+            F.max(F.when(F.col("var") == "A", F.col("ts"))).alias("click_ts"),
+            F.max(F.when(F.col("var") == "C", F.col("ts")))
+            .alias("purchase_ts"),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts",
+                "purchase_ts")
+    )
+
+@query(
+    "sql_match_subset_union",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END
+               AS is_cv
+      FROM events),
+    runs AS (
+      SELECT *, rn - SUM(is_cv) OVER
+               (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s WHERE is_cv = 1),
+    islands AS (
+      SELECT user_id, grp, MIN(rn) AS lo, MAX(rn) AS hi,
+             COUNT(*) AS n_cv
+      FROM runs GROUP BY user_id, grp)
+    SELECT i.user_id,
+           CAST(i.n_cv AS BIGINT) AS n_cv,
+           flo.value AS first_cv_value,
+           fhi.value AS last_cv_value,
+           p.event_id AS purchase_id
+    FROM islands i
+    JOIN s flo ON flo.user_id = i.user_id AND flo.rn = i.lo
+    JOIN s fhi ON fhi.user_id = i.user_id AND fhi.rn = i.hi
+    JOIN s p ON p.user_id = i.user_id AND p.rn = i.hi + 1
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def sql_match_subset_union(spark, sf_dir):
+    """MATCH_RECOGNIZE SUBSET clause (Calcite SqlMatchRecognize
+    subsetList; reference MatchRecognizeITCase SUBSET tests): the union
+    variable U = (C, V) aggregates across both alternation branches in
+    MEASURES — COUNT/FIRST/LAST over the whole click-or-view run. Same
+    islands non-overlap argument as cep_alternation_funnel makes the
+    gaps-and-islands oracle exact."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.createOrReplaceTempView("cep_subset_events")
+    out = env.execute_sql("""
+        SELECT * FROM cep_subset_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(U.*) AS n_cv,
+                     FIRST(U.value) AS first_cv_value,
+                     LAST(U.value) AS last_cv_value,
+                     LAST(P.event_id) AS purchase_id
+            ONE ROW PER MATCH
+            PATTERN ((C|V)+ P)
+            SUBSET U = (C, V)
+            DEFINE C AS C.event_type = 'click',
+                   V AS V.event_type = 'view',
+                   P AS P.event_type = 'purchase'
+        )
+    """)
+    return out.select(
+        "user_id", "n_cv", "first_cv_value", "last_cv_value", "purchase_id"
+    )

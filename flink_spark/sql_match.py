@@ -12,7 +12,11 @@ Supported subset (documented contract, mirrors the common Flink usage):
         [ONE ROW PER MATCH]
         [AFTER MATCH SKIP (PAST LAST ROW | TO NEXT ROW)]
         PATTERN (A B+ C? D*)                      -- strict contiguity
+                                                  -- also (A|B) alternation,
+                                                  -- {- X -} exclusion,
+                                                  -- PERMUTE (A, B, ...)
         [WITHIN INTERVAL '<n>' <unit>]
+        [SUBSET U = (A, B) [, ...]]               -- union variables
         DEFINE A AS <boolean expr over A.*>, B AS ...
     )
 
@@ -49,10 +53,17 @@ MATCH_RE = re.compile(
     r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))+?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+)\s*)?"
+    r"(?:SUBSET\s+(?P<subset>\w+\s*=\s*\([^()]*\)"
+    r"(?:\s*,\s*\w+\s*=\s*\([^()]*\))*)\s*)?"
     r"(?:DEFINE\s+(?P<define>.+?)\s*)?"
     r"\)\s*(?:AS\s+\w+\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: SUBSET clause entries: ``U = (A, B)`` (Calcite SqlMatchRecognize
+#: subsetList; Flink MatchCodeGenerator resolves union variables in
+#: MEASURES against the member set).
+_SUBSET_RE = re.compile(r"(?P<name>\w+)\s*=\s*\(\s*(?P<members>[\w,\s]+?)\s*\)")
 
 #: PATTERN tokens: a variable or an alternation group ``(A|B)``, followed
 #: by an optional quantifier ``+ * ? {n} {n,} {n,m}`` and an optional
@@ -148,9 +159,14 @@ def _split_top_level_commas(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _parse_pattern(pattern_text: str, defines: dict) -> Pattern:
+def _parse_pattern(pattern_text: str, defines: dict):
     """Tokenize PATTERN: variables / alternation groups, each with an
-    optional quantifier (+ * ? {n} {n,} {n,m}) and reluctance marker."""
+    optional quantifier (+ * ? {n} {n,} {n,m}) and reluctance marker.
+    Also handles ``PERMUTE (A, B, ...)`` (expanded to the permutation
+    alternatives in declaration order, as Calcite does) and SQL:2016
+    exclusion ``{- X -}`` (matched but omitted from ALL ROWS output).
+
+    Returns (pattern-or-list-of-patterns, excluded-variable set)."""
 
     def where_of(var: str):
         return (
@@ -159,8 +175,32 @@ def _parse_pattern(pattern_text: str, defines: dict) -> Pattern:
             else (lambda row: True)
         )
 
+    text = pattern_text.strip()
+
+    pm = re.match(r"PERMUTE\s*\(\s*([\w,\s]+?)\s*\)\s*$", text, re.IGNORECASE)
+    if pm:
+        from itertools import permutations
+
+        names = [v.strip().upper() for v in pm.group(1).split(",")]
+        variants = []
+        for perm in permutations(names):
+            p = Pattern.begin(perm[0], where_of(perm[0]))
+            for v in perm[1:]:
+                p = p.next(v, where_of(v))
+            variants.append(p)
+        return variants, set()
+
+    excluded: set[str] = set()
+
+    def _strip_exclusion(mo: re.Match) -> str:
+        inner = mo.group(1)
+        excluded.update(v.upper() for v in re.findall(r"[A-Za-z_]\w*", inner))
+        return f" {inner} "
+
+    text = re.sub(r"\{-\s*((?:[^-]|-(?!\}))*?)\s*-\}", _strip_exclusion, text)
+
     pat = None
-    pos, text = 0, pattern_text.strip()
+    pos = 0
     while pos < len(text):
         tok = _PAT_TOKEN_RE.match(text, pos)
         if not tok or tok.end() == pos:
@@ -194,7 +234,7 @@ def _parse_pattern(pattern_text: str, defines: dict) -> Pattern:
                 pat = pat.times(int(inner), greedy=greedy)
     if pat is None:
         raise ValueError("empty PATTERN")
-    return pat
+    return pat, excluded
 
 
 def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
@@ -208,10 +248,19 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
                 raise ValueError(f"unsupported DEFINE clause: {d!r}")
             defines[dm.group(1).upper()] = dm.group(2).strip()
 
-    pat = _parse_pattern(m.group("pattern"), defines)
+    pat, excluded = _parse_pattern(m.group("pattern"), defines)
     if m.group("wn"):
         unit = m.group("wu").lower()
-        pat = pat.within(f"{m.group('wn')} {unit}{'' if unit.endswith('s') else 's'}")
+        span = f"{m.group('wn')} {unit}{'' if unit.endswith('s') else 's'}"
+        for p in (pat if isinstance(pat, list) else [pat]):
+            p.within(span)
+
+    subsets: dict[str, list[str]] = {}
+    if m.group("subset"):
+        for sm in _SUBSET_RE.finditer(m.group("subset")):
+            subsets[sm.group("name").upper()] = [
+                v.strip().upper() for v in sm.group("members").split(",")
+            ]
 
     skip_txt = (m.group("skip") or "").split()
     if [t.upper() for t in skip_txt[:2]] == ["TO", "FIRST"]:
@@ -236,13 +285,22 @@ def rewrite_match_recognize(spark, m: re.Match) -> DataFrame:
     )
     measures = _split_top_level_commas(m.group("measures"))
     if all_rows:
-        return _all_rows_per_match(long_df, part_cols, measures)
-    return _one_row_per_match(long_df, part_cols, measures)
+        return _all_rows_per_match(long_df, part_cols, measures, subsets,
+                                   excluded)
+    return _one_row_per_match(long_df, part_cols, measures, subsets)
 
 
-def _one_row_per_match(long_df, part_cols, measures) -> DataFrame:
+def _var_predicate(var: str, subsets: dict[str, list[str]]):
+    """``var`` may be a pattern variable or a SUBSET union variable — the
+    latter matches any of its members (Calcite subsetList resolution)."""
+    members = subsets.get(var)
+    return F.col("var").isin(members) if members else (F.col("var") == var)
+
+
+def _one_row_per_match(long_df, part_cols, measures, subsets=None) -> DataFrame:
     """MEASURES over the long-format match relation: per (partition,
     match) aggregation — FINAL semantics, as ONE ROW PER MATCH implies."""
+    subsets = subsets or {}
     aggs = []
     for piece in measures:
         sm = _SPECIAL_MEASURE_RE.match(piece)
@@ -258,7 +316,7 @@ def _one_row_per_match(long_df, part_cols, measures) -> DataFrame:
             raise ValueError(f"unsupported MEASURES clause: {piece!r}")
         fn = (mm.group("fn") or "LAST").upper()
         var, col, name = mm.group("var").upper(), mm.group("col"), mm.group("name")
-        isvar = F.col("var") == var
+        isvar = _var_predicate(var, subsets)
         if fn == "COUNT":
             aggs.append(F.sum(F.when(isvar, 1).otherwise(0)).alias(name))
         elif fn == "FIRST":
@@ -274,14 +332,20 @@ def _one_row_per_match(long_df, part_cols, measures) -> DataFrame:
     return long_df.groupBy(*part_cols, "match_id").agg(*aggs).drop("match_id")
 
 
-def _all_rows_per_match(long_df, part_cols, measures) -> DataFrame:
+def _all_rows_per_match(long_df, part_cols, measures, subsets=None,
+                        excluded=None) -> DataFrame:
     """ALL ROWS PER MATCH: one output row per matched event, measures
     evaluated with RUNNING semantics (SQL:2016 / Calcite default inside
     ALL ROWS PER MATCH; Flink MatchCodeGenerator running aggregates) — a
     window over the match's rows up to the current one. The window
     partitions on (partition keys, match_id), so it sees |match| rows,
-    never the fact table."""
+    never the fact table. Rows matched by ``{- X -}``-excluded variables
+    still feed the running measures but are omitted from the output
+    (SQL:2016 exclusion semantics)."""
     from pyspark.sql import Window
+
+    subsets = subsets or {}
+    excluded = excluded or set()
 
     w = (
         Window.partitionBy(*part_cols, "match_id")
@@ -303,7 +367,7 @@ def _all_rows_per_match(long_df, part_cols, measures) -> DataFrame:
             raise ValueError(f"unsupported MEASURES clause: {piece!r}")
         fn = (mm.group("fn") or "LAST").upper()
         var, col, name = mm.group("var").upper(), mm.group("col"), mm.group("name")
-        isvar = F.col("var") == var
+        isvar = _var_predicate(var, subsets)
         if fn == "COUNT":
             expr = F.sum(F.when(isvar, 1).otherwise(0)).over(w)
         elif fn == "FIRST":
@@ -316,6 +380,8 @@ def _all_rows_per_match(long_df, part_cols, measures) -> DataFrame:
             ).over(w)
         out = out.withColumn(name, expr)
         names.append(name)
+    if excluded:
+        out = out.filter(~F.col("var").isin(sorted(excluded)))
     # SQL:2016 ALL ROWS PER MATCH output: the input row, plus measures.
     base = [c for c in long_df.columns if c not in ("match_id", "var", "seq_no")]
     return out.select(*base, *names)

@@ -275,3 +275,84 @@ class TestAfterMatchSkipToVar:
                 self._df(spark), pat, ["k"], ts_col="ts",
                 skip=(SKIP_TO_FIRST, "A"),
             ).collect()
+
+
+# -- negation (reference Pattern.java:306-359 notNext/notFollowedBy, ------
+# -- NFACompiler NOT-state compilation) -----------------------------------
+
+
+def test_not_next_blocks_adjacent(spark):
+    """a notNext(b) c: 'a x c' matches via relaxed c; 'a b c' must not."""
+    mk = lambda seq: _events(spark, seq)
+    pat = lambda: (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .not_next("NB", lambda r: r["t"] == "b")
+        .followed_by("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(mk(["a", "x", "c"]), pat(), ["k"])) == [
+        [("A", 0), ("C", 2)]
+    ]
+    assert _matches(match_pattern(mk(["a", "b", "c"]), pat(), ["k"])) == []
+
+
+def test_not_followed_by_in_between(spark):
+    """a notFollowedBy(b) c: no b anywhere in the gap, adjacent or not."""
+    mk = lambda seq: _events(spark, seq)
+    pat = lambda: (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .not_followed_by("NB", lambda r: r["t"] == "b")
+        .followed_by("C", lambda r: r["t"] == "c")
+    )
+    assert _matches(match_pattern(mk(["a", "x", "x", "c"]), pat(), ["k"])) == [
+        [("A", 0), ("C", 3)]
+    ]
+    # b deep in the gap kills the match even though c still follows
+    assert _matches(match_pattern(mk(["a", "x", "b", "c"]), pat(), ["k"])) == []
+
+
+def test_not_followed_by_trailing_is_timeout_pattern(spark):
+    """a notFollowedBy(b) WITHIN w: match iff no b inside the window after
+    a (the fraud/timeout shape the reference compiles to a timed NOT-state)."""
+    mk = lambda seq: _events(spark, seq)  # minute-spaced
+    pat = lambda: (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .not_followed_by("NB", lambda r: r["t"] == "b")
+        .within("2 minutes")
+    )
+    # b at +3min is outside the window → the match holds
+    assert _matches(match_pattern(mk(["a", "x", "x", "b"]), pat(), ["k"])) == [
+        [("A", 0)]
+    ]
+    # b at +1min is inside → no match
+    assert _matches(match_pattern(mk(["a", "b", "x", "x"]), pat(), ["k"])) == []
+
+
+def test_trailing_not_followed_by_requires_within(spark):
+    ev = _events(spark, ["a", "b"])
+    pat = (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .not_followed_by("NB", lambda r: r["t"] == "b")
+    )
+    with pytest.raises(ValueError, match="within"):
+        match_pattern(ev, pat, ["k"]).collect()
+
+
+def test_not_followed_by_survives_untaken_optional(spark):
+    """a notFollowedBy(b) c? d: when c is absent the forbidden-b constraint
+    must carry through the untaken optional into d's gap."""
+    mk = lambda seq: _events(spark, seq)
+    pat = lambda: (
+        Pattern.begin("A", lambda r: r["t"] == "a")
+        .not_followed_by("NB", lambda r: r["t"] == "b")
+        .followed_by("C", lambda r: r["t"] == "c")
+        .optional()
+        .followed_by("D", lambda r: r["t"] == "d")
+    )
+    assert _matches(match_pattern(mk(["a", "x", "d"]), pat(), ["k"])) == [
+        [("A", 0), ("D", 2)]
+    ]
+    assert _matches(match_pattern(mk(["a", "b", "d"]), pat(), ["k"])) == []
+    # with c present the constraint stops at c: a later b is irrelevant
+    assert _matches(match_pattern(mk(["a", "c", "b", "d"]), pat(), ["k"])) == [
+        [("A", 0), ("C", 1), ("D", 3)]
+    ]

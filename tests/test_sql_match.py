@@ -217,3 +217,104 @@ def test_after_match_skip_to_last_var_sql(spark):
         )
     """).collect()
     assert [(r.a_id, r.last_b, r.c_id) for r in out] == [(1, 3, 4)]
+
+
+def _script_events(spark, seq):
+    """Minute-spaced single-user event script: list of (type, value)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), t, float(v))
+        for i, (t, v) in enumerate(seq)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id INT, event_id INT, ts TIMESTAMP, event_type STRING, "
+              "value DOUBLE"
+    )
+
+
+def test_subset_union_variable_measures(spark):
+    """SUBSET U = (A, B): union variable usable in MEASURES aggregations
+    (Calcite SqlMatchRecognize subsetList; Flink MatchRecognizeITCase)."""
+    env = TableEnvironment(spark)
+    _script_events(spark, [
+        ("up", 10), ("up", 20), ("down", 5), ("flat", 0),
+        ("up", 30), ("down", 7), ("flat", 0),
+    ]).createOrReplaceTempView("mr_subset_events")
+
+    got = env.execute_sql("""
+        SELECT * FROM mr_subset_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(U.*) AS n_moves,
+                     FIRST(U.value) AS first_move,
+                     LAST(U.value) AS last_move,
+                     LAST(C.value) AS flat_value
+            ONE ROW PER MATCH
+            PATTERN (A+ B C)
+            SUBSET U = (A, B)
+            DEFINE A AS A.event_type = 'up',
+                   B AS B.event_type = 'down',
+                   C AS C.event_type = 'flat'
+        )
+    """)
+    rows = sorted(map(tuple, got.collect()))
+    # match 1: up(10) up(20) down(5) flat → U covers 3 rows, 10..5
+    # match 2: up(30) down(7) flat       → U covers 2 rows, 30..7
+    assert rows == [(1, 2, 30.0, 7.0, 0.0), (1, 3, 10.0, 5.0, 0.0)]
+
+
+def test_pattern_exclusion_all_rows(spark):
+    """{- B -}: excluded rows are matched (and feed running measures) but
+    omitted from ALL ROWS PER MATCH output (SQL:2016 exclusion)."""
+    env = TableEnvironment(spark)
+    _script_events(spark, [
+        ("a", 1), ("b", 2), ("b", 3), ("c", 4), ("a", 5), ("c", 6),
+    ]).createOrReplaceTempView("mr_excl_events")
+
+    got = env.execute_sql("""
+        SELECT * FROM mr_excl_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mno, COUNT(B.*) AS n_b
+            ALL ROWS PER MATCH
+            PATTERN (A {- B* -} C)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c'
+        )
+    """)
+    rows = sorted(
+        (r.event_id, r.mno, r.n_b) for r in got.collect()
+    )
+    # B rows (ids 1,2) are dropped from output; C's running COUNT(B.*)
+    # still saw both of them in match 1
+    assert rows == [(0, 1, 0), (3, 1, 2), (4, 2, 0), (5, 2, 0)]
+
+
+def test_permute_pattern(spark):
+    """PATTERN (PERMUTE (A, B)): matches A B or B A (Calcite expands
+    PERMUTE to the permutation alternation in declaration order)."""
+    env = TableEnvironment(spark)
+    _script_events(spark, [
+        ("a", 1), ("b", 2), ("x", 0), ("b", 3), ("a", 4), ("x", 0), ("a", 9),
+    ]).createOrReplaceTempView("mr_permute_events")
+
+    got = env.execute_sql("""
+        SELECT * FROM mr_permute_events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS last_var,
+                     LAST(A.value) AS a_val,
+                     LAST(B.value) AS b_val
+            ONE ROW PER MATCH
+            PATTERN (PERMUTE (A, B))
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b'
+        )
+    """)
+    rows = sorted(map(tuple, got.collect()))
+    # (a b) at 0-1 matches as A B; (b a) at 3-4 matches as B A; trailing
+    # lone 'a' matches nothing
+    assert rows == [(1, "A", 4.0, 3.0), (1, "B", 1.0, 2.0)]
