@@ -71,18 +71,20 @@ def brute_force_topk(
 
 
 def hyperplane_sketch(df: DataFrame, vec: str, n_planes: int = 16,
-                      dim: int = 64) -> DataFrame:
+                      dim: int = 64, table: int = 0) -> DataFrame:
     """Sign-sketch for LSH bucketing: bit j = sign(v · r_j) where r_j is a
-    deterministic pseudo-random hyperplane derived from md5(j, i) — no RNG
-    at runtime, reproducible across engines/runs."""
+    deterministic pseudo-random hyperplane derived from md5(table, j, i) —
+    no RNG at runtime, reproducible across engines/runs. ``table`` selects
+    an independent plane family for multi-table LSH."""
     planes = []
     for j in range(n_planes):
-        # deterministic ±1 plane from bit-mix of (j, i)
+        # deterministic ±1 plane from bit-mix of (table, j, i)
         comps = F.array(
             *[
                 F.when(
                     F.conv(
-                        F.substring(F.md5(F.lit(f"{j}:{i}")), 1, 8), 16, 10
+                        F.substring(F.md5(F.lit(f"{table}:{j}:{i}")), 1, 8),
+                        16, 10
                     ).cast("bigint")
                     % 2
                     == 0,
@@ -116,16 +118,28 @@ def lsh_topk(
     vec: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's sign bucket.
-    Equality join on bucket → no cross product; recall traded for cost."""
-    qs = hyperplane_sketch(
-        queries.select(query_id, F.col(vec).alias("__qv")), "__qv", n_planes, dim
-    )
-    cs = hyperplane_sketch(
-        candidates.select(cand_id, F.col(vec).alias("__cv")), "__cv", n_planes, dim
-    )
-    scored = qs.join(cs, "bucket").withColumn("cos_sim", cosine("__qv", "__cv"))
+    """Approximate top-k: score only candidates sharing the query's sign
+    bucket in at least one of ``n_tables`` independent plane families
+    (multi-table LSH — the standard recall dial: collision probability
+    1-(1-p^b)^L for per-plane agreement p, b planes, L tables). Equality
+    join on (table, bucket) → no cross product; pairs colliding in
+    several tables are deduplicated before scoring, so each survivor is
+    scored once."""
+    q_in = queries.select(query_id, F.col(vec).alias("__qv"))
+    c_in = candidates.select(cand_id, F.col(vec).alias("__cv"))
+    per_table = []
+    for t in range(n_tables):
+        qs = hyperplane_sketch(q_in, "__qv", n_planes, dim, table=t)
+        cs = hyperplane_sketch(c_in, "__cv", n_planes, dim, table=t)
+        per_table.append(qs.join(cs, "bucket").drop("bucket"))
+    pairs = per_table[0]
+    for p in per_table[1:]:
+        pairs = pairs.unionByName(p)
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates([query_id, cand_id])
+    scored = pairs.withColumn("cos_sim", cosine("__qv", "__cv"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -144,17 +158,21 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     seed: int = 42,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-partition the candidates, probe
-    only the ``n_probe`` nearest cells per query.
+    only the ``n_probe`` nearest cells per query. ``n_assign`` > 1 indexes
+    each candidate under its n_assign nearest cells (boundary spill — the
+    replication analog of FAISS's multi-assignment), trading index size
+    for recall that stays stable as the corpus grows.
 
     Scale shape: the centroid table is tiny (n_centroids × dim) and
-    broadcast everywhere; candidates get their cell in one pass and the
+    broadcast everywhere; candidates get their cell(s) in one pass and the
     probe is an equi-join on cell id — so the scored set shrinks to
-    ~n_probe/n_centroids of the corpus with no cross product. Recall is
-    the n_probe dial (IVF-Flat semantics; the FAISS-style layout the
-    VECTOR_SEARCH surface would back onto at 100 TB).
-    """
+    ~n_probe·n_assign/n_centroids of the corpus with no cross product.
+    Recall is the n_probe/n_assign dial (IVF-Flat semantics; the
+    FAISS-style layout the VECTOR_SEARCH surface would back onto at
+    100 TB)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -163,13 +181,34 @@ def ivf_topk(
     ).withColumn("__fv", array_to_vector(F.col("__cv").cast("array<double>")))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
     model = km.fit(cand_vec)
-    assigned = model.transform(cand_vec).drop("__fv")
 
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     spark = candidates.sparkSession
     cent_df = spark.createDataFrame(centroids, f"__cell int, __cent array<double>")
+
+    if n_assign <= 1:
+        assigned = model.transform(cand_vec).drop("__fv")
+    else:
+        c_l2 = F.expr(
+            "aggregate(zip_with(__cv, __cent, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        assigned = (
+            cand_vec.drop("__fv")
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("__cd", c_l2)
+            .withColumn(
+                "__cr",
+                F.row_number().over(
+                    Window.partitionBy(cand_id).orderBy("__cd", "__cell")
+                ),
+            )
+            .filter(F.col("__cr") <= n_assign)
+            .select(cand_id, "__cv", "__cell")
+        )
 
     # each query → its n_probe nearest centroids (centroids broadcast)
     q = queries.select(query_id, F.col(vec).alias("__qv"))
@@ -189,9 +228,11 @@ def ivf_topk(
         .filter(F.col("__pr") <= n_probe)
         .select(query_id, "__qv", "__cell")
     )
-    scored = probes.join(assigned, "__cell").withColumn(
-        "cos_sim", cosine("__qv", "__cv")
-    )
+    pairs = probes.join(assigned, "__cell")
+    if n_assign > 1:
+        # a candidate spilled into several probed cells must score once
+        pairs = pairs.dropDuplicates([query_id, cand_id])
+    scored = pairs.withColumn("cos_sim", cosine("__qv", "__cv"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

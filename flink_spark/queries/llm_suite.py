@@ -415,9 +415,10 @@ def _ann_recall_gate(spark, sf_dir, method: str):
     )
     exact = SIM.brute_force_topk(q, c, k=5).select("query_id", "cand_id")
     if method == "lsh":
-        approx = SIM.lsh_topk(q, c, k=5, n_planes=2)
+        approx = SIM.lsh_topk(q, c, k=5, n_planes=4, n_tables=16)
     else:
-        approx = SIM.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2)
+        approx = SIM.ivf_topk(q, c, k=5, n_centroids=12, n_probe=5,
+                              n_assign=2)
     hits = exact.join(
         approx.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
     )
@@ -426,7 +427,7 @@ def _ann_recall_gate(spark, sf_dir, method: str):
         .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
         .select(
             F.col("n_exact"),
-            (F.col("n_hit") >= 0.3 * F.col("n_exact")).alias("recall_ok"),
+            (F.col("n_hit") >= 0.8 * F.col("n_exact")).alias("recall_ok"),
         )
     )
 
@@ -436,10 +437,12 @@ def _ann_recall_gate(spark, sf_dir, method: str):
     oracle="SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok",
 )
 def llm_lsh_recall_gate(spark, sf_dir):
-    """LSH ANN with a value-checked recall contract: 2-plane bucketed
-    top-5 must recover ≥30% of the brute-force exact top-5 pairs over the
-    10-query slice (50 exact pairs). Companion to the rows-only
-    llm_lsh_topk entry, which stays for result inspection."""
+    """LSH ANN with a value-checked recall contract: multi-table LSH
+    (16 tables × 4 planes) top-5 must recover ≥80% of the brute-force
+    exact top-5 pairs over the 10-query slice (50 exact pairs; measured
+    0.96 at sf0.01 and sf0.1 — deterministic md5-derived planes, so the
+    gate is reproducible). Companion to the rows-only llm_lsh_topk
+    entry, which stays for result inspection."""
     return _ann_recall_gate(spark, sf_dir, "lsh")
 
 
@@ -448,8 +451,11 @@ def llm_lsh_recall_gate(spark, sf_dir):
     oracle="SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok",
 )
 def llm_ivf_recall_gate(spark, sf_dir):
-    """IVF-Flat ANN with a value-checked recall contract (k-means cells,
-    n_probe=2): same ≥30% recall floor against the exact top-5 pairs."""
+    """IVF-Flat ANN with a value-checked recall contract: 12 k-means
+    cells, 5 probes, candidates spill-assigned to their 2 nearest cells
+    (boundary replication keeps recall stable as the corpus grows) —
+    ≥80% recall floor against the exact top-5 pairs (measured 0.94 at
+    sf0.01, 0.92 at sf0.1)."""
     return _ann_recall_gate(spark, sf_dir, "ivf")
 
 
