@@ -117,6 +117,7 @@ class TableEnvironment:
         # temporal table functions: name -> (table, time_attribute, key)
         self.temporal_fns: dict[str, tuple[str, str, str]] = {}
         self._materialized = None
+        self._models = None
 
     @property
     def materialized(self):
@@ -343,8 +344,47 @@ class TableEnvironment:
 
     # -- DDL ---------------------------------------------------------------
 
+    @property
+    def model_manager(self):
+        """Model catalog (reference SqlCreateModel/CatalogModel,
+        flink-models providers), created on first use."""
+        if self._models is None:
+            from flink_spark.models import ModelManager
+
+            self._models = ModelManager(self.spark)
+        return self._models
+
+    def create_temporary_model(self, name: str, factory,
+                               output_schema: str | None = None) -> None:
+        """Register a Python model factory as a catalog model usable from
+        ML_PREDICT SQL (Table-API analog of CREATE MODEL)."""
+        self.model_manager.create_temporary(name, factory, output_schema)
+
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
+        if "MODEL" in stmt.upper():
+            from flink_spark.models import (
+                MODEL_ALTER_RE,
+                MODEL_CREATE_RE,
+                MODEL_DROP_RE,
+                SHOW_MODELS_RE,
+            )
+
+            for rx, h in (
+                (MODEL_CREATE_RE, "create"),
+                (MODEL_ALTER_RE, "alter"),
+                (MODEL_DROP_RE, "drop"),
+            ):
+                mm = rx.match(stmt)
+                if mm:
+                    return getattr(self.model_manager, h)(mm)
+            if SHOW_MODELS_RE.match(stmt):
+                return self.model_manager.show()
+        if "ML_PREDICT" in stmt.upper():
+            from flink_spark.models import ML_PREDICT_RE
+
+            if ML_PREDICT_RE.search(stmt):
+                stmt = self.model_manager.rewrite_ml_predict(stmt)
         if "MATERIALIZED" in stmt.upper():
             from flink_spark.materialized import (
                 MT_ALTER_RE,

@@ -1,0 +1,202 @@
+"""Model DDL + ML_PREDICT table function SQL surface (reference
+flink-table/flink-sql-parser/.../ddl/SqlCreateModel.java,
+SqlAlterModel.java, SqlDropModel.java; catalog objects
+CatalogModel/ResolvedCatalogModel; runtime
+StreamExecMLPredictTableFunction; providers
+flink-models/{flink-model-openai,flink-model-triton}).
+
+Statements:
+
+    CREATE MODEL [IF NOT EXISTS] m
+        [INPUT (x ARRAY<FLOAT>)]
+        [OUTPUT (score BIGINT, pred_label BIGINT)]
+        WITH ('provider' = 'fixed-point-linear', ...)
+    ALTER MODEL m SET ('k' = 'v')
+    DROP MODEL [IF EXISTS] m
+    SHOW MODELS
+    SELECT ... FROM ML_PREDICT(TABLE t, MODEL m, DESCRIPTOR(col)) ...
+
+Provider resolution: ``fixed-point-linear`` binds the in-repo
+deterministic FixedPointLinearModel (functions/ml.py), so the whole DDL →
+predict path is value-checkable against a SQL oracle. Remote providers
+(``openai``, ``triton``) are registrable as catalog objects — their WITH
+options are validated and stored — but invoking them raises a clear
+capability error in this offline environment (the reference calls their
+HTTP endpoints at the same point). Custom Python factories register via
+``TableEnvironment.create_temporary_model`` (the
+``CatalogModel``-via-Table-API analog).
+
+ML_PREDICT lowering: the call is rewritten to a temp view produced by
+``functions.ml.ml_predict`` (mapInPandas — executor-local model, one
+invocation per Arrow batch), then the surrounding statement runs through
+Spark SQL unchanged, so projections/filters/joins around ML_PREDICT all
+compose."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+MODEL_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+MODEL\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<name>[\w.]+)"
+    r"\s*(?:INPUT\s*\(\s*(?P<input>[^)]*?)\s*\)\s*)?"
+    r"(?:OUTPUT\s*\(\s*(?P<output>[^)]*?)\s*\)\s*)?"
+    r"WITH\s*\(\s*(?P<opts>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+MODEL_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+MODEL\s+(?P<name>[\w.]+)\s+SET\s*\(\s*(?P<opts>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+MODEL_DROP_RE = re.compile(
+    r"^\s*DROP\s+MODEL\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+SHOW_MODELS_RE = re.compile(r"^\s*SHOW\s+MODELS\s*$", re.IGNORECASE)
+
+ML_PREDICT_RE = re.compile(
+    r"ML_PREDICT\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*MODEL\s+"
+    r"(?P<model>[\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*(?P<col>\w+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+#: providers whose invocation needs a network endpoint — registrable,
+#: not callable here (reference flink-model-openai / flink-model-triton)
+_REMOTE_PROVIDERS = ("openai", "triton")
+
+
+@dataclass
+class ModelSpec:
+    """One catalog model object (reference CatalogModel: input/output
+    schema + provider options)."""
+
+    name: str
+    input_schema: str | None
+    output_schema: str
+    options: dict[str, str] = field(default_factory=dict)
+    factory: object | None = None  # Callable[[int], model] for temporaries
+
+    @property
+    def provider(self) -> str:
+        return self.options.get("provider", "")
+
+
+class ModelManager:
+    """Catalog model registry + ML_PREDICT statement rewriting."""
+
+    DEFAULT_OUTPUT = "score BIGINT, pred_label BIGINT"
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+        self.models: dict[str, ModelSpec] = {}
+        self._view_seq = 0
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create(self, m: re.Match):
+        name = m.group("name")
+        if name in self.models:
+            if m.group("ine"):
+                return None
+            raise ValueError(f"model {name!r} already exists")
+        options = {o.group("k"): o.group("v")
+                   for o in _OPT_RE.finditer(m.group("opts"))}
+        provider = options.get("provider", "")
+        if not provider:
+            raise ValueError(
+                "CREATE MODEL requires a 'provider' option "
+                "(fixed-point-linear, openai, triton)"
+            )
+        if provider not in ("fixed-point-linear", *_REMOTE_PROVIDERS):
+            raise ValueError(f"unknown model provider {provider!r}")
+        self.models[name] = ModelSpec(
+            name=name,
+            input_schema=m.group("input"),
+            output_schema=m.group("output") or self.DEFAULT_OUTPUT,
+            options=options,
+        )
+        return None
+
+    def create_temporary(self, name: str, factory,
+                         output_schema: str | None = None) -> None:
+        """Table-API registration of a Python model factory
+        (``Callable[[dim], model]`` with the functions/ml.py batch-callable
+        contract)."""
+        self.models[name] = ModelSpec(
+            name=name,
+            input_schema=None,
+            output_schema=output_schema or self.DEFAULT_OUTPUT,
+            options={"provider": "python-temporary"},
+            factory=factory,
+        )
+
+    def alter(self, m: re.Match):
+        spec = self._get(m.group("name"))
+        spec.options.update(
+            {o.group("k"): o.group("v")
+             for o in _OPT_RE.finditer(m.group("opts"))}
+        )
+        return None
+
+    def drop(self, m: re.Match):
+        name = m.group("name")
+        if name not in self.models:
+            if m.group("ife"):
+                return None
+            raise ValueError(f"model {name!r} does not exist")
+        del self.models[name]
+        return None
+
+    def show(self):
+        rows = [(s.name, s.provider, s.output_schema)
+                for s in self.models.values()]
+        return self.spark.createDataFrame(
+            rows or [], "model_name string, provider string, output string"
+        )
+
+    # -- ML_PREDICT --------------------------------------------------------
+
+    def _get(self, name: str) -> ModelSpec:
+        if name not in self.models:
+            raise ValueError(f"model {name!r} does not exist")
+        return self.models[name]
+
+    def _factory_of(self, spec: ModelSpec):
+        if spec.factory is not None:
+            return spec.factory
+        if spec.provider == "fixed-point-linear":
+            from flink_spark.functions.ml import FixedPointLinearModel
+
+            return FixedPointLinearModel
+        if spec.provider in _REMOTE_PROVIDERS:
+            endpoint = spec.options.get("endpoint", "no endpoint configured")
+            raise NotImplementedError(
+                f"model {spec.name!r} uses remote provider "
+                f"{spec.provider!r} ({endpoint}): invoking it requires "
+                "network access this environment does not have; register "
+                "a local factory via create_temporary_model instead"
+            )
+        raise ValueError(f"model {spec.name!r} has no callable provider")
+
+    def rewrite_ml_predict(self, stmt: str) -> str:
+        """Replace every ML_PREDICT(TABLE t, MODEL m, DESCRIPTOR(c)) call
+        with a temp view holding the prediction-extended table, leaving
+        the surrounding SQL for Spark to plan."""
+        from flink_spark.functions.ml import ml_predict
+
+        def sub(mo: re.Match) -> str:
+            spec = self._get(mo.group("model"))
+            out = ml_predict(
+                self.spark.table(mo.group("tbl")),
+                self._factory_of(spec),
+                mo.group("col"),
+                result_schema=spec.output_schema,
+            )
+            self._view_seq += 1
+            view = f"__mlp_{mo.group('model')}_{self._view_seq}"
+            out.createOrReplaceTempView(view)
+            return view
+
+        return ML_PREDICT_RE.sub(sub, stmt)

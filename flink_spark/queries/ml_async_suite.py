@@ -66,3 +66,42 @@ def async_calc_enrich(spark, sf_dir):
     return async_calc(docs, enrich, "digest string, lang_uc string").select(
         "doc_id", "digest", "lang_uc"
     )
+
+
+@query(
+    "ml_predict_sql",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             ((((i * 37) % 21)) - 10)
+               * CAST(FLOOR(embedding[i]::DOUBLE * 1000) AS BIGINT) AS term
+      FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i) s
+      WHERE vec_id < 500)
+    SELECT vec_id, SUM(term) AS score, ABS(SUM(term)) % 3 AS pred_label
+    FROM t GROUP BY vec_id
+    """,
+)
+def ml_predict_sql(spark, sf_dir):
+    """The full model-DDL path (reference SqlCreateModel.java, catalog
+    CatalogModel, StreamExecMLPredictTableFunction): CREATE MODEL with a
+    provider + OUTPUT schema, then ML_PREDICT(TABLE t, MODEL m,
+    DESCRIPTOR(col)) invoked from SQL — the statement is rewritten onto
+    the same mapInPandas serving path as the function-level entry, so the
+    exact fixed-point oracle carries over unchanged."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb.select("vec_id", "embedding").createOrReplaceTempView("mlp_embeddings")
+    env.execute_sql("DROP MODEL IF EXISTS scorer")
+    env.execute_sql("""
+        CREATE MODEL scorer
+        INPUT (embedding ARRAY<FLOAT>)
+        OUTPUT (score BIGINT, pred_label BIGINT)
+        WITH ('provider' = 'fixed-point-linear')
+    """)
+    return env.execute_sql(
+        "SELECT vec_id, score, pred_label "
+        "FROM ML_PREDICT(TABLE mlp_embeddings, MODEL scorer, "
+        "DESCRIPTOR(embedding))"
+    )

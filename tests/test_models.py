@@ -1,0 +1,100 @@
+"""Model DDL catalog surface (reference SqlCreateModel/SqlAlterModel/
+SqlDropModel, CatalogModel; flink-models providers): lifecycle, SHOW
+MODELS, ML_PREDICT SQL rewrite, remote-provider capability gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_spark.catalog import TableEnvironment
+
+
+@pytest.fixture()
+def env(spark):
+    return TableEnvironment(spark)
+
+
+def test_model_ddl_roundtrip(env):
+    env.execute_sql("DROP MODEL IF EXISTS m1")
+    env.execute_sql(
+        "CREATE MODEL m1 INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    rows = {r.model_name: r for r in env.execute_sql("SHOW MODELS").collect()}
+    assert rows["m1"].provider == "fixed-point-linear"
+    # duplicate without IF NOT EXISTS → error; with it → no-op
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE MODEL m1 WITH ('provider' = 'openai')")
+    env.execute_sql(
+        "CREATE MODEL IF NOT EXISTS m1 WITH ('provider' = 'openai')"
+    )
+    assert (
+        env.model_manager.models["m1"].provider == "fixed-point-linear"
+    )  # unchanged
+    env.execute_sql("ALTER MODEL m1 SET ('batch.size' = '512')")
+    assert env.model_manager.models["m1"].options["batch.size"] == "512"
+    env.execute_sql("DROP MODEL m1")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP MODEL m1")
+    env.execute_sql("DROP MODEL IF EXISTS m1")  # no-op
+
+
+def test_ml_predict_sql_composes_with_surrounding_query(env, spark):
+    spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [2.0, 0.25]), (3, [0.0, 0.0])],
+        "id INT, emb ARRAY<DOUBLE>",
+    ).createOrReplaceTempView("mdl_t")
+    env.execute_sql("DROP MODEL IF EXISTS lin")
+    env.execute_sql(
+        "CREATE MODEL lin OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    # w = [(1*37)%21-10, (2*37)%21-10] = [6, 1]
+    # id1: 6*500 + 1*1000 = 4000 ; id2: 6*2000 + 1*250 = 12250
+    got = {
+        r.id: (r.score, r.pred_label)
+        for r in env.execute_sql(
+            "SELECT id, score, pred_label "
+            "FROM ML_PREDICT(TABLE mdl_t, MODEL lin, DESCRIPTOR(emb)) "
+            "WHERE id < 3 ORDER BY id"
+        ).collect()
+    }
+    assert got == {1: (4000, 4000 % 3), 2: (12250, 12250 % 3)}
+
+
+def test_remote_provider_is_capability_gated(env, spark):
+    env.execute_sql("DROP MODEL IF EXISTS gpt")
+    env.execute_sql(
+        "CREATE MODEL gpt WITH ('provider' = 'openai', "
+        "'endpoint' = 'https://example.invalid/v1')"
+    )
+    spark.createDataFrame([(1, [1.0])], "id INT, emb ARRAY<DOUBLE>") \
+        .createOrReplaceTempView("mdl_remote_t")
+    with pytest.raises(NotImplementedError, match="network"):
+        env.execute_sql(
+            "SELECT * FROM ML_PREDICT(TABLE mdl_remote_t, MODEL gpt, "
+            "DESCRIPTOR(emb))"
+        )
+    with pytest.raises(ValueError, match="provider"):
+        env.execute_sql("CREATE MODEL bad WITH ('provider' = 'what')")
+
+
+def test_temporary_python_model(env, spark):
+    import numpy as np
+
+    class Doubler:
+        def __call__(self, x):
+            s = x.sum(axis=1) * 2
+            return {"doubled": s.astype(np.int64)}
+
+    env.create_temporary_model("dbl", lambda dim: Doubler(),
+                               output_schema="doubled BIGINT")
+    spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                          "id INT, emb ARRAY<DOUBLE>") \
+        .createOrReplaceTempView("mdl_tmp_t")
+    got = {r.id: r.doubled for r in env.execute_sql(
+        "SELECT id, doubled FROM ML_PREDICT(TABLE mdl_tmp_t, MODEL dbl, "
+        "DESCRIPTOR(emb))"
+    ).collect()}
+    assert got == {1: 6, 2: 14}
