@@ -634,6 +634,13 @@ class TableEnvironment:
 
                 import shutil as _shutil
 
+                if len(spec.columns) != 2:
+                    raise ValueError(
+                        f"sequencefile table {name!r} must declare exactly "
+                        "two columns (Hadoop SequenceFile is a key/value "
+                        f"store); got {len(spec.columns)}: "
+                        f"{[c for c, _ in spec.columns]}"
+                    )
                 kc, vc = (c for c, _ in spec.columns)
                 _shutil.rmtree(spec.options["path"], ignore_errors=True)
                 write_sequence_file(df, spec.options["path"], kc, vc)

@@ -27,6 +27,7 @@ import json
 import os
 import struct
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -252,6 +253,7 @@ def _read_container(raw: bytes, encs) -> dict[str, list]:
         raise ValueError("not an Avro object container file")
     i = 4
     # metadata map (possibly multiple blocks; negative count = sized block)
+    meta: dict[bytes, bytes] = {}
     while True:
         cnt, i = _read_long(raw, i)
         if cnt == 0:
@@ -260,15 +262,41 @@ def _read_container(raw: bytes, encs) -> dict[str, list]:
             _, i = _read_long(raw, i)  # block byte size, unused
             cnt = -cnt
         for _ in range(cnt):
-            _, i = _read_bytes(raw, i)
-            _, i = _read_bytes(raw, i)
+            k, i = _read_bytes(raw, i)
+            v, i = _read_bytes(raw, i)
+            meta[k] = v
+    codec = meta.get(b"avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(
+            f"avro: unsupported container codec {codec.decode()!r} "
+            "(supported: null, deflate)"
+        )
+    writer_json = meta.get(b"avro.schema")
+    if writer_json is not None:
+        # resolve the embedded writer schema against the declared reader
+        # schema: field names must match positionally, or decoding would
+        # silently misalign columns (Avro spec: schema resolution by name).
+        try:
+            wfields = [f["name"] for f in json.loads(writer_json)["fields"]]
+        except (ValueError, KeyError, TypeError):
+            wfields = None
+        rfields = [name for name, _ in encs]
+        if wfields is not None and wfields != rfields:
+            raise ValueError(
+                f"avro: writer schema fields {wfields} do not match "
+                f"declared reader schema fields {rfields}"
+            )
     sync = raw[i : i + 16]
     i += 16
     all_cols: dict[str, list] = {name: [] for name, _ in encs}
     while i < len(raw):
         n, i = _read_long(raw, i)
         nbytes, i = _read_long(raw, i)
-        cols = _decode_records(raw, i, n, encs)
+        if codec == b"deflate":
+            block = zlib.decompress(raw[i : i + nbytes], -15)
+            cols = _decode_records(block, 0, n, encs)
+        else:
+            cols = _decode_records(raw, i, n, encs)
         i += nbytes
         if raw[i : i + 16] != sync:
             raise ValueError("avro: sync marker mismatch")
@@ -417,9 +445,22 @@ def from_avro_confluent(
     looked up once per distinct id)."""
     passthrough = [c for c in df.columns if c != col]
     reg_snapshot = dict(registry._by_id)
+    if not reg_snapshot:
+        raise ValueError(
+            "from_avro_confluent: schema registry is empty — register the "
+            "subject's writer schema(s) before decoding"
+        )
     # the output schema is fixed per query: all writer ids must resolve to
     # structurally identical schemas (the single-subject-topic contract)
     any_schema = next(iter(reg_snapshot.values()))
+    shape = _encoders(any_schema)
+    for sid, sch in reg_snapshot.items():
+        if _encoders(sch) != shape:
+            raise ValueError(
+                f"from_avro_confluent: registered schema id {sid} is not "
+                "structurally identical to the others — mixed-schema "
+                "subjects are not supported (decode per-id and union instead)"
+            )
     out_fields = [(f.name, f) for f in any_schema.fields]
 
     def dec(pdfs):

@@ -123,8 +123,22 @@ class MaterializedTableManager:
             freshness_sec=freshness, refresh_mode=mode, root=root,
             partition_keys=part,
         )
+        # probe before registering: an invalid defining query must not leave
+        # a half-registered table (and leaked tempdir) behind (ADVICE r2)
+        try:
+            probe = self.spark.sql(mt.as_query)
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+            raise
         self.tables[name] = mt
-        probe = self.spark.sql(mt.as_query)
+        try:
+            self._finish_create(mt, probe)
+        except Exception:
+            del self.tables[name]
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+
+    def _finish_create(self, mt: MaterializedTable, probe) -> None:
         if probe.isStreaming:
             # genuinely continuous: the defining query IS a streaming
             # plan — run it as one Structured Streaming job into the
@@ -137,7 +151,7 @@ class MaterializedTableManager:
             return
         # start mode default: initialize from scratch with an immediate
         # refresh, then keep it fresh (SqlStartMode.java START_FROM_SCRATCH)
-        self.refresh(name)
+        self.refresh(mt.name)
         self._start_loop(mt)
 
     def alter(self, m: re.Match) -> None:

@@ -353,3 +353,123 @@ def test_compressed_write_roundtrip(env, src_rows, tmp_path_factory, fmt, codec,
     assert files and all(f.endswith(ext) for f in files), files
     got = sorted(map(tuple, env.spark.table(f"comp_{fmt}_{codec}").collect()))
     assert got == src_rows
+
+
+# ----------------------------------------------- avro container metadata ----
+
+
+def _mk_container(spark, codec: bytes, payload: bytes, schema_json: bytes,
+                  n: int):
+    """Hand-build an OCF with explicit metadata (codec/schema) so the
+    reader's metadata handling is exercised independently of the writer."""
+    from flink_spark.formats.avro import MAGIC, _write_bytes, _write_long
+
+    out = bytearray(MAGIC)
+    _write_long(out, 2)
+    _write_bytes(out, b"avro.schema")
+    _write_bytes(out, schema_json)
+    _write_bytes(out, b"avro.codec")
+    _write_bytes(out, codec)
+    _write_long(out, 0)
+    sync = b"\x00" * 16
+    out.extend(sync)
+    _write_long(out, n)
+    _write_long(out, len(payload))
+    out.extend(payload)
+    out.extend(sync)
+    return bytes(out)
+
+
+def _ab_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+
+
+def _ab_schema_json(fields=("a", "b")) -> bytes:
+    import json
+
+    return json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": f, "type": ["null", "long" if f == "a" else
+                                        "string"], "default": None}
+                   for f in fields],
+    }).encode()
+
+
+def test_avro_container_deflate_codec(spark):
+    """A standard-written deflate container decodes correctly (ADVICE r2:
+    the codec metadata was previously ignored)."""
+    import zlib
+
+    import pandas as pd
+
+    from flink_spark.formats.avro import (
+        _encode_records,
+        _encoders,
+        _finalize_pdf,
+        _read_container,
+    )
+
+    encs = _encoders(_ab_schema())
+    records, n = _encode_records(
+        pd.DataFrame({"a": [3, None], "b": ["hi", None]}), encs
+    )
+    comp = zlib.compress(records)[2:-4]  # raw deflate (RFC1951, no wrapper)
+    raw = _mk_container(spark, b"deflate", comp, _ab_schema_json(), n)
+    pdf = _finalize_pdf(_read_container(raw, encs), encs)
+    assert list(pdf["a"]) [0] == 3 and list(pdf["b"])[0] == "hi"
+    assert pdf["a"][1] is None or pdf["a"].isna()[1]
+
+
+def test_avro_container_rejects_unknown_codec_and_schema_mismatch(spark):
+    import pandas as pd
+    import pytest
+
+    from flink_spark.formats.avro import (
+        _encode_records,
+        _encoders,
+        _read_container,
+    )
+
+    encs = _encoders(_ab_schema())
+    records, n = _encode_records(pd.DataFrame({"a": [1], "b": ["x"]}), encs)
+    bad_codec = _mk_container(spark, b"snappy", records, _ab_schema_json(), n)
+    with pytest.raises(ValueError, match="unsupported container codec"):
+        _read_container(bad_codec, encs)
+    # writer schema with different field order must be rejected, not
+    # silently misdecoded
+    swapped = _mk_container(
+        spark, b"null", records, _ab_schema_json(fields=("b", "a")), n
+    )
+    with pytest.raises(ValueError, match="do not match"):
+        _read_container(swapped, encs)
+
+
+def test_avro_confluent_empty_registry_raises(spark):
+    import pytest
+
+    from flink_spark.formats.avro import SchemaRegistry, from_avro_confluent
+
+    df = spark.createDataFrame([(b"\x00",)], "payload binary")
+    with pytest.raises(ValueError, match="registry is empty"):
+        from_avro_confluent(df, "payload", SchemaRegistry())
+
+
+def test_sequencefile_ddl_requires_two_columns(spark, tmp_path):
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE seq3 (a STRING, b STRING, c STRING) WITH (
+          'connector' = 'filesystem',
+          'path' = '{tmp_path / "seq3"}',
+          'format' = 'sequencefile'
+        )
+    """)
+    with pytest.raises(ValueError, match="exactly two columns"):
+        env.execute_sql("INSERT INTO seq3 VALUES ('k', 'v', 'extra')")

@@ -193,3 +193,25 @@ def test_continuous_streaming_materialized_table(spark, tmp_path):
         assert rows() == {("x", 10), ("y", 20), ("z", 30)}
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_live_stream")
+
+
+def test_create_invalid_query_rolls_back(spark):
+    """An invalid defining query must not leave a half-registered table or
+    leaked tempdir (ADVICE r2): the same name is creatable afterwards."""
+    env = TableEnvironment(spark)
+    with pytest.raises(Exception):
+        env.execute_sql("""
+            CREATE MATERIALIZED TABLE mt_rollback
+            FRESHNESS = INTERVAL '1' HOUR
+            AS SELECT * FROM no_such_table_anywhere
+        """)
+    _mk_source(spark, "mt_src_rb", [("x", 1)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_rollback
+        FRESHNESS = INTERVAL '1' HOUR
+        AS SELECT k, v FROM mt_src_rb
+    """)
+    try:
+        assert spark.sql("SELECT count(*) c FROM mt_rollback").first().c == 1
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE mt_rollback")
