@@ -1352,6 +1352,92 @@ def stream_delta_join_ttl(spark, sf_dir):
 
 
 @query(
+    "stream_delta_join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 49) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def stream_delta_join_left(spark, sf_dir):
+    """LEFT OUTER delta join with changelog emission for late-arriving
+    matches (reference StreamingDeltaJoinOperator.java inner path +
+    OuterJoinRecordStateView null-row protocol): an urgent order with no
+    heavy lineitem yet emits a null-padded +I; when the match arrives in
+    a later micro-batch the null row is retracted (-D) and the real pair
+    emitted. The right side streams in l_extendedprice order (uncorrelated
+    with the join key) so retractions genuinely cross batch boundaries;
+    the materialized net changelog must equal the batch LEFT JOIN."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.deltajoin import (
+        apply_changelog,
+        delta_join_outer,
+        tag_union,
+    )
+
+    o = chunked_table_stream(spark, sf_dir, "orders", 2, "o_orderkey").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = chunked_table_stream(
+        spark, sf_dir, "lineitem", 3, "l_extendedprice"
+    ).filter(F.col("l_quantity") > 49)
+    lc = ["o_orderkey", "o_custkey"]
+    rc = ["l_orderkey", "l_linenumber", "l_quantity"]
+    tagged = tag_union(o.select(*lc), li.select(*rc), lc, rc)
+    cl = delta_join_outer(
+        tagged, lc, rc, ["o_orderkey"], ["l_orderkey"],
+        prefix="delta_join_left", how="left",
+    )
+    return apply_changelog(cl, lc + rc).select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "stream_delta_join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def stream_delta_join_full(spark, sf_dir):
+    """FULL OUTER delta join: both sides keep an unmatched store, each
+    null-padded emission is retracted when its first opposite-side match
+    arrives (reference StreamingDeltaJoinOperator + the two-sided
+    OuterJoinRecordStateView). Sides stream in orders uncorrelated with
+    the key so both stores see cross-batch retraction traffic; net
+    changelog equals the batch FULL JOIN exactly (BUILDING customers
+    without urgent orders and urgent orders of non-BUILDING customers
+    both survive as null-padded rows)."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.deltajoin import (
+        apply_changelog,
+        delta_join_outer,
+        tag_union,
+    )
+
+    c = chunked_table_stream(spark, sf_dir, "customer", 2, "c_name").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = chunked_table_stream(spark, sf_dir, "orders", 3, "o_totalprice").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lc = ["c_custkey", "c_name"]
+    rc = ["o_orderkey", "o_custkey", "o_totalprice"]
+    tagged = tag_union(c.select(*lc), o.select(*rc), lc, rc)
+    cl = delta_join_outer(
+        tagged, lc, rc, ["c_custkey"], ["o_custkey"],
+        prefix="delta_join_full", how="full",
+    )
+    return apply_changelog(cl, lc + rc).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
     "stream_window_dedup",
     oracle="""
     SELECT window_start, user_id, event_id, ts FROM (

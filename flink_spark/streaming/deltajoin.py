@@ -176,6 +176,194 @@ def delta_join(
     return result
 
 
+def _latest_version(root: str) -> str | None:
+    if not os.path.isdir(root):
+        return None
+    vs = [d for d in os.listdir(root) if d.startswith("v")]
+    if not vs:
+        return None
+    return os.path.join(root, max(vs, key=lambda d: int(d[1:])))
+
+
+def delta_join_outer(
+    tagged: DataFrame,
+    left_cols: list[str],
+    right_cols: list[str],
+    left_keys: list[str],
+    right_keys: list[str],
+    num_buckets: int = 16,
+    prefix: str = "delta_join_outer",
+    how: str = "left",
+) -> DataFrame:
+    """Outer delta join with changelog emission for late-arriving matches
+    (reference StreamingDeltaJoinOperator.java handles insert-only inner;
+    the outer extension mirrors Flink's OuterJoinRecordStateView null-row
+    bookkeeping for the regular streaming outer join).
+
+    Returns the drained changelog as a batch DataFrame shaped
+    ``__op ('+I'|'-D'), __bid, *left_cols, *right_cols``:
+
+    - a left row with no match so far emits ``+I`` null-padded-right and
+      is remembered in the *unmatched store*;
+    - when a matching right row later arrives, the null-padded row is
+      retracted (``-D``) and the real pair(s) emitted ``+I`` — exactly
+      the reference's retraction protocol for late outer matches;
+    - symmetric for ``how='right'``; ``how='full'`` keeps both stores.
+
+    The unmatched store is tiny relative to history (only currently
+    null-padded rows) and is rewritten per batch as a new version — at
+    100 TB that rewrite is the MERGE/compaction job of the store's table
+    format, same note as the inner join's sink idempotence."""
+    if how not in ("left", "right", "full"):
+        raise ValueError(f"delta_join_outer: how must be left/right/full, got {how!r}")
+    spark = tagged.sparkSession
+    root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    l_store, r_store = f"{root}/left", f"{root}/right"
+    unm_l_root, unm_r_root = f"{root}/unm_l", f"{root}/unm_r"
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    ldt, rdt = dict(tagged.dtypes), dict(tagged.dtypes)
+    null_r = [F.lit(None).cast(rdt[c]).alias(c) for c in right_cols]
+    null_l = [F.lit(None).cast(ldt[c]).alias(c) for c in left_cols]
+    keymap = list(zip(left_keys, right_keys))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            sess = batch.sparkSession
+            delta_l = _bucketed(
+                batch.filter(F.col("__side") == "L").select(*left_cols),
+                left_keys, num_buckets,
+            ).persist()
+            delta_r = _bucketed(
+                batch.filter(F.col("__side") == "R").select(*right_cols),
+                right_keys, num_buckets,
+            ).persist()
+            old_l = sess.read.parquet(l_store) if os.path.isdir(l_store) else None
+            old_r = sess.read.parquet(r_store) if os.path.isdir(r_store) else None
+
+            def pair_join(lf: DataFrame, rf: DataFrame) -> DataFrame:
+                l, r = lf.alias("__dj_l"), rf.alias("__dj_r")
+                cond = [F.col(f"__dj_l.{_BUCKET}") == F.col(f"__dj_r.{_BUCKET}")]
+                cond += [
+                    F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}")
+                    for lk, rk in keymap
+                ]
+                return l.join(r, cond).select(
+                    *[F.col(f"__dj_l.{c}") for c in left_cols],
+                    *[F.col(f"__dj_r.{c}") for c in right_cols],
+                )
+
+            def key_join(
+                lf: DataFrame, lks: list[str], rf: DataFrame, rks: list[str],
+                jt: str,
+            ) -> DataFrame:
+                # semi/anti probes on the equi keys (bucket is derived
+                # from them, so it adds pruning but not semantics)
+                cond = [lf[a] == rf[b] for a, b in zip(lks, rks)]
+                return lf.join(rf, cond, jt)
+
+            r_all = old_r.unionByName(delta_r) if old_r is not None else delta_r
+            l_all = old_l.unionByName(delta_l) if old_l is not None else delta_l
+            out = pair_join(delta_l, r_all)
+            if old_l is not None:
+                out = out.unionByName(pair_join(old_l, delta_r))
+            parts = [out.select(F.lit("+I").alias("__op"), "*")]
+
+            if how in ("left", "full"):
+                unm_v = _latest_version(unm_l_root)
+                unm_old = sess.read.parquet(unm_v) if unm_v else None
+                fresh = key_join(delta_l, left_keys, r_all, right_keys, "left_anti")
+                parts.append(
+                    fresh.select(F.lit("+I").alias("__op"), *left_cols, *null_r)
+                )
+                if unm_old is not None:
+                    gone = key_join(
+                        unm_old, left_keys, delta_r, right_keys, "left_semi"
+                    )
+                    parts.append(
+                        gone.select(F.lit("-D").alias("__op"), *left_cols, *null_r)
+                    )
+                    keep = key_join(
+                        unm_old, left_keys, delta_r, right_keys, "left_anti"
+                    )
+                    unm_new = keep.unionByName(fresh)
+                else:
+                    unm_new = fresh
+                unm_new.write.mode("overwrite").parquet(
+                    f"{unm_l_root}/v{batch_id}"
+                )
+            if how in ("right", "full"):
+                unm_v = _latest_version(unm_r_root)
+                unm_old = sess.read.parquet(unm_v) if unm_v else None
+                fresh = key_join(delta_r, right_keys, l_all, left_keys, "left_anti")
+                parts.append(
+                    fresh.select(F.lit("+I").alias("__op"), *null_l, *right_cols)
+                )
+                if unm_old is not None:
+                    gone = key_join(
+                        unm_old, right_keys, delta_l, left_keys, "left_semi"
+                    )
+                    parts.append(
+                        gone.select(F.lit("-D").alias("__op"), *null_l, *right_cols)
+                    )
+                    keep = key_join(
+                        unm_old, right_keys, delta_l, left_keys, "left_anti"
+                    )
+                    unm_new = keep.unionByName(fresh)
+                else:
+                    unm_new = fresh
+                unm_new.write.mode("overwrite").parquet(
+                    f"{unm_r_root}/v{batch_id}"
+                )
+
+            changelog = parts[0]
+            for p in parts[1:]:
+                changelog = changelog.unionByName(p)
+            changelog.select(
+                "__op", F.lit(batch_id).alias("__bid"), *left_cols, *right_cols
+            ).write.mode("append").parquet(out_dir)
+
+            delta_l.write.mode("append").partitionBy(_BUCKET).parquet(l_store)
+            delta_r.write.mode("append").partitionBy(_BUCKET).parquet(r_store)
+        finally:
+            batch.unpersist()
+
+    q = (
+        tagged.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(out_dir):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        keep = set(left_cols + right_cols)
+        empty = StructType(
+            [StructField("__op", StringType()), StructField("__bid", LongType())]
+            + [f for f in tagged.schema.fields if f.name in keep]
+        )
+        return spark.createDataFrame([], empty)
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def apply_changelog(cl: DataFrame, cols: list[str]) -> DataFrame:
+    """Materialize a +I/-D changelog into its net final table (rows whose
+    insert count exceeds delete count, with multiplicity)."""
+    net = F.sum(
+        F.when(F.col("__op") == "+I", 1).when(F.col("__op") == "-D", -1).otherwise(0)
+    )
+    grouped = cl.groupBy(*cols).agg(net.alias("__m")).filter(F.col("__m") > 0)
+    # replicate rows with net multiplicity > 1 (duplicate source rows)
+    return (
+        grouped.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__m"))))
+        .select(*cols)
+    )
+
+
 def tag_union(
     left: DataFrame, right: DataFrame, left_cols: list[str], right_cols: list[str]
 ) -> DataFrame:

@@ -59,3 +59,88 @@ def test_delta_join_empty_side(spark, tmp_path):
     tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
     got = delta_join(tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"])
     assert got.count() == 0
+
+
+def _outer_expect(left_pdf, right_pdf, how):
+    exp = []
+    if how in ("left", "full"):
+        for _, lr in left_pdf.iterrows():
+            ms = right_pdf[right_pdf.rk == lr.lk]
+            if len(ms):
+                exp += [(lr.lk, lr.lv, rr.rk, rr.rv) for _, rr in ms.iterrows()]
+            else:
+                exp.append((lr.lk, lr.lv, None, None))
+    else:
+        for _, lr in left_pdf.iterrows():
+            exp += [(lr.lk, lr.lv, rr.rk, rr.rv)
+                    for _, rr in right_pdf[right_pdf.rk == lr.lk].iterrows()]
+    if how in ("right", "full"):
+        for _, rr in right_pdf.iterrows():
+            if not len(left_pdf[left_pdf.lk == rr.rk]):
+                exp.append((None, None, rr.rk, rr.rv))
+    return sorted(exp, key=repr)
+
+
+def test_delta_join_outer_net_matches_batch_outer(spark, tmp_path):
+    """Net changelog application equals the batch outer join for
+    left/right/full, with duplicates and cross-batch match arrival."""
+    from flink_spark.streaming.deltajoin import apply_changelog, delta_join_outer
+
+    left_pdf = pd.DataFrame(
+        {"lk": [1, 1, 2, 3, 4, 5, 1, 2], "lv": list("abcdefgh")}
+    )
+    right_pdf = pd.DataFrame(
+        {"rk": [1, 2, 2, 4, 9, 1, 5, 5], "rv": list("stuvwxyz")}
+    )
+    for how in ("left", "right", "full"):
+        (tmp_path / how).mkdir(exist_ok=True)
+        lt = _chunked_stream(spark, tmp_path / how, "l", left_pdf, 3)
+        rt = _chunked_stream(spark, tmp_path / how, "r", right_pdf, 3)
+        tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+        cl = delta_join_outer(
+            tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+            num_buckets=4, how=how, prefix=f"dj_{how}",
+        )
+        got = sorted(
+            ((r.lk, r.lv, r.rk, r.rv)
+             for r in apply_changelog(cl, ["lk", "lv", "rk", "rv"]).collect()),
+            key=repr,
+        )
+        assert got == _outer_expect(left_pdf, right_pdf, how), how
+
+
+def test_delta_join_outer_emits_cross_batch_retraction(spark, tmp_path):
+    """A left row whose match arrives in a later batch must first emit a
+    null-padded +I, then a -D retraction and the real pair — the
+    reference's late-outer-match changelog protocol."""
+    from flink_spark.streaming.deltajoin import delta_join_outer
+
+    # key 7: left arrives batch 0, its only match arrives batch 1
+    left_pdf = pd.DataFrame({"lk": [7, 8], "lv": ["a", "b"]})
+    right_pdf = pd.DataFrame({"rk": [99, 7], "rv": ["x", "y"]})
+    lt = _chunked_stream(spark, tmp_path, "l", left_pdf.iloc[:1], 1)
+    rt = _chunked_stream(spark, tmp_path, "r", right_pdf, 2)
+    tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+    cl = delta_join_outer(
+        tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+        num_buckets=2, how="left", prefix="dj_retract",
+    )
+    rows = [(r["__bid"], r["__op"], r.lk, r.lv, r.rk, r.rv)
+            for r in cl.orderBy("__bid", "__op").collect()]
+    pad = [(b, op) for b, op, lk, lv, rk, rv in rows
+           if lk == 7 and rk is None]
+    ins = [(b, op) for b, op, lk, lv, rk, rv in rows if rk == 7]
+    # null-padded insert precedes its retraction; real pair lands with -D
+    assert [op for _, op in sorted(pad)] == ["+I", "-D"]
+    assert sorted(pad)[0][0] < sorted(pad)[1][0]
+    assert len(ins) == 1 and ins[0][1] == "+I"
+    assert ins[0][0] == sorted(pad)[1][0]
+
+
+def test_delta_join_outer_rejects_bad_how(spark, tmp_path):
+    import pytest
+
+    from flink_spark.streaming.deltajoin import delta_join_outer
+
+    with pytest.raises(ValueError, match="left/right/full"):
+        delta_join_outer(None, [], [], [], [], how="cross")
