@@ -71,6 +71,58 @@ EXTRA = [
 ]
 
 
+def multifile_layout(sf_dir: str, n_files: int = 10) -> str:
+    """Materialize a multi-file replica of ``sf_dir`` (same rows, each
+    large table split into ``n_files`` parquet part-files; small dims
+    symlinked) so the bench measures real scan parallelism instead of the
+    single-row-group layout's one-task scans — at 100 TB every table is
+    thousands of files, so this is the representative layout. Cached by
+    marker; ~seconds to build at sf0.1."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    dest = os.path.join(
+        "/tmp", "flink_spark_multifile_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(dest, f"_ok_{n_files}")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    for fname in os.listdir(sf_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(sf_dir, fname)
+        out = os.path.join(dest, fname)
+        tbl = pq.read_table(src)
+        if tbl.num_rows < 10_000:
+            if not os.path.lexists(out):
+                os.symlink(src, out)
+            continue
+        os.makedirs(out, exist_ok=True)
+        step = (tbl.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(out, f"part-{i:05d}.parquet"),
+                    store_schema=True,
+                )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return dest
+
+
+def time_suite(spark, names, sf_dir: str, passes: int, queries) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name].fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -90,13 +142,16 @@ def main() -> None:
     # round-over-round comparison should gate on (BASELINE.md section
     # "methodology").
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
-    for _ in range(passes):
-        for name in names:
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).collect()
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+    timings = time_suite(spark, names, sf_dir, passes, QUERIES)
+
+    # same suite over the multi-file layout (10 part-files per big table):
+    # the scan-parallelism-representative numbers (VERDICT r2 #9). The
+    # single-file "queries"/"value" stay the round-comparable headline.
+    try:
+        mf_dir = multifile_layout(sf_dir)
+        mf_timings = time_suite(spark, names, mf_dir, passes, QUERIES)
+    except Exception as e:  # pragma: no cover - layout build best-effort
+        mf_dir, mf_timings = None, {"__error__": str(e)[:200]}
 
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in QUERIES):
@@ -110,6 +165,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_multifile": mf_timings,
+        "value_multifile": round(
+            sum(v for v in mf_timings.values() if isinstance(v, float)), 4
+        ),
         "extra": extra,
         "extra_sec": round(sum(extra.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,

@@ -35,18 +35,31 @@ _SENTINEL_ISO = "2100-01-01 00:00:00"
 _SENTINEL_CUTOFF_ISO = "2090-01-01 00:00:00"
 
 
+def _source_files(file_path: str) -> list[str]:
+    """A table path is either one parquet file or a directory of
+    part-files (the multi-file bench layout); list the actual files."""
+    if os.path.isdir(file_path):
+        return sorted(
+            os.path.join(file_path, f)
+            for f in os.listdir(file_path)
+            if f.endswith(".parquet")
+        )
+    return [file_path]
+
+
 def _as_dir(file_path: str, suffix: str = "") -> str:
-    """The file stream source requires a *directory*; expose a single
-    parquet file through a stable symlink directory under /tmp."""
+    """The file stream source requires a flat *directory*; expose the
+    table's file(s) through a stable symlink directory under /tmp."""
     key = file_path.strip("/").replace("/", "_") + suffix
     d = os.path.join(_STREAM_DIR_ROOT, key)
-    link = os.path.join(d, os.path.basename(file_path))
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        try:
-            os.symlink(file_path, link)
-        except FileExistsError:
-            pass
+    os.makedirs(d, exist_ok=True)
+    for src in _source_files(file_path):
+        link = os.path.join(d, os.path.basename(src))
+        if not os.path.islink(link):
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass
     return d
 
 
@@ -64,7 +77,7 @@ def _closed_dir(file_path: str, wm_col: str) -> str:
     d = _as_dir(file_path, suffix=f"_closed_{wm_col}")
     sentinel = os.path.join(d, "zz_watermark_sentinel.parquet")
     if not os.path.exists(sentinel):
-        sch = pq.read_schema(file_path).remove_metadata()
+        sch = pq.read_schema(_source_files(file_path)[0]).remove_metadata()
         import datetime
 
         ts_val = datetime.datetime.fromisoformat(_SENTINEL_ISO)
