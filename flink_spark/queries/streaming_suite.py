@@ -411,6 +411,55 @@ def stream_temporal_sort(spark, sf_dir):
 
 
 @query(
+    "stream_cep_timeout",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events)
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c, m
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL '30 minutes')
+      AND epoch_us(c.ts) + 1800000000 <= (m.mx - 10000) * 1000
+    """,
+)
+def stream_cep_timeout(spark, sf_dir):
+    """STREAMING timeout / absence pattern — click notFollowedBy(purchase)
+    WITHIN 30m through Structured Streaming (reference CepOperator
+    watermark timers + TimedOutPartialMatchHandler; Pattern.java:336
+    trailing ``notFollowedBy`` requires a window). The absence of B is
+    decidable only once the watermark proves the 30-minute window closed
+    with no purchase inside it — the NFA emits the timeout match exactly
+    then, never early (a purchase arriving late-but-in-window kills the
+    pending match first). Oracle: the NOT-EXISTS closed form restricted
+    to windows closed by the final watermark."""
+    from flink_spark.operators.cep import Pattern
+    from flink_spark.streaming.cep_stream import stream_match_pattern
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 seconds"))
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "click")
+        .not_followed_by("NP", lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = stream_match_pattern(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    res = run_to_memory(m, "append", "cep_stream_timeout")
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+
+@query(
     "stream_cep_click_purchase",
     oracle="""
     WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events),

@@ -30,6 +30,17 @@ PATTERNS = [
     Pattern.begin("E", lambda r: r["t"] == "a")
     .one_or_more()
     .within(WITHIN),
+    # trailing notFollowedBy (timeout pattern): absence must be decided
+    # identically for any chunk placement — a 'b' arriving in a later
+    # chunk but inside the window kills the pending match, never emits
+    Pattern.begin("A", lambda r: r["t"] == "a")
+    .not_followed_by("NB", lambda r: r["t"] == "b")
+    .within(WITHIN),
+    # in-between notFollowedBy: no 'x' allowed in the a→b gap
+    Pattern.begin("A", lambda r: r["t"] == "a")
+    .not_followed_by("NX", lambda r: r["t"] == "x")
+    .followed_by("B", lambda r: r["t"] == "b")
+    .within(WITHIN),
 ]
 
 
