@@ -102,3 +102,77 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality score (the KenLM-perplexity-filter
+    stand-in used by CCNet-style pipelines, expressed exactly): score each
+    document by the average log-probability of its tokens under the
+    corpus's own unigram distribution. Low scores = far from the corpus
+    distribution (gibberish or off-domain) — the standard perplexity
+    pruning signal.
+
+    Scale shape (100 TB): token frequencies are a two-phase count (map-side
+    partials, one token-keyed shuffle); documents join the frequency table
+    on token AFTER collapsing to per-doc (token, cnt) pairs, so the join
+    carries |distinct pairs|, not |tokens|; head-word skew is AQE
+    skew-join territory and the frequency side broadcasts when the
+    vocabulary fits. Everything is JVM expressions — no Python."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    pairs = toks.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+    freq = pairs.groupBy("w").agg(F.sum("cnt").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    # ln() may differ by 1 ulp across engines and float sums are
+    # order-dependent: round each term to 9 digits, sum exactly in
+    # decimal (the repo-wide cross-engine determinism discipline)
+    term = F.col("cnt") * F.round(F.log(F.col("c") / F.col("t")), 9)
+    scored = (
+        pairs.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            (F.sum(term.cast("decimal(30,6)")).cast("double")
+             / F.sum("cnt")).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (ln(N/df) idf,
+    raw tf): the classic keyword/topic extraction pass over a corpus.
+
+    Same two-phase shape as ``unigram_logprob``: per-doc term counts
+    collapse before any join; document frequency is a second small
+    aggregate keyed by token; the per-doc top-k is a WindowGroupLimit
+    (rank ≤ k pushed into the shuffle) — no global sort."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        # per-row score, 9-digit rounded for cross-engine ln() parity
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 9)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, F.col("w").alias("term"), "tf", "df", "tfidf",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -351,3 +351,64 @@ def pipe_passage_dedup(spark, sf_dir):
     One shuffle on the passage text, no pairwise comparisons."""
     docs = load_table(spark, sf_dir, "documents")
     return P.passage_dedup(docs)
+
+
+@query(
+    "pipe_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    pairs AS (SELECT doc_id, w, COUNT(*) AS cnt FROM t2 GROUP BY doc_id, w),
+    freq AS (SELECT w, SUM(cnt) AS c FROM pairs GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM freq)
+    SELECT pairs.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(cnt * ROUND(LN(c / t), 9) AS DECIMAL(30,6)))
+                AS DOUBLE) / SUM(cnt) AS avg_logprob
+    FROM pairs JOIN freq USING (w), tot
+    GROUP BY pairs.doc_id
+    """,
+)
+def pipe_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    signal, exact): per-document average token log-probability under the
+    corpus's own unigram distribution — the standard 'prune gibberish and
+    off-domain text' score for training-data curation. Two-phase counts,
+    per-doc (token, cnt) collapse before the frequency join, all JVM
+    (`flink_spark/llm/text.py` unigram_logprob)."""
+    from flink_spark.llm.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t2 GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, w, tf.tf, dfreq.df,
+             ROUND(tf.tf * LN(n / dfreq.df), 9) AS tfidf
+      FROM tf JOIN dfreq USING (w), nd)
+    SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, w) AS rnk
+      FROM scored) x
+    WHERE rnk <= 3
+    """,
+)
+def pipe_tfidf_top_terms(spark, sf_dir):
+    """Per-document characteristic terms by tf-idf (keyword extraction /
+    topic signature over the corpus): raw tf × ln(N/df), top-3 per doc.
+    The per-doc top-k runs as a WindowGroupLimit after the two small
+    token-keyed aggregates (`flink_spark/llm/text.py` tfidf_top_terms)."""
+    from flink_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
