@@ -68,6 +68,13 @@ EXTRA = [
     "tpcds_q66_monthly_pivot",
     "tpcds_q78_net_of_returns",
     "tpcds_q74_yoy_growth",
+    # round-3 operators
+    "stream_delta_join_left",
+    "stream_cep_timeout",
+    "tpcds_q72_two_fact_correlation",
+    "tpcds_q21_inventory_ratio",
+    "pipe_unigram_logprob",
+    "pipe_tfidf_top_terms",
 ]
 
 

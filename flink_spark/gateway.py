@@ -55,6 +55,7 @@ import json
 import os
 import re
 import threading
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -181,13 +182,15 @@ class _Session:
         self.properties = dict(properties)
         self.operations: dict[str, _Operation] = {}
         self.lock = threading.Lock()
+        self.last_access = time.monotonic()
 
 
 class SqlGatewayServer:
     """Threaded embedded gateway; ``start()`` returns the bound port."""
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
-                 port: int = 0, workers: int = 4) -> None:
+                 port: int = 0, workers: int = 4,
+                 session_idle_timeout: float | None = 600.0) -> None:
         if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
             raise RuntimeError(
                 "SQL gateway requires PySpark pinned-thread mode "
@@ -197,6 +200,7 @@ class SqlGatewayServer:
             )
         self.spark = spark
         self.sessions: dict[str, _Session] = {}
+        self.session_idle_timeout = session_idle_timeout
         self._lock = threading.Lock()
         self.pool = ThreadPoolExecutor(max_workers=workers,
                                        thread_name_prefix="sql-gateway")
@@ -267,7 +271,21 @@ class SqlGatewayServer:
 
     def _session(self, sh: str) -> _Session:
         with self._lock:
-            return self.sessions[sh]
+            # lazy idle sweep (reference sql-gateway.session.idle-timeout,
+            # SessionManagerImpl#checkIdleSessions): any access first
+            # expires sessions idle past the timeout, then touches the
+            # requested one — expired handles 404 via KeyError
+            if self.session_idle_timeout is not None:
+                now = time.monotonic()
+                dead = [
+                    h for h, s in self.sessions.items()
+                    if now - s.last_access > self.session_idle_timeout
+                ]
+                for h in dead:
+                    del self.sessions[h]
+            sess = self.sessions[sh]
+            sess.last_access = time.monotonic()
+            return sess
 
     def _operation(self, sh: str, oh: str) -> _Operation:
         sess = self._session(sh)

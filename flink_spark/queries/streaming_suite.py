@@ -416,10 +416,11 @@ def stream_temporal_sort(spark, sf_dir):
     WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events)
     SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
     FROM events c, m
-    WHERE c.event_type = 'click'
+    WHERE c.event_type = 'click' AND c.user_id <= 300
       AND NOT EXISTS (
         SELECT 1 FROM events p
         WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.user_id <= 300
           AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
           AND p.ts <= c.ts + INTERVAL '30 minutes')
       AND epoch_us(c.ts) + 1800000000 <= (m.mx - 10000) * 1000
@@ -438,7 +439,9 @@ def stream_cep_timeout(spark, sf_dir):
     from flink_spark.operators.cep import Pattern
     from flink_spark.streaming.cep_stream import stream_match_pattern
 
-    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 seconds"))
+    ev = stream_table(
+        spark, sf_dir, "events", watermark=("ts", "10 seconds")
+    ).filter(F.col("user_id") <= 300)
     pat = (
         Pattern.begin("A", lambda r: r["event_type"] == "click")
         .not_followed_by("NP", lambda r: r["event_type"] == "purchase")
@@ -1429,7 +1432,7 @@ def stream_delta_join_left(spark, sf_dir):
         F.col("o_orderpriority") == "1-URGENT"
     )
     li = chunked_table_stream(
-        spark, sf_dir, "lineitem", 3, "l_extendedprice"
+        spark, sf_dir, "lineitem", 2, "l_extendedprice"
     ).filter(F.col("l_quantity") > 49)
     lc = ["o_orderkey", "o_custkey"]
     rc = ["l_orderkey", "l_linenumber", "l_quantity"]

@@ -104,10 +104,13 @@ def delta_join(
                 # than (batch's earliest event time - ttl) can never be
                 # matched by this or any later batch — skip them
                 lo = (
-                    delta_l.agg(F.min(left_ts).alias("m")).collect()[0].m,
-                    delta_r.agg(F.min(right_ts).alias("m")).collect()[0].m,
-                )
-                lwm = min((t for t in lo if t is not None), default=None)
+                    delta_l.select(F.col(left_ts).alias("t"))
+                    .unionByName(delta_r.select(F.col(right_ts).alias("t")))
+                    .agg(F.min("t").alias("m"))
+                    .collect()[0]
+                    .m
+                )  # one 1-row job per batch, not two
+                lwm = lo
                 if lwm is not None:
                     cutoff = lwm - ttl_delta
                     if old_l is not None:
@@ -269,10 +272,16 @@ def delta_join_outer(
                 out = out.unionByName(pair_join(old_l, delta_r))
             parts = [out.select(F.lit("+I").alias("__op"), "*")]
 
+            cached = []
             if how in ("left", "full"):
                 unm_v = _latest_version(unm_l_root)
                 unm_old = sess.read.parquet(unm_v) if unm_v else None
-                fresh = key_join(delta_l, left_keys, r_all, right_keys, "left_anti")
+                # fresh feeds BOTH the changelog write and the unmatched
+                # store write — persist so the anti-join runs once
+                fresh = key_join(
+                    delta_l, left_keys, r_all, right_keys, "left_anti"
+                ).persist()
+                cached.append(fresh)
                 parts.append(
                     fresh.select(F.lit("+I").alias("__op"), *left_cols, *null_r)
                 )
@@ -295,7 +304,10 @@ def delta_join_outer(
             if how in ("right", "full"):
                 unm_v = _latest_version(unm_r_root)
                 unm_old = sess.read.parquet(unm_v) if unm_v else None
-                fresh = key_join(delta_r, right_keys, l_all, left_keys, "left_anti")
+                fresh = key_join(
+                    delta_r, right_keys, l_all, left_keys, "left_anti"
+                ).persist()
+                cached.append(fresh)
                 parts.append(
                     fresh.select(F.lit("+I").alias("__op"), *null_l, *right_cols)
                 )
@@ -325,6 +337,8 @@ def delta_join_outer(
 
             delta_l.write.mode("append").partitionBy(_BUCKET).parquet(l_store)
             delta_r.write.mode("append").partitionBy(_BUCKET).parquet(r_store)
+            for c in cached:
+                c.unpersist()
         finally:
             batch.unpersist()
 

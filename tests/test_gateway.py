@@ -240,3 +240,33 @@ def test_pinned_thread_guard(spark, monkeypatch):
     monkeypatch.setenv("PYSPARK_PIN_THREAD", "false")
     with pytest.raises(RuntimeError, match="pinned-thread"):
         SqlGatewayServer(spark)
+
+
+def test_session_idle_timeout_sweeps_expired(spark):
+    """Reference sql-gateway.session.idle-timeout
+    (SessionManagerImpl#checkIdleSessions): a session idle past the
+    timeout is expired lazily on the next access (404), while an active
+    session's accesses keep refreshing its deadline."""
+    import time as _time
+
+    from flink_spark.gateway import SqlGatewayServer
+
+    server = SqlGatewayServer(spark, session_idle_timeout=0.5)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        code, r = _call(base, "POST", "/v1/sessions", {})
+        assert code == 200
+        idle = r["sessionHandle"]
+        code, r = _call(base, "POST", "/v1/sessions", {})
+        active = r["sessionHandle"]
+        for _ in range(3):  # keep one session warm across the window
+            _time.sleep(0.25)
+            code, _ = _call(base, "GET", f"/v1/sessions/{active}")
+            assert code == 200
+        code, _ = _call(base, "GET", f"/v1/sessions/{idle}")
+        assert code == 404
+        code, _ = _call(base, "GET", f"/v1/sessions/{active}")
+        assert code == 200
+    finally:
+        server.stop()
