@@ -254,3 +254,163 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64,
         id_col,
         F.explode(idx).alias("frame_no"),
     ).withColumn("frame_offset", F.col("frame_no") * every_n_bytes)
+
+
+# --------------------------------------------------------------- audio ----
+# Real PCM16 WAV codec (RIFF header + little-endian int16 samples): like
+# the PPM/BMP image path, these are genuine files any standard WAV reader
+# decodes — no codec stub. Reference parity: the multimodal-column
+# decode/feature pattern of flink-connector-files' binary formats.
+
+AUDIO_RATE = 8000
+
+
+def encode_wav(samples, sample_rate: int = AUDIO_RATE) -> bytes:
+    """PCM16 mono WAV: 44-byte canonical RIFF header + raw samples."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM16 mono RIFF/WAVE payload → (samples int16 ndarray,
+    sample_rate). Walks the chunk list (fmt /data may be preceded by
+    LIST/fact chunks in files from other writers)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    rate, bits, channels, data = None, None, None, None
+    while i + 8 <= n:
+        cid, sz = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"wav: only PCM supported, got format {fmt}")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"wav: expected PCM16 mono, got {bits}-bit {channels}ch")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real WAV payloads: a square wave of amplitude
+    ``100 + doc_id % 900`` over ``64 + doc_id % 64`` samples — closed-form
+    RMS (= amplitude exactly: sqrt of a perfect-square double), peak, and
+    zero-crossing count, so the decode path carries an exact SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                n = 64 + int(d) % 64
+                amp = 100 + int(d) % 900
+                s = np.full(n, amp, dtype=np.int16)
+                s[1::2] = -amp
+                payloads.append(encode_wav(s))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "mime": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} BIGINT, payload BINARY, mime STRING"
+    )
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real decode + audio features: duration, RMS energy, peak, and
+    zero-crossing count — the standard audio-quality signals for corpus
+    filtering. Arrow-batched ``mapInPandas``; numpy does the math."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"n_samples": [], "sample_rate": [], "duration_ms": [],
+                    "rms": [], "peak": [], "zero_crossings": []}
+            for payload in pdf["payload"]:
+                s, rate = decode_wav(bytes(payload))
+                x = s.astype(np.float64)
+                rows["n_samples"].append(len(s))
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(len(s) * 1000.0 / rate)
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                rows["peak"].append(int(np.abs(s).max()))
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} BIGINT, n_samples BIGINT, sample_rate BIGINT, "
+            "duration_ms DOUBLE, rms DOUBLE, peak BIGINT, "
+            "zero_crossings BIGINT"
+        ),
+    )
+
+
+def resize_image(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize on a decoded HxWx3 array (pure numpy
+    index sampling — deterministic, no interpolation kernel)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def image_resize_features(df: DataFrame, out_w: int, out_h: int,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Decode → nearest-neighbor resize → per-channel means of the
+    RESIZED image: the thumbnailing pass of an image-curation pipeline,
+    with geometry + means exact-oracle-able for the synthesized
+    gradient images."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"width": [], "height": [], "mean_r": [], "mean_g": [],
+                    "mean_b": []}
+            for payload in pdf["payload"]:
+                img = resize_image(decode_image(bytes(payload)), out_w, out_h)
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["mean_r"].append(float(img[:, :, 0].mean()))
+                rows["mean_g"].append(float(img[:, :, 1].mean()))
+                rows["mean_b"].append(float(img[:, :, 2].mean()))
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} BIGINT, width INT, height INT, mean_r DOUBLE, "
+            "mean_g DOUBLE, mean_b DOUBLE"
+        ),
+    )

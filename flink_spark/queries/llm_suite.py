@@ -489,3 +489,51 @@ def llm_embedding_quantize(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb)
+
+
+@query(
+    "llm_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           (64 + doc_id % 64) / 8.0 AS duration_ms,
+           CAST(100 + doc_id % 900 AS DOUBLE) AS rms,
+           CAST(100 + doc_id % 900 AS BIGINT) AS peak,
+           CAST(63 + doc_id % 64 AS BIGINT) AS zero_crossings
+    FROM documents
+    """,
+)
+def llm_audio_decode(spark, sf_dir):
+    """REAL audio decode path: deterministic PCM16 mono WAV payloads
+    (square wave, amplitude 100 + doc_id%900 over 64 + doc_id%64 samples
+    — genuine RIFF files any WAV reader opens) parsed back by the
+    chunk-walking decoder (multimodal.decode_wav) and reduced to
+    duration/RMS/peak/zero-crossing features. Every quantity is
+    closed-form (RMS of a square wave = its amplitude, exactly, as
+    sqrt of a perfect-square double), so the oracle is exact iff every
+    sample of every payload round-trips."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_features(MM.synthesize_audio(docs))
+
+
+@query(
+    "llm_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(doc_id % 100 AS DOUBLE) + 27.0 AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def llm_image_resize(spark, sf_dir):
+    """Decode → nearest-neighbor resize (8×8 → 4×4) → channel means of
+    the thumbnail: the image-curation resize pass over real PPM bytes.
+    Nearest sampling picks rows/cols {0,2,4,6} of the R gradient, whose
+    mean is closed-form (base + 27), keeping the oracle exact through
+    decode AND resize."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_resize_features(MM.synthesize_images(docs), 4, 4)

@@ -173,3 +173,40 @@ class TestImageDecode:
         assert img[0, 0, 0] == 7          # doc 107: R starts at 107%100
         assert img[0, 0, 1] == (107 * 7) % 256
         assert img[0, 0, 2] == (107 * 13) % 256
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """PCM16 WAV roundtrip, incl. a foreign LIST chunk before data (other
+    writers emit those) and word-aligned odd-size chunks."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_spark.llm.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    raw = encode_wav(s, 8000)
+    got, rate = decode_wav(raw)
+    assert rate == 8000 and np.array_equal(got, s)
+    # splice a LIST chunk (odd size → word-aligned) between fmt and data
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = raw[:fmt_end] + foreign + raw[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got2, _ = decode_wav(spliced)
+    assert np.array_equal(got2, s)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 44)
+
+
+def test_resize_image_nearest_exact():
+    import numpy as np
+
+    from flink_spark.llm.multimodal import resize_image
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize_image(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], img[0, 0])
+    assert np.array_equal(out[3, 3], img[6, 6])
