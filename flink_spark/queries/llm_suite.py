@@ -416,6 +416,8 @@ def _ann_recall_gate(spark, sf_dir, method: str):
     exact = SIM.brute_force_topk(q, c, k=5).select("query_id", "cand_id")
     if method == "lsh":
         approx = SIM.lsh_topk(q, c, k=5, n_planes=4, n_tables=16)
+    elif method == "pq":
+        approx = SIM.pq_topk(q, c, k=5, m=16, ks=16)
     else:
         approx = SIM.ivf_topk(q, c, k=5, n_centroids=12, n_probe=5,
                               n_assign=2)
@@ -537,3 +539,36 @@ def llm_image_resize(spark, sf_dir):
     decode AND resize."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.image_resize_features(MM.synthesize_images(docs), 4, 4)
+
+
+@query("llm_pq_topk")
+def llm_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (FAISS PQ; the compressed-index family of
+    the VECTOR_SEARCH surface): 16 subspaces × 16 codes (32× compression
+    of the 64-dim doubles), asymmetric scoring against the codebook
+    reconstruction as one JVM expression, then exact rerank of a
+    corpus-fraction shortlist. Rows-only; the exact contract lives in
+    llm_pq_recall_gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return SIM.pq_topk(q, c, k=5, m=16, ks=16)
+
+
+@query(
+    "llm_pq_recall_gate",
+    oracle="SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+)
+def llm_pq_recall_gate(spark, sf_dir):
+    """PQ ANN with a value-checked recall contract: codebooks from the
+    deterministic joint Lloyd's (all subspaces trained in one plan per
+    iteration, 9-digit-rounded updates — reproducible across runs where
+    Spark ML's reduce-order would not be), two-stage retrieve+rerank
+    with a max(30·k, 8% of corpus) shortlist. ≥80% recall floor against
+    the exact top-5 pairs (measured 1.00 at sf0.01, 0.96 at sf0.1,
+    stable across repeated runs)."""
+    return _ann_recall_gate(spark, sf_dir, "pq")
