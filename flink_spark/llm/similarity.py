@@ -173,42 +173,40 @@ def ivf_topk(
     Recall is the n_probe/n_assign dial (IVF-Flat semantics; the
     FAISS-style layout the VECTOR_SEARCH surface would back onto at
     100 TB)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    # deterministic Lloyd's (clustering.kmeans: id-ordered init, 9-digit-
+    # rounded centroid updates) — reproducible recall where Spark ML's
+    # KMeans varies run-to-run with float reduce order
+    from flink_spark.llm.clustering import kmeans as det_kmeans
 
-    cand_vec = candidates.select(
-        cand_id, F.col(vec).alias("__cv")
-    ).withColumn("__fv", array_to_vector(F.col("__cv").cast("array<double>")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
-    model = km.fit(cand_vec)
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    cand_vec = candidates.select(cand_id, F.col(vec).alias("__cv"))
+    _, cents = det_kmeans(
+        cand_vec.select(
+            F.col(cand_id),
+            F.col("__cv").cast("array<double>").alias("__dv"),
+        ),
+        k=n_centroids, n_iter=3, id_col=cand_id, vec_col="__dv",
+    )
+    centroids = [(i, c) for i, c in enumerate(cents)]
     spark = candidates.sparkSession
-    cent_df = spark.createDataFrame(centroids, f"__cell int, __cent array<double>")
+    cent_df = spark.createDataFrame(centroids, "__cell int, __cent array<double>")
 
-    if n_assign <= 1:
-        assigned = model.transform(cand_vec).drop("__fv")
-    else:
-        c_l2 = F.expr(
-            "aggregate(zip_with(__cv, __cent, "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    c_l2 = F.expr(
+        "aggregate(zip_with(__cv, __cent, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    assigned = (
+        cand_vec.crossJoin(F.broadcast(cent_df))
+        .withColumn("__cd", c_l2)
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy(cand_id).orderBy("__cd", "__cell")
+            ),
         )
-        assigned = (
-            cand_vec.drop("__fv")
-            .crossJoin(F.broadcast(cent_df))
-            .withColumn("__cd", c_l2)
-            .withColumn(
-                "__cr",
-                F.row_number().over(
-                    Window.partitionBy(cand_id).orderBy("__cd", "__cell")
-                ),
-            )
-            .filter(F.col("__cr") <= n_assign)
-            .select(cand_id, "__cv", "__cell")
-        )
+        .filter(F.col("__cr") <= max(1, n_assign))
+        .select(cand_id, "__cv", "__cell")
+    )
 
     # each query → its n_probe nearest centroids (centroids broadcast)
     q = queries.select(query_id, F.col(vec).alias("__qv"))
