@@ -75,6 +75,8 @@ EXTRA = [
     "tpcds_q21_inventory_ratio",
     "pipe_unigram_logprob",
     "pipe_tfidf_top_terms",
+    "llm_audio_decode",
+    "llm_pq_topk",
 ]
 
 
