@@ -860,6 +860,76 @@ def cdc_debezium_materialize(spark, sf_dir):
 
 
 @query(
+    "cdc_ogg_materialize",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE user_id BETWEEN 101 AND 200),
+    last AS (SELECT user_id, event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e)
+    SELECT user_id, event_id, value
+    FROM last WHERE rn = 1 AND user_id % 10 <> 0
+    """,
+)
+def cdc_ogg_materialize(spark, sf_dir):
+    """ogg-json CDC end-to-end (reference flink-formats/flink-json
+    ogg-json, OggJsonDeserializationSchema): the same history→envelope→
+    changelog→materialize circuit as the debezium query, through the
+    GoldenGate op_type I/U/D envelope shape — proving the decoder feeds
+    the identical downstream changelog machinery."""
+    from pyspark.sql import Window
+
+    from flink_spark.streaming.cdc import decode_ogg, materialize_upserts
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").between(101, 200)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    payload = lambda seq: F.struct(  # noqa: E731
+        F.col("user_id"), seq.alias("seq_no"), F.col("event_id"), F.col("value")
+    )
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", rn.alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    rows_env = base.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("rn") == 1, "I").otherwise("U").alias("op_type"),
+                F.when(F.col("rn") > 1,
+                       F.lag(payload(F.col("rn"))).over(
+                           Window.partitionBy("user_id").orderBy("ts", "event_id")
+                       )).alias("before"),
+                payload(F.col("rn")).alias("after"),
+            )
+        ).alias("envelope")
+    )
+    del_env = (
+        base.filter((F.col("rn") == F.col("n")) & (F.col("user_id") % 10 == 0))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("D").alias("op_type"),
+                    payload(F.col("rn") + 1).alias("before"),
+                    F.lit(None).cast(
+                        "struct<user_id:bigint,seq_no:int,event_id:bigint,value:double>"
+                    ).alias("after"),
+                )
+            ).alias("envelope")
+        )
+    )
+    envelopes = rows_env.unionByName(del_env)
+    changelog = decode_ogg(
+        envelopes, "envelope",
+        "user_id bigint, seq_no int, event_id bigint, value double",
+    )
+    final = materialize_upserts(changelog, ["user_id"], ["seq_no"])
+    return final.select("user_id", "event_id", "value")
+
+
+@query(
     "stream_window_join",
     oracle="""
     WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -158,3 +158,30 @@ def decode_maxwell(df: DataFrame, value_col: str, payload_schema: str) -> DataFr
     for p in (upd_b, upd_a, dele):
         out = out.unionByName(p)
     return out
+
+
+def decode_ogg(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode an Oracle GoldenGate JSON envelope (reference
+    flink-formats/flink-json ogg-json, OggJsonDeserializationSchema):
+    ``op_type`` I/U/D with ``before``/``after`` row images (U carries
+    both). Emits the same RowKinds as decode_debezium — +I for I, -D
+    from ``before`` for D, and the -U/+U pair for U."""
+    env = F.from_json(
+        F.col(value_col),
+        f"struct<op_type string, before struct<{payload_schema}>, "
+        f"after struct<{payload_schema}>>",
+    )
+    d = df.withColumn("__env", env)
+    ins = d.filter(F.col("__env.op_type") == "I").select(
+        F.lit(OP_INSERT).alias("op"), F.col("__env.after.*")
+    )
+    dele = d.filter(F.col("__env.op_type") == "D").select(
+        F.lit(OP_DELETE).alias("op"), F.col("__env.before.*")
+    )
+    upd = d.filter(F.col("__env.op_type") == "U")
+    upd_b = upd.select(F.lit(OP_UPDATE_BEFORE).alias("op"), F.col("__env.before.*"))
+    upd_a = upd.select(F.lit(OP_UPDATE_AFTER).alias("op"), F.col("__env.after.*"))
+    out = ins
+    for p in (upd_b, upd_a, dele):
+        out = out.unionByName(p)
+    return out

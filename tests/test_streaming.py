@@ -440,3 +440,23 @@ def test_idle_source_watermark_policy(spark, tmp_path):
     # max: the active source's watermark (05:30-1min) closes everything
     # except the still-open 05:00 window
     assert run("max") == [0, 1, 2, 3, 4]
+
+
+def test_cdc_ogg_decode(spark):
+    """ogg-json envelope (reference OggJsonDeserializationSchema):
+    op_type I/U/D with before/after images → the debezium RowKind set."""
+    from flink_spark.streaming.cdc import decode_ogg
+
+    rows = [
+        ('{"op_type":"I","before":null,"after":{"id":1,"v":10}}',),
+        ('{"op_type":"U","before":{"id":1,"v":10},"after":{"id":1,"v":11}}',),
+        ('{"op_type":"D","before":{"id":1,"v":11},"after":null}',),
+    ]
+    df = spark.createDataFrame(rows, "envelope string")
+    got = sorted(
+        (r.op, r.id, r.v)
+        for r in decode_ogg(df, "envelope", "id int, v int").collect()
+    )
+    assert got == sorted(
+        [("+I", 1, 10), ("-U", 1, 10), ("+U", 1, 11), ("-D", 1, 11)]
+    )
