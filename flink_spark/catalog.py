@@ -118,6 +118,10 @@ class TableEnvironment:
         self.temporal_fns: dict[str, tuple[str, str, str]] = {}
         self._materialized = None
         self._models = None
+        # module registry (reference SqlLoadModule/SqlUnloadModule/
+        # SqlUseModules, ModuleManager): name -> used? — resolution order
+        # is list order, USE MODULES reorders/disables
+        self.modules: list[tuple[str, bool]] = [("core", True)]
 
     @property
     def materialized(self):
@@ -362,7 +366,61 @@ class TableEnvironment:
 
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
-        if "MODEL" in stmt.upper():
+        up = stmt.upper()
+        if "STATEMENT" in up:
+            # SQL statement set (reference SqlExecute + SqlStatementSet:
+            # EXECUTE STATEMENT SET BEGIN <insert>; ...; END) — routed to
+            # the Table API StatementSet (shared-scan caching included)
+            ss = re.match(
+                r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s*"
+                r"END\s*$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if ss:
+                sset = self.create_statement_set()
+                for ins in ss.group("body").split(";"):
+                    if ins.strip():
+                        sset.add_insert_sql(ins.strip())
+                return sset.execute()
+        if "MODULE" in up:
+            m = re.match(r"^\s*LOAD\s+MODULE\s+(?P<n>\w+)", stmt, re.IGNORECASE)
+            if m:
+                if any(n == m.group("n") for n, _ in self.modules):
+                    raise ValueError(f"module {m.group('n')!r} already loaded")
+                self.modules.append((m.group("n"), True))
+                return None
+            m = re.match(r"^\s*UNLOAD\s+MODULE\s+(?P<n>\w+)", stmt, re.IGNORECASE)
+            if m:
+                if not any(n == m.group("n") for n, _ in self.modules):
+                    raise ValueError(f"module {m.group('n')!r} is not loaded")
+                self.modules = [
+                    (n, u) for n, u in self.modules if n != m.group("n")
+                ]
+                return None
+            m = re.match(r"^\s*USE\s+MODULES\s+(?P<ns>.+)$", stmt, re.IGNORECASE)
+            if m:
+                use = [n.strip() for n in m.group("ns").split(",")]
+                loaded = {n for n, _ in self.modules}
+                missing = [n for n in use if n not in loaded]
+                if missing:
+                    raise ValueError(f"modules not loaded: {missing}")
+                # used modules in the given order, then disabled ones
+                self.modules = [(n, True) for n in use] + [
+                    (n, False) for n, _ in self.modules if n not in use
+                ]
+                return None
+            m = re.match(
+                r"^\s*SHOW\s+(?P<full>FULL\s+)?MODULES\s*$", stmt, re.IGNORECASE
+            )
+            if m:
+                if m.group("full"):
+                    return self.spark.createDataFrame(
+                        self.modules, "module_name string, used boolean"
+                    )
+                return self.spark.createDataFrame(
+                    [(n,) for n, u in self.modules if u], "module_name string"
+                )
+        if "MODEL" in up:
             from flink_spark.models import (
                 MODEL_ALTER_RE,
                 MODEL_CREATE_RE,

@@ -411,3 +411,60 @@ def test_describe_job(spark, tmp_path):
         assert row.job_id == q.id
     finally:
         q.stop()
+
+
+def test_sql_statement_set(spark, tmp_path):
+    """EXECUTE STATEMENT SET BEGIN ... END (reference SqlExecute +
+    SqlStatementSet): multiple INSERTs run as one set."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string") \
+        .createOrReplaceTempView("sset_src")
+    for t in ("sset_a", "sset_b"):
+        env.execute_sql(f"""
+            CREATE TABLE {t} (k INT, v STRING) WITH (
+              'connector' = 'filesystem',
+              'path' = '{tmp_path / t}',
+              'format' = 'parquet'
+            )
+        """)
+    env.execute_sql("""
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO sset_a SELECT k, v FROM sset_src WHERE k = 1;
+          INSERT INTO sset_b SELECT k, v FROM sset_src;
+        END
+    """)
+    assert spark.read.parquet(str(tmp_path / "sset_a")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "sset_b")).count() == 2
+
+
+def test_module_statements(spark):
+    """LOAD/UNLOAD MODULE, USE MODULES, SHOW [FULL] MODULES (reference
+    SqlLoadModule / ModuleManager semantics: list order = resolution
+    order, USE disables unlisted loaded modules)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert [r.module_name for r in env.execute_sql("SHOW MODULES").collect()] \
+        == ["core"]
+    env.execute_sql("LOAD MODULE hive")
+    assert [r.module_name for r in env.execute_sql("SHOW MODULES").collect()] \
+        == ["core", "hive"]
+    env.execute_sql("USE MODULES hive, core")
+    full = [(r.module_name, r.used)
+            for r in env.execute_sql("SHOW FULL MODULES").collect()]
+    assert full == [("hive", True), ("core", True)]
+    env.execute_sql("USE MODULES core")
+    full = [(r.module_name, r.used)
+            for r in env.execute_sql("SHOW FULL MODULES").collect()]
+    assert full == [("core", True), ("hive", False)]
+    env.execute_sql("UNLOAD MODULE hive")
+    assert [r.module_name for r in env.execute_sql("SHOW MODULES").collect()] \
+        == ["core"]
+    with pytest.raises(ValueError, match="not loaded"):
+        env.execute_sql("UNLOAD MODULE hive")
+    with pytest.raises(ValueError, match="already loaded"):
+        env.execute_sql("LOAD MODULE core")
