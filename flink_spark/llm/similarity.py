@@ -274,6 +274,7 @@ def pq_encode(
     m: int = 8,
     ks: int = 16,
     seed: int = 42,
+    books: list | None = None,
 ):
     """Product quantization (FAISS PQ / the VECTOR_SEARCH index family):
     split each d-dim vector into ``m`` subvectors, k-means each subspace
@@ -291,13 +292,24 @@ def pq_encode(
     pairs, argmin against the broadcast (subspace, code) centroid table,
     9-digit-rounded mean updates) — deterministic where Spark ML's
     KMeans varies run-to-run with float reduce order, and m× fewer jobs
-    than per-subspace fits."""
+    than per-subspace fits.
+
+    Pass ``books`` (a previous call's return value) to skip training and
+    encode against the saved codebooks — the production pattern: train
+    once on a sample, persist the tiny codebooks, encode/serve many."""
     d = len(candidates.select(vec).first()[0])
     if d % m:
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
     sub = d // m
     spark = candidates.sparkSession
     cv = candidates.select(cand_id, F.col(vec).alias("__cv"))
+    if books is not None:
+        if len(books) != m or any(len(b) != ks for b in books):
+            raise ValueError(
+                f"pq: saved codebooks shaped {len(books)}×"
+                f"{len(books[0]) if books else 0}, expected {m}×{ks}"
+            )
+        return _pq_encode_with_books(cv, cand_id, m, sub, books), books
     slices = F.array(*[
         F.slice(F.col("__cv"), j * sub + 1, sub).cast("array<double>")
         for j in range(m)
@@ -352,12 +364,17 @@ def pq_encode(
     books = [
         [cents[(j, c)] for c in range(ks)] for j in range(m)
     ]
+    return _pq_encode_with_books(cv, cand_id, m, sub, books), books
+
+
+def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
+                          books: list) -> DataFrame:
+    """Map-only PQ encoding against fixed codebooks: per subspace, argmin
+    over the ks literal centroids (codegen'd) + the reconstruction."""
 
     def _arr(vals: list[float]) -> str:
         return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
-    # per subspace: argmin over the ks literal centroids (codegen'd), and
-    # the reconstruction = the chosen centroid's values
     enc = cv
     recon_parts = []
     for j in range(m):
@@ -374,12 +391,11 @@ def pq_encode(
         enc = enc.withColumn(f"__code{j}", F.expr(code).cast("int"))
         book_lit = "array(" + ",".join(_arr(c) for c in books[j]) + ")"
         recon_parts.append(f"element_at({book_lit}, __code{j})")
-    enc = enc.withColumn(
+    return enc.withColumn(
         "__recon", F.expr("concat(" + ",".join(recon_parts) + ")")
     ).withColumn(
         "__code", F.array(*[F.col(f"__code{j}") for j in range(m)])
     ).select(cand_id, "__cv", "__code", "__recon")
-    return enc, books
 
 
 def pq_topk(
@@ -393,6 +409,7 @@ def pq_topk(
     ks: int = 16,
     shortlist: int | None = None,
     seed: int = 42,
+    books: list | None = None,
 ) -> DataFrame:
     """PQ ANN with exact rerank (the standard two-stage retrieve+rerank):
     score every candidate by cosine against its CODEBOOK RECONSTRUCTION
@@ -406,7 +423,7 @@ def pq_topk(
     if shortlist is None:
         n_cand = candidates.count()
         shortlist = max(30 * k, -(-n_cand * 8 // 100))
-    enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed)
+    enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed, books=books)
     q = queries.select(query_id, F.col(vec).alias("__qv"))
     approx = (
         F.broadcast(q)

@@ -210,3 +210,23 @@ def test_resize_image_nearest_exact():
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out[0, 0], img[0, 0])
     assert np.array_equal(out[3, 3], img[6, 6])
+
+
+def test_pq_codebook_reuse(spark):
+    """pq_encode with saved codebooks skips training and yields the exact
+    same codes — the train-once / encode-many production pattern."""
+    import pytest
+
+    from flink_spark.llm.similarity import pq_encode
+
+    rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "cand_id bigint, embedding array<double>")
+    enc1, books = pq_encode(df, m=4, ks=4)
+    enc2, books2 = pq_encode(df, m=4, ks=4, books=books)
+    assert books2 is books
+    a = sorted((r["cand_id"], tuple(r["__code"])) for r in enc1.collect())
+    b = sorted((r["cand_id"], tuple(r["__code"])) for r in enc2.collect())
+    assert a == b
+    with pytest.raises(ValueError, match="shaped"):
+        pq_encode(df, m=8, ks=4, books=books)
