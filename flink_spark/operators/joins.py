@@ -229,13 +229,25 @@ def async_lookup_join(
     key: str,
     result_schema: str,
     concurrency: int = 64,
+    retry_max_attempts: int = 1,
+    retry_delay_sec: float = 0.0,
+    retry_on_empty: bool = False,
 ):
     """Async lookup join (reference AsyncLookupFunction.java,
     AsyncWaitOperator ordered mode): per Arrow batch, every DISTINCT miss
     key issues its awaitable concurrently (bounded by ``concurrency``)
     through one asyncio loop, results land in an executor-local cache,
     and rows emit in input order — Flink's ordered async I/O with caching,
-    without thread pools or per-row latency stacking."""
+    without thread pools or per-row latency stacking.
+
+    Retry (reference ResultRetryStrategy / RetryPredicates,
+    `LookupOptions.retry-strategy=fixed_delay`): ``retry_max_attempts``
+    total tries per key with ``retry_delay_sec`` between them; a try
+    counts as failed when the awaitable raises, or additionally when it
+    returns an empty/None result with ``retry_on_empty=True`` (Flink's
+    EMPTY_RESULT_PREDICATE — the late-dim-row case). The last failure's
+    result stands (empty dict on exception exhaustion) — lookup misses
+    null-pad, they don't kill the job."""
     import asyncio
 
     import pandas as pd
@@ -248,7 +260,21 @@ def async_lookup_join(
 
             async def one(k):
                 async with sem:
-                    return k, await async_lookup(k)
+                    last_err = None
+                    for attempt in range(max(1, retry_max_attempts)):
+                        if attempt:
+                            await asyncio.sleep(retry_delay_sec)
+                        try:
+                            res = await async_lookup(k)
+                        except Exception as e:  # noqa: BLE001
+                            last_err = e
+                            continue
+                        if retry_on_empty and not res:
+                            continue
+                        return k, res
+                    if last_err is not None and retry_max_attempts <= 1:
+                        raise last_err
+                    return k, {}
 
             return await asyncio.gather(*[one(k) for k in keys])
 

@@ -460,3 +460,30 @@ def test_cdc_ogg_decode(spark):
     assert got == sorted(
         [("+I", 1, 10), ("-U", 1, 10), ("+U", 1, 11), ("-D", 1, 11)]
     )
+
+
+def test_async_lookup_retry_strategy(spark):
+    """Fixed-delay retry (reference ResultRetryStrategy / RetryPredicates):
+    a lookup that fails transiently succeeds within max_attempts; an
+    empty result retries under retry_on_empty and null-pads when
+    exhausted."""
+    from flink_spark.operators.joins import async_lookup_join
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int").coalesce(1)
+
+    fail_once: dict = {}
+
+    async def flaky(k):
+        if k == 2 and not fail_once.get(k):
+            fail_once[k] = True
+            raise RuntimeError("transient")
+        if k == 3:
+            return {}  # permanently empty — dim row never arrives
+        return {"name": f"dim_{k}"}
+
+    out = async_lookup_join(
+        df, flaky, "k", "name string",
+        retry_max_attempts=3, retry_delay_sec=0.0, retry_on_empty=True,
+    )
+    got = sorted((r.k, r.name) for r in out.collect())
+    assert got == [(1, "dim_1"), (2, "dim_2"), (3, None)]
