@@ -122,6 +122,13 @@ class TableEnvironment:
         # SqlUseModules, ModuleManager): name -> used? — resolution order
         # is list order, USE MODULES reorders/disables
         self.modules: list[tuple[str, bool]] = [("core", True)]
+        # catalog registry (reference GenericInMemoryCatalog,
+        # SqlCreateCatalog/SqlUseCatalog/SqlShowCatalogs): name -> WITH
+        # properties. Spark has one session catalog, so each extra Flink
+        # catalog maps its databases onto Spark databases named
+        # `<catalog>__<db>` — same storage engine, namespaced.
+        self.catalogs: dict[str, dict[str, str]] = {"default_catalog": {}}
+        self.current_catalog = "default_catalog"
 
     @property
     def materialized(self):
@@ -364,6 +371,112 @@ class TableEnvironment:
         ML_PREDICT SQL (Table-API analog of CREATE MODEL)."""
         self.model_manager.create_temporary(name, factory, output_schema)
 
+    def _mangle_db(self, db: str) -> str:
+        """Spark-side database name for a (current-catalog, db) pair."""
+        if self.current_catalog == "default_catalog":
+            return db
+        return f"{self.current_catalog}__{db}"
+
+    def _catalog_statement(self, stmt: str):
+        """Catalog / database DDL (reference GenericInMemoryCatalog;
+        parser SqlCreateCatalog / SqlDropCatalog / SqlUseCatalog /
+        SqlShowCatalogs / SqlDescribeCatalog / SqlShowCurrentCatalog,
+        SqlCreateDatabase / SqlUseDatabase / SqlShowDatabases). Returns
+        NotImplemented when the statement is not in this family."""
+        m = re.match(
+            r"^\s*CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<n>\w+)\s*(?:WITH\s*\((?P<props>.*)\))?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group("n")
+            if name in self.catalogs:
+                if m.group("ine"):
+                    return None
+                raise ValueError(f"catalog {name!r} already exists")
+            props = dict(
+                re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group("props") or "")
+            )
+            self.catalogs[name] = props
+            return None
+        m = re.match(
+            r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<n>\w+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            name = m.group("n")
+            if name not in self.catalogs:
+                if m.group("ie"):
+                    return None
+                raise ValueError(f"catalog {name!r} does not exist")
+            if name == self.current_catalog:
+                raise ValueError("cannot drop the current catalog")
+            if name == "default_catalog":
+                raise ValueError("cannot drop the default catalog")
+            del self.catalogs[name]
+            return None
+        m = re.match(r"^\s*USE\s+CATALOG\s+(?P<n>\w+)\s*$", stmt, re.IGNORECASE)
+        if m:
+            if m.group("n") not in self.catalogs:
+                raise ValueError(f"catalog {m.group('n')!r} does not exist")
+            self.current_catalog = m.group("n")
+            return None
+        if re.match(r"^\s*SHOW\s+CATALOGS\s*$", stmt, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                sorted((n,) for n in self.catalogs), "catalog_name string"
+            )
+        if re.match(r"^\s*SHOW\s+CURRENT\s+CATALOG\s*$", stmt, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(self.current_catalog,)], "current_catalog_name string"
+            )
+        m = re.match(
+            r"^\s*DESCRIBE\s+CATALOG\s+(?:EXTENDED\s+)?(?P<n>\w+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            if m.group("n") not in self.catalogs:
+                raise ValueError(f"catalog {m.group('n')!r} does not exist")
+            rows = [("name", m.group("n"))] + sorted(
+                self.catalogs[m.group("n")].items()
+            )
+            return self.spark.createDataFrame(
+                rows, "info_name string, info_value string"
+            )
+        m = re.match(
+            r"^\s*(?P<verb>CREATE|DROP)\s+DATABASE\s+"
+            r"(?P<g>IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<n>\w+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            self.spark.sql(
+                f"{m.group('verb')} DATABASE {m.group('g') or ''}"
+                f"{self._mangle_db(m.group('n'))}"
+            )
+            return None
+        if re.match(r"^\s*SHOW\s+DATABASES\s*$", stmt, re.IGNORECASE):
+            dbs = [d.name for d in self.spark.catalog.listDatabases()]
+            if self.current_catalog == "default_catalog":
+                names = [d for d in dbs if "__" not in d]
+            else:
+                pre = f"{self.current_catalog}__"
+                names = [d[len(pre):] for d in dbs if d.startswith(pre)]
+            return self.spark.createDataFrame(
+                sorted((n,) for n in names), "database_name string"
+            )
+        if re.match(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", stmt, re.IGNORECASE):
+            cur = self.spark.catalog.currentDatabase()
+            pre = f"{self.current_catalog}__"
+            if cur.startswith(pre):
+                cur = cur[len(pre):]
+            return self.spark.createDataFrame(
+                [(cur,)], "current_database_name string"
+            )
+        m = re.match(r"^\s*USE\s+(?P<n>\w+)\s*$", stmt, re.IGNORECASE)
+        if m and m.group("n").upper() not in ("CATALOG", "MODULES"):
+            self.spark.sql(f"USE {self._mangle_db(m.group('n'))}")
+            return None
+        return NotImplemented
+
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
         up = stmt.upper()
@@ -382,6 +495,13 @@ class TableEnvironment:
                     if ins.strip():
                         sset.add_insert_sql(ins.strip())
                 return sset.execute()
+        if "CATALOG" in up or re.match(
+            r"^\s*(USE|SHOW\s+(CURRENT\s+)?DATABASES?|CREATE\s+DATABASE|"
+            r"DROP\s+DATABASE)\b", stmt, re.IGNORECASE,
+        ):
+            r = self._catalog_statement(stmt)
+            if r is not NotImplemented:
+                return r
         if "MODULE" in up:
             m = re.match(r"^\s*LOAD\s+MODULE\s+(?P<n>\w+)", stmt, re.IGNORECASE)
             if m:

@@ -468,3 +468,46 @@ def test_module_statements(spark):
         env.execute_sql("UNLOAD MODULE hive")
     with pytest.raises(ValueError, match="already loaded"):
         env.execute_sql("LOAD MODULE core")
+
+
+def test_catalog_ddl_family(spark):
+    """CREATE/DROP/USE CATALOG + SHOW/DESCRIBE (reference
+    GenericInMemoryCatalog, SqlCreateCatalog family): extra catalogs
+    namespace their databases onto Spark databases `<catalog>__<db>`."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert [r.catalog_name for r in env.execute_sql("SHOW CATALOGS").collect()] \
+        == ["default_catalog"]
+    env.execute_sql("CREATE CATALOG lake WITH ('type'='generic_in_memory')")
+    env.execute_sql("CREATE CATALOG IF NOT EXISTS lake")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE CATALOG lake")
+    desc = {r.info_name: r.info_value
+            for r in env.execute_sql("DESCRIBE CATALOG lake").collect()}
+    assert desc == {"name": "lake", "type": "generic_in_memory"}
+
+    env.execute_sql("USE CATALOG lake")
+    assert env.execute_sql("SHOW CURRENT CATALOG").first()[0] == "lake"
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS staging")
+    assert [r.database_name
+            for r in env.execute_sql("SHOW DATABASES").collect()] == ["staging"]
+    env.execute_sql("USE staging")
+    assert env.execute_sql("SHOW CURRENT DATABASE").first()[0] == "staging"
+    # the Flink db is namespaced onto a Spark database
+    assert spark.catalog.currentDatabase() == "lake__staging"
+
+    with pytest.raises(ValueError, match="current catalog"):
+        env.execute_sql("DROP CATALOG lake")
+    # database DDL resolves within the CURRENT catalog's namespace
+    spark.sql("USE default")
+    env.execute_sql("DROP DATABASE staging")
+    assert env.execute_sql("SHOW DATABASES").count() == 0
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG lake")
+    assert [r.catalog_name for r in env.execute_sql("SHOW CATALOGS").collect()] \
+        == ["default_catalog"]
+    with pytest.raises(ValueError, match="current catalog"):
+        env.execute_sql("DROP CATALOG default_catalog")
