@@ -221,3 +221,47 @@ def ctas_roundtrip(spark, sf_dir):
            GROUP BY o_orderpriority
     """)
     return spark.table("ctas_q_priority")
+
+
+@query(
+    "ddl_catalog_module_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('catalog', 'default_catalog'),
+      ('catalog', 'warehouse'),
+      ('current_catalog', 'warehouse'),
+      ('database', 'analytics'),
+      ('module', 'core'),
+      ('module', 'hive')
+    ) t(kind, name)
+    """,
+)
+def ddl_catalog_module_roundtrip(spark, sf_dir):
+    """Catalog + module statement surface end-to-end (reference
+    GenericInMemoryCatalog, SqlCreateCatalog/SqlUseCatalog/SqlShowCatalogs,
+    SqlLoadModule/SqlUseModules): create a catalog, switch into it, create
+    a database inside its namespace, load a module — and read every fact
+    back through the SHOW statements, proving the registry round-trips."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG IF NOT EXISTS warehouse WITH ('type'='generic_in_memory')")
+    env.execute_sql("USE CATALOG warehouse")
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS analytics")
+    try:
+        env.execute_sql("LOAD MODULE hive")
+    except ValueError:
+        pass  # already loaded in this session
+    rows = []
+    for r in env.execute_sql("SHOW CATALOGS").collect():
+        rows.append(("catalog", r.catalog_name))
+    rows.append(
+        ("current_catalog", env.execute_sql("SHOW CURRENT CATALOG").first()[0])
+    )
+    for r in env.execute_sql("SHOW DATABASES").collect():
+        rows.append(("database", r.database_name))
+    for r in env.execute_sql("SHOW MODULES").collect():
+        rows.append(("module", r.module_name))
+    out = spark.createDataFrame(rows, "kind string, name string")
+    env.execute_sql("USE CATALOG default_catalog")
+    return out
