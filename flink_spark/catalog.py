@@ -163,6 +163,13 @@ class TableEnvironment:
 
     # -- plans (COMPILE PLAN / EXPLAIN, SURVEY §2.15) ----------------------
 
+    def from_path(self, name: str):
+        """Table-API entry (reference TableEnvironment.from_path): a
+        fluent Table over a declared table / view."""
+        from flink_spark.table_api import Table
+
+        return Table(self.spark.table(name))
+
     def create_statement_set(self) -> "StatementSet":
         return StatementSet(self)
 

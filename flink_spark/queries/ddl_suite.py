@@ -265,3 +265,38 @@ def ddl_catalog_module_roundtrip(spark, sf_dir):
     out = spark.createDataFrame(rows, "kind string, name string")
     env.execute_sql("USE CATALOG default_catalog")
     return out
+
+
+@query(
+    "tableapi_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tableapi_pricing_summary(spark, sf_dir):
+    """Table API entry point (reference Table.java groupBy/select,
+    SURVEY §3.2): the q1-style pricing summary written fluently —
+    from_path → where → group_by → select — producing the identical
+    Catalyst plan a hand-written DataFrame program yields (the shim
+    delegates, it does not interpret)."""
+    from flink_spark.table_api import col, from_data_frame
+
+    li = from_data_frame(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.where(col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .group_by(col("l_returnflag"), col("l_linestatus"))
+        .select(
+            col("l_returnflag"), col("l_linestatus"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .to_data_frame()
+    )
