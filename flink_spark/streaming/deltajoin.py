@@ -185,7 +185,12 @@ def _latest_version(root: str) -> str | None:
     vs = [d for d in os.listdir(root) if d.startswith("v")]
     if not vs:
         return None
-    return os.path.join(root, max(vs, key=lambda d: int(d[1:])))
+    vs.sort(key=lambda d: int(d[1:]))
+    # prune superseded versions (keep latest + one predecessor for the
+    # in-flight reader) — the compaction a MERGE-capable store would do
+    for stale in vs[:-2]:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return os.path.join(root, vs[-1])
 
 
 def delta_join_outer(
