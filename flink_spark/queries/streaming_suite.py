@@ -411,6 +411,43 @@ def stream_temporal_sort(spark, sf_dir):
 
 
 @query(
+    "stream_late_side_output",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, ts,
+                      ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)))
+                        - 1 AS rn,
+                      COUNT(*) OVER () AS n
+               FROM events),
+    c AS (SELECT user_id, event_id, ts, rn * 4 // n AS chunk FROM r),
+    cm AS (SELECT chunk, MAX(ts) AS mx FROM c GROUP BY chunk),
+    pv AS (SELECT chunk, MAX(mx) OVER (ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+           FROM cm)
+    SELECT c.user_id, c.event_id, c.ts
+    FROM c JOIN pv USING (chunk)
+    WHERE pv.max_prev IS NOT NULL
+      AND c.ts < pv.max_prev - INTERVAL 10 MINUTE
+    """,
+)
+def stream_late_side_output(spark, sf_dir):
+    """Late-data SIDE OUTPUT (reference WindowOperator.java:102
+    sideOutput(lateDataOutputTag), OutputTag.java:47 — Flink's channel
+    for rows behind the watermark, which Spark only DROPS): events arrive
+    md5-shuffled (deterministic, uncorrelated with event time) over four
+    micro-batches; each batch's rows older than the watermark frozen at
+    batch start (max prior event time − 10 min) land on the late channel.
+    The oracle reproduces the exact chunk assignment (same md5 order,
+    same ¼ splits) and the per-chunk running-max watermark in SQL."""
+    from flink_spark.streaming.core import chunked_table_stream, side_output_late
+
+    ev = chunked_table_stream(
+        spark, sf_dir, "events", 4, "event_id", order_hash=True
+    ).select("user_id", "event_id", "ts")
+    _on_time, late = side_output_late(ev, "ts", "10 minutes")
+    return late.select("user_id", "event_id", "ts")
+
+
+@query(
     "stream_cep_timeout",
     oracle="""
     WITH m AS (SELECT MAX(epoch_us(ts)) // 1000 AS mx FROM events)

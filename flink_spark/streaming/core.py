@@ -218,6 +218,7 @@ def chunked_table_stream(
     name: str,
     n_chunks: int = 2,
     order_col: str | None = None,
+    order_hash: bool = False,
 ) -> DataFrame:
     """Open one test table as a streaming DataFrame delivered in
     ``n_chunks`` micro-batches (one file per trigger). The chunked copy is
@@ -225,7 +226,10 @@ def chunked_table_stream(
     order for None) — the harness for operators whose correctness must
     hold *across* micro-batch boundaries."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = path.strip("/").replace("/", "_") + f"_chunks{n_chunks}_{order_col or 'arrival'}"
+    key = path.strip("/").replace("/", "_") + (
+        f"_chunks{n_chunks}_{order_col or 'arrival'}"
+        + ("_h" if order_hash else "")
+    )
     d = os.path.join(_STREAM_DIR_ROOT, key)
     marker = os.path.join(d, f"_chunked_{n_chunks}")
     if not os.path.exists(marker):
@@ -235,7 +239,23 @@ def chunked_table_stream(
         for f in os.listdir(d):
             os.remove(os.path.join(d, f))
         pdf = pd.read_parquet(path)
-        if order_col is not None:
+        if order_col is not None and order_hash:
+            # arrival order = md5 of the (unique) order column: a
+            # deterministic shuffle both engines can reproduce
+            # (SQL: ORDER BY md5(CAST(col AS VARCHAR))), uncorrelated
+            # with event time — the out-of-order-delivery harness
+            import hashlib
+
+            pdf = (
+                pdf.assign(__o=[
+                    hashlib.md5(str(v).encode()).hexdigest()
+                    for v in pdf[order_col]
+                ])
+                .sort_values("__o")
+                .drop(columns="__o")
+                .reset_index(drop=True)
+            )
+        elif order_col is not None:
             pdf = pdf.sort_values(order_col).reset_index(drop=True)
         n = len(pdf)
         for i in range(n_chunks):
@@ -311,3 +331,70 @@ def with_current_watermark(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn, schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def side_output_late(
+    stream: DataFrame, ts_col: str, delay: str, prefix: str = "late_split"
+):
+    """Late-data SIDE OUTPUT (reference WindowOperator.java:102
+    sideOutput(lateDataOutputTag), OutputTag.java:47): drain the stream
+    splitting every micro-batch into on-time vs late relative to the
+    watermark frozen at batch start (max event time over all PRIOR
+    batches minus ``delay`` — Spark's own between-batches watermark
+    update cadence, which Flink's periodic generator also exhibits).
+    Returns ``(on_time_df, late_df)`` batch DataFrames after the drain —
+    the two OutputTag channels.
+
+    Scale shape: the split is one JVM comparison per row against a
+    literal; the only driver state is a single scalar max timestamp."""
+    import shutil as _sh
+    import tempfile
+
+    import pandas as pd
+
+    spark = stream.sparkSession
+    delay_td = pd.Timedelta(delay)
+    root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    on_dir, late_dir, ckpt = f"{root}/on", f"{root}/late", f"{root}/ckpt"
+    state = {"max_ts": None}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            wm = (
+                state["max_ts"] - delay_td
+                if state["max_ts"] is not None else None
+            )
+            if wm is None:
+                late = batch.filter(F.lit(False))
+                on_time = batch
+            else:
+                late = batch.filter(F.col(ts_col) < F.lit(wm))
+                on_time = batch.filter(~(F.col(ts_col) < F.lit(wm)))
+            on_time.write.mode("append").parquet(on_dir)
+            late.write.mode("append").parquet(late_dir)
+            mx = batch.agg(F.max(ts_col).alias("m")).collect()[0].m
+            if mx is not None:
+                prev = state["max_ts"]
+                state["max_ts"] = mx if prev is None else max(prev, mx)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    empty = spark.createDataFrame([], stream.schema)
+    on_df = (
+        spark.read.parquet(on_dir).localCheckpoint(eager=True)
+        if os.path.isdir(on_dir) else empty
+    )
+    late_df = (
+        spark.read.parquet(late_dir).localCheckpoint(eager=True)
+        if os.path.isdir(late_dir) else empty
+    )
+    _sh.rmtree(root, ignore_errors=True)
+    return on_df, late_df

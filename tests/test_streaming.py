@@ -487,3 +487,34 @@ def test_async_lookup_retry_strategy(spark):
     )
     got = sorted((r.k, r.name) for r in out.collect())
     assert got == [(1, "dim_1"), (2, "dim_2"), (3, None)]
+
+
+def test_side_output_late_partitions_stream(spark, tmp_path):
+    """on_time ∪ late == input, disjoint; batch-1 rows are never late
+    (no prior watermark); a row behind the frozen watermark lands on the
+    late channel (reference OutputTag late-data side output)."""
+    import pandas as pd
+
+    from flink_spark.streaming.core import side_output_late
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    chunks = [
+        [(1, base + pd.Timedelta(minutes=50))],              # wm := 10:50
+        [(2, base + pd.Timedelta(minutes=10)),               # late (< 10:40)
+         (3, base + pd.Timedelta(minutes=45))],              # on time
+    ]
+    d = tmp_path / "late_src"
+    d.mkdir()
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(rows, columns=["id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / f"part-{i}.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    on_time, late = side_output_late(stream, "ts", "10 minutes")
+    assert sorted(r.id for r in late.collect()) == [2]
+    assert sorted(r.id for r in on_time.collect()) == [1, 3]
