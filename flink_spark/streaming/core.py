@@ -231,7 +231,7 @@ def chunked_table_stream(
         + ("_h" if order_hash else "")
     )
     d = os.path.join(_STREAM_DIR_ROOT, key)
-    marker = os.path.join(d, f"_chunked_{n_chunks}")
+    marker = os.path.join(d, f"_chunked_{n_chunks}_us")
     if not os.path.exists(marker):
         import pandas as pd
 
@@ -257,13 +257,32 @@ def chunked_table_stream(
             )
         elif order_col is not None:
             pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        # normalize ns timestamps to µs at write time: truncation matches
+        # DuckDB's parquet ns→µs read exactly, and frees the stream from
+        # the session's nanosAsLong setting (a vanilla session would
+        # otherwise read nanos natively and disagree on boundary rows)
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("datetime64[ns"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
         n = len(pdf)
         for i in range(n_chunks):
             part = pdf.iloc[i * n // n_chunks : (i + 1) * n // n_chunks]
             part.to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
         with open(marker, "w") as fh:
             fh.write("ok")
-    schema = spark.read.parquet(path).schema
+    # Spark's file stream source orders files by MODIFICATION TIME; files
+    # written within the same instant tie, making batch order (and any
+    # order-sensitive operator on top) nondeterministic. Pin strictly
+    # increasing mtimes — applied on every call so pre-fix cached dirs
+    # are repaired too.
+    base = 1_600_000_000
+    for i in range(n_chunks):
+        p = os.path.join(d, f"part-{i}.parquet")
+        if os.path.exists(p):
+            os.utime(p, (base + i * 60, base + i * 60))
+    # schema from the CHUNK files (µs-normalized), not the original table:
+    # the ns-column legacy/bigint handling never applies to the chunks
+    schema = spark.read.parquet(d).schema
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -358,6 +377,17 @@ def side_output_late(
     on_dir, late_dir, ckpt = f"{root}/on", f"{root}/late", f"{root}/ckpt"
     state = {"max_ts": None}
 
+    ntz = dict(stream.dtypes).get(ts_col) == "timestamp_ntz"
+
+    def _wm_lit(wm):
+        # an NTZ column must compare against an NTZ literal: F.lit(naive
+        # datetime) builds an LTZ literal through the PYTHON process tz,
+        # while the NTZ→LTZ comparison cast uses the SESSION tz — under a
+        # non-UTC session the two disagree and the watermark skews
+        if ntz:
+            return F.expr(f"TIMESTAMP_NTZ '{wm.isoformat(sep=' ')}'")
+        return F.lit(wm)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
@@ -369,8 +399,8 @@ def side_output_late(
                 late = batch.filter(F.lit(False))
                 on_time = batch
             else:
-                late = batch.filter(F.col(ts_col) < F.lit(wm))
-                on_time = batch.filter(~(F.col(ts_col) < F.lit(wm)))
+                late = batch.filter(F.col(ts_col) < _wm_lit(wm))
+                on_time = batch.filter(~(F.col(ts_col) < _wm_lit(wm)))
             on_time.write.mode("append").parquet(on_dir)
             late.write.mode("append").parquet(late_dir)
             mx = batch.agg(F.max(ts_col).alias("m")).collect()[0].m

@@ -113,10 +113,22 @@ def delta_join(
                 lwm = lo
                 if lwm is not None:
                     cutoff = lwm - ttl_delta
+                    # NTZ columns need an NTZ literal: F.lit(naive dt)
+                    # builds an LTZ literal through the Python process
+                    # tz, which skews under a non-UTC session tz
+                    dts = dict(tagged.dtypes)
+
+                    def cut(col_name: str):
+                        if dts.get(col_name) == "timestamp_ntz":
+                            return F.expr(
+                                f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ')}'"
+                            )
+                        return F.lit(cutoff)
+
                     if old_l is not None:
-                        old_l = old_l.filter(F.col(left_ts) >= F.lit(cutoff))
+                        old_l = old_l.filter(F.col(left_ts) >= cut(left_ts))
                     if old_r is not None:
-                        old_r = old_r.filter(F.col(right_ts) >= F.lit(cutoff))
+                        old_r = old_r.filter(F.col(right_ts) >= cut(right_ts))
 
             def join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 # explicit aliases: both deltas descend from the same
