@@ -328,6 +328,11 @@ def pq_encode(
     cents = {
         (r["__j"], r["__c"]): [float(x) for x in r["__sv"]] for r in init
     }
+    if len(cents) < m * ks:
+        raise ValueError(
+            f"pq: corpus has fewer than ks={ks} vectors — lower ks or use "
+            "brute_force_topk for tiny candidate sets"
+        )
     dist = F.expr(
         "aggregate(zip_with(__sv, __cent, "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "

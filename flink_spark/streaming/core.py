@@ -225,6 +225,8 @@ def chunked_table_stream(
     materialized once under /tmp, split on ``order_col`` order (arrival
     order for None) — the harness for operators whose correctness must
     hold *across* micro-batch boundaries."""
+    if order_hash and order_col is None:
+        raise ValueError("order_hash=True requires an order_col")
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = path.strip("/").replace("/", "_") + (
         f"_chunks{n_chunks}_{order_col or 'arrival'}"
