@@ -144,3 +144,52 @@ def test_delta_join_outer_rejects_bad_how(spark, tmp_path):
 
     with pytest.raises(ValueError, match="left/right/full"):
         delta_join_outer(None, [], [], [], [], how="cross")
+
+
+def test_delta_join_outer_changelog_protocol_random(spark, tmp_path):
+    """Seeded-random datasets: (1) net changelog == batch outer join,
+    (2) prefix-positivity — at no point does a row's -D count exceed its
+    prior +I count (a retraction always follows its insertion)."""
+    import random
+
+    from flink_spark.streaming.deltajoin import apply_changelog, delta_join_outer
+
+    for seed, how, n_chunks in [(11, "left", 3), (23, "full", 2), (37, "full", 4)]:
+        rng = random.Random(seed)
+        left_pdf = pd.DataFrame({
+            "lk": [rng.randint(1, 6) for _ in range(10)],
+            "lv": [f"l{i}" for i in range(10)],
+        })
+        right_pdf = pd.DataFrame({
+            "rk": [rng.randint(1, 8) for _ in range(10)],
+            "rv": [f"r{i}" for i in range(10)],
+        })
+        base = tmp_path / f"rand{seed}"
+        base.mkdir()
+        lt = _chunked_stream(spark, base, "l", left_pdf, n_chunks)
+        rt = _chunked_stream(spark, base, "r", right_pdf, n_chunks)
+        tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+        cl = delta_join_outer(
+            tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+            num_buckets=4, how=how, prefix=f"djr{seed}",
+        )
+        rows = [
+            (r["__bid"], r["__op"], r.lk, r.lv, r.rk, r.rv)
+            for r in cl.collect()
+        ]
+        # (2) prefix-positivity per row identity, scanning batches in order
+        counts: dict = {}
+        for bid in sorted({b for b, *_ in rows}):
+            for b, op, *ident in rows:
+                if b != bid:
+                    continue
+                key = tuple(ident)
+                counts[key] = counts.get(key, 0) + (1 if op == "+I" else -1)
+            assert all(v >= 0 for v in counts.values()), (seed, how, counts)
+        # (1) net equivalence
+        got = sorted(
+            ((r.lk, r.lv, r.rk, r.rv)
+             for r in apply_changelog(cl, ["lk", "lv", "rk", "rv"]).collect()),
+            key=repr,
+        )
+        assert got == _outer_expect(left_pdf, right_pdf, how), (seed, how)
