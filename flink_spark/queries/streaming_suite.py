@@ -1724,3 +1724,57 @@ def stream_current_watermark(spark, sf_dir):
         with_current_watermark(ev, ["user_id"]), "append", "curwm"
     )
     return ntz_windows(out, "ts")
+
+
+@query(
+    "hybrid_source_backfill",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'bounded' ELSE 'live' END AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def hybrid_source_backfill(spark, sf_dir):
+    """Hybrid source (reference flink-connector-base HybridSource.java:
+    bounded backfill source, then switch to the live source): even-keyed
+    orders play the historical backfill, odd-keyed the live feed; one
+    unified stream drains the backfill first (mtime-pinned sequence =
+    HybridSourceEnumeratorState), phase-tagged at the SwitchSourceEvent
+    boundary. The per-phase totals must equal the batch split exactly —
+    every row crosses the handoff exactly once."""
+    import os
+    import tempfile
+
+    from flink_spark.sources.hybrid import hybrid_stream
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"flink_spark_hybrid_q_{key}")
+    marker = os.path.join(root, "_ready")
+    if not os.path.exists(marker):
+        orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "bounded"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "live"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = hybrid_stream(
+        spark, os.path.join(root, "bounded"), os.path.join(root, "live"),
+        with_phase=True,
+    )
+    rows = run_to_memory(
+        df.select(
+            F.col("__hybrid_phase").alias("phase"), "o_orderkey", "o_totalprice"
+        ),
+        "append",
+        "hybrid_backfill",
+    )
+    return rows.groupBy("phase").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+    )
