@@ -65,10 +65,21 @@ def hybrid_stream(
         os.utime(os.path.join(bounded_dir, f), (base + i, base + i))
     # union view: one glob root with a symlink per phase — the glob is
     # re-evaluated every micro-batch, so files landing in live_dir keep
-    # being discovered after the backfill drains
-    union = tempfile.mkdtemp(prefix="flink_spark_hybrid_")
-    os.symlink(os.path.abspath(bounded_dir), os.path.join(union, "0_bounded"))
-    os.symlink(os.path.abspath(live_dir), os.path.join(union, "1_live"))
+    # being discovered after the backfill drains. Deterministic per
+    # (bounded, live) pair so repeated calls reuse one dir.
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(bounded_dir)}|{os.path.abspath(live_dir)}".encode()
+    ).hexdigest()[:12]
+    union = os.path.join(tempfile.gettempdir(), f"flink_spark_hybrid_{tag}")
+    os.makedirs(union, exist_ok=True)
+    for link, target in (
+        ("0_bounded", bounded_dir), ("1_live", live_dir)
+    ):
+        p = os.path.join(union, link)
+        if not os.path.islink(p):
+            os.symlink(os.path.abspath(target), p)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
