@@ -77,6 +77,11 @@ EXTRA = [
     "pipe_tfidf_top_terms",
     "llm_audio_decode",
     "llm_pq_topk",
+    "stream_late_side_output",
+    "hybrid_source_backfill",
+    "cdc_ogg_materialize",
+    "tableapi_pricing_summary",
+    "ddl_catalog_module_roundtrip",
 ]
 
 
