@@ -409,3 +409,24 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_shingles"))
     )
+
+
+def url_canonical_dedup(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """URL-canonicalization dedup (the CommonCrawl-style pre-text dedup
+    pass): normalize scheme/case/www/trailing-slash/query-fragment noise
+    to a canonical key, keep the smallest id per key. All JVM regex —
+    one hash shuffle on the canonical key, same scale shape as exact
+    text dedup."""
+    canon = F.regexp_replace(F.lower(F.col(url_col)), r"^https?://", "")
+    canon = F.regexp_replace(canon, r"^www\.", "")
+    canon = F.regexp_replace(canon, r"[?#].*$", "")
+    canon = F.regexp_replace(canon, r"/+$", "")
+    return (
+        df.withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -412,3 +412,55 @@ def pipe_tfidf_top_terms(spark, sf_dir):
     from flink_spark.llm.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "pipe_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://' || source || '.example.com/doc/'
+                           || CAST(doc_id % 120 AS VARCHAR)
+               WHEN 1 THEN 'http://www.' || source || '.example.com/doc/'
+                           || CAST(doc_id % 120 AS VARCHAR) || '/'
+               WHEN 2 THEN 'HTTPS://' || upper(source)
+                           || '.EXAMPLE.COM/doc/'
+                           || CAST(doc_id % 120 AS VARCHAR) || '?utm=x'
+               ELSE 'https://' || source || '.example.com/doc/'
+                    || CAST(doc_id % 120 AS VARCHAR) || '#frag'
+             END AS url
+      FROM documents),
+    c AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '^https?://', ''), '^www\\.', ''),
+                   '[?#].*$', ''), '/+$', '') AS canonical_url
+          FROM u)
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM c GROUP BY canonical_url
+    """,
+)
+def pipe_url_dedup(spark, sf_dir):
+    """URL canonical dedup (the crawl-corpus pre-text dedup pass):
+    deterministic URLs synthesized per doc in four noisy spellings of the
+    same resource (scheme case, www, trailing slash, query/fragment) are
+    canonicalized JVM-side and deduped on one hash shuffle — same-resource
+    spellings collapse to one canonical key, keeping the smallest doc id
+    (`flink_spark/llm/pipeline.py` url_canonical_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 120).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/doc/"), k))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://www."), F.col("source"),
+                       F.lit(".example.com/doc/"), k, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("HTTPS://"), F.upper(F.col("source")),
+                       F.lit(".EXAMPLE.COM/doc/"), k, F.lit("?utm=x")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example.com/doc/"), k, F.lit("#frag")))
+    )
+    return P.url_canonical_dedup(docs.select("doc_id", url.alias("url")))
