@@ -1813,3 +1813,159 @@ def tpcds_q22_inventory_rollup(spark, sf_dir):
         )
         .select("p_brand", "p_type", "qoh", "lvl")
     )
+
+
+_DISC_CENTS = "CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "tpcds_q37_inventory_instock",
+    oracle=_INV_SQL + """
+    SELECT p.p_partkey AS i_item, p.p_name AS i_name,
+           CAST(p.p_retailprice AS DOUBLE) AS i_price
+    FROM part p
+    JOIN inv ON inv.inv_item = p.p_partkey
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_retailprice BETWEEN 1200 AND 1500
+      AND inv.inv_date BETWEEN TIMESTAMP '1995-03-01'
+                           AND TIMESTAMP '1995-04-30'
+      AND inv.inv_qty BETWEEN 40 AND 80
+    GROUP BY 1, 2, 3
+    ORDER BY i_item
+    LIMIT 100
+    """,
+)
+def tpcds_q37_inventory_instock(spark, sf_dir):
+    """TPC-DS q37 shape (items in a price band, in stock during a 60-day
+    inventory window, that actually sell; reference query37.sql): the
+    literal SQL joins+GROUP BY dedups — the Spark plan uses LEFT SEMI
+    probes instead, so the part dim is reduced by both the inventory
+    window and the sales fact without ever materializing the duplicate
+    rows the GROUP BY would collapse."""
+    inv = _inventory(spark).filter(
+        F.col("inv_date").between(
+            F.lit("1995-03-01").cast("timestamp_ntz"),
+            F.lit("1995-04-30").cast("timestamp_ntz"),
+        )
+        & F.col("inv_qty").between(40, 80)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(1200, 1500)
+    )
+    return (
+        p.join(inv, p.p_partkey == inv.inv_item, "left_semi")
+        .join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select(
+            F.col("p_partkey").alias("i_item"),
+            F.col("p_name").alias("i_name"),
+            F.col("p_retailprice").cast("double").alias("i_price"),
+        )
+        .orderBy("i_item")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q92_excess_discount",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_partkey, {_DISC_CENTS} AS amt
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1995-03-31'),
+    th AS (SELECT l_partkey, SUM(amt) AS s, COUNT(*) AS c
+           FROM d GROUP BY l_partkey)
+    SELECT CAST(SUM(d.amt) AS DOUBLE) / 100 AS excess_discount
+    FROM d
+    JOIN th USING (l_partkey)
+    JOIN part p ON p.p_partkey = d.l_partkey
+    WHERE p.p_size > 45
+      AND 10 * d.amt * th.c > 13 * th.s
+    """,
+)
+def tpcds_q92_excess_discount(spark, sf_dir):
+    """TPC-DS q92 shape (sum of discount amounts exceeding 1.3× the
+    item's own average in the window; reference query92.sql): the
+    correlated scalar subquery decorrelates into one per-item aggregate
+    joined back on the item key, and the 1.3× threshold is exact integer
+    cross-multiplication on cents (10·amt·n > 13·Σamt ⟺ amt > 1.3·avg) —
+    no float averages anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp_ntz"),
+            F.lit("1995-03-31").cast("timestamp_ntz"),
+        )
+    ).select(
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5
+        ).cast("bigint").alias("amt"),
+    )
+    th = li.groupBy("l_partkey").agg(
+        F.sum("amt").alias("s"), F.count("*").alias("c")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45).select(
+        "p_partkey"
+    )
+    return (
+        li.join(th, "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(10 * F.col("amt") * F.col("c") > 13 * F.col("s"))
+        .agg((F.sum("amt").cast("double") / 100).alias("excess_discount"))
+    )
+
+
+@query(
+    "tpcds_q53_quarterly_class_deviation",
+    oracle=f"""
+    WITH q AS (
+      SELECT p.p_type AS class, EXTRACT(QUARTER FROM l.l_shipdate)::BIGINT AS qtr,
+             SUM({_CENTS}) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2),
+    w AS (SELECT *, SUM(cents) OVER (PARTITION BY class) AS yr_cents,
+                   COUNT(*) OVER (PARTITION BY class) AS n_qtr
+          FROM q)
+    SELECT class, qtr, CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(yr_cents AS DOUBLE) / (100 * n_qtr) AS qtr_avg
+    FROM w
+    WHERE cents * n_qtr > 11 * yr_cents / 10
+    ORDER BY class, qtr
+    """,
+)
+def tpcds_q53_quarterly_class_deviation(spark, sf_dir):
+    """TPC-DS q53/q63 shape (quarterly sales per item class vs the
+    class's yearly average, reporting above-average quarters; reference
+    query53.sql): one fact pass groups to (class, quarter) cents; the
+    deviation window runs over |classes|·4 aggregated rows; the 1.1×
+    band is integer cents arithmetic (same discipline as q47)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("class"),
+            F.quarter("l_shipdate").cast("long").alias("qtr"),
+        )
+        .agg(F.sum(_cents_col()).alias("cents"))
+    )
+    w = Window.partitionBy("class")
+    out = (
+        q.withColumn("yr_cents", F.sum("cents").over(w))
+        .withColumn("n_qtr", F.count("*").over(w))
+        .filter(F.col("cents") * F.col("n_qtr") > 11 * F.col("yr_cents") / 10)
+    )
+    return out.select(
+        "class", "qtr",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("yr_cents").cast("double") / (100 * F.col("n_qtr")))
+        .alias("qtr_avg"),
+    ).orderBy("class", "qtr")
