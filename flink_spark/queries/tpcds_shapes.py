@@ -1826,7 +1826,7 @@ _DISC_CENTS = "CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)"
     FROM part p
     JOIN inv ON inv.inv_item = p.p_partkey
     JOIN lineitem l ON l.l_partkey = p.p_partkey
-    WHERE p.p_retailprice BETWEEN 1200 AND 1500
+    WHERE p.p_retailprice BETWEEN 940 AND 960
       AND inv.inv_date BETWEEN TIMESTAMP '1995-03-01'
                            AND TIMESTAMP '1995-04-30'
       AND inv.inv_qty BETWEEN 40 AND 80
@@ -1851,7 +1851,7 @@ def tpcds_q37_inventory_instock(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_retailprice").between(1200, 1500)
+        F.col("p_retailprice").between(940, 960)
     )
     return (
         p.join(inv, p.p_partkey == inv.inv_item, "left_semi")
