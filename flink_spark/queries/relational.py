@@ -116,13 +116,19 @@ def join_left_semi(spark, sf_dir):
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_left_anti(spark, sf_dir):
-    """NOT EXISTS → left_anti join (reference FlinkJoinType.ANTI)."""
+    """NOT EXISTS → left_anti join (reference FlinkJoinType.ANTI):
+    customers with no URGENT order (every customer has SOME order on this
+    data, so the unfiltered form would be a trivially-empty gate)."""
     cu = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

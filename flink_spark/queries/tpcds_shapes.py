@@ -144,7 +144,7 @@ def tpcds_q7_star_profile(spark, sf_dir):
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN part p     ON l.l_partkey = p.p_partkey
     WHERE c.c_nationkey <> s.s_nationkey
-      AND p.p_retailprice > 1500
+      AND p.p_retailprice > 990
     GROUP BY 1
     """,
 )
@@ -158,7 +158,7 @@ def tpcds_q19_cross_nation_brand(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_retailprice") > 1500
+        F.col("p_retailprice") > 990
     ).select("p_partkey", "p_brand")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -567,7 +567,7 @@ def tpcds_q93_net_after_returns(spark, sf_dir):
     oracle="""
     WITH store_daily AS (
       SELECT date_trunc('day', l_shipdate) AS d, COUNT(*) AS n
-      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01' GROUP BY 1
     ), web_daily AS (
       SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
       FROM events GROUP BY 1
@@ -593,9 +593,10 @@ def tpcds_q51_cumulative_channels(spark, sf_dir):
     reference query51.sql): the window runs over the *daily* aggregate
     (|days| rows), never the facts. Volume = row counts, which makes the
     cross-over non-empty on this dataset (the web fact out-counts the
-    1998 store tail) and keeps the window arithmetic integer-exact."""
+    2001 store tail — volume ratios are scale-invariant, so the
+    cross-over survives any SF) and keeps the window arithmetic integer-exact."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
     )
     ev = load_table(spark, sf_dir, "events")
     store = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
