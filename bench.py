@@ -82,6 +82,10 @@ EXTRA = [
     "cdc_ogg_materialize",
     "tableapi_pricing_summary",
     "ddl_catalog_module_roundtrip",
+    "tpcds_q37_inventory_instock",
+    "tpcds_q92_excess_discount",
+    "tpcds_q53_quarterly_class_deviation",
+    "pipe_url_dedup",
 ]
 
 
