@@ -588,6 +588,26 @@ class TableEnvironment:
                 return self.materialized.drop(dm)
         if self._TVF_RE.search(stmt):
             stmt = self._rewrite_window_tvfs(stmt)
+        # time-travel read over a materialized table's snapshot store
+        # (reference SqlSnapshot time travel: FOR SYSTEM_TIME AS OF a
+        # LITERAL timestamp / FOR SYSTEM_VERSION AS OF n — distinct from
+        # the correlated-column temporal JOIN handled below)
+        tt = re.match(
+            r"^\s*SELECT\s+\*\s+FROM\s+(?P<name>[\w.]+)\s+FOR\s+SYSTEM_"
+            r"(?:(?:TIME\s+AS\s+OF\s+TIMESTAMP\s*'(?P<ts>[^']+)')|"
+            r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)))\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if tt and self._materialized is not None \
+                and tt.group("name") in self.materialized.tables:
+            if tt.group("v") is not None:
+                return self.materialized.read_version(
+                    tt.group("name"), version=int(tt.group("v"))
+                )
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(tt.group("ts")).timestamp()
+            return self.materialized.read_version(tt.group("name"), as_of_ts=ts)
         tm = self._TEMPORAL_RE.match(stmt)
         if tm and "FOR SYSTEM_TIME" in stmt.upper():
             return self._rewrite_temporal_join(tm)

@@ -86,6 +86,7 @@ class MaterializedTable:
     state: str = "RUNNING"      # 'RUNNING' | 'SUSPENDED'
     version: int = 0
     last_refresh: float | None = None
+    commits: dict = field(default_factory=dict)  # version -> commit epoch
     streaming: bool = False     # continuous mode over a streaming query
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
@@ -233,11 +234,41 @@ class MaterializedTableManager:
             old = mt.version
             mt.version = new_version
             mt.last_refresh = time.time()
+            mt.commits[new_version] = mt.last_refresh
             # keep current + previous snapshot (time-travel by one; matches
             # the two-snapshot retention a compacting store would default to)
             stale = old - 1
             if stale > 0:
                 shutil.rmtree(f"{mt.root}/v={stale}", ignore_errors=True)
+
+    def read_version(self, name: str, version: int | None = None,
+                     as_of_ts: float | None = None) -> DataFrame:
+        """Time-travel read (reference SqlSnapshot / time travel,
+        `SELECT ... FOR SYSTEM_TIME AS OF` over versioned catalog tables):
+        by explicit snapshot ``version``, or the newest snapshot whose
+        commit time is <= ``as_of_ts``. Only versions inside the retention
+        window (current + previous) are readable — a pruned version
+        raises, same as an expired Iceberg/Delta snapshot."""
+        mt = self._get(name)
+        if version is None:
+            if as_of_ts is None:
+                version = mt.version
+            else:
+                eligible = [v for v, t in mt.commits.items() if t <= as_of_ts]
+                if not eligible:
+                    raise ValueError(
+                        f"no snapshot of {name!r} existed at the requested time"
+                    )
+                version = max(eligible)
+        path = f"{mt.root}/v={version}"
+        import os
+
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"snapshot v{version} of {name!r} is outside the retention "
+                f"window (available: v{max(1, mt.version - 1)}..v{mt.version})"
+            )
+        return self.spark.read.parquet(path)
 
     def _start_stream(self, mt: MaterializedTable, sdf) -> None:
         """Continuous mode over a streaming defining query: one

@@ -215,3 +215,39 @@ def test_create_invalid_query_rolls_back(spark):
         assert spark.sql("SELECT count(*) c FROM mt_rollback").first().c == 1
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE mt_rollback")
+
+
+def test_time_travel_reads_snapshot_versions(spark):
+    """FOR SYSTEM_VERSION/SYSTEM_TIME AS OF over the versioned snapshot
+    store (reference SqlSnapshot time travel): an older snapshot stays
+    readable inside the retention window; a pruned one raises."""
+    import datetime
+
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_src_tt", [("x", 1)])
+    env.execute_sql("""
+        CREATE MATERIALIZED TABLE mt_tt
+        FRESHNESS = INTERVAL '1' HOUR
+        AS SELECT k, v FROM mt_src_tt
+    """)
+    try:
+        t_between = datetime.datetime.now()
+        time.sleep(0.05)
+        _mk_source(spark, "mt_src_tt", [("x", 1), ("y", 2)])
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_tt REFRESH")
+        # current view sees v2
+        assert spark.sql("SELECT count(*) c FROM mt_tt").first().c == 2
+        v1 = env.execute_sql("SELECT * FROM mt_tt FOR SYSTEM_VERSION AS OF 1")
+        assert v1.count() == 1
+        ts = t_between.isoformat(sep=" ")
+        old = env.execute_sql(
+            f"SELECT * FROM mt_tt FOR SYSTEM_TIME AS OF TIMESTAMP '{ts}'"
+        )
+        assert old.count() == 1
+        # two more refreshes prune v1 (retention: current + previous)
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_tt REFRESH")
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_tt REFRESH")
+        with pytest.raises(ValueError, match="retention"):
+            env.execute_sql("SELECT * FROM mt_tt FOR SYSTEM_VERSION AS OF 1")
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE mt_tt")
