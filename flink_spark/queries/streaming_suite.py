@@ -1778,3 +1778,56 @@ def hybrid_source_backfill(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
     )
+
+
+@query(
+    "stream_state_reader",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE user_id <= 50
+    GROUP BY event_type
+    """,
+)
+def stream_state_reader(spark, sf_dir):
+    """Offline state reading (reference flink-state-processor-api
+    SavepointReader.readKeyedState): drain an update-mode grouped
+    aggregation to a checkpoint, then read the checkpoint's STATE STORE
+    back as a bounded DataFrame — the state's internal sum/count buffers
+    must equal the batch GROUP BY exactly (cents-integer sums so the
+    state bytes are integer-exact across engines)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_spark.streaming.core import stream_table
+    from flink_spark.streaming.state_reader import read_keyed_state
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 50
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("c")
+    )
+    ckpt = tempfile.mkdtemp(prefix="flink_spark_statereader_")
+    try:
+        q = (
+            agg.writeStream.outputMode("update").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        st = read_keyed_state(spark, ckpt)
+        return st.select(
+            F.col("key_event_type").alias("event_type"),
+            F.col("sum").alias("cents_sum"),
+            F.col("count").alias("n"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
