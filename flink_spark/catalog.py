@@ -606,7 +606,20 @@ class TableEnvironment:
                 )
             import datetime as _dt
 
-            ts = _dt.datetime.fromisoformat(tt.group("ts")).timestamp()
+            # tz-stable literal interpretation: a naive literal is read in
+            # the SESSION timezone (spark.sql.session.timeZone — Spark's own
+            # rule for TIMESTAMP literals), not the ambiguous process-local
+            # zone; literals with an explicit offset are respected as-is.
+            parsed = _dt.datetime.fromisoformat(tt.group("ts"))
+            if parsed.tzinfo is None:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    sess_tz = self.spark.conf.get("spark.sql.session.timeZone")
+                    parsed = parsed.replace(tzinfo=ZoneInfo(sess_tz))
+                except Exception:
+                    pass  # unknown zone id → process-local fallback
+            ts = parsed.timestamp()
             return self.materialized.read_version(tt.group("name"), as_of_ts=ts)
         tm = self._TEMPORAL_RE.match(stmt)
         if tm and "FOR SYSTEM_TIME" in stmt.upper():

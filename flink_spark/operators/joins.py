@@ -272,7 +272,10 @@ def async_lookup_join(
                         if retry_on_empty and not res:
                             continue
                         return k, res
-                    if last_err is not None and retry_max_attempts <= 1:
+                    if last_err is not None:
+                        # a lookup that raised on EVERY attempt is a failing
+                        # service, not an empty result — surface it (null-pad
+                        # is reserved for genuinely empty lookups)
                         raise last_err
                     return k, {}
 

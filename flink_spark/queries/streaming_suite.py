@@ -418,7 +418,10 @@ def stream_temporal_sort(spark, sf_dir):
                         - 1 AS rn,
                       COUNT(*) OVER () AS n
                FROM events),
-    c AS (SELECT user_id, event_id, ts, rn * 4 // n AS chunk FROM r),
+    c AS (SELECT user_id, event_id, ts,
+                 CAST(rn >= 1 * n // 4 AS INT) + CAST(rn >= 2 * n // 4 AS INT)
+                   + CAST(rn >= 3 * n // 4 AS INT) AS chunk
+          FROM r),
     cm AS (SELECT chunk, MAX(ts) AS mx FROM c GROUP BY chunk),
     pv AS (SELECT chunk, MAX(mx) OVER (ORDER BY chunk
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev

@@ -370,10 +370,13 @@ def delta_join_outer(
     if not os.path.isdir(out_dir):
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-        keep = set(left_cols + right_cols)
+        shutil.rmtree(root, ignore_errors=True)
+        # build the empty schema in left_cols+right_cols order so the
+        # empty and non-empty paths agree on column order
+        by_name = {f.name: f for f in tagged.schema.fields}
         empty = StructType(
             [StructField("__op", StringType()), StructField("__bid", LongType())]
-            + [f for f in tagged.schema.fields if f.name in keep]
+            + [by_name[c] for c in left_cols + right_cols]
         )
         return spark.createDataFrame([], empty)
     result = spark.read.parquet(out_dir).localCheckpoint(eager=True)

@@ -107,7 +107,10 @@ class Table:
         return Table(self._df.unionByName(other._df))
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self._df.exceptAll(other._df).distinct())
+        # EXCEPT DISTINCT: any left row present in `other` at all is removed
+        # (exceptAll().distinct() would keep rows whose left multiplicity
+        # merely exceeds the right's — wrong for minus semantics).
+        return Table(self._df.subtract(other._df))
 
     def minus_all(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df))

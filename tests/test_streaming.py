@@ -489,6 +489,41 @@ def test_async_lookup_retry_strategy(spark):
     assert got == [(1, "dim_1"), (2, "dim_2"), (3, None)]
 
 
+def test_async_lookup_retry_exhausted_raises(spark):
+    """A lookup that raises on EVERY attempt must surface the error after
+    retries are exhausted (not be silently null-padded) — consistent with
+    the single-attempt path; null-pad stays reserved for genuinely empty
+    results (reference AsyncRetryStrategy exhaustion → job failure)."""
+    from flink_spark.operators.joins import async_lookup_join
+
+    df = spark.createDataFrame([(1,), (2,)], "k int").coalesce(1)
+
+    async def always_down(k):
+        raise RuntimeError("service down")
+
+    out = async_lookup_join(
+        df, always_down, "k", "name string",
+        retry_max_attempts=3, retry_delay_sec=0.0,
+    )
+    with pytest.raises(Exception, match="service down"):
+        out.collect()
+
+
+def test_chunk_split_closed_form_matches_iloc():
+    """The SQL oracle's closed-form chunk assignment (sum of rn >= i*n//4)
+    must equal chunked_table_stream's pandas floor split
+    iloc[i*n//4:(i+1)*n//4] for EVERY row count — including counts not
+    divisible by 4, where the old rn*4//n formula diverged."""
+    for n in list(range(1, 66)) + [999, 1001, 10001]:
+        bounds = [i * n // 4 for i in range(5)]
+        for rn in range(n):
+            iloc_chunk = next(
+                i for i in range(4) if bounds[i] <= rn < bounds[i + 1]
+            )
+            closed = sum(rn >= i * n // 4 for i in (1, 2, 3))
+            assert closed == iloc_chunk, (n, rn)
+
+
 def test_side_output_late_partitions_stream(spark, tmp_path):
     """on_time ∪ late == input, disjoint; batch-1 rows are never late
     (no prior watermark); a row behind the frozen watermark lands on the

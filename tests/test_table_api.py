@@ -70,6 +70,12 @@ def test_set_ops_and_column_ops(spark):
     assert u.execute().to_pandas().shape[0] == 10
     assert t.union(t).to_data_frame().count() == 5
     assert t.minus_all(t.fetch(2)).to_data_frame().count() == 3
+    # minus is EXCEPT DISTINCT (reference Table.minus): a left row present
+    # in the right table AT ALL is removed, regardless of multiplicity —
+    # {A,A,A} minus {A} == {} (not {A})
+    tri = from_data_frame(df.limit(1).union(df.limit(1)).union(df.limit(1)))
+    assert tri.minus(t.fetch(1)).to_data_frame().count() == 0
+    assert tri.minus_all(t.fetch(1)).to_data_frame().count() == 2
     added = t.add_columns((col("amount") * 2).alias("double_amount"))
     assert "double_amount" in added.to_data_frame().columns
     renamed = t.rename_columns(col("amount").alias("amt"))
