@@ -275,6 +275,7 @@ def pq_encode(
     ks: int = 16,
     seed: int = 42,
     books: list | None = None,
+    train_limit: int | None = 50_000,
 ):
     """Product quantization (FAISS PQ / the VECTOR_SEARCH index family):
     split each d-dim vector into ``m`` subvectors, k-means each subspace
@@ -296,12 +297,21 @@ def pq_encode(
 
     Pass ``books`` (a previous call's return value) to skip training and
     encode against the saved codebooks — the production pattern: train
-    once on a sample, persist the tiny codebooks, encode/serve many."""
+    once on a sample, persist the tiny codebooks, encode/serve many.
+
+    Training is SAMPLE-BASED by default (``train_limit``, the FAISS
+    ``train()`` discipline): a deterministic md5-ordered top-``train_limit``
+    slice of the corpus (a distributed TakeOrdered — no single-reducer
+    funnel, stable across partitionings) is pulled to the driver once
+    (≤50k × d doubles ≈ 26 MB at d=64) and Lloyd's runs vectorized in
+    numpy — codebooks never need the full corpus, and training cost stops
+    growing with corpus size. ``train_limit=None`` opts back into
+    full-corpus training (still via the bounded numpy path only after a
+    full collect — reserved for small corpora)."""
     d = len(candidates.select(vec).first()[0])
     if d % m:
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
     sub = d // m
-    spark = candidates.sparkSession
     cv = candidates.select(cand_id, F.col(vec).alias("__cv"))
     if books is not None:
         if len(books) != m or any(len(b) != ks for b in books):
@@ -310,66 +320,66 @@ def pq_encode(
                 f"{len(books[0]) if books else 0}, expected {m}×{ks}"
             )
         return _pq_encode_with_books(cv, cand_id, m, sub, books), books
-    slices = F.array(*[
-        F.slice(F.col("__cv"), j * sub + 1, sub).cast("array<double>")
-        for j in range(m)
-    ])
-    sv = cv.select(F.col(cand_id), F.posexplode(slices).alias("__j", "__sv"))
-    # init: per subspace, the ks id-smallest subvectors (deterministic)
-    init = (
-        sv.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("__j").orderBy(cand_id)),
-        )
-        .filter(F.col("__rn") <= ks)
-        .select("__j", (F.col("__rn") - 1).alias("__c"), "__sv")
-        .collect()
+    books = pq_train(candidates, cand_id=cand_id, vec=vec, m=m, ks=ks,
+                     train_limit=train_limit)
+    return _pq_encode_with_books(cv, cand_id, m, sub, books), books
+
+
+def pq_train(
+    candidates: DataFrame,
+    cand_id: str = "cand_id",
+    vec: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    train_limit: int | None = 50_000,
+    n_iter: int = 3,
+) -> list:
+    """Train PQ codebooks on a bounded deterministic sample (see
+    ``pq_encode``). Returns the m×ks×(d/m) codebook list — tiny; persist
+    and reuse via ``pq_encode(..., books=...)``.
+
+    Deterministic end to end: the sample is the md5(cand_id)-ordered
+    top-``train_limit`` rows (total order, partitioning-independent);
+    init takes the ks cand_id-smallest subvectors within the sample;
+    assignment breaks distance ties toward the lowest code (numpy argmin
+    = first occurrence); mean updates are 9-digit-rounded; empty clusters
+    keep their previous centroid."""
+    import numpy as np
+
+    d = len(candidates.select(vec).first()[0])
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    sample = candidates.select(
+        F.col(cand_id).alias("__id"), F.col(vec).cast("array<double>").alias("__cv")
     )
-    cents = {
-        (r["__j"], r["__c"]): [float(x) for x in r["__sv"]] for r in init
-    }
-    if len(cents) < m * ks:
+    if train_limit is not None:
+        sample = sample.orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id")
+        ).limit(train_limit)
+    rows = sample.collect()
+    if len(rows) < ks:
         raise ValueError(
             f"pq: corpus has fewer than ks={ks} vectors — lower ks or use "
             "brute_force_topk for tiny candidate sets"
         )
-    dist = F.expr(
-        "aggregate(zip_with(__sv, __cent, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    n_iter = 3
-    for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
-            [(j, c, v) for (j, c), v in cents.items()],
-            "__j int, __c int, __cent array<double>",
-        )
-        assigned = (
-            sv.join(F.broadcast(cent_df), "__j")
-            .withColumn("__d", dist)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(cand_id, "__j").orderBy("__d", "__c")
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-        )
-        means = (
-            assigned.select("__j", "__c", F.posexplode("__sv").alias("__dim", "__x"))
-            .groupBy("__j", "__c", "__dim")
-            .agg(F.avg("__x").alias("__m"))
-            .collect()
-        )
-        upd: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            upd.setdefault((r["__j"], r["__c"]), {})[r["__dim"]] = r["__m"]
-        for key, dims in upd.items():
-            cents[key] = [round(dims[i], 9) for i in range(sub)]
-    books = [
-        [cents[(j, c)] for c in range(ks)] for j in range(m)
-    ]
-    return _pq_encode_with_books(cv, cand_id, m, sub, books), books
+    rows.sort(key=lambda r: r["__id"])
+    X = np.asarray([r["__cv"] for r in rows], dtype=np.float64)  # (n, d)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]  # (n, sub)
+        cents = S[:ks].copy()  # ks id-smallest subvectors (post-sort)
+        for _ in range(n_iter):
+            # squared L2 to each centroid; argmin takes the FIRST (lowest
+            # code) on ties — mirrors the orderBy(__d, __c) discipline
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = np.round(S[mask].mean(axis=0), 9)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
 
 
 def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
@@ -415,6 +425,7 @@ def pq_topk(
     shortlist: int | None = None,
     seed: int = 42,
     books: list | None = None,
+    train_limit: int | None = 50_000,
 ) -> DataFrame:
     """PQ ANN with exact rerank (the standard two-stage retrieve+rerank):
     score every candidate by cosine against its CODEBOOK RECONSTRUCTION
@@ -428,7 +439,8 @@ def pq_topk(
     if shortlist is None:
         n_cand = candidates.count()
         shortlist = max(30 * k, -(-n_cand * 8 // 100))
-    enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed, books=books)
+    enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed, books=books,
+                       train_limit=train_limit)
     q = queries.select(query_id, F.col(vec).alias("__qv"))
     approx = (
         F.broadcast(q)

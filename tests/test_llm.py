@@ -230,3 +230,41 @@ def test_pq_codebook_reuse(spark):
     assert a == b
     with pytest.raises(ValueError, match="shaped"):
         pq_encode(df, m=8, ks=4, books=books)
+
+
+def test_pq_training_is_sample_bounded_and_deterministic(spark):
+    """Codebook training touches only the md5-ordered top-train_limit
+    sample (FAISS train() discipline — cost must not grow with corpus
+    size): books trained with train_limit=n on the full corpus equal
+    books trained on the n-row sample materialized by hand, and are
+    invariant to the corpus' partitioning."""
+    from flink_spark.llm.similarity import pq_train
+
+    rows = [(i, [float((i * 7 + j * 13) % 10) + 0.25 * (i % 4)
+                 for j in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "cand_id bigint, embedding array<double>")
+    books = pq_train(df, m=4, ks=4, train_limit=60)
+    # same sample materialized by hand → identical books
+    from pyspark.sql import functions as F
+    hand = df.orderBy(
+        F.md5(F.col("cand_id").cast("string")), F.col("cand_id")
+    ).limit(60)
+    assert pq_train(hand, m=4, ks=4, train_limit=None) == books
+    # partitioning-invariant (the sample is a total order, not a per-
+    # partition artifact)
+    assert pq_train(df.repartition(13), m=4, ks=4, train_limit=60) == books
+    # rows outside the sample do not affect training
+    extra = spark.createDataFrame(
+        [(1000 + i, [99.0] * 16) for i in range(50)],
+        "cand_id bigint, embedding array<double>",
+    )
+    sample_ids = {r.cand_id for r in hand.collect()}
+    grown = df.unionByName(extra)
+    grown_sample_ids = {
+        r.cand_id
+        for r in grown.orderBy(
+            F.md5(F.col("cand_id").cast("string")), F.col("cand_id")
+        ).limit(60).collect()
+    }
+    if grown_sample_ids == sample_ids:  # md5 order kept the same slice
+        assert pq_train(grown, m=4, ks=4, train_limit=60) == books
