@@ -355,7 +355,11 @@ def with_current_watermark(
 
 
 def side_output_late(
-    stream: DataFrame, ts_col: str, delay: str, prefix: str = "late_split"
+    stream: DataFrame,
+    ts_col: str,
+    delay: str,
+    prefix: str = "late_split",
+    root: str | None = None,
 ):
     """Late-data SIDE OUTPUT (reference WindowOperator.java:102
     sideOutput(lateDataOutputTag), OutputTag.java:47): drain the stream
@@ -367,7 +371,19 @@ def side_output_late(
     the two OutputTag channels.
 
     Scale shape: the split is one JVM comparison per row against a
-    literal; the only driver state is a single scalar max timestamp."""
+    literal; the only driver state is a single scalar max timestamp.
+
+    The watermark SURVIVES RESTARTS (reference checkpointed watermarks —
+    AbstractStreamOperator snapshots the current watermark; Spark persists
+    ``withWatermark`` through the offset log): each batch writes its max
+    event time to a one-line sidecar under the checkpoint root keyed by
+    batch id, and every batch derives its frozen watermark from the
+    sidecars of STRICTLY EARLIER batches — so a replayed batch after a
+    crash recomputes the exact same split, and a second run against the
+    same ``root`` (the restart path) classifies late data against the
+    watermark the first run reached instead of silently resetting to
+    None. Pass ``root`` to make the query restartable; the default keeps
+    the one-shot tmp-dir behavior."""
     import shutil as _sh
     import tempfile
 
@@ -375,9 +391,28 @@ def side_output_late(
 
     spark = stream.sparkSession
     delay_td = pd.Timedelta(delay)
-    root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    owns_root = root is None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
     on_dir, late_dir, ckpt = f"{root}/on", f"{root}/late", f"{root}/ckpt"
-    state = {"max_ts": None}
+    wm_dir = f"{root}/wm"
+    os.makedirs(wm_dir, exist_ok=True)
+
+    def _wm_before(batch_id: int):
+        """Max event time over committed batches with id < batch_id (the
+        checkpointed-watermark restore; excluding the batch's own id makes
+        crash-replay exact)."""
+        mx = None
+        for f in os.listdir(wm_dir):
+            if not f.startswith("batch-"):
+                continue
+            bid = int(f.split("-", 1)[1].split(".", 1)[0])
+            if bid >= batch_id:
+                continue
+            with open(os.path.join(wm_dir, f)) as fh:
+                t = pd.Timestamp(fh.read().strip())
+            mx = t if mx is None or t > mx else mx
+        return mx
 
     ntz = dict(stream.dtypes).get(ts_col) == "timestamp_ntz"
 
@@ -393,10 +428,8 @@ def side_output_late(
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            wm = (
-                state["max_ts"] - delay_td
-                if state["max_ts"] is not None else None
-            )
+            max_prev = _wm_before(batch_id)
+            wm = max_prev - delay_td if max_prev is not None else None
             if wm is None:
                 late = batch.filter(F.lit(False))
                 on_time = batch
@@ -407,8 +440,10 @@ def side_output_late(
             late.write.mode("append").parquet(late_dir)
             mx = batch.agg(F.max(ts_col).alias("m")).collect()[0].m
             if mx is not None:
-                prev = state["max_ts"]
-                state["max_ts"] = mx if prev is None else max(prev, mx)
+                tmp = os.path.join(wm_dir, f".batch-{batch_id}.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(pd.Timestamp(mx).isoformat())
+                os.replace(tmp, os.path.join(wm_dir, f"batch-{batch_id}.txt"))
         finally:
             batch.unpersist()
 
@@ -428,5 +463,6 @@ def side_output_late(
         spark.read.parquet(late_dir).localCheckpoint(eager=True)
         if os.path.isdir(late_dir) else empty
     )
-    _sh.rmtree(root, ignore_errors=True)
+    if owns_root:
+        _sh.rmtree(root, ignore_errors=True)
     return on_df, late_df

@@ -553,3 +553,55 @@ def test_side_output_late_partitions_stream(spark, tmp_path):
     on_time, late = side_output_late(stream, "ts", "10 minutes")
     assert sorted(r.id for r in late.collect()) == [2]
     assert sorted(r.id for r in on_time.collect()) == [1, 3]
+
+
+def test_side_output_late_watermark_survives_restart(spark, tmp_path):
+    """The frozen watermark must survive a stop/restart (reference
+    checkpointed watermarks: AbstractStreamOperator snapshots the current
+    watermark; Spark persists withWatermark through the offset log): a
+    run-2 row behind the watermark run 1 reached is classified LATE, not
+    silently on-time via a reset-to-None watermark."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from flink_spark.streaming.core import side_output_late
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    d = tmp_path / "late_restart_src"
+    d.mkdir()
+    root = str(tmp_path / "late_restart_root")
+
+    def land(rows, name, mtime):
+        pdf = pd.DataFrame(rows, columns=["id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = d / f"{name}.parquet"
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (mtime, mtime))
+
+    def run():
+        schema = spark.read.parquet(str(d)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        return side_output_late(stream, "ts", "10 minutes", root=root)
+
+    # run 1: drives the watermark to 10:30 − 10 min = 10:20, then stops
+    land([(1, base + pd.Timedelta(minutes=30))], "r1", 1_600_000_000)
+    on1, late1 = run()
+    assert sorted(r.id for r in on1.collect()) == [1]
+    assert late1.count() == 0
+
+    # restart: a 09:00 row is far behind run 1's watermark → late; a
+    # 10:40 row is ahead of it → on time
+    land(
+        [(2, base - pd.Timedelta(hours=1)), (3, base + pd.Timedelta(minutes=40))],
+        "r2",
+        1_600_000_060,
+    )
+    on2, late2 = run()
+    assert sorted(r.id for r in late2.collect()) == [2]
+    assert sorted(r.id for r in on2.collect()) == [1, 3]  # dirs accumulate
