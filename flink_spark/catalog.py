@@ -129,6 +129,9 @@ class TableEnvironment:
         # `<catalog>__<db>` — same storage engine, namespaced.
         self.catalogs: dict[str, dict[str, str]] = {"default_catalog": {}}
         self.current_catalog = "default_catalog"
+        # SQL-created user functions (reference SqlCreateFunction DDL /
+        # FunctionCatalog): name -> the AS 'identifier' it was created from
+        self.user_functions: dict[str, str] = {}
 
     @property
     def materialized(self):
@@ -160,6 +163,86 @@ class TableEnvironment:
             self.spark.udf.register(name, scalar_udf(fn))
         else:
             self.spark.udf.register(name, fn)
+
+    _FN_CREATE_RE = re.compile(
+        r"^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+"
+        r"'(?P<ident>[^']+)'(?:\s+LANGUAGE\s+(?P<lang>\w+))?\s*$",
+        re.IGNORECASE,
+    )
+    _FN_DROP_RE = re.compile(
+        r"^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+        r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+        re.IGNORECASE,
+    )
+    _FN_SHOW_RE = re.compile(r"^\s*SHOW\s+USER\s+FUNCTIONS\s*$", re.IGNORECASE)
+
+    def _function_statement(self, stmt: str):
+        """SQL-text function DDL (reference SqlCreateFunction.java /
+        SqlDropFunction.java / SqlShowFunctions.java; FunctionITCase
+        shapes): CREATE [TEMPORARY] FUNCTION name AS 'module.attr'
+        [LANGUAGE PYTHON] resolves the dotted identifier to a
+        ScalarFunction subclass/instance or plain callable and registers
+        it for SQL use — the bridge from the SQL surface to the Python
+        UDF registry. Returns NotImplemented when the statement is not
+        function DDL."""
+        m = self._FN_CREATE_RE.match(stmt)
+        if m:
+            lang = (m.group("lang") or "PYTHON").upper()
+            if lang != "PYTHON":
+                raise ValueError(
+                    f"CREATE FUNCTION: only LANGUAGE PYTHON is supported "
+                    f"in this engine, got {lang}"
+                )
+            name = m.group("name")
+            if name in self.user_functions:
+                if m.group("ine"):
+                    return None
+                raise ValueError(f"function {name!r} already exists")
+            import importlib
+
+            ident = m.group("ident")
+            if "." not in ident:
+                raise ValueError(
+                    f"CREATE FUNCTION: identifier {ident!r} must be a "
+                    "dotted 'module.attr' path"
+                )
+            mod_name, attr = ident.rsplit(".", 1)
+            try:
+                fn = getattr(importlib.import_module(mod_name), attr)
+            except (ImportError, AttributeError) as e:
+                raise ValueError(
+                    f"CREATE FUNCTION: cannot resolve {ident!r}: {e}"
+                ) from e
+            from flink_spark.functions.udf import ScalarFunction
+
+            if isinstance(fn, type) and issubclass(fn, ScalarFunction):
+                fn = fn()
+            self.create_temporary_function(name, fn)
+            self.user_functions[name] = ident
+            return None
+        m = self._FN_DROP_RE.match(stmt)
+        if m:
+            name = m.group("name")
+            if name not in self.user_functions:
+                if m.group("ife"):
+                    return None
+                raise ValueError(f"function {name!r} does not exist")
+            del self.user_functions[name]
+
+            def _dropped(*_a, _n=name):
+                raise ValueError(f"function {_n!r} has been dropped")
+
+            # Spark has no unregister: rebind the name to a raiser so a
+            # dropped function fails loudly instead of silently surviving
+            self.spark.udf.register(name, _dropped)
+            return None
+        if self._FN_SHOW_RE.match(stmt):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.user_functions)],
+                "function_name string",
+            )
+        return NotImplemented
 
     # -- plans (COMPILE PLAN / EXPLAIN, SURVEY §2.15) ----------------------
 
@@ -502,6 +585,10 @@ class TableEnvironment:
                     if ins.strip():
                         sset.add_insert_sql(ins.strip())
                 return sset.execute()
+        if "FUNCTION" in up:
+            r = self._function_statement(stmt)
+            if r is not NotImplemented:
+                return r
         if "CATALOG" in up or re.match(
             r"^\s*(USE|SHOW\s+(CURRENT\s+)?DATABASES?|CREATE\s+DATABASE|"
             r"DROP\s+DATABASE)\b", stmt, re.IGNORECASE,

@@ -268,6 +268,38 @@ def ddl_catalog_module_roundtrip(spark, sf_dir):
 
 
 @query(
+    "ddl_create_function_sql",
+    oracle="""
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+           CAST(SUM(bit_count(CAST(o_orderkey AS BIGINT))) AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def ddl_create_function_sql(spark, sf_dir):
+    """SQL-text function DDL end-to-end (reference SqlCreateFunction.java,
+    FunctionITCase): CREATE TEMPORARY FUNCTION ... AS 'module.Class'
+    LANGUAGE PYTHON resolves a ScalarFunction through the SQL surface,
+    the function runs Arrow-vectorized inside a SQL aggregate, and the
+    exact oracle is DuckDB's native bit_count — proving the Python popcount
+    agrees bit-for-bit with the SQL-native one."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION IF NOT EXISTS bit_count_py AS "
+        "'flink_spark.functions.library.BitCountFn' LANGUAGE PYTHON"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_fn_ddl")
+    return spark.sql("""
+        SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+               CAST(SUM(bit_count_py(o_orderkey)) AS BIGINT) AS bits,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_fn_ddl GROUP BY o_orderkey % 8
+    """)
+
+
+@query(
     "tableapi_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

@@ -511,3 +511,57 @@ def test_catalog_ddl_family(spark):
         == ["default_catalog"]
     with pytest.raises(ValueError, match="current catalog"):
         env.execute_sql("DROP CATALOG default_catalog")
+
+
+def test_create_function_sql_ddl_roundtrip(spark):
+    """SQL-text function DDL (reference SqlCreateFunction/SqlDropFunction/
+    SqlShowFunctions; FunctionITCase): create from a dotted identifier,
+    call from SQL, list via SHOW USER FUNCTIONS, drop — and a dropped
+    function fails loudly instead of silently surviving."""
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION digit_sum_py AS "
+        "'flink_spark.functions.library.DigitSumFn' LANGUAGE PYTHON"
+    )
+    assert spark.sql("SELECT digit_sum_py(1234) AS s").first().s == 10
+    # plain-callable path (no ScalarFunction subclass)
+    env.execute_sql(
+        "CREATE FUNCTION upper_trim_py AS "
+        "'flink_spark.functions.library.upper_trim'"
+    )
+    assert spark.sql("SELECT upper_trim_py('  ab ') AS s").first().s == "AB"
+    names = [r.function_name
+             for r in env.execute_sql("SHOW USER FUNCTIONS").collect()]
+    assert names == ["digit_sum_py", "upper_trim_py"]
+
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql(
+            "CREATE FUNCTION digit_sum_py AS 'flink_spark.functions.library.DigitSumFn'"
+        )
+    env.execute_sql(
+        "CREATE FUNCTION IF NOT EXISTS digit_sum_py AS "
+        "'flink_spark.functions.library.DigitSumFn'"
+    )  # no-op
+
+    env.execute_sql("DROP FUNCTION digit_sum_py")
+    assert [r.function_name
+            for r in env.execute_sql("SHOW USER FUNCTIONS").collect()] \
+        == ["upper_trim_py"]
+    with pytest.raises(Exception, match="dropped"):
+        spark.sql("SELECT digit_sum_py(1) AS s").collect()
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP FUNCTION digit_sum_py")
+    env.execute_sql("DROP FUNCTION IF EXISTS digit_sum_py")  # no-op
+    env.execute_sql("DROP FUNCTION upper_trim_py")
+
+
+def test_create_function_sql_ddl_errors(spark):
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="LANGUAGE PYTHON"):
+        env.execute_sql(
+            "CREATE FUNCTION j AS 'com.example.Fn' LANGUAGE JAVA"
+        )
+    with pytest.raises(ValueError, match="dotted"):
+        env.execute_sql("CREATE FUNCTION f AS 'notdotted'")
+    with pytest.raises(ValueError, match="cannot resolve"):
+        env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
