@@ -244,6 +244,224 @@ class TableEnvironment:
             )
         return NotImplemented
 
+    # -- ALTER TABLE family (reference SqlAddPartitions.java,
+    # SqlDropPartitions.java, SqlAlterTableOptions/SqlAlterTableReset,
+    # SqlAlterTableRename, .../ddl/table/ schema-change classes) ----------
+
+    _ALTER_PART_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?P<verb>ADD|DROP)\s+"
+        r"(?:IF\s+(?P<ifx>NOT\s+EXISTS|EXISTS)\s+)?"
+        r"PARTITION\s*\((?P<spec>[^)]*)\)\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_SET_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s*\((?P<opts>.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_RESET_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RESET\s*\((?P<keys>.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_RENAME_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+"
+        r"(?P<new>[\w.]+)\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_ADDCOL_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s*\((?P<cols>[^)']*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_DROPCOL_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+"
+        r"(?:COLUMN\s+(?P<col>\w+)|\((?P<cols>[^)']*)\))\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_PARTS_RE = re.compile(
+        r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+    )
+
+    def _partition_keys(self, spec: TableSpec) -> list[str]:
+        pk = spec.options.get("partition.keys", "")
+        return [c.strip() for c in pk.split(",") if c.strip()]
+
+    def _partition_relpath(self, spec: TableSpec, part_spec: str) -> str:
+        """Parse ``col='v'[, col2='v2']`` into the Hive-layout relative
+        directory, validating against (and ordering by) partition.keys."""
+        keys = self._partition_keys(spec)
+        if not keys:
+            raise ValueError(
+                f"table {spec.name!r} is not partitioned "
+                "(no 'partition.keys' option)"
+            )
+        given = {
+            m.group("k"): m.group("v")
+            for m in re.finditer(
+                r"(?P<k>\w+)\s*=\s*'(?P<v>[^']*)'", part_spec
+            )
+        }
+        if set(given) != set(keys):
+            raise ValueError(
+                f"partition spec {sorted(given)} must name exactly the "
+                f"partition keys {keys}"
+            )
+        return "/".join(f"{k}={given[k]}" for k in keys)
+
+    def _alter_table_statement(self, stmt: str):
+        """Engine-managed ALTER TABLE / SHOW PARTITIONS. Partitions are
+        REAL directories in the table's Hive layout (create/remove the
+        ``col=v`` dirs — what the reference's catalog partition entries
+        materialize as on a filesystem connector); SET/RESET mutate the
+        WITH options; ADD/DROP column edit the declared schema (reads
+        null-fill files written before an added column — the
+        metadata-only schema evolution parquet supports). Returns
+        NotImplemented when the statement is not in this family."""
+        import os as _os
+        import shutil as _shutil
+
+        sp = self._SHOW_PARTS_RE.match(stmt)
+        if sp:
+            name = sp.group("name")
+            if name not in self.tables:
+                return NotImplemented  # let Spark try (e.g. a hive table)
+            spec = self.tables[name]
+            keys = self._partition_keys(spec)
+            if not keys:
+                raise ValueError(f"table {name!r} is not partitioned")
+            base = spec.options["path"]
+            parts = []
+
+            def walk(d: str, depth: int, rel: list[str]) -> None:
+                if depth == len(keys):
+                    parts.append("/".join(rel))
+                    return
+                if not _os.path.isdir(d):
+                    return
+                for e in sorted(_os.listdir(d)):
+                    if e.startswith(f"{keys[depth]}="):
+                        walk(_os.path.join(d, e), depth + 1, rel + [e])
+
+            walk(base, 0, [])
+            return self.spark.createDataFrame(
+                [(p,) for p in parts], "partition string"
+            )
+        m = self._ALTER_PART_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            spec = self.tables[m.group("name")]
+            if spec.connector != "filesystem":
+                raise ValueError(
+                    f"ALTER TABLE ... PARTITION: connector "
+                    f"{spec.connector!r} has no partition storage"
+                )
+            rel = self._partition_relpath(spec, m.group("spec"))
+            d = _os.path.join(spec.options["path"], rel)
+            verb = m.group("verb").upper()
+            ifx = (m.group("ifx") or "").upper().replace(" ", "")
+            if verb == "ADD":
+                if _os.path.isdir(d):
+                    if ifx == "NOTEXISTS":
+                        return None
+                    raise ValueError(f"partition {rel!r} already exists")
+                _os.makedirs(d)
+                return None
+            if not _os.path.isdir(d):
+                if ifx == "EXISTS":
+                    return None
+                raise ValueError(f"partition {rel!r} does not exist")
+            _shutil.rmtree(d)
+            self._refresh_view(spec)
+            return None
+        m = self._ALTER_SET_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            spec = self.tables[m.group("name")]
+            opts = {
+                o.group("k"): o.group("v")
+                for o in _OPT_RE.finditer(m.group("opts"))
+            }
+            if not opts:
+                raise ValueError("ALTER TABLE ... SET: no 'k'='v' options")
+            for guard in ("connector", "path"):
+                if guard in opts:
+                    raise ValueError(
+                        f"ALTER TABLE ... SET cannot change {guard!r}"
+                    )
+            spec.options.update(opts)
+            self._refresh_view(spec)
+            return None
+        m = self._ALTER_RESET_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            spec = self.tables[m.group("name")]
+            keys = [k.strip().strip("'") for k in m.group("keys").split(",")]
+            for k in keys:
+                if k in ("connector", "path"):
+                    raise ValueError(
+                        f"ALTER TABLE ... RESET cannot remove {k!r}"
+                    )
+                spec.options.pop(k, None)
+            self._refresh_view(spec)
+            return None
+        m = self._ALTER_RENAME_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            new = m.group("new")
+            if new in self.tables:
+                raise ValueError(f"table {new!r} already exists")
+            spec = self.tables.pop(m.group("name"))
+            spec.name = new
+            self.tables[new] = spec
+            self.spark.catalog.dropTempView(m.group("name"))
+            self._refresh_view(spec)
+            return None
+        m = self._ALTER_ADDCOL_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            spec = self.tables[m.group("name")]
+            have = {c for c, _ in spec.columns}
+            for part in m.group("cols").split(","):
+                toks = part.split()
+                if len(toks) < 2:
+                    raise ValueError(
+                        f"ALTER TABLE ... ADD: expected 'name TYPE', "
+                        f"got {part.strip()!r}"
+                    )
+                cname, ctype = toks[0], " ".join(toks[1:])
+                if cname in have:
+                    raise ValueError(f"column {cname!r} already exists")
+                spec.columns.append((cname, ctype))
+            self._refresh_view(spec)
+            return None
+        m = self._ALTER_DROPCOL_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            spec = self.tables[m.group("name")]
+            drops = (
+                [m.group("col")]
+                if m.group("col")
+                else [c.strip() for c in m.group("cols").split(",")]
+            )
+            have = {c for c, _ in spec.columns}
+            pkeys = set(self._partition_keys(spec)) | set(spec.primary_key)
+            for c in drops:
+                if c not in have:
+                    raise ValueError(f"column {c!r} does not exist")
+                if c in pkeys:
+                    raise ValueError(
+                        f"column {c!r} is a partition/primary key — "
+                        "cannot drop"
+                    )
+            if len(drops) >= len(spec.columns):
+                raise ValueError("cannot drop every column")
+            spec.columns = [
+                (c, t) for c, t in spec.columns if c not in set(drops)
+            ]
+            self._refresh_view(spec)
+            return None
+        return NotImplemented
+
+    def _refresh_view(self, spec: TableSpec) -> None:
+        try:
+            src = self._source_df(spec)
+        except Exception:  # noqa: BLE001 - sink-only until first write
+            src = None
+        if src is not None:
+            src.createOrReplaceTempView(spec.name)
+
     # -- plans (COMPILE PLAN / EXPLAIN, SURVEY §2.15) ----------------------
 
     def from_path(self, name: str):
@@ -587,6 +805,12 @@ class TableEnvironment:
                 return sset.execute()
         if "FUNCTION" in up:
             r = self._function_statement(stmt)
+            if r is not NotImplemented:
+                return r
+        if re.match(
+            r"^\s*(ALTER\s+TABLE|SHOW\s+PARTITIONS)\b", stmt, re.IGNORECASE
+        ):
+            r = self._alter_table_statement(stmt)
             if r is not NotImplemented:
                 return r
         if "CATALOG" in up or re.match(

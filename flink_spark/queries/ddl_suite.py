@@ -268,6 +268,62 @@ def ddl_catalog_module_roundtrip(spark, sf_dir):
 
 
 @query(
+    "ddl_alter_partition_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('partition', 'region=apac'),
+      ('partition', 'region=eu'),
+      ('partition', 'region=us'),
+      ('rows_after_drop', CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0) AS VARCHAR)),
+      ('option', 'snappy')
+    ) t(kind, val)
+    """,
+)
+def ddl_alter_partition_roundtrip(spark, sf_dir):
+    """ALTER TABLE partition + options DDL end-to-end (reference
+    SqlAddPartitions/SqlDropPartitions, SqlAlterTableOptions): insert the
+    nation table partitioned by a derived region bucket, ADD an empty
+    partition, SHOW PARTITIONS against storage truth, DROP one partition
+    and prove its rows leave the reads, and SET an option that lands in
+    the spec."""
+    import shutil
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    root = tempfile.mkdtemp(prefix="flink_spark_alterddl_")
+    try:
+        env.execute_sql(f"""
+            CREATE TABLE alter_nat (n_nationkey BIGINT, n_name STRING,
+                                    region STRING)
+            WITH ('connector'='filesystem','format'='parquet',
+                  'path'='{root}/t', 'partition.keys'='region')
+        """)
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("alter_nat_src")
+        env.execute_sql("""
+            INSERT INTO alter_nat
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_regionkey = 0 THEN 'eu' ELSE 'us' END AS region
+            FROM alter_nat_src
+        """)
+        env.execute_sql("ALTER TABLE alter_nat ADD PARTITION (region='apac')")
+        rows = [
+            ("partition", r.partition)
+            for r in env.execute_sql("SHOW PARTITIONS alter_nat").collect()
+        ]
+        env.execute_sql("ALTER TABLE alter_nat DROP PARTITION (region='eu')")
+        rows.append(
+            ("rows_after_drop", str(spark.table("alter_nat").count()))
+        )
+        env.execute_sql("ALTER TABLE alter_nat SET ('compression'='snappy')")
+        rows.append(("option", env.tables["alter_nat"].options["compression"]))
+        return spark.createDataFrame(rows, "kind string, val string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "ddl_create_function_sql",
     oracle="""
     SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,

@@ -565,3 +565,117 @@ def test_create_function_sql_ddl_errors(spark):
         env.execute_sql("CREATE FUNCTION f AS 'notdotted'")
     with pytest.raises(ValueError, match="cannot resolve"):
         env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
+
+
+def test_alter_table_partition_ddl_roundtrip(spark, tmp_path):
+    """ADD/DROP PARTITION + SHOW PARTITIONS over a partitioned filesystem
+    table (reference SqlAddPartitions/SqlDropPartitions): partitions are
+    real Hive-layout directories — add materializes an empty one, drop
+    removes the data, SHOW lists storage truth."""
+    import os
+
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "apart")
+    env.execute_sql(f"""
+        CREATE TABLE apart_t (k BIGINT, region STRING)
+        WITH ('connector' = 'filesystem', 'format' = 'parquet',
+              'path' = '{path}', 'partition.keys' = 'region')
+    """)
+    env.execute_sql(
+        "INSERT INTO apart_t PARTITION (region='eu') SELECT id AS k FROM range(3)"
+    )
+    env.execute_sql(
+        "INSERT INTO apart_t PARTITION (region='us') SELECT id AS k FROM range(2)"
+    )
+    parts = [r.partition
+             for r in env.execute_sql("SHOW PARTITIONS apart_t").collect()]
+    assert parts == ["region=eu", "region=us"]
+
+    env.execute_sql("ALTER TABLE apart_t ADD PARTITION (region='apac')")
+    assert os.path.isdir(os.path.join(path, "region=apac"))
+    parts = [r.partition
+             for r in env.execute_sql("SHOW PARTITIONS apart_t").collect()]
+    assert parts == ["region=apac", "region=eu", "region=us"]
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE apart_t ADD PARTITION (region='apac')")
+    env.execute_sql(
+        "ALTER TABLE apart_t ADD IF NOT EXISTS PARTITION (region='apac')"
+    )
+
+    env.execute_sql("ALTER TABLE apart_t DROP PARTITION (region='eu')")
+    assert spark.table("apart_t").count() == 2  # eu rows gone from reads
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE apart_t DROP PARTITION (region='eu')")
+    env.execute_sql("ALTER TABLE apart_t DROP IF EXISTS PARTITION (region='eu')")
+    with pytest.raises(ValueError, match="partition keys"):
+        env.execute_sql("ALTER TABLE apart_t ADD PARTITION (bogus='x')")
+    with pytest.raises(ValueError, match="not partitioned"):
+        env2_path = str(tmp_path / "nopart")
+        env.execute_sql(f"""
+            CREATE TABLE nopart_t (k BIGINT)
+            WITH ('connector'='filesystem','format'='parquet',
+                  'path'='{env2_path}')
+        """)
+        env.execute_sql("SHOW PARTITIONS nopart_t")
+
+
+def test_alter_table_set_reset_rename(spark, tmp_path):
+    """ALTER TABLE SET/RESET mutate the WITH options (reference
+    SqlAlterTableOptions/SqlAlterTableReset); RENAME TO re-registers the
+    table and its view under the new name (SqlAlterTableRename)."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "aopts")
+    env.execute_sql(f"""
+        CREATE TABLE aopts_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','format'='parquet','path'='{path}')
+    """)
+    env.execute_sql("INSERT INTO aopts_t SELECT id, 'x' FROM range(4)")
+    env.execute_sql("ALTER TABLE aopts_t SET ('note'='hello', 'compression'='snappy')")
+    assert env.tables["aopts_t"].options["note"] == "hello"
+    env.execute_sql("ALTER TABLE aopts_t RESET ('note')")
+    assert "note" not in env.tables["aopts_t"].options
+    with pytest.raises(ValueError, match="cannot change"):
+        env.execute_sql("ALTER TABLE aopts_t SET ('path'='/elsewhere')")
+    with pytest.raises(ValueError, match="cannot remove"):
+        env.execute_sql("ALTER TABLE aopts_t RESET ('connector')")
+
+    env.execute_sql("ALTER TABLE aopts_t RENAME TO bopts_t")
+    assert "aopts_t" not in env.tables and "bopts_t" in env.tables
+    assert spark.table("bopts_t").count() == 4
+    with pytest.raises(Exception):
+        spark.table("aopts_t").count()
+
+
+def test_alter_table_add_drop_columns(spark, tmp_path):
+    """ADD/DROP column schema changes (reference .../ddl/table classes):
+    rows written before an added column read back null-filled (parquet
+    declared-schema evolution); dropped columns disappear from reads;
+    partition keys cannot be dropped."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "acols")
+    env.execute_sql(f"""
+        CREATE TABLE acols_t (k BIGINT, region STRING)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{path}', 'partition.keys'='region')
+    """)
+    env.execute_sql(
+        "INSERT INTO acols_t PARTITION (region='eu') SELECT id AS k FROM range(3)"
+    )
+    env.execute_sql("ALTER TABLE acols_t ADD (score DOUBLE)")
+    got = spark.table("acols_t")
+    # Spark surfaces partition-discovery columns last; compare as sets
+    assert set(got.columns) == {"k", "region", "score"}
+    assert got.filter("score IS NULL").count() == 3
+    env.execute_sql("""
+        INSERT INTO acols_t PARTITION (region='us')
+        SELECT id AS k, CAST(id AS DOUBLE) AS score FROM range(2)
+    """)
+    assert spark.table("acols_t").filter("score IS NOT NULL").count() == 2
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE acols_t ADD (score DOUBLE)")
+    env.execute_sql("ALTER TABLE acols_t DROP COLUMN score")
+    assert set(spark.table("acols_t").columns) == {"k", "region"}
+    with pytest.raises(ValueError, match="partition/primary key"):
+        env.execute_sql("ALTER TABLE acols_t DROP COLUMN region")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE acols_t DROP COLUMN nope")
