@@ -788,6 +788,18 @@ class TableEnvironment:
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
         up = stmt.upper()
+        if "PLAN_ADVICE" in up:
+            # EXPLAIN PLAN_ADVICE <query> (reference ExplainDetail
+            # PLAN_ADVICE): structured advice rows; empty result = the
+            # plan already has the shape we'd want at scale
+            em = re.match(
+                r"^\s*EXPLAIN\s+PLAN_ADVICE\s+(?P<q>.+)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if em:
+                from flink_spark.plan_advice import advice_df
+
+                return advice_df(self.spark.sql(em.group("q")))
         if "STATEMENT" in up:
             # SQL statement set (reference SqlExecute + SqlStatementSet:
             # EXECUTE STATEMENT SET BEGIN <insert>; ...; END) — routed to

@@ -268,6 +268,39 @@ def ddl_catalog_module_roundtrip(spark, sf_dir):
 
 
 @query(
+    "explain_plan_advice_gate",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('clean_advice_rows', '0'),
+      ('bad_plan_rule', 'row-python-udf')
+    ) t(kind, val)
+    """,
+)
+def explain_plan_advice_gate(spark, sf_dir):
+    """EXPLAIN PLAN_ADVICE (reference ExplainDetail#PLAN_ADVICE, the
+    plan-advice exec processors): a known-good plan (map-side partial
+    aggregate over a pruned scan) produces ZERO advice rows, and a
+    deliberately bad plan (row-at-a-time Python UDF) is flagged — the
+    rule engine is precise, not vacuous."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("advice_li")
+    clean = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT l_returnflag, SUM(l_quantity) AS s "
+        "FROM advice_li GROUP BY l_returnflag"
+    )
+    spark.udf.register("advice_plus1", lambda x: x + 1, "bigint")
+    bad = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT advice_plus1(l_orderkey) AS k1 "
+        "FROM advice_li"
+    )
+    rows = [("clean_advice_rows", str(clean.count()))]
+    rows += [("bad_plan_rule", r) for r in sorted({x.rule for x in bad.collect()})]
+    return spark.createDataFrame(rows, "kind string, val string")
+
+
+@query(
     "ddl_alter_partition_roundtrip",
     oracle="""
     SELECT * FROM (VALUES

@@ -1,0 +1,84 @@
+"""EXPLAIN PLAN_ADVICE rule engine (reference ExplainDetail#PLAN_ADVICE):
+clean plans yield zero advice; each rule fires on a plan constructed to
+violate it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import TableEnvironment
+from flink_spark.plan_advice import advice_df, plan_advice
+
+
+@pytest.fixture()
+def pq(spark, tmp_path):
+    p = str(tmp_path / "advice_pq")
+    spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    ).write.parquet(p)
+    return p
+
+
+def test_clean_plan_has_zero_advice(spark, pq):
+    df = (
+        spark.read.parquet(pq)
+        .filter(F.col("k") > 100)
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert plan_advice(df) == []
+
+
+def test_cartesian_product_flagged(spark, pq):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.read.parquet(pq)
+        b = spark.read.parquet(pq).withColumnRenamed("k", "k2")
+        rules = [x.rule for x in plan_advice(a.crossJoin(b))]
+        assert "cartesian-product" in rules
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_row_python_udf_flagged(spark, pq):
+    from pyspark.sql.functions import udf
+
+    plus1 = udf(lambda x: x + 1, "bigint")
+    df = spark.read.parquet(pq).select(plus1(F.col("k")).alias("k1"))
+    rules = [x.rule for x in plan_advice(df)]
+    assert "row-python-udf" in rules
+    # the Arrow path is NOT flagged
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def plus1v(s):
+        return s + 1
+
+    assert plan_advice(
+        spark.read.parquet(pq).select(plus1v(F.col("k")).alias("k1"))
+    ) == []
+
+
+def test_unpushed_filter_flagged(spark, pq):
+    # wrapping the column in arithmetic defeats filter translation —
+    # PushedFilters comes back empty and the scan reads everything
+    df = spark.read.parquet(pq).filter((F.col("k") + 1) > 100)
+    rules = [x.rule for x in plan_advice(df)]
+    assert "filter-not-pushed" in rules
+    # the directly-pushable form is NOT flagged
+    assert plan_advice(spark.read.parquet(pq).filter(F.col("k") > 99)) == []
+
+
+def test_explain_plan_advice_sql_route(spark, pq):
+    env = TableEnvironment(spark)
+    spark.read.parquet(pq).createOrReplaceTempView("advice_t")
+    out = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT g, SUM(v) AS s FROM advice_t "
+        "WHERE k > 100 GROUP BY g"
+    )
+    assert out.columns == ["rule", "severity", "node", "hint"]
+    assert out.count() == 0
