@@ -11,13 +11,28 @@ from compare import assert_frames_match, run_oracle
 from flink_spark.queries.registry import QUERIES
 
 # a slice across operator families: batch agg/join, streaming window,
-# dedup pipeline, inventory two-fact
+# dedup pipeline, inventory two-fact — plus every ORDER-SENSITIVE
+# streaming file-source query (dedup/sort/CEP/changelog/delta-join/
+# watermark operators), where a multifile layout would surface any
+# mtime-tie or listing-order nondeterminism in the chunked sources
 SAMPLE = [
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
     "stream_tumble_agg",
     "llm_dedup_exact",
     "tpcds_q72_two_fact_correlation",
+    "stream_dedup_first",
+    "stream_dedup_first_ttl",
+    "stream_temporal_sort",
+    "stream_late_side_output",
+    "stream_cep_timeout",
+    "stream_changelog_normalize",
+    "stream_topn_changelog",
+    "stream_delta_join",
+    "stream_drop_update_before",
+    "cdc_debezium_materialize",
+    "hybrid_source_backfill",
+    "stream_state_reader",
 ]
 
 
