@@ -566,7 +566,12 @@ class TableEnvironment:
             out.createOrReplaceTempView(name)
             return name
 
-        return self._TVF_RE.sub(repl, stmt)
+        from flink_spark.sqltok import sub_outside_literals
+
+        # match on the literal-masked view (a TVF call quoted inside a
+        # string is DATA, not structure) while the replacement reads the
+        # original text, keeping the interval literals intact
+        return sub_outside_literals(self._TVF_RE, repl, stmt)
 
     # -- dialect: temporal join --------------------------------------------
 
@@ -787,7 +792,17 @@ class TableEnvironment:
 
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
-        up = stmt.upper()
+        from flink_spark.sqltok import (
+            mask_literals,
+            split_outside_literals,
+            sub_outside_literals,
+        )
+
+        # every keyword gate and structural rewrite below runs against the
+        # literal-masked view: a marker keyword inside a string literal can
+        # no longer route (or mangle) the statement
+        masked = mask_literals(stmt)
+        up = masked.upper()
         if "PLAN_ADVICE" in up:
             # EXPLAIN PLAN_ADVICE <query> (reference ExplainDetail
             # PLAN_ADVICE): structured advice rows; empty result = the
@@ -811,7 +826,7 @@ class TableEnvironment:
             )
             if ss:
                 sset = self.create_statement_set()
-                for ins in ss.group("body").split(";"):
+                for ins in split_outside_literals(ss.group("body")):
                     if ins.strip():
                         sset.add_insert_sql(ins.strip())
                 return sset.execute()
@@ -888,12 +903,13 @@ class TableEnvironment:
                     return getattr(self.model_manager, h)(mm)
             if SHOW_MODELS_RE.match(stmt):
                 return self.model_manager.show()
-        if "ML_PREDICT" in stmt.upper():
+        if "ML_PREDICT" in up:
             from flink_spark.models import ML_PREDICT_RE
 
-            if ML_PREDICT_RE.search(stmt):
+            if ML_PREDICT_RE.search(masked):
                 stmt = self.model_manager.rewrite_ml_predict(stmt)
-        if "MATERIALIZED" in stmt.upper():
+                masked = mask_literals(stmt)
+        if "MATERIALIZED" in up:
             from flink_spark.materialized import (
                 MT_ALTER_RE,
                 MT_CREATE_RE,
@@ -909,8 +925,9 @@ class TableEnvironment:
             dm = MT_DROP_RE.match(stmt)
             if dm:
                 return self.materialized.drop(dm)
-        if self._TVF_RE.search(stmt):
+        if self._TVF_RE.search(masked):
             stmt = self._rewrite_window_tvfs(stmt)
+            masked = mask_literals(stmt)
         # time-travel read over a materialized table's snapshot store
         # (reference SqlSnapshot time travel: FOR SYSTEM_TIME AS OF a
         # LITERAL timestamp / FOR SYSTEM_VERSION AS OF n — distinct from
@@ -945,13 +962,13 @@ class TableEnvironment:
             ts = parsed.timestamp()
             return self.materialized.read_version(tt.group("name"), as_of_ts=ts)
         tm = self._TEMPORAL_RE.match(stmt)
-        if tm and "FOR SYSTEM_TIME" in stmt.upper():
+        if tm and "FOR SYSTEM_TIME" in masked.upper():
             return self._rewrite_temporal_join(tm)
-        if "LATERAL TABLE" in stmt.upper():
+        if "LATERAL TABLE" in masked.upper():
             lm = self._LATERAL_TTF_RE.match(stmt)
             if lm and lm.group("fn") in self.temporal_fns:
                 return self._rewrite_lateral_ttf(lm)
-        if "MATCH_RECOGNIZE" in stmt.upper():
+        if "MATCH_RECOGNIZE" in masked.upper():
             from flink_spark.sql_match import MATCH_RE, rewrite_match_recognize
 
             mr = MATCH_RE.match(stmt)
@@ -1145,6 +1162,18 @@ class TableEnvironment:
         lower onto DataFrameWriter for filesystem, show/noop for the
         utility sinks. Partitioned writes honor 'partition.keys'."""
         spec = self.tables[name]
+        # INSERT INTO maps the query's output to the declared schema
+        # (reference SqlInsert column-mapping): when the output names ARE
+        # the declared names (e.g. the static-PARTITION path appends the
+        # partition column last) align by name; otherwise map POSITIONALLY
+        # — so unaliased expressions land in the declared columns instead
+        # of null-filling the by-name storage formats
+        declared = [c for c, _ in spec.columns]
+        if len(df.columns) == len(declared) and df.columns != declared:
+            if set(df.columns) == set(declared):
+                df = df.select(*declared)
+            else:
+                df = df.toDF(*declared)
         conn = spec.connector
         if conn == "print":
             df.show(truncate=False)

@@ -199,4 +199,7 @@ class ModelManager:
             out.createOrReplaceTempView(view)
             return view
 
-        return ML_PREDICT_RE.sub(sub, stmt)
+        from flink_spark.sqltok import sub_outside_literals
+
+        # mask-matched: ML_PREDICT(...) inside a string literal is data
+        return sub_outside_literals(ML_PREDICT_RE, sub, stmt)
