@@ -1834,3 +1834,65 @@ def stream_state_reader(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "stream_source_idleness",
+    oracle="""
+    WITH r AS (SELECT ts, event_id,
+                      ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+                      COUNT(*) OVER () AS n
+               FROM events WHERE user_id <= 200),
+    c AS (SELECT ts,
+                 CAST(rn >= 1 * n // 4 AS INT) + CAST(rn >= 2 * n // 4 AS INT)
+                   + CAST(rn >= 3 * n // 4 AS INT) AS chunk,
+                 CASE WHEN rn < 2 * n // 4 THEN 'a' ELSE 'b' END AS src
+          FROM r),
+    b AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(batch_id)),
+    s AS (SELECT * FROM (VALUES ('a'),('b')) t(src)),
+    agg AS (SELECT b.batch_id, s.src,
+                   (SELECT MAX(c.ts) FROM c
+                    WHERE c.src = s.src AND c.chunk <= b.batch_id) AS runmax,
+                   (SELECT MAX(c.chunk) FROM c
+                    WHERE c.src = s.src AND c.chunk <= b.batch_id) AS last_seen
+            FROM b, s),
+    act AS (SELECT batch_id, src, runmax,
+                   (last_seen IS NOT NULL AND last_seen > batch_id - 2) AS active
+            FROM agg),
+    wm0 AS (SELECT batch_id,
+                   MIN(runmax) FILTER (WHERE active)
+                     - INTERVAL 10 MINUTE AS cand
+            FROM act GROUP BY batch_id),
+    wm AS (SELECT batch_id, MAX(cand) OVER (ORDER BY batch_id) AS wmv FROM wm0)
+    SELECT CAST(w.batch_id AS BIGINT) AS batch_id,
+           BOOL_OR(a.active) FILTER (WHERE a.src = 'a') AS a_active,
+           BOOL_OR(a.active) FILTER (WHERE a.src = 'b') AS b_active,
+           w.wmv AS wm
+    FROM wm w JOIN act a USING (batch_id)
+    GROUP BY w.batch_id, w.wmv
+    """,
+)
+def stream_source_idleness(spark, sf_dir):
+    """Source IDLENESS / combined multi-source watermark (reference
+    WatermarkStrategy.withIdleness, WatermarksWithIdleness.java,
+    StatusWatermarkValve.java min-over-non-idle) — previously documented
+    as a platform limitation, now rebuilt at micro-batch granularity with
+    batch-count idleness (deterministic where Flink's wall-clock timeout
+    is not): a backfill source 'a' (first half of event time) and a live
+    source 'b' stream in event-time-ordered quartile batches; 'b' is idle
+    until its first row (it must not pin the watermark at -inf), 'a'
+    holds the watermark back while active, and after two silent batches
+    'a' is deactivated and the watermark jumps to 'b' − delay. The oracle
+    reproduces the exact chunk/source assignment and the monotonic
+    min-over-active rule in SQL."""
+    from flink_spark.streaming.idleness import (
+        combined_watermark_trace,
+        tagged_ts_chunk_stream,
+    )
+
+    ev = tagged_ts_chunk_stream(
+        spark, sf_dir, "events", 4, where="user_id <= 200"
+    )
+    return combined_watermark_trace(
+        ev.select("src", "ts"), "src", "ts", "10 minutes", idle_batches=2
+    )
