@@ -253,3 +253,85 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list by min-label propagation —
+    the transitive-closure step that turns near-dup PAIRS into dedup
+    CLUSTERS (each doc labeled with its component's min id, the canonical
+    survivor). The iterative hash-to-min scheme GraphX/GraphFrames use,
+    expressed in plain DataFrame ops.
+
+    Scale shape: per iteration one symmetric-edge join + one min-groupBy
+    (two key shuffles over |E| + |V| rows) and an O(1)-row convergence
+    aggregate; lineage cut per iteration via localCheckpoint. Iteration
+    count is the component diameter (near-dup clusters are shallow — a
+    handful of rounds in practice); ``max_iter`` bounds pathological
+    chains and raises rather than returning a wrong labeling."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("u"), F.col("comp")
+                    ),
+                    "u",
+                )
+                .select(F.col("v").alias("node"), "comp")
+            )
+            new_labels = (
+                labels.union(prop)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise ValueError(
+            f"connected_components: no fixpoint after {max_iter} iterations"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components →
+    ``(doc_id, cluster_id, is_canonical)`` where ``cluster_id`` is the
+    component's min doc id and the canonical doc is the one a dedup
+    pipeline keeps (everything else in the cluster is dropped). Docs in
+    no pair are absent — they are their own trivial cluster."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )

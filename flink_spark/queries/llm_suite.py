@@ -573,3 +573,45 @@ def llm_pq_recall_gate(spark, sf_dir):
     the exact top-5 pairs (measured 1.00 at sf0.01, 0.96 at sf0.1,
     stable across repeated runs)."""
     return _ann_recall_gate(spark, sf_dir, "pq")
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    bands AS (SELECT doc_id, i // {D.MH_BAND_ROWS} AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+              FROM sig GROUP BY doc_id, i // {D.MH_BAND_ROWS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+              FROM cand c
+              JOIN sig x ON x.doc_id = c.doc_a
+              JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
+              GROUP BY c.doc_a, c.doc_b),
+    pairs AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= {D.MH_K // 2}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           (node = MIN(lab)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — pairs are not enough for a dedup pipeline;
+    the keep/drop decision needs the TRANSITIVE closure (A~B, B~C → one
+    cluster, keep one doc). MinHash-LSH pairs feed min-label-propagation
+    connected components (GraphX-style hash-to-min, two bounded shuffles
+    per iteration, O(diameter) iterations); the oracle computes the same
+    closure with a recursive CTE. cluster_id = component min doc_id =
+    the canonical survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs)

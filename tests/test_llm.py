@@ -268,3 +268,45 @@ def test_pq_training_is_sample_bounded_and_deterministic(spark):
     }
     if grown_sample_ids == sample_ids:  # md5 order kept the same slice
         assert pq_train(grown, m=4, ks=4, train_limit=60) == books
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation (distributed) vs a reference union-find on
+    randomized-but-seeded graphs, including chains (diameter > 1), stars
+    and singleton-free edge lists."""
+    import random
+
+    from flink_spark.llm.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 40
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(30)}
+        edges |= {(i, i + 1) for i in range(10)}  # a long chain
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_edges = {x for e in edges for x in e}
+        want = {x: find(x) for x in sorted(nodes_in_edges)}
+        # canonicalize union-find roots to component minima
+        comp_min: dict = {}
+        for x, r in want.items():
+            comp_min.setdefault(r, x)  # iteration is sorted → min first
+        want = {x: comp_min[r] for x, r in want.items()}
+
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {
+            r.node: r.comp
+            for r in connected_components(df, max_iter=50).collect()
+        }
+        assert got == want, f"trial {trial}"
