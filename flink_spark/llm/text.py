@@ -176,3 +176,48 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         .select(id_col, F.col("w").alias("term"), "tf", "df", "tfidf",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model quality score — one order up from
+    ``unigram_logprob`` (the KenLM n-gram perplexity filter family):
+    score each document by the average log-probability of its bigrams
+    under the corpus's own bigram MLE, P(v|u) = C(u,v) / Σ_w C(u,w).
+    The history count is the bigram-prefix sum, so every in-corpus bigram
+    has a well-defined nonzero probability (the corpus defines the model;
+    no smoothing needed for self-scoring). Repetitive boilerplate scores
+    high, incoherent token soup scores low — a sharper curation signal
+    than unigram frequency alone.
+
+    Scale shape (100 TB): bigram extraction is one JVM ``transform`` over
+    the token array (no self-join on position); per-doc (u,v,cnt)
+    collapse before the model join, so the join carries distinct pairs;
+    the bigram model is token-prefix-keyed (one shuffle, AQE skew
+    territory for head words). Cross-engine float discipline: per-term
+    9-digit rounding + exact decimal summation."""
+    ts = f"split(trim({text_col}), '\\\\s+')"
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(slice({ts}, 1, greatest(size({ts}) - 1, 0)), "
+                f"(x, i) -> struct(x AS u, element_at({ts}, i + 2) AS v))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    big = big.filter((F.col("u") != "") & (F.col("v") != ""))
+    pairs = big.groupBy(id_col, "u", "v").agg(F.count("*").alias("cnt"))
+    model = pairs.groupBy("u", "v").agg(F.sum("cnt").alias("cuv"))
+    hist = model.groupBy("u").agg(F.sum("cuv").alias("cu"))
+    term = F.col("cnt") * F.round(F.log(F.col("cuv") / F.col("cu")), 9)
+    return (
+        pairs.join(model, ["u", "v"])
+        .join(hist, "u")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (F.sum(term.cast("decimal(30,6)")).cast("double")
+             / F.sum("cnt")).alias("avg_logprob"),
+        )
+    )

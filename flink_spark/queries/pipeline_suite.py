@@ -464,3 +464,34 @@ def pipe_url_dedup(spark, sf_dir):
                             F.lit(".example.com/doc/"), k, F.lit("#frag")))
     )
     return P.url_canonical_dedup(docs.select("doc_id", url.alias("url")))
+
+
+@query(
+    "pipe_bigram_logprob",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    big AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v
+            FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+            WHERE i <= len(ws) - 1 AND ws[i] <> '' AND ws[i+1] <> ''),
+    pairs AS (SELECT doc_id, u, v, COUNT(*) AS cnt FROM big
+              GROUP BY doc_id, u, v),
+    model AS (SELECT u, v, SUM(cnt) AS cuv FROM pairs GROUP BY u, v),
+    hist AS (SELECT u, SUM(cuv) AS cu FROM model GROUP BY u)
+    SELECT pairs.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(cnt * ROUND(LN(cuv / cu), 9) AS DECIMAL(30,6)))
+                AS DOUBLE) / SUM(cnt) AS avg_logprob
+    FROM pairs JOIN model USING (u, v) JOIN hist USING (u)
+    GROUP BY pairs.doc_id
+    """,
+)
+def pipe_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality scoring (the KenLM n-gram perplexity filter, one
+    order above pipe_unigram_logprob): per-document average bigram
+    log-probability under the corpus's own bigram MLE with prefix-sum
+    histories. Bigram extraction is a single JVM `transform` over the
+    token array (no positional self-join); per-doc (u,v,cnt) collapse
+    before the model join (`flink_spark/llm/text.py` bigram_logprob)."""
+    from flink_spark.llm.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
