@@ -219,3 +219,30 @@ def agg_bitmap_ops(spark, sf_dir):
         BM.bitmap_cardinality(BM.bitmap_andnot("cb", "pb")).alias("andnot_card"),
         BM.bitmap_cardinality(BM.bitmap_xor("cb", "pb")).alias("xor_card"),
     )
+
+
+@query(
+    "agg_split_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_split_distinct(spark, sf_dir):
+    """Split-distinct aggregation (reference SplitAggregateRule — the
+    hot-group COUNT(DISTINCT) remedy): the distinct key is sharded by
+    hash bucket so no single state cell holds a hot group's whole
+    distinct set; two bounded phases, exact by construction (each value
+    lands in exactly one bucket), so the oracle is the plain
+    COUNT(DISTINCT). event_type has only a handful of values — exactly
+    the skew shape the rule exists for."""
+    from flink_spark.operators.splitagg import split_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return split_distinct_count(
+        ev, ["event_type"], "user_id", n_buckets=16,
+        out_col="n_distinct",
+        extra_aggs=[F.sum("__cnt").cast("long").alias("n_rows")],
+    )

@@ -84,3 +84,42 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     assert ("dynamicpruning" in optimized.lower()
             or "dynamicpruning" in exec_plan.lower()), exec_plan[:2000]
     assert joined.count() == 5 * 400
+
+
+def test_split_distinct_two_phase_plan_and_values(spark, sf_dir):
+    """Split-distinct (reference SplitAggregateRule): values equal the
+    plain COUNT(DISTINCT), and the plan shards the distinct key across
+    buckets BEFORE the per-group merge — the hot-group state remedy."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.operators.splitagg import split_distinct_count
+    from flink_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.n_distinct, r.n_rows)
+        for r in split_distinct_count(
+            ev, ["event_type"], "user_id", n_buckets=8,
+            extra_aggs=[F.sum("__cnt").cast("long").alias("n_rows")],
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.nd, r.nr)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.count("*").alias("nr"),
+        )
+        .collect()
+    }
+    assert got == want
+    plan = (
+        split_distinct_count(ev, ["event_type"], "user_id", n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # three key-shuffles: (keys,bkt,user) dedup → (keys,bkt) bucket count
+    # → (keys) merge; each with a map-side partial — the sharded phase-1
+    # runs BEFORE the per-group merge, so no cell holds a hot group's
+    # whole distinct set
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange hashpartitioning") == 3
