@@ -163,3 +163,140 @@ def combined_watermark_trace(
     return spark.createDataFrame(
         state["trace"], f"batch_id long, {cols}, wm timestamp_ntz"
     )
+
+
+def aligned_union_trace(
+    stream: DataFrame,
+    src_col: str,
+    ts_col: str,
+    max_drift: str,
+    sources: tuple = ("a", "b"),
+) -> DataFrame:
+    """Watermark ALIGNMENT for a multi-source union — the engine's analog
+    of ``WatermarkStrategy.withWatermarkAlignment`` (reference
+    flink-core/.../eventtime/WatermarkStrategy.java:168,
+    WatermarkAlignmentParams / SourceCoordinator alignment events): a
+    source whose event-time frontier runs more than ``max_drift`` ahead
+    of the group's combined (minimum) frontier is THROTTLED — its
+    too-far-ahead rows are deferred to later batches — while a source at
+    the minimum is never throttled (it is what advances the group).
+    Deferred rows spill to a parquet buffer (distributed, not driver
+    memory) and re-enter the next batch; after the input drains, extra
+    rounds flush the buffer (the laggard-exemption rule guarantees each
+    round advances the minimum, so the flush terminates).
+
+    Returns the per-batch trace
+    ``(batch_id, <src>_processed ..., combined_max timestamp)`` over all
+    rounds including the post-drain flush — enough to assert both
+    alignment invariants: every row is processed exactly once, and a
+    throttled source never processes a row beyond combined+drift as of
+    its batch start.
+
+    Scale shape: per batch one filter + one per-source max aggregate
+    (#sources rows collected); the buffer holds only the drift overhang
+    of fast sources."""
+    import shutil
+    import tempfile
+
+    spark = stream.sparkSession
+    drift_td = pd.Timedelta(max_drift)
+    root = tempfile.mkdtemp(prefix="flink_spark_alignment_")
+    buf_dir = os.path.join(root, "buf")
+    ckpt = os.path.join(root, "ckpt")
+    state = {"max_ts": {s: None for s in sources}, "trace": [], "bid": 0}
+
+    def combined():
+        seen = [v for v in state["max_ts"].values() if v is not None]
+        return min(seen) if seen else None
+
+    def run_round(batch: DataFrame) -> None:
+        flush = batch is None
+        if os.path.isdir(buf_dir):
+            buffered = spark.read.parquet(buf_dir)
+            batch = batch.unionByName(buffered) if batch is not None else buffered
+        if batch is None:
+            return
+        batch = batch.localCheckpoint(eager=True)  # freeze before buffer rewrite
+        shutil.rmtree(buf_dir, ignore_errors=True)
+        if flush:
+            # input exhausted: a source with nothing left is FINISHED and
+            # its frontier is +inf (reference: sources emit MAX_WATERMARK
+            # on end of input), so the group frontier is the min over
+            # sources that still hold buffered rows — the min such source
+            # is exempt and drains, which terminates the flush
+            live_srcs = [
+                r["s"]
+                for r in batch.select(F.col(src_col).alias("s"))
+                .distinct()
+                .collect()
+            ]
+            comb = min(
+                (state["max_ts"][s] for s in live_srcs
+                 if state["max_ts"][s] is not None),
+                default=None,
+            )
+        else:
+            comb = combined()
+        if comb is None:
+            allowed = None  # no frontier yet — nothing to align against
+        else:
+            allowed = comb + drift_td
+        exempt = [
+            s for s in sources
+            if state["max_ts"][s] is None
+            or (comb is not None and state["max_ts"][s] <= comb)
+        ]
+        if allowed is None:
+            take = batch
+            defer = batch.filter(F.lit(False))
+        else:
+            # NTZ literal via SQL text: F.lit(naive datetime) would build
+            # an LTZ literal through the process tz (see core._wm_lit)
+            allowed_lit = F.expr(
+                f"TIMESTAMP_NTZ '{pd.Timestamp(allowed).isoformat(sep=' ')}'"
+            )
+            gate = F.col(src_col).isin(list(exempt)) | (
+                F.col(ts_col) <= allowed_lit
+            )
+            take = batch.filter(gate)
+            defer = batch.filter(~gate)
+        if defer.limit(1).count():
+            defer.write.mode("overwrite").parquet(buf_dir)
+        stats = {
+            r["s"]: (r["n"], r["m"])
+            for r in take.groupBy(F.col(src_col).alias("s"))
+            .agg(F.count("*").alias("n"), F.max(ts_col).alias("m"))
+            .collect()
+        }
+        for s, (_, mx) in stats.items():
+            if mx is not None:
+                prev = state["max_ts"][s]
+                state["max_ts"][s] = mx if prev is None else max(prev, mx)
+        state["trace"].append(
+            (
+                state["bid"],
+                *[stats.get(s, (0, None))[0] for s in sources],
+                combined(),
+            )
+        )
+        state["bid"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _i: run_round(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flush_rounds = 0
+    while os.path.isdir(buf_dir):
+        flush_rounds += 1
+        if flush_rounds > 1000:
+            raise ValueError("alignment flush did not terminate")
+        run_round(None)
+    cols = ", ".join(f"{s}_processed long" for s in sources)
+    out = spark.createDataFrame(
+        state["trace"], f"batch_id long, {cols}, combined_max timestamp_ntz"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

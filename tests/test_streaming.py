@@ -605,3 +605,53 @@ def test_side_output_late_watermark_survives_restart(spark, tmp_path):
     on2, late2 = run()
     assert sorted(r.id for r in late2.collect()) == [2]
     assert sorted(r.id for r in on2.collect()) == [1, 3]  # dirs accumulate
+
+
+def test_watermark_alignment_throttles_fast_source(spark, tmp_path):
+    """Watermark alignment (reference withWatermarkAlignment): a source
+    ahead of the group frontier by more than max_drift defers its rows;
+    the minimum source is never throttled; a finished source's frontier
+    is +inf so the flush drains. Hand-computed 4-round trace."""
+    import os
+
+    import pandas as pd
+
+    from flink_spark.streaming.idleness import aligned_union_trace
+
+    t = lambda s: pd.Timestamp(f"2024-01-01 {s}")
+    batches = [
+        [("a", t("10:00"), 1), ("b", t("10:00"), 2)],
+        [("a", t("12:00"), 3), ("b", t("10:05"), 4)],
+        [("a", t("12:30"), 5), ("b", t("10:20"), 6)],
+    ]
+    d = tmp_path / "align_src"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["src", "ts", "id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = d / f"part-{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    trace = aligned_union_trace(stream, "src", "ts", "30 minutes")
+    rows = [
+        (r.batch_id, r.a_processed, r.b_processed, r.combined_max)
+        for r in sorted(trace.collect())
+    ]
+    assert rows == [
+        # round 0: no frontier yet — everything processes
+        (0, 1, 1, t("10:00")),
+        # round 1: both AT the min (exempt) — a's 12:00 jump processes
+        (1, 1, 1, t("10:05")),
+        # round 2: a is 12:00 vs comb 10:05 (+30m allowed 10:35) —
+        # a's 12:30 row is THROTTLED; b (the min) processes
+        (2, 0, 1, t("10:20")),
+        # flush: b is finished (frontier +inf) — group frontier becomes
+        # a's own 12:00, a is exempt and drains its buffered row
+        (3, 1, 0, t("10:20")),
+    ]
