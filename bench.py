@@ -86,6 +86,12 @@ EXTRA = [
     "tpcds_q92_excess_discount",
     "tpcds_q53_quarterly_class_deviation",
     "pipe_url_dedup",
+    # round-4 operators
+    "llm_dedup_clusters",
+    "pipe_bigram_logprob",
+    "stream_source_idleness",
+    "stream_watermark_alignment",
+    "agg_split_distinct",
 ]
 
 

@@ -196,16 +196,21 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     the bigram model is token-prefix-keyed (one shuffle, AQE skew
     territory for head words). Cross-engine float discipline: per-term
     9-digit rounding + exact decimal summation."""
-    ts = f"split(trim({text_col}), '\\\\s+')"
-    big = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(slice({ts}, 1, greatest(size({ts}) - 1, 0)), "
-                f"(x, i) -> struct(x AS u, element_at({ts}, i + 2) AS v))"
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    # tokenize ONCE into a column; the transform then only indexes it
+    # (inlining the split re-tokenizes 3x per row)
+    big = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__ts"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(__ts, 1, greatest(size(__ts) - 1, 0)), "
+                    "(x, i) -> struct(x AS u, element_at(__ts, i + 2) AS v))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    )
     big = big.filter((F.col("u") != "") & (F.col("v") != ""))
     pairs = big.groupBy(id_col, "u", "v").agg(F.count("*").alias("cnt"))
     model = pairs.groupBy("u", "v").agg(F.sum("cnt").alias("cuv"))
