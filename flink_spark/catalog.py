@@ -840,6 +840,27 @@ class TableEnvironment:
             r = self._alter_table_statement(stmt)
             if r is not NotImplemented:
                 return r
+        dt = re.match(
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+"
+            r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if dt:
+            # DROP TABLE on an engine-managed connector table (reference
+            # SqlDropTable): remove the spec + view; the filesystem
+            # connector is EXTERNAL, so data files are kept (Flink drops
+            # catalog metadata, not external storage)
+            name = dt.group("name")
+            if name in self.tables:
+                del self.tables[name]
+                self.spark.catalog.dropTempView(name)
+                return None
+            if dt.group("ife"):
+                try:
+                    return self.spark.sql(stmt)
+                except Exception:  # noqa: BLE001 — IF EXISTS: absent is fine
+                    return None
+            # not ours — let Spark resolve (and error) on its own catalog
         if "CATALOG" in up or re.match(
             r"^\s*(USE|SHOW\s+(CURRENT\s+)?DATABASES?|CREATE\s+DATABASE|"
             r"DROP\s+DATABASE)\b", stmt, re.IGNORECASE,

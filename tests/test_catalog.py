@@ -679,3 +679,31 @@ def test_alter_table_add_drop_columns(spark, tmp_path):
         env.execute_sql("ALTER TABLE acols_t DROP COLUMN region")
     with pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("ALTER TABLE acols_t DROP COLUMN nope")
+
+
+def test_drop_table_removes_spec_and_view(spark, tmp_path):
+    """DROP TABLE (reference SqlDropTable): removes the engine-managed
+    spec and its view; external filesystem data files are kept; IF EXISTS
+    is a no-op for absent tables; re-CREATE over the same path sees the
+    surviving files."""
+    import os
+
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "dropt")
+    ddl = f"""
+        CREATE TABLE drop_t (k BIGINT)
+        WITH ('connector'='filesystem','format'='parquet','path'='{path}')
+    """
+    env.execute_sql(ddl)
+    env.execute_sql("INSERT INTO drop_t SELECT id AS k FROM range(3)")
+    env.execute_sql("DROP TABLE drop_t")
+    assert "drop_t" not in env.tables
+    with pytest.raises(Exception):
+        spark.table("drop_t").count()
+    assert os.path.isdir(path)  # external storage survives the drop
+    env.execute_sql("DROP TABLE IF EXISTS drop_t")  # no-op
+    with pytest.raises(Exception):
+        env.execute_sql("DROP TABLE drop_t")
+    env.execute_sql(ddl)  # re-create over the kept files
+    assert spark.table("drop_t").count() == 3
+    env.execute_sql("DROP TABLE drop_t")
