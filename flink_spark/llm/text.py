@@ -226,3 +226,55 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
              / F.sum("cnt")).alias("avg_logprob"),
         )
     )
+
+
+def interpolated_logprob(df: DataFrame, lam: float = 0.75,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Jelinek-Mercer interpolated n-gram score — the actual KenLM-family
+    smoothing shape: P(v|u) = λ·P_bi(v|u) + (1−λ)·P_uni(v). The unigram
+    back-off floor means rare continuations are scored, not zeroed, which
+    is what makes the signal usable as a perplexity filter on noisy data.
+
+    Same scale shape as ``bigram_logprob`` (per-doc pair collapse, model
+    joins on distinct pairs, everything JVM) plus one more broadcast-able
+    join against the unigram frequency table; same 9-digit-round +
+    decimal-sum cross-engine determinism."""
+    big = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__ts"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(__ts, 1, greatest(size(__ts) - 1, 0)), "
+                    "(x, i) -> struct(x AS u, element_at(__ts, i + 2) AS v))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .filter((F.col("u") != "") & (F.col("v") != ""))
+    )
+    pairs = big.groupBy(id_col, "u", "v").agg(F.count("*").alias("cnt"))
+    model = pairs.groupBy("u", "v").agg(F.sum("cnt").alias("cuv"))
+    hist = model.groupBy("u").agg(F.sum("cuv").alias("cu"))
+    # unigram distribution over CONTINUATIONS (v positions) — the same
+    # event space as the bigram model, so the mixture is a probability
+    ufreq = model.groupBy("v").agg(F.sum("cuv").alias("cv"))
+    total = ufreq.agg(F.sum("cv").alias("t"))
+    p_mix = (
+        F.lit(lam) * (F.col("cuv") / F.col("cu"))
+        + F.lit(1.0 - lam) * (F.col("cv") / F.col("t"))
+    )
+    term = F.col("cnt") * F.round(F.log(p_mix), 9)
+    return (
+        pairs.join(model, ["u", "v"])
+        .join(hist, "u")
+        .join(ufreq, "v")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (F.sum(term.cast("decimal(30,6)")).cast("double")
+             / F.sum("cnt")).alias("avg_logprob"),
+        )
+    )

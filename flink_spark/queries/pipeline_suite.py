@@ -495,3 +495,37 @@ def pipe_bigram_logprob(spark, sf_dir):
     from flink_spark.llm.text import bigram_logprob
 
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_interp_logprob",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    big AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v
+            FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+            WHERE i <= len(ws) - 1 AND ws[i] <> '' AND ws[i+1] <> ''),
+    pairs AS (SELECT doc_id, u, v, COUNT(*) AS cnt FROM big
+              GROUP BY doc_id, u, v),
+    model AS (SELECT u, v, SUM(cnt) AS cuv FROM pairs GROUP BY u, v),
+    hist AS (SELECT u, SUM(cuv) AS cu FROM model GROUP BY u),
+    ufreq AS (SELECT v, SUM(cuv) AS cv FROM model GROUP BY v),
+    tot AS (SELECT SUM(cv) AS t FROM ufreq)
+    SELECT pairs.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(cnt * ROUND(LN(0.75 * (cuv / cu)
+                                        + 0.25 * (cv / t)), 9)
+                         AS DECIMAL(30,6))) AS DOUBLE) / SUM(cnt)
+             AS avg_logprob
+    FROM pairs JOIN model USING (u, v) JOIN hist USING (u)
+               JOIN ufreq USING (v), tot
+    GROUP BY pairs.doc_id
+    """,
+)
+def pipe_interp_logprob(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram/unigram scorer (λ=0.75) — the
+    smoothing shape real perplexity filters use: rare continuations back
+    off to the unigram floor instead of zeroing
+    (`flink_spark/llm/text.py` interpolated_logprob)."""
+    from flink_spark.llm.text import interpolated_logprob
+
+    return interpolated_logprob(load_table(spark, sf_dir, "documents"), lam=0.75)
