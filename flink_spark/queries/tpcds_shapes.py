@@ -1970,3 +1970,197 @@ def tpcds_q53_quarterly_class_deviation(spark, sf_dir):
         (F.col("yr_cents").cast("double") / (100 * F.col("n_qtr")))
         .alias("qtr_avg"),
     ).orderBy("class", "qtr")
+
+
+@query(
+    "tpcds_q59_week_over_week",
+    oracle=f"""
+    WITH wk AS (
+      SELECT n.n_name AS store, isoyear(l.l_shipdate) AS yr,
+             weekofyear(l.l_shipdate) AS wk,
+             {sql_dsum("CASE WHEN isodow(l.l_shipdate) <= 3 "
+                       "THEN l.l_extendedprice ELSE 0 END", "early_rev")},
+             {sql_dsum("CASE WHEN isodow(l.l_shipdate) > 3 "
+                       "THEN l.l_extendedprice ELSE 0 END", "late_rev")}
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-12-29'
+      GROUP BY 1, 2, 3)
+    SELECT y1.store, CAST(y1.wk AS BIGINT) AS wk,
+           y1.early_rev AS early_rev_y1, y2.early_rev AS early_rev_y2,
+           ROUND(y1.late_rev / y2.late_rev, 9) AS late_ratio
+    FROM wk y1 JOIN wk y2 ON y1.store = y2.store AND y1.wk = y2.wk
+    WHERE y1.yr = 1996 AND y2.yr = 1997 AND y2.late_rev > 0
+    """,
+)
+def tpcds_q59_week_over_week(spark, sf_dir):
+    """TPC-DS q59 shape (reference tpcds-tool/query/query59.sql): weekly
+    sales pivoted by day-of-week band per store, then the SAME CTE
+    self-joined year vs year+1 on (store, week-number) to emit
+    week-over-week ratios. ISO week/year/dow on both engines (verified
+    identical); the self-join runs over |stores × weeks| aggregated rows,
+    never fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-12-29")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    isodow = (F.dayofweek("l_shipdate") + 5) % 7 + 1
+    wk = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("store"),
+            F.expr("extract(YEAROFWEEK FROM l_shipdate)").alias("yr"),
+            F.weekofyear("l_shipdate").alias("wk"),
+        )
+        .agg(
+            dsum(F.when(isodow <= 3, F.col("l_extendedprice")).otherwise(0.0),
+                 "early_rev"),
+            dsum(F.when(isodow > 3, F.col("l_extendedprice")).otherwise(0.0),
+                 "late_rev"),
+        )
+    )
+    y1 = wk.filter(F.col("yr") == 1996).alias("y1")
+    y2 = wk.filter(F.col("yr") == 1997).alias("y2")
+    return (
+        y1.join(y2, (F.col("y1.store") == F.col("y2.store"))
+                & (F.col("y1.wk") == F.col("y2.wk")))
+        .filter(F.col("y2.late_rev") > 0)
+        .select(
+            F.col("y1.store").alias("store"),
+            F.col("y1.wk").cast("long").alias("wk"),
+            F.col("y1.early_rev").alias("early_rev_y1"),
+            F.col("y2.early_rev").alias("early_rev_y2"),
+            F.round(F.col("y1.late_rev") / F.col("y2.late_rev"), 9)
+            .alias("late_ratio"),
+        )
+    )
+
+
+@query(
+    "tpcds_q39_inventory_covariance",
+    oracle=_INV_SQL + """
+    , stats AS (
+      SELECT inv_item, EXTRACT(MONTH FROM inv_date) AS mo,
+             COUNT(*) AS n, SUM(inv_qty) AS sx,
+             SUM(inv_qty * inv_qty) AS sx2
+      FROM inv
+      WHERE EXTRACT(MONTH FROM inv_date) IN (3, 4)
+      GROUP BY 1, 2),
+    flagged AS (
+      SELECT *
+      FROM stats
+      WHERE n > 1 AND sx > 0
+        AND 4 * n * (n * sx2 - sx * sx) >= sx * sx * (n - 1))
+    SELECT m1.inv_item AS item,
+           ROUND(m1.sx / m1.n, 9) AS mean_m3,
+           ROUND(m2.sx / m2.n, 9) AS mean_m4
+    FROM flagged m1 JOIN flagged m2 ON m1.inv_item = m2.inv_item
+    WHERE m1.mo = 3 AND m2.mo = 4
+    """,
+)
+def tpcds_q39_inventory_covariance(spark, sf_dir):
+    """TPC-DS q39 shape (reference tpcds-tool/query/query39.sql): per
+    (item, month) inventory mean/stdev, keep cells whose
+    coefficient of variation ≥ 0.5, and self-join consecutive months so
+    only items erratic in BOTH months survive. The cov threshold is
+    evaluated in EXACT integer arithmetic (4n(n·Σx²−(Σx)²) ≥ (Σx)²(n−1)
+    ⟺ std/mean ≥ 0.5) — no cross-engine float boundary flips."""
+    inv = _inventory(spark).filter(F.month("inv_date").isin(3, 4))
+    stats = (
+        inv.groupBy("inv_item", F.month("inv_date").alias("mo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("inv_qty").alias("sx"),
+            F.sum(F.col("inv_qty") * F.col("inv_qty")).alias("sx2"),
+        )
+        .filter(
+            (F.col("n") > 1) & (F.col("sx") > 0)
+            & (4 * F.col("n") * (F.col("n") * F.col("sx2")
+                                 - F.col("sx") * F.col("sx"))
+               >= F.col("sx") * F.col("sx") * (F.col("n") - 1))
+        )
+    )
+    m1 = stats.filter(F.col("mo") == 3).alias("m1")
+    m2 = stats.filter(F.col("mo") == 4).alias("m2")
+    return (
+        m1.join(m2, F.col("m1.inv_item") == F.col("m2.inv_item"))
+        .select(
+            F.col("m1.inv_item").alias("item"),
+            F.round(F.col("m1.sx") / F.col("m1.n"), 9).alias("mean_m3"),
+            F.round(F.col("m2.sx") / F.col("m2.n"), 9).alias("mean_m4"),
+        )
+    )
+
+
+@query(
+    "tpcds_q64_snowflake_two_year",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, r.r_name AS region,
+             EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+             {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "rev")}
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 10
+        AND EXTRACT(YEAR FROM o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3)
+    SELECT y1.brand, y1.region, y1.rev AS rev_y1, y2.rev AS rev_y2
+    FROM rev y1 JOIN rev y2
+      ON y1.brand = y2.brand AND y1.region = y2.region
+    WHERE y1.yr = 1996 AND y2.yr = 1997 AND y2.rev > y1.rev
+    """,
+)
+def tpcds_q64_snowflake_two_year(spark, sf_dir):
+    """TPC-DS q64 shape (reference tpcds-tool/query/query64.sql): a wide
+    snowflake join chain (fact → date → customer → nation → region, plus
+    item) aggregated per (brand, region, year), then SELF-JOINED across
+    consecutive years keeping pairs that grew. All five dims broadcast;
+    the chain shuffles the fact once on its join key; the cross-year
+    comparison runs over aggregated rows only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 10
+    ).select("p_partkey", "p_brand")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "rev"))
+    )
+    y1 = rev.filter(F.col("yr") == 1996).alias("y1")
+    y2 = rev.filter(F.col("yr") == 1997).alias("y2")
+    return (
+        y1.join(y2, (F.col("y1.brand") == F.col("y2.brand"))
+                & (F.col("y1.region") == F.col("y2.region")))
+        .filter(F.col("y2.rev") > F.col("y1.rev"))
+        .select(
+            F.col("y1.brand").alias("brand"),
+            F.col("y1.region").alias("region"),
+            F.col("y1.rev").alias("rev_y1"),
+            F.col("y2.rev").alias("rev_y2"),
+        )
+    )
