@@ -949,6 +949,21 @@ class TableEnvironment:
         if self._TVF_RE.search(masked):
             stmt = self._rewrite_window_tvfs(stmt)
             masked = mask_literals(stmt)
+        if "JSON_TABLE" in up:
+            # SQL:2016 JSON_TABLE (reference JSON shredding table fn):
+            # rewrite each FROM-item into a shredded temp view
+            from flink_spark.functions.jsontable import (
+                JSON_TABLE_RE,
+                rewrite_json_table,
+            )
+
+            if JSON_TABLE_RE.search(masked):
+                stmt = sub_outside_literals(
+                    JSON_TABLE_RE,
+                    lambda m: rewrite_json_table(self.spark, m),
+                    stmt,
+                )
+                masked = mask_literals(stmt)
         # time-travel read over a materialized table's snapshot store
         # (reference SqlSnapshot time travel: FOR SYSTEM_TIME AS OF a
         # LITERAL timestamp / FOR SYSTEM_VERSION AS OF n — distinct from

@@ -75,3 +75,57 @@ def fn_json_variant_suite(spark, sf_dir):
         .alias("ts_est"),
         ((s1 <= e2) & (s2 <= e1)).alias("periods_overlap"),
     )
+
+
+@query(
+    "fn_json_table",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             '{"items":[{"n":"p' || CAST(o_orderkey % 5 AS VARCHAR)
+               || '","q":' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '},{"n":"x","q":' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '}]}' AS j
+      FROM orders),
+    shred AS (
+      SELECT s.o_orderkey, u.i AS idx,
+             json_extract_string(json_extract(s.j,
+               '$.items[' || (u.i - 1) || ']'), '$.n') AS n,
+             CAST(json_extract(json_extract(s.j,
+               '$.items[' || (u.i - 1) || ']'), '$.q') AS INT) AS q
+      FROM src s, LATERAL (SELECT unnest(generate_series(1,
+             CAST(json_array_length(s.j, '$.items') AS INT))) AS i) u)
+    SELECT n, CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(idx) AS BIGINT) AS si
+    FROM shred GROUP BY n
+    """,
+)
+def fn_json_table(spark, sf_dir):
+    """JSON_TABLE (SQL:2016; reference JSON shredding table function,
+    Flink 2.0 SQL surface): a deterministic JSON document is built per
+    order with IDENTICAL text on both engines, shredded through the SQL
+    FROM-clause rewrite (one from_json against the COLUMNS-derived struct
+    schema + posexplode — JVM end to end), and aggregated per item name
+    with FOR ORDINALITY sums proving element order survives."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        """concat('{"items":[{"n":"p', CAST(o_orderkey % 5 AS STRING),
+                  '","q":', CAST(o_orderkey % 7 AS STRING),
+                  '},{"n":"x","q":', CAST(o_orderkey % 3 AS STRING),
+                  '}]}') AS j""",
+    ).createOrReplaceTempView("jt_orders")
+    return env.execute_sql("""
+        SELECT jt.n, CAST(SUM(jt.q) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(jt.idx) AS BIGINT) AS si
+        FROM jt_orders, JSON_TABLE(j, '$.items[*]' COLUMNS (
+            n STRING PATH '$.n',
+            q INT PATH '$.q',
+            idx FOR ORDINALITY
+        )) AS jt
+        GROUP BY jt.n
+    """)
