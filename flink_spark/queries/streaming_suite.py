@@ -1944,3 +1944,41 @@ def stream_watermark_alignment(spark, sf_dir):
         [(n_input, int(agg.done) == n_input, throttled)],
         "n_input long, all_processed boolean, throttled boolean",
     )
+
+
+@query(
+    "stream_dedup_first_tws",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id <= 200) t
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_first_tws(spark, sf_dir):
+    """Keep-first dedup on Spark 4's transformWithStateInPandas — the
+    engine API that mirrors the reference KeyedProcessFunction contract
+    (typed state handles + timers, RocksDB-backed) most directly.
+    CAPABILITY-GATED like the avro JVM reader: transformWithState needs
+    google.protobuf (its state-server protocol), absent in this
+    container, so the gate falls back to the changelog-layer
+    dedup_keep_first (same semantics on applyInPandasWithState) — on any
+    standard cluster `tws_available()` is True and this query runs the
+    new engine API against the same exact oracle. The processor's
+    batch-level logic is unit-tested engine-free in
+    tests/test_twstate.py."""
+    from flink_spark.streaming import changelog as CL
+    from flink_spark.streaming.core import run_to_memory
+    from flink_spark.streaming.idleness import tagged_ts_chunk_stream
+    from flink_spark.streaming.twstate import dedup_keep_first_tws, tws_available
+
+    ev = tagged_ts_chunk_stream(
+        spark, sf_dir, "events", 4, where="user_id <= 200"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    if tws_available():
+        out = dedup_keep_first_tws(ev, ["user_id"], ["ts", "event_id"])
+    else:
+        out = CL.dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
+    return run_to_memory(out, "append", "dedupf_tws")
