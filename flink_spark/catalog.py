@@ -573,6 +573,47 @@ class TableEnvironment:
         # original text, keeping the interval literals intact
         return sub_outside_literals(self._TVF_RE, repl, stmt)
 
+    #: SESSION window TVF (reference SqlSessionTableFunction): unlike the
+    #: row-local TVFs, SESSION is a MERGING window — bounds exist only
+    #: after aggregation — so the rewrite transforms the whole statement
+    #: into Spark's session_window grouping rather than a tagged view.
+    _SESSION_TVF_RE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+TABLE\s*\(\s*SESSION\s*\(\s*"
+        r"TABLE\s+(?P<tbl>[\w.]+)\s+PARTITION\s+BY\s+(?P<pk>[\w,\s]+?)\s*,"
+        r"\s*DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+        r"INTERVAL\s+'(?P<n>[^']+)'\s+(?P<u>\w+)\s*\)\s*\)\s+"
+        r"GROUP\s+BY\s+(?P<gb>.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_session_tvf(self, m):
+        from flink_spark.sqltok import split_top_commas
+
+        unit = m.group("u").lower()
+        gap = f"{m.group('n')} {unit}" + ("" if unit.endswith("s") else "s")
+        drop = {"window_start", "window_end"}
+        gb_keep = [
+            g for g in split_top_commas(m.group("gb"))
+            if g.strip().lower() not in drop
+        ]
+        sel = []
+        for it in split_top_commas(m.group("sel")):
+            low = it.strip().lower()
+            if low == "window_start":
+                sel.append("__sw.start AS window_start")
+            elif low == "window_end":
+                sel.append("__sw.end AS window_end")
+            else:
+                sel.append(it)
+        inner = (
+            f"SELECT *, session_window({m.group('ts')}, '{gap}') AS __sw "
+            f"FROM {m.group('tbl')}"
+        )
+        gb = ", ".join(["__sw"] + gb_keep)
+        return self.spark.sql(
+            f"SELECT {', '.join(sel)} FROM ({inner}) __sess GROUP BY {gb}"
+        )
+
     # -- dialect: temporal join --------------------------------------------
 
     _TEMPORAL_RE = re.compile(
@@ -949,6 +990,12 @@ class TableEnvironment:
         if self._TVF_RE.search(masked):
             stmt = self._rewrite_window_tvfs(stmt)
             masked = mask_literals(stmt)
+        if "SESSION" in up:
+            from flink_spark.sqltok import search_outside_literals
+
+            sm = search_outside_literals(self._SESSION_TVF_RE, stmt)
+            if sm:
+                return self._rewrite_session_tvf(sm)
         if "JSON_TABLE" in up:
             # SQL:2016 JSON_TABLE (reference JSON shredding table fn):
             # rewrite each FROM-item into a shredded temp view

@@ -526,3 +526,50 @@ def window_delta_evictor(spark, sf_dir):
     return kept.groupBy("window_start").agg(
         F.count("*").alias("n_kept"), dsum("value", "sum_kept")
     )
+
+
+@query(
+    "window_session_tvf_sql",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL '30 minutes' AS window_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_tvf_sql(spark, sf_dir):
+    """SESSION window TVF through the SQL surface (reference
+    SqlSessionTableFunction + window-TVF aggregation): SESSION is a
+    MERGING window, so the dialect rewrites the whole statement into
+    Spark's session_window grouping (bounds exist only post-merge) rather
+    than a row-tagged view like TUMBLE/HOP/CUMULATE."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 100
+    ).createOrReplaceTempView("sess_tvf_events")
+    return env.execute_sql("""
+        SELECT window_start, window_end, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM TABLE(SESSION(TABLE sess_tvf_events PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+        GROUP BY window_start, window_end, user_id
+    """)

@@ -129,3 +129,22 @@ def split_outside_literals(sql: str, sep: str = ";") -> list[str]:
             last = i + 1
     parts.append(sql[last:])
     return parts
+
+
+def split_top_commas(sql: str) -> list[str]:
+    """Split a select-list / group-by body on commas at paren depth 0,
+    outside literals and comments."""
+    masked = mask_literals(sql)
+    parts: list[str] = []
+    last = 0
+    depth = 0
+    for i, c in enumerate(masked):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(sql[last:i])
+            last = i + 1
+    parts.append(sql[last:])
+    return [p.strip() for p in parts]
