@@ -844,6 +844,20 @@ class TableEnvironment:
         # no longer route (or mangle) the statement
         masked = mask_literals(stmt)
         up = masked.upper()
+        if "ESTIMATED_COST" in up:
+            # EXPLAIN ESTIMATED_COST (reference ExplainDetail
+            # ESTIMATED_COST): Catalyst's per-node statistics — real
+            # numbers from the optimizer, not annotations
+            em = re.match(
+                r"^\s*EXPLAIN\s+ESTIMATED_COST\s+(?P<q>.+)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if em:
+                df = self.spark.sql(em.group("q"))
+                txt = df._jdf.queryExecution().stringWithStats()
+                return self.spark.createDataFrame(
+                    [(txt,)], "plan_with_stats string"
+                )
         if "PLAN_ADVICE" in up:
             # EXPLAIN PLAN_ADVICE <query> (reference ExplainDetail
             # PLAN_ADVICE): structured advice rows; empty result = the

@@ -82,3 +82,16 @@ def test_explain_plan_advice_sql_route(spark, pq):
     )
     assert out.columns == ["rule", "severity", "node", "hint"]
     assert out.count() == 0
+
+
+def test_explain_estimated_cost(spark, pq):
+    """EXPLAIN ESTIMATED_COST (reference ExplainDetail#ESTIMATED_COST):
+    per-node Catalyst statistics — sizeInBytes always, rowCount where the
+    optimizer can derive it."""
+    env = TableEnvironment(spark)
+    spark.read.parquet(pq).createOrReplaceTempView("cost_t")
+    out = env.execute_sql(
+        "EXPLAIN ESTIMATED_COST SELECT g, SUM(v) AS s FROM cost_t GROUP BY g"
+    )
+    txt = out.first().plan_with_stats
+    assert "sizeInBytes" in txt and "Statistics" in txt
