@@ -1227,6 +1227,7 @@ class TableEnvironment:
             return self.spark.sql(stmt)
         im = re.match(
             r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+"
+            r"(?:\(\s*(?P<collist>\w+(?:\s*,\s*\w+)*)\s*\)\s+)?"
             r"(?:PARTITION\s*\(\s*(?P<pcol>\w+)\s*=\s*'(?P<pval>[^']*)'\s*\)\s+)?"
             r"(?P<query>.*)$",
             stmt,
@@ -1234,6 +1235,30 @@ class TableEnvironment:
         )
         if im and im.group("name") in self.tables:
             df = self.spark.sql(im.group("query"))
+            if im.group("collist"):
+                # explicit column list (reference SqlInsert column list):
+                # the query's output maps positionally onto the NAMED
+                # columns; unnamed declared columns are null-filled
+                from pyspark.sql import functions as F
+
+                spec0 = self.tables[im.group("name")]
+                named = [c.strip() for c in im.group("collist").split(",")]
+                declared = {c: t for c, t in spec0.columns}
+                unknown = [c for c in named if c not in declared]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column list names unknown columns {unknown}"
+                    )
+                if len(df.columns) != len(named):
+                    raise ValueError(
+                        f"INSERT column list has {len(named)} columns but "
+                        f"the query produces {len(df.columns)}"
+                    )
+                df = df.toDF(*named)
+                pcol_v = im.group("pcol")
+                for c, t in spec0.columns:
+                    if c not in named and c != pcol_v:
+                        df = df.withColumn(c, F.lit(None).cast(_map_type(t)))
             if im.group("pcol"):
                 # static partition insert (reference SqlPartitionUtils /
                 # INSERT ... PARTITION): the partition column is a

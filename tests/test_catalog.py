@@ -707,3 +707,22 @@ def test_drop_table_removes_spec_and_view(spark, tmp_path):
     env.execute_sql(ddl)  # re-create over the kept files
     assert spark.table("drop_t").count() == 3
     env.execute_sql("DROP TABLE drop_t")
+
+
+def test_insert_with_column_list(spark, tmp_path):
+    """INSERT INTO t (cols...) (reference SqlInsert column list): query
+    output maps positionally onto the named columns; unnamed declared
+    columns null-fill; unknown names and arity mismatches error."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "collist")
+    env.execute_sql(f"""
+        CREATE TABLE cl_t (a BIGINT, b STRING, c DOUBLE)
+        WITH ('connector'='filesystem','format'='parquet','path'='{path}')
+    """)
+    env.execute_sql("INSERT INTO cl_t (c, a) SELECT CAST(id AS DOUBLE), id + 10 FROM range(3)")
+    got = sorted((r.a, r.b, r.c) for r in spark.table("cl_t").collect())
+    assert got == [(10, None, 0.0), (11, None, 1.0), (12, None, 2.0)]
+    with pytest.raises(ValueError, match="unknown columns"):
+        env.execute_sql("INSERT INTO cl_t (z) SELECT id FROM range(1)")
+    with pytest.raises(ValueError, match="query produces"):
+        env.execute_sql("INSERT INTO cl_t (a, b) SELECT id FROM range(1)")
