@@ -1071,6 +1071,54 @@ class TableEnvironment:
             mr = MATCH_RE.match(stmt)
             if mr:
                 return rewrite_match_recognize(self.spark, mr)
+        if "/*+" in stmt and "OPTIONS" in stmt.upper():
+            # NOTE: gate on the ORIGINAL text — the masked view blanks
+            # comments, which is exactly where this hint lives
+            # dynamic table options (reference FlinkHints OPTIONS hint /
+            # SqlTableRef: `FROM t /*+ OPTIONS('k'='v') */` overrides the
+            # declared WITH options for THIS query only). The hint lives
+            # in a comment, so it is read from the ORIGINAL text (the
+            # masked view blanks comments by design) and replaced by a
+            # temp view over the re-opened source.
+            hint_re = re.compile(
+                r"(?P<tbl>[\w.]+)\s*/\*\+\s*OPTIONS\s*\("
+                r"(?P<opts>[^)]*)\)\s*\*/",
+                re.IGNORECASE,
+            )
+
+            def _apply_hint(hm: re.Match) -> str:
+                tbl = hm.group("tbl")
+                if tbl not in self.tables:
+                    return hm.group(0)  # not ours — leave for Spark
+                src0 = self.tables[tbl]
+                opts = dict(src0.options)
+                opts.update({
+                    m2.group("k"): m2.group("v")
+                    for m2 in _OPT_RE.finditer(hm.group("opts"))
+                })
+                for guard in ("connector", "path"):
+                    if opts.get(guard) != src0.options.get(guard):
+                        raise ValueError(
+                            f"OPTIONS hint cannot change {guard!r}"
+                        )
+                tmp = TableSpec(
+                    name=tbl, columns=list(src0.columns), options=opts,
+                    watermark=src0.watermark,
+                    primary_key=list(src0.primary_key),
+                )
+                view = f"__opts_{tbl}_{abs(hash(frozenset(opts.items()))) % 10**8}"
+                df = self._source_df(tmp)
+                if df is None:
+                    raise ValueError(
+                        f"OPTIONS hint: table {tbl!r} is not readable"
+                    )
+                df.createOrReplaceTempView(view)
+                return view
+
+            new_stmt = hint_re.sub(_apply_hint, stmt)
+            if new_stmt != stmt:
+                stmt = new_stmt
+                masked = mask_literals(stmt)
         lk = _LIKE_RE.match(stmt)
         if lk and lk.group("src") in self.tables:
             # CREATE TABLE ... LIKE (reference SqlTableLike.java): clone

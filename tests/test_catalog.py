@@ -726,3 +726,36 @@ def test_insert_with_column_list(spark, tmp_path):
         env.execute_sql("INSERT INTO cl_t (z) SELECT id FROM range(1)")
     with pytest.raises(ValueError, match="query produces"):
         env.execute_sql("INSERT INTO cl_t (a, b) SELECT id FROM range(1)")
+
+
+def test_dynamic_table_options_hint(spark, tmp_path):
+    """FROM t /*+ OPTIONS('k'='v') */ (reference FlinkHints dynamic table
+    options): overrides the declared WITH options for one query only —
+    here flipping csv.include-header so the same file reads with/without
+    its header row; connector/path stay guarded."""
+    import os
+
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "hintcsv")
+    os.makedirs(path)
+    with open(os.path.join(path, "data.csv"), "w") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    env.execute_sql(f"""
+        CREATE TABLE hint_t (a BIGINT, b STRING)
+        WITH ('connector'='filesystem','format'='csv','path'='{path}',
+              'csv.include-header'='true')
+    """)
+    assert spark.table("hint_t").count() == 2  # header consumed
+    # hint: treat the header as data for this one query
+    out = env.execute_sql(
+        "SELECT COUNT(*) AS c FROM hint_t "
+        "/*+ OPTIONS('csv.include-header'='false') */"
+    )
+    assert out.first().c == 3
+    # the declared table is untouched
+    assert spark.table("hint_t").count() == 2
+    assert env.tables["hint_t"].options["csv.include-header"] == "true"
+    with pytest.raises(ValueError, match="cannot change"):
+        env.execute_sql(
+            "SELECT * FROM hint_t /*+ OPTIONS('path'='/elsewhere') */"
+        )
