@@ -63,10 +63,13 @@ _SET_RE = re.compile(
     r"^\s*(?P<verb>SET|RESET)\s*(?:'(?P<k>[^']+)'\s*(?:=\s*'(?P<v>[^']*)')?)?\s*$",
     re.IGNORECASE,
 )
-#: CREATE TABLE ... LIKE (reference SqlTableLike.java)
+#: CREATE TABLE ... LIKE (reference SqlTableLike.java) with the optional
+#: merging-strategy feature list `LIKE src ([INCLUDING|EXCLUDING] ALL |
+#: OPTIONS | WATERMARKS | CONSTRAINTS, ...)`
 _LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
-    r"(?:WITH\s*\((?P<opts>.*?)\)\s+)?LIKE\s+(?P<src>[\w.]+)\s*$",
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s+)?LIKE\s+(?P<src>[\w.]+)"
+    r"(?:\s*\(\s*(?P<feats>[^)]*?)\s*\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1122,17 +1125,52 @@ class TableEnvironment:
         lk = _LIKE_RE.match(stmt)
         if lk and lk.group("src") in self.tables:
             # CREATE TABLE ... LIKE (reference SqlTableLike.java): clone
-            # the source spec; WITH options override the inherited ones
+            # the source spec. Default merging = INCLUDING ALL with the
+            # new WITH options OVERWRITING inherited ones (the reference
+            # default); the feature list flips per-category strategies.
             src = self.tables[lk.group("src")]
-            options = dict(src.options)
+            feats: dict[str, str] = {}
+            for part in (lk.group("feats") or "").split(","):
+                fm = re.match(
+                    r"\s*(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+                    r"(ALL|OPTIONS|WATERMARKS|CONSTRAINTS)\s*$",
+                    part, re.IGNORECASE,
+                )
+                if fm:
+                    verb, what = fm.group(1).upper(), fm.group(2).upper()
+                    if what == "ALL":
+                        for w in ("OPTIONS", "WATERMARKS", "CONSTRAINTS"):
+                            feats.setdefault(w, verb)
+                    else:
+                        feats[what] = verb
+                elif part.strip():
+                    raise ValueError(
+                        f"LIKE feature list: cannot parse {part.strip()!r}"
+                    )
+            if feats.get("OPTIONS") == "EXCLUDING":
+                options = {}
+            else:
+                options = dict(src.options)
             options.update(
                 {m2.group("k"): m2.group("v")
                  for m2 in _OPT_RE.finditer(lk.group("opts") or "")}
             )
+            if feats.get("OPTIONS") == "EXCLUDING" and "connector" not in options:
+                raise ValueError(
+                    "CREATE TABLE ... LIKE with EXCLUDING OPTIONS needs a "
+                    "WITH clause declaring at least the connector"
+                )
             spec = TableSpec(
                 name=lk.group("name"), columns=list(src.columns),
-                options=options, watermark=src.watermark,
-                primary_key=list(src.primary_key),
+                options=options,
+                watermark=(
+                    None if feats.get("WATERMARKS") == "EXCLUDING"
+                    else src.watermark
+                ),
+                primary_key=(
+                    [] if feats.get("CONSTRAINTS") == "EXCLUDING"
+                    else list(src.primary_key)
+                ),
             )
             self.tables[spec.name] = spec
             try:

@@ -759,3 +759,46 @@ def test_dynamic_table_options_hint(spark, tmp_path):
         env.execute_sql(
             "SELECT * FROM hint_t /*+ OPTIONS('path'='/elsewhere') */"
         )
+
+
+def test_create_table_like_feature_list(spark, tmp_path):
+    """LIKE merging strategies (reference SqlTableLike featureOption):
+    EXCLUDING OPTIONS drops inherited options (WITH must re-declare the
+    connector), EXCLUDING WATERMARKS/CONSTRAINTS drop those; default
+    stays INCLUDING ALL + OVERWRITING WITH options."""
+    env = TableEnvironment(spark)
+    p1, p2 = str(tmp_path / "lsrc"), str(tmp_path / "ldst")
+    env.execute_sql(f"""
+        CREATE TABLE like_src_f (k BIGINT, ts TIMESTAMP(3), v STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+            PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='filesystem','format'='parquet','path'='{p1}',
+              'custom.flag'='yes')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE like_all_f WITH ('path'='{p2}a') LIKE like_src_f
+            (INCLUDING ALL)
+    """)
+    s = env.tables["like_all_f"]
+    assert s.options["custom.flag"] == "yes" and s.watermark is not None
+    assert s.primary_key == ["k"]
+    env.execute_sql(f"""
+        CREATE TABLE like_excl_f
+        WITH ('connector'='filesystem','format'='parquet','path'='{p2}b')
+        LIKE like_src_f (EXCLUDING OPTIONS, EXCLUDING WATERMARKS,
+                         EXCLUDING CONSTRAINTS)
+    """)
+    s2 = env.tables["like_excl_f"]
+    assert "custom.flag" not in s2.options
+    assert s2.watermark is None and s2.primary_key == []
+    assert [c for c, _ in s2.columns] == ["k", "ts", "v"]
+    with pytest.raises(ValueError, match="connector"):
+        env.execute_sql(
+            "CREATE TABLE like_bad_f WITH ('format'='csv') "
+            "LIKE like_src_f (EXCLUDING OPTIONS)"
+        )
+    with pytest.raises(ValueError, match="cannot parse"):
+        env.execute_sql(
+            f"CREATE TABLE like_bad2_f WITH ('path'='{p2}c') "
+            "LIKE like_src_f (FROBNICATING OPTIONS)"
+        )
