@@ -1309,6 +1309,32 @@ class TableEnvironment:
                     F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
                 ]
             return df.agg(*aggs)
+        dm = re.match(
+            r"^\s*(?:DESCRIBE|DESC)\s+(?:EXTENDED\s+)?(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if dm and dm.group("name") in self.tables:
+            # Flink-shaped DESCRIBE (reference DESCRIBE output columns
+            # name/type/null/key/extras/watermark — richer than Spark's,
+            # which cannot show watermark or NOT ENFORCED keys)
+            spec = self.tables[dm.group("name")]
+            wm_col, wm_expr = spec.watermark or (None, None)
+            rows = [
+                (
+                    c,
+                    t.upper(),
+                    True,
+                    "PRI(NOT ENFORCED)" if c in spec.primary_key else None,
+                    None,
+                    f"`{c}` - INTERVAL '{wm_expr}'" if c == wm_col else None,
+                )
+                for c, t in spec.columns
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, type string, null boolean, key string, "
+                "extras string, watermark string",
+            )
         if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
             return self.spark.sql(stmt)
         im = re.match(

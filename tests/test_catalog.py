@@ -802,3 +802,24 @@ def test_create_table_like_feature_list(spark, tmp_path):
             f"CREATE TABLE like_bad2_f WITH ('path'='{p2}c') "
             "LIKE like_src_f (FROBNICATING OPTIONS)"
         )
+
+
+def test_describe_engine_table_flink_shape(spark, tmp_path):
+    """DESCRIBE on an engine-managed table yields the reference's
+    six-column shape including watermark and NOT ENFORCED key — which
+    Spark's DESCRIBE cannot express."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE desc_t (k BIGINT, ts TIMESTAMP(3), v STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+            PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/desc_t')
+    """)
+    rows = {r.name: r for r in env.execute_sql("DESCRIBE desc_t").collect()}
+    assert rows["k"].key == "PRI(NOT ENFORCED)"
+    assert rows["ts"].watermark is not None and "INTERVAL" in rows["ts"].watermark
+    assert rows["v"].key is None and rows["v"].watermark is None
+    assert env.execute_sql("DESCRIBE desc_t").columns == [
+        "name", "type", "null", "key", "extras", "watermark"
+    ]
