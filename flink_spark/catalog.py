@@ -1409,6 +1409,24 @@ class TableEnvironment:
             else:
                 df = df.toDF(*declared)
         conn = spec.connector
+        if conn == "filesystem" and spec.primary_key and not overwrite:
+            # upsert sink semantics (reference SinkUpsertMaterializer /
+            # the upsert sink contract): a PRIMARY KEY'd sink REPLACES
+            # rows by key — INSERT INTO merges, never appends duplicates.
+            # Materialize the merge before overwriting the store we read.
+            pk = spec.primary_key
+            df = df.dropDuplicates(pk)
+            try:
+                existing = self._source_df(spec)
+            except Exception:  # noqa: BLE001 - store not readable yet
+                existing = None
+            if existing is not None:
+                keep = existing.join(
+                    df.select(*pk).distinct(), pk, "left_anti"
+                )
+                df = keep.unionByName(df.select(*keep.columns))
+            df = df.localCheckpoint(eager=True)
+            overwrite = True
         if conn == "print":
             df.show(truncate=False)
             return None

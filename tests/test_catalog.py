@@ -823,3 +823,28 @@ def test_describe_engine_table_flink_shape(spark, tmp_path):
     assert env.execute_sql("DESCRIBE desc_t").columns == [
         "name", "type", "null", "key", "extras", "watermark"
     ]
+
+
+def test_primary_key_sink_upserts(spark, tmp_path):
+    """A PRIMARY KEY'd filesystem sink follows the upsert contract
+    (reference SinkUpsertMaterializer): INSERT INTO replaces rows by key
+    instead of appending duplicates; INSERT OVERWRITE still truncates."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE upsert_t (id BIGINT, v STRING,
+            PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/upsert_t')
+    """)
+    env.execute_sql(
+        "INSERT INTO upsert_t SELECT id, 'old' FROM range(3)"
+    )
+    env.execute_sql(
+        "INSERT INTO upsert_t SELECT id + 1, 'new' FROM range(2)"
+    )
+    got = sorted((r.id, r.v) for r in spark.table("upsert_t").collect())
+    # keys 1,2 replaced by the second insert; key 0 kept
+    assert got == [(0, "old"), (1, "new"), (2, "new")]
+    env.execute_sql("INSERT OVERWRITE upsert_t SELECT 9, 'only'")
+    assert [(r.id, r.v) for r in spark.table("upsert_t").collect()] \
+        == [(9, "only")]
