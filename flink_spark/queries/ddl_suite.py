@@ -421,3 +421,49 @@ def tableapi_pricing_summary(spark, sf_dir):
         )
         .to_data_frame()
     )
+
+
+@query(
+    "ddl_upsert_sink",
+    oracle="""
+    SELECT n_nationkey AS id,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'even-updated'
+                ELSE n_name END AS v
+    FROM nation
+    """,
+)
+def ddl_upsert_sink(spark, sf_dir):
+    """Batch upsert sink contract (reference SinkUpsertMaterializer /
+    upsert sinks): a PRIMARY KEY'd table REPLACES rows by key on INSERT
+    INTO — nation loads fully, then every even key is re-inserted with a
+    new value; the final state holds exactly one row per key with the
+    replacements applied."""
+    import shutil
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    root = tempfile.mkdtemp(prefix="flink_spark_upsertddl_")
+    try:
+        env.execute_sql(f"""
+            CREATE TABLE upsert_nat (id BIGINT, v STRING,
+                PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector'='filesystem','format'='parquet',
+                  'path'='{root}/t')
+        """)
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+            "upsert_nat_src"
+        )
+        env.execute_sql("""
+            INSERT INTO upsert_nat
+            SELECT n_nationkey, n_name FROM upsert_nat_src
+        """)
+        env.execute_sql("""
+            INSERT INTO upsert_nat
+            SELECT n_nationkey, 'even-updated' FROM upsert_nat_src
+            WHERE n_nationkey % 2 = 0
+        """)
+        return spark.table("upsert_nat").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
