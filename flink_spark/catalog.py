@@ -1261,8 +1261,20 @@ class TableEnvironment:
         if sct and sct.group("name") in self.tables:
             spec = self.tables[sct.group("name")]
             opts = ", ".join(f"'{k}' = '{v}'" for k, v in spec.options.items())
+            body = [spec.ddl_schema()]
+            if spec.watermark is not None:
+                wc, wd = spec.watermark
+                n, _, unit = wd.partition(" ")
+                body.append(
+                    f"WATERMARK FOR {wc} AS {wc} - INTERVAL '{n}' "
+                    f"{unit.rstrip('s').upper()}"
+                )
+            if spec.primary_key:
+                body.append(
+                    f"PRIMARY KEY ({', '.join(spec.primary_key)}) NOT ENFORCED"
+                )
             ddl = (
-                f"CREATE TABLE {spec.name} ({spec.ddl_schema()}) WITH ({opts})"
+                f"CREATE TABLE {spec.name} ({', '.join(body)}) WITH ({opts})"
             )
             return self.spark.createDataFrame([(ddl,)], "ddl string")
         tr = re.match(

@@ -848,3 +848,27 @@ def test_primary_key_sink_upserts(spark, tmp_path):
     env.execute_sql("INSERT OVERWRITE upsert_t SELECT 9, 'only'")
     assert [(r.id, r.v) for r in spark.table("upsert_t").collect()] \
         == [(9, "only")]
+
+
+def test_show_create_table_roundtrips_watermark_and_pk(spark, tmp_path):
+    """SHOW CREATE TABLE must emit the full declaration — watermark and
+    NOT ENFORCED primary key included — and the emitted DDL must be
+    re-executable to an equivalent spec (the reference's round-trip
+    contract)."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sct_full (k BIGINT, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+            PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/sct_full')
+    """)
+    ddl = env.execute_sql("SHOW CREATE TABLE sct_full").first().ddl
+    assert "WATERMARK FOR ts" in ddl and "PRIMARY KEY (k) NOT ENFORCED" in ddl
+    env2 = TableEnvironment(spark)
+    env2.execute_sql(ddl.replace("sct_full", "sct_full_rt"))
+    clone = env2.tables["sct_full_rt"]
+    orig = env.tables["sct_full"]
+    assert clone.columns == orig.columns
+    assert clone.watermark == orig.watermark
+    assert clone.primary_key == orig.primary_key
