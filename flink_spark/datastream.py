@@ -144,3 +144,47 @@ class WindowedStream:
         )
 
     aggregate = reduce
+
+
+class ConnectedStreams:
+    """Two-input connected streams (reference DataStream.connect →
+    ConnectedStreams.java): both sides are tagged and unioned onto a
+    common null-padded shape; a keyed two-input processor then sees each
+    key's rows from BOTH sides per batch — the same lowering
+    streaming/coprocess.py uses for CoProcessFunction, surfaced
+    fluently."""
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._l, self._r = left, right
+
+    def key_by(self, left_key: str, right_key: str) -> "KeyedConnectedStreams":
+        return KeyedConnectedStreams(self._l, self._r, left_key, right_key)
+
+
+class KeyedConnectedStreams:
+    def __init__(self, left: DataStream, right: DataStream,
+                 lk: str, rk: str):
+        self._l, self._r, self._lk, self._rk = left, right, lk, rk
+
+    def process(self, fn, output_schema: str,
+                left_seq: list[str] | None = None,
+                right_seq: list[str] | None = None) -> DataStream:
+        """CoProcessFunction (reference CoProcessFunction.java):
+        ``fn(key, left_pdf, right_pdf, state) -> pandas.DataFrame`` with
+        per-key state carried across micro-batches."""
+        from flink_spark.streaming.coprocess import co_process
+
+        ldf = self._l.to_data_frame().withColumnRenamed(self._lk, "__ck")
+        rdf = self._r.to_data_frame().withColumnRenamed(self._rk, "__ck")
+        return DataStream(co_process(
+            ldf, rdf, ["__ck"], fn, output_schema,
+            left_seq or [c for c in ldf.columns if c != "__ck"],
+            right_seq or [c for c in rdf.columns if c != "__ck"],
+        ))
+
+
+def _connect(self: DataStream, other: DataStream) -> ConnectedStreams:
+    return ConnectedStreams(self, other)
+
+
+DataStream.connect = _connect

@@ -96,3 +96,68 @@ def test_keyed_process(spark):
         .execute_and_collect()
     )
     assert got == [("a", 2.0), ("b", 0.0)]
+
+
+def test_connect_coprocess_fluent(spark, tmp_path):
+    """DataStream.connect(...).key_by(...).process(...) (reference
+    ConnectedStreams/CoProcessFunction): a rules stream steers a data
+    stream through the fluent two-input surface; per-key state holds the
+    latest rule."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from flink_spark.datastream import StreamExecutionEnvironment
+
+    def land(df, d, name):
+        import glob
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.makedirs(d, exist_ok=True)
+        shutil.move(part, os.path.join(d, f"{name}.parquet"))
+
+    rules_dir, data_dir = str(tmp_path / "rules"), str(tmp_path / "data")
+    land(spark.createDataFrame([("a", 10)], "rk string, min_v int"),
+         rules_dir, "r1")
+    land(spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 15)], "dk string, eid int, v int"),
+        data_dir, "d1")
+
+    env = StreamExecutionEnvironment(spark)
+    rules = env.from_source(
+        spark.readStream.schema("rk string, min_v int").parquet(rules_dir)
+    )
+    data = env.from_source(
+        spark.readStream.schema("dk string, eid int, v int").parquet(data_dir)
+    )
+
+    def fn(key, rules_pdf, data_pdf, state):
+        if len(rules_pdf):
+            state["thr"] = int(rules_pdf["min_v"].iloc[-1])
+        thr = state.get("thr")
+        if thr is None or not len(data_pdf):
+            return None
+        keep = data_pdf[data_pdf["v"] >= thr]
+        return pd.DataFrame({"eid": keep["eid"], "v": keep["v"]})
+
+    out = (
+        rules.connect(data)
+        .key_by("rk", "dk")
+        .process(fn, "eid int, v int",
+                 left_seq=["min_v"], right_seq=["eid"])
+    )
+    sink = str(tmp_path / "csink")
+    q = (
+        out.to_data_frame().writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.eid for r in
+           spark.read.schema("eid int, v int").parquet(sink).collect()}
+    assert got == {2}  # only v=15 passes min_v=10
