@@ -408,6 +408,7 @@ class TableEnvironment:
             if new in self.tables:
                 raise ValueError(f"table {new!r} already exists")
             spec = self.tables.pop(m.group("name"))
+            self._unpersist_spec(m.group("name"))
             spec.name = new
             self.tables[new] = spec
             self.spark.catalog.dropTempView(m.group("name"))
@@ -464,6 +465,77 @@ class TableEnvironment:
             src = None
         if src is not None:
             src.createOrReplaceTempView(spec.name)
+        self._persist_spec(spec)
+
+    # -- persistent catalogs (reference HiveCatalog-style durability:
+    # a catalog WITH ('type'='filesystem','path'=...) stores every
+    # TableSpec as a JSON sidecar, so table metadata survives the
+    # session — USE CATALOG in a fresh TableEnvironment reloads it) ----
+
+    def _catalog_store_dir(self) -> str | None:
+        props = self.catalogs.get(self.current_catalog, {})
+        if props.get("type") == "filesystem" and props.get("path"):
+            return props["path"]
+        return None
+
+    def _persist_spec(self, spec: TableSpec) -> None:
+        d = self._catalog_store_dir()
+        if d is None:
+            return
+        import json
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        payload = {
+            "name": spec.name,
+            "columns": spec.columns,
+            "options": spec.options,
+            "watermark": spec.watermark,
+            "primary_key": spec.primary_key,
+        }
+        tmp = _os.path.join(d, f".{spec.name}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        _os.replace(tmp, _os.path.join(d, f"{spec.name}.json"))
+
+    def _unpersist_spec(self, name: str) -> None:
+        d = self._catalog_store_dir()
+        if d is None:
+            return
+        import contextlib
+        import os as _os
+
+        with contextlib.suppress(FileNotFoundError):
+            _os.remove(_os.path.join(d, f"{name}.json"))
+
+    def _load_persisted_tables(self) -> None:
+        d = self._catalog_store_dir()
+        if d is None:
+            return
+        import json
+        import os as _os
+
+        if not _os.path.isdir(d):
+            return
+        for f in sorted(_os.listdir(d)):
+            if not f.endswith(".json") or f.startswith("."):
+                continue
+            with open(_os.path.join(d, f)) as fh:
+                p = json.load(fh)
+            spec = TableSpec(
+                name=p["name"],
+                columns=[tuple(c) for c in p["columns"]],
+                options=p["options"],
+                watermark=tuple(p["watermark"]) if p["watermark"] else None,
+                primary_key=list(p["primary_key"]),
+            )
+            self.tables[spec.name] = spec
+            try:
+                src = self._source_df(spec)
+            except Exception:  # noqa: BLE001 - sink-only until first write
+                src = None
+            if src is not None:
+                src.createOrReplaceTempView(spec.name)
 
     # -- plans (COMPILE PLAN / EXPLAIN, SURVEY §2.15) ----------------------
 
@@ -777,6 +849,8 @@ class TableEnvironment:
             if m.group("n") not in self.catalogs:
                 raise ValueError(f"catalog {m.group('n')!r} does not exist")
             self.current_catalog = m.group("n")
+            # a filesystem-backed catalog reloads its persisted specs
+            self._load_persisted_tables()
             return None
         if re.match(r"^\s*SHOW\s+CATALOGS\s*$", stmt, re.IGNORECASE):
             return self.spark.createDataFrame(
@@ -911,6 +985,7 @@ class TableEnvironment:
             name = dt.group("name")
             if name in self.tables:
                 del self.tables[name]
+                self._unpersist_spec(name)
                 self.spark.catalog.dropTempView(name)
                 return None
             if dt.group("ife"):
@@ -1173,6 +1248,7 @@ class TableEnvironment:
                 ),
             )
             self.tables[spec.name] = spec
+            self._persist_spec(spec)
             try:
                 df = self._source_df(spec)
             except Exception:  # noqa: BLE001 - sink-only until first write
@@ -1519,6 +1595,7 @@ class TableEnvironment:
         columns = [(f.name, f.dataType.simpleString().upper()) for f in df.schema.fields]
         spec = TableSpec(name=name, columns=columns, options=options)
         self.tables[name] = spec
+        self._persist_spec(spec)
         self._insert(name, df, overwrite=replace)
         return None
 
@@ -1547,6 +1624,7 @@ class TableEnvironment:
         spec = TableSpec(name=name, columns=columns, options=options,
                          watermark=watermark, primary_key=pk)
         self.tables[name] = spec
+        self._persist_spec(spec)
         try:
             df = self._source_df(spec)
         except Exception:

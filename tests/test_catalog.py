@@ -872,3 +872,43 @@ def test_show_create_table_roundtrips_watermark_and_pk(spark, tmp_path):
     assert clone.columns == orig.columns
     assert clone.watermark == orig.watermark
     assert clone.primary_key == orig.primary_key
+
+
+def test_filesystem_catalog_persists_tables(spark, tmp_path):
+    """A catalog WITH ('type'='filesystem','path'=...) persists every
+    TableSpec as JSON (reference HiveCatalog durability): a FRESH
+    TableEnvironment that re-declares and USEs the catalog sees the
+    tables — metadata AND data — and DROP/ALTER keep the store in sync."""
+    meta = str(tmp_path / "meta")
+    data = str(tmp_path / "pdata")
+    env1 = TableEnvironment(spark)
+    env1.execute_sql(
+        f"CREATE CATALOG pcat WITH ('type'='filesystem','path'='{meta}')"
+    )
+    env1.execute_sql("USE CATALOG pcat")
+    env1.execute_sql(f"""
+        CREATE TABLE persisted_t (k BIGINT, v STRING,
+            PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='filesystem','format'='parquet','path'='{data}')
+    """)
+    env1.execute_sql(
+        "INSERT INTO persisted_t SELECT id, 'x' FROM range(4)"
+    )
+    env1.execute_sql("ALTER TABLE persisted_t SET ('note'='kept')")
+
+    env2 = TableEnvironment(spark)
+    assert "persisted_t" not in env2.tables
+    env2.execute_sql(
+        f"CREATE CATALOG pcat WITH ('type'='filesystem','path'='{meta}')"
+    )
+    env2.execute_sql("USE CATALOG pcat")
+    spec = env2.tables["persisted_t"]
+    assert spec.primary_key == ["k"] and spec.options["note"] == "kept"
+    assert spark.table("persisted_t").count() == 4
+    env2.execute_sql("DROP TABLE persisted_t")
+    env3 = TableEnvironment(spark)
+    env3.execute_sql(
+        f"CREATE CATALOG pcat WITH ('type'='filesystem','path'='{meta}')"
+    )
+    env3.execute_sql("USE CATALOG pcat")
+    assert "persisted_t" not in env3.tables
