@@ -1502,6 +1502,10 @@ class TableEnvironment:
             # the upsert sink contract): a PRIMARY KEY'd sink REPLACES
             # rows by key — INSERT INTO merges, never appends duplicates.
             # Materialize the merge before overwriting the store we read.
+            # Scale note: this is read-merge-rewrite — at 100 TB the
+            # rewrite is the MERGE/compaction job of a real table format
+            # (Delta/Iceberg merge-on-read), same note as the delta-join
+            # store; the semantics gate is what this path pins.
             pk = spec.primary_key
             df = df.dropDuplicates(pk)
             try:
