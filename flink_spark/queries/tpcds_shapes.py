@@ -2164,3 +2164,126 @@ def tpcds_q64_snowflake_two_year(spark, sf_dir):
             F.col("y2.rev").alias("rev_y2"),
         )
     )
+
+
+@query(
+    "tpcds_q1_return_threshold",
+    oracle=f"""
+    WITH ctr AS (
+      SELECT o.o_custkey AS cust, c.c_nationkey AS nat,
+             {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "ret_total")}
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2),
+    nat_avg AS (
+      SELECT nat,
+             CAST(SUM(CAST(ret_total AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) AS avg_ret
+      FROM ctr GROUP BY nat)
+    SELECT ctr.cust, ctr.nat, ctr.ret_total
+    FROM ctr JOIN nat_avg USING (nat)
+    WHERE ctr.ret_total > 1.2 * nat_avg.avg_ret
+    """,
+)
+def tpcds_q1_return_threshold(spark, sf_dir):
+    """TPC-DS q1 shape (reference query1.sql customer_total_return):
+    a returns CTE aggregated per (customer, group), re-aggregated per
+    group for the average, and the CTE joined back against 1.2× its own
+    group average — the classic correlated-threshold decorrelation. The
+    average is exact-decimal-sum / count (one IEEE division), so the
+    1.2× boundary is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ctr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "ret_total"))
+    )
+    nat_avg = ctr.groupBy("nat").agg(
+        (F.sum(F.col("ret_total").cast(DEC)).cast("double") / F.count("*"))
+        .alias("avg_ret")
+    )
+    return (
+        ctr.join(F.broadcast(nat_avg), "nat")
+        .filter(F.col("ret_total") > 1.2 * F.col("avg_ret"))
+        .select("cust", "nat", "ret_total")
+    )
+
+
+@query(
+    "tpcds_q25_buy_return_rebuy",
+    oracle=f"""
+    WITH cl AS (
+      SELECT o.o_custkey AS cust, p.p_brand AS brand, l.l_shipdate AS d,
+             l.l_returnflag AS rf,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS {DEC}) AS amt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT s.cust, s.brand,
+           CAST(SUM(s.amt) AS DOUBLE) AS sale_amt,
+           CAST(SUM(r.amt) AS DOUBLE) AS ret_amt,
+           CAST(SUM(b.amt) AS DOUBLE) AS rebuy_amt,
+           CAST(COUNT(*) AS BIGINT) AS n_triples
+    FROM cl s
+    JOIN cl r ON s.cust = r.cust AND s.brand = r.brand
+    JOIN cl b ON s.cust = b.cust AND s.brand = b.brand
+    WHERE s.rf <> 'R' AND r.rf = 'R' AND b.rf <> 'R'
+      AND s.d <= r.d AND r.d <= b.d
+    GROUP BY s.cust, s.brand
+    """,
+)
+def tpcds_q25_buy_return_rebuy(spark, sf_dir):
+    """TPC-DS q25 shape (reference query25.sql: store_sales ⋈
+    store_returns ⋈ catalog_sales chained on (customer, brand) with month
+    ordering — the buy → return → buy-again funnel, on-or-after
+    granularity like the reference's month windows): three passes over
+    the sales fact joined on the shared (customer, part) key with
+    event-order residuals as JOIN conditions, aggregated per pair. One
+    key shuffle feeds all three sides (same-key co-location); the date
+    residuals never become post-join filters on a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").alias("d"),
+            F.col("l_returnflag").alias("rf"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(DEC).alias("amt"),
+        )
+    )
+    s = cl.filter(F.col("rf") != "R").alias("s")
+    r = cl.filter(F.col("rf") == "R").alias("r")
+    b = cl.filter(F.col("rf") != "R").alias("b")
+    return (
+        s.join(r, (F.col("s.cust") == F.col("r.cust"))
+               & (F.col("s.brand") == F.col("r.brand"))
+               & (F.col("s.d") <= F.col("r.d")))
+        .join(b, (F.col("s.cust") == F.col("b.cust"))
+              & (F.col("s.brand") == F.col("b.brand"))
+              & (F.col("r.d") <= F.col("b.d")))
+        .groupBy(F.col("s.cust").alias("cust"),
+                 F.col("s.brand").alias("brand"))
+        .agg(
+            F.sum(F.col("s.amt")).cast("double").alias("sale_amt"),
+            F.sum(F.col("r.amt")).cast("double").alias("ret_amt"),
+            F.sum(F.col("b.amt")).cast("double").alias("rebuy_amt"),
+            F.count("*").alias("n_triples"),
+        )
+    )
