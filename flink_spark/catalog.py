@@ -38,7 +38,7 @@ class TableSpec:
 
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?P<temp>TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1258,7 +1258,10 @@ class TableEnvironment:
             return None
         m = _CREATE_RE.match(stmt)
         if m:
-            return self._create_table(m.group("name"), m.group("body"), m.group("opts"))
+            return self._create_table(
+                m.group("name"), m.group("body"), m.group("opts"),
+                temporary=bool(m.group("temp")),
+            )
         ctas = _CTAS_RE.match(stmt)
         if ctas:
             return self._create_table_as(
@@ -1603,7 +1606,8 @@ class TableEnvironment:
         self._insert(name, df, overwrite=replace)
         return None
 
-    def _create_table(self, name: str, body: str, opts: str):
+    def _create_table(self, name: str, body: str, opts: str,
+                      temporary: bool = False):
         options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
         watermark = None
         wm = _WATERMARK_RE.search(body)
@@ -1628,7 +1632,11 @@ class TableEnvironment:
         spec = TableSpec(name=name, columns=columns, options=options,
                          watermark=watermark, primary_key=pk)
         self.tables[name] = spec
-        self._persist_spec(spec)
+        if not temporary:
+            # TEMPORARY tables are session-scoped (reference
+            # SqlCreateTable#isTemporary): never written to a persistent
+            # catalog's store
+            self._persist_spec(spec)
         try:
             df = self._source_df(spec)
         except Exception:

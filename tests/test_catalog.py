@@ -912,3 +912,30 @@ def test_filesystem_catalog_persists_tables(spark, tmp_path):
     )
     env3.execute_sql("USE CATALOG pcat")
     assert "persisted_t" not in env3.tables
+
+
+def test_temporary_table_not_persisted(spark, tmp_path):
+    """CREATE TEMPORARY TABLE stays session-scoped (reference
+    SqlCreateTable#isTemporary) — it must not land in a persistent
+    catalog's store."""
+    import os
+
+    meta = str(tmp_path / "meta_tmp")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE CATALOG tcat WITH ('type'='filesystem','path'='{meta}')"
+    )
+    env.execute_sql("USE CATALOG tcat")
+    env.execute_sql(f"""
+        CREATE TEMPORARY TABLE temp_only (k BIGINT)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/temp_only')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE perm_one (k BIGINT)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/perm_one')
+    """)
+    stored = {f for f in os.listdir(meta) if f.endswith(".json")}
+    assert stored == {"perm_one.json"}
+    assert "temp_only" in env.tables  # still usable in this session
