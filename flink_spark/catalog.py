@@ -39,7 +39,10 @@ class TableSpec:
 
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?P<temp>TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
+    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*"
+    r"(?:DISTRIBUTED\s+BY\s+(?:HASH\s*)?\(\s*(?P<dcols>[\w,\s]+?)\s*\)\s+"
+    r"INTO\s+(?P<nbuck>\d+)\s+BUCKETS\s+)?"
+    r"WITH\s*\((?P<opts>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WATERMARK_RE = re.compile(
@@ -984,9 +987,12 @@ class TableEnvironment:
             # catalog metadata, not external storage)
             name = dt.group("name")
             if name in self.tables:
-                del self.tables[name]
+                spec0 = self.tables.pop(name)
                 self._unpersist_spec(name)
                 self.spark.catalog.dropTempView(name)
+                if "distributed.keys" in spec0.options:
+                    # managed bucketed storage is owned by the table
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 return None
             if dt.group("ife"):
                 try:
@@ -1261,6 +1267,11 @@ class TableEnvironment:
             return self._create_table(
                 m.group("name"), m.group("body"), m.group("opts"),
                 temporary=bool(m.group("temp")),
+                distributed=(
+                    ([c.strip() for c in m.group("dcols").split(",")],
+                     int(m.group("nbuck")))
+                    if m.group("dcols") else None
+                ),
             )
         ctas = _CTAS_RE.match(stmt)
         if ctas:
@@ -1339,7 +1350,10 @@ class TableEnvironment:
         )
         if sct and sct.group("name") in self.tables:
             spec = self.tables[sct.group("name")]
-            opts = ", ".join(f"'{k}' = '{v}'" for k, v in spec.options.items())
+            opts = ", ".join(
+                f"'{k}' = '{v}'" for k, v in spec.options.items()
+                if not k.startswith("distributed.")
+            )
             body = [spec.ddl_schema()]
             if spec.watermark is not None:
                 wc, wd = spec.watermark
@@ -1352,8 +1366,15 @@ class TableEnvironment:
                 body.append(
                     f"PRIMARY KEY ({', '.join(spec.primary_key)}) NOT ENFORCED"
                 )
+            dist = ""
+            if "distributed.keys" in spec.options:
+                dist = (
+                    f" DISTRIBUTED BY ({spec.options['distributed.keys']}) "
+                    f"INTO {spec.options['distributed.buckets']} BUCKETS"
+                )
             ddl = (
-                f"CREATE TABLE {spec.name} ({', '.join(body)}) WITH ({opts})"
+                f"CREATE TABLE {spec.name} ({', '.join(body)}){dist} "
+                f"WITH ({opts})"
             )
             return self.spark.createDataFrame([(ddl,)], "ddl string")
         tr = re.match(
@@ -1500,6 +1521,18 @@ class TableEnvironment:
             else:
                 df = df.toDF(*declared)
         conn = spec.connector
+        if "distributed.keys" in spec.options:
+            # bucketed managed table (DISTRIBUTED BY): append/overwrite
+            # through bucketBy so the pre-shuffled layout is preserved
+            from flink_spark.sources.bucketing import write_bucketed
+
+            dcols = spec.options["distributed.keys"].split(",")
+            nbuck = int(spec.options["distributed.buckets"])
+            write_bucketed(
+                df, name, dcols, nbuck,
+                mode="overwrite" if overwrite else "append",
+            )
+            return None
         if conn == "filesystem" and spec.primary_key and not overwrite:
             # upsert sink semantics (reference SinkUpsertMaterializer /
             # the upsert sink contract): a PRIMARY KEY'd sink REPLACES
@@ -1607,7 +1640,8 @@ class TableEnvironment:
         return None
 
     def _create_table(self, name: str, body: str, opts: str,
-                      temporary: bool = False):
+                      temporary: bool = False,
+                      distributed: tuple | None = None):
         options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
         watermark = None
         wm = _WATERMARK_RE.search(body)
@@ -1629,9 +1663,34 @@ class TableEnvironment:
             cm = re.match(r"(`?\w+`?)\s+(.+)", piece, re.DOTALL)
             if cm:
                 columns.append((cm.group(1).strip("`"), _map_type(cm.group(2))))
+        if distributed is not None:
+            # DISTRIBUTED BY ... INTO n BUCKETS (reference FLIP-376
+            # SqlDistribution): lowered onto Spark bucketBy managed
+            # tables — the pre-shuffled layout that removes the Exchange
+            # from every same-keyed join/agg (sources/bucketing.py). A
+            # managed table owns its location: a WITH path is rejected.
+            if "path" in options:
+                raise ValueError(
+                    "DISTRIBUTED tables are managed (bucketBy storage) — "
+                    "remove the 'path' option"
+                )
+            dcols, nbuck = distributed
+            unknown = [c for c in dcols if c not in {c0 for c0, _ in columns}]
+            if unknown:
+                raise ValueError(
+                    f"DISTRIBUTED BY names unknown columns {unknown}"
+                )
+            options["distributed.keys"] = ",".join(dcols)
+            options["distributed.buckets"] = str(nbuck)
         spec = TableSpec(name=name, columns=columns, options=options,
                          watermark=watermark, primary_key=pk)
         self.tables[name] = spec
+        if distributed is not None and not self.spark.catalog.tableExists(name):
+            from flink_spark.sources.bucketing import write_bucketed
+
+            dcols, nbuck = distributed
+            empty = self.spark.createDataFrame([], spec.ddl_schema())
+            write_bucketed(empty, name, dcols, nbuck)
         if not temporary:
             # TEMPORARY tables are session-scoped (reference
             # SqlCreateTable#isTemporary): never written to a persistent

@@ -467,3 +467,78 @@ def ddl_upsert_sink(spark, sf_dir):
         return spark.table("upsert_nat").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ddl_distributed_join",
+    oracle="""
+    SELECT CAST(s_nationkey AS BIGINT) AS nat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s_suppkey + s_acct_rounded) AS BIGINT) AS chk
+    FROM (SELECT s_suppkey, s_nationkey,
+                 CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acct_rounded
+          FROM supplier) a
+    JOIN (SELECT s_suppkey, CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acct_rounded2
+          FROM supplier) b USING (s_suppkey)
+    GROUP BY 1
+    """,
+)
+def ddl_distributed_join(spark, sf_dir):
+    """DISTRIBUTED BY DDL end-to-end (reference FLIP-376 SqlDistribution
+    → Spark bucketBy managed tables): two tables bucketed on the same key
+    through SQL DDL, filled by INSERT, joined — the plan carries NO
+    Exchange on either join side (asserted in-query; the layout IS the
+    shuffle, paid once at ingest), and the joined aggregate matches the
+    source-derived oracle exactly."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    for t in ("dq_sup_a", "dq_sup_b"):
+        env.execute_sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        env.execute_sql("""
+            CREATE TABLE dq_sup_a (s_suppkey BIGINT, s_nationkey BIGINT,
+                                   s_acct_rounded BIGINT)
+            DISTRIBUTED BY (s_suppkey) INTO 4 BUCKETS
+            WITH ('connector'='filesystem','format'='parquet')
+        """)
+        env.execute_sql("""
+            CREATE TABLE dq_sup_b (s_suppkey BIGINT, s_acct_rounded2 BIGINT)
+            DISTRIBUTED BY (s_suppkey) INTO 4 BUCKETS
+            WITH ('connector'='filesystem','format'='parquet')
+        """)
+        load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+            "dq_sup_src"
+        )
+        env.execute_sql("""
+            INSERT INTO dq_sup_a
+            SELECT s_suppkey, s_nationkey, CAST(FLOOR(s_acctbal) AS BIGINT)
+            FROM dq_sup_src
+        """)
+        env.execute_sql("""
+            INSERT INTO dq_sup_b
+            SELECT s_suppkey, CAST(FLOOR(s_acctbal) AS BIGINT)
+            FROM dq_sup_src
+        """)
+        joined = spark.table("dq_sup_a").join(
+            spark.table("dq_sup_b"), "s_suppkey"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange hashpartitioning" not in plan, "bucket layout lost"
+        return (
+            joined.groupBy(F.col("s_nationkey").alias("nat"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("s_suppkey") + F.col("s_acct_rounded"))
+                .alias("chk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for t in ("dq_sup_a", "dq_sup_b"):
+            env.execute_sql(f"DROP TABLE IF EXISTS {t}")

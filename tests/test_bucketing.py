@@ -66,3 +66,57 @@ def test_bucketed_agg_skips_shuffle(spark, bucket_db):
         assert agg.count() > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_distributed_by_ddl_exchange_free_join(spark):
+    """DISTRIBUTED BY ... INTO n BUCKETS (reference FLIP-376
+    SqlDistribution): two same-bucketed tables created and filled through
+    SQL DDL join WITHOUT an Exchange on either side — the pre-shuffled
+    layout the clause exists for — and the DDL round-trips through SHOW
+    CREATE TABLE."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS dist_a")
+    env.execute_sql("DROP TABLE IF EXISTS dist_b")
+    env.execute_sql("""
+        CREATE TABLE dist_a (k BIGINT, va DOUBLE)
+        DISTRIBUTED BY HASH(k) INTO 4 BUCKETS
+        WITH ('connector'='filesystem','format'='parquet')
+    """)
+    env.execute_sql("""
+        CREATE TABLE dist_b (k BIGINT, vb DOUBLE)
+        DISTRIBUTED BY (k) INTO 4 BUCKETS
+        WITH ('connector'='filesystem','format'='parquet')
+    """)
+    env.execute_sql(
+        "INSERT INTO dist_a SELECT id, CAST(id AS DOUBLE) FROM range(1000)"
+    )
+    env.execute_sql(
+        "INSERT INTO dist_b SELECT id, CAST(id * 2 AS DOUBLE) "
+        "FROM range(500)"
+    )
+    joined = spark.table("dist_a").join(spark.table("dist_b"), "k")
+    assert joined.count() == 500
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table("dist_a").join(spark.table("dist_b"), "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange hashpartitioning" not in plan, plan
+    ddl = env.execute_sql("SHOW CREATE TABLE dist_a").first().ddl
+    assert "DISTRIBUTED BY (k) INTO 4 BUCKETS" in ddl
+    assert "distributed." not in ddl
+    with pytest.raises(ValueError, match="managed"):
+        env.execute_sql("""
+            CREATE TABLE dist_bad (k BIGINT)
+            DISTRIBUTED BY (k) INTO 4 BUCKETS
+            WITH ('connector'='filesystem','path'='/tmp/x')
+        """)
+    env.execute_sql("DROP TABLE dist_a")
+    env.execute_sql("DROP TABLE dist_b")
+    assert not spark.catalog.tableExists("dist_a")
