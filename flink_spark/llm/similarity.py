@@ -464,3 +464,25 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, F.round("cos_sim", 12).alias("cos_sim"), "rank")
     )
+
+
+def truncate_normalize(
+    candidates: DataFrame,
+    dim: int,
+    vec: str = "embedding",
+    out: str = "embedding_trunc",
+) -> DataFrame:
+    """Matryoshka-style embedding truncation (MRL: the first ``dim``
+    coordinates of a matryoshka-trained embedding are themselves a valid
+    lower-dim embedding once re-normalized — the standard storage/compute
+    dial for 100 TB vector corpora: keep 64 of 768 dims for candidate
+    retrieval, full dims for rerank). One JVM expression: slice + L2
+    re-normalize via an ordered fold — no shuffle, no Python."""
+    sliced = F.slice(F.col(vec), 1, dim).cast("array<double>")
+    norm = F.sqrt(F.aggregate(
+        sliced, F.lit(0.0), lambda acc, x: acc + x * x
+    ))
+    return candidates.withColumn(
+        out,
+        F.transform(sliced, lambda x: x / norm),
+    )

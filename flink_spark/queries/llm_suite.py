@@ -615,3 +615,45 @@ def llm_dedup_clusters(spark, sf_dir):
     the canonical survivor."""
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_clusters(docs)
+
+
+@query(
+    "llm_matryoshka_truncate",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS sl,
+             sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(embedding[1:16],
+                                   x -> CAST(x AS DOUBLE)
+                                        * CAST(x AS DOUBLE))),
+                  (acc, v) -> acc + v)) AS nrm
+      FROM embeddings)
+    SELECT vec_id, CAST(16 AS INT) AS dim,
+           CAST(SUM(CAST(ROUND(u / nrm, 9) AS DECIMAL(20,9)))
+                AS DOUBLE) AS coord_sum
+    FROM t, LATERAL (SELECT unnest(sl) AS u) x
+    GROUP BY vec_id, nrm
+    """,
+)
+def llm_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka embedding truncation (MRL — the storage/compute dial
+    for large vector corpora): slice the first 16 of 64 dims and L2
+    re-normalize, as one JVM slice+fold expression. The gate sums the
+    9-digit-rounded normalized coordinates per vector in exact decimal —
+    identical fold order on both engines makes the norm bit-equal."""
+    from flink_spark.llm.similarity import truncate_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = truncate_normalize(emb, 16)
+    coord = F.explode(F.col("embedding_trunc")).alias("u")
+    return (
+        tr.select("vec_id", coord)
+        .groupBy("vec_id")
+        .agg(
+            F.lit(16).cast("int").alias("dim"),
+            F.sum(F.round(F.col("u"), 9).cast("decimal(20,9)"))
+            .cast("double").alias("coord_sum"),
+        )
+        .select("vec_id", "dim", "coord_sum")
+    )
