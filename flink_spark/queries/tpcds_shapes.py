@@ -2287,3 +2287,83 @@ def tpcds_q25_buy_return_rebuy(spark, sf_dir):
             F.count("*").alias("n_triples"),
         )
     )
+
+
+@query(
+    "tpcds_q17_quantity_deviation",
+    oracle="""
+    WITH st AS (
+      SELECT l_partkey AS part, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS sx2
+      FROM lineitem WHERE l_linestatus = 'F'
+      GROUP BY l_partkey)
+    SELECT part, CAST(n AS BIGINT) AS n,
+           ROUND(sx / n, 9) AS qty_mean
+    FROM st
+    WHERE n > 3 AND sx > 0
+      AND n * (n * sx2 - sx * sx) <= sx * sx * (n - 1)
+    """,
+)
+def tpcds_q17_quantity_deviation(spark, sf_dir):
+    """TPC-DS q17 shape (reference query17.sql: per-item quantity
+    mean/stdev across channels, keeping items whose coefficient of
+    variation stays BELOW a stability threshold): the same exact-integer
+    threshold algebra as q39 but inverted (cov ≤ 1 ⟺
+    n(n·Σx²−(Σx)²) ≤ (Σx)²(n−1)) — steady sellers, not erratic ones."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus") == "F"
+    )
+    q = F.col("l_quantity").cast("bigint")
+    st = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sx2"),
+    )
+    return (
+        st.filter(
+            (F.col("n") > 3) & (F.col("sx") > 0)
+            & (F.col("n") * (F.col("n") * F.col("sx2")
+                             - F.col("sx") * F.col("sx"))
+               <= F.col("sx") * F.col("sx") * (F.col("n") - 1))
+        )
+        .select(
+            "part",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sx") / F.col("n"), 9).alias("qty_mean"),
+        )
+    )
+
+
+@query(
+    "tpcds_q90_am_pm_ratio",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) < 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+             CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) >= 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt
+      FROM events WHERE user_id <= 400)
+    SELECT am_cnt, pm_cnt, ROUND(CAST(am_cnt AS DOUBLE) / pm_cnt, 9)
+             AS am_pm_ratio
+    FROM h WHERE pm_cnt > 0
+    """,
+)
+def tpcds_q90_am_pm_ratio(spark, sf_dir):
+    """TPC-DS q90 shape (reference query90.sql: morning/evening web-sales
+    count ratio via two scalar time-band subqueries): both bands fold
+    into ONE aggregation pass (conditional sums), the ratio is a single
+    IEEE division of exact integers — never two scans."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 400)
+    am = F.sum((F.hour("ts") < 12).cast("bigint")).alias("am_cnt")
+    pm = F.sum((F.hour("ts") >= 12).cast("bigint")).alias("pm_cnt")
+    return (
+        ev.agg(am, pm)
+        .filter(F.col("pm_cnt") > 0)
+        .select(
+            "am_cnt", "pm_cnt",
+            F.round(F.col("am_cnt").cast("double") / F.col("pm_cnt"), 9)
+            .alias("am_pm_ratio"),
+        )
+    )
