@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_spark.session import prepare_session
+from flink_spark.sqltok import det_digest as _det_digest
 
 
 @dataclass
@@ -274,7 +275,10 @@ class TableEnvironment:
         re.IGNORECASE,
     )
     _ALTER_ADDCOL_RE = re.compile(
-        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s*\((?P<cols>[^)']*)\)\s*$",
+        # one level of nested parens so parameterized types match:
+        # ALTER TABLE t ADD (c DECIMAL(10,2), ts TIMESTAMP(3)) (ADVICE r4)
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s*"
+        r"\((?P<cols>(?:[^()']|\([^()']*\))*)\)\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _ALTER_DROPCOL_RE = re.compile(
@@ -419,9 +423,11 @@ class TableEnvironment:
             return None
         m = self._ALTER_ADDCOL_RE.match(stmt)
         if m and m.group("name") in self.tables:
+            from flink_spark.sqltok import split_top_commas
+
             spec = self.tables[m.group("name")]
             have = {c for c, _ in spec.columns}
-            for part in m.group("cols").split(","):
+            for part in split_top_commas(m.group("cols")):
                 toks = part.split()
                 if len(toks) < 2:
                     raise ValueError(
@@ -640,7 +646,7 @@ class TableEnvironment:
                 out = W.hop(df, ts, slide=iv[0], size=iv[1])
             else:
                 out = W.cumulate(df, ts, step=iv[0], size=iv[1])
-            name = f"__tvf_{fn.lower()}_{abs(hash((m.group('tbl'), ts, tuple(iv)))) % 10**8}"
+            name = f"__tvf_{fn.lower()}_{_det_digest(m.group('tbl'), ts, *iv)}"
             out.createOrReplaceTempView(name)
             return name
 
@@ -735,7 +741,7 @@ class TableEnvironment:
             right = right.withColumnRenamed(rk, lk)
         joined = asof_join(left, right, key=lk, left_ts=m.group("wts"),
                            right_ts=rts)
-        view = f"__ttf_{abs(hash(m.group(0))) % 10**8}"
+        view = f"__ttf_{_det_digest(m.group(0))}"
         joined.createOrReplaceTempView(view)
         cols = re.sub(rf"\b({la}|{ra})\.", "", m.group("cols"))
         sql = f"SELECT {cols} FROM {view}"
@@ -777,7 +783,7 @@ class TableEnvironment:
         joined = asof_join(
             left, right, key=lk, left_ts=lts, right_ts=version_col
         )
-        view = f"__temporal_{abs(hash(m.group(0))) % 10**8}"
+        view = f"__temporal_{_det_digest(m.group(0))}"
         joined.createOrReplaceTempView(view)
         cols = re.sub(rf"\b({la}|{ra})\.", "", m.group("cols"))
         sql = f"SELECT {cols} FROM {view}"
@@ -1190,7 +1196,7 @@ class TableEnvironment:
                     watermark=src0.watermark,
                     primary_key=list(src0.primary_key),
                 )
-                view = f"__opts_{tbl}_{abs(hash(frozenset(opts.items()))) % 10**8}"
+                view = f"__opts_{tbl}_{_det_digest(*sorted(opts.items()))}"
                 df = self._source_df(tmp)
                 if df is None:
                     raise ValueError(
@@ -1495,6 +1501,23 @@ class TableEnvironment:
                     im.group("pcol"),
                     F.lit(im.group("pval")).cast(ptype),
                 )
+                if not im.group("collist"):
+                    # The query's columns are POSITIONAL (SQL semantics);
+                    # only the engine-appended partition column is named.
+                    # Rename the query columns onto the declared names
+                    # minus the partition column, in declared order, so
+                    # the by-name select below cannot silently remap a
+                    # user permutation (ADVICE r4).
+                    declared0 = [c for c, _ in spec0.columns]
+                    rest = [c for c in declared0 if c != im.group("pcol")]
+                    if len(df.columns) - 1 == len(rest):
+                        df = df.toDF(*rest, im.group("pcol"))
+            if im.group("collist") or im.group("pcol"):
+                # engine-constructed names → by-name alignment is safe
+                spec0 = self.tables[im.group("name")]
+                declared0 = [c for c, _ in spec0.columns]
+                if set(df.columns) == set(declared0):
+                    df = df.select(*declared0)
             return self._insert(
                 im.group("name"),
                 df,
@@ -1509,17 +1532,14 @@ class TableEnvironment:
         utility sinks. Partitioned writes honor 'partition.keys'."""
         spec = self.tables[name]
         # INSERT INTO maps the query's output to the declared schema
-        # (reference SqlInsert column-mapping): when the output names ARE
-        # the declared names (e.g. the static-PARTITION path appends the
-        # partition column last) align by name; otherwise map POSITIONALLY
-        # — so unaliased expressions land in the declared columns instead
-        # of null-filling the by-name storage formats
+        # POSITIONALLY (reference SqlInsert / SQL standard). By-name
+        # alignment happens only on the engine-constructed paths (column
+        # list / static PARTITION, handled before this call) — a user
+        # query whose output names happen to be a permutation of the
+        # declared names must NOT be silently reordered (ADVICE r4).
         declared = [c for c, _ in spec.columns]
         if len(df.columns) == len(declared) and df.columns != declared:
-            if set(df.columns) == set(declared):
-                df = df.select(*declared)
-            else:
-                df = df.toDF(*declared)
+            df = df.toDF(*declared)
         conn = spec.connector
         if "distributed.keys" in spec.options:
             # bucketed managed table (DISTRIBUTED BY): append/overwrite
@@ -1543,7 +1563,23 @@ class TableEnvironment:
             # (Delta/Iceberg merge-on-read), same note as the delta-join
             # store; the semantics gate is what this path pins.
             pk = spec.primary_key
-            df = df.dropDuplicates(pk)
+            # Last-row-wins within the batch (reference
+            # SinkUpsertMaterializer): dropDuplicates picks an arbitrary
+            # partition-dependent row, so rank by an explicit input
+            # sequence instead. monotonically_increasing_id encodes
+            # (partitionId, rowInPartition) — deterministic for a
+            # deterministic input plan — and "later in the dataset" wins,
+            # mirroring changelog arrival order (ADVICE r4, medium).
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*pk).orderBy(F.col("__upsert_seq").desc())
+            df = (
+                df.withColumn("__upsert_seq", F.monotonically_increasing_id())
+                .withColumn("__upsert_rn", F.row_number().over(w))
+                .filter(F.col("__upsert_rn") == 1)
+                .drop("__upsert_seq", "__upsert_rn")
+            )
             try:
                 existing = self._source_df(spec)
             except Exception:  # noqa: BLE001 - store not readable yet

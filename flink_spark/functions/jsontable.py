@@ -19,6 +19,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_spark.sqltok import det_digest as _det_digest
+
 # name TYPE PATH '$.leaf'   |   name FOR ORDINALITY
 _COLSPEC_RE = re.compile(
     r"\s*(?P<name>\w+)\s+(?:(?P<ord>FOR\s+ORDINALITY)|"
@@ -122,7 +124,7 @@ def rewrite_json_table(spark, m) -> str:
     col = m.group("col").split(".")[-1]
     cols = parse_columns(m.group("cols"))
     out = json_table(spark.table(tbl), col, m.group("path"), cols)
-    name = f"__jsontable_{abs(hash((tbl, m.group('path'), m.group('cols')))) % 10**8}"
+    name = f"__jsontable_{_det_digest(tbl, m.group('path'), m.group('cols'))}"
     out.createOrReplaceTempView(name)
     alias = m.group("alias")
     return f"{name} AS {alias}" if alias else name

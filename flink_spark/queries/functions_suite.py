@@ -271,9 +271,9 @@ def fn_json_suite(spark, sf_dir):
 def fn_array_suite(spark, sf_dir):
     """Array family (reference Array*.java scalar impls): CARDINALITY/
     ARRAY_DISTINCT/ARRAY_CONTAINS/ARRAY_SORT/ELEMENT_AT/SLICE/ARRAY_JOIN/
-    ARRAY_POSITION. DuckDB list_* names mapped 1:1; note DuckDB
-    list_position returns NULL (not 0) for missing → coalesce on Spark side
-    is NOT applied; Spark array_position returns 0 → nullif to align."""
+    ARRAY_POSITION. DuckDB list_* names mapped 1:1; this container's
+    DuckDB list_position returns 0 (not NULL) for a missing element,
+    matching Spark array_position directly — no nullif wrapper (r4 red)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     words = F.split("text", " ")
     dw = F.array_sort(F.array_distinct(words))
@@ -285,7 +285,7 @@ def fn_array_suite(spark, sf_dir):
         F.element_at(dw, 1).alias("first_word"),
         F.element_at(dw, -1).alias("last_word"),
         F.array_join(F.slice(dw, 1, 3), ",").alias("first3"),
-        F.nullif(F.array_position(words, "the"), F.lit(0)).alias("pos_the"),
+        F.array_position(words, "the").alias("pos_the"),
     )
 
 

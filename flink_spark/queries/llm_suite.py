@@ -195,7 +195,8 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
               JOIN sig x ON x.doc_id = c.doc_a
               JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
               GROUP BY c.doc_a, c.doc_b)
-    SELECT doc_a, doc_b, n_agree, n_agree / {float(D.MH_K)} AS est_jaccard
+    SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+           n_agree / {float(D.MH_K)} AS est_jaccard
     FROM agree WHERE n_agree >= {D.MH_K // 2}
     """,
 )

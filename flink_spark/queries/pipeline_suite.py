@@ -233,8 +233,8 @@ def pipe_incremental_dedup(spark, sf_dir):
                    AS before
           FROM t)
     SELECT doc_id, source, n_tokens,
-           before // {P.SEQ_LEN} AS bin_id,
-           before % {P.SEQ_LEN} AS bin_offset
+           CAST(before // {P.SEQ_LEN} AS BIGINT) AS bin_id,
+           CAST(before % {P.SEQ_LEN} AS BIGINT) AS bin_offset
     FROM c
     """,
 )
@@ -310,8 +310,8 @@ def pipe_semantic_neardup(spark, sf_dir):
                    AS before
           FROM t)
     SELECT doc_id, source, n_tokens,
-           before // {P.SEQ_LEN} AS bin_id,
-           before % {P.SEQ_LEN} AS bin_offset
+           CAST(before // {P.SEQ_LEN} AS BIGINT) AS bin_id,
+           CAST(before % {P.SEQ_LEN} AS BIGINT) AS bin_offset
     FROM c
     """,
 )

@@ -27,7 +27,19 @@ tokenizes before routing for exactly this reason.
 
 from __future__ import annotations
 
+import hashlib
 import re
+
+
+def det_digest(*parts) -> str:
+    """Deterministic 8-hex-digit digest for engine-generated temp-view
+    names. Python's ``hash()`` is PYTHONHASHSEED-randomized and collides
+    across distinct inputs within one session (ADVICE r4): two OPTIONS
+    hints on the same table could silently share a view. md5 over the
+    repr of the parts is stable across processes and collision-safe at
+    the scale of a session's generated views."""
+    payload = "\x1f".join(repr(p) for p in parts)
+    return hashlib.md5(payload.encode()).hexdigest()[:12]
 
 
 def mask_literals(sql: str) -> str:
@@ -43,6 +55,14 @@ def mask_literals(sql: str) -> str:
             q = c
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    # Spark's default lexer (escapedStringLiterals=false)
+                    # treats backslash as an escape inside both quote
+                    # styles — 'it\'s' is one literal (ADVICE r4).
+                    out[j] = " "
+                    out[j + 1] = " "
+                    j += 2
+                    continue
                 if sql[j] == q:
                     if j + 1 < n and sql[j + 1] == q:  # doubled-quote escape
                         out[j] = " "

@@ -33,6 +33,23 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the strictness gate. The driver's value
+    hash is format-sensitive (int 12 vs float 12.0 hash differently), so the
+    local gate must treat an int-vs-float pairing as a failure rather than
+    silently coercing both to float64 (the r4 blind spot: DuckDB HUGEINT
+    SUM/SUM OVER reaches pandas as float64 while Spark emits int64)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "other"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
@@ -42,8 +59,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
-            out[c] = s.astype("float64")  # unify int widths; exact ≤2^53
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")  # unify widths, stay integer
         else:
             out[c] = s.astype(str)
     norm = pd.DataFrame(out)
@@ -59,6 +78,30 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
     )
+    # Dtype-class strictness: the driver hash is format-sensitive, so an
+    # int column on one side paired with a float column on the other is a
+    # failure here even when every value is numerically equal. Exception:
+    # a float column whose partner is int is tolerated only when the float
+    # side actually contains NaN (pandas' only representation for NULL in
+    # an integer column) — a genuine NULL would then mismatch value-wise.
+    sa_cls = {c: _dtype_class(spark_pdf[c]) for c in spark_pdf.columns}
+    sb_cls = {c: _dtype_class(oracle_pdf[c]) for c in oracle_pdf.columns}
+    for c in a.columns:
+        ca, cb = sa_cls.get(c), sb_cls.get(c)
+        if ca == cb:
+            continue
+        pair = {ca, cb}
+        if pair == {"int", "float"}:
+            f_side = spark_pdf[c] if ca == "float" else oracle_pdf[c]
+            if f_side.isna().any():
+                continue
+            raise AssertionError(
+                f"{name}: column {c} dtype-class mismatch spark={ca} "
+                f"oracle={cb} (driver hash is format-sensitive: 12 vs 12.0)"
+            )
+        raise AssertionError(
+            f"{name}: column {c} dtype-class mismatch spark={ca} oracle={cb}"
+        )
     for c in a.columns:
         sa, sb = a[c], b[c]
         if pd.api.types.is_float_dtype(sa):
