@@ -944,6 +944,48 @@ class TableEnvironment:
                 return self.spark.createDataFrame(
                     [(txt,)], "plan_with_stats string"
                 )
+        if "CHANGELOG_MODE" in up:
+            # EXPLAIN CHANGELOG_MODE <query> (reference ExplainDetail.java:36
+            # + FlinkChangelogModeInferenceProgram.scala): per-node inferred
+            # changelog modes. PK'd engine tables are upsert sources (and
+            # get ChangelogNormalize injected, like upsert-kafka scans).
+            em = re.match(
+                r"^\s*EXPLAIN\s+CHANGELOG_MODE\s+(?P<q>.+)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if em:
+                from flink_spark.changelog_mode import (
+                    explain as _cm_explain,
+                    ir_from_analyzed,
+                )
+
+                df = self.spark.sql(em.group("q"))
+                plan_text = df._jdf.queryExecution().analyzed().toString()
+                pk_tables = {
+                    n: list(s.primary_key)
+                    for n, s in self.tables.items()
+                    if s.primary_key
+                }
+                txt = _cm_explain(ir_from_analyzed(plan_text, pk_tables))
+                return self.spark.createDataFrame(
+                    [(txt,)], "changelog_plan string"
+                )
+        if "JSON_EXECUTION_PLAN" in up:
+            # EXPLAIN JSON_EXECUTION_PLAN <query> (reference
+            # ExplainDetail.java:39): the Flink-shaped JSON node graph
+            # (id/type/pact/contents/parallelism/predecessors with
+            # ship_strategy) serialized from Spark's physical plan.
+            em = re.match(
+                r"^\s*EXPLAIN\s+JSON_EXECUTION_PLAN\s+(?P<q>.+)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if em:
+                from flink_spark.plan_advice import json_execution_plan
+
+                df = self.spark.sql(em.group("q"))
+                return self.spark.createDataFrame(
+                    [(json_execution_plan(df),)], "json_execution_plan string"
+                )
         if "PLAN_ADVICE" in up:
             # EXPLAIN PLAN_ADVICE <query> (reference ExplainDetail
             # PLAN_ADVICE): structured advice rows; empty result = the

@@ -167,3 +167,93 @@ def advice_df(df: DataFrame):
     return df.sparkSession.createDataFrame(
         rows, "rule string, severity string, node string, hint string"
     )
+
+
+def json_execution_plan(df: DataFrame) -> str:
+    """EXPLAIN JSON_EXECUTION_PLAN (reference ExplainDetail.java:39 — the
+    StreamGraph JSON Flink renders via getStreamGraphJson): serialize the
+    Spark physical plan into the Flink-shaped node graph. Each node gets
+    id / type / pact / contents / parallelism / predecessors, where the
+    ship_strategy is derived from the Exchange kind between the nodes
+    (hashpartitioning → HASH, SinglePartition → GLOBAL, broadcast →
+    BROADCAST, rangepartitioning → RANGE, none → FORWARD)."""
+    import json
+
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nodes = _parse_tree(plan)
+    parallelism = spark.sparkContext.defaultParallelism
+
+    out_nodes = []
+    ids: dict[int, int] = {}
+
+    def ship_strategy(exchange_text: str | None) -> str:
+        if exchange_text is None:
+            return "FORWARD"
+        t = exchange_text
+        if "BroadcastExchange" in t or "broadcast" in t:
+            return "BROADCAST"
+        if "SinglePartition" in t:
+            return "GLOBAL"
+        if "rangepartitioning" in t:
+            return "RANGE"
+        if "hashpartitioning" in t:
+            return "HASH"
+        return "REBALANCE"
+
+    def visit(node: _Node) -> int:
+        """Post-order id assignment (sources first, like the reference's
+        JSON); Exchange/adapter nodes collapse into the edge annotation."""
+        nm = _name(node)
+        if nm in ("Exchange", "BroadcastExchange", "AQEShuffleRead",
+                  "ShuffleQueryStage", "BroadcastQueryStage", "InputAdapter",
+                  "WholeStageCodegen", "ColumnarToRow", "AdaptiveSparkPlan",
+                  "ResultQueryStage"):
+            # transparent for node identity; remembered via closure below
+            pass
+        preds = []
+        for c in node.children:
+            cn, ex_text = c, None
+            while True:
+                cnm = _name(cn)
+                if cnm in ("Exchange", "BroadcastExchange", "AQEShuffleRead",
+                           "ShuffleQueryStage", "BroadcastQueryStage",
+                           "InputAdapter", "WholeStageCodegen",
+                           "ColumnarToRow", "AdaptiveSparkPlan",
+                           "ResultQueryStage"):
+                    if cnm in ("Exchange", "BroadcastExchange"):
+                        ex_text = cn.text
+                    if not cn.children:
+                        cn = None
+                        break
+                    cn = cn.children[0]
+                    continue
+                break
+            if cn is None:
+                continue
+            cid = visit(cn)
+            preds.append({"id": cid, "ship_strategy": ship_strategy(ex_text),
+                          "side": "second"})
+        nid = len(out_nodes) + 1
+        is_source = not node.children or nm.endswith("Scan") or nm == "Scan"
+        entry = {
+            "id": nid,
+            "type": ("Source: " + nm) if is_source and not preds else nm,
+            "pact": "Data Source" if is_source and not preds else "Operator",
+            "contents": node.text[:200],
+            "parallelism": parallelism,
+        }
+        if preds:
+            entry["predecessors"] = preds
+        out_nodes.append(entry)
+        return nid
+
+    roots = [n for n in nodes if n.depth == 0]
+    if roots:
+        # skip transparent roots down to the first real operator
+        root = roots[0]
+        while _name(root) in ("AdaptiveSparkPlan", "WholeStageCodegen",
+                              "ResultQueryStage", "ColumnarToRow") and root.children:
+            root = root.children[0]
+        visit(root)
+    return json.dumps({"nodes": out_nodes})

@@ -542,3 +542,113 @@ def ddl_distributed_join(spark, sf_dir):
     finally:
         for t in ("dq_sup_a", "dq_sup_b"):
             env.execute_sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query(
+    "explain_changelog_mode_gate",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('upsert_sink_agg', 0, 'Sink', 'NONE'),
+      ('upsert_sink_agg', 1, 'GroupAggregate', 'I,UA'),
+      ('upsert_sink_agg', 2, 'Calc', 'I'),
+      ('upsert_sink_agg', 3, 'TableSourceScan', 'I'),
+      ('retract_sink_agg', 0, 'Sink', 'NONE'),
+      ('retract_sink_agg', 1, 'GroupAggregate', 'I,UB,UA'),
+      ('retract_sink_agg', 2, 'TableSourceScan', 'I'),
+      ('normalize_agg', 0, 'Sink', 'NONE'),
+      ('normalize_agg', 1, 'GroupAggregate', 'I,UB,UA,D'),
+      ('normalize_agg', 2, 'Calc', 'I,UB,UA,D'),
+      ('normalize_agg', 3, 'ChangelogNormalize', 'I,UB,UA,D'),
+      ('normalize_agg', 4, 'TableSourceScan', 'I,UA,D'),
+      ('agg_topn', 0, 'Sink', 'NONE'),
+      ('agg_topn', 1, 'Rank', 'I,UB,UA,D'),
+      ('agg_topn', 2, 'GroupAggregate', 'I,UB,UA'),
+      ('agg_topn', 3, 'TableSourceScan', 'I'),
+      ('dedup_first_append', 0, 'Sink', 'NONE'),
+      ('dedup_first_append', 1, 'Deduplicate', 'I'),
+      ('dedup_first_append', 2, 'TableSourceScan', 'I'),
+      ('sql_pk_source_agg', 0, 'GroupAggregate', 'I,UB,UA,D'),
+      ('sql_pk_source_agg', 1, 'ChangelogNormalize', 'I,UB,UA,D'),
+      ('sql_pk_source_agg', 2, 'TableSourceScan(cmq_accounts)', 'I,UA,D')
+    ) t(pipeline, ord, node, changelog_mode)
+    """,
+)
+def explain_changelog_mode_gate(spark, sf_dir):
+    """EXPLAIN CHANGELOG_MODE (reference ExplainDetail.java:36 +
+    FlinkChangelogModeInferenceProgram.scala, the two-pass
+    ModifyKindSet/UpdateKind trait inference): five canonical pipelines
+    through the IR inference — upsert sink with satisfied PK prefers
+    ONLY_UPDATE_AFTER ([I,UA]); a retract consumer forces UPDATE_BEFORE
+    ([I,UB,UA]); an upsert source gains ChangelogNormalize and deletes
+    propagate through the agg ([I,UB,UA,D]); TopN over an updating agg
+    emits the full change set; keep-first dedup over insert-only input
+    stays append-only ([I]). Plus the SQL spelling over a PK'd engine
+    table (upsert source → normalize injection)."""
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.changelog_mode import Node, modes_table
+
+    pipelines = {
+        "upsert_sink_agg": Node("sink", "Sink", [
+            Node("group_agg", "GroupAggregate", [
+                Node("calc", "Calc", [
+                    Node("source", "TableSourceScan",
+                         attrs={"mode": "insert"}),
+                ]),
+            ], attrs={"keys": ["user_id"]}),
+        ], attrs={"mode": "upsert", "pk": ["user_id"]}),
+        "retract_sink_agg": Node("sink", "Sink", [
+            Node("group_agg", "GroupAggregate", [
+                Node("source", "TableSourceScan", attrs={"mode": "insert"}),
+            ], attrs={"keys": ["user_id"]}),
+        ], attrs={"mode": "retract"}),
+        "normalize_agg": Node("sink", "Sink", [
+            Node("group_agg", "GroupAggregate", [
+                Node("calc", "Calc", [
+                    Node("normalize", "ChangelogNormalize", [
+                        Node("source", "TableSourceScan",
+                             attrs={"mode": "upsert", "pk": ["k"]}),
+                    ], attrs={"pk": ["k"]}),
+                ]),
+            ], attrs={"keys": ["g"]}),
+        ], attrs={"mode": "retract"}),
+        "agg_topn": Node("sink", "Sink", [
+            Node("rank", "Rank", [
+                Node("group_agg", "GroupAggregate", [
+                    Node("source", "TableSourceScan",
+                         attrs={"mode": "insert"}),
+                ], attrs={"keys": ["region", "user"]}),
+            ], attrs={"partition": ["region"]}),
+        ], attrs={"mode": "retract"}),
+        "dedup_first_append": Node("sink", "Sink", [
+            Node("dedup", "Deduplicate", [
+                Node("source", "TableSourceScan", attrs={"mode": "insert"}),
+            ], attrs={"keep": "first", "keys": ["id"]}),
+        ], attrs={"mode": "append"}),
+    }
+    rows = []
+    for pname, root in pipelines.items():
+        for i, (label, mode) in enumerate(modes_table(root)):
+            rows.append((pname, i, label, mode))
+
+    # SQL spelling over a PK'd engine table (upsert source analog)
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS cmq_accounts")
+    env.execute_sql(
+        "CREATE TABLE cmq_accounts (acct BIGINT, bal DOUBLE, "
+        "PRIMARY KEY (acct) NOT ENFORCED) WITH ('connector'='datagen', "
+        "'number-of-rows'='5')"
+    )
+    try:
+        txt = env.execute_sql(
+            "EXPLAIN CHANGELOG_MODE SELECT acct, count(*) AS n "
+            "FROM cmq_accounts GROUP BY acct"
+        ).collect()[0][0]
+        for i, line in enumerate(txt.splitlines()):
+            node = line.strip().removeprefix("+- ")
+            name, _, mode = node.partition("(changelogMode=[")
+            rows.append(("sql_pk_source_agg", i, name, mode.rstrip("])")))
+    finally:
+        env.execute_sql("DROP TABLE IF EXISTS cmq_accounts")
+    return spark.createDataFrame(
+        rows, "pipeline string, ord int, node string, changelog_mode string"
+    )

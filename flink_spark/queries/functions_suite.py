@@ -88,13 +88,14 @@ def fn_string_suite(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            abs(p_retailprice - 1000.0) AS a,
-           ceil(p_retailprice) AS ce, floor(p_retailprice) AS fl,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+           CAST(floor(p_retailprice) AS BIGINT) AS fl,
            round(p_retailprice, 2) AS r2,
            CAST(power(p_size, 2) AS DOUBLE) AS pw,
            sqrt(p_retailprice) AS sq,
            round(ln(p_retailprice), 9) AS lnv, round(log10(p_retailprice), 9) AS lg10,
            round(log2(p_retailprice), 9) AS lg2, round(exp(p_size * 0.01), 9) AS ex,
-           sign(p_retailprice - 1000.0) AS sg,
+           CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg,
            p_size % 7 AS md,
            CAST(p_size // 3 AS BIGINT) AS intdiv,
            round(degrees(p_retailprice * 0.001), 9) AS dg,

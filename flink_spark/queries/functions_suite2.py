@@ -106,7 +106,7 @@ def fn_regexp_suite(spark, sf_dir):
            list_transform(ws[1:5], x -> upper(x)) AS upper5,
            list_filter(ws[1:10], x -> length(x) > 4) AS long_words,
            len(list_filter(ws, x -> x = 'table')) > 0 AS has_table,
-           list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS total_len,
+           CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS BIGINT) AS total_len,
            flatten([ws[1:2], ws[3:4]]) AS flat,
            ws[1:2] || ['pad', 'pad'] AS padded
     FROM t
@@ -212,7 +212,7 @@ def fn_json_suite2(spark, sf_dir):
     "fn_datetime_suite2",
     oracle="""
     SELECT event_id,
-           make_date(2024, CAST(event_id % 12 AS INT) + 1, 15) AS md,
+           make_date(2024, CAST(event_id % 12 AS INT) + 1, 15)::TIMESTAMP AS md,
            ts + INTERVAL 3 MONTH AS plus3m,
            date_trunc('month', ts) AS mon,
            dayname(ts) AS dname,
@@ -231,7 +231,7 @@ def fn_datetime_suite2(spark, sf_dir):
         "event_id",
         F.make_date(
             F.lit(2024), (F.col("event_id") % 12).cast("int") + 1, F.lit(15)
-        ).alias("md"),
+        ).cast("timestamp_ntz").alias("md"),
         F.expr("ts + INTERVAL 3 MONTHS").alias("plus3m"),
         F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("mon"),
         F.date_format(F.col("ts"), "EEEE").alias("dname"),

@@ -31,7 +31,7 @@ from flink_spark.sources.tables import load_table
            round(atan(p_retailprice / 1000.0), 9) AS atn,
            round(atan2(p_retailprice, 1.0 + (p_partkey % 7)), 9) AS at2,
            round(cot(1.0 + p_retailprice / 1000.0), 9) AS ct,
-           factorial((p_partkey % 10)::INT) AS fct,
+           CAST(factorial((p_partkey % 10)::INT) AS BIGINT) AS fct,
            pi() AS c_pi
     FROM part WHERE p_partkey <= 300
     """,
@@ -114,7 +114,7 @@ def fn_string_extra_suite(spark, sf_dir):
            extract(doy FROM ts) AS doy,
            dayname(ts) AS dname,
            epoch_us(ts) AS us,
-           CAST(ts AS DATE) AS d,
+           CAST(ts AS DATE)::TIMESTAMP AS d,
            ts + INTERVAL 36 HOUR AS plus36h,
            date_trunc('minute', ts) AS tmin
     FROM events WHERE event_id < 500
@@ -134,7 +134,7 @@ def fn_temporal_extract_suite(spark, sf_dir):
         F.dayofyear("ts").alias("doy"),
         F.date_format("ts", "EEEE").alias("dname"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.col("ts").cast("date").alias("d"),
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("d"),
         (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("plus36h"),
         F.date_trunc("minute", "ts").alias("tmin"),
     )

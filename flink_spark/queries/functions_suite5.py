@@ -23,7 +23,7 @@ from flink_spark.sources.tables import load_table
            ((p_partkey % 7) + 7) % 7 AS pm,
            ((-p_partkey % 7) + 7) % 7 AS pm_neg,
            floor(p_retailprice * 100) / 100 AS trunc2,
-           floor(p_retailprice / 10) * 10 AS trunc_neg1,
+           CAST(floor(p_retailprice / 10) AS BIGINT) * 10 AS trunc_neg1,
            p_partkey // 7 AS idiv
     FROM part WHERE p_partkey <= 300
     """,

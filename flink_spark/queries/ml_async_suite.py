@@ -22,7 +22,8 @@ from flink_spark.sources.tables import load_table
                * CAST(FLOOR(embedding[i]::DOUBLE * 1000) AS BIGINT) AS term
       FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i) s
       WHERE vec_id < 500)
-    SELECT vec_id, SUM(term) AS score, ABS(SUM(term)) % 3 AS pred_label
+    SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score,
+           CAST(ABS(SUM(term)) % 3 AS BIGINT) AS pred_label
     FROM t GROUP BY vec_id
     """,
 )
@@ -77,7 +78,8 @@ def async_calc_enrich(spark, sf_dir):
                * CAST(FLOOR(embedding[i]::DOUBLE * 1000) AS BIGINT) AS term
       FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i) s
       WHERE vec_id < 500)
-    SELECT vec_id, SUM(term) AS score, ABS(SUM(term)) % 3 AS pred_label
+    SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score,
+           CAST(ABS(SUM(term)) % 3 AS BIGINT) AS pred_label
     FROM t GROUP BY vec_id
     """,
 )

@@ -128,7 +128,7 @@ def pipe_quality_filter(spark, sf_dir):
           FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
           WHERE i <= len(ws) - 1),
     c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
-    SELECT doc_id, SUM(n) AS n_bigrams,
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
            MAX(n) / SUM(n) AS top_bigram_frac,
            SUM(CASE WHEN n > 1 THEN n ELSE 0 END) / SUM(n) AS dup_bigram_frac
     FROM c GROUP BY doc_id
@@ -162,8 +162,8 @@ def pipe_stratified_sample(spark, sf_dir):
     "pipe_source_mix",
     oracle=r"""
     WITH per AS (SELECT source, COUNT(*) AS n_docs,
-                        SUM(len(string_split_regex(trim(text), '\s+')))
-                          AS n_tokens
+                        CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                          AS BIGINT) AS n_tokens
                  FROM documents GROUP BY source)
     SELECT source, n_docs, n_tokens,
            n_tokens / SUM(n_tokens) OVER () AS token_share,
