@@ -661,6 +661,89 @@ class TableEnvironment:
     #: row-local TVFs, SESSION is a MERGING window — bounds exist only
     #: after aggregation — so the rewrite transforms the whole statement
     #: into Spark's session_window grouping rather than a tagged view.
+    #: legacy group-window detector: a GROUP BY containing
+    #: TUMBLE/HOP/SESSION(<column>, INTERVAL ...) — the pre-TVF spelling
+    #: (reference StreamExecGroupWindowAggregate.java:113). The TVF form
+    #: has `TABLE <t>` as the first argument, so `(?!TABLE\b)` splits them.
+    _LEGACY_GW_RE = re.compile(
+        r"GROUP\s+BY(?:(?!;).)*?\b(?:TUMBLE|HOP|SESSION)\s*\(\s*"
+        r"(?!TABLE\b)\w+\s*,\s*INTERVAL",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    _GW_ACCESSOR_RE = re.compile(
+        r"\b(?P<fn>TUMBLE|HOP|SESSION)_(?P<part>START|END|ROWTIME)\s*"
+        r"\(\s*(?P<args>[^()]*)\)",
+        re.IGNORECASE,
+    )
+    _GW_TUMBLE_RE = re.compile(
+        r"\bTUMBLE\s*\(\s*(?P<ts>\w+)\s*,\s*"
+        r"INTERVAL\s+'(?P<n>[^']+)'\s+(?P<u>\w+)\s*\)",
+        re.IGNORECASE,
+    )
+    _GW_HOP_RE = re.compile(
+        r"\bHOP\s*\(\s*(?P<ts>\w+)\s*,\s*"
+        r"INTERVAL\s+'(?P<sn>[^']+)'\s+(?P<su>\w+)\s*,\s*"
+        r"INTERVAL\s+'(?P<zn>[^']+)'\s+(?P<zu>\w+)\s*\)",
+        re.IGNORECASE,
+    )
+    _GW_SESSION_RE = re.compile(
+        r"\bSESSION\s*\(\s*(?P<ts>\w+)\s*,\s*"
+        r"INTERVAL\s+'(?P<n>[^']+)'\s+(?P<u>\w+)\s*\)",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _gw_duration(n: str, unit: str) -> str:
+        u = unit.lower()
+        return f"{n} {u}" + ("" if u.endswith("s") else "s")
+
+    def _rewrite_legacy_group_windows(self, stmt: str) -> str:
+        """GROUP BY TUMBLE/HOP/SESSION(...) → Spark-native
+        window()/session_window() grouping; TUMBLE_START/_END/_ROWTIME
+        accessors → struct fields (rowtime = end - 1ms, the TVF
+        window_time convention)."""
+        from flink_spark.sqltok import sub_outside_literals
+
+        def acc(m):
+            fn = m.group("fn").upper()
+            part = m.group("part").upper()
+            struct = "session_window" if fn == "SESSION" else "window"
+            if part == "START":
+                return f"{struct}.start"
+            if part == "END":
+                return f"{struct}.end"
+            return f"{struct}.end - INTERVAL '0.001' SECOND"
+
+        stmt = sub_outside_literals(self._GW_ACCESSOR_RE, acc, stmt)
+        stmt = sub_outside_literals(
+            self._GW_TUMBLE_RE,
+            lambda m: (
+                f"window({m.group('ts')}, "
+                f"'{self._gw_duration(m.group('n'), m.group('u'))}')"
+            ),
+            stmt,
+        )
+        stmt = sub_outside_literals(
+            self._GW_HOP_RE,
+            # Flink HOP(ts, slide, size) → Spark window(ts, size, slide)
+            lambda m: (
+                f"window({m.group('ts')}, "
+                f"'{self._gw_duration(m.group('zn'), m.group('zu'))}', "
+                f"'{self._gw_duration(m.group('sn'), m.group('su'))}')"
+            ),
+            stmt,
+        )
+        stmt = sub_outside_literals(
+            self._GW_SESSION_RE,
+            lambda m: (
+                f"session_window({m.group('ts')}, "
+                f"'{self._gw_duration(m.group('n'), m.group('u'))}')"
+            ),
+            stmt,
+        )
+        return stmt
+
     _SESSION_TVF_RE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+TABLE\s*\(\s*SESSION\s*\(\s*"
         r"TABLE\s+(?P<tbl>[\w.]+)\s+PARTITION\s+BY\s+(?P<pk>[\w,\s]+?)\s*,"
@@ -930,6 +1013,17 @@ class TableEnvironment:
         # no longer route (or mangle) the statement
         masked = mask_literals(stmt)
         up = masked.upper()
+        if "VECTOR_SEARCH" in up and not up.lstrip().startswith("EXPLAIN"):
+            # VECTOR_SEARCH TVF (reference
+            # StreamExecVectorSearchTableFunction.java): replace each call
+            # with a computed temp view, then route the rewritten text
+            from flink_spark.functions.vectorsearch import (
+                rewrite_vector_search,
+            )
+
+            stmt = rewrite_vector_search(self.spark, stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if "ESTIMATED_COST" in up:
             # EXPLAIN ESTIMATED_COST (reference ExplainDetail
             # ESTIMATED_COST): Catalyst's per-node statistics — real
@@ -1133,6 +1227,16 @@ class TableEnvironment:
             dm = MT_DROP_RE.match(stmt)
             if dm:
                 return self.materialized.drop(dm)
+        if self._LEGACY_GW_RE.search(masked):
+            # legacy group-window SQL (reference
+            # StreamExecGroupWindowAggregate.java:113 — the pre-TVF
+            # `GROUP BY TUMBLE/HOP/SESSION(ts, INTERVAL ...)` spelling with
+            # TUMBLE_START/_END accessors). Rewritten onto Spark's native
+            # window()/session_window() grouping, which is exactly what the
+            # TVF path lowers to — old Flink SQL corpora run unchanged.
+            stmt = self._rewrite_legacy_group_windows(stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if self._TVF_RE.search(masked):
             stmt = self._rewrite_window_tvfs(stmt)
             masked = mask_literals(stmt)

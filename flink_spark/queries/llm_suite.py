@@ -658,3 +658,54 @@ def llm_matryoshka_truncate(spark, sf_dir):
         )
         .select("vec_id", "dim", "coord_sum")
     )
+
+
+@query(
+    "llm_vector_search_sql",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    dots AS (SELECT query_id, cand_id,
+                    list_reduce(list_transform(range(1, len(qv) + 1),
+                      i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y) AS dot,
+                    list_reduce(list_transform(range(1, len(qv) + 1),
+                      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y) AS na,
+                    list_reduce(list_transform(range(1, len(cv) + 1),
+                      i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y) AS nb
+             FROM q CROSS JOIN c),
+    scored AS (SELECT query_id, cand_id,
+                      dot / (sqrt(na) * sqrt(nb)) AS cos_sim
+               FROM dots)
+    SELECT query_id, cand_id, round(cos_sim, 12) AS cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def llm_vector_search_sql(spark, sf_dir):
+    """VECTOR_SEARCH SQL TVF (reference
+    StreamExecVectorSearchTableFunction.java + the vector-search SQL docs):
+    the correlated ``input, LATERAL TABLE(VECTOR_SEARCH(TABLE t, input.v,
+    DESCRIPTOR(c), k))`` spelling routed through the dialect rewrite onto
+    the similarity library — must hash-match the DataFrame-level
+    llm_cosine_topk oracle exactly (same fold, same tiebreak)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).createOrReplaceTempView("__vsq_gate")
+    emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    ).createOrReplaceTempView("__vsc_gate")
+    return env.execute_sql("""
+        SELECT query_id, cand_id, round(score, 12) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rank
+        FROM __vsq_gate, LATERAL TABLE(VECTOR_SEARCH(
+            TABLE __vsc_gate, __vsq_gate.qv, DESCRIPTOR(embedding), 5))
+    """)

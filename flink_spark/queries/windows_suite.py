@@ -573,3 +573,82 @@ def window_session_tvf_sql(spark, sf_dir):
                            DESCRIPTOR(ts), INTERVAL '30' MINUTES))
         GROUP BY window_start, window_end, user_id
     """)
+
+
+@query(
+    "window_tumble_legacy_sql",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumble_legacy_sql(spark, sf_dir):
+    """Legacy group-window SQL (reference
+    StreamExecGroupWindowAggregate.java:113 — the pre-TVF `GROUP BY
+    TUMBLE(ts, INTERVAL ...)` spelling with TUMBLE_START/_END accessors,
+    still shipped by the reference): routed through the dialect rewrite
+    onto native window() grouping; shares the window_tumble oracle."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__lgw_events")
+    return env.execute_sql(f"""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+        FROM __lgw_events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+    """)
+
+
+@query(
+    "window_session_legacy_sql",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_legacy_sql(spark, sf_dir):
+    """Legacy SESSION group-window SQL (`GROUP BY SESSION(ts, INTERVAL
+    '30' MINUTE)` with SESSION_START/SESSION_END accessors) rewritten onto
+    native session_window grouping; shares the window_session oracle."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 100
+    ).createOrReplaceTempView("__lgw_sess_events")
+    return env.execute_sql(f"""
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '30' MINUTE) AS session_start,
+               SESSION_END(ts, INTERVAL '30' MINUTE) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+        FROM __lgw_sess_events
+        GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+    """)
