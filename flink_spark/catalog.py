@@ -38,14 +38,98 @@ class TableSpec:
         return ", ".join(f"{c} {t}" for c, t in self.columns)
 
 
-_CREATE_RE = re.compile(
+#: CREATE TABLE head — the body/opts spans are extracted by balanced-paren
+#: matching on the literal-masked text (_extract_create), NOT by greedy
+#: regex groups: option values containing `)` or `) WITH (`-shaped text
+#: would make any single-regex split ambiguous (r4 roadmap item).
+_CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(?P<temp>TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*"
-    r"(?:DISTRIBUTED\s+BY\s+(?:HASH\s*)?\(\s*(?P<dcols>[\w,\s]+?)\s*\)\s+"
-    r"INTO\s+(?P<nbuck>\d+)\s+BUCKETS\s+)?"
-    r"WITH\s*\((?P<opts>.*)\)\s*$",
-    re.IGNORECASE | re.DOTALL,
+    r"(?P<name>[\w.]+)\s*\(",
+    re.IGNORECASE,
 )
+_CREATE_DIST_RE = re.compile(
+    r"\s*DISTRIBUTED\s+BY\s+(?:HASH\s*)?\(\s*(?P<dcols>[\w,\s]+?)\s*\)\s+"
+    r"INTO\s+(?P<nbuck>\d+)\s+BUCKETS\s+",
+    re.IGNORECASE,
+)
+_CREATE_WITH_RE = re.compile(r"\s*WITH\s*\(", re.IGNORECASE)
+
+
+def _balanced_close(masked: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx, counting depth on the
+    literal-masked text (parens inside string literals are blanked)."""
+    depth = 0
+    for i in range(open_idx, len(masked)):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _extract_create(stmt: str):
+    """Span-based CREATE TABLE (body) [DISTRIBUTED BY ...] WITH (opts)
+    extraction; returns a dict or None. Literal-safe: `'path' = 'a)b'`
+    or `'comment' = ') WITH ('` in the options cannot skew the split."""
+    from flink_spark.sqltok import mask_literals
+
+    masked = mask_literals(stmt)
+    hm = _CREATE_HEAD_RE.match(masked)
+    if not hm:
+        return None
+    bo = hm.end() - 1
+    bc = _balanced_close(masked, bo)
+    if bc < 0:
+        return None
+    dm = _CREATE_DIST_RE.match(masked, bc + 1)
+    woff = dm.end() if dm else bc + 1
+    wm = _CREATE_WITH_RE.match(masked, woff)
+    if not wm:
+        return None
+    wo = wm.end() - 1
+    wc = _balanced_close(masked, wo)
+    if wc < 0 or masked[wc + 1 :].strip():
+        return None
+    return {
+        "temp": hm.group("temp"),
+        "name": hm.group("name"),
+        "body": stmt[bo + 1 : bc],
+        "dcols": dm.group("dcols") if dm else None,
+        "nbuck": dm.group("nbuck") if dm else None,
+        "opts": stmt[wo + 1 : wc],
+    }
+
+
+def _extract_ctas(stmt: str):
+    """Span-based CTAS extraction (CREATE [OR REPLACE] TABLE t WITH (opts)
+    AS SELECT ...); returns a dict or None."""
+    from flink_spark.sqltok import mask_literals
+
+    masked = mask_literals(stmt)
+    hm = re.match(
+        r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+WITH\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if not hm:
+        return None
+    wo = hm.end() - 1
+    wc = _balanced_close(masked, wo)
+    if wc < 0:
+        return None
+    qm = re.match(r"\s*AS\s+(SELECT\b)", masked[wc + 1 :], re.IGNORECASE)
+    if not qm:
+        return None
+    return {
+        "replace": hm.group("replace"),
+        "name": hm.group("name"),
+        "opts": stmt[wo + 1 : wc],
+        "query": stmt[wc + 1 + qm.start(1) :],
+    }
 _WATERMARK_RE = re.compile(
     r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+(?P<col2>\w+)\s*-\s*INTERVAL\s*"
     r"'(?P<n>[\d.]+)'\s*(?P<unit>\w+)",
@@ -55,14 +139,6 @@ _PK_RE = re.compile(
     r"PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*(NOT\s+ENFORCED)?", re.IGNORECASE
 )
 _OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
-#: CTAS (reference SqlCreateTableAs / SqlReplaceTableAs): schema derived
-#: from the query, storage from the WITH options
-_CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
-    r"WITH\s*\((?P<opts>.*?)\)\s+AS\s+(?P<query>SELECT\b.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
 _SET_RE = re.compile(
     r"^\s*(?P<verb>SET|RESET)\s*(?:'(?P<k>[^']+)'\s*(?:=\s*'(?P<v>[^']*)')?)?\s*$",
     re.IGNORECASE,
@@ -1414,24 +1490,24 @@ class TableEnvironment:
             if df is not None:
                 df.createOrReplaceTempView(spec.name)
             return None
-        m = _CREATE_RE.match(stmt)
-        if m:
+        cr = _extract_create(stmt)
+        if cr:
             return self._create_table(
-                m.group("name"), m.group("body"), m.group("opts"),
-                temporary=bool(m.group("temp")),
+                cr["name"], cr["body"], cr["opts"],
+                temporary=bool(cr["temp"]),
                 distributed=(
-                    ([c.strip() for c in m.group("dcols").split(",")],
-                     int(m.group("nbuck")))
-                    if m.group("dcols") else None
+                    ([c.strip() for c in cr["dcols"].split(",")],
+                     int(cr["nbuck"]))
+                    if cr["dcols"] else None
                 ),
             )
-        ctas = _CTAS_RE.match(stmt)
+        ctas = _extract_ctas(stmt)
         if ctas:
             return self._create_table_as(
-                ctas.group("name"),
-                ctas.group("opts"),
-                ctas.group("query"),
-                replace=bool(ctas.group("replace")),
+                ctas["name"],
+                ctas["opts"],
+                ctas["query"],
+                replace=bool(ctas["replace"]),
             )
         sm = _SET_RE.match(stmt)
         if sm:

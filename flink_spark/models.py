@@ -111,6 +111,15 @@ class ModelManager:
             )
         if provider not in ("fixed-point-linear", *_REMOTE_PROVIDERS):
             raise ValueError(f"unknown model provider {provider!r}")
+        if provider in _REMOTE_PROVIDERS:
+            # option-surface parity with the reference provider factories
+            # (FactoryUtil helper.validate()): unknown keys, missing
+            # required keys, and unparseable values are rejected AT DDL
+            # TIME, exactly where the reference factory validates —
+            # invocation stays env-blocked, validation does not
+            from flink_spark.model_providers import validate_provider_options
+
+            validate_provider_options(provider, options)
         self.models[name] = ModelSpec(
             name=name,
             input_schema=m.group("input"),

@@ -67,7 +67,8 @@ def test_remote_provider_is_capability_gated(env, spark):
     env.execute_sql("DROP MODEL IF EXISTS gpt")
     env.execute_sql(
         "CREATE MODEL gpt WITH ('provider' = 'openai', "
-        "'endpoint' = 'https://example.invalid/v1')"
+        "'endpoint' = 'https://example.invalid/v1/embeddings', "
+        "'api-key' = 'sk-test', 'model' = 'text-embedding-3')"
     )
     spark.createDataFrame([(1, [1.0])], "id INT, emb ARRAY<DOUBLE>") \
         .createOrReplaceTempView("mdl_remote_t")
@@ -98,3 +99,139 @@ def test_temporary_python_model(env, spark):
         "DESCRIPTOR(emb))"
     ).collect()}
     assert got == {1: 6, 2: 14}
+
+
+class TestProviderOptionSurface:
+    """Option-schema parity with the reference provider factories
+    (OpenAIModelProviderFactory/OpenAIOptions, TritonModelProviderFactory/
+    TritonOptions): accepted and rejected option sets, FactoryUtil-shaped
+    error messages, and openai endpoint-suffix dispatch."""
+
+    def _v(self, provider, opts):
+        from flink_spark.model_providers import validate_provider_options
+
+        return validate_provider_options(provider, opts)
+
+    def test_openai_chat_minimal_accepted(self):
+        r = self._v("openai", {
+            "provider": "openai",
+            "endpoint": "https://api.example.com/v1/chat/completions",
+            "api-key": "k", "model": "gpt-x",
+        })
+        assert r["__function_kind"] == "chat"
+        assert r["system-prompt"] == "You are a helpful assistant."
+        assert r["retry-num"] == 100
+
+    def test_openai_embedding_dispatch_with_trailing_slash(self):
+        r = self._v("openai", {
+            "endpoint": "https://api.example.com/v1/EMBEDDINGS///",
+            "api-key": "k", "model": "te3",
+            "dimension": "256",
+        })
+        assert r["__function_kind"] == "embedding"
+        assert r["dimension"] == 256
+
+    def test_openai_unsupported_endpoint(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="Unsupported endpoint"):
+            self._v("openai", {
+                "endpoint": "https://api.example.com/v1/other",
+                "api-key": "k", "model": "m",
+            })
+
+    def test_openai_missing_required_lists_keys(self):
+        import pytest
+
+        with pytest.raises(ValueError, match=r"(?s)required options are "
+                                              r"missing.*api-key.*endpoint"):
+            self._v("openai", {"model": "m"})
+
+    def test_openai_unknown_key_lists_supported(self):
+        import pytest
+
+        with pytest.raises(ValueError, match=r"(?s)Unsupported options.*"
+                                              r"tempreture.*Supported "
+                                              r"options.*temperature"):
+            self._v("openai", {
+                "endpoint": "https://x/v1/chat/completions",
+                "api-key": "k", "model": "m", "tempreture": "0.5",
+            })
+
+    def test_openai_enum_and_numeric_parsing(self):
+        import pytest
+
+        r = self._v("openai", {
+            "endpoint": "https://x/v1/chat/completions",
+            "api-key": "k", "model": "m",
+            "error-handling-strategy": "IGNORE",
+            "context-overflow-action": "truncated-tail-log",
+            "temperature": "0.2", "max-tokens": "512", "seed": "7",
+            "response-format": "json_object",
+        })
+        assert r["error-handling-strategy"] == "ignore"
+        assert r["max-tokens"] == 512 and r["temperature"] == 0.2
+        with pytest.raises(ValueError, match=r"Could not parse value 'hot' "
+                                              r"for key 'temperature'"):
+            self._v("openai", {
+                "endpoint": "https://x/v1/chat/completions",
+                "api-key": "k", "model": "m", "temperature": "hot",
+            })
+        with pytest.raises(ValueError, match=r"Could not parse value "
+                                              r"'sometimes'"):
+            self._v("openai", {
+                "endpoint": "https://x/v1/chat/completions",
+                "api-key": "k", "model": "m",
+                "error-handling-strategy": "sometimes",
+            })
+
+    def test_triton_accepted_with_typed_options(self):
+        r = self._v("triton", {
+            "endpoint": "http://triton:8000",
+            "model-name": "resnet",
+            "timeout": "10s", "flatten-batch-dim": "true",
+            "custom-headers": "x-a:1,x-b:2", "priority": "3",
+        })
+        assert r["model-version"] == "latest"
+        assert r["flatten-batch-dim"] is True
+        assert r["custom-headers"] == {"x-a": "1", "x-b": "2"}
+
+    def test_triton_rejections(self):
+        import pytest
+
+        with pytest.raises(ValueError, match=r"(?s)missing.*model-name"):
+            self._v("triton", {"endpoint": "http://t:8000"})
+        with pytest.raises(ValueError, match=r"Could not parse value 'fast' "
+                                              r"for key 'timeout'"):
+            self._v("triton", {
+                "endpoint": "http://t:8000", "model-name": "m",
+                "timeout": "fast",
+            })
+        with pytest.raises(ValueError, match=r"Could not parse value 'yes' "
+                                              r"for key 'sequence-start'"):
+            self._v("triton", {
+                "endpoint": "http://t:8000", "model-name": "m",
+                "sequence-start": "yes",
+            })
+
+    def test_create_model_ddl_validates_remote_provider(self, spark):
+        import pytest
+
+        from flink_spark.catalog import TableEnvironment
+
+        env = TableEnvironment(spark)
+        env.execute_sql("DROP MODEL IF EXISTS provider_gate_ok")
+        env.execute_sql("""
+            CREATE MODEL provider_gate_ok WITH (
+              'provider' = 'openai',
+              'endpoint' = 'https://api.example.com/v1/embeddings',
+              'api-key' = 'k', 'model' = 'te3')
+        """)
+        with pytest.raises(ValueError, match="Unsupported options"):
+            env.execute_sql("""
+                CREATE MODEL provider_gate_bad WITH (
+                  'provider' = 'openai',
+                  'endpoint' = 'https://api.example.com/v1/embeddings',
+                  'api-key' = 'k', 'model' = 'te3', 'no-such-key' = '1')
+            """)
+        env.execute_sql("DROP MODEL IF EXISTS provider_gate_ok")

@@ -135,3 +135,39 @@ def test_mask_properties_randomized():
         assert mask_literals(m) == m  # idempotent on masked output
 
     check()
+
+
+def test_create_extraction_pathological_option_values(tmp_path):
+    """r4 roadmap item: CREATE/CTAS extraction is span-based on the
+    masked text, so option values containing ')' or ') WITH ('-shaped
+    text cannot skew the body/opts split."""
+    from flink_spark.catalog import _extract_create, _extract_ctas
+
+    cr = _extract_create(
+        "CREATE TABLE t (a INT, b DECIMAL(10,2)) WITH ("
+        "'connector' = 'filesystem', 'path' = '/data/(weird)/p', "
+        "'comment' = 'x) WITH (y')"
+    )
+    assert cr is not None
+    assert cr["name"] == "t"
+    assert cr["body"] == "a INT, b DECIMAL(10,2)"
+    assert "'comment' = 'x) WITH (y'" in cr["opts"]
+
+    cr2 = _extract_create(
+        "CREATE TEMPORARY TABLE bkt (k INT, v STRING) "
+        "DISTRIBUTED BY HASH(k) INTO 4 BUCKETS "
+        "WITH ('connector' = 'filesystem', 'path' = '/p/(a)')"
+    )
+    assert cr2 is not None and cr2["dcols"] == "k" and cr2["nbuck"] == "4"
+    assert cr2["temp"]
+
+    ct = _extract_ctas(
+        "CREATE OR REPLACE TABLE out WITH ('path' = '/o/(x)', "
+        "'fmt' = ':-)') AS SELECT 1 AS c"
+    )
+    assert ct is not None
+    assert ct["query"] == "SELECT 1 AS c"
+    assert "':-)'" in ct["opts"]
+    # non-matching shapes stay None (router falls through)
+    assert _extract_create("CREATE TABLE t (a INT)") is None
+    assert _extract_ctas("CREATE TABLE t AS SELECT 1") is None
