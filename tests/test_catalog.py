@@ -939,3 +939,62 @@ def test_temporary_table_not_persisted(spark, tmp_path):
     stored = {f for f in os.listdir(meta) if f.endswith(".json")}
     assert stored == {"perm_one.json"}
     assert "temp_only" in env.tables  # still usable in this session
+
+
+def test_legacy_group_window_hop_and_rowtime(spark, sf_dir):
+    """Legacy `GROUP BY HOP(ts, slide, size)` (reference
+    StreamExecGroupWindowAggregate.java:113) maps onto Spark
+    window(ts, size, slide); *_ROWTIME is end - 1ms (the TVF
+    window_time convention)."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    ev.createOrReplaceTempView("lgw_hop_ev")
+    got = env.execute_sql("""
+        SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS ws,
+               HOP_ROWTIME(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS rt,
+               COUNT(*) AS n
+        FROM lgw_hop_ev
+        GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+    """)
+    want = (
+        ev.groupBy(F.window("ts", "1 hours", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("ws"),
+            (F.col("window.end") - F.expr("INTERVAL '0.001' SECOND"))
+            .alias("rt"),
+            "n",
+        )
+    )
+    g = sorted((r.ws, r.rt, r.n) for r in got.collect())
+    w = sorted((r.ws, r.rt, r.n) for r in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_legacy_rewrite_leaves_tvf_spelling_alone(spark, sf_dir):
+    """A statement using the TVF spelling must not be touched by the
+    legacy rewrite gate (TABLE-arg lookahead)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    # legacy detector must NOT fire on the TVF form
+    assert not env._LEGACY_GW_RE.search(
+        "SELECT window_start, COUNT(*) FROM TABLE(TUMBLE(TABLE t, "
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    # and must fire on the legacy form
+    assert env._LEGACY_GW_RE.search(
+        "SELECT COUNT(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    # a TUMBLE inside a string literal is data, not structure
+    from flink_spark.sqltok import mask_literals
+
+    assert not env._LEGACY_GW_RE.search(mask_literals(
+        "SELECT 'GROUP BY TUMBLE(ts, INTERVAL ''1'' HOUR)' AS s FROM t"
+    ))

@@ -1,0 +1,151 @@
+"""Changelog-mode inference (reference
+FlinkChangelogModeInferenceProgram.scala) — the trait rules, the
+validation errors, and the EXPLAIN CHANGELOG_MODE / JSON_EXECUTION_PLAN
+SQL surfaces."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flink_spark.changelog_mode import (
+    ChangelogModeError,
+    Node,
+    explain,
+    modes_table,
+)
+
+
+def _sink(child, mode="retract", pk=()):
+    return Node("sink", "Sink", [child], attrs={"mode": mode, "pk": list(pk)})
+
+
+def _src(mode="insert", pk=None):
+    return Node("source", "TableSourceScan",
+                attrs={"mode": mode, "pk": pk})
+
+
+def test_upsert_sink_prefers_only_after_when_pk_satisfied():
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    rows = modes_table(_sink(agg, mode="upsert", pk=["k"]))
+    assert rows == [("Sink", "NONE"), ("GroupAggregate", "I,UA"),
+                    ("TableSourceScan", "I")]
+
+
+def test_upsert_sink_falls_back_when_pk_not_satisfied():
+    # sink PK != agg key → cannot upsert by key → BEFORE_AND_AFTER
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    rows = modes_table(_sink(agg, mode="upsert", pk=["other"]))
+    assert rows[1] == ("GroupAggregate", "I,UB,UA")
+
+
+def test_interval_join_rejects_updating_input():
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    ij = Node("interval_join", "IntervalJoin", [agg])
+    with pytest.raises(ChangelogModeError,
+                       match="IntervalJoin doesn't support consuming "
+                             "update changes"):
+        modes_table(_sink(ij))
+
+
+def test_append_sink_rejects_updating_input():
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    with pytest.raises(ChangelogModeError, match="doesn't support consuming"):
+        modes_table(_sink(agg, mode="append"))
+
+
+def test_agg_over_updating_input_gains_delete():
+    inner = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["a"]})
+    outer = Node("group_agg", "GroupAggregate2", [inner], attrs={"keys": ["b"]})
+    rows = modes_table(_sink(outer))
+    # outer agg consumes updates → groups can empty out → D appears
+    assert rows[1] == ("GroupAggregate2", "I,UB,UA,D")
+
+
+def test_dedup_keep_last_is_updating():
+    dd = Node("dedup", "Deduplicate", [_src()],
+              attrs={"keep": "last", "keys": ["k"]})
+    rows = modes_table(_sink(dd))
+    assert rows[1][1] == "I,UB,UA,D"
+
+
+def test_upsert_source_cannot_feed_retract_without_normalize():
+    # upsert source provides ONLY_UPDATE_AFTER; a retract consumer needs
+    # UPDATE_BEFORE → unsatisfiable without ChangelogNormalize
+    with pytest.raises(ChangelogModeError):
+        modes_table(_sink(_src(mode="upsert", pk=["k"])))
+
+
+def test_cdc_source_full_changelog_passthrough():
+    rows = modes_table(_sink(Node("calc", "Calc", [_src(mode="cdc",
+                                                        pk=["k"])])))
+    assert rows == [("Sink", "NONE"), ("Calc", "I,UB,UA,D"),
+                    ("TableSourceScan", "I,UB,UA,D")]
+
+
+def test_union_of_insert_only_stays_insert_only():
+    u = Node("union", "Union", [_src(), _src()])
+    rows = modes_table(_sink(u, mode="append"))
+    assert rows[1] == ("Union", "I")
+
+
+def test_join_inner_forwards_union_of_sides_outer_is_all():
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    inner = Node("join", "Join", [agg, _src()], attrs={"how": "inner"})
+    rows = modes_table(_sink(inner))
+    assert rows[1] == ("Join", "I,UB,UA")
+    outer = Node("join", "JoinL", [_src(), _src()], attrs={"how": "left"})
+    rows = modes_table(_sink(outer))
+    assert rows[1] == ("JoinL", "I,UB,UA,D")
+
+
+def test_explain_renders_tree_scaffolding():
+    agg = Node("group_agg", "GroupAggregate", [_src()], attrs={"keys": ["k"]})
+    txt = explain(_sink(agg, mode="upsert", pk=["k"]))
+    assert txt.splitlines() == [
+        "Sink(changelogMode=[NONE])",
+        "+- GroupAggregate(changelogMode=[I,UA])",
+        "   +- TableSourceScan(changelogMode=[I])",
+    ]
+
+
+def test_explain_changelog_mode_sql_surface(spark, sf_dir):
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cmt_orders")
+    txt = env.execute_sql(
+        "EXPLAIN CHANGELOG_MODE SELECT o_orderstatus, count(*) AS n "
+        "FROM cmt_orders GROUP BY o_orderstatus"
+    ).collect()[0][0]
+    assert "GroupAggregate(changelogMode=[I,UB,UA])" in txt
+    assert "changelogMode=[I]" in txt
+
+
+def test_json_execution_plan_sql_surface(spark, sf_dir):
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("jep_orders")
+    raw = env.execute_sql(
+        "EXPLAIN JSON_EXECUTION_PLAN SELECT o_orderstatus, count(*) AS n "
+        "FROM jep_orders GROUP BY o_orderstatus"
+    ).collect()[0][0]
+    plan = json.loads(raw)
+    nodes = plan["nodes"]
+    assert nodes, "empty node graph"
+    assert nodes[0]["pact"] == "Data Source"
+    assert nodes[0]["type"].startswith("Source: ")
+    # the final aggregate reads over a HASH exchange
+    strategies = {
+        p["ship_strategy"] for n in nodes for p in n.get("predecessors", [])
+    }
+    assert "HASH" in strategies
+    ids = [n["id"] for n in nodes]
+    assert ids == sorted(ids)
+    for n in nodes:
+        for p in n.get("predecessors", []):
+            assert p["id"] < n["id"], "predecessor must be defined first"
