@@ -1506,6 +1506,10 @@ def stream_delta_join_ttl(spark, sf_dir):
         tagged, lc, rc, ["c_user"], ["p_user"],
         ttl="1 hour", left_ts="click_ts", right_ts="purchase_ts",
         prefix="delta_join_ttl",
+        # compact every 2nd batch so the external row also proves the r5
+        # store-compaction path (rewrites drop only rows the TTL already
+        # excludes from reads → result invariant)
+        compact_every=2,
     )
     return joined.select(
         F.col("c_user").alias("user_id"),
