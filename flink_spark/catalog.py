@@ -1089,6 +1089,19 @@ class TableEnvironment:
         # no longer route (or mangle) the statement
         masked = mask_literals(stmt)
         up = masked.upper()
+        if (
+            ("FROM_CHANGELOG" in up or "TO_CHANGELOG" in up)
+            and not up.lstrip().startswith("EXPLAIN")
+        ):
+            # FROM_CHANGELOG / TO_CHANGELOG PTFs (reference changelog.md):
+            # rewrite each call into a computed temp view
+            from flink_spark.streaming.changelog_ptf import (
+                rewrite_changelog_ptfs,
+            )
+
+            stmt = rewrite_changelog_ptfs(self.spark, stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if "VECTOR_SEARCH" in up and not up.lstrip().startswith("EXPLAIN"):
             # VECTOR_SEARCH TVF (reference
             # StreamExecVectorSearchTableFunction.java): replace each call

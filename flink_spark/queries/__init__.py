@@ -102,8 +102,10 @@ VERIFICATION_ROTATION_R5 = [
     "tpcds_q59_week_over_week",
     "tpcds_q39_inventory_covariance",
     "tpcds_q64_snowflake_two_year",
-    "tpcds_q17_quantity_deviation",
-    "tpcds_q90_am_pm_ratio",
+    # changelog-conversion PTFs (new r5 surface; replaces tpcds q17/q90,
+    # both already independently re-verified by the r4 judge)
+    "changelog_from_changelog",
+    "changelog_to_changelog",
     # streaming state + DDL sinks (delta-join TTL now compacts its store)
     "stream_delta_join_ttl",
     "ddl_upsert_sink",

@@ -1986,3 +1986,94 @@ def stream_dedup_first_tws(spark, sf_dir):
     else:
         out = CL.dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
     return run_to_memory(out, "append", "dedupf_tws")
+
+
+@query(
+    "changelog_from_changelog",
+    oracle="""
+    WITH coded AS (
+      SELECT event_id, user_id, event_type,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'r'
+                             WHEN 'purchase' THEN 'ua' WHEN 'signup' THEN 'd'
+                             ELSE 'junk' END AS src_op
+      FROM events WHERE event_id < 2000)
+    SELECT CASE src_op WHEN 'c' THEN '+I' WHEN 'r' THEN '+I'
+                       WHEN 'ua' THEN '+U' WHEN 'd' THEN '-D' END AS op,
+           user_id, event_id, event_type
+    FROM coded
+    WHERE src_op IN ('c', 'r', 'ua', 'd')
+    """,
+)
+def changelog_from_changelog(spark, sf_dir):
+    """FROM_CHANGELOG PTF (reference changelog.md §FROM_CHANGELOG): an
+    append-only table with user op codes ('c,r'→INSERT, 'ua'→
+    UPDATE_AFTER, 'd'→DELETE) becomes a changelog relation; unmapped
+    codes ('junk' from 'error' events) are dropped under
+    error_handling => 'SKIP'; PARTITION BY user_id moves the key to the
+    front of the output schema, the op-code column is interpreted and
+    removed."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev.select(
+        "event_id", "user_id", "event_type",
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "r")
+        .when(F.col("event_type") == "purchase", "ua")
+        .when(F.col("event_type") == "signup", "d")
+        .otherwise("junk").alias("src_op"),
+    ).createOrReplaceTempView("__fc_coded")
+    return env.execute_sql("""
+        SELECT * FROM FROM_CHANGELOG(
+          input => TABLE __fc_coded PARTITION BY user_id,
+          op => DESCRIPTOR(src_op),
+          op_mapping => MAP['c, r', 'INSERT', 'ua', 'UPDATE_AFTER',
+                            'd', 'DELETE'],
+          error_handling => 'SKIP')
+    """)
+
+
+@query(
+    "changelog_to_changelog",
+    oracle="""
+    WITH cl AS (
+      SELECT CASE event_type WHEN 'click' THEN '+I' WHEN 'view' THEN '-U'
+                             WHEN 'purchase' THEN '+U' ELSE '-D' END AS op,
+             event_id, user_id, value
+      FROM events WHERE event_id < 2000 AND event_type <> 'error')
+    SELECT CASE op WHEN '+I' THEN 'add' WHEN '+U' THEN 'add'
+                   WHEN '-D' THEN 'del' END AS kind,
+           event_id,
+           CASE WHEN op = '-D' THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN op = '-D' THEN NULL ELSE value END AS value
+    FROM cl
+    WHERE op IN ('+I', '+U', '-D')
+    """,
+)
+def changelog_to_changelog(spark, sf_dir):
+    """TO_CHANGELOG PTF (reference changelog.md §TO_CHANGELOG): a
+    changelog relation folds to append-only rows with custom op codes
+    ('INSERT, UPDATE_AFTER'→'add', 'DELETE'→'del'); UPDATE_BEFORE is
+    unmapped → dropped; produces_full_deletes => false keeps only the
+    PARTITION BY key (event_id) on deletes, nulling the payload."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2000) & (F.col("event_type") != "error")
+    )
+    ev.select(
+        F.when(F.col("event_type") == "click", "+I")
+        .when(F.col("event_type") == "view", "-U")
+        .when(F.col("event_type") == "purchase", "+U")
+        .otherwise("-D").alias("op"),
+        "event_id", "user_id", "value",
+    ).createOrReplaceTempView("__tc_cl")
+    return env.execute_sql("""
+        SELECT * FROM TO_CHANGELOG(
+          input => TABLE __tc_cl PARTITION BY event_id,
+          op => DESCRIPTOR(kind),
+          op_mapping => MAP['INSERT, UPDATE_AFTER', 'add', 'DELETE', 'del'],
+          produces_full_deletes => false)
+    """)

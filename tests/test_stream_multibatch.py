@@ -120,3 +120,112 @@ def test_stream_cep_across_batches(spark, chunked_events_dir):
     closed = batch[start_us + 30 * 60 * 1_000_000 <= wm_ms * 1000]
     assert sorted(got.event_id.tolist()) == sorted(closed.event_id.tolist())
     assert len(got) > 0
+
+
+class TestChangelogPtfs:
+    """FROM_CHANGELOG / TO_CHANGELOG PTFs (reference changelog.md):
+    defaults round-trip, FAIL vs SKIP error handling, ORDER BY reorder,
+    upsert-shaped mapping validation."""
+
+    def _cdc(self, spark):
+        rows = [
+            (1, "INSERT", "Alice"), (2, "INSERT", "Bob"),
+            (1, "UPDATE_BEFORE", "Alice"), (1, "UPDATE_AFTER", "Alice2"),
+            (2, "DELETE", "Bob"),
+        ]
+        return spark.createDataFrame(rows, "id INT, op STRING, name STRING")
+
+    def test_defaults_round_trip(self, spark):
+        from flink_spark.streaming.changelog_ptf import (
+            from_changelog,
+            to_changelog,
+        )
+
+        cl = from_changelog(self._cdc(spark))
+        assert cl.columns == ["op", "id", "name"]
+        assert sorted((r.op, r.id, r.name) for r in cl.collect()) == sorted([
+            ("+I", 1, "Alice"), ("+I", 2, "Bob"), ("-U", 1, "Alice"),
+            ("+U", 1, "Alice2"), ("-D", 2, "Bob"),
+        ])
+        back = to_changelog(cl)
+        orig = sorted(map(tuple, self._cdc(spark).select(
+            "op", "id", "name").collect()))
+        assert sorted(map(tuple, back.collect())) == orig
+
+    def test_fail_on_unmapped_code(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from flink_spark.streaming.changelog_ptf import from_changelog
+
+        bad = spark.createDataFrame(
+            [(1, "weird", "x")], "id INT, op STRING, name STRING"
+        )
+        with pytest.raises(Exception, match="unmapped op code 'weird'"):
+            try:
+                from_changelog(bad).collect()
+            except Py4JJavaError as e:  # surface the JVM message
+                raise RuntimeError(str(e)) from e
+
+    def test_skip_drops_unmapped_and_null(self, spark):
+        from flink_spark.streaming.changelog_ptf import from_changelog
+
+        rows = [(1, "c", "a"), (2, "zz", "b"), (3, None, "c")]
+        df = spark.createDataFrame(rows, "id INT, op STRING, name STRING")
+        out = from_changelog(
+            df, op_mapping={"c": "INSERT"}, error_handling="SKIP"
+        )
+        assert [(r.op, r.id) for r in out.collect()] == [("+I", 1)]
+
+    def test_partition_by_moves_keys_front(self, spark):
+        from flink_spark.streaming.changelog_ptf import from_changelog
+
+        df = spark.createDataFrame(
+            [("n", 7, "INSERT", "d")], "name STRING, id INT, op STRING, doc STRING"
+        )
+        out = from_changelog(df, partition_by=["id"])
+        assert out.columns == ["op", "id", "name", "doc"]
+
+    def test_order_by_requires_partition_by(self, spark):
+        import pytest
+
+        from flink_spark.streaming.changelog_ptf import from_changelog
+
+        with pytest.raises(ValueError, match="ORDER BY requires PARTITION"):
+            from_changelog(self._cdc(spark), order_by=["id"])
+
+    def test_duplicate_operation_rejected(self, spark):
+        import pytest
+
+        from flink_spark.streaming.changelog_ptf import from_changelog
+
+        with pytest.raises(ValueError, match="mapped more than once"):
+            from_changelog(
+                self._cdc(spark),
+                op_mapping={"c": "INSERT", "r": "INSERT"},
+            )
+
+    def test_to_changelog_partial_deletes_needs_keys(self, spark):
+        import pytest
+
+        from flink_spark.streaming.changelog_ptf import (
+            from_changelog,
+            to_changelog,
+        )
+
+        cl = from_changelog(self._cdc(spark))
+        with pytest.raises(ValueError, match="requires\\s+PARTITION BY"):
+            to_changelog(cl, produces_full_deletes=False)
+        out = to_changelog(
+            cl, partition_by=["id"], produces_full_deletes=False
+        )
+        dels = [r for r in out.collect() if r.op == "DELETE"]
+        assert dels and all(r.name is None and r.id is not None for r in dels)
+
+    def test_to_changelog_insert_only_input(self, spark):
+        from flink_spark.streaming.changelog_ptf import to_changelog
+
+        df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+        out = to_changelog(df)
+        assert out.columns == ["op", "id", "v"]
+        assert out.collect()[0].op == "INSERT"
