@@ -774,6 +774,86 @@ class TableEnvironment:
         u = unit.lower()
         return f"{n} {u}" + ("" if u.endswith("s") else "s")
 
+    _HINT_BLOCK_RE = re.compile(r"/\*\+(?P<body>[^*]*(?:\*(?!/)[^*]*)*)\*/")
+    #: LOOKUP hint option schema (reference LookupJoinHintOptions /
+    #: hints.md "Lookup Hints"): key → validator kind
+    _LOOKUP_HINT_KEYS = {
+        "table": "string",
+        "async": "boolean",
+        "output-mode": ("ordered", "allow_unordered"),
+        "capacity": "int",
+        "timeout": "duration",
+        "retry-predicate": ("lookup_miss",),
+        "retry-strategy": ("fixed_delay",),
+        "fixed-delay": "duration",
+        "max-attempts": "int",
+    }
+
+    def _rewrite_join_hints(self, stmt: str) -> str:
+        """Inside `/*+ ... */` hint blocks: map NEST_LOOP onto Spark's
+        SHUFFLE_REPLICATE_NL and validate LOOKUP hint options against the
+        reference key schema. Later duplicate keys win (the reference's
+        conflict resolution for KV hints). Blocks are located on the
+        literals-only mask so a hint-shaped string INSIDE a literal is
+        data, not a hint; block contents are read from the original."""
+        from flink_spark.sqltok import mask_literals_only
+
+        masked_only = mask_literals_only(stmt)
+        out: list[str] = []
+        last = 0
+        for bm in self._HINT_BLOCK_RE.finditer(masked_only):
+            out.append(stmt[last : bm.start()])
+            body = stmt[bm.start("body") : bm.end("body")]
+            out.append(self._fix_hint_block(body))
+            last = bm.end()
+        out.append(stmt[last:])
+        return "".join(out)
+
+    def _fix_hint_block(self, body: str) -> str:
+        body = re.sub(r"\bNEST_LOOP\b", "SHUFFLE_REPLICATE_NL", body,
+                      flags=re.IGNORECASE)
+        lm = re.search(r"\bLOOKUP\s*\(", body, re.IGNORECASE)
+        if lm:
+            opts = {
+                o.group("k"): o.group("v")
+                for o in _OPT_RE.finditer(body[lm.end():])
+            }
+            unknown = sorted(
+                k for k in opts if k not in self._LOOKUP_HINT_KEYS
+            )
+            if unknown:
+                raise ValueError(
+                    f"LOOKUP hint: unsupported option(s) {unknown}; "
+                    f"supported: {sorted(self._LOOKUP_HINT_KEYS)}"
+                )
+            if "table" not in opts:
+                raise ValueError(
+                    "LOOKUP hint: required option 'table' is missing"
+                )
+            for k, v in opts.items():
+                kind = self._LOOKUP_HINT_KEYS[k]
+                ok = True
+                if kind == "int":
+                    ok = v.isdigit()
+                elif kind == "boolean":
+                    ok = v.lower() in ("true", "false")
+                elif kind == "duration":
+                    ok = bool(re.match(r"^\d+\s*(ms|s|sec|min|h|d)?$",
+                                       v, re.IGNORECASE))
+                elif isinstance(kind, tuple):
+                    ok = v.lower() in kind
+                if not ok:
+                    raise ValueError(
+                        f"LOOKUP hint: could not parse value {v!r} "
+                        f"for key {k!r}"
+                    )
+            # validated; the strategies are implemented in
+            # operators/joins.py (sync/async/cached/retry lookup) —
+            # strip the block so Spark's parser doesn't warn on an
+            # unknown hint name
+            return ""
+        return "/*+" + body + "*/"
+
     def _rewrite_legacy_group_windows(self, stmt: str) -> str:
         """GROUP BY TUMBLE/HOP/SESSION(...) → Spark-native
         window()/session_window() grouping; TUMBLE_START/_END/_ROWTIME
@@ -1089,6 +1169,16 @@ class TableEnvironment:
         # no longer route (or mangle) the statement
         masked = mask_literals(stmt)
         up = masked.upper()
+        if "/*+" in stmt:
+            # Join hints (reference hints.md "Join Hints"): BROADCAST /
+            # SHUFFLE_HASH / SHUFFLE_MERGE are Spark-native spellings and
+            # pass straight through to Catalyst; NEST_LOOP maps onto
+            # Spark's SHUFFLE_REPLICATE_NL. LOOKUP hints get their option
+            # schema validated (reference LookupJoinHintOptions) — the
+            # strategies themselves live in operators/joins.py.
+            stmt = self._rewrite_join_hints(stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if (
             ("FROM_CHANGELOG" in up or "TO_CHANGELOG" in up)
             and not up.lstrip().startswith("EXPLAIN")

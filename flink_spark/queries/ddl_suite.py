@@ -652,3 +652,55 @@ def explain_changelog_mode_gate(spark, sf_dir):
     return spark.createDataFrame(
         rows, "pipeline string, ord int, node string, changelog_mode string"
     )
+
+
+@query(
+    "join_hints_gate",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('BROADCAST', 'BroadcastHashJoin'),
+      ('SHUFFLE_HASH', 'ShuffledHashJoin'),
+      ('SHUFFLE_MERGE', 'SortMergeJoin'),
+      ('NEST_LOOP', 'BroadcastNestedLoopJoin_or_Cartesian')
+    ) t(hint, join_node)
+    """,
+)
+def join_hints_gate(spark, sf_dir):
+    """Join hints (reference hints.md 'Join Hints', the Flink planner's
+    JoinStrategy): BROADCAST / SHUFFLE_HASH / SHUFFLE_MERGE route to the
+    identically-named Spark strategies; NEST_LOOP maps onto Spark's
+    replicated nested-loop. Proven by plan inspection with broadcast
+    auto-conversion disabled, so only the hint can pick the strategy."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("jh_n")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("jh_r")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    rows = []
+    try:
+        for hint in ("BROADCAST(jh_r)", "SHUFFLE_HASH(jh_r)",
+                     "SHUFFLE_MERGE(jh_n)"):
+            df = env.execute_sql(
+                f"SELECT /*+ {hint} */ jh_n.n_name, jh_r.r_name "
+                "FROM jh_n JOIN jh_r ON jh_n.n_regionkey = jh_r.r_regionkey"
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            node = next(
+                w for w in ("BroadcastHashJoin", "ShuffledHashJoin",
+                            "SortMergeJoin")
+                if w in plan
+            )
+            rows.append((hint.split("(")[0], node))
+        df = env.execute_sql(
+            "SELECT /*+ NEST_LOOP(jh_r) */ jh_n.n_name, jh_r.r_name "
+            "FROM jh_n JOIN jh_r ON jh_n.n_regionkey = jh_r.r_regionkey"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ("BroadcastNestedLoopJoin" in plan
+                or "CartesianProduct" in plan), plan
+        rows.append(("NEST_LOOP", "BroadcastNestedLoopJoin_or_Cartesian"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(rows, "hint string, join_node string")

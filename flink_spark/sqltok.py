@@ -97,6 +97,44 @@ def mask_literals(sql: str) -> str:
     return "".join(out)
 
 
+def mask_literals_only(sql: str) -> str:
+    """Like ``mask_literals`` but leaves comments intact — for code that
+    must READ comment contents (hint blocks ``/*+ ... */``) while still
+    being blind to hint-shaped text inside string literals."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    out[j] = " "
+                    out[j + 1] = " "
+                    j += 2
+                    continue
+                if sql[j] == q:
+                    if j + 1 < n and sql[j + 1] == q:
+                        out[j] = " "
+                        out[j + 1] = " "
+                        j += 2
+                        continue
+                    break
+                out[j] = " "
+                j += 1
+            i = j + 1
+        elif c == "`":
+            j = i + 1
+            while j < n and sql[j] != "`":
+                out[j] = " "
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 class _SpanGroups:
     """Match proxy: group() returns the ORIGINAL text at the mask-match's
     span, so quoted payloads inside a structural match survive masking."""

@@ -998,3 +998,42 @@ def test_legacy_rewrite_leaves_tvf_spelling_alone(spark, sf_dir):
     assert not env._LEGACY_GW_RE.search(mask_literals(
         "SELECT 'GROUP BY TUMBLE(ts, INTERVAL ''1'' HOUR)' AS s FROM t"
     ))
+
+
+def test_lookup_hint_option_validation(spark):
+    """LOOKUP hint option schema (reference LookupJoinHintOptions):
+    unknown keys, missing 'table', and unparseable values are rejected;
+    a valid hint is consumed (and the strategies live in
+    operators/joins.py lookup functions)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, "a")], "id INT, v STRING") \
+        .createOrReplaceTempView("lh_t")
+    # valid hint → consumed, query runs
+    out = env.execute_sql(
+        "SELECT /*+ LOOKUP('table'='lh_t', 'async'='true', "
+        "'output-mode'='allow_unordered', 'capacity'='100', "
+        "'timeout'='300s', 'retry-predicate'='lookup_miss', "
+        "'retry-strategy'='fixed_delay', 'fixed-delay'='10s', "
+        "'max-attempts'='3') */ * FROM lh_t"
+    )
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="required option 'table'"):
+        env.execute_sql(
+            "SELECT /*+ LOOKUP('async'='true') */ * FROM lh_t"
+        )
+    with pytest.raises(ValueError, match="unsupported option"):
+        env.execute_sql(
+            "SELECT /*+ LOOKUP('table'='lh_t', 'retries'='3') */ * FROM lh_t"
+        )
+    with pytest.raises(ValueError, match="could not parse value"):
+        env.execute_sql(
+            "SELECT /*+ LOOKUP('table'='lh_t', 'async'='maybe') */ "
+            "* FROM lh_t"
+        )
+    # hint text inside a string literal is data, not a hint
+    lit = env.execute_sql("SELECT '/*+ LOOKUP(broken' AS s FROM lh_t")
+    assert lit.count() == 1
