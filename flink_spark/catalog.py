@@ -1203,6 +1203,69 @@ class TableEnvironment:
             stmt = rewrite_vector_search(self.spark, stmt)
             masked = mask_literals(stmt)
             up = masked.upper()
+        em = re.match(
+            r"^\s*EXPLAIN\s+\(?\s*(?P<details>(?:ESTIMATED_COST|"
+            r"CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN)"
+            r"(?:\s*,\s*(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|"
+            r"JSON_EXECUTION_PLAN))+)\s*\)?\s+(?P<q>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if em:
+            # EXPLAIN with MULTIPLE details (reference SqlRichExplain
+            # grammar `EXPLAIN [ExplainDetail[, ExplainDetail]*] <stmt>`):
+            # one combined text result with a section per detail, like the
+            # reference's single explain string
+            details = [
+                d.strip().upper() for d in em.group("details").split(",")
+            ]
+            df = self.spark.sql(em.group("q"))
+            sections = []
+            if "ESTIMATED_COST" in details:
+                sections.append(
+                    "== Optimized Physical Plan With Estimated Cost ==\n"
+                    + df._jdf.queryExecution().stringWithStats()
+                )
+            else:
+                sections.append(
+                    "== Physical Plan ==\n"
+                    + df._jdf.queryExecution().executedPlan().toString()
+                )
+            if "CHANGELOG_MODE" in details:
+                from flink_spark.changelog_mode import (
+                    explain as _cm_explain,
+                    ir_from_analyzed,
+                )
+
+                pk_tables = {
+                    n: list(s.primary_key)
+                    for n, s in self.tables.items()
+                    if s.primary_key
+                }
+                sections.append(
+                    "== Changelog Mode ==\n" + _cm_explain(ir_from_analyzed(
+                        df._jdf.queryExecution().analyzed().toString(),
+                        pk_tables,
+                    ))
+                )
+            if "PLAN_ADVICE" in details:
+                from flink_spark.plan_advice import plan_advice
+
+                adv = plan_advice(df)
+                body = "\n".join(
+                    f"advice[{i + 1}]: [{a.severity.upper()}] {a.rule}: "
+                    f"{a.hint}" for i, a in enumerate(adv)
+                ) or "No available advice."
+                sections.append("== Optimization Advice ==\n" + body)
+            if "JSON_EXECUTION_PLAN" in details:
+                from flink_spark.plan_advice import json_execution_plan
+
+                sections.append(
+                    "== Physical Execution Plan ==\n"
+                    + json_execution_plan(df)
+                )
+            return self.spark.createDataFrame(
+                [("\n\n".join(sections),)], "result string"
+            )
         if "ESTIMATED_COST" in up:
             # EXPLAIN ESTIMATED_COST (reference ExplainDetail
             # ESTIMATED_COST): Catalyst's per-node statistics — real

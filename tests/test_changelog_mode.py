@@ -149,3 +149,27 @@ def test_json_execution_plan_sql_surface(spark, sf_dir):
     for n in nodes:
         for p in n.get("predecessors", []):
             assert p["id"] < n["id"], "predecessor must be defined first"
+
+
+def test_explain_multiple_details(spark, sf_dir):
+    """EXPLAIN with several details in one statement (reference
+    SqlRichExplain `EXPLAIN [ExplainDetail[, ExplainDetail]*] <stmt>`):
+    a combined text with one section per detail."""
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("med_orders")
+    txt = env.execute_sql(
+        "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE, PLAN_ADVICE, "
+        "JSON_EXECUTION_PLAN SELECT o_orderstatus, count(*) AS n "
+        "FROM med_orders GROUP BY o_orderstatus"
+    ).collect()[0][0]
+    assert "== Optimized Physical Plan With Estimated Cost ==" in txt
+    assert "sizeInBytes" in txt  # real optimizer statistics
+    assert "== Changelog Mode ==" in txt
+    assert "GroupAggregate(changelogMode=[I,UB,UA])" in txt
+    assert "== Optimization Advice ==" in txt
+    assert "No available advice." in txt  # clean plan yields zero advice
+    assert "== Physical Execution Plan ==" in txt
+    assert '"ship_strategy": "HASH"' in txt
