@@ -39,3 +39,34 @@ class DigitSumFn(ScalarFunction):
 def upper_trim(s):
     """Plain-callable example (non-ScalarFunction path of the DDL)."""
     return None if s is None else s.strip().upper()
+
+
+# -- Flink character-classification scalars (reference IS_ALPHA /
+# -- IS_DECIMAL / IS_DIGIT in BuiltInFunctionDefinitions; implemented as
+# -- JVM regexp expressions — codegen'd, no Python in the hot path) -------
+
+def is_alpha(col):
+    """IS_ALPHA(s): true iff every character is a letter (reference
+    BuiltInFunctionDefinitions.IS_ALPHA). NULL-propagating; empty string
+    is false, matching the reference."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike("^[A-Za-z]+$")
+
+
+def is_digit(col):
+    """IS_DIGIT(s): true iff every character is a decimal digit."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike("^[0-9]+$")
+
+
+def is_decimal(col):
+    """IS_DECIMAL(s): true iff the string parses as a SQL decimal
+    (optional sign, digits, optional fraction, optional exponent)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")

@@ -246,3 +246,38 @@ def agg_split_distinct(spark, sf_dir):
         out_col="n_distinct",
         extra_aggs=[F.sum("__cnt").cast("long").alias("n_rows")],
     )
+
+
+@query(
+    "agg_variance_family",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_pop(o_totalprice), 6) AS sd_pop,
+           round(stddev_samp(o_totalprice), 6) AS sd_samp,
+           round(var_pop(o_totalprice), 4) AS v_pop,
+           round(var_samp(o_totalprice), 4) AS v_samp,
+           list_sort(list(o_orderkey) FILTER (o_orderkey <= 320))
+             AS agg_keys
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_variance_family(spark, sf_dir):
+    """Statistical aggregate family by NAME (reference
+    BuiltInFunctionDefinitions STDDEV_POP/STDDEV_SAMP/VAR_POP/VAR_SAMP +
+    ARRAY_AGG; sql_functions.yml audit): two-pass-free native Spark
+    aggregates, rounded to absorb the one-ulp summation-order wobble of
+    a parallel variance; ARRAY_AGG compared order-insensitively via
+    array_sort."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_pop("o_totalprice"), 6).alias("sd_pop"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_samp"),
+        F.round(F.var_pop("o_totalprice"), 4).alias("v_pop"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("v_samp"),
+        F.array_sort(
+            F.array_agg(
+                F.when(F.col("o_orderkey") <= 320, F.col("o_orderkey"))
+            )
+        ).alias("agg_keys"),
+    )

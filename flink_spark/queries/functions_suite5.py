@@ -129,3 +129,85 @@ def fn_json_table(spark, sf_dir):
         )) AS jt
         GROUP BY jt.n
     """)
+
+
+@query(
+    "fn_name_parity_suite",
+    oracle=r"""
+    SELECT p_partkey,
+           length(p_name) AS clen,
+           ltrim('  ' || p_type || '  ') AS lt,
+           rtrim('  ' || p_type || '  ') AS rt,
+           string_split(p_name, ' ')[2] AS tok1,
+           from_base64('Zmxpbms=')::VARCHAR AS b64,
+           unhex('466C696E6B')::VARCHAR AS uh,
+           sha256(p_name) AS sh2,
+           ifnull(nullif(p_size, 1), -1) AS ifn,
+           CAST(p_partkey AS VARCHAR) || '-' ||
+             strftime(make_date(1998, 1, 1) + INTERVAL (p_partkey % 28) DAY,
+                      '%Y-%m-%d') AS to_d,
+           date_diff('hour', TIMESTAMP '1998-01-01 00:00:00',
+                     TIMESTAMP '1998-01-01 00:00:00'
+                       + INTERVAL (p_size) HOUR) AS tdiff,
+           p_name ~ '^[A-Za-z]+$' AS isalpha,
+           CAST(p_size AS VARCHAR) ~ '^[0-9]+$' AS isdigit,
+           (CAST(p_retailprice AS VARCHAR) ~
+             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$') AS isdec,
+           list_sort(map_values(MAP {'a': p_size, 'b': p_size + 1}))
+             AS mvals,
+           list_reverse(string_split(p_name, ' ')) AS arev,
+           string_split(p_name, ' ')[1:2] AS aslice,
+           string_split(p_name, ' ') || ['pad'] AS aconcat,
+           to_json('x' || CAST(p_size AS VARCHAR)) AS jquote
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def fn_name_parity_suite(spark, sf_dir):
+    """Function-NAME parity sweep for reference built-ins whose exact
+    spellings weren't exercised elsewhere (sql_functions.yml audit):
+    CHAR_LENGTH, LTRIM/RTRIM, SPLIT_INDEX, FROM_BASE64, UNHEX, SHA2,
+    IFNULL, TO_DATE (rendered), TIMESTAMPDIFF, IS_ALPHA/IS_DIGIT/
+    IS_DECIMAL (functions/library.py JVM regexps), MAP_FROM_ARRAYS +
+    MAP_VALUES, ARRAY_REVERSE, ARRAY_SLICE, ARRAY_CONCAT, JSON_QUOTE."""
+    from flink_spark.functions.library import is_alpha, is_decimal, is_digit
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.char_length("p_name").alias("clen"),
+        F.ltrim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("lt"),
+        F.rtrim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("rt"),
+        F.element_at(toks, 2).alias("tok1"),  # SPLIT_INDEX(s, ' ', 1)
+        F.unbase64(F.lit("Zmxpbms=")).cast("string").alias("b64"),
+        F.unhex(F.lit("466C696E6B")).cast("string").alias("uh"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("sh2"),
+        F.ifnull(F.nullif("p_size", F.lit(1)), F.lit(-1)).alias("ifn"),
+        F.concat_ws(
+            "-", F.col("p_partkey").cast("string"),
+            F.to_date(
+                F.date_add(F.lit("1998-01-01"), (F.col("p_partkey") % 28).cast("int"))
+            ).cast("string"),
+        ).alias("to_d"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1998-01-01 00:00:00', "
+            "TIMESTAMP '1998-01-01 00:00:00' + make_interval(0,0,0,0,p_size))"
+        ).cast("long").alias("tdiff"),
+        is_alpha("p_name").alias("isalpha"),
+        is_digit(F.col("p_size").cast("string")).alias("isdigit"),
+        is_decimal(F.col("p_retailprice").cast("string")).alias("isdec"),
+        F.array_sort(
+            F.map_values(
+                F.map_from_arrays(
+                    F.array(F.lit("a"), F.lit("b")),
+                    F.array(F.col("p_size"), F.col("p_size") + 1),
+                )
+            )
+        ).alias("mvals"),
+        F.reverse(toks).alias("arev"),
+        F.slice(toks, 1, 2).alias("aslice"),
+        F.concat(toks, F.array(F.lit("pad"))).alias("aconcat"),
+        # JSON_QUOTE: quote a bare string as a JSON scalar
+        F.concat(F.lit('"'), F.lit("x"), F.col("p_size").cast("string"),
+                 F.lit('"')).alias("jquote"),
+    )
