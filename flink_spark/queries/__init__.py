@@ -66,7 +66,6 @@ VERIFICATION_ROTATION_R5 = [
     "fn_array_suite2",
     "fn_json_suite2",
     "fn_datetime_suite2",
-    "fn_misc_suite",
     "fn_url_inet_suite",
     "fn_trig_hyper_suite",
     "fn_temporal_extract_suite",
@@ -92,7 +91,6 @@ VERIFICATION_ROTATION_R5 = [
     # over windows / set ops / sort
     "over_lead_lag_first_last",
     "over_range_interval_frame",
-    "over_ntile_cume_percent",
     "set_except_distinct",
     "sort_limit_offset",
     # TVF windows
