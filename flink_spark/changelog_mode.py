@@ -544,3 +544,128 @@ def modes_table(root: Node) -> list[tuple[str, str]]:
     rows = []
     _walk(root, 0, rows)
     return [(label, mode) for _, label, mode in rows]
+
+
+# -- Non-deterministic update (NDU) analysis --------------------------------
+
+ALL_COLUMNS = frozenset({"*"})
+
+_NDU_COLUMN_MSG = (
+    "can not satisfy the determinism requirement for correctly processing "
+    "update message('UB'/'UA'/'D' in changelogMode, not 'I' only), this "
+    "usually happens when input node has no upsertKey(upsertKeys=[{}]) or "
+    "current node outputs non-deterministic update messages. Please "
+    "consider removing these non-deterministic columns or making them "
+    "deterministic by using deterministic functions."
+)
+_NDU_CONDITION_MSG = (
+    "There exists non deterministic function: '{fn}' in condition: "
+    "'{cond}' which may cause wrong result in update pipeline."
+)
+
+
+class NonDeterministicUpdateError(ChangelogModeError):
+    """The analog of the reference's TableException under
+    table.optimizer.non-deterministic-update.strategy=TRY_RESOLVE when a
+    plan cannot be rewritten to satisfy determinism."""
+
+
+def check_ndu(root: Node) -> None:
+    """Non-deterministic update analysis (reference
+    StreamNonDeterministicUpdatePlanVisitor): walk the inferred IR
+    top-down carrying the set of columns whose values must be
+    DETERMINISTIC for update/retract correctness. A calc node may carry
+    ``nd_cols`` ({column → generating function}) and ``nd_condition``
+    (function name in a filter predicate).
+
+    Rules (visitSink/visitCalc/visitGroupAggregate et al.):
+    - append sink or insert-only input: no requirement;
+    - upsert sink whose PK is served by the input's upsert key: require
+      determinism of the PK columns only;
+    - retract sink / upsert-materialize: require ALL columns;
+    - group agg over updating input retracts by complete row → ALL input
+      columns must be deterministic;
+    - a required column generated by a non-deterministic call, or any
+      non-deterministic filter condition in an updating pipeline,
+      raises the reference-shaped error."""
+    if root.modify_kinds is None:
+        infer(root)
+
+    def visit(node: Node, require: frozenset) -> None:
+        k = node.kind
+        updating_input = any(
+            c.modify_kinds != INSERT_ONLY for c in node.children
+        )
+        if k == "sink":
+            child = node.children[0]
+            if child.modify_kinds == INSERT_ONLY:
+                visit(child, frozenset())
+                return
+            pk = frozenset(node.attrs.get("pk", ()))
+            uk = child.upsert_keys
+            if pk and uk is not None and len(uk) > 0 and uk <= pk:
+                visit(child, pk)
+            else:
+                visit(child, ALL_COLUMNS)
+            return
+        if k in ("calc", "filter", "project"):
+            nd_cols: dict = node.attrs.get("nd_cols", {})
+            nd_cond = node.attrs.get("nd_condition")
+            in_update_pipeline = (
+                node.modify_kinds is not None
+                and node.modify_kinds != INSERT_ONLY
+            )
+            if nd_cond and in_update_pipeline:
+                raise NonDeterministicUpdateError(
+                    _NDU_CONDITION_MSG.format(
+                        fn=nd_cond,
+                        cond=node.attrs.get("condition", "<filter>"),
+                    )
+                )
+            if nd_cols and require:
+                hit = (
+                    sorted(nd_cols) if require == ALL_COLUMNS
+                    else sorted(set(nd_cols) & require)
+                )
+                if hit:
+                    cols_part = "".join(
+                        f"{c}(generated by non-deterministic function: "
+                        f"{nd_cols[c]} ) " for c in hit
+                    )
+                    raise NonDeterministicUpdateError(
+                        "The column(s): " + cols_part + _NDU_COLUMN_MSG
+                    )
+            visit(node.children[0], require)
+            return
+        if k == "group_agg":
+            child = node.children[0]
+            if child.modify_kinds == INSERT_ONLY:
+                visit(child, frozenset())
+            else:
+                # retract-mode agg: retracts by complete row
+                visit(child, ALL_COLUMNS)
+            return
+        if k in ("rank", "topn", "sort_limit", "dedup", "normalize",
+                 "over_agg", "sort"):
+            child = node.children[0]
+            visit(
+                child,
+                ALL_COLUMNS if child.modify_kinds != INSERT_ONLY
+                else frozenset(),
+            )
+            return
+        if k in ("join", "temporal_join", "union") or k in _INSERT_ONLY_OPS:
+            for c in node.children:
+                visit(
+                    c,
+                    ALL_COLUMNS if c.modify_kinds != INSERT_ONLY
+                    else frozenset(),
+                )
+            return
+        if k == "source":
+            return
+        # transparent wrappers
+        for c in node.children:
+            visit(c, require)
+
+    visit(root, frozenset())

@@ -173,3 +173,91 @@ def test_explain_multiple_details(spark, sf_dir):
     assert "No available advice." in txt  # clean plan yields zero advice
     assert "== Physical Execution Plan ==" in txt
     assert '"ship_strategy": "HASH"' in txt
+
+
+class TestNduAnalysis:
+    """Non-deterministic update analysis (reference
+    StreamNonDeterministicUpdatePlanVisitor): NDU columns and conditions
+    are rejected exactly when update/retract correctness needs them."""
+
+    def _pipeline(self, nd_cols=None, nd_condition=None, sink_mode="retract",
+                  sink_pk=(), agg_keys=("k",)):
+        from flink_spark.changelog_mode import Node
+
+        calc_attrs = {}
+        if nd_cols:
+            calc_attrs["nd_cols"] = nd_cols
+        if nd_condition:
+            calc_attrs["nd_condition"] = nd_condition
+            calc_attrs["condition"] = "day = DATE_FORMAT(NOW(), 'yyMMdd')"
+        return Node("sink", "Sink", [
+            Node("calc", "Calc", [
+                Node("group_agg", "GroupAggregate", [
+                    Node("source", "TableSourceScan",
+                         attrs={"mode": "insert"}),
+                ], attrs={"keys": list(agg_keys)}),
+            ], attrs=calc_attrs),
+        ], attrs={"mode": sink_mode, "pk": list(sink_pk)})
+
+    def test_nd_column_in_retract_pipeline_rejected(self):
+        import pytest
+
+        from flink_spark.changelog_mode import (
+            NonDeterministicUpdateError,
+            check_ndu,
+        )
+
+        p = self._pipeline(nd_cols={"day": "NOW()"})
+        with pytest.raises(NonDeterministicUpdateError,
+                           match=r"The column\(s\): day\(generated by "
+                                 r"non-deterministic function: NOW\(\) \) "
+                                 r"can not satisfy the determinism"):
+            check_ndu(p)
+
+    def test_nd_column_tolerated_when_upsert_key_serves_pk(self):
+        from flink_spark.changelog_mode import check_ndu
+
+        # upsert sink updated BY KEY: only the pk columns must be
+        # deterministic — an nd payload column is acceptable
+        p = self._pipeline(nd_cols={"day": "NOW()"}, sink_mode="upsert",
+                           sink_pk=("k",))
+        check_ndu(p)  # must not raise
+
+    def test_nd_column_on_pk_still_rejected(self):
+        import pytest
+
+        from flink_spark.changelog_mode import (
+            NonDeterministicUpdateError,
+            check_ndu,
+        )
+
+        p = self._pipeline(nd_cols={"k": "UUID()"}, sink_mode="upsert",
+                           sink_pk=("k",))
+        with pytest.raises(NonDeterministicUpdateError):
+            check_ndu(p)
+
+    def test_nd_condition_in_update_pipeline_rejected(self):
+        import pytest
+
+        from flink_spark.changelog_mode import (
+            NonDeterministicUpdateError,
+            check_ndu,
+        )
+
+        p = self._pipeline(nd_condition="NOW")
+        with pytest.raises(NonDeterministicUpdateError,
+                           match="There exists non deterministic function: "
+                                 "'NOW' in condition"):
+            check_ndu(p)
+
+    def test_insert_only_pipeline_ignores_nd(self):
+        from flink_spark.changelog_mode import Node, check_ndu
+
+        # append pipeline: NDU analysis does not care (visitSink fast path)
+        p = Node("sink", "Sink", [
+            Node("calc", "Calc", [
+                Node("source", "TableSourceScan", attrs={"mode": "insert"}),
+            ], attrs={"nd_cols": {"r": "RAND()"},
+                      "nd_condition": "RAND", "condition": "rand() > 0.5"}),
+        ], attrs={"mode": "append"})
+        check_ndu(p)  # must not raise
