@@ -56,6 +56,13 @@ NONE = "NONE"
 ONLY_UPDATE_AFTER = "ONLY_UPDATE_AFTER"
 BEFORE_AND_AFTER = "BEFORE_AND_AFTER"
 
+# DeleteKind values (third trait pass, SatisfyDeleteKindTraitVisitor):
+# DELETE_BY_KEY = deletes carry only valid key fields (upsert-kafka
+# tombstones) — rendered "PD" (partial delete); FULL_DELETE = whole row.
+DK_NONE = "NONE"
+DELETE_BY_KEY = "DELETE_BY_KEY"
+FULL_DELETE = "FULL_DELETE"
+
 
 class ChangelogModeError(ValueError):
     """Raised when a plan cannot satisfy the required changelog traits —
@@ -76,6 +83,7 @@ class Node:
     # filled by inference:
     modify_kinds: frozenset = None  # type: ignore[assignment]
     update_kind: str = None  # type: ignore[assignment]
+    delete_kind: str = None  # type: ignore[assignment]
     upsert_keys: frozenset | None = None
 
     def label(self) -> str:
@@ -345,6 +353,109 @@ def _infer_update_kinds(node: Node, required: str) -> bool:
     raise ChangelogModeError(f"unknown streaming node kind {k!r}")
 
 
+def _full_delete_or_none(mks: frozenset) -> str:
+    return FULL_DELETE if D in mks else DK_NONE
+
+
+def _delete_on_key_or_none(mks: frozenset) -> str:
+    return DELETE_BY_KEY if D in mks else DK_NONE
+
+
+def _infer_delete_kinds(node: Node, required: str) -> bool:
+    """Pass 3 (SatisfyDeleteKindTraitVisitor): annotate
+    ``node.delete_kind`` top-down with backtracking. Key-only-delete
+    sources (upsert mode — the upsert-kafka tombstone analog) provide
+    DELETE_BY_KEY; ChangelogNormalize accepts either but produces full
+    deletes; stateful operators require full deletes of updating inputs;
+    a key-delete upsert sink prefers DELETE_BY_KEY (inferSinkRequiredTraits
+    delete variant)."""
+
+    def satisfied(provided: str) -> bool:
+        return provided == required or provided == DK_NONE
+
+    k = node.kind
+    if k == "source":
+        mode = node.attrs.get("mode", "insert")
+        if D not in node.modify_kinds:
+            provided = DK_NONE
+        elif mode == "upsert":
+            provided = DELETE_BY_KEY
+        else:
+            provided = FULL_DELETE
+        if not satisfied(provided):
+            return False
+        node.delete_kind = provided
+        return True
+    if k == "sink":
+        child = node.children[0]
+        cmks = child.modify_kinds
+        sink_mode = node.attrs.get("mode", "append")
+        if sink_mode == "append":
+            tries = [DK_NONE]
+        elif sink_mode == "upsert":
+            pk = frozenset(node.attrs.get("pk", ()))
+            uk = child.upsert_keys
+            pk_served = uk is not None and len(uk) > 0 and uk <= pk
+            if pk_served:
+                # key-delete-capable sink: prefer key-only deletes
+                tries = [_delete_on_key_or_none(cmks),
+                         _full_delete_or_none(cmks)]
+            else:
+                tries = [_full_delete_or_none(cmks)]
+        else:
+            tries = [_full_delete_or_none(cmks)]
+        for t in tries:
+            if _infer_delete_kinds(child, t):
+                node.delete_kind = DK_NONE
+                return True
+        raise ChangelogModeError(
+            f"sink {node.label()} cannot satisfy any delete-kind in {tries}"
+        )
+    if k == "normalize":
+        child = node.children[0]
+        cmks = child.modify_kinds
+        # prefer delete by key, accept both; normalize EMITS full deletes
+        if not _infer_delete_kinds(child, _delete_on_key_or_none(cmks)):
+            if not _infer_delete_kinds(child, _full_delete_or_none(cmks)):
+                return False
+        provided = _full_delete_or_none(node.modify_kinds)
+        if not satisfied(provided):
+            return False
+        node.delete_kind = provided
+        return True
+    if k == "union":
+        kinds = []
+        for c in node.children:
+            creq = DK_NONE if D not in c.modify_kinds else required
+            if not _infer_delete_kinds(c, creq):
+                return False
+            kinds.append(c.delete_kind)
+        merged = DK_NONE
+        for dk in kinds:
+            if dk == DK_NONE:
+                continue
+            merged = dk if merged == DK_NONE else (
+                dk if dk == merged else DELETE_BY_KEY
+            )
+        node.delete_kind = merged
+        return satisfied(merged)
+    if k in _TRANSPARENT or k == "drop_update_before":
+        if not _infer_delete_kinds(node.children[0], required):
+            return False
+        node.delete_kind = node.children[0].delete_kind
+        return True
+    # every other operator: full deletes of updating inputs, provides
+    # full deletes when it can delete at all
+    for c in node.children:
+        if not _infer_delete_kinds(c, _full_delete_or_none(c.modify_kinds)):
+            return False
+    provided = _full_delete_or_none(node.modify_kinds)
+    if not satisfied(provided):
+        return False
+    node.delete_kind = provided
+    return True
+
+
 def infer(root: Node) -> Node:
     """Run both passes. ``root`` should be a sink node (or any node — a
     non-sink root is treated like the reference's toRetractStream
@@ -352,11 +463,14 @@ def infer(root: Node) -> Node:
     if root.kind == "sink":
         _infer_modify_kinds(root, frozenset(), "root")
         _infer_update_kinds(root, NONE)
+        _infer_delete_kinds(root, DK_NONE)
     else:
         _infer_modify_kinds(root, ALL_CHANGES, "root")
         req = _before_after_or_none(root.modify_kinds)
         if not _infer_update_kinds(root, req):
             raise ChangelogModeError("plan cannot satisfy retract consumer")
+        if not _infer_delete_kinds(root, _full_delete_or_none(root.modify_kinds)):
+            raise ChangelogModeError("plan cannot satisfy full-delete consumer")
     return root
 
 
@@ -375,7 +489,8 @@ def mode_string(node: Node) -> str:
     if U in mks and uk in (BEFORE_AND_AFTER, ONLY_UPDATE_AFTER):
         kinds.append("UA")
     if D in mks:
-        kinds.append("D")
+        # keyOnlyDeletes → "PD" (ChangelogPlanUtils.stringifyChangelogMode)
+        kinds.append("PD" if node.delete_kind == DELETE_BY_KEY else "D")
     return ",".join(kinds)
 
 

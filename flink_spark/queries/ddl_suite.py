@@ -559,7 +559,7 @@ def ddl_distributed_join(spark, sf_dir):
       ('normalize_agg', 1, 'GroupAggregate', 'I,UB,UA,D'),
       ('normalize_agg', 2, 'Calc', 'I,UB,UA,D'),
       ('normalize_agg', 3, 'ChangelogNormalize', 'I,UB,UA,D'),
-      ('normalize_agg', 4, 'TableSourceScan', 'I,UA,D'),
+      ('normalize_agg', 4, 'TableSourceScan', 'I,UA,PD'),
       ('agg_topn', 0, 'Sink', 'NONE'),
       ('agg_topn', 1, 'Rank', 'I,UB,UA,D'),
       ('agg_topn', 2, 'GroupAggregate', 'I,UB,UA'),
@@ -569,7 +569,7 @@ def ddl_distributed_join(spark, sf_dir):
       ('dedup_first_append', 2, 'TableSourceScan', 'I'),
       ('sql_pk_source_agg', 0, 'GroupAggregate', 'I,UB,UA,D'),
       ('sql_pk_source_agg', 1, 'ChangelogNormalize', 'I,UB,UA,D'),
-      ('sql_pk_source_agg', 2, 'TableSourceScan(cmq_accounts)', 'I,UA,D')
+      ('sql_pk_source_agg', 2, 'TableSourceScan(cmq_accounts)', 'I,UA,PD')
     ) t(pipeline, ord, node, changelog_mode)
     """,
 )
@@ -579,8 +579,9 @@ def explain_changelog_mode_gate(spark, sf_dir):
     ModifyKindSet/UpdateKind trait inference): five canonical pipelines
     through the IR inference — upsert sink with satisfied PK prefers
     ONLY_UPDATE_AFTER ([I,UA]); a retract consumer forces UPDATE_BEFORE
-    ([I,UB,UA]); an upsert source gains ChangelogNormalize and deletes
-    propagate through the agg ([I,UB,UA,D]); TopN over an updating agg
+    ([I,UB,UA]); an upsert source gains ChangelogNormalize — its
+    tombstones are key-only deletes ([I,UA,PD], the DeleteKindTrait pass)
+    — and deletes propagate through the agg as full deletes ([I,UB,UA,D]); TopN over an updating agg
     emits the full change set; keep-first dedup over insert-only input
     stays append-only ([I]). Plus the SQL spelling over a PK'd engine
     table (upsert source → normalize injection)."""

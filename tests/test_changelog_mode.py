@@ -261,3 +261,43 @@ class TestNduAnalysis:
                       "nd_condition": "RAND", "condition": "rand() > 0.5"}),
         ], attrs={"mode": "append"})
         check_ndu(p)  # must not raise
+
+
+class TestDeleteKindTrait:
+    """Third trait pass (SatisfyDeleteKindTraitVisitor): key-only
+    deletes render PD; normalize re-expands them to full deletes."""
+
+    def test_upsert_source_renders_partial_delete(self):
+        from flink_spark.changelog_mode import Node, modes_table
+
+        rows = modes_table(Node("sink", "Sink", [
+            Node("normalize", "ChangelogNormalize", [
+                Node("source", "TableSourceScan",
+                     attrs={"mode": "upsert", "pk": ["k"]}),
+            ], attrs={"pk": ["k"]}),
+        ], attrs={"mode": "retract"}))
+        assert rows[-1] == ("TableSourceScan", "I,UA,PD")
+        assert rows[1] == ("ChangelogNormalize", "I,UB,UA,D")
+
+    def test_cdc_source_keeps_full_deletes(self):
+        from flink_spark.changelog_mode import Node, modes_table
+
+        rows = modes_table(Node("sink", "Sink", [
+            Node("source", "TableSourceScan",
+                 attrs={"mode": "cdc", "pk": ["k"]}),
+        ], attrs={"mode": "retract"}))
+        assert rows[-1] == ("TableSourceScan", "I,UB,UA,D")
+
+    def test_stateful_operators_produce_full_deletes(self):
+        from flink_spark.changelog_mode import Node, modes_table
+
+        # agg over normalize: D survives but as a FULL delete, not PD
+        rows = modes_table(Node("sink", "Sink", [
+            Node("group_agg", "GroupAggregate", [
+                Node("normalize", "ChangelogNormalize", [
+                    Node("source", "TableSourceScan",
+                         attrs={"mode": "upsert", "pk": ["k"]}),
+                ], attrs={"pk": ["k"]}),
+            ], attrs={"keys": ["g"]}),
+        ], attrs={"mode": "retract"}))
+        assert rows[1] == ("GroupAggregate", "I,UB,UA,D")
