@@ -2367,3 +2367,186 @@ def tpcds_q90_am_pm_ratio(spark, sf_dir):
             .alias("am_pm_ratio"),
         )
     )
+
+
+@query(
+    "tpcds_q9_bucket_stats",
+    oracle=f"""
+    SELECT COUNT(*) FILTER (l_quantity BETWEEN 1 AND 10) AS b1_cnt,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                  FILTER (l_quantity BETWEEN 1 AND 10) AS DOUBLE) AS b1_sum,
+           COUNT(*) FILTER (l_quantity BETWEEN 11 AND 20) AS b2_cnt,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                  FILTER (l_quantity BETWEEN 11 AND 20) AS DOUBLE) AS b2_sum,
+           COUNT(*) FILTER (l_quantity BETWEEN 21 AND 30) AS b3_cnt,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                  FILTER (l_quantity BETWEEN 21 AND 30) AS DOUBLE) AS b3_sum,
+           COUNT(*) FILTER (l_quantity BETWEEN 31 AND 40) AS b4_cnt,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                  FILTER (l_quantity BETWEEN 31 AND 40) AS DOUBLE) AS b4_sum,
+           COUNT(*) FILTER (l_quantity > 40) AS b5_cnt,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}))
+                  FILTER (l_quantity > 40) AS DOUBLE) AS b5_sum
+    FROM lineitem
+    """,
+)
+def tpcds_q9_bucket_stats(spark, sf_dir):
+    """TPC-DS q9 shape (reference query9.sql: 15 scalar CASE-bucket
+    subqueries over store_sales quantity bands): every band folds into
+    ONE scan with conditional aggregates — the reference's 15 subqueries
+    would be 15 scans; at 100 TB this is the difference between one pass
+    and fifteen."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def band(lo, hi, tag):
+        cond = (
+            F.col("l_quantity").between(lo, hi) if hi is not None
+            else (F.col("l_quantity") > lo)
+        )
+        return [
+            F.sum(cond.cast("bigint")).alias(f"{tag}_cnt"),
+            F.sum(F.when(cond, F.col("l_extendedprice")).cast(DEC))
+            .cast("double").alias(f"{tag}_sum"),
+        ]
+
+    aggs = (band(1, 10, "b1") + band(11, 20, "b2") + band(21, 30, "b3")
+            + band(31, 40, "b4") + band(40, None, "b5"))
+    return li.agg(*aggs)
+
+
+@query(
+    "tpcds_q44_best_worst_rank",
+    oracle=f"""
+    WITH perf AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                  AS DOUBLE) AS net
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, net,
+             ROW_NUMBER() OVER (ORDER BY net ASC, l_partkey) AS rnk_worst,
+             ROW_NUMBER() OVER (ORDER BY net DESC, l_partkey) AS rnk_best
+      FROM perf)
+    SELECT b.rnk_best AS rnk, pb.p_name AS best_performing,
+           pw.p_name AS worst_performing
+    FROM ranked b
+    JOIN ranked w ON b.rnk_best = w.rnk_worst
+    JOIN part pb ON pb.p_partkey = b.l_partkey
+    JOIN part pw ON pw.p_partkey = w.l_partkey
+    WHERE b.rnk_best <= 10
+    """,
+)
+def tpcds_q44_best_worst_rank(spark, sf_dir):
+    """TPC-DS q44 shape (reference query44.sql: best/worst performing
+    items side-by-side via ascending + descending rank over item net
+    profit, joined on rank position). One aggregation, two window ranks
+    over the SAME partial, rank-equality join, then two broadcast dim
+    lookups for the names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    perf = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "net")
+    )
+    ranked = perf.select(
+        "l_partkey", "net",
+        F.row_number().over(
+            Window.orderBy(F.asc("net"), F.asc("l_partkey"))
+        ).alias("rnk_worst"),
+        F.row_number().over(
+            Window.orderBy(F.desc("net"), F.asc("l_partkey"))
+        ).alias("rnk_best"),
+    )
+    b = ranked.filter(F.col("rnk_best") <= 10).alias("b")
+    w = ranked.alias("w")
+    return (
+        b.join(w, F.col("b.rnk_best") == F.col("w.rnk_worst"))
+        .join(
+            F.broadcast(part.alias("pb")),
+            F.col("pb.p_partkey") == F.col("b.l_partkey"),
+        )
+        .join(
+            F.broadcast(part.alias("pw")),
+            F.col("pw.p_partkey") == F.col("w.l_partkey"),
+        )
+        .select(
+            F.col("b.rnk_best").alias("rnk"),
+            F.col("pb.p_name").alias("best_performing"),
+            F.col("pw.p_name").alias("worst_performing"),
+        )
+    )
+
+
+@query(
+    "tpcds_q62_latency_bands",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (lag_days <= 30) AS d30,
+           COUNT(*) FILTER (lag_days > 30 AND lag_days <= 60) AS d60,
+           COUNT(*) FILTER (lag_days > 60 AND lag_days <= 90) AS d90,
+           COUNT(*) FILTER (lag_days > 90 AND lag_days <= 120) AS d120,
+           COUNT(*) FILTER (lag_days > 120) AS dmore
+    FROM (SELECT o_orderpriority,
+                 date_diff('day', o_orderdate, l_shipdate) AS lag_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY o_orderpriority
+    """,
+)
+def tpcds_q62_latency_bands(spark, sf_dir):
+    """TPC-DS q62/q99 shape (reference query62.sql: order-to-ship latency
+    banded into 30-day buckets, pivoted per ship mode/warehouse): one
+    fact-fact join keyed on orderkey, then conditional counts — the CASE
+    pivot never re-scans, and the join key is the natural co-partition
+    key at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    t = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+    )
+    d = F.col("lag_days")
+    return t.groupBy("o_orderpriority").agg(
+        F.sum((d <= 30).cast("bigint")).alias("d30"),
+        F.sum(((d > 30) & (d <= 60)).cast("bigint")).alias("d60"),
+        F.sum(((d > 60) & (d <= 90)).cast("bigint")).alias("d90"),
+        F.sum(((d > 90) & (d <= 120)).cast("bigint")).alias("d120"),
+        F.sum((d > 120).cast("bigint")).alias("dmore"),
+    )
+
+
+@query(
+    "tpcds_q41_attribute_combos",
+    oracle="""
+    SELECT DISTINCT p_name
+    FROM part p1
+    WHERE p_size BETWEEN 10 AND 20
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND ((p2.p_type LIKE '%BRASS%' AND p2.p_size BETWEEN 1 AND 15)
+            OR (p2.p_type LIKE '%STEEL%' AND p2.p_size BETWEEN 5 AND 25)))
+    ORDER BY p_name LIMIT 50
+    """,
+)
+def tpcds_q41_attribute_combos(spark, sf_dir):
+    """TPC-DS q41 shape (reference query41.sql: DISTINCT product names
+    whose manufacturer also makes items matching a disjunction of
+    attribute conjunctions — a correlated EXISTS on the same dimension):
+    lowered to a LEFT SEMI self-join on the correlation key, which
+    broadcasts at any scale (dimension-sized both sides)."""
+    p = load_table(spark, sf_dir, "part")
+    probe = p.filter(F.col("p_size").between(10, 20)).alias("p1")
+    attrs = p.filter(
+        (F.col("p_type").like("%BRASS%") & F.col("p_size").between(1, 15))
+        | (F.col("p_type").like("%STEEL%") & F.col("p_size").between(5, 25))
+    ).alias("p2")
+    return (
+        probe.join(
+            F.broadcast(attrs),
+            F.col("p1.p_brand") == F.col("p2.p_brand"),
+            "left_semi",
+        )
+        .select(F.col("p1.p_name").alias("p_name"))
+        .distinct()
+        .orderBy("p_name")
+        .limit(50)
+    )
