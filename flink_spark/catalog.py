@@ -1156,6 +1156,83 @@ class TableEnvironment:
             return None
         return NotImplemented
 
+    # -- CALL procedures (reference call.md, SqlCallProcedure + the
+    # -- Procedure catalog interface) --------------------------------------
+
+    def register_procedure(self, name: str, fn) -> None:
+        """Register a callable procedure (the Catalog#getProcedure analog).
+        ``fn(env, *args)`` returns a list of row tuples + a schema string,
+        or a DataFrame."""
+        self._procedures = getattr(self, "_procedures", {})
+        self._procedures[name] = fn
+
+    def _builtin_procedures(self) -> dict:
+        def compact(env, table, target_files=1):
+            """sys.compact(table[, target_files]): rewrite a filesystem
+            table's storage into ``target_files`` files — the maintenance
+            procedure a lake catalog exposes via CALL (e.g. compaction in
+            the reference's catalog-procedure examples)."""
+            import os as _os
+            import shutil as _shutil
+
+            spec = self.tables.get(table)
+            if spec is None or spec.connector != "filesystem":
+                raise ValueError(
+                    f"sys.compact: {table!r} is not a filesystem table"
+                )
+            path = spec.options["path"]
+
+            def nfiles():
+                return sum(
+                    len([f for f in fs if not f.startswith(("_", "."))])
+                    for _, _, fs in _os.walk(path)
+                )
+            before = nfiles()
+            fmt = spec.options.get("format", "parquet")
+            df = self._source_df(spec)
+            tmp = path.rstrip("/") + ".compacting"
+            (df.coalesce(int(target_files)).write.mode("overwrite")
+             .format(fmt).save(tmp))
+            _shutil.rmtree(path)
+            _os.rename(tmp, path)
+            self._refresh_view(spec)
+            return [(before, nfiles())], "files_before int, files_after int"
+
+        return {"sys.compact": compact}
+
+    def _call_procedure(self, name: str, arg_body: str):
+        from flink_spark.functions.vectorsearch import _split_args
+
+        procs = {**self._builtin_procedures(),
+                 **getattr(self, "_procedures", {})}
+        if name not in procs:
+            raise ValueError(
+                f"CALL: unknown procedure {name!r}; available: "
+                f"{sorted(procs)}"
+            )
+        args = []
+        for part in _split_args(arg_body):
+            part = part.strip()
+            if not part:
+                continue
+            if part.startswith("'") and part.endswith("'"):
+                args.append(part[1:-1])
+            elif re.fullmatch(r"-?\d+", part):
+                args.append(int(part))
+            elif re.fullmatch(r"-?\d*\.\d+", part):
+                args.append(float(part))
+            elif part.lower() in ("true", "false"):
+                args.append(part.lower() == "true")
+            else:
+                raise ValueError(
+                    f"CALL: unsupported argument literal {part!r}"
+                )
+        result = procs[name](self, *args)
+        if isinstance(result, DataFrame):
+            return result
+        rows, schema = result
+        return self.spark.createDataFrame(rows, schema)
+
     def execute_sql(self, sql: str):
         stmt = sql.strip().rstrip(";")
         from flink_spark.sqltok import (
@@ -1169,6 +1246,47 @@ class TableEnvironment:
         # no longer route (or mangle) the statement
         masked = mask_literals(stmt)
         up = masked.upper()
+        jm = re.match(
+            r"^\s*(?:(?P<add>ADD)|(?P<rem>REMOVE))\s+JAR\s+'(?P<path>[^']+)'\s*$"
+            r"|^\s*SHOW\s+JARS\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if jm:
+            # JAR statements (reference jar.md / SqlAddJar, SqlShowJars,
+            # SqlRemoveJar): a session-scoped jar registry. ADD JAR also
+            # loads the jar into the running session (Spark ADD JAR);
+            # REMOVE JAR unregisters it for subsequent SHOW JARS — like
+            # the reference, classes already loaded by the running JVM
+            # stay loaded until restart.
+            if jm.group("add"):
+                import os as _os
+
+                path = jm.group("path")
+                if "://" not in path and not _os.path.exists(path):
+                    raise ValueError(f"ADD JAR: file not found: {path}")
+                self.spark.sql(f"ADD JAR '{path}'")
+                self._jars = getattr(self, "_jars", [])
+                if path not in self._jars:
+                    self._jars.append(path)
+                return None
+            if jm.group("rem"):
+                path = jm.group("path")
+                jars = getattr(self, "_jars", [])
+                if path not in jars:
+                    raise ValueError(
+                        f"REMOVE JAR: jar {path!r} was not added via ADD JAR"
+                    )
+                jars.remove(path)
+                return None
+            return self.spark.createDataFrame(
+                [(j,) for j in getattr(self, "_jars", [])], "jars string"
+            )
+        cm = re.match(
+            r"^\s*CALL\s+(?P<name>[\w.]+)\s*\((?P<args>.*)\)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            return self._call_procedure(cm.group("name"), cm.group("args"))
         if "/*+" in stmt:
             # Join hints (reference hints.md "Join Hints"): BROADCAST /
             # SHUFFLE_HASH / SHUFFLE_MERGE are Spark-native spellings and

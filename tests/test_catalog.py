@@ -1037,3 +1037,69 @@ def test_lookup_hint_option_validation(spark):
     # hint text inside a string literal is data, not a hint
     lit = env.execute_sql("SELECT '/*+ LOOKUP(broken' AS s FROM lh_t")
     assert lit.count() == 1
+
+
+def test_jar_statements(spark, tmp_path):
+    """ADD JAR / SHOW JARS / REMOVE JAR (reference jar.md): session-scoped
+    jar registry; ADD loads into the running session, REMOVE unregisters."""
+    import zipfile
+
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    jar = tmp_path / "dummy-udf.jar"
+    with zipfile.ZipFile(jar, "w") as z:
+        z.writestr("META-INF/MANIFEST.MF", "Manifest-Version: 1.0\n")
+    env.execute_sql(f"ADD JAR '{jar}'")
+    jars = [r.jars for r in env.execute_sql("SHOW JARS").collect()]
+    assert str(jar) in jars
+    env.execute_sql(f"REMOVE JAR '{jar}'")
+    assert env.execute_sql("SHOW JARS").count() == 0
+    with pytest.raises(ValueError, match="was not added"):
+        env.execute_sql(f"REMOVE JAR '{jar}'")
+    with pytest.raises(ValueError, match="file not found"):
+        env.execute_sql("ADD JAR '/no/such/path.jar'")
+
+
+def test_call_procedure_compact_and_custom(spark, tmp_path):
+    """CALL statements (reference call.md + the Procedure interface):
+    built-in sys.compact rewrites a filesystem table into fewer files;
+    custom procedures register and run with typed literal args."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS proc_t")
+    env.execute_sql(
+        "CREATE TABLE proc_t (k BIGINT, v STRING) WITH ("
+        f"'connector' = 'filesystem', 'path' = '{tmp_path}/proc_t', "
+        "'format' = 'parquet')"
+    )
+    # write in several batches -> several files
+    for i in range(4):
+        env.execute_sql(
+            f"INSERT INTO proc_t SELECT id + {i * 10}, CAST(id AS STRING) "
+            "FROM range(10)"
+        )
+    before_rows = spark.table("proc_t").count()
+    row = env.execute_sql("CALL sys.compact('proc_t', 1)").collect()[0]
+    assert row.files_after < row.files_before
+    assert row.files_after == 1
+    assert spark.table("proc_t").count() == before_rows
+
+    calls = []
+
+    def my_proc(env_, a, b, flag=True):
+        calls.append((a, b, flag))
+        return [(a * 2, b.upper())], "doubled int, up string"
+
+    env.register_procedure("my_catalog.my_proc", my_proc)
+    out = env.execute_sql("CALL my_catalog.my_proc(21, 'hi', false)")
+    assert [tuple(r) for r in out.collect()] == [(42, "HI")]
+    assert calls == [(21, "hi", False)]
+    with pytest.raises(ValueError, match="unknown procedure"):
+        env.execute_sql("CALL nope.nothing()")
+    env.execute_sql("DROP TABLE IF EXISTS proc_t")
