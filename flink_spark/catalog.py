@@ -325,6 +325,46 @@ class TableEnvironment:
                 [(n,) for n in sorted(self.user_functions)],
                 "function_name string",
             )
+        dm = re.match(
+            r"^\s*(?:DESCRIBE|DESC)\s+FUNCTION\s+(?:(?P<ext>EXTENDED)\s+)?"
+            r"(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if dm:
+            # DESCRIBE FUNCTION [EXTENDED] (reference
+            # DescribeFunctionOperation.java:94 — (info name, info value)
+            # rows: system/temporary/class/language, EXTENDED adds
+            # kind/determinism/signature)
+            name = dm.group("name")
+            is_user = name in self.user_functions
+            try:
+                is_system = (
+                    not is_user
+                    and self.spark.catalog.functionExists(name)
+                )
+            except Exception:  # noqa: BLE001
+                is_system = False
+            if not is_user and not is_system:
+                raise ValueError(
+                    f"Function with the identifier '{name}' doesn't exist."
+                )
+            rows = [
+                ("is system function", str(is_system).lower()),
+                ("is temporary", str(is_user).lower()),
+            ]
+            if is_user:
+                rows.append(("class name", self.user_functions[name]))
+                rows.append(("function language", "PYTHON"))
+            if dm.group("ext"):
+                rows.append(("kind", "SCALAR"))
+                rows.append(("is deterministic", "true"))
+                rows.append((
+                    "signature",
+                    f"{name}(...)",
+                ))
+            return self.spark.createDataFrame(
+                rows, "`info name` string, `info value` string"
+            )
         return NotImplemented
 
     # -- ALTER TABLE family (reference SqlAddPartitions.java,
@@ -1565,6 +1605,47 @@ class TableEnvironment:
                     return getattr(self.model_manager, h)(mm)
             if SHOW_MODELS_RE.match(stmt):
                 return self.model_manager.show()
+            dmm = re.match(
+                r"^\s*(?:DESCRIBE|DESC)\s+MODEL\s+(?:(?P<ext>EXTENDED)\s+)?"
+                r"(?P<name>[\w.]+)\s*$",
+                stmt, re.IGNORECASE,
+            )
+            if dmm:
+                # DESCRIBE MODEL [EXTENDED] (reference
+                # DescribeModelOperation.java: input then output schema
+                # columns as (name, type, null, is input) rows)
+                from flink_spark.sqltok import split_top_commas
+
+                name = dmm.group("name")
+                spec = self.model_manager.models.get(name)
+                if spec is None:
+                    raise ValueError(
+                        f"Model with the identifier '{name}' doesn't exist."
+                    )
+                rows = []
+                for schema, is_input in (
+                    (spec.input_schema, True),
+                    (spec.output_schema, False),
+                ):
+                    for colspec in split_top_commas(schema or ""):
+                        toks = colspec.split(None, 1)
+                        if len(toks) == 2:
+                            rows.append(
+                                (toks[0], toks[1].upper(), True, is_input)
+                            )
+                out = self.spark.createDataFrame(
+                    rows,
+                    "name string, type string, `null` boolean, "
+                    "`is input` boolean",
+                )
+                if dmm.group("ext"):
+                    opts = self.spark.createDataFrame(
+                        [(f"option:{k}", str(v), True, False)
+                         for k, v in sorted(spec.options.items())],
+                        out.schema,
+                    )
+                    out = out.unionByName(opts)
+                return out
         if "ML_PREDICT" in up:
             from flink_spark.models import ML_PREDICT_RE
 

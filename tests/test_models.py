@@ -235,3 +235,51 @@ class TestProviderOptionSurface:
                   'api-key' = 'k', 'model' = 'te3', 'no-such-key' = '1')
             """)
         env.execute_sql("DROP MODEL IF EXISTS provider_gate_ok")
+
+
+def test_describe_model_and_function(spark):
+    """DESCRIBE FUNCTION [EXTENDED] (DescribeFunctionOperation.java row
+    shape) and DESCRIBE MODEL [EXTENDED] (DescribeModelOperation.java
+    input/output schema rows)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP MODEL IF EXISTS desc_m")
+    env.execute_sql("""
+        CREATE MODEL desc_m
+          INPUT (x ARRAY<FLOAT>)
+          OUTPUT (score BIGINT, pred_label BIGINT)
+          WITH ('provider' = 'fixed-point-linear')
+    """)
+    rows = [tuple(r) for r in env.execute_sql("DESCRIBE MODEL desc_m").collect()]
+    assert ("x", "ARRAY<FLOAT>", True, True) in rows
+    assert ("score", "BIGINT", True, False) in rows
+    ext = env.execute_sql("DESC MODEL EXTENDED desc_m").collect()
+    assert any(r[0] == "option:provider" for r in ext)
+    with pytest.raises(ValueError, match="doesn't exist"):
+        env.execute_sql("DESCRIBE MODEL nope_m")
+    env.execute_sql("DROP MODEL IF EXISTS desc_m")
+
+    env.execute_sql("DROP FUNCTION IF EXISTS desc_fn")
+    env.execute_sql(
+        "CREATE FUNCTION desc_fn AS "
+        "'flink_spark.functions.library.BitCountFn' LANGUAGE PYTHON"
+    )
+    info = {r[0]: r[1] for r in
+            env.execute_sql("DESCRIBE FUNCTION desc_fn").collect()}
+    assert info["is system function"] == "false"
+    assert info["is temporary"] == "true"
+    assert info["class name"] == "flink_spark.functions.library.BitCountFn"
+    assert info["function language"] == "PYTHON"
+    ext = {r[0]: r[1] for r in
+           env.execute_sql("DESC FUNCTION EXTENDED desc_fn").collect()}
+    assert ext["kind"] == "SCALAR" and ext["is deterministic"] == "true"
+    # system function
+    sysinfo = {r[0]: r[1] for r in
+               env.execute_sql("DESCRIBE FUNCTION abs").collect()}
+    assert sysinfo["is system function"] == "true"
+    with pytest.raises(ValueError, match="doesn't exist"):
+        env.execute_sql("DESCRIBE FUNCTION no_such_fn_xyz")
+    env.execute_sql("DROP FUNCTION IF EXISTS desc_fn")
