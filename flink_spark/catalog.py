@@ -299,6 +299,17 @@ class TableEnvironment:
                 ) from e
             from flink_spark.functions.udf import ScalarFunction
 
+            from flink_spark.functions.udf import ProcessTableFunction
+
+            if isinstance(fn, type) and issubclass(fn, ProcessTableFunction):
+                # a PROCESS TABLE FUNCTION registers for the table-valued
+                # SQL spelling `SELECT * FROM f(TABLE t PARTITION BY k)`
+                # (reference ptfs.md; StreamExecProcessTableFunction),
+                # not for scalar calls
+                self.user_ptfs = getattr(self, "user_ptfs", {})
+                self.user_ptfs[name] = fn
+                self.user_functions[name] = ident
+                return None
             if isinstance(fn, type) and issubclass(fn, ScalarFunction):
                 fn = fn()
             self.create_temporary_function(name, fn)
@@ -312,6 +323,7 @@ class TableEnvironment:
                     return None
                 raise ValueError(f"function {name!r} does not exist")
             del self.user_functions[name]
+            getattr(self, "user_ptfs", {}).pop(name, None)
 
             def _dropped(*_a, _n=name):
                 raise ValueError(f"function {_n!r} has been dropped")
@@ -1240,6 +1252,73 @@ class TableEnvironment:
 
         return {"sys.compact": compact}
 
+    def _rewrite_user_ptfs(self, stmt: str, masked: str) -> str:
+        """SQL invocation of registered PROCESS TABLE FUNCTIONS (reference
+        ptfs.md `SELECT * FROM MyPtf(TABLE t PARTITION BY k [ORDER BY s],
+        ...)` / named `input => TABLE t ...`): rewrite each call into a
+        temp view computed by the batch PTF runner."""
+        from flink_spark.functions.vectorsearch import (
+            _matching_paren,
+            _split_args,
+        )
+        from flink_spark.functions.udf import apply_ptf_batch
+
+        for name, cls in list(self.user_ptfs.items()):
+            pat = re.compile(r"\b" + re.escape(name) + r"\s*\(", re.IGNORECASE)
+            while True:
+                m = pat.search(masked)
+                if not m:
+                    break
+                open_idx = m.end() - 1
+                close_idx = _matching_paren(masked, open_idx)
+                args = _split_args(stmt[open_idx + 1 : close_idx])
+                if not args or not args[0].strip():
+                    raise ValueError(
+                        f"{name}: a PTF call needs a table argument "
+                        "(`TABLE t [PARTITION BY cols [ORDER BY cols]]`)"
+                    )
+                first = args[0].strip()
+                am = re.match(r"(?:input\s*=>\s*)?(.*)$", first,
+                              re.IGNORECASE | re.DOTALL)
+                im = re.match(
+                    r"^TABLE\s+(?P<tbl>[\w.]+)"
+                    r"(?:\s+PARTITION\s+BY\s+(?P<pb>\w+(?:\s*,\s*\w+)*))?"
+                    r"(?:\s+ORDER\s+BY\s+(?P<ob>\w+(?:\s*,\s*\w+)*))?$",
+                    am.group(1).strip(), re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(
+                        f"{name}: first argument must be "
+                        f"`TABLE <t> [PARTITION BY ...]`, got {first!r}"
+                    )
+                if not im.group("pb"):
+                    raise ValueError(
+                        f"{name}: this engine's PTF execution is keyed — "
+                        "PARTITION BY is required (set semantics)"
+                    )
+                extra = [a for a in args[1:] if a.strip()]
+                if extra:
+                    raise ValueError(
+                        f"{name}: extra scalar PTF arguments are not "
+                        f"supported yet: {extra}"
+                    )
+                df = self.spark.table(im.group("tbl"))
+                out = apply_ptf_batch(
+                    df, cls(),
+                    key_cols=[c.strip() for c in im.group("pb").split(",")],
+                    seq_cols=(
+                        [c.strip() for c in im.group("ob").split(",")]
+                        if im.group("ob") else None
+                    ),
+                )
+                view = f"__ptf_{_det_digest(stmt[m.start():close_idx + 1])}"
+                out.createOrReplaceTempView(view)
+                stmt = stmt[: m.start()] + view + stmt[close_idx + 1 :]
+                from flink_spark.sqltok import mask_literals as _ml
+
+                masked = _ml(stmt)
+        return stmt
+
     def _call_procedure(self, name: str, arg_body: str):
         from flink_spark.functions.vectorsearch import _split_args
 
@@ -1511,6 +1590,12 @@ class TableEnvironment:
             r = self._function_statement(stmt)
             if r is not NotImplemented:
                 return r
+        if getattr(self, "user_ptfs", None):
+            rewritten = self._rewrite_user_ptfs(stmt, masked)
+            if rewritten != stmt:
+                stmt = rewritten
+                masked = mask_literals(stmt)
+                up = masked.upper()
         if re.match(
             r"^\s*(ALTER\s+TABLE|SHOW\s+PARTITIONS)\b", stmt, re.IGNORECASE
         ):

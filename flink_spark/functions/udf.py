@@ -327,3 +327,32 @@ def register_udtf(spark, name: str, fn: "TableFunction"):
     shaped = udtf(_Adapter, returnType=fn.result_schema)
     spark.udtf.register(name, shaped)
     return shaped
+
+
+def apply_ptf_batch(
+    df: "DataFrame",
+    fn: ProcessTableFunction,
+    key_cols: list[str],
+    seq_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Bounded-table execution of a ProcessTableFunction — the path the
+    SQL spelling ``SELECT * FROM MyPtf(TABLE t PARTITION BY k ...)`` runs
+    on a batch relation (reference ProcessTableFunction works in batch
+    mode too: one virtual micro-batch per key, state scoped to it).
+
+    ``applyInPandas`` per key: the key's rows arrive as ONE pandas frame
+    ordered by ``seq_cols``, ``process`` runs with a fresh state dict —
+    identical semantics to the streaming path draining a single batch."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    out_schema = StructType(
+        _parse_datatype_string(f"struct<{fn.result_schema}>").fields
+    )
+
+    def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fn.open()
+        if seq_cols:
+            pdf = pdf.sort_values(seq_cols, kind="mergesort")
+        return fn.process(tuple(key), pdf, {})
+
+    return df.groupBy(*key_cols).applyInPandas(runner, schema=out_schema)

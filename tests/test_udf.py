@@ -222,3 +222,77 @@ def test_native_python_udtf_registration(spark):
     assert [(r["id"], r["word"], r["n_chars"]) for r in got] == [
         (1, "a", 1), (1, "bb", 2), (1, "ccc", 3), (3, "dd", 2),
     ]
+
+
+class RunningMaxPtf:
+    """Module-level PTF for the SQL registration test (CREATE FUNCTION
+    resolves dotted paths, so the class must be importable)."""
+
+
+def _make_running_max():
+    from flink_spark.functions.udf import ProcessTableFunction
+
+    class _RunningMax(ProcessTableFunction):
+        result_schema = "user_id bigint, event_id bigint, run_max double"
+
+        def process(self, key, rows, state):
+            import pandas as pd
+
+            mx, out = state.get("mx"), []
+            for v in rows["value"]:
+                mx = v if mx is None or v > mx else mx
+                out.append(mx)
+            state["mx"] = mx
+            return pd.DataFrame({
+                "user_id": rows["user_id"].values,
+                "event_id": rows["event_id"].values,
+                "run_max": out,
+            })
+
+    return _RunningMax
+
+
+# rebind so 'tests.test_udf.RunningMaxPtf' resolves to the PTF class
+RunningMaxPtf = _make_running_max()  # noqa: F811
+
+
+def test_sql_registered_ptf_invocation(spark, sf_dir):
+    """CREATE FUNCTION resolving to a ProcessTableFunction + the SQL
+    spelling `SELECT * FROM f(TABLE t PARTITION BY k ORDER BY s)`
+    (reference ptfs.md): per-key ordered running max must equal the
+    window-function equivalent."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 30
+    ).select("user_id", "event_id", "value")
+    ev.createOrReplaceTempView("ptf_sql_ev")
+    env.execute_sql("DROP FUNCTION IF EXISTS running_max")
+    env.execute_sql(
+        "CREATE FUNCTION running_max AS 'tests.test_udf.RunningMaxPtf'"
+    )
+    got = env.execute_sql(
+        "SELECT user_id, event_id, run_max FROM running_max("
+        "input => TABLE ptf_sql_ev PARTITION BY user_id ORDER BY event_id)"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    want = ev.select(
+        "user_id", "event_id", F.max("value").over(w).alias("run_max")
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, want.collect()))
+    assert g == e and len(g) > 0
+    # error paths: PARTITION BY required; table argument required
+    with pytest.raises(ValueError, match="PARTITION BY is required"):
+        env.execute_sql("SELECT * FROM running_max(TABLE ptf_sql_ev)")
+    with pytest.raises(ValueError, match="first argument must be"):
+        env.execute_sql("SELECT * FROM running_max(42)")
+    # DROP removes the PTF registration
+    env.execute_sql("DROP FUNCTION running_max")
+    assert "running_max" not in getattr(env, "user_ptfs", {})
