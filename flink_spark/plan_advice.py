@@ -96,10 +96,47 @@ _PUSHED_CMP = re.compile(
 )
 
 
+_STATEFUL_NODES = {
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window",
+    "WindowGroupLimit", "FlatMapGroupsWithState",
+}
+_ND_CALL = re.compile(r"\b(rand|randn|uuid|shuffle)\(")
+
+
+def _ndu_advice(nodes) -> list:
+    """NDU advice (reference NonDeterministicUpdateAnalyzer — the
+    PLAN_ADVICE face of StreamNonDeterministicUpdatePlanVisitor): a
+    non-deterministic call computed BELOW a stateful operator means a
+    retraction/replay recomputes a different value than the row it must
+    cancel. Walk the tree carrying an under-stateful flag downward."""
+    out = []
+
+    def walk(node, under_stateful):
+        nm = _name(node)
+        m = _ND_CALL.search(node.text)
+        if m and under_stateful:
+            out.append(Advice(
+                "non-deterministic-update", "warn", node.text[:160],
+                f"non-deterministic function '{m.group(1)}()' feeds a "
+                "stateful operator — under update/retract processing (or "
+                "task retry) the recomputed value differs from the "
+                "original; materialize it first or use a deterministic "
+                "expression",
+            ))
+        nxt = under_stateful or nm in _STATEFUL_NODES
+        for c in node.children:
+            walk(c, nxt)
+
+    for root in [n for n in nodes if n.depth == 0]:
+        walk(root, False)
+    return out
+
+
 def plan_advice(df: DataFrame) -> list[Advice]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     nodes = _parse_tree(plan)
-    out: list[Advice] = []
+    out: list[Advice] = list(_ndu_advice(nodes))
     for n in nodes:
         nm = _name(n)
         if nm == "CartesianProduct":

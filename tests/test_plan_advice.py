@@ -95,3 +95,25 @@ def test_explain_estimated_cost(spark, pq):
     )
     txt = out.first().plan_with_stats
     assert "sizeInBytes" in txt and "Statistics" in txt
+
+
+def test_ndu_rule_flags_rand_in_stateful_operator(spark, sf_dir):
+    """NDU advice (reference NonDeterministicUpdateAnalyzer): rand() in a
+    join/aggregate key is flagged; deterministic expressions are not."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.plan_advice import plan_advice
+    from flink_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").limit(1000)
+    bad = (
+        o.withColumn("nd_key", (F.rand(seed=1) * 10).cast("int"))
+        .groupBy("nd_key").agg(F.count("*").alias("n"))
+    )
+    rules = {a.rule for a in plan_advice(bad)}
+    assert "non-deterministic-update" in rules
+
+    good = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert "non-deterministic-update" not in {
+        a.rule for a in plan_advice(good)
+    }
