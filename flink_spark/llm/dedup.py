@@ -335,3 +335,70 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def long_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring spans — the practical rendition
+    of suffix-array training-data dedup ("ExactSubstr"): any ``window``-
+    token substring that occurs in ≥ ``min_docs`` DISTINCT documents
+    marks its span; overlapping marked spans merge per document.
+
+    Returns (id_col, span_start, span_end, span_tokens): 1-based token
+    positions, inclusive, span_tokens = end - start + 1.
+
+    Scale shape (100 TB): one explode pass to (doc, pos, gram-md5) —
+    rows ≈ corpus token count; one groupBy gram for the distinct-doc
+    count (shuffle on the hash, map-side partial); one semi-join of
+    positions against repeated grams (same key — AQE co-partitions);
+    one per-doc window for interval merging. No suffix array, no
+    cross product; every step is a hash shuffle on a uniform key."""
+    k = window
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice({toks}, i, {k}))) AS gh))"
+    )
+    pos = df.select(id_col, F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    repeated = (
+        pos.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    marked = pos.join(repeated, "gh", "left_semi")
+    # gaps-and-islands over [pos, pos+k-1] intervals per doc: a new island
+    # starts when pos > running_max(prev end) ; islands merge via the
+    # cumulative sum of new-island flags
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    marked = marked.withColumn(
+        "prev_max_end", F.max(F.col("pos") + (k - 1)).over(w_run)
+    ).withColumn(
+        "new_island",
+        (F.col("prev_max_end").isNull()
+         | (F.col("pos") > F.col("prev_max_end") + 1)).cast("int"),
+    ).withColumn(
+        "island", F.sum("new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        marked.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .alias("span_tokens"),
+        )
+    )

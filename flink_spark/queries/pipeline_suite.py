@@ -529,3 +529,58 @@ def pipe_interp_logprob(spark, sf_dir):
     from flink_spark.llm.text import interpolated_logprob
 
     return interpolated_logprob(load_table(spark, sf_dir, "documents"), lam=0.75)
+
+
+@query(
+    "pipe_longsubstring_spans",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    p AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(ws[i:i+4], ' ')) AS gh
+          FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+          WHERE i <= len(ws) - 4),
+    rep AS (SELECT gh FROM p GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT doc_id, pos FROM p WHERE gh IN (SELECT gh FROM rep)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 4) OVER
+                          (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) IS NULL
+                        OR pos > MAX(pos + 4) OVER
+                          (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) + 1
+                   THEN 1 ELSE 0 END AS ni
+            FROM m),
+    g AS (SELECT doc_id, pos,
+                 SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+          FROM isl)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM g GROUP BY doc_id, island
+    """,
+)
+def pipe_longsubstring_spans(spark, sf_dir):
+    """Cross-document repeated-substring spans (the ExactSubstr /
+    suffix-array training-data dedup operator, rendered as k-gram
+    position hashing): every 5-token substring occurring in ≥2 distinct
+    documents marks its span; overlapping/adjacent spans merge per doc
+    (gaps-and-islands). One explode pass + one hash shuffle + one
+    semi-join + one per-doc window — no suffix array, no cross product
+    (llm/dedup.py long_substring_spans)."""
+    from flink_spark.llm.dedup import long_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = long_substring_spans(docs, window=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )

@@ -310,3 +310,41 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df, max_iter=50).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_long_substring_spans_properties(spark, sf_dir):
+    """ExactSubstr-style span dedup: every reported span really is
+    cross-document repeated content, spans don't overlap per doc, and a
+    synthetic planted duplicate is found end-to-end."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_spark.llm.dedup import long_substring_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"delta {boiler} epsilon zeta"),
+        (3, "totally unrelated words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = long_substring_spans(df, window=5).orderBy("doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 3 not in by_doc              # unique doc untouched
+    assert set(by_doc) == {1, 2}
+    # doc1: boilerplate at tokens 3..14 (12 tokens); doc2 at 2..13
+    assert by_doc[1] == [(3, 14)]
+    assert by_doc[2] == [(2, 13)]
+    # per-doc spans never overlap (island merge correctness) on real data
+    real = long_substring_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window=5
+    ).collect()
+    spans = {}
+    for r in real:
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, ss in spans.items():
+        ss.sort()
+        for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
+            assert a2 > b1 + 1, (doc, ss)  # merged => gap between islands
