@@ -841,6 +841,43 @@ class TableEnvironment:
         "max-attempts": "int",
     }
 
+    _OVERLAPS_RE = re.compile(
+        r"\(\s*(?P<l>[^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVERLAPS\s+"
+        r"\(\s*(?P<r>[^()]*(?:\([^()]*\)[^()]*)*)\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_overlaps(self, stmt: str) -> str:
+        """(tp1, t1) OVERLAPS (tp2, t2) → the normalized inclusive-bounds
+        boolean (TemporalOverlapsConverter.java): INTERVAL second members
+        are added to their time point; endpoints sorted so s<=e; result
+        is (e0 >= s1) AND (e1 >= s0). Pure text rewrite — Spark executes
+        the expanded expression natively (codegen'd comparisons)."""
+        from flink_spark.functions.vectorsearch import _split_args
+        from flink_spark.sqltok import sub_outside_literals
+
+        def norm(pair_text: str):
+            parts = [p.strip() for p in _split_args(pair_text) if p.strip()]
+            if len(parts) != 2:
+                raise ValueError(
+                    f"OVERLAPS: each side needs (timepoint, temporal), "
+                    f"got ({pair_text})"
+                )
+            tp, t = parts
+            end = f"({tp} + {t})" if re.match(
+                r"^INTERVAL\b", t, re.IGNORECASE
+            ) else f"({t})"
+            s = f"(CASE WHEN ({tp}) <= {end} THEN ({tp}) ELSE {end} END)"
+            e = f"(CASE WHEN ({tp}) <= {end} THEN {end} ELSE ({tp}) END)"
+            return s, e
+
+        def repl(m):
+            s0, e0 = norm(m.group("l"))
+            s1, e1 = norm(m.group("r"))
+            return f"(({e0} >= {s1}) AND ({e1} >= {s0}))"
+
+        return sub_outside_literals(self._OVERLAPS_RE, repl, stmt)
+
     def _rewrite_join_hints(self, stmt: str) -> str:
         """Inside `/*+ ... */` hint blocks: map NEST_LOOP onto Spark's
         SHUFFLE_REPLICATE_NL and validate LOOKUP hint options against the
@@ -1406,6 +1443,24 @@ class TableEnvironment:
         )
         if cm:
             return self._call_procedure(cm.group("name"), cm.group("args"))
+        if re.match(r"^\s*SHOW\s+PROCEDURES\s*$", stmt, re.IGNORECASE):
+            # SHOW PROCEDURES (reference show.md / SqlShowProcedures)
+            names = sorted(
+                set(self._builtin_procedures())
+                | set(getattr(self, "_procedures", {}))
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "procedure_name string"
+            )
+        if re.search(r"\bOVERLAPS\b", up):
+            # (tp1, t1) OVERLAPS (tp2, t2) (reference sql_functions.yml
+            # temporal family; TemporalOverlapsConverter.java — Calcite's
+            # standard convertlet): endpoints normalized so s<=e, interval
+            # second members added to the time point, then
+            # (e0 >= s1) AND (e1 >= s0), both bounds INCLUSIVE.
+            stmt = self._rewrite_overlaps(stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if "/*+" in stmt:
             # Join hints (reference hints.md "Join Hints"): BROADCAST /
             # SHUFFLE_HASH / SHUFFLE_MERGE are Spark-native spellings and

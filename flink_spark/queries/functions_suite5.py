@@ -211,3 +211,40 @@ def fn_name_parity_suite(spark, sf_dir):
         F.concat(F.lit('"'), F.lit("x"), F.col("p_size").cast("string"),
                  F.lit('"')).alias("jquote"),
     )
+
+
+@query(
+    "fn_overlaps_suite",
+    oracle="""
+    SELECT event_id,
+           (greatest(ts, ts + INTERVAL 30 MINUTE)
+              >= TIMESTAMP '1997-06-01 00:00:00'
+            AND TIMESTAMP '1997-06-01 06:00:00'
+              >= least(ts, ts + INTERVAL 30 MINUTE)) AS ov_window,
+           (greatest(ts, ts - INTERVAL 1 HOUR) >= ts
+            AND greatest(ts, ts + INTERVAL 1 HOUR) >= least(ts, ts - INTERVAL 1 HOUR))
+             AS ov_touching
+    FROM events WHERE event_id < 500
+    """,
+)
+def fn_overlaps_suite(spark, sf_dir):
+    """(tp, temporal) OVERLAPS (tp, temporal) predicate (reference
+    sql_functions.yml temporal family, TemporalOverlapsConverter.java):
+    interval members added to the time point, endpoints normalized,
+    INCLUSIVE bounds — the touching case (shared endpoint) is TRUE.
+    Routed through the dialect's text expansion onto native comparisons."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 500
+    ).createOrReplaceTempView("__ov_events")
+    return env.execute_sql("""
+        SELECT event_id,
+               (ts, INTERVAL '30' MINUTE) OVERLAPS
+                 (TIMESTAMP '1997-06-01 00:00:00',
+                  TIMESTAMP '1997-06-01 06:00:00') AS ov_window,
+               (ts, ts - INTERVAL '1' HOUR) OVERLAPS
+                 (ts, INTERVAL '1' HOUR) AS ov_touching
+        FROM __ov_events
+    """)

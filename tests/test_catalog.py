@@ -1103,3 +1103,22 @@ def test_call_procedure_compact_and_custom(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown procedure"):
         env.execute_sql("CALL nope.nothing()")
     env.execute_sql("DROP TABLE IF EXISTS proc_t")
+
+
+def test_show_procedures_and_overlaps_literal_safety(spark):
+    """SHOW PROCEDURES lists builtins + registered; OVERLAPS text inside
+    a string literal is data, not a predicate."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    names = [r.procedure_name
+             for r in env.execute_sql("SHOW PROCEDURES").collect()]
+    assert "sys.compact" in names
+    env.register_procedure("my.p", lambda e: ([(1,)], "x int"))
+    names = [r.procedure_name
+             for r in env.execute_sql("SHOW PROCEDURES").collect()]
+    assert "my.p" in names
+    r = env.execute_sql(
+        "SELECT '(a, b) OVERLAPS (c, d)' AS s"
+    ).collect()[0]
+    assert r.s == "(a, b) OVERLAPS (c, d)"
