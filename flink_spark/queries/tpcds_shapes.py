@@ -2550,3 +2550,136 @@ def tpcds_q41_attribute_combos(spark, sf_dir):
         .orderBy("p_name")
         .limit(50)
     )
+
+
+@query(
+    "tpcds_q13_band_disjunction_avgs",
+    oracle=f"""
+    SELECT CAST(AVG(CAST(l_quantity AS {DEC})) AS DOUBLE) AS avg_qty,
+           CAST(AVG(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) AS sum_disc,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE (o_orderpriority = '1-URGENT'
+             AND l_quantity BETWEEN 1 AND 15
+             AND l_extendedprice BETWEEN 1000 AND 30000)
+       OR (o_orderpriority = '2-HIGH'
+             AND l_quantity BETWEEN 16 AND 35
+             AND l_extendedprice BETWEEN 5000 AND 60000)
+       OR (o_orderpriority = '3-MEDIUM'
+             AND l_quantity BETWEEN 36 AND 50
+             AND l_extendedprice BETWEEN 10000 AND 90000)
+    """,
+)
+def tpcds_q13_band_disjunction_avgs(spark, sf_dir):
+    """TPC-DS q13 shape (reference query13.sql: averages under a
+    three-way DISJUNCTION of demographic × band conjunctions): the OR of
+    conjunctive bands stays ONE pushable predicate on the joined fact —
+    Catalyst keeps it a single filter after the join, one aggregation
+    pass; the reference's household/marital bands become
+    priority × quantity × price bands here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    p, q, e = F.col("o_orderpriority"), F.col("l_quantity"), F.col("l_extendedprice")
+    cond = (
+        ((p == "1-URGENT") & q.between(1, 15) & e.between(1000, 30000))
+        | ((p == "2-HIGH") & q.between(16, 35) & e.between(5000, 60000))
+        | ((p == "3-MEDIUM") & q.between(36, 50) & e.between(10000, 90000))
+    )
+    return j.filter(cond).agg(
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        dsum("l_discount", "sum_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "tpcds_q65_low_revenue_parts",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_partkey, p_brand),
+    ba AS (SELECT p_brand, SUM(rev) AS total, COUNT(*) AS np
+           FROM pr GROUP BY p_brand)
+    SELECT pr.p_brand, pr.l_partkey,
+           CAST(pr.rev AS DOUBLE) AS revenue
+    FROM pr JOIN ba ON pr.p_brand = ba.p_brand
+    WHERE pr.rev * np * 10 <= total * 7
+    """,
+)
+def tpcds_q65_low_revenue_parts(spark, sf_dir):
+    """TPC-DS q65 shape (reference query65.sql: items whose revenue is at
+    most a fraction of their store's average item revenue — a per-group
+    aggregate joined back against a second-level aggregate OF the first):
+    the threshold `rev <= 0.7 * avg` is evaluated in EXACT decimal
+    cross-multiplication (rev·n·10 ≤ total·7) so no float boundary can
+    flip membership between engines; the second-level aggregate reuses
+    the first's shuffle (same p_brand key — no extra exchange on the
+    re-aggregation input)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pr = (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast(DEC)).alias("rev"))
+    )
+    ba = pr.groupBy("p_brand").agg(
+        F.sum("rev").alias("total"), F.count("*").alias("np")
+    )
+    return (
+        pr.join(ba, "p_brand")
+        .filter(F.col("rev") * F.col("np") * 10 <= F.col("total") * 7)
+        .select("p_brand", "l_partkey",
+                F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpcds_q98_class_revenue_share",
+    oracle=f"""
+    WITH ir AS (
+      SELECT p_type, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+               AS itemrevenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 25
+      GROUP BY p_type, p_brand)
+    SELECT p_type, p_brand,
+           CAST(itemrevenue AS DOUBLE) AS itemrevenue,
+           round(CAST(itemrevenue * 100 AS DOUBLE)
+                   / CAST(SUM(itemrevenue) OVER (PARTITION BY p_type)
+                          AS DOUBLE), 9) AS revenueratio
+    FROM ir
+    """,
+)
+def tpcds_q98_class_revenue_share(spark, sf_dir):
+    """TPC-DS q98 shape (reference query98.sql: per-item revenue with its
+    share of the CLASS total via a windowed sum over the aggregate): the
+    window reuses the aggregation's partitioning (p_type prefix of the
+    group key) — Catalyst plans agg → window with no second shuffle of
+    the fact; the ratio divides a decimal-exact numerator by a
+    decimal-exact class total, rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    ir = (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast(DEC)).alias("itemrevenue"))
+    )
+    w = Window.partitionBy("p_type")
+    return ir.select(
+        "p_type", "p_brand",
+        F.col("itemrevenue").cast("double").alias("itemrevenue"),
+        F.round(
+            (F.col("itemrevenue") * 100).cast("double")
+            / F.sum("itemrevenue").over(w).cast("double"), 9
+        ).alias("revenueratio"),
+    )
