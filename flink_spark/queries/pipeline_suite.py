@@ -584,3 +584,75 @@ def pipe_longsubstring_spans(spark, sf_dir):
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
+
+
+@query(
+    "pipe_longsubstring_filter",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    p AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(ws[i:i+4], ' ')) AS gh
+          FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) t
+          WHERE i <= len(ws) - 4),
+    rep AS (SELECT gh FROM p GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT doc_id, pos FROM p WHERE gh IN (SELECT gh FROM rep)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 4) OVER
+                          (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) IS NULL
+                        OR pos > MAX(pos + 4) OVER
+                          (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) + 1
+                   THEN 1 ELSE 0 END AS ni
+            FROM m),
+    g AS (SELECT doc_id, pos,
+                 SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+          FROM isl),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+              FROM g GROUP BY doc_id, island),
+    dup AS (SELECT doc_id,
+                   SUM(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id),
+    tok AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           (COALESCE(d.dup_tokens, 0) * 2 > t.n_tokens) AS drop_doc
+    FROM tok t LEFT JOIN dup d ON t.doc_id = d.doc_id
+    """,
+)
+def pipe_longsubstring_filter(spark, sf_dir):
+    """The removal decision on top of the ExactSubstr span operator: per
+    document, the repeated-content token count vs total tokens; a doc is
+    dropped when MORE THAN HALF its tokens sit in cross-document repeated
+    spans (threshold compared in exact integers — dup*2 > total — so no
+    float boundary). The spans sub-plan is the bounded-shuffle pipeline
+    of pipe_longsubstring_spans; this adds one per-doc sum + a
+    broadcastable join back to the corpus token counts."""
+    from flink_spark.llm.dedup import long_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = long_substring_spans(docs, window=5)
+    dup = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        tok.join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0).cast("long"))
+            .alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)) * 2 > F.col("n_tokens"))
+            .alias("drop_doc"),
+        )
+    )
