@@ -1245,6 +1245,91 @@ class TableEnvironment:
             return None
         return NotImplemented
 
+    # -- Row-level DML (reference delete.md / update.md:
+    # -- SupportsRowLevelDelete / SupportsRowLevelUpdate — batch-mode
+    # -- row-level modification; the filesystem connector implements it
+    # -- here by read-filter/patch-rewrite, the same storage rewrite a
+    # -- lake-format connector performs for copy-on-write) ----------------
+
+    def _rewrite_table_storage(self, spec, df):
+        """Materialize ``df`` as the new contents of a filesystem table
+        (write tmp, swap — the copy-on-write commit)."""
+        import os as _os
+        import shutil as _shutil
+
+        path = spec.options["path"]
+        fmt = spec.options.get("format", "parquet")
+        tmp = path.rstrip("/") + ".rewriting"
+        df.write.mode("overwrite").format(fmt).save(tmp)
+        _shutil.rmtree(path, ignore_errors=True)
+        _os.rename(tmp, path)
+        self._refresh_view(spec)
+
+    def _dml_target(self, name: str, verb: str):
+        spec = self.tables[name]
+        if spec.connector != "filesystem":
+            raise ValueError(
+                f"{verb}: connector {spec.connector!r} does not support "
+                f"row-level {verb.lower()} (reference "
+                f"SupportsRowLevel{verb.title()})"
+            )
+        return spec
+
+    def _row_level_delete(self, name: str, cond: str | None):
+        spec = self._dml_target(name, "DELETE")
+        df = self._source_df(spec)
+        total = df.count()
+        if cond is None:
+            keep = df.limit(0)
+            removed = total
+        else:
+            keep = df.filter(f"NOT ({cond})")
+            keep = keep.localCheckpoint(eager=True)
+            removed = total - keep.count()
+        self._rewrite_table_storage(spec, keep)
+        return self.spark.createDataFrame(
+            [(removed,)], "rows_affected bigint"
+        )
+
+    def _row_level_update(self, name: str, sets: str, cond: str | None):
+        from pyspark.sql import functions as F
+
+        from flink_spark.sqltok import split_top_commas
+
+        spec = self._dml_target(name, "UPDATE")
+        df = self._source_df(spec)
+        assignments: dict[str, str] = {}
+        for item in split_top_commas(sets):
+            am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"UPDATE: expected `col = expr`, got {item.strip()!r}"
+                )
+            col = am.group(1)
+            if col not in [c for c, _ in spec.columns]:
+                raise ValueError(
+                    f"UPDATE: unknown column {col!r} in table {name!r}"
+                )
+            assignments[col] = am.group(2).strip()
+        declared = dict(spec.columns)
+        cond_expr = F.expr(cond) if cond is not None else F.lit(True)
+        affected = df.filter(cond_expr).count() if cond else df.count()
+        cols = []
+        for c, t in spec.columns:
+            if c in assignments:
+                cols.append(
+                    F.when(cond_expr, F.expr(assignments[c])
+                           .cast(_map_type(declared[c])))
+                    .otherwise(F.col(c)).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        patched = df.select(*cols).localCheckpoint(eager=True)
+        self._rewrite_table_storage(spec, patched)
+        return self.spark.createDataFrame(
+            [(affected,)], "rows_affected bigint"
+        )
+
     # -- CALL procedures (reference call.md, SqlCallProcedure + the
     # -- Procedure catalog interface) --------------------------------------
 
@@ -1451,6 +1536,25 @@ class TableEnvironment:
             )
             return self.spark.createDataFrame(
                 [(n,) for n in names], "procedure_name string"
+            )
+        dm_del = re.match(
+            r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
+            r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if dm_del and dm_del.group("name") in self.tables:
+            return self._row_level_delete(
+                dm_del.group("name"), dm_del.group("cond")
+            )
+        dm_upd = re.match(
+            r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+            r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if dm_upd and dm_upd.group("name") in self.tables:
+            return self._row_level_update(
+                dm_upd.group("name"), dm_upd.group("sets"),
+                dm_upd.group("cond"),
             )
         if re.search(r"\bOVERLAPS\b", up):
             # (tp1, t1) OVERLAPS (tp2, t2) (reference sql_functions.yml

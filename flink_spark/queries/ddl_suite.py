@@ -705,3 +705,63 @@ def join_hints_gate(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return spark.createDataFrame(rows, "hint string, join_node string")
+
+
+@query(
+    "ddl_delete_update_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderkey <= 500 AND o_orderstatus <> 'F'
+    """,
+)
+def ddl_delete_update_roundtrip(spark, sf_dir):
+    """Row-level DML (reference delete.md/update.md —
+    SupportsRowLevelDelete/Update, batch-mode copy-on-write): UPDATE
+    patches only matching rows (cast back to the declared type), DELETE
+    removes by predicate via storage rewrite; the surviving table must
+    equal the closed-form oracle. rows_affected counts are asserted
+    in-query."""
+    import uuid as _uuid
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    path = f"/tmp/flink_spark_dml_{_uuid.uuid4().hex[:8]}"
+    env.execute_sql("DROP TABLE IF EXISTS dml_orders")
+    env.execute_sql(f"""
+        CREATE TABLE dml_orders (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING,
+          o_orderstatus STRING
+        ) WITH ('connector'='filesystem', 'path'='{path}',
+                'format'='parquet')
+    """)
+    try:
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") <= 500
+        ).createOrReplaceTempView("__dml_src")
+        env.execute_sql("""
+            INSERT INTO dml_orders
+            SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+            FROM __dml_src
+        """)
+        upd = env.execute_sql(
+            "UPDATE dml_orders SET o_totalprice = o_totalprice * 1.1 "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ).collect()[0].rows_affected
+        dele = env.execute_sql(
+            "DELETE FROM dml_orders WHERE o_orderstatus = 'F'"
+        ).collect()[0].rows_affected
+        out = spark.table("dml_orders")
+        n_urgent_left = out.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).count()
+        assert upd >= n_urgent_left and dele > 0, (upd, dele)
+        return out.select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).localCheckpoint(eager=True)
+    finally:
+        env.execute_sql("DROP TABLE IF EXISTS dml_orders")

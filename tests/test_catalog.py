@@ -1122,3 +1122,36 @@ def test_show_procedures_and_overlaps_literal_safety(spark):
         "SELECT '(a, b) OVERLAPS (c, d)' AS s"
     ).collect()[0]
     assert r.s == "(a, b) OVERLAPS (c, d)"
+
+
+def test_row_level_dml_edges(spark, tmp_path):
+    """Row-level DML edge cases: DELETE without WHERE truncates with
+    exact affected count; UPDATE of an unknown column rejects; non-
+    filesystem connector rejects (SupportsRowLevelDelete gate)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS dml_e")
+    env.execute_sql(
+        "CREATE TABLE dml_e (k BIGINT, v STRING) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/dml_e', "
+        "'format'='parquet')"
+    )
+    env.execute_sql(
+        "INSERT INTO dml_e SELECT id, CAST(id AS STRING) FROM range(10)"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        env.execute_sql("UPDATE dml_e SET nope = 1")
+    n = env.execute_sql("DELETE FROM dml_e").collect()[0].rows_affected
+    assert n == 10 and spark.table("dml_e").count() == 0
+    env.execute_sql("DROP TABLE IF EXISTS dml_e")
+
+    env.execute_sql("DROP TABLE IF EXISTS dml_print")
+    env.execute_sql(
+        "CREATE TABLE dml_print (k BIGINT) WITH ('connector'='print')"
+    )
+    with pytest.raises(ValueError, match="does not support row-level"):
+        env.execute_sql("DELETE FROM dml_print WHERE k = 1")
+    env.execute_sql("DROP TABLE IF EXISTS dml_print")
