@@ -704,7 +704,13 @@ class TableEnvironment:
         import hashlib
         import json
 
-        df = self.spark.sql(sql)
+        im = re.match(
+            r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+[\w.]+\s+(SELECT\b.*)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        # an INSERT into an engine-managed sink can't be analyzed by bare
+        # spark.sql — the plan contract is the SELECT's schema
+        df = self.spark.sql(im.group(1) if im else sql)
         optimized = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "extended"
         )
@@ -729,7 +735,12 @@ class TableEnvironment:
 
         with open(path) as f:
             plan = json.load(f)
-        df = self.spark.sql(plan["sql"])
+        sql = plan["sql"]
+        if re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
+            # an INSERT plan replays through the dialect (engine-managed
+            # sinks included); the schema contract was checked at compile
+            return self.execute_sql(sql)
+        df = self.spark.sql(sql)
         expected = StructType.fromJson(plan["schema"])
         if df.schema != expected:
             raise ValueError(
@@ -1537,6 +1548,31 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(n,) for n in names], "procedure_name string"
             )
+        pm = re.match(
+            r"^\s*COMPILE(?P<andexec>\s+AND\s+EXECUTE)?\s+PLAN\s+"
+            r"'(?P<path>[^']+)'\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+            r"FOR\s+(?P<body>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            # COMPILE [AND EXECUTE] PLAN (reference SqlCompilePlan /
+            # SqlCompileAndExecutePlan): persist the replayable contract,
+            # optionally execute it immediately through the same replay
+            # path EXECUTE PLAN uses
+            import os as _os
+
+            path = pm.group("path")
+            if not (pm.group("ine") and _os.path.exists(path)):
+                self.compile_plan_sql(pm.group("body"), path)
+            if pm.group("andexec"):
+                return self.execute_plan(path)
+            return None
+        em2 = re.match(
+            r"^\s*EXECUTE\s+PLAN\s+'(?P<path>[^']+)'\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if em2:
+            return self.execute_plan(em2.group("path"))
         dm_del = re.match(
             r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
             r"(?:\s+WHERE\s+(?P<cond>.+))?$",

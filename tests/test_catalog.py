@@ -1155,3 +1155,51 @@ def test_row_level_dml_edges(spark, tmp_path):
     with pytest.raises(ValueError, match="does not support row-level"):
         env.execute_sql("DELETE FROM dml_print WHERE k = 1")
     env.execute_sql("DROP TABLE IF EXISTS dml_print")
+
+
+def test_compile_and_execute_plan_sql_statements(spark, sf_dir, tmp_path):
+    """SQL spellings COMPILE PLAN / EXECUTE PLAN / COMPILE AND EXECUTE
+    PLAN (reference SqlCompilePlan, SqlExecutePlan,
+    SqlCompileAndExecutePlan) — incl. an INSERT body replayed into an
+    engine-managed sink."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("cp_nation")
+    p1 = str(tmp_path / "q.plan.json")
+    env.execute_sql(
+        f"COMPILE PLAN '{p1}' FOR SELECT n_regionkey, count(*) AS n "
+        "FROM cp_nation GROUP BY n_regionkey"
+    )
+    out = env.execute_sql(f"EXECUTE PLAN '{p1}'")
+    assert out.count() == 5
+    # IF NOT EXISTS: second compile is a no-op (file untouched)
+    import os
+
+    mtime = os.path.getmtime(p1)
+    env.execute_sql(
+        f"COMPILE PLAN '{p1}' IF NOT EXISTS FOR SELECT 1 AS x"
+    )
+    assert os.path.getmtime(p1) == mtime
+    # COMPILE AND EXECUTE with an INSERT body into an engine sink
+    env.execute_sql("DROP TABLE IF EXISTS cp_sink")
+    env.execute_sql(
+        "CREATE TABLE cp_sink (rk BIGINT, n BIGINT) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/cp_sink', "
+        "'format'='parquet')"
+    )
+    p2 = str(tmp_path / "ins.plan.json")
+    env.execute_sql(
+        f"COMPILE AND EXECUTE PLAN '{p2}' FOR "
+        "INSERT INTO cp_sink SELECT n_regionkey, count(*) "
+        "FROM cp_nation GROUP BY n_regionkey"
+    )
+    assert os.path.exists(p2)
+    assert spark.table("cp_sink").count() == 5
+    # replay the compiled INSERT again -> sink doubles
+    env.execute_sql(f"EXECUTE PLAN '{p2}'")
+    assert spark.table("cp_sink").count() == 10
+    env.execute_sql("DROP TABLE IF EXISTS cp_sink")
