@@ -1548,6 +1548,42 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(n,) for n in names], "procedure_name string"
             )
+        shm = re.match(
+            r"^\s*(?P<base>SHOW\s+[A-Z]+(?:\s+(?:FROM|IN)\s+[\w.]+)?)\s+"
+            r"(?P<neg>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<pat>[^']*)'\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if shm:
+            # SHOW <objects> [[NOT] (LIKE | ILIKE) '<sql_like_pattern>']
+            # (reference show.md — uniform across CATALOGS/DATABASES/
+            # TABLES/VIEWS/FUNCTIONS/COLUMNS): run the base listing, then
+            # filter its name column with SQL LIKE semantics (% and _
+            # wildcards; ILIKE case-insensitive; NOT negates).
+            base = self.execute_sql(shm.group("base"))
+            from pyspark.sql.types import StringType
+
+            str_cols = [
+                f.name for f in base.schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            # the NAME column: prefer a '*name*' column (tableName,
+            # col_name, function_name, ...), else the last string column
+            # (Spark's SHOW TABLES leads with namespace)
+            name_col = next(
+                (c for c in str_cols if c.lower().endswith("name")),
+                str_cols[-1],
+            )
+            from pyspark.sql import functions as F
+
+            col = F.col(name_col)
+            pred = (
+                col.ilike(shm.group("pat"))
+                if shm.group("op").upper() == "ILIKE"
+                else col.like(shm.group("pat"))
+            )
+            if shm.group("neg"):
+                pred = ~pred
+            return base.filter(pred)
         pm = re.match(
             r"^\s*COMPILE(?P<andexec>\s+AND\s+EXECUTE)?\s+PLAN\s+"
             r"'(?P<path>[^']+)'\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"

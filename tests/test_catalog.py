@@ -1203,3 +1203,37 @@ def test_compile_and_execute_plan_sql_statements(spark, sf_dir, tmp_path):
     env.execute_sql(f"EXECUTE PLAN '{p2}'")
     assert spark.table("cp_sink").count() == 10
     env.execute_sql("DROP TABLE IF EXISTS cp_sink")
+
+
+def test_show_like_patterns(spark, tmp_path):
+    """SHOW <objects> [[NOT] (LIKE|ILIKE) 'pat'] (reference show.md):
+    SQL-LIKE wildcard filtering over the base listing's name column."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    for t in ("likefoo_a", "likefoo_b", "likebar_c"):
+        env.execute_sql(f"DROP TABLE IF EXISTS {t}")
+        env.execute_sql(
+            f"CREATE TABLE {t} (k INT) WITH ('connector'='filesystem', "
+            f"'path'='{tmp_path}/{t}', 'format'='parquet')"
+        )
+        # filesystem tables are sink-only until first write; write one
+        # row so the temp view exists for SHOW TABLES
+        env.execute_sql(f"INSERT INTO {t} SELECT 1")
+
+    def names(sql):
+        df = env.execute_sql(sql)
+        col = next((c for c in df.columns if c.lower().endswith("name")),
+                   df.columns[0])
+        return {getattr(r, col) for r in df.collect()}
+    got = names("SHOW TABLES LIKE 'likefoo%'")
+    assert got == {"likefoo_a", "likefoo_b"}
+    got = names("SHOW TABLES NOT LIKE 'likefoo%'")
+    assert "likebar_c" in got and "likefoo_a" not in got
+    # ILIKE case-insensitivity with the _ single-char wildcard
+    got = names("SHOW TABLES ILIKE 'LIKEFOO_A'")
+    assert got == {"likefoo_a"}
+    got = names("SHOW COLUMNS FROM likefoo_a LIKE 'k'")
+    assert got == {"k"}
+    for t in ("likefoo_a", "likefoo_b", "likebar_c"):
+        env.execute_sql(f"DROP TABLE IF EXISTS {t}")
