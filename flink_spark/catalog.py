@@ -1549,7 +1549,8 @@ class TableEnvironment:
                 [(n,) for n in names], "procedure_name string"
             )
         shm = re.match(
-            r"^\s*(?P<base>SHOW\s+[A-Z]+(?:\s+(?:FROM|IN)\s+[\w.]+)?)\s+"
+            r"^\s*(?P<base>SHOW\s+[A-Z]+(?:\s+(?!NOT\b|LIKE\b|ILIKE\b)"
+            r"[A-Z]+)?(?:\s+(?:FROM|IN)\s+[\w.]+)?)\s+"
             r"(?P<neg>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<pat>[^']*)'\s*$",
             stmt, re.IGNORECASE,
         )
