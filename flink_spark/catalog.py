@@ -1548,6 +1548,21 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(n,) for n in names], "procedure_name string"
             )
+        if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
+            # SHOW TABLES must list every CATALOG table (reference
+            # SqlShowTables) — including engine filesystem tables that
+            # are still sink-only (no data written yet, so no temp view
+            # exists for Spark's own listing to find)
+            base = self.spark.sql("SHOW TABLES")
+            listed = {r.tableName for r in base.collect()}
+            missing = [
+                ("", n, True) for n in sorted(self.tables) if n not in listed
+            ]
+            if missing:
+                base = base.unionByName(
+                    self.spark.createDataFrame(missing, base.schema)
+                )
+            return base
         shm = re.match(
             r"^\s*(?P<base>SHOW\s+[A-Z]+(?:\s+(?!NOT\b|LIKE\b|ILIKE\b)"
             r"[A-Z]+)?(?:\s+(?:FROM|IN)\s+[\w.]+)?)\s+"

@@ -1237,3 +1237,24 @@ def test_show_like_patterns(spark, tmp_path):
     assert got == {"k"}
     for t in ("likefoo_a", "likefoo_b", "likebar_c"):
         env.execute_sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_show_tables_includes_sink_only_engine_tables(spark, tmp_path):
+    """SHOW TABLES lists catalog tables even before their first write
+    (reference SqlShowTables over catalog metadata, not storage)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS sinkonly_t")
+    env.execute_sql(
+        "CREATE TABLE sinkonly_t (k INT) WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/sinkonly_t', 'format'='parquet')"
+    )
+    names = {r.tableName for r in env.execute_sql("SHOW TABLES").collect()}
+    assert "sinkonly_t" in names
+    # and through the LIKE shim
+    names = {r.tableName
+             for r in env.execute_sql("SHOW TABLES LIKE 'sinkonly%'")
+             .collect()}
+    assert names == {"sinkonly_t"}
+    env.execute_sql("DROP TABLE IF EXISTS sinkonly_t")
