@@ -1271,7 +1271,12 @@ class TableEnvironment:
         path = spec.options["path"]
         fmt = spec.options.get("format", "parquet")
         tmp = path.rstrip("/") + ".rewriting"
-        df.write.mode("overwrite").format(fmt).save(tmp)
+        writer = df.write.mode("overwrite").format(fmt)
+        pkeys = self._partition_keys(spec)
+        if pkeys:
+            # preserve the hive partition layout through the rewrite
+            writer = writer.partitionBy(*pkeys)
+        writer.save(tmp)
         _shutil.rmtree(path, ignore_errors=True)
         _os.rename(tmp, path)
         self._refresh_view(spec)
@@ -1376,8 +1381,14 @@ class TableEnvironment:
             fmt = spec.options.get("format", "parquet")
             df = self._source_df(spec)
             tmp = path.rstrip("/") + ".compacting"
-            (df.coalesce(int(target_files)).write.mode("overwrite")
-             .format(fmt).save(tmp))
+            writer = (df.coalesce(int(target_files)).write
+                      .mode("overwrite").format(fmt))
+            pkeys = self._partition_keys(spec)
+            if pkeys:
+                # target_files applies PER PARTITION for a partitioned
+                # table; the hive layout is preserved
+                writer = writer.partitionBy(*pkeys)
+            writer.save(tmp)
             _shutil.rmtree(path)
             _os.rename(tmp, path)
             self._refresh_view(spec)

@@ -1258,3 +1258,44 @@ def test_show_tables_includes_sink_only_engine_tables(spark, tmp_path):
              .collect()}
     assert names == {"sinkonly_t"}
     env.execute_sql("DROP TABLE IF EXISTS sinkonly_t")
+
+
+def test_rewrites_preserve_partition_layout(spark, tmp_path):
+    """sys.compact and row-level DML on a PARTITIONED filesystem table
+    must preserve the hive directory layout (partition.keys)."""
+    import os
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS part_rw")
+    env.execute_sql(
+        "CREATE TABLE part_rw (k BIGINT, grp STRING) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/part_rw', "
+        "'format'='parquet', 'partition.keys'='grp')"
+    )
+    for i in range(3):
+        env.execute_sql(
+            f"INSERT INTO part_rw SELECT id + {i * 10}, "
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(10)"
+        )
+    def pdirs():
+        return sorted(
+            d for d in os.listdir(f"{tmp_path}/part_rw")
+            if d.startswith("grp=")
+        )
+    assert pdirs() == ["grp=a", "grp=b"]
+    env.execute_sql("CALL sys.compact('part_rw', 1)")
+    assert pdirs() == ["grp=a", "grp=b"]
+    assert spark.table("part_rw").count() == 30
+    n = env.execute_sql(
+        "DELETE FROM part_rw WHERE grp = 'b'"
+    ).collect()[0].rows_affected
+    assert n == 15 and pdirs() == ["grp=a"]
+    assert spark.table("part_rw").count() == 15
+    env.execute_sql(
+        "UPDATE part_rw SET k = k + 100 WHERE k < 5"
+    )
+    assert pdirs() == ["grp=a"]
+    assert spark.table("part_rw").filter("k >= 100").count() > 0
+    env.execute_sql("DROP TABLE IF EXISTS part_rw")
