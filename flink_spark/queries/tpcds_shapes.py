@@ -2522,8 +2522,8 @@ def tpcds_q62_latency_bands(spark, sf_dir):
       AND EXISTS (
         SELECT 1 FROM part p2
         WHERE p2.p_brand = p1.p_brand
-          AND ((p2.p_type LIKE '%BRASS%' AND p2.p_size BETWEEN 1 AND 15)
-            OR (p2.p_type LIKE '%STEEL%' AND p2.p_size BETWEEN 5 AND 25)))
+          AND ((p2.p_type LIKE '%PROMO%' AND p2.p_size BETWEEN 1 AND 15)
+            OR (p2.p_type LIKE '%ECONOMY%' AND p2.p_size BETWEEN 5 AND 25)))
     ORDER BY p_name LIMIT 50
     """,
 )
@@ -2536,8 +2536,8 @@ def tpcds_q41_attribute_combos(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     probe = p.filter(F.col("p_size").between(10, 20)).alias("p1")
     attrs = p.filter(
-        (F.col("p_type").like("%BRASS%") & F.col("p_size").between(1, 15))
-        | (F.col("p_type").like("%STEEL%") & F.col("p_size").between(5, 25))
+        (F.col("p_type").like("%PROMO%") & F.col("p_size").between(1, 15))
+        | (F.col("p_type").like("%ECONOMY%") & F.col("p_size").between(5, 25))
     ).alias("p2")
     return (
         probe.join(
