@@ -2683,3 +2683,108 @@ def tpcds_q98_class_revenue_share(spark, sf_dir):
             / F.sum("itemrevenue").over(w).cast("double"), 9
         ).alias("revenueratio"),
     )
+
+
+@query(
+    "tpcds_q6_above_average_price",
+    oracle=f"""
+    WITH avg_by_type AS (
+      SELECT p_type, AVG(CAST(p_retailprice AS {DEC})) AS a
+      FROM part GROUP BY p_type)
+    SELECT n.n_name, COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN avg_by_type t ON p.p_type = t.p_type
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE CAST(p.p_retailprice AS {DEC}) * 10 > t.a * 12
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 10
+    """,
+)
+def tpcds_q6_above_average_price(spark, sf_dir):
+    """TPC-DS q6 shape (reference query6.sql: customers in states buying
+    items priced ≥ 1.2× their category average): the correlated
+    category-average subquery decorrelates into ONE dimension aggregate
+    broadcast back onto the fact; the 1.2× threshold compares in exact
+    decimal cross-multiplication (price·10 > avg·12)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    avg_t = part.groupBy("p_type").agg(
+        F.avg(F.col("p_retailprice").cast(DEC)).alias("a")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_t), "p_type")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("p_retailprice").cast(DEC) * 10 > F.col("a") * 12)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+@query(
+    "tpcds_q15_regional_big_spenders",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS {DEC})) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 50000
+       OR n.n_name IN ('FRANCE', 'GERMANY', 'CANADA')
+    GROUP BY n.n_name
+    """,
+)
+def tpcds_q15_regional_big_spenders(spark, sf_dir):
+    """TPC-DS q15 shape (reference query15.sql: catalog-sales totals per
+    zip where the zip is in a fixed list OR the sale exceeds a
+    threshold — the characteristic disjunction of a dimension predicate
+    with a fact predicate, which can NOT prune either scan alone): one
+    fact pass, broadcast dims, the OR evaluated post-join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_totalprice") > 50000)
+            | F.col("n_name").isin("FRANCE", "GERMANY", "CANADA")
+        )
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", "total"))
+    )
+
+
+@query(
+    "tpcds_q96_time_band_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE hour(e.ts) BETWEEN 8 AND 9
+      AND e.event_type = 'purchase'
+      AND c.c_mktsegment = 'BUILDING'
+    """,
+)
+def tpcds_q96_time_band_count(spark, sf_dir):
+    """TPC-DS q96 shape (reference query96.sql: store-sales count in a
+    half-hour band for a demographic slice — three broadcast dimension
+    filters and a bare COUNT(*)): every predicate reaches the scan or a
+    broadcast hash join; the count needs no shuffle beyond the final
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.filter(
+            F.hour("ts").between(8, 9) & (F.col("event_type") == "purchase")
+        )
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("user_id") == F.col("c_custkey"))
+        .agg(F.count("*").alias("cnt"))
+    )
