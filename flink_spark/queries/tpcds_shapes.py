@@ -2697,17 +2697,17 @@ def tpcds_q98_class_revenue_share(spark, sf_dir):
     JOIN avg_by_type t ON p.p_type = t.p_type
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE CAST(p.p_retailprice AS {DEC}) * 10 > t.a * 12
+    WHERE CAST(p.p_retailprice AS {DEC}) * 100 > t.a * 105
     GROUP BY n.n_name
-    HAVING COUNT(*) >= 10
+    HAVING COUNT(*) >= 5
     """,
 )
 def tpcds_q6_above_average_price(spark, sf_dir):
     """TPC-DS q6 shape (reference query6.sql: customers in states buying
-    items priced ≥ 1.2× their category average): the correlated
+    items priced ≥ 1.05× their category average): the correlated
     category-average subquery decorrelates into ONE dimension aggregate
-    broadcast back onto the fact; the 1.2× threshold compares in exact
-    decimal cross-multiplication (price·10 > avg·12)."""
+    broadcast back onto the fact; the 1.05× threshold compares in exact
+    decimal cross-multiplication (price·100 > avg·105)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
@@ -2720,10 +2720,10 @@ def tpcds_q6_above_average_price(spark, sf_dir):
         .join(F.broadcast(avg_t), "p_type")
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("p_retailprice").cast(DEC) * 10 > F.col("a") * 12)
+        .filter(F.col("p_retailprice").cast(DEC) * 100 > F.col("a") * 105)
         .groupBy("n_name")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 10)
+        .filter(F.col("cnt") >= 5)
     )
 
 
