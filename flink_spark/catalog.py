@@ -1281,6 +1281,86 @@ class TableEnvironment:
         _os.rename(tmp, path)
         self._refresh_view(spec)
 
+    #: Pruned rewrite engages only when the condition touches at most this
+    #: many partitions — past that, one full rewrite beats many dir swaps.
+    _DML_PRUNE_MAX_PARTS = 64
+
+    def _hive_part_component(self, key: str, value) -> str:
+        """One ``key=value`` Hive-layout path component, escaped the way
+        Spark/Hive escape partition values on write (ExternalCatalogUtils
+        escapePathName rules; NULL -> the default-partition marker)."""
+        if value is None:
+            return f"{key}=__HIVE_DEFAULT_PARTITION__"
+        s = str(value)
+        out = []
+        for ch in s:
+            if ch in '"#%\'*/:=?\\\x7f{}[]^' or ord(ch) < 32:
+                out.append("%{:02X}".format(ord(ch)))
+            else:
+                out.append(ch)
+        return f"{key}={''.join(out)}"
+
+    def _affected_partitions(self, spec, df, cond: str | None):
+        """Distinct partition-key combos the condition can touch, or None
+        when pruned rewrite doesn't apply (unpartitioned table, no
+        condition, or too many partitions hit). Catalyst partition-prunes
+        the underlying scan when ``cond`` constrains partition columns,
+        so for the common targeted-DML case this job is metadata-cheap."""
+        pkeys = self._partition_keys(spec)
+        if not pkeys or cond is None:
+            return None
+        rows = (
+            df.filter(cond).select(*pkeys).distinct()
+            .limit(self._DML_PRUNE_MAX_PARTS + 1).collect()
+        )
+        if len(rows) > self._DML_PRUNE_MAX_PARTS:
+            return None
+        return [r.asDict() for r in rows]
+
+    def _partition_membership(self, combos):
+        from pyspark.sql import functions as F
+
+        pred = F.lit(False)
+        for combo in combos:
+            clause = F.lit(True)
+            for k, v in combo.items():
+                clause = clause & (
+                    F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+                )
+            pred = pred | clause
+        return pred
+
+    def _rewrite_partitions(self, spec, df, combos) -> None:
+        """Partition-pruned copy-on-write commit: materialize ``df`` (the
+        new contents of ONLY the affected partitions) to a tmp dir, then
+        swap just those partition directories — untouched partitions keep
+        their files byte-for-byte (reference delete.md/update.md
+        SupportsRowLevelDelete/Update + SupportsDeletePushDown: a lake
+        connector rewrites only the files the predicate reaches; at 100 TB
+        a date-targeted DELETE must not rewrite the other 10k dates)."""
+        import os as _os
+        import shutil as _shutil
+
+        path = spec.options["path"]
+        fmt = spec.options.get("format", "parquet")
+        pkeys = self._partition_keys(spec)
+        tmp = path.rstrip("/") + ".rewriting"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        (df.write.mode("overwrite").format(fmt).partitionBy(*pkeys).save(tmp))
+        for combo in combos:
+            rel = "/".join(
+                self._hive_part_component(k, combo[k]) for k in pkeys
+            )
+            dst = _os.path.join(path, rel)
+            src = _os.path.join(tmp, rel)
+            _shutil.rmtree(dst, ignore_errors=True)
+            if _os.path.isdir(src):
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                _os.rename(src, dst)
+            # else: every row of this partition was deleted — dir stays gone
+        _shutil.rmtree(tmp, ignore_errors=True)
+        self._refresh_view(spec)
+
     def _dml_target(self, name: str, verb: str):
         spec = self.tables[name]
         if spec.connector != "filesystem":
@@ -1294,6 +1374,18 @@ class TableEnvironment:
     def _row_level_delete(self, name: str, cond: str | None):
         spec = self._dml_target(name, "DELETE")
         df = self._source_df(spec)
+        combos = self._affected_partitions(spec, df, cond)
+        if combos is not None:
+            removed = df.filter(cond).count()
+            if combos:
+                keep_sub = (
+                    df.filter(self._partition_membership(combos))
+                    .filter(f"NOT ({cond})")
+                )
+                self._rewrite_partitions(spec, keep_sub, combos)
+            return self.spark.createDataFrame(
+                [(removed,)], "rows_affected bigint"
+            )
         total = df.count()
         if cond is None:
             keep = df.limit(0)
@@ -1330,17 +1422,39 @@ class TableEnvironment:
         declared = dict(spec.columns)
         cond_expr = F.expr(cond) if cond is not None else F.lit(True)
         affected = df.filter(cond_expr).count() if cond else df.count()
-        cols = []
-        for c, t in spec.columns:
-            if c in assignments:
-                cols.append(
-                    F.when(cond_expr, F.expr(assignments[c])
-                           .cast(_map_type(declared[c])))
-                    .otherwise(F.col(c)).alias(c)
+
+        def _patch_cols():
+            cols = []
+            for c, t in spec.columns:
+                if c in assignments:
+                    cols.append(
+                        F.when(cond_expr, F.expr(assignments[c])
+                               .cast(_map_type(declared[c])))
+                        .otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return cols
+
+        # Partition-pruned path: rewrite only the partitions the WHERE
+        # clause reaches. An assignment that writes a partition key moves
+        # rows across directories, so that case takes the full rewrite.
+        combos = (
+            None
+            if set(assignments) & set(self._partition_keys(spec))
+            else self._affected_partitions(spec, df, cond)
+        )
+        if combos is not None:
+            if combos:
+                patched_sub = (
+                    df.filter(self._partition_membership(combos))
+                    .select(*_patch_cols())
                 )
-            else:
-                cols.append(F.col(c))
-        patched = df.select(*cols).localCheckpoint(eager=True)
+                self._rewrite_partitions(spec, patched_sub, combos)
+            return self.spark.createDataFrame(
+                [(affected,)], "rows_affected bigint"
+            )
+        patched = df.select(*_patch_cols()).localCheckpoint(eager=True)
         self._rewrite_table_storage(spec, patched)
         return self.spark.createDataFrame(
             [(affected,)], "rows_affected bigint"
@@ -2279,6 +2393,87 @@ class TableEnvironment:
                     q.stop()
                     return None
             raise ValueError(f"no active job {stop.group('jid')!r}")
+        vm = re.match(
+            r"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?(?P<temp>TEMPORARY\s+)?"
+            r"VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+            r"(?:\((?P<cols>[^)]*)\)\s*)?"
+            r"(?:COMMENT\s+'(?P<cmt>[^']*)'\s*)?AS\s+(?P<q>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if vm:
+            # CREATE [OR REPLACE] [TEMPORARY] VIEW (reference SqlCreateView
+            # / create.md): catalog metadata over the query text. The query
+            # runs through execute_sql so engine rewrites (window TVFs,
+            # MATCH_RECOGNIZE, ...) apply; the definition text is recorded
+            # for SHOW CREATE VIEW.
+            name, qtext = vm.group("name"), vm.group("q").strip()
+            self._view_defs = getattr(self, "_view_defs", {})
+            if name in self._view_defs and not (
+                vm.group("rep") or vm.group("ine")
+            ):
+                raise ValueError(f"view {name!r} already exists")
+            if name in self._view_defs and vm.group("ine"):
+                return None
+            vdf = self.execute_sql(qtext)
+            cols = None
+            if vm.group("cols"):
+                cols = [c.strip() for c in vm.group("cols").split(",")]
+                if len(cols) != len(vdf.columns):
+                    raise ValueError(
+                        f"CREATE VIEW {name}: {len(cols)} column aliases "
+                        f"for a {len(vdf.columns)}-column query"
+                    )
+                vdf = vdf.toDF(*cols)
+            vdf.createOrReplaceTempView(name)
+            self._view_defs[name] = {
+                "query": qtext,
+                "temporary": bool(vm.group("temp")),
+                "cols": cols,
+                "comment": vm.group("cmt"),
+            }
+            return None
+        dv = re.match(
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?P<ife>IF\s+EXISTS\s+)?"
+            r"(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if dv and (
+            dv.group("name") in getattr(self, "_view_defs", {})
+            or dv.group("ife")
+        ):
+            name = dv.group("name")
+            defs = getattr(self, "_view_defs", {})
+            if name in defs:
+                del defs[name]
+                self.spark.catalog.dropTempView(name)
+                return None
+            # IF EXISTS on a view we don't own: let Spark try, absent is fine
+            try:
+                return self.spark.sql(stmt)
+            except Exception:  # noqa: BLE001
+                return None
+        scv = re.match(
+            r"^\s*SHOW\s+CREATE\s+VIEW\s+(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if scv:
+            # SHOW CREATE VIEW (reference SqlShowCreateView / show.md)
+            name = scv.group("name")
+            d = getattr(self, "_view_defs", {}).get(name)
+            if d is None:
+                raise ValueError(
+                    f"SHOW CREATE VIEW: view {name!r} does not exist"
+                )
+            parts = ["CREATE"]
+            if d["temporary"]:
+                parts.append("TEMPORARY")
+            parts += ["VIEW", name]
+            if d["cols"]:
+                parts.append("(" + ", ".join(d["cols"]) + ")")
+            if d["comment"] is not None:
+                parts.append(f"COMMENT '{d['comment']}'")
+            ddl = " ".join(parts) + f" AS {d['query']}"
+            return self.spark.createDataFrame([(ddl,)], "ddl string")
         sct = re.match(
             r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$",
             stmt,

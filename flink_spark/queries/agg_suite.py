@@ -256,8 +256,9 @@ def agg_split_distinct(spark, sf_dir):
            round(stddev_samp(o_totalprice), 6) AS sd_samp,
            round(var_pop(o_totalprice), 4) AS v_pop,
            round(var_samp(o_totalprice), 4) AS v_samp,
-           list_sort(list(o_orderkey) FILTER (o_orderkey <= 320))
-             AS agg_keys
+           array_to_string(
+             list_sort(ifnull(list(o_orderkey) FILTER (o_orderkey <= 320), [])),
+             '|') AS agg_keys
     FROM orders WHERE o_orderkey <= 5000
     GROUP BY o_orderstatus
     """,
@@ -275,9 +276,15 @@ def agg_variance_family(spark, sf_dir):
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_samp"),
         F.round(F.var_pop("o_totalprice"), 4).alias("v_pop"),
         F.round(F.var_samp("o_totalprice"), 4).alias("v_samp"),
-        F.array_sort(
-            F.array_agg(
-                F.when(F.col("o_orderkey") <= 320, F.col("o_orderkey"))
-            )
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.array_agg(
+                        F.when(F.col("o_orderkey") <= 320, F.col("o_orderkey"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "|",
         ).alias("agg_keys"),
     )

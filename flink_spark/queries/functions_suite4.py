@@ -73,9 +73,12 @@ def fn_trig_hyper_suite(spark, sf_dir):
            regexp_extract(p_name, '[a-z]+') AS first_word,
            list_min(string_split(p_name, ' ')) AS min_word,
            list_max(string_split(p_name, ' ')) AS max_word,
-           list_append(string_split(p_brand, '#'), 'end') AS appended,
-           list_prepend('start', string_split(p_brand, '#')) AS prepended,
-           list_filter(string_split(p_name, ' '), w -> w <> 'the') AS no_the
+           array_to_string(list_append(string_split(p_brand, '#'), 'end'), '|')
+             AS appended,
+           array_to_string(list_prepend('start', string_split(p_brand, '#')), '|')
+             AS prepended,
+           array_to_string(list_filter(string_split(p_name, ' '), w -> w <> 'the'), '|')
+             AS no_the
     FROM part WHERE p_partkey <= 300
     """,
 )
@@ -99,9 +102,13 @@ def fn_string_extra_suite(spark, sf_dir):
         F.regexp_substr(F.col("p_name"), F.lit("[a-z]+")).alias("first_word"),
         F.array_min(words).alias("min_word"),
         F.array_max(words).alias("max_word"),
-        F.array_append(F.split(F.col("p_brand"), "#"), F.lit("end")).alias("appended"),
-        F.array_prepend(F.split(F.col("p_brand"), "#"), F.lit("start")).alias("prepended"),
-        F.array_remove(words, "the").alias("no_the"),
+        F.array_join(
+            F.array_append(F.split(F.col("p_brand"), "#"), F.lit("end")), "|"
+        ).alias("appended"),
+        F.array_join(
+            F.array_prepend(F.split(F.col("p_brand"), "#"), F.lit("start")), "|"
+        ).alias("prepended"),
+        F.array_join(F.array_remove(words, "the"), "|").alias("no_the"),
     )
 
 

@@ -153,11 +153,12 @@ def fn_json_table(spark, sf_dir):
            CAST(p_size AS VARCHAR) ~ '^[0-9]+$' AS isdigit,
            (CAST(p_retailprice AS VARCHAR) ~
              '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$') AS isdec,
-           list_sort(map_values(MAP {'a': p_size, 'b': p_size + 1}))
+           array_to_string(
+             list_sort(map_values(MAP {'a': p_size, 'b': p_size + 1})), '|')
              AS mvals,
-           list_reverse(string_split(p_name, ' ')) AS arev,
-           string_split(p_name, ' ')[1:2] AS aslice,
-           string_split(p_name, ' ') || ['pad'] AS aconcat,
+           array_to_string(list_reverse(string_split(p_name, ' ')), '|') AS arev,
+           array_to_string(string_split(p_name, ' ')[1:2], '|') AS aslice,
+           array_to_string(string_split(p_name, ' ') || ['pad'], '|') AS aconcat,
            to_json('x' || CAST(p_size AS VARCHAR)) AS jquote
     FROM part WHERE p_partkey <= 300
     """,
@@ -196,17 +197,23 @@ def fn_name_parity_suite(spark, sf_dir):
         is_alpha("p_name").alias("isalpha"),
         is_digit(F.col("p_size").cast("string")).alias("isdigit"),
         is_decimal(F.col("p_retailprice").cast("string")).alias("isdec"),
-        F.array_sort(
-            F.map_values(
-                F.map_from_arrays(
-                    F.array(F.lit("a"), F.lit("b")),
-                    F.array(F.col("p_size"), F.col("p_size") + 1),
-                )
-            )
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.map_values(
+                        F.map_from_arrays(
+                            F.array(F.lit("a"), F.lit("b")),
+                            F.array(F.col("p_size"), F.col("p_size") + 1),
+                        )
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "|",
         ).alias("mvals"),
-        F.reverse(toks).alias("arev"),
-        F.slice(toks, 1, 2).alias("aslice"),
-        F.concat(toks, F.array(F.lit("pad"))).alias("aconcat"),
+        F.array_join(F.reverse(toks), "|").alias("arev"),
+        F.array_join(F.slice(toks, 1, 2), "|").alias("aslice"),
+        F.array_join(F.concat(toks, F.array(F.lit("pad"))), "|").alias("aconcat"),
         # JSON_QUOTE: quote a bare string as a JSON scalar
         F.concat(F.lit('"'), F.lit("x"), F.col("p_size").cast("string"),
                  F.lit('"')).alias("jquote"),

@@ -2788,3 +2788,442 @@ def tpcds_q96_time_band_count(spark, sf_dir):
               F.col("user_id") == F.col("c_custkey"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "tpcds_q2_weekday_yoy",
+    oracle=f"""
+    WITH wk AS (
+      SELECT isoyear(l_shipdate) AS yr, weekofyear(l_shipdate) AS wk,
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 1 THEN l_extendedprice ELSE 0 END", "d1")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 2 THEN l_extendedprice ELSE 0 END", "d2")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 3 THEN l_extendedprice ELSE 0 END", "d3")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 4 THEN l_extendedprice ELSE 0 END", "d4")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 5 THEN l_extendedprice ELSE 0 END", "d5")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 6 THEN l_extendedprice ELSE 0 END", "d6")},
+             {sql_dsum("CASE WHEN isodow(l_shipdate) = 7 THEN l_extendedprice ELSE 0 END", "d7")}
+      FROM lineitem
+      WHERE l_linenumber % 3 <> 0
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-12-29'
+      GROUP BY 1, 2)
+    SELECT CAST(y1.wk AS BIGINT) AS wk,
+           round(y1.d1 / y2.d1, 6) AS r1, round(y1.d2 / y2.d2, 6) AS r2,
+           round(y1.d3 / y2.d3, 6) AS r3, round(y1.d4 / y2.d4, 6) AS r4,
+           round(y1.d5 / y2.d5, 6) AS r5, round(y1.d6 / y2.d6, 6) AS r6,
+           round(y1.d7 / y2.d7, 6) AS r7
+    FROM wk y1 JOIN wk y2 ON y1.wk = y2.wk
+    WHERE y1.yr = 1996 AND y2.yr = 1997
+      AND y2.d1 > 0 AND y2.d2 > 0 AND y2.d3 > 0 AND y2.d4 > 0
+      AND y2.d5 > 0 AND y2.d6 > 0 AND y2.d7 > 0
+    """,
+)
+def tpcds_q2_weekday_yoy(spark, sf_dir):
+    """TPC-DS q2 shape (reference tpcds-tool/query/query2.sql): the
+    channel-union fact pivoted into a 7-column ISO-weekday revenue row per
+    week, then the SAME CTE self-joined year vs year+1 on the week number
+    to emit per-weekday year-over-year ratios (channel proxied by
+    l_linenumber % 3 on the reduced schema, as l_shipmode is in tpch.py). The self-join runs over
+    |weeks| aggregated rows, never fact rows; one shuffle for the weekly
+    group-by, the 104-row self-join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") % 3 != 0)
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-12-29")
+    )
+    isodow = (F.dayofweek("l_shipdate") + 5) % 7 + 1
+    wk = li.groupBy(
+        F.expr("extract(YEAROFWEEK FROM l_shipdate)").alias("yr"),
+        F.weekofyear("l_shipdate").alias("wk"),
+    ).agg(*[
+        dsum(
+            F.when(isodow == d, F.col("l_extendedprice")).otherwise(0.0),
+            f"d{d}",
+        )
+        for d in range(1, 8)
+    ])
+    y1 = wk.filter(F.col("yr") == 1996).alias("y1")
+    y2 = wk.filter(F.col("yr") == 1997).alias("y2")
+    cond = F.col("y1.wk") == F.col("y2.wk")
+    for d in range(1, 8):
+        cond = cond & (F.col(f"y2.d{d}") > 0)
+    return y1.join(F.broadcast(y2), cond).select(
+        F.col("y1.wk").cast("long").alias("wk"),
+        *[
+            F.round(F.col(f"y1.d{d}") / F.col(f"y2.d{d}"), 6).alias(f"r{d}")
+            for d in range(1, 8)
+        ],
+    )
+
+
+@query(
+    "tpcds_q4_three_channel_growth",
+    oracle=f"""
+    WITH t AS (
+      SELECT o.o_custkey AS cust,
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 0 AND year(o.o_orderdate) = 1996 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "s96")},
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 0 AND year(o.o_orderdate) = 1997 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "s97")},
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 1 AND year(o.o_orderdate) = 1996 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "c96")},
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 1 AND year(o.o_orderdate) = 1997 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "c97")},
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 2 AND year(o.o_orderdate) = 1996 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "w96")},
+             {sql_dsum("CASE WHEN l.l_linenumber % 3 = 2 AND year(o.o_orderdate) = 1997 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "w97")}
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+      GROUP BY 1)
+    SELECT cust, round(w97 / w96, 6) AS web_growth,
+           round(c97 / c96, 6) AS cat_growth,
+           round(s97 / s96, 6) AS store_growth
+    FROM t
+    WHERE s96 > 0 AND c96 > 0 AND w96 > 0
+      AND w97 / w96 > s97 / s96 AND c97 / c96 > s97 / s96
+    """,
+)
+def tpcds_q4_three_channel_growth(spark, sf_dir):
+    """TPC-DS q4 shape (reference tpcds-tool/query/query4.sql): per-
+    customer per-channel yearly totals (store/catalog/web as shipmode
+    bands), then keep customers whose web AND catalog year-over-year
+    growth both beat store growth. One fact-fact shuffle join
+    (lineitem x orders on orderkey) + ONE grouped pass computing all six
+    channel-year cells via conditional aggregation — the classic
+    six-CTE formulation collapsed into a single shuffle, which is the
+    plan you want when each CTE would rescan a 100 TB fact."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_linenumber") % 3).alias("chan"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    bands = {"s": 0, "c": 1, "w": 2}
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    aggs = []
+    for ch, band in bands.items():
+        for yr in (1996, 1997):
+            aggs.append(dsum(
+                F.when(
+                    (F.col("chan") == band) & (F.col("yr") == yr),
+                    F.col("net"),
+                ).otherwise(0.0),
+                f"{ch}{yr % 100}",
+            ))
+    t = j.groupBy(F.col("o_custkey").alias("cust")).agg(*aggs)
+    return t.filter(
+        (F.col("s96") > 0) & (F.col("c96") > 0) & (F.col("w96") > 0)
+        & (F.col("w97") / F.col("w96") > F.col("s97") / F.col("s96"))
+        & (F.col("c97") / F.col("c96") > F.col("s97") / F.col("s96"))
+    ).select(
+        "cust",
+        F.round(F.col("w97") / F.col("w96"), 6).alias("web_growth"),
+        F.round(F.col("c97") / F.col("c96"), 6).alias("cat_growth"),
+        F.round(F.col("s97") / F.col("s96"), 6).alias("store_growth"),
+    )
+
+
+@query(
+    "tpcds_q30_state_return_outliers",
+    oracle=f"""
+    WITH r AS (
+      SELECT o.o_custkey AS cust, c.c_nationkey AS nk,
+             {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "ret_total")}
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2),
+    a AS (
+      SELECT nk,
+             CAST(SUM(CAST(ret_total AS {DEC})) AS DOUBLE) / COUNT(*) AS nat_avg
+      FROM r GROUP BY nk)
+    SELECT r.cust, n.n_name AS nation, round(r.ret_total, 6) AS ret_total
+    FROM r JOIN a ON r.nk = a.nk
+    JOIN nation n ON r.nk = n.n_nationkey
+    WHERE r.ret_total > 1.2 * a.nat_avg
+    """,
+)
+def tpcds_q30_state_return_outliers(spark, sf_dir):
+    """TPC-DS q30 shape (reference tpcds-tool/query/query30.sql):
+    customers whose total returns exceed 1.2x the average return total of
+    their state (nation here) — the correlated per-state-average subquery
+    decorrelated into a second aggregate over the ALREADY-aggregated
+    per-customer rows plus a broadcast join back. The threshold compare
+    runs on decimal-exact doubles, so the cut is bit-deterministic on
+    both engines at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nk"))
+        .agg(dsum("net", "ret_total"))
+    )
+    a = r.groupBy("nk").agg(
+        (F.sum(F.col("ret_total").cast(DEC)).cast("double") / F.count("*"))
+        .alias("nat_avg")
+    )
+    return (
+        r.join(F.broadcast(a), "nk")
+        .filter(F.col("ret_total") > 1.2 * F.col("nat_avg"))
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "cust", F.col("n_name").alias("nation"),
+            F.round("ret_total", 6).alias("ret_total"),
+        )
+    )
+
+
+@query(
+    "tpcds_q45_zip_or_subquery",
+    oracle=f"""
+    WITH wanted AS (
+      SELECT DISTINCT o.o_custkey AS cust
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#23')
+    SELECT n.n_name AS nation,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "rev")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN wanted w ON c.c_custkey = w.cust
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND (c.c_nationkey IN (1, 3, 5) OR w.cust IS NOT NULL)
+    GROUP BY 1
+    """,
+)
+def tpcds_q45_zip_or_subquery(spark, sf_dir):
+    """TPC-DS q45 shape (reference tpcds-tool/query/query45.sql): revenue
+    by geography where the customer is EITHER in a literal zip list OR in
+    an IN-subquery over another dimension path — the OR prevents semi-join
+    pushdown, so the subquery is materialized as a distinct key set,
+    broadcast LEFT-joined, and the disjunction evaluated as a flag
+    (null-check) next to the literal list."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wanted = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_custkey").alias("cust")).distinct()
+    )
+    ow = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+        .join(ow, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(wanted), F.col("c_custkey") == F.col("cust"), "left")
+        .filter(
+            F.col("c_nationkey").isin(1, 3, 5) | F.col("cust").isNotNull()
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("net", "rev"))
+    )
+
+
+@query(
+    "tpcds_q61_promo_ratio",
+    oracle=f"""
+    WITH pr AS (
+      SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "promo_rev")}
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type LIKE 'PROMO%'
+        AND l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-06-01'),
+    tt AS (
+      SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "total_rev")}
+      FROM lineitem l
+      WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-06-01')
+    SELECT round(pr.promo_rev, 6) AS promo_rev,
+           round(tt.total_rev, 6) AS total_rev,
+           round(pr.promo_rev * 100 / tt.total_rev, 6) AS promo_pct
+    FROM pr, tt
+    """,
+)
+def tpcds_q61_promo_ratio(spark, sf_dir):
+    """TPC-DS q61 shape (reference tpcds-tool/query/query61.sql): the
+    promotional-to-total revenue ratio as a CROSS JOIN of two single-row
+    scalar aggregates over differently-filtered copies of the fact — both
+    single-row sides materialize independently (each its own pushed-down
+    scan), then a 1x1 cross join emits the ratio row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-06-01")
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%")
+    ).select("p_partkey")
+    pr = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(dsum("net", "promo_rev"))
+    )
+    tt = li.agg(dsum("net", "total_rev"))
+    return pr.crossJoin(tt).select(
+        F.round("promo_rev", 6).alias("promo_rev"),
+        F.round("total_rev", 6).alias("total_rev"),
+        F.round(F.col("promo_rev") * 100 / F.col("total_rev"), 6)
+        .alias("promo_pct"),
+    )
+
+
+@query(
+    "tpcds_q84_income_band_lookup",
+    oracle="""
+    SELECT c.c_custkey AS cust,
+           c.c_name || ', ' || n.n_name AS customer_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND c.c_mktsegment = 'HOUSEHOLD'
+      AND c.c_acctbal BETWEEN 1000 AND 4000
+    """,
+)
+def tpcds_q84_income_band_lookup(spark, sf_dir):
+    """TPC-DS q84 shape (reference tpcds-tool/query/query84.sql): a pure
+    multi-hop dimension lookup chain (customer -> address -> income band
+    here mapped customer -> nation -> region) with band predicates and NO
+    aggregation — every hop broadcasts, the plan is a single codegen
+    stage over the customer scan."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "HOUSEHOLD")
+        & (F.col("c_acctbal") >= 1000) & (F.col("c_acctbal") <= 4000)
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.concat(F.col("c_name"), F.lit(", "), F.col("n_name"))
+            .alias("customer_name"),
+        )
+    )
+
+
+@query(
+    "tpcds_q87_distinct_except_chain",
+    oracle="""
+    SELECT COUNT(*) AS n_store_only FROM (
+      (SELECT DISTINCT o.o_custkey, o.o_orderdate
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_linenumber % 3 = 0)
+      EXCEPT
+      (SELECT DISTINCT o.o_custkey, o.o_orderdate
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_linenumber % 3 = 1)
+      EXCEPT
+      (SELECT DISTINCT o.o_custkey, o.o_orderdate
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_linenumber % 3 = 2)
+    )
+    """,
+)
+def tpcds_q87_distinct_except_chain(spark, sf_dir):
+    """TPC-DS q87 shape (reference tpcds-tool/query/query87.sql): COUNT of
+    the EXCEPT chain of per-channel distinct (customer, date) sets —
+    store-channel visits that happened on no other channel. Each branch
+    shares one orders x lineitem join pass (the channel is a filter, not
+    a separate scan in the reference plan either); EXCEPT shuffles on the
+    full row key, which is the unavoidable set-op shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_linenumber") % 3).alias("chan")
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def chan(band):
+        return (
+            j.filter(F.col("chan") == band)
+            .select("o_custkey", "o_orderdate").distinct()
+        )
+
+    store, cat, web = chan(0), chan(1), chan(2)
+    return (
+        store.subtract(cat).subtract(web)
+        .agg(F.count("*").alias("n_store_only"))
+    )
+
+
+@query(
+    "tpcds_q46_cross_nation_trips",
+    oracle=f"""
+    SELECT o.o_custkey AS cust, o.o_orderkey AS trip,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "trip_rev")}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+      AND s.s_nationkey <> c.c_nationkey
+      AND o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1997-04-01'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def tpcds_q46_cross_nation_trips(spark, sf_dir):
+    """TPC-DS q46 shape (reference tpcds-tool/query/query46.sql): per-trip
+    (customer, ticket) aggregates where the sale's location dimension
+    differs from the customer's home dimension (bought-city <> home-city,
+    mapped supplier-nation <> customer-nation), with demographic band
+    filters and a HAVING floor. Dims broadcast; the only shuffle is the
+    per-trip group-by, keyed on the join key the fact rows already
+    carry."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    ).select("c_custkey", "c_nationkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("trip"),
+        )
+        .agg(dsum("net", "trip_rev"), F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )

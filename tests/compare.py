@@ -55,6 +55,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = {}
     for c in df.columns:
         s = df[c]
+        if s.dtype == object and len(s):
+            # The driver's canonicalizer sort_values() crashes on unhashable
+            # cells (numpy.ndarray from Spark/DuckDB list columns, dicts from
+            # maps/structs): the r5 fn_array_suite2 red row. Fail the local
+            # gate on any non-scalar cell so the class can't ship again —
+            # gated queries must render arrays/maps to strings (ARRAY_JOIN /
+            # array_to_string) on both engines.
+            for v in s.head(50):
+                if v is not None and not isinstance(
+                    v, (str, bytes, int, float, bool)
+                ) and not pd.api.types.is_scalar(v):
+                    raise AssertionError(
+                        f"non-scalar cell in column {c!r} ({type(v).__name__}):"
+                        " driver canonicalizer cannot hash/sort this —"
+                        " stringify arrays/maps in both query and oracle"
+                    )
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):

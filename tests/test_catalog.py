@@ -1299,3 +1299,159 @@ def test_rewrites_preserve_partition_layout(spark, tmp_path):
     assert pdirs() == ["grp=a"]
     assert spark.table("part_rw").filter("k >= 100").count() > 0
     env.execute_sql("DROP TABLE IF EXISTS part_rw")
+
+
+def test_partition_pruned_dml_leaves_other_partitions_untouched(spark, tmp_path):
+    """Partition-pruned copy-on-write (reference delete.md/update.md +
+    SupportsDeletePushDown): DELETE/UPDATE whose WHERE clause reaches a
+    subset of partitions must swap ONLY those directories — the other
+    partitions' data files stay byte-for-byte identical (same inode), the
+    at-scale contract that a date-targeted DELETE over 10k date partitions
+    rewrites one directory, not the table."""
+    import os
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS part_pruned")
+    env.execute_sql(
+        "CREATE TABLE part_pruned (k BIGINT, v STRING, grp STRING) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/part_pruned', "
+        "'format'='parquet', 'partition.keys'='grp')"
+    )
+    env.execute_sql(
+        "INSERT INTO part_pruned SELECT id, 'v' || id, "
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END "
+        "FROM range(30)"
+    )
+
+    def files(part):
+        d = f"{tmp_path}/part_pruned/grp={part}"
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_a, before_c = files("a"), files("c")
+    n = env.execute_sql(
+        "DELETE FROM part_pruned WHERE grp = 'b' AND k < 10"
+    ).collect()[0].rows_affected
+    assert n == 3  # k in {1, 4, 7}
+    # grp=a and grp=c data files untouched (same names AND same inodes)
+    assert files("a") == before_a and files("c") == before_c
+    assert spark.table("part_pruned").count() == 27
+
+    before_a, before_b = files("a"), files("b")
+    env.execute_sql("UPDATE part_pruned SET v = 'X' WHERE grp = 'c'")
+    assert files("a") == before_a and files("b") == before_b
+    got = spark.table("part_pruned").filter("v = 'X'").count()
+    assert got == 10
+
+    # condition matching zero rows: no rewrite anywhere
+    before_all = (files("a"), files("b"), files("c"))
+    n = env.execute_sql(
+        "DELETE FROM part_pruned WHERE grp = 'zzz'"
+    ).collect()[0].rows_affected
+    assert n == 0
+    assert (files("a"), files("b"), files("c")) == before_all
+
+    # assignment that writes the partition key moves rows across
+    # directories -> falls back to the full rewrite, stays correct
+    env.execute_sql("UPDATE part_pruned SET grp = 'a' WHERE grp = 'c'")
+    dirs = sorted(
+        d for d in os.listdir(f"{tmp_path}/part_pruned") if d.startswith("grp=")
+    )
+    assert dirs == ["grp=a", "grp=b"]
+    assert spark.table("part_pruned").filter("grp = 'a'").count() == 20
+    env.execute_sql("DROP TABLE IF EXISTS part_pruned")
+
+
+def test_partition_pruned_dml_multilevel_and_nulls(spark, tmp_path):
+    """Two-level partitioning and NULL partition values: the pruned
+    rewrite maps NULL to Hive's __HIVE_DEFAULT_PARTITION__ directory and
+    swaps nested key=value paths."""
+    import os
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS part_ml")
+    env.execute_sql(
+        "CREATE TABLE part_ml (k BIGINT, d STRING, h STRING) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/part_ml', "
+        "'format'='parquet', 'partition.keys'='d,h')"
+    )
+    env.execute_sql(
+        "INSERT INTO part_ml SELECT id, "
+        "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END, "
+        "CASE WHEN id % 5 = 0 THEN CAST(NULL AS STRING) ELSE CAST(id % 3 AS STRING) END "
+        "FROM range(40)"
+    )
+    root = f"{tmp_path}/part_ml"
+    assert os.path.isdir(
+        f"{root}/d=2024-01-01/h=__HIVE_DEFAULT_PARTITION__"
+    )
+
+    def inodes(rel):
+        d = f"{root}/{rel}"
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    keep = inodes("d=2024-01-02/h=1")
+    n = env.execute_sql(
+        "DELETE FROM part_ml WHERE d = '2024-01-01' AND h IS NULL"
+    ).collect()[0].rows_affected
+    assert n == 4  # ids 0,10,20,30
+    assert not os.path.isdir(f"{root}/d=2024-01-01/h=__HIVE_DEFAULT_PARTITION__")
+    assert inodes("d=2024-01-02/h=1") == keep
+    assert spark.table("part_ml").count() == 36
+    env.execute_sql("DROP TABLE IF EXISTS part_ml")
+
+
+def test_create_show_drop_view_statements(spark, sf_dir):
+    """CREATE [OR REPLACE] [TEMPORARY] VIEW with column list + COMMENT,
+    SHOW CREATE VIEW round-trip, DROP VIEW [IF EXISTS] (reference
+    SqlCreateView / SqlShowCreateView / SqlDropView, show.md)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP VIEW IF EXISTS v_nation")
+    env.execute_sql(
+        f"CREATE TABLE IF NOT EXISTS vn_src (n_nationkey BIGINT, n_name STRING,"
+        f" n_regionkey BIGINT, n_comment STRING) WITH ("
+        f"'connector'='filesystem', 'path'='{sf_dir}/nation.parquet', "
+        "'format'='parquet')"
+    )
+    env.execute_sql(
+        "CREATE TEMPORARY VIEW v_nation (nk, nname) COMMENT 'small dims' AS "
+        "SELECT n_nationkey, n_name FROM vn_src WHERE n_regionkey = 1"
+    )
+    got = spark.table("v_nation")
+    assert got.columns == ["nk", "nname"] and got.count() == 5
+    ddl = env.execute_sql("SHOW CREATE VIEW v_nation").collect()[0].ddl
+    assert ddl.startswith("CREATE TEMPORARY VIEW v_nation (nk, nname)")
+    assert "COMMENT 'small dims'" in ddl and "n_regionkey = 1" in ddl
+    # duplicate without OR REPLACE/IF NOT EXISTS rejects
+    with pytest.raises(Exception, match="already exists"):
+        env.execute_sql(
+            "CREATE VIEW v_nation AS SELECT * FROM vn_src"
+        )
+    # IF NOT EXISTS: no-op; OR REPLACE: swaps the definition
+    env.execute_sql(
+        "CREATE VIEW IF NOT EXISTS v_nation AS SELECT * FROM vn_src"
+    )
+    assert spark.table("v_nation").columns == ["nk", "nname"]
+    env.execute_sql(
+        "CREATE OR REPLACE VIEW v_nation AS "
+        "SELECT n_nationkey FROM vn_src"
+    )
+    assert spark.table("v_nation").columns == ["n_nationkey"]
+    env.execute_sql("DROP VIEW v_nation")
+    with pytest.raises(Exception, match="does not exist"):
+        env.execute_sql("SHOW CREATE VIEW v_nation")
+    env.execute_sql("DROP VIEW IF EXISTS v_nation")  # absent is fine
+    env.execute_sql("DROP TABLE IF EXISTS vn_src")
