@@ -1223,14 +1223,48 @@ class TableEnvironment:
             )
         m = re.match(
             r"^\s*(?P<verb>CREATE|DROP)\s+DATABASE\s+"
-            r"(?P<g>IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<n>\w+)\s*$",
-            stmt, re.IGNORECASE,
+            r"(?P<g>IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<n>\w+)\s*"
+            r"(?:COMMENT\s+'(?P<cmt>[^']*)'\s*)?"
+            r"(?:WITH\s*\((?P<props>.*)\)\s*)?$",
+            stmt, re.IGNORECASE | re.DOTALL,
         )
         if m:
+            # CREATE DATABASE [IF NOT EXISTS] db [COMMENT ...] [WITH (...)]
+            # / DROP DATABASE (reference SqlCreateDatabase/SqlDropDatabase;
+            # properties live in the catalog's CatalogDatabase, Spark only
+            # stores the namespace)
             self.spark.sql(
                 f"{m.group('verb')} DATABASE {m.group('g') or ''}"
                 f"{self._mangle_db(m.group('n'))}"
             )
+            self._db_props = getattr(self, "_db_props", {})
+            key = (self.current_catalog, m.group("n"))
+            if m.group("verb").upper() == "CREATE":
+                props = dict(re.findall(
+                    r"'([^']*)'\s*=\s*'([^']*)'", m.group("props") or ""
+                ))
+                if m.group("cmt") is not None:
+                    props["comment"] = m.group("cmt")
+                self._db_props[key] = props
+            else:
+                self._db_props.pop(key, None)
+            return None
+        m = re.match(
+            r"^\s*ALTER\s+DATABASE\s+(?P<n>\w+)\s+SET\s*\((?P<props>.*)\)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # ALTER DATABASE db SET ('k'='v', ...) (reference
+            # SqlAlterDatabase / alter.md: merge the new properties into
+            # the CatalogDatabase)
+            dbs = [d.name for d in self.spark.catalog.listDatabases()]
+            if self._mangle_db(m.group("n")) not in dbs:
+                raise ValueError(f"database {m.group('n')!r} does not exist")
+            self._db_props = getattr(self, "_db_props", {})
+            key = (self.current_catalog, m.group("n"))
+            self._db_props.setdefault(key, {}).update(dict(
+                re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group("props"))
+            ))
             return None
         if re.match(r"^\s*SHOW\s+DATABASES\s*$", stmt, re.IGNORECASE):
             dbs = [d.name for d in self.spark.catalog.listDatabases()]
@@ -2001,7 +2035,7 @@ class TableEnvironment:
             # not ours — let Spark resolve (and error) on its own catalog
         if "CATALOG" in up or re.match(
             r"^\s*(USE|SHOW\s+(CURRENT\s+)?DATABASES?|CREATE\s+DATABASE|"
-            r"DROP\s+DATABASE)\b", stmt, re.IGNORECASE,
+            r"DROP\s+DATABASE|ALTER\s+DATABASE)\b", stmt, re.IGNORECASE,
         ):
             r = self._catalog_statement(stmt)
             if r is not NotImplemented:
@@ -2452,6 +2486,36 @@ class TableEnvironment:
                 return self.spark.sql(stmt)
             except Exception:  # noqa: BLE001
                 return None
+        av = re.match(
+            r"^\s*ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+"
+            r"(?:(?:RENAME\s+TO\s+(?P<to>[\w.]+))|(?:AS\s+(?P<q>.+)))$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if av:
+            # ALTER VIEW ... RENAME TO / AS (reference SqlAlterViewRename /
+            # SqlAlterViewAs, alter.md)
+            name = av.group("name")
+            defs = getattr(self, "_view_defs", {})
+            if name not in defs:
+                raise ValueError(f"ALTER VIEW: view {name!r} does not exist")
+            if av.group("to"):
+                to = av.group("to")
+                if to in defs:
+                    raise ValueError(f"ALTER VIEW: view {to!r} already exists")
+                d = defs.pop(name)
+                self.spark.catalog.dropTempView(name)
+                vdf = self.execute_sql(d["query"])
+                if d["cols"]:
+                    vdf = vdf.toDF(*d["cols"])
+                vdf.createOrReplaceTempView(to)
+                defs[to] = d
+                return None
+            qtext = av.group("q").strip()
+            vdf = self.execute_sql(qtext)
+            vdf.createOrReplaceTempView(name)
+            defs[name]["query"] = qtext
+            defs[name]["cols"] = None  # AS replaces the column aliases too
+            return None
         scv = re.match(
             r"^\s*SHOW\s+CREATE\s+VIEW\s+(?P<name>[\w.]+)\s*$",
             stmt, re.IGNORECASE,

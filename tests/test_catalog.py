@@ -1455,3 +1455,60 @@ def test_create_show_drop_view_statements(spark, sf_dir):
         env.execute_sql("SHOW CREATE VIEW v_nation")
     env.execute_sql("DROP VIEW IF EXISTS v_nation")  # absent is fine
     env.execute_sql("DROP TABLE IF EXISTS vn_src")
+
+
+def test_alter_view_rename_and_as(spark, sf_dir):
+    """ALTER VIEW RENAME TO / ALTER VIEW AS (reference SqlAlterViewRename
+    / SqlAlterViewAs): rename preserves the recorded definition; AS swaps
+    it (and clears column aliases)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    for v in ("av1", "av2"):
+        env.execute_sql(f"DROP VIEW IF EXISTS {v}")
+    env.execute_sql("DROP TABLE IF EXISTS av_src")
+    env.execute_sql(
+        "CREATE TABLE av_src (r_regionkey BIGINT, r_name STRING, r_comment "
+        f"STRING) WITH ('connector'='filesystem', "
+        f"'path'='{sf_dir}/region.parquet', 'format'='parquet')"
+    )
+    env.execute_sql(
+        "CREATE VIEW av1 (rk) AS SELECT r_regionkey FROM av_src"
+    )
+    env.execute_sql("ALTER VIEW av1 RENAME TO av2")
+    assert spark.table("av2").columns == ["rk"]
+    with pytest.raises(Exception, match="does not exist"):
+        env.execute_sql("ALTER VIEW av1 AS SELECT 1")
+    env.execute_sql("ALTER VIEW av2 AS SELECT r_name FROM av_src")
+    assert spark.table("av2").columns == ["r_name"]
+    ddl = env.execute_sql("SHOW CREATE VIEW av2").collect()[0].ddl
+    assert "r_name" in ddl and "(rk)" not in ddl
+    env.execute_sql("DROP VIEW av2")
+    env.execute_sql("DROP TABLE IF EXISTS av_src")
+
+
+def test_database_properties_and_alter(spark):
+    """CREATE DATABASE with COMMENT/WITH properties + ALTER DATABASE SET
+    (reference SqlCreateDatabase / SqlAlterDatabase: properties live in
+    the catalog's CatalogDatabase)."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP DATABASE IF EXISTS dbp1")
+    env.execute_sql(
+        "CREATE DATABASE dbp1 COMMENT 'scratch' WITH ('owner' = 'etl')"
+    )
+    key = ("default_catalog", "dbp1")
+    assert env._db_props[key] == {"comment": "scratch", "owner": "etl"}
+    env.execute_sql("ALTER DATABASE dbp1 SET ('owner' = 'ops', 'tier' = '2')")
+    assert env._db_props[key] == {
+        "comment": "scratch", "owner": "ops", "tier": "2"
+    }
+    with pytest.raises(Exception, match="does not exist"):
+        env.execute_sql("ALTER DATABASE nope_db SET ('a' = 'b')")
+    env.execute_sql("DROP DATABASE IF EXISTS dbp1")
+    assert key not in env._db_props

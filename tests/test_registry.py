@@ -1,7 +1,8 @@
 """Registry-order contract: external correctness harnesses sample the
 first 50 registered queries, so the head of the registry is a curated,
-rotating verification window (round 5 promotes the repaired r4 reds, the
-new r5 surfaces, and ~41 never-externally-verified tail queries).
+rotating verification window (round 6 promotes the 5 queries repaired
+after the r5 array-cell red row plus 44 never-externally-verified tail
+queries).
 """
 
 from __future__ import annotations
@@ -10,7 +11,7 @@ import json
 import os
 
 from flink_spark.queries import QUERIES, promote_first
-from flink_spark.queries import VERIFICATION_ROTATION_R5 as ROTATION
+from flink_spark.queries import VERIFICATION_ROTATION_R6 as ROTATION
 import pytest
 
 
@@ -35,15 +36,17 @@ def test_rotation_head_is_fully_oracled():
 def test_rotation_actually_rotates_vs_prior_rounds():
     base = os.path.join(os.path.dirname(__file__), "..")
     prev: set = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         p = os.path.join(base, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             prev |= set(json.load(open(p)))
     if not prev:
         pytest.skip("no prior-round artifacts")
     new = [n for n in ROTATION if n not in prev]
-    # tpch_q1 (entry) + 3 repaired r4 reds intentionally stay in the head
-    assert len(new) >= 45, f"rotation window barely moved: {len(new)} new keys"
+    # tpch_q1 (entry) + the 5 array-cell repairs intentionally stay in the
+    # head (fn_array_suite2 earns its green row; the other four carry the
+    # same fix externally unverified)
+    assert len(new) >= 44, f"rotation window barely moved: {len(new)} new keys"
 
 
 def test_promote_first_rejects_unknown_and_duplicate():
