@@ -52,6 +52,10 @@ _CREATE_DIST_RE = re.compile(
     r"INTO\s+(?P<nbuck>\d+)\s+BUCKETS\s+",
     re.IGNORECASE,
 )
+_CREATE_PART_RE = re.compile(
+    r"\s*PARTITIONED\s+BY\s*\(\s*(?P<pcols>[\w,\s]+?)\s*\)\s+",
+    re.IGNORECASE,
+)
 _CREATE_WITH_RE = re.compile(r"\s*WITH\s*\(", re.IGNORECASE)
 
 
@@ -84,9 +88,21 @@ def _extract_create(stmt: str):
     bc = _balanced_close(masked, bo)
     if bc < 0:
         return None
-    dm = _CREATE_DIST_RE.match(masked, bc + 1)
-    woff = dm.end() if dm else bc + 1
-    wm = _CREATE_WITH_RE.match(masked, woff)
+    # Flink DDL clause order: (body) [PARTITIONED BY (...)] [DISTRIBUTED
+    # BY ...] WITH (...); accept either order of the two optional clauses
+    # (reference SqlCreateTable.java).
+    pos, pm, dm = bc + 1, None, None
+    for _ in range(2):
+        m = _CREATE_PART_RE.match(masked, pos)
+        if m and pm is None:
+            pm, pos = m, m.end()
+            continue
+        m = _CREATE_DIST_RE.match(masked, pos)
+        if m and dm is None:
+            dm, pos = m, m.end()
+            continue
+        break
+    wm = _CREATE_WITH_RE.match(masked, pos)
     if not wm:
         return None
     wo = wm.end() - 1
@@ -97,6 +113,7 @@ def _extract_create(stmt: str):
         "temp": hm.group("temp"),
         "name": hm.group("name"),
         "body": stmt[bo + 1 : bc],
+        "pcols": pm.group("pcols") if pm else None,
         "dcols": dm.group("dcols") if dm else None,
         "nbuck": dm.group("nbuck") if dm else None,
         "opts": stmt[wo + 1 : wc],
@@ -1325,7 +1342,10 @@ class TableEnvironment:
         escapePathName rules; NULL -> the default-partition marker)."""
         if value is None:
             return f"{key}=__HIVE_DEFAULT_PARTITION__"
-        s = str(value)
+        if isinstance(value, bool):
+            s = "true" if value else "false"
+        else:
+            s = str(value)
         out = []
         for ch in s:
             if ch in '"#%\'*/:=?\\\x7f{}[]^' or ord(ch) < 32:
@@ -1387,11 +1407,30 @@ class TableEnvironment:
             )
             dst = _os.path.join(path, rel)
             src = _os.path.join(tmp, rel)
-            _shutil.rmtree(dst, ignore_errors=True)
             if _os.path.isdir(src):
+                _shutil.rmtree(dst, ignore_errors=True)
                 _os.makedirs(_os.path.dirname(dst), exist_ok=True)
                 _os.rename(src, dst)
-            # else: every row of this partition was deleted — dir stays gone
+            else:
+                # src missing means either every row of this partition was
+                # deleted, or our path rendering disagrees with Spark's
+                # (which would make rmtree(dst) destroy an untouched
+                # partition). Verify the partition is genuinely empty in the
+                # rewritten data before deleting the live directory.
+                still_has_rows = (
+                    df.filter(self._partition_membership([combo]))
+                    .limit(1).count() > 0
+                )
+                if still_has_rows:
+                    _shutil.rmtree(tmp, ignore_errors=True)
+                    raise RuntimeError(
+                        "partition-pruned rewrite: Spark wrote no directory "
+                        f"for partition {rel!r} but the rewritten data still "
+                        "contains rows for it — partition-path rendering "
+                        "mismatch; aborting before deleting the live "
+                        "partition directory"
+                    )
+                _shutil.rmtree(dst, ignore_errors=True)
         _shutil.rmtree(tmp, ignore_errors=True)
         self._refresh_view(spec)
 
@@ -1412,22 +1451,24 @@ class TableEnvironment:
         if combos is not None:
             removed = df.filter(cond).count()
             if combos:
+                # SQL semantics: DELETE removes only WHERE-is-TRUE rows; a
+                # NULL-evaluating predicate keeps the row. `NOT (cond)` would
+                # drop NULL rows, so gate on IS NOT TRUE.
                 keep_sub = (
                     df.filter(self._partition_membership(combos))
-                    .filter(f"NOT ({cond})")
+                    .filter(f"({cond}) IS NOT TRUE")
                 )
                 self._rewrite_partitions(spec, keep_sub, combos)
             return self.spark.createDataFrame(
                 [(removed,)], "rows_affected bigint"
             )
-        total = df.count()
         if cond is None:
             keep = df.limit(0)
-            removed = total
+            removed = df.count()
         else:
-            keep = df.filter(f"NOT ({cond})")
+            keep = df.filter(f"({cond}) IS NOT TRUE")
             keep = keep.localCheckpoint(eager=True)
-            removed = total - keep.count()
+            removed = df.filter(cond).count()
         self._rewrite_table_storage(spec, keep)
         return self.spark.createDataFrame(
             [(removed,)], "rows_affected bigint"
@@ -2356,6 +2397,10 @@ class TableEnvironment:
                      int(cr["nbuck"]))
                     if cr["dcols"] else None
                 ),
+                partitioned=(
+                    [c.strip() for c in cr["pcols"].split(",")]
+                    if cr["pcols"] else None
+                ),
             )
         ctas = _extract_ctas(stmt)
         if ctas:
@@ -2442,12 +2487,37 @@ class TableEnvironment:
             # for SHOW CREATE VIEW.
             name, qtext = vm.group("name"), vm.group("q").strip()
             self._view_defs = getattr(self, "_view_defs", {})
+            if "." in name:
+                # createOrReplaceTempView rejects multi-part names with an
+                # opaque Spark error; fail clearly instead (reference views
+                # resolve catalog.db.view, our temp-view registry is 1-part).
+                raise ValueError(
+                    f"CREATE VIEW: multi-part view name {name!r} not "
+                    "supported; use a single-part name"
+                )
             if name in self._view_defs and not (
                 vm.group("rep") or vm.group("ine")
             ):
                 raise ValueError(f"view {name!r} already exists")
             if name in self._view_defs and vm.group("ine"):
                 return None
+            if name not in self._view_defs:
+                # Flink errors on object-name clashes: refuse to shadow a
+                # registered table or a pre-existing temp view we don't own.
+                if name in self.tables:
+                    raise ValueError(
+                        f"CREATE VIEW: object {name!r} already exists as a "
+                        "table"
+                    )
+                try:
+                    clash = self.spark.catalog.tableExists(name)
+                except Exception:
+                    clash = False
+                if clash:
+                    raise ValueError(
+                        f"CREATE VIEW: temporary object {name!r} already "
+                        "exists"
+                    )
             vdf = self.execute_sql(qtext)
             cols = None
             if vm.group("cols"):
@@ -2866,8 +2936,13 @@ class TableEnvironment:
 
     def _create_table(self, name: str, body: str, opts: str,
                       temporary: bool = False,
-                      distributed: tuple | None = None):
+                      distributed: tuple | None = None,
+                      partitioned: list | None = None):
         options = {m.group("k"): m.group("v") for m in _OPT_RE.finditer(opts)}
+        if partitioned:
+            # PARTITIONED BY (cols) (reference SqlCreateTable.java) is the
+            # DDL spelling of the 'partition.keys' connector option.
+            options["partition.keys"] = ",".join(partitioned)
         watermark = None
         wm = _WATERMARK_RE.search(body)
         if wm:
@@ -2888,6 +2963,14 @@ class TableEnvironment:
             cm = re.match(r"(`?\w+`?)\s+(.+)", piece, re.DOTALL)
             if cm:
                 columns.append((cm.group(1).strip("`"), _map_type(cm.group(2))))
+        if partitioned:
+            unknown = [
+                c for c in partitioned if c not in {c0 for c0, _ in columns}
+            ]
+            if unknown:
+                raise ValueError(
+                    f"PARTITIONED BY names unknown columns {unknown}"
+                )
         if distributed is not None:
             # DISTRIBUTED BY ... INTO n BUCKETS (reference FLIP-376
             # SqlDistribution): lowered onto Spark bucketBy managed

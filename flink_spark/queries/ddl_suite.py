@@ -716,6 +716,7 @@ def join_hints_gate(spark, sf_dir):
            o_orderpriority
     FROM orders
     WHERE o_orderkey <= 500 AND o_orderstatus <> 'F'
+      AND (o_orderkey <= 400 OR o_orderkey % 7 = 0)
     """,
 )
 def ddl_delete_update_roundtrip(spark, sf_dir):
@@ -755,7 +756,24 @@ def ddl_delete_update_roundtrip(spark, sf_dir):
         dele = env.execute_sql(
             "DELETE FROM dml_orders WHERE o_orderstatus = 'F'"
         ).collect()[0].rows_affected
+        # NULL-evaluating predicate: SQL DELETE removes only WHERE-is-TRUE
+        # rows; rows where the condition evaluates NULL (here every 7th
+        # orderkey) must be KEPT, and rows_affected counts TRUE rows only.
+        null_pred = (
+            "(CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE o_orderkey END) > 400"
+        )
+        before = spark.table("dml_orders")
+        n_true = before.filter(F.expr(null_pred)).count()
+        n_null = before.filter(F.expr(f"({null_pred}) IS NULL")).count()
+        assert n_true > 0 and n_null > 0, (n_true, n_null)
+        dele2 = env.execute_sql(
+            f"DELETE FROM dml_orders WHERE {null_pred}"
+        ).collect()[0].rows_affected
+        assert dele2 == n_true, (dele2, n_true)
         out = spark.table("dml_orders")
+        # every NULL-evaluating row survived the delete
+        assert out.filter(F.expr(f"({null_pred}) IS NULL")).count() == n_null
         n_urgent_left = out.filter(
             F.col("o_orderpriority") == "1-URGENT"
         ).count()

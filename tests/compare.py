@@ -62,7 +62,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # gate on any non-scalar cell so the class can't ship again —
             # gated queries must render arrays/maps to strings (ARRAY_JOIN /
             # array_to_string) on both engines.
-            for v in s.head(50):
+            for v in s:
                 if v is not None and not isinstance(
                     v, (str, bytes, int, float, bool)
                 ) and not pd.api.types.is_scalar(v):

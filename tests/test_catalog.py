@@ -1157,6 +1157,83 @@ def test_row_level_dml_edges(spark, tmp_path):
     env.execute_sql("DROP TABLE IF EXISTS dml_print")
 
 
+def test_delete_null_predicate_keeps_null_rows(spark, tmp_path):
+    """SQL semantics: DELETE removes only WHERE-is-TRUE rows. A row whose
+    predicate evaluates NULL must survive, and rows_affected counts TRUE
+    rows only (the r6 verdict repro: {(1,10),(2,NULL),(3,30)} DELETE
+    WHERE v > 15 must leave {(1,10),(2,NULL)} and report 1)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS dml_np")
+    env.execute_sql(
+        "CREATE TABLE dml_np (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/dml_np', "
+        "'format'='parquet')"
+    )
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k bigint, v bigint"
+    ).createOrReplaceTempView("__np_src")
+    env.execute_sql("INSERT INTO dml_np SELECT * FROM __np_src")
+    n = env.execute_sql(
+        "DELETE FROM dml_np WHERE v > 15"
+    ).collect()[0].rows_affected
+    assert n == 1, n
+    left = {(r.k, r.v) for r in spark.table("dml_np").collect()}
+    assert left == {(1, 10), (2, None)}, left
+    env.execute_sql("DROP TABLE IF EXISTS dml_np")
+
+    # same semantics on the partition-pruned path: predicate constrains a
+    # partition column AND evaluates NULL on some rows inside it
+    env.execute_sql("DROP TABLE IF EXISTS dml_npp")
+    env.execute_sql(
+        "CREATE TABLE dml_npp (k BIGINT, v BIGINT, p STRING) "
+        "PARTITIONED BY (p) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/dml_npp', "
+        "'format'='parquet')"
+    )
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "a"), (3, 30, "a"), (4, 40, "b")],
+        "k bigint, v bigint, p string",
+    ).createOrReplaceTempView("__npp_src")
+    env.execute_sql("INSERT INTO dml_npp SELECT * FROM __npp_src")
+    n = env.execute_sql(
+        "DELETE FROM dml_npp WHERE p = 'a' AND v > 15"
+    ).collect()[0].rows_affected
+    assert n == 1, n
+    left = {(r.k, r.v, r.p) for r in spark.table("dml_npp").collect()}
+    assert left == {(1, 10, "a"), (2, None, "a"), (4, 40, "b")}, left
+    env.execute_sql("DROP TABLE IF EXISTS dml_npp")
+
+
+def test_partition_pruned_dml_boolean_partition_value(spark, tmp_path):
+    """Boolean partition values: Spark writes `flag=true` while Python
+    str(True) is 'True' — the pruned-rewrite path renderer must agree with
+    Spark's layout, and a mismatch must abort rather than silently delete
+    the untouched live partition directory."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS dml_bool")
+    env.execute_sql(
+        "CREATE TABLE dml_bool (k BIGINT, flag BOOLEAN) "
+        "PARTITIONED BY (flag) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/dml_bool', "
+        "'format'='parquet')"
+    )
+    spark.range(10).selectExpr(
+        "id AS k", "id % 2 = 0 AS flag"
+    ).createOrReplaceTempView("__bool_src")
+    env.execute_sql("INSERT INTO dml_bool SELECT * FROM __bool_src")
+    n = env.execute_sql(
+        "DELETE FROM dml_bool WHERE flag = true AND k < 4"
+    ).collect()[0].rows_affected
+    assert n == 2, n  # k=0,2 deleted; k=4,6,8 stay; odd partition untouched
+    left = sorted(r.k for r in spark.table("dml_bool").collect())
+    assert left == [1, 3, 4, 5, 6, 7, 8, 9], left
+    env.execute_sql("DROP TABLE IF EXISTS dml_bool")
+
+
 def test_compile_and_execute_plan_sql_statements(spark, sf_dir, tmp_path):
     """SQL spellings COMPILE PLAN / EXECUTE PLAN / COMPILE AND EXECUTE
     PLAN (reference SqlCompilePlan, SqlExecutePlan,
