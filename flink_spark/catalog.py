@@ -613,6 +613,12 @@ class TableEnvironment:
         return NotImplemented
 
     def _refresh_view(self, spec: TableSpec) -> None:
+        if self._is_managed_bucketed(spec):
+            # the catalog table IS the queryable object; a same-named temp
+            # view would shadow it with a stale snapshot plan
+            self.spark.catalog.refreshTable(spec.name)
+            self._persist_spec(spec)
+            return
         try:
             src = self._source_df(spec)
         except Exception:  # noqa: BLE001 - sink-only until first write
@@ -685,7 +691,8 @@ class TableEnvironment:
             )
             self.tables[spec.name] = spec
             try:
-                src = self._source_df(spec)
+                src = (None if self._is_managed_bucketed(spec)
+                       else self._source_df(spec))
             except Exception:  # noqa: BLE001 - sink-only until first write
                 src = None
             if src is not None:
@@ -1315,10 +1322,22 @@ class TableEnvironment:
 
     def _rewrite_table_storage(self, spec, df):
         """Materialize ``df`` as the new contents of a filesystem table
-        (write tmp, swap — the copy-on-write commit)."""
+        (write tmp, swap — the copy-on-write commit). Managed DISTRIBUTED
+        tables rewrite through bucketBy so the pre-shuffled layout
+        survives row-level DML (callers materialize ``df`` first, since
+        the overwrite replaces the storage being read)."""
         import os as _os
         import shutil as _shutil
 
+        if self._is_managed_bucketed(spec):
+            from flink_spark.sources.bucketing import write_bucketed
+
+            dcols = spec.options["distributed.keys"].split(",")
+            nbuck = int(spec.options["distributed.buckets"])
+            write_bucketed(df, spec.name, dcols, nbuck, mode="overwrite")
+            self.spark.catalog.refreshTable(spec.name)
+            self._persist_spec(spec)
+            return
         path = spec.options["path"]
         fmt = spec.options.get("format", "parquet")
         tmp = path.rstrip("/") + ".rewriting"
@@ -1436,6 +1455,10 @@ class TableEnvironment:
 
     def _dml_target(self, name: str, verb: str):
         spec = self.tables[name]
+        if spec.connector == "filesystem" and self._is_managed_bucketed(spec):
+            # managed DISTRIBUTED table: row-level DML rewrites the
+            # bucketed store (reference SupportsRowLevelModificationScan)
+            return spec
         if spec.connector != "filesystem":
             raise ValueError(
                 f"{verb}: connector {spec.connector!r} does not support "
@@ -1463,7 +1486,7 @@ class TableEnvironment:
                 [(removed,)], "rows_affected bigint"
             )
         if cond is None:
-            keep = df.limit(0)
+            keep = self.spark.createDataFrame([], spec.ddl_schema())
             removed = df.count()
         else:
             keep = df.filter(f"({cond}) IS NOT TRUE")
@@ -2381,7 +2404,8 @@ class TableEnvironment:
             self.tables[spec.name] = spec
             self._persist_spec(spec)
             try:
-                df = self._source_df(spec)
+                df = (None if self._is_managed_bucketed(spec)
+                      else self._source_df(spec))
             except Exception:  # noqa: BLE001 - sink-only until first write
                 df = None
             if df is not None:
@@ -2654,6 +2678,11 @@ class TableEnvironment:
                 raise ValueError(
                     f"TRUNCATE TABLE: connector {spec.connector!r} has no data to drop"
                 )
+            if self._is_managed_bucketed(spec):
+                self._rewrite_table_storage(
+                    spec, self.spark.createDataFrame([], spec.ddl_schema())
+                )
+                return None
             _shutil.rmtree(spec.options["path"], ignore_errors=True)
             self.spark.createDataFrame(
                 [], spec.ddl_schema()
@@ -2784,6 +2813,42 @@ class TableEnvironment:
             )
         return self.spark.sql(stmt)
 
+    def _upsert_merge(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Upsert sink semantics (reference SinkUpsertMaterializer / the
+        upsert sink contract): a PRIMARY KEY'd sink REPLACES rows by key —
+        INSERT INTO merges, never appends duplicates. Returns the merged,
+        materialized table contents (callers overwrite the store with it;
+        materialization breaks the read-from-what-we-overwrite cycle).
+        Scale note: this is read-merge-rewrite — at 100 TB the rewrite is
+        the MERGE/compaction job of a real table format (Delta/Iceberg
+        merge-on-read); the semantics gate is what this path pins.
+
+        Last-row-wins within the batch: dropDuplicates picks an arbitrary
+        partition-dependent row, so rank by an explicit input sequence
+        instead. monotonically_increasing_id encodes (partitionId,
+        rowInPartition) — deterministic for a deterministic input plan —
+        and "later in the dataset" wins, mirroring changelog arrival
+        order (ADVICE r4, medium)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        pk = spec.primary_key
+        w = Window.partitionBy(*pk).orderBy(F.col("__upsert_seq").desc())
+        df = (
+            df.withColumn("__upsert_seq", F.monotonically_increasing_id())
+            .withColumn("__upsert_rn", F.row_number().over(w))
+            .filter(F.col("__upsert_rn") == 1)
+            .drop("__upsert_seq", "__upsert_rn")
+        )
+        try:
+            existing = self._source_df(spec)
+        except Exception:  # noqa: BLE001 - store not readable yet
+            existing = None
+        if existing is not None:
+            keep = existing.join(df.select(*pk).distinct(), pk, "left_anti")
+            df = keep.unionByName(df.select(*keep.columns))
+        return df.localCheckpoint(eager=True)
+
     def _insert(self, name: str, df: DataFrame, overwrite: bool = False):
         """INSERT INTO/OVERWRITE a connector table (reference
         FileSystemTableSink.java, PrintTableSinkFactory, BlackHole...):
@@ -2802,53 +2867,24 @@ class TableEnvironment:
         conn = spec.connector
         if "distributed.keys" in spec.options:
             # bucketed managed table (DISTRIBUTED BY): append/overwrite
-            # through bucketBy so the pre-shuffled layout is preserved
+            # through bucketBy so the pre-shuffled layout is preserved.
+            # A PRIMARY KEY'd managed table gets the same upsert contract
+            # as PK'd filesystem sinks: INSERT merges by key.
             from flink_spark.sources.bucketing import write_bucketed
 
             dcols = spec.options["distributed.keys"].split(",")
             nbuck = int(spec.options["distributed.buckets"])
+            if spec.primary_key and not overwrite:
+                df = self._upsert_merge(spec, df)
+                overwrite = True
             write_bucketed(
                 df, name, dcols, nbuck,
                 mode="overwrite" if overwrite else "append",
             )
+            self.spark.catalog.refreshTable(name)
             return None
         if conn == "filesystem" and spec.primary_key and not overwrite:
-            # upsert sink semantics (reference SinkUpsertMaterializer /
-            # the upsert sink contract): a PRIMARY KEY'd sink REPLACES
-            # rows by key — INSERT INTO merges, never appends duplicates.
-            # Materialize the merge before overwriting the store we read.
-            # Scale note: this is read-merge-rewrite — at 100 TB the
-            # rewrite is the MERGE/compaction job of a real table format
-            # (Delta/Iceberg merge-on-read), same note as the delta-join
-            # store; the semantics gate is what this path pins.
-            pk = spec.primary_key
-            # Last-row-wins within the batch (reference
-            # SinkUpsertMaterializer): dropDuplicates picks an arbitrary
-            # partition-dependent row, so rank by an explicit input
-            # sequence instead. monotonically_increasing_id encodes
-            # (partitionId, rowInPartition) — deterministic for a
-            # deterministic input plan — and "later in the dataset" wins,
-            # mirroring changelog arrival order (ADVICE r4, medium).
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            w = Window.partitionBy(*pk).orderBy(F.col("__upsert_seq").desc())
-            df = (
-                df.withColumn("__upsert_seq", F.monotonically_increasing_id())
-                .withColumn("__upsert_rn", F.row_number().over(w))
-                .filter(F.col("__upsert_rn") == 1)
-                .drop("__upsert_seq", "__upsert_rn")
-            )
-            try:
-                existing = self._source_df(spec)
-            except Exception:  # noqa: BLE001 - store not readable yet
-                existing = None
-            if existing is not None:
-                keep = existing.join(
-                    df.select(*pk).distinct(), pk, "left_anti"
-                )
-                df = keep.unionByName(df.select(*keep.columns))
-            df = df.localCheckpoint(eager=True)
+            df = self._upsert_merge(spec, df)
             overwrite = True
         if conn == "print":
             df.show(truncate=False)
@@ -3005,7 +3041,8 @@ class TableEnvironment:
             # catalog's store
             self._persist_spec(spec)
         try:
-            df = self._source_df(spec)
+            df = (None if self._is_managed_bucketed(spec)
+                  else self._source_df(spec))
         except Exception:
             # sink-only for now (e.g. filesystem path not written yet);
             # _insert re-registers the view after the first write
@@ -3023,9 +3060,22 @@ class TableEnvironment:
             self._jvm_avro_cached = jvm_avro_available(self.spark)
         return self._jvm_avro_cached
 
+    @staticmethod
+    def _is_managed_bucketed(spec: TableSpec) -> bool:
+        """DISTRIBUTED BY tables are managed bucketBy storage (no 'path'
+        option); they are read/written through the Spark catalog table."""
+        return (
+            "distributed.keys" in spec.options
+            and "path" not in spec.options
+        )
+
     def _source_df(self, spec: TableSpec) -> DataFrame | None:
         conn = spec.connector
         schema = spec.ddl_schema()
+        if conn == "filesystem" and self._is_managed_bucketed(spec):
+            if not self.spark.catalog.tableExists(spec.name):
+                return self.spark.createDataFrame([], schema)
+            return self.spark.table(spec.name)
         if conn == "filesystem":
             fmt = spec.options.get("format", "parquet")
             path = spec.options["path"]

@@ -783,3 +783,70 @@ def ddl_delete_update_roundtrip(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         env.execute_sql("DROP TABLE IF EXISTS dml_orders")
+
+
+@query(
+    "ddl_pk_upsert_dml",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS id,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'even-' || n_name
+                  ELSE n_name END AS name,
+             CAST(n_regionkey AS BIGINT) AS rk
+      FROM nation),
+    survivors AS (SELECT * FROM base WHERE NOT (rk = 0))
+    SELECT id,
+           CASE WHEN id % 3 = 0 THEN upper(name) ELSE name END AS name,
+           rk
+    FROM survivors
+    """,
+)
+def ddl_pk_upsert_dml(spark, sf_dir):
+    """Row-level DML on a PRIMARY-KEY'd managed DISTRIBUTED table
+    (reference SupportsRowLevelModificationScan + the delete/update sink
+    abilities, FLIP-376 SqlDistribution): upsert INSERT replaces by key,
+    DELETE/UPDATE rewrite the bucketed store in place — the bucket layout
+    (and its shuffle-free join property) survives every modification.
+    rows_affected counts are asserted in-query."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS pk_dml_nat")
+    try:
+        env.execute_sql("""
+            CREATE TABLE pk_dml_nat (id BIGINT, name STRING, rk BIGINT,
+                PRIMARY KEY (id) NOT ENFORCED)
+            DISTRIBUTED BY (id) INTO 4 BUCKETS
+            WITH ('connector'='filesystem','format'='parquet')
+        """)
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+            "pk_dml_src"
+        )
+        env.execute_sql("""
+            INSERT INTO pk_dml_nat
+            SELECT CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM pk_dml_src
+        """)
+        # upsert: even keys replaced, not appended (PK contract)
+        env.execute_sql("""
+            INSERT INTO pk_dml_nat
+            SELECT CAST(n_nationkey AS BIGINT), 'even-' || n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM pk_dml_src WHERE n_nationkey % 2 = 0
+        """)
+        total = spark.table("pk_dml_nat").count()
+        n_rk0 = spark.table("pk_dml_nat").filter("rk = 0").count()
+        dele = env.execute_sql(
+            "DELETE FROM pk_dml_nat WHERE rk = 0"
+        ).collect()[0].rows_affected
+        assert dele == n_rk0, (dele, n_rk0)
+        upd = env.execute_sql(
+            "UPDATE pk_dml_nat SET name = upper(name) WHERE id % 3 = 0"
+        ).collect()[0].rows_affected
+        out = spark.table("pk_dml_nat")
+        assert out.count() == total - n_rk0
+        assert upd == out.filter("id % 3 = 0").count()
+        return out.select("id", "name", "rk").localCheckpoint(eager=True)
+    finally:
+        env.execute_sql("DROP TABLE IF EXISTS pk_dml_nat")

@@ -1206,6 +1206,47 @@ def test_delete_null_predicate_keeps_null_rows(spark, tmp_path):
     env.execute_sql("DROP TABLE IF EXISTS dml_npp")
 
 
+def test_managed_bucketed_pk_dml(spark):
+    """Row-level DML + upsert INSERT on a PRIMARY-KEY'd managed
+    DISTRIBUTED table (reference SupportsRowLevelModificationScan + the
+    upsert sink contract): INSERT merges by key, DELETE/UPDATE rewrite
+    the bucketed store, TRUNCATE empties it — and the bucket layout
+    survives every step."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS mbd_t")
+    env.execute_sql(
+        "CREATE TABLE mbd_t (k BIGINT, v BIGINT, "
+        "PRIMARY KEY (k) NOT ENFORCED) "
+        "DISTRIBUTED BY (k) INTO 4 BUCKETS "
+        "WITH ('connector'='filesystem','format'='parquet')"
+    )
+    env.execute_sql("INSERT INTO mbd_t SELECT id, id*10 FROM range(10)")
+    env.execute_sql("INSERT INTO mbd_t SELECT id, id*100 FROM range(5)")
+    got = {(r.k, r.v) for r in spark.table("mbd_t").collect()}
+    want = {(i, i * 100) for i in range(5)} | {(i, i * 10) for i in range(5, 10)}
+    assert got == want, got
+    n = env.execute_sql(
+        "DELETE FROM mbd_t WHERE k >= 8"
+    ).collect()[0].rows_affected
+    assert n == 2
+    n = env.execute_sql(
+        "UPDATE mbd_t SET v = -1 WHERE k = 0"
+    ).collect()[0].rows_affected
+    assert n == 1
+    got = {(r.k, r.v) for r in spark.table("mbd_t").collect()}
+    assert (0, -1) in got and len(got) == 8, got
+    buckets = (
+        spark.sql("DESCRIBE EXTENDED mbd_t")
+        .filter("col_name = 'Num Buckets'").collect()
+    )
+    assert buckets and buckets[0].data_type == "4"
+    env.execute_sql("TRUNCATE TABLE mbd_t")
+    assert spark.table("mbd_t").count() == 0
+    env.execute_sql("DROP TABLE IF EXISTS mbd_t")
+
+
 def test_partition_pruned_dml_boolean_partition_value(spark, tmp_path):
     """Boolean partition values: Spark writes `flag=true` while Python
     str(True) is 'True' — the pruned-rewrite path renderer must agree with
