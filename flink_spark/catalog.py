@@ -218,6 +218,7 @@ class TableEnvironment:
         self.temporal_fns: dict[str, tuple[str, str, str]] = {}
         self._materialized = None
         self._models = None
+        self._connections = None
         # module registry (reference SqlLoadModule/SqlUnloadModule/
         # SqlUseModules, ModuleManager): name -> used? — resolution order
         # is list order, USE MODULES reorders/disables
@@ -1164,7 +1165,19 @@ class TableEnvironment:
             from flink_spark.models import ModelManager
 
             self._models = ModelManager(self.spark)
+            self._models.connection_manager = self.connection_manager
         return self._models
+
+    @property
+    def connection_manager(self):
+        """Connection catalog (FLIP-529; reference SqlCreateConnection /
+        CatalogConnection / DefaultConnectionFactory), created on first
+        use."""
+        if self._connections is None:
+            from flink_spark.connections import ConnectionManager
+
+            self._connections = ConnectionManager(self.spark)
+        return self._connections
 
     def create_temporary_model(self, name: str, factory,
                                output_schema: str | None = None) -> None:
@@ -2142,6 +2155,10 @@ class TableEnvironment:
                 return self.spark.createDataFrame(
                     [(n,) for n, u in self.modules if u], "module_name string"
                 )
+        if "CONNECTION" in up:
+            r = self.connection_manager.handle(stmt)
+            if r is not NotImplemented:
+                return r
         if "MODEL" in up:
             from flink_spark.models import (
                 MODEL_ALTER_RE,

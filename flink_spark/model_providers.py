@@ -132,6 +132,13 @@ _PROVIDERS: dict[str, list[Opt]] = {
     "triton": TRITON_OPTIONS,
 }
 
+
+def provider_option_keys(provider: str) -> frozenset:
+    """Option keys a provider's factory consumes (for filtering options
+    inherited from a FLIP-529 connection, which may carry keys meant for
+    other providers)."""
+    return frozenset(o.key for o in _PROVIDERS.get(provider, ()))
+
 #: endpoint suffix → model function kind
 #: (OpenAIChatModelFunction.ENDPOINT_SUFFIX / OpenAIEmbeddingModelFunction)
 _OPENAI_CHAT_SUFFIX = "chat/completions"

@@ -92,6 +92,28 @@ class ModelManager:
         self.spark = spark
         self.models: dict[str, ModelSpec] = {}
         self._view_seq = 0
+        # set by TableEnvironment: the FLIP-529 connection registry a
+        # model's 'connection' option resolves against
+        self.connection_manager = None
+
+    def _effective_options(self, options: dict) -> dict:
+        """Provider-visible options: a model that names a 'connection'
+        (FLIP-529) inherits the connection's resolved options (endpoint,
+        credentials — secrets read back from the secret store); the
+        model's own options win on conflict. The 'connection' key itself
+        is consumed here, not passed to the provider factory."""
+        conn_name = options.get("connection")
+        own = {k: v for k, v in options.items() if k != "connection"}
+        if not conn_name:
+            return own
+        if self.connection_manager is None:
+            raise ValueError(
+                f"model references connection {conn_name!r} but no "
+                "connection registry is attached"
+            )
+        inherited = self.connection_manager.resolved_options(conn_name)
+        inherited.pop("type", None)  # FactoryUtil.CONNECTION_TYPE, consumed
+        return {**inherited, **own}
 
     # -- DDL ---------------------------------------------------------------
 
@@ -117,9 +139,21 @@ class ModelManager:
             # required keys, and unparseable values are rejected AT DDL
             # TIME, exactly where the reference factory validates —
             # invocation stays env-blocked, validation does not
-            from flink_spark.model_providers import validate_provider_options
+            from flink_spark.model_providers import (
+                provider_option_keys,
+                validate_provider_options,
+            )
 
-            validate_provider_options(provider, options)
+            merged = self._effective_options(options)
+            # options inherited from a connection that this provider
+            # doesn't consume are ignored (a connection is shared across
+            # providers); the model's OWN unknown keys still reject
+            known = provider_option_keys(provider)
+            merged = {
+                k: v for k, v in merged.items()
+                if k in known or k in options or k == "provider"
+            }
+            validate_provider_options(provider, merged)
         self.models[name] = ModelSpec(
             name=name,
             input_schema=m.group("input"),

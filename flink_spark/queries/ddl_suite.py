@@ -850,3 +850,58 @@ def ddl_pk_upsert_dml(spark, sf_dir):
         return out.select("id", "name", "rk").localCheckpoint(eager=True)
     finally:
         env.execute_sql("DROP TABLE IF EXISTS pk_dml_nat")
+
+
+@query(
+    "ddl_connection_roundtrip",
+    oracle="""
+    SELECT info_name, info_value FROM (VALUES
+      ('name', 'llm_east'),
+      ('type', 'default'),
+      ('comment', 'east region llm'),
+      ('option:api-key', '****'),
+      ('option:endpoint', 'https://api.example.com/v1/embeddings'),
+      ('option:region', 'us-east-1')
+    ) AS t(info_name, info_value)
+    """,
+)
+def ddl_connection_roundtrip(spark, sf_dir):
+    """Connection DDL family (FLIP-529; reference
+    ddl/connection/SqlCreateConnection.java + Alter/Drop, dql
+    SqlShowConnections/SqlShowCreateConnection/SqlRichDescribeConnection,
+    DefaultConnectionFactory secret extraction): create with a sensitive
+    option, alter, rename, show — the returned DESCRIBE EXTENDED rows
+    prove the secret never leaves the store ('****') while non-sensitive
+    options round-trip verbatim. Lifecycle assertions run in-query."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP CONNECTION IF EXISTS llm_east")
+    env.execute_sql("DROP CONNECTION IF EXISTS llm_draft")
+    env.execute_sql("""
+        CREATE CONNECTION llm_draft COMMENT 'east region llm' WITH (
+          'endpoint' = 'https://api.example.com/v1/embeddings',
+          'api-key' = 'sk-never-shown',
+          'region' = 'us-west-0')
+    """)
+    env.execute_sql("ALTER CONNECTION llm_draft SET ('region'='us-east-1')")
+    env.execute_sql("ALTER CONNECTION llm_draft RENAME TO llm_east")
+    names = [r.connection_name
+             for r in env.execute_sql("SHOW CONNECTIONS").collect()]
+    assert "llm_east" in names and "llm_draft" not in names
+    txt = env.execute_sql(
+        "SHOW CREATE CONNECTION llm_east"
+    ).collect()[0].result
+    assert "sk-never-shown" not in txt and "'****'" in txt
+    # a model can be created against the connection (secrets resolved
+    # through the store for provider validation)
+    env.execute_sql("DROP MODEL IF EXISTS conn_gate_model")
+    env.execute_sql("""
+        CREATE MODEL conn_gate_model INPUT (x ARRAY<FLOAT>)
+        OUTPUT (emb ARRAY<FLOAT>)
+        WITH ('provider'='openai','connection'='llm_east','model'='m-1')
+    """)
+    env.execute_sql("DROP MODEL conn_gate_model")
+    out = env.execute_sql("DESCRIBE CONNECTION EXTENDED llm_east")
+    env.execute_sql("DROP CONNECTION llm_east")
+    return out
