@@ -1199,7 +1199,8 @@ class TableEnvironment:
         NotImplemented when the statement is not in this family."""
         m = re.match(
             r"^\s*CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-            r"(?P<n>\w+)\s*(?:WITH\s*\((?P<props>.*)\))?\s*$",
+            r"(?P<n>\w+)\s*(?:COMMENT\s+'(?P<cmt>[^']*)'\s*)?"
+            r"(?:WITH\s*\((?P<props>.*)\))?\s*$",
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -1212,7 +1213,43 @@ class TableEnvironment:
                 re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group("props") or "")
             )
             self.catalogs[name] = props
+            if m.group("cmt") is not None:
+                self._catalog_comments = getattr(
+                    self, "_catalog_comments", {}
+                )
+                self._catalog_comments[name] = m.group("cmt")
             return None
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+CATALOG\s+(?P<n>\w+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            # SHOW CREATE CATALOG (reference SqlShowCreateCatalog.java →
+            # ShowCreateUtil.buildShowCreateCatalogRow): name, optional
+            # comment, WITH options with sensitive values masked
+            from flink_spark.connections import (
+                MASKED_VALUE,
+                SENSITIVE_FIELD_NAMES,
+            )
+
+            name = m.group("n")
+            if name not in self.catalogs:
+                raise ValueError(f"catalog {name!r} does not exist")
+            lines = [f"CREATE CATALOG {name}"]
+            cmt = getattr(self, "_catalog_comments", {}).get(name)
+            if cmt is not None:
+                lines.append(f"COMMENT '{cmt}'")
+            props = self.catalogs[name]
+            if props:
+                body = ",\n".join(
+                    f"  '{k}' = "
+                    f"'{MASKED_VALUE if k in SENSITIVE_FIELD_NAMES else v}'"
+                    for k, v in sorted(props.items())
+                )
+                lines.append("WITH (\n" + body + "\n)")
+            return self.spark.createDataFrame(
+                [("\n".join(lines),)], "ddl string"
+            )
         m = re.match(
             r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<n>\w+)\s*$",
             stmt, re.IGNORECASE,
@@ -2177,6 +2214,41 @@ class TableEnvironment:
                     return getattr(self.model_manager, h)(mm)
             if SHOW_MODELS_RE.match(stmt):
                 return self.model_manager.show()
+            scm = re.match(
+                r"^\s*SHOW\s+CREATE\s+MODEL\s+(?P<name>[\w.]+)\s*$",
+                stmt, re.IGNORECASE,
+            )
+            if scm:
+                # SHOW CREATE MODEL (reference SqlShowCreateModel.java →
+                # ShowCreateUtil.buildShowCreateModelRow): CREATE MODEL
+                # name, INPUT/OUTPUT schema lines, WITH options — secret
+                # option values masked like connections
+                from flink_spark.connections import (
+                    MASKED_VALUE,
+                    SENSITIVE_FIELD_NAMES,
+                )
+
+                name = scm.group("name")
+                spec = self.model_manager.models.get(name)
+                if spec is None:
+                    raise ValueError(
+                        f"Model with the identifier '{name}' doesn't exist."
+                    )
+                lines = [f"CREATE MODEL {name}"]
+                if spec.input_schema:
+                    lines.append(f"INPUT ({spec.input_schema})")
+                if spec.output_schema:
+                    lines.append(f"OUTPUT ({spec.output_schema})")
+                if spec.options:
+                    body = ",\n".join(
+                        f"  '{k}' = "
+                        f"'{MASKED_VALUE if k in SENSITIVE_FIELD_NAMES else v}'"
+                        for k, v in sorted(spec.options.items())
+                    )
+                    lines.append("WITH (\n" + body + "\n)")
+                return self.spark.createDataFrame(
+                    [("\n".join(lines),)], "ddl string"
+                )
             dmm = re.match(
                 r"^\s*(?:DESCRIBE|DESC)\s+MODEL\s+(?:(?P<ext>EXTENDED)\s+)?"
                 r"(?P<name>[\w.]+)\s*$",
@@ -2231,12 +2303,55 @@ class TableEnvironment:
                 MT_DROP_RE,
             )
 
+            scmt = re.match(
+                r"^\s*SHOW\s+CREATE\s+MATERIALIZED\s+TABLE\s+"
+                r"(?P<name>[\w.]+)\s*$",
+                stmt, re.IGNORECASE,
+            )
+            if scmt:
+                # SHOW CREATE MATERIALIZED TABLE (reference
+                # SqlShowCreateMaterializedTable.java → ShowCreateUtil.
+                # buildShowCreateMaterializedTableRow): PARTITIONED BY,
+                # FRESHNESS, REFRESH_MODE, AS query — re-executing the
+                # emitted DDL reproduces an equivalent table
+                name = scmt.group("name")
+                mt = self.materialized.tables.get(name)
+                if mt is None:
+                    raise ValueError(
+                        f"materialized table {name!r} does not exist"
+                    )
+                lines = [f"CREATE MATERIALIZED TABLE {name}"]
+                if mt.partition_keys:
+                    lines.append(
+                        f"PARTITIONED BY ({', '.join(mt.partition_keys)})"
+                    )
+                if mt.options:
+                    lines.append(
+                        "WITH ("
+                        + ", ".join(f"'{k}' = '{v}'"
+                                    for k, v in sorted(mt.options.items()))
+                        + ")"
+                    )
+                fsec = mt.freshness_sec
+                fstr = (str(int(fsec)) if float(fsec).is_integer()
+                        else str(fsec))
+                lines.append(f"FRESHNESS = INTERVAL '{fstr}' SECOND")
+                lines.append(f"REFRESH_MODE = {mt.refresh_mode.upper()}")
+                lines.append(f"AS {mt.as_query}")
+                return self.spark.createDataFrame(
+                    [("\n".join(lines),)], "ddl string"
+                )
             cm = MT_CREATE_RE.match(stmt)
             if cm:
                 return self.materialized.create(cm)
             am = MT_ALTER_RE.match(stmt)
             if am:
                 return self.materialized.alter(am)
+            from flink_spark.materialized import MT_ALTER_EXT_RE
+
+            amx = MT_ALTER_EXT_RE.match(stmt)
+            if amx:
+                return self.materialized.alter_extended(amx)
             dm = MT_DROP_RE.match(stmt)
             if dm:
                 return self.materialized.drop(dm)

@@ -147,6 +147,95 @@ def _cosine(a_expr: str, b_expr: str):
     return cosine(a_expr, b_expr)
 
 
+def _ann_search(
+    spark,
+    input_df: DataFrame | None,
+    query_col_or_expr: str,
+    vt: DataFrame,
+    index_col: str,
+    k: int,
+    config: dict,
+) -> DataFrame:
+    """Approximate path: CONFIG MAP['index','lsh'|'ivf'|'pq'] routes the
+    TVF to the ANN library (llm/similarity.py) instead of the exact brute
+    scan — the 100-TB spelling, where scoring every candidate per query
+    stops being an option. Output shape matches the brute path (all
+    columns of both tables + score); ranking is approximate, recall
+    gated ≥0.8 in tests/test_vectorsearch.py."""
+    from flink_spark.llm import similarity as sim
+
+    index = config["index"].lower()
+    fns = {"lsh": sim.lsh_topk, "ivf": sim.ivf_topk, "pq": sim.pq_topk}
+    if index not in fns:
+        raise ValueError(
+            f"VECTOR_SEARCH: unknown index {index!r} "
+            "(supported: brute, lsh, ivf, pq)"
+        )
+    vt_cols = vt.columns
+    # stable surrogate ids on both sides: the id must not change between
+    # the top-k pass and the join-back, so pin the assignment (at real
+    # scale the table's own key column plays this role)
+    cand = vt.withColumn(
+        "__vs_cid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    if input_df is not None:
+        q_full = input_df.withColumn(
+            "__vs_rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        q_vec = q_full.select(
+            "__vs_rid", F.col(query_col_or_expr).alias("__vs_emb")
+        )
+    else:
+        q_full = None
+        q_vec = spark.range(1).select(
+            F.lit(0).cast("long").alias("__vs_rid"),
+            F.expr(query_col_or_expr).alias("__vs_emb"),
+        )
+    kwargs: dict = {}
+    if index == "lsh":
+        dim_row = vt.select(F.size(F.col(index_col))).first()
+        kwargs["dim"] = int(dim_row[0]) if dim_row else 64
+        if "lsh.planes" in config:
+            kwargs["n_planes"] = int(config["lsh.planes"])
+        if "lsh.tables" in config:
+            kwargs["n_tables"] = int(config["lsh.tables"])
+    elif index == "ivf":
+        if "ivf.centroids" in config:
+            kwargs["n_centroids"] = int(config["ivf.centroids"])
+        if "ivf.probe" in config:
+            kwargs["n_probe"] = int(config["ivf.probe"])
+        if "ivf.assign" in config:
+            kwargs["n_assign"] = int(config["ivf.assign"])
+    elif index == "pq":
+        if "pq.m" in config:
+            kwargs["m"] = int(config["pq.m"])
+        if "pq.ks" in config:
+            kwargs["ks"] = int(config["pq.ks"])
+    top = fns[index](
+        q_vec,
+        cand.select("__vs_cid", F.col(index_col).alias("__vs_emb")),
+        k=k,
+        query_id="__vs_rid",
+        cand_id="__vs_cid",
+        vec="__vs_emb",
+        **kwargs,
+    )
+    top = top.select(
+        "__vs_rid", "__vs_cid", F.col("cos_sim").alias("__vs_score")
+    )
+    if q_full is not None:
+        return (
+            top.join(q_full, "__vs_rid")
+            .join(cand, "__vs_cid")
+            .select(*input_df.columns, *vt_cols,
+                    F.col("__vs_score").alias("score"))
+        )
+    return (
+        top.join(cand, "__vs_cid")
+        .select(*vt_cols, F.col("__vs_score").alias("score"))
+    )
+
+
 def _search(
     spark,
     input_df: DataFrame | None,
@@ -154,7 +243,21 @@ def _search(
     vt: DataFrame,
     index_col: str,
     k: int,
+    config: dict | None = None,
 ) -> DataFrame:
+    if config and config.get("index", "brute").lower() != "brute":
+        # exact brute scan stays the default; CONFIG opts into the ANN
+        # library (reference vector_search.md CONFIG map)
+        if input_df is not None:
+            dup = set(input_df.columns) & set(vt.columns)
+            if dup:
+                raise ValueError(
+                    f"VECTOR_SEARCH: ambiguous output columns "
+                    f"{sorted(dup)} — project/rename one side first"
+                )
+        return _ann_search(
+            spark, input_df, query_col_or_expr, vt, index_col, k, config
+        )
     vt_cols = vt.columns
     if input_df is not None:
         dup = set(input_df.columns) & set(vt_cols)
@@ -221,7 +324,7 @@ def rewrite_vector_search(spark, stmt: str) -> str:
             vt = spark.table(args["search_table"])
             out = _search(
                 spark, inp, qcol, vt, args["column_to_search"],
-                args["top_k"],
+                args["top_k"], config=args.get("config"),
             )
             view = f"__vs_{det_digest(stmt[lm.start('input'):outer_close + 1])}"
             out.createOrReplaceTempView(view)
@@ -241,7 +344,7 @@ def rewrite_vector_search(spark, stmt: str) -> str:
             vt = spark.table(args["search_table"])
             out = _search(
                 spark, None, qexpr, vt, args["column_to_search"],
-                args["top_k"],
+                args["top_k"], config=args.get("config"),
             )
             view = f"__vs_{det_digest(stmt[pm.start():outer_close + 1])}"
             out.createOrReplaceTempView(view)

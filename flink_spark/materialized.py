@@ -67,6 +67,25 @@ MT_ALTER_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: Extended ALTER variants (reference ddl/materializedtable/
+#: SqlAlterMaterializedTableAsQuery.java, ...Freshness.java,
+#: ...RefreshMode.java, ...Options.java, ...Reset.java, ...Resume.java
+#: with properties).
+MT_ALTER_EXT_RE = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s+"
+    r"(?:"
+    r"(?:AS\s+(?P<q>.+))"
+    r"|(?:SET\s+FRESHNESS\s*=\s*INTERVAL\s+'(?P<fn>[\d.]+)'\s+(?P<fu>\w+))"
+    r"|(?:SET\s+REFRESH_MODE\s*=\s*(?P<mode>FULL|CONTINUOUS))"
+    r"|(?:SET\s*\(\s*(?P<sopts>.*?)\s*\))"
+    r"|(?:RESET\s*\(\s*(?P<rkeys>.*?)\s*\))"
+    r"|(?:RESUME\s+WITH\s*\(\s*(?P<ropts>.*?)\s*\))"
+    r")\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MT_OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
 MT_DROP_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE,
@@ -84,6 +103,8 @@ class MaterializedTable:
     root: str                   # storage root; snapshots live at root/v=<n>
     partition_keys: list[str] = field(default_factory=list)
     state: str = "RUNNING"      # 'RUNNING' | 'SUSPENDED'
+    options: dict = field(default_factory=dict)   # WITH / SET options
+    mode_explicit: bool = False  # REFRESH_MODE pinned by DDL (vs derived)
     version: int = 0
     last_refresh: float | None = None
     commits: dict = field(default_factory=dict)  # version -> commit epoch
@@ -123,6 +144,9 @@ class MaterializedTableManager:
             name=name, as_query=m.group("query").strip(),
             freshness_sec=freshness, refresh_mode=mode, root=root,
             partition_keys=part,
+            options={o.group("k"): o.group("v")
+                     for o in _MT_OPT_RE.finditer(m.group("opts") or "")},
+            mode_explicit=bool(m.group("mode")),
         )
         # probe before registering: an invalid defining query must not leave
         # a half-registered table (and leaked tempdir) behind (ADVICE r2)
@@ -182,6 +206,110 @@ class MaterializedTableManager:
                     self._start_stream(mt, self.spark.sql(mt.as_query))
                 else:
                     self._start_loop(mt)
+
+    def alter_extended(self, m: re.Match) -> None:
+        """Extended ALTER MATERIALIZED TABLE variants (reference
+        ddl/materializedtable/): AS-query replacement, SET FRESHNESS,
+        SET REFRESH_MODE, SET/RESET options, RESUME WITH options."""
+        name = m.group("name")
+        mt = self._get(name)
+        if m.group("q") is not None:
+            return self._alter_as_query(mt, m.group("q").strip())
+        if m.group("fn") is not None:
+            unit = m.group("fu").lower()
+            if unit not in _UNIT_SEC:
+                raise ValueError(
+                    f"SET FRESHNESS: unknown interval unit {m.group('fu')!r}"
+                )
+            mt.freshness_sec = float(m.group("fn")) * _UNIT_SEC[unit]
+            if not mt.mode_explicit and not mt.streaming:
+                # derived mode follows the freshness threshold
+                # (materialized-table.refresh-mode.freshness-threshold)
+                mt.refresh_mode = (
+                    "continuous" if mt.freshness_sec < self.threshold
+                    else "full"
+                )
+            self._restart_machinery(mt)
+            return None
+        if m.group("mode") is not None:
+            if mt.streaming and m.group("mode").upper() == "FULL":
+                raise ValueError(
+                    "a streaming defining query refreshes continuously; "
+                    "FULL refresh mode does not apply"
+                )
+            mt.refresh_mode = m.group("mode").lower()
+            mt.mode_explicit = True
+            self._restart_machinery(mt)
+            return None
+        if m.group("sopts") is not None:
+            mt.options.update(
+                {o.group("k"): o.group("v")
+                 for o in _MT_OPT_RE.finditer(m.group("sopts"))}
+            )
+            return None
+        if m.group("rkeys") is not None:
+            for k in m.group("rkeys").split(","):
+                mt.options.pop(k.strip().strip("'"), None)
+            return None
+        if m.group("ropts") is not None:
+            # RESUME WITH ('k'='v'): apply the properties, then resume
+            mt.options.update(
+                {o.group("k"): o.group("v")
+                 for o in _MT_OPT_RE.finditer(m.group("ropts"))}
+            )
+            if mt.state == "SUSPENDED":
+                mt.state = "RUNNING"
+                if mt.streaming:
+                    self._start_stream(mt, self.spark.sql(mt.as_query))
+                else:
+                    self._start_loop(mt)
+            return None
+        raise ValueError("unrecognized ALTER MATERIALIZED TABLE form")
+
+    def _alter_as_query(self, mt: MaterializedTable, q: str) -> None:
+        """AS-query replacement (SqlAlterMaterializedTableAsQuery,
+        FLIP-435): the new query must keep the existing columns as a
+        schema prefix (consumers keep resolving); appended columns are
+        allowed. The next snapshot materializes the new definition."""
+        probe = self.spark.sql(q)
+        if probe.isStreaming != mt.streaming:
+            raise ValueError(
+                "ALTER MATERIALIZED TABLE AS cannot switch between batch "
+                "and streaming defining queries"
+            )
+        old_cols = [f.name for f in self.spark.table(mt.name).schema.fields]
+        new_cols = [f.name for f in probe.schema.fields]
+        if new_cols[: len(old_cols)] != old_cols:
+            raise ValueError(
+                "ALTER MATERIALIZED TABLE AS: the new query must retain "
+                f"the existing columns as a prefix; table has {old_cols}, "
+                f"query produces {new_cols}"
+            )
+        mt.as_query = q
+        if mt.streaming:
+            # restart the stream over the new plan (shared checkpoint is
+            # per-plan: start a fresh sink dir via restart)
+            self._stop_stream(mt)
+            if mt.state == "RUNNING":
+                self._start_stream(mt, probe)
+            return None
+        if mt.state == "RUNNING":
+            # materialize the new definition now (snapshot continuity:
+            # version bumps, previous snapshot stays time-travelable)
+            self.refresh(mt.name)
+        return None
+
+    def _restart_machinery(self, mt: MaterializedTable) -> None:
+        """Re-arm the refresh loop / stream after a policy change; a
+        SUSPENDED table keeps its new policy for the next RESUME."""
+        if mt.state != "RUNNING":
+            return
+        if mt.streaming:
+            self._stop_stream(mt)
+            self._start_stream(mt, self.spark.sql(mt.as_query))
+        else:
+            self._stop_loop(mt)
+            self._start_loop(mt)
 
     def drop(self, m: re.Match) -> None:
         name = m.group("name")

@@ -709,3 +709,42 @@ def llm_vector_search_sql(spark, sf_dir):
         FROM __vsq_gate, LATERAL TABLE(VECTOR_SEARCH(
             TABLE __vsc_gate, __vsq_gate.qv, DESCRIPTOR(embedding), 5))
     """)
+
+
+@query("llm_vector_search_sql_ann", oracle=None)
+def llm_vector_search_sql_ann(spark, sf_dir):
+    """VECTOR_SEARCH SQL TVF with index routing (reference
+    vector_search.md CONFIG map): ``MAP['index','ivf']`` sends the TVF
+    through the IVF ANN library (llm/similarity.py) instead of the exact
+    brute scan — the spelling that scales to a 100-TB vector table.
+    Approximate by nature → rows-only gate, with an in-query recall
+    floor of 0.8 against the brute top-k."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).createOrReplaceTempView("__vsq_ann")
+    emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    ).createOrReplaceTempView("__vsc_ann")
+    out = env.execute_sql("""
+        SELECT query_id, cand_id, round(score, 12) AS cos_sim
+        FROM __vsq_ann, LATERAL TABLE(VECTOR_SEARCH(
+            TABLE __vsc_ann, __vsq_ann.qv, DESCRIPTOR(embedding), 5,
+            MAP['index','ivf','ivf.centroids','8','ivf.probe','4',
+                'ivf.assign','2']))
+    """).localCheckpoint(eager=True)
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in env.execute_sql("""
+            SELECT query_id, cand_id
+            FROM __vsq_ann, LATERAL TABLE(VECTOR_SEARCH(
+                TABLE __vsc_ann, __vsq_ann.qv, DESCRIPTOR(embedding), 5))
+        """).collect()
+    }
+    got = {(r.query_id, r.cand_id) for r in out.collect()}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, f"ANN recall {recall} < 0.8 vs brute"
+    return out

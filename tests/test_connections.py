@@ -115,3 +115,79 @@ def test_model_references_connection(env):
         )
     env.execute_sql("DROP MODEL m_via_conn")
     env.execute_sql("DROP CONNECTION llm_conn")
+
+
+def test_show_create_catalog_model_materialized(env, spark):
+    """SHOW CREATE CATALOG / MODEL / MATERIALIZED TABLE (reference
+    SqlShowCreateCatalog/Model/MaterializedTable.java → ShowCreateUtil):
+    emitted DDL re-executes to an equivalent object; sensitive option
+    values masked."""
+    # catalog
+    env.execute_sql("DROP CATALOG IF EXISTS scc_cat")
+    env.execute_sql(
+        "CREATE CATALOG scc_cat COMMENT 'docs catalog' WITH "
+        "('type'='generic_in_memory', 'password'='hunter2')"
+    )
+    ddl = env.execute_sql("SHOW CREATE CATALOG scc_cat").collect()[0].ddl
+    assert ddl.startswith("CREATE CATALOG scc_cat")
+    assert "COMMENT 'docs catalog'" in ddl
+    assert "hunter2" not in ddl and "'****'" in ddl
+    assert "'type' = 'generic_in_memory'" in ddl
+    # round-trip under a new name
+    env.execute_sql("DROP CATALOG IF EXISTS scc_cat2")
+    env.execute_sql(
+        ddl.replace("scc_cat", "scc_cat2").replace("'****'", "'hunter2'")
+    )
+    assert env.catalogs["scc_cat2"] == env.catalogs["scc_cat"]
+    env.execute_sql("DROP CATALOG scc_cat2")
+    env.execute_sql("DROP CATALOG scc_cat")
+
+    # model
+    env.execute_sql("DROP MODEL IF EXISTS scc_model")
+    env.execute_sql(
+        "CREATE MODEL scc_model INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) WITH "
+        "('provider'='openai', 'endpoint'='https://h/v1/embeddings', "
+        "'api-key'='sk-xyz', 'model'='m1')"
+    )
+    ddl = env.execute_sql("SHOW CREATE MODEL scc_model").collect()[0].ddl
+    assert ddl.startswith("CREATE MODEL scc_model")
+    assert "INPUT (x ARRAY<FLOAT>)" in ddl
+    assert "sk-xyz" not in ddl and "'****'" in ddl
+    env.execute_sql(
+        ddl.replace("scc_model", "scc_model2").replace("'****'", "'sk-xyz'")
+    )
+    m1 = env.model_manager.models["scc_model"]
+    m2 = env.model_manager.models["scc_model2"]
+    assert m2.options == m1.options and m2.output_schema == m1.output_schema
+    env.execute_sql("DROP MODEL scc_model")
+    env.execute_sql("DROP MODEL scc_model2")
+    with pytest.raises(ValueError, match="doesn't exist"):
+        env.execute_sql("SHOW CREATE MODEL scc_model")
+
+    # materialized table
+    spark.range(10).selectExpr(
+        "id AS k", "id % 3 AS g"
+    ).createOrReplaceTempView("mtsrc_scc")
+    env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS scc_mt")
+    env.execute_sql(
+        "CREATE MATERIALIZED TABLE scc_mt FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT g, count(*) AS n FROM mtsrc_scc GROUP BY g"
+    )
+    ddl = env.execute_sql(
+        "SHOW CREATE MATERIALIZED TABLE scc_mt"
+    ).collect()[0].ddl
+    assert ddl.startswith("CREATE MATERIALIZED TABLE scc_mt")
+    assert "FRESHNESS = INTERVAL '86400' SECOND" in ddl
+    assert "REFRESH_MODE = FULL" in ddl and ddl.endswith(
+        "AS SELECT g, count(*) AS n FROM mtsrc_scc GROUP BY g"
+    )
+    env.execute_sql(ddl.replace("scc_mt", "scc_mt2"))
+    a = env.materialized.tables["scc_mt"]
+    b = env.materialized.tables["scc_mt2"]
+    assert (b.freshness_sec, b.refresh_mode) == (
+        a.freshness_sec, a.refresh_mode
+    )
+    assert spark.table("scc_mt2").count() == spark.table("scc_mt").count()
+    env.execute_sql("DROP MATERIALIZED TABLE scc_mt")
+    env.execute_sql("DROP MATERIALIZED TABLE scc_mt2")

@@ -251,3 +251,75 @@ def test_time_travel_reads_snapshot_versions(spark):
             env.execute_sql("SELECT * FROM mt_tt FOR SYSTEM_VERSION AS OF 1")
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE mt_tt")
+
+
+def test_alter_extended_variants(spark):
+    """Extended ALTER MATERIALIZED TABLE (reference
+    SqlAlterMaterializedTableAsQuery/Freshness/RefreshMode/Options/Reset/
+    Resume-with-properties): suspend -> alter -> resume with snapshot
+    continuity; AS replacement keeps existing columns as a prefix."""
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mt_ext_src", [("x", 1), ("y", 2), ("y", 3)])
+    env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_ext")
+    env.execute_sql(
+        "CREATE MATERIALIZED TABLE mt_ext WITH ('retention'='7d') "
+        "FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT k, count(*) AS n FROM mt_ext_src GROUP BY k"
+    )
+    try:
+        mt = env.materialized.tables["mt_ext"]
+        assert mt.options == {"retention": "7d"} and not mt.mode_explicit
+        v_before = mt.version
+
+        # SET/RESET options
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mt_ext SET ('retention'='30d', "
+            "'owner'='pipeline')"
+        )
+        assert mt.options == {"retention": "30d", "owner": "pipeline"}
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_ext RESET ('owner')")
+        assert mt.options == {"retention": "30d"}
+        ddl = env.execute_sql(
+            "SHOW CREATE MATERIALIZED TABLE mt_ext"
+        ).collect()[0].ddl
+        assert "WITH ('retention' = '30d')" in ddl
+
+        # SET FRESHNESS re-derives the (non-explicit) mode
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mt_ext SET FRESHNESS = "
+            "INTERVAL '2' SECOND"
+        )
+        assert mt.freshness_sec == 2.0
+        assert mt.refresh_mode == "continuous"  # below the 30s threshold
+        # SET REFRESH_MODE pins it explicitly
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mt_ext SET REFRESH_MODE = FULL"
+        )
+        assert mt.refresh_mode == "full" and mt.mode_explicit
+
+        # suspend -> AS replacement -> resume WITH properties
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_ext SUSPEND")
+        assert mt.state == "SUSPENDED"
+        # dropping an existing column rejects
+        with pytest.raises(ValueError, match="prefix"):
+            env.execute_sql(
+                "ALTER MATERIALIZED TABLE mt_ext AS "
+                "SELECT k FROM mt_ext_src GROUP BY k"
+            )
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mt_ext AS "
+            "SELECT k, count(*) AS n, sum(v) AS sv "
+            "FROM mt_ext_src GROUP BY k"
+        )
+        # suspended: definition changed, no refresh ran yet
+        assert "sv" not in spark.table("mt_ext").columns
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mt_ext RESUME WITH ('priority'='hi')"
+        )
+        assert mt.state == "RUNNING" and mt.options["priority"] == "hi"
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_ext REFRESH")
+        assert mt.version > v_before
+        got = {(r.k, r.n, r.sv) for r in spark.table("mt_ext").collect()}
+        assert got == {("x", 1, 1), ("y", 2, 5)}
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_ext")

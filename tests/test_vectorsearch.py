@@ -130,3 +130,65 @@ def test_ambiguous_columns_rejected(spark, vs_views):
             SELECT * FROM vst_c, LATERAL TABLE(VECTOR_SEARCH(
                 TABLE vst_c2, vst_c.embedding, DESCRIPTOR(embedding), 2))
         """)
+
+
+@pytest.mark.parametrize("index", ["ivf", "lsh", "pq"])
+def test_index_routing_recall_vs_brute(spark, vs_views, index):
+    """CONFIG MAP['index', ...] routes the TVF through the ANN library
+    (llm/similarity.py) instead of the exact brute scan; recall vs the
+    brute top-k stays >= 0.8 (the library's own gate) and the output
+    contract (columns, k-per-query) is unchanged."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    k = 4
+    cfg = {
+        "ivf": "MAP['index','ivf','ivf.centroids','4','ivf.probe','3']",
+        "lsh": "MAP['index','lsh','lsh.planes','4','lsh.tables','16']",
+        "pq": "MAP['index','pq']",
+    }[index]
+    df = env.execute_sql(f"""
+        SELECT qid, cid, score FROM vst_q, LATERAL TABLE(VECTOR_SEARCH(
+            TABLE vst_c, vst_q.qv, DESCRIPTOR(embedding), {k}, {cfg}))
+    """)
+    rows = df.collect()
+    got = {(r.qid, r.cid) for r in rows}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, 0)
+        per_q[r.qid] += 1
+    assert all(n <= k for n in per_q.values())
+    brute = {
+        (r.qid, r.cid)
+        for r in env.execute_sql(f"""
+            SELECT qid, cid FROM vst_q, LATERAL TABLE(VECTOR_SEARCH(
+                TABLE vst_c, vst_q.qv, DESCRIPTOR(embedding), {k}))
+        """).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, (index, recall)
+
+
+def test_index_routing_constant_query(spark, vs_views):
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    qv = spark.table("vst_q").select("qv").first()[0]
+    lit = "ARRAY[" + ",".join(f"CAST({x} AS FLOAT)" for x in qv) + "]"
+    df = env.execute_sql(f"""
+        SELECT cid, score FROM TABLE(VECTOR_SEARCH(TABLE vst_c, {lit},
+            DESCRIPTOR(embedding), 3, MAP['index','ivf']))
+    """)
+    assert df.columns == ["cid", "score"] and df.count() == 3
+
+
+def test_index_routing_unknown_rejected(spark, vs_views):
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="unknown index"):
+        env.execute_sql("""
+            SELECT * FROM vst_q, LATERAL TABLE(VECTOR_SEARCH(
+                TABLE vst_c, vst_q.qv, DESCRIPTOR(embedding), 3,
+                MAP['index','faiss']))
+        """)
