@@ -420,6 +420,17 @@ class TableEnvironment:
         r"(?P<new>[\w.]+)\s*$",
         re.IGNORECASE,
     )
+    _ALTER_RENAMECOL_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+"
+        r"(?P<col>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_MODIFYCOL_RE = re.compile(
+        # ALTER TABLE t MODIFY (c BIGINT, d DECIMAL(10,2))
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+MODIFY\s*"
+        r"\((?P<cols>(?:[^()]|\([^()]*\))*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _ALTER_ADDCOL_RE = re.compile(
         # one level of nested parens so parameterized types match:
         # ALTER TABLE t ADD (c DECIMAL(10,2), ts TIMESTAMP(3)) (ADVICE r4)
@@ -566,6 +577,75 @@ class TableEnvironment:
             self.tables[new] = spec
             self.spark.catalog.dropTempView(m.group("name"))
             self._refresh_view(spec)
+            return None
+        m = self._ALTER_RENAMECOL_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            # ALTER TABLE t RENAME col TO new (reference
+            # SqlAlterTableRenameColumn.java). Parquet resolves columns BY
+            # NAME, so a metadata-only rename would null out history;
+            # rewrite the storage with the column aliased (at scale a
+            # table format does this as a metadata swap — the semantics
+            # gate is what this pins).
+            from pyspark.sql import functions as F
+
+            spec = self.tables[m.group("name")]
+            col, new = m.group("col"), m.group("new")
+            have = {c for c, _ in spec.columns}
+            if col not in have:
+                raise ValueError(f"column {col!r} does not exist")
+            if new in have:
+                raise ValueError(f"column {new!r} already exists")
+            pkeys = set(self._partition_keys(spec)) | set(spec.primary_key)
+            if col in pkeys:
+                raise ValueError(
+                    f"column {col!r} is a partition/primary key — "
+                    "cannot rename"
+                )
+            df = self._source_df(spec)
+            renamed = df.select(
+                *[F.col(c).alias(new) if c == col else F.col(c)
+                  for c, _ in spec.columns]
+            ).localCheckpoint(eager=True)
+            spec.columns = [
+                (new if c == col else c, t) for c, t in spec.columns
+            ]
+            self._rewrite_table_storage(spec, renamed)
+            return None
+        m = self._ALTER_MODIFYCOL_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            # ALTER TABLE t MODIFY (c TYPE, ...) (reference
+            # SqlAlterTableModify.java): change a column's declared type;
+            # existing data is cast (storage rewrite — parquet's reader
+            # rejects most physical-type changes, so metadata-only would
+            # break reads).
+            from pyspark.sql import functions as F
+
+            from flink_spark.sqltok import split_top_commas
+
+            spec = self.tables[m.group("name")]
+            declared = dict(spec.columns)
+            changes: dict[str, str] = {}
+            for part in split_top_commas(m.group("cols")):
+                toks = part.split()
+                if len(toks) < 2:
+                    raise ValueError(
+                        f"ALTER TABLE ... MODIFY: expected 'name TYPE', "
+                        f"got {part.strip()!r}"
+                    )
+                cname, ctype = toks[0], " ".join(toks[1:])
+                if cname not in declared:
+                    raise ValueError(f"column {cname!r} does not exist")
+                changes[cname] = _map_type(ctype)
+            df = self._source_df(spec)
+            recast = df.select(
+                *[F.col(c).cast(changes[c]).alias(c) if c in changes
+                  else F.col(c)
+                  for c, _ in spec.columns]
+            ).localCheckpoint(eager=True)
+            spec.columns = [
+                (c, changes.get(c, t)) for c, t in spec.columns
+            ]
+            self._rewrite_table_storage(spec, recast)
             return None
         m = self._ALTER_ADDCOL_RE.match(stmt)
         if m and m.group("name") in self.tables:
@@ -1218,6 +1298,47 @@ class TableEnvironment:
                     self, "_catalog_comments", {}
                 )
                 self._catalog_comments[name] = m.group("cmt")
+            return None
+        m = re.match(
+            r"^\s*ALTER\s+CATALOG\s+(?P<n>\w+)\s+"
+            r"(?:(?:COMMENT\s+'(?P<cmt>[^']*)')"
+            r"|(?:SET\s*\(\s*(?P<sopts>.*?)\s*\))"
+            r"|(?:RESET\s*\(\s*(?P<rkeys>.*?)\s*\)))\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # ALTER CATALOG COMMENT / SET / RESET (reference
+            # ddl/catalog/SqlAlterCatalogComment.java, ...Options.java,
+            # ...Reset.java). 'type' is the factory-discovery key — RESET
+            # cannot remove it (FactoryUtil guard, same as connector on
+            # tables).
+            name = m.group("n")
+            if name not in self.catalogs:
+                raise ValueError(f"catalog {name!r} does not exist")
+            if m.group("cmt") is not None:
+                self._catalog_comments = getattr(
+                    self, "_catalog_comments", {}
+                )
+                self._catalog_comments[name] = m.group("cmt")
+                return None
+            if m.group("sopts") is not None:
+                self.catalogs[name].update(
+                    dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'",
+                                    m.group("sopts")))
+                )
+                return None
+            keys = [k.strip().strip("'")
+                    for k in m.group("rkeys").split(",") if k.strip()]
+            if not keys:
+                raise ValueError(
+                    "ALTER CATALOG RESET requires at least one key"
+                )
+            for k in keys:
+                if k == "type":
+                    raise ValueError(
+                        "ALTER CATALOG RESET cannot remove 'type'"
+                    )
+                self.catalogs[name].pop(k, None)
             return None
         m = re.match(
             r"^\s*SHOW\s+CREATE\s+CATALOG\s+(?P<n>\w+)\s*$",
@@ -2199,13 +2320,21 @@ class TableEnvironment:
         if "MODEL" in up:
             from flink_spark.models import (
                 MODEL_ALTER_RE,
+                MODEL_ALTER_RENAME_RE,
+                MODEL_ALTER_RESET_RE,
+                MODEL_CREATE_AS_RE,
                 MODEL_CREATE_RE,
                 MODEL_DROP_RE,
                 SHOW_MODELS_RE,
             )
 
+            mas = MODEL_CREATE_AS_RE.match(stmt)
+            if mas:
+                return self.model_manager.create_as(mas, env=self)
             for rx, h in (
                 (MODEL_CREATE_RE, "create"),
+                (MODEL_ALTER_RENAME_RE, "alter_rename"),
+                (MODEL_ALTER_RESET_RE, "alter_reset"),
                 (MODEL_ALTER_RE, "alter"),
                 (MODEL_DROP_RE, "drop"),
             ):
@@ -2714,16 +2843,26 @@ class TableEnvironment:
                 return None
         av = re.match(
             r"^\s*ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+"
-            r"(?:(?:RENAME\s+TO\s+(?P<to>[\w.]+))|(?:AS\s+(?P<q>.+)))$",
+            r"(?:(?:RENAME\s+TO\s+(?P<to>[\w.]+))"
+            r"|(?:SET\s*\(\s*(?P<props>.*?)\s*\))"
+            r"|(?:AS\s+(?P<q>.+)))$",
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if av:
-            # ALTER VIEW ... RENAME TO / AS (reference SqlAlterViewRename /
-            # SqlAlterViewAs, alter.md)
+            # ALTER VIEW ... RENAME TO / SET (properties) / AS (reference
+            # SqlAlterViewRename / SqlAlterViewProperties / SqlAlterViewAs,
+            # alter.md)
             name = av.group("name")
             defs = getattr(self, "_view_defs", {})
             if name not in defs:
                 raise ValueError(f"ALTER VIEW: view {name!r} does not exist")
+            if av.group("props") is not None:
+                d = defs[name]
+                d.setdefault("properties", {}).update(
+                    dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'",
+                                    av.group("props")))
+                )
+                return None
             if av.group("to"):
                 to = av.group("to")
                 if to in defs:

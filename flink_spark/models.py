@@ -47,7 +47,29 @@ MODEL_CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 MODEL_ALTER_RE = re.compile(
-    r"^\s*ALTER\s+MODEL\s+(?P<name>[\w.]+)\s+SET\s*\(\s*(?P<opts>.*?)\s*\)\s*$",
+    r"^\s*ALTER\s+MODEL\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<name>[\w.]+)"
+    r"\s+SET\s*\(\s*(?P<opts>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: SqlAlterModelRename.java / SqlAlterModelReset.java
+MODEL_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+MODEL\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<name>[\w.]+)"
+    r"\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+MODEL_ALTER_RESET_RE = re.compile(
+    r"^\s*ALTER\s+MODEL\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<name>[\w.]+)"
+    r"\s+RESET\s*\(\s*(?P<keys>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: SqlCreateModelAs.java — CREATE MODEL ... WITH (...) AS SELECT: the
+#: training relation is a query; explicit INPUT columns are rejected
+#: (the input schema derives from the query's columns).
+MODEL_CREATE_AS_RE = re.compile(
+    r"^\s*CREATE\s+MODEL\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<name>[\w.]+)"
+    r"\s*(?:INPUT\s*\(\s*(?P<input>[^)]*?)\s*\)\s*)?"
+    r"(?:OUTPUT\s*\(\s*(?P<output>[^)]*?)\s*\)\s*)?"
+    r"WITH\s*\(\s*(?P<opts>.*?)\s*\)\s*AS\s+(?P<q>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 MODEL_DROP_RE = re.compile(
@@ -176,11 +198,81 @@ class ModelManager:
         )
 
     def alter(self, m: re.Match):
+        if m.group("name") not in self.models and m.group("ife"):
+            return None
         spec = self._get(m.group("name"))
         spec.options.update(
             {o.group("k"): o.group("v")
              for o in _OPT_RE.finditer(m.group("opts"))}
         )
+        return None
+
+    def alter_rename(self, m: re.Match):
+        """ALTER MODEL [IF EXISTS] m RENAME TO m2
+        (reference SqlAlterModelRename.java)."""
+        name = m.group("name")
+        if name not in self.models and m.group("ife"):
+            return None
+        spec = self._get(name)
+        new = m.group("new")
+        if new in self.models:
+            raise ValueError(f"model {new!r} already exists")
+        del self.models[name]
+        spec.name = new
+        self.models[new] = spec
+        return None
+
+    def alter_reset(self, m: re.Match):
+        """ALTER MODEL [IF EXISTS] m RESET ('k', ...) (reference
+        SqlAlterModelReset.java — 'provider' cannot be reset, mirroring
+        the connector-key guard on tables)."""
+        name = m.group("name")
+        if name not in self.models and m.group("ife"):
+            return None
+        spec = self._get(name)
+        keys = [k.strip().strip("'") for k in m.group("keys").split(",")
+                if k.strip()]
+        if not keys:
+            raise ValueError("ALTER MODEL RESET requires at least one key")
+        for k in keys:
+            if k == "provider":
+                raise ValueError("ALTER MODEL RESET cannot remove 'provider'")
+            spec.options.pop(k, None)
+        return None
+
+    def create_as(self, m: re.Match, env=None):
+        """CREATE MODEL ... WITH (...) AS SELECT (reference
+        SqlCreateModelAs.java): the training relation is a query; the
+        model's input schema derives from the query columns. Explicit
+        INPUT columns are rejected (the reference validator's rule).
+        Providers that need a network to actually train stay
+        registration-only, same as plain CREATE MODEL."""
+        if m.group("input"):
+            raise ValueError(
+                "CREATE MODEL AS SELECT syntax does not support to "
+                "specify explicit input columns."
+            )
+        name = m.group("name")
+        if name in self.models:
+            if m.group("ine"):
+                return None
+            raise ValueError(f"model {name!r} already exists")
+        q = m.group("q").strip()
+        runner = env.execute_sql if env is not None else self.spark.sql
+        probe = runner(q)
+        input_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in probe.schema.fields
+        )
+        # synthesize a plain-create match via the shared validation path
+        fake = MODEL_CREATE_RE.match(
+            f"CREATE MODEL {name} INPUT ({input_schema}) "
+            + (f"OUTPUT ({m.group('output')}) " if m.group("output") else "")
+            + f"WITH ({m.group('opts')})"
+        )
+        assert fake is not None
+        self.create(fake)
+        self.models[name].options["training-query"] = q
         return None
 
     def drop(self, m: re.Match):

@@ -1630,3 +1630,118 @@ def test_database_properties_and_alter(spark):
         env.execute_sql("ALTER DATABASE nope_db SET ('a' = 'b')")
     env.execute_sql("DROP DATABASE IF EXISTS dbp1")
     assert key not in env._db_props
+
+
+def test_alter_table_rename_and_modify_column(spark, tmp_path):
+    """ALTER TABLE RENAME col TO new / MODIFY (col TYPE) (reference
+    SqlAlterTableRenameColumn.java, SqlAlterTableModify.java): rename
+    rewrites storage (parquet resolves by name), MODIFY recasts existing
+    data to the new declared type."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS atrc_t")
+    env.execute_sql(
+        "CREATE TABLE atrc_t (k BIGINT, v INT) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/atrc_t', "
+        "'format'='parquet')"
+    )
+    env.execute_sql(
+        "INSERT INTO atrc_t SELECT id, CAST(id * 2 AS INT) FROM range(5)"
+    )
+    env.execute_sql("ALTER TABLE atrc_t RENAME v TO doubled")
+    df = spark.table("atrc_t")
+    assert df.columns == ["k", "doubled"]
+    assert {(r.k, r.doubled) for r in df.collect()} == {
+        (i, 2 * i) for i in range(5)
+    }
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE atrc_t RENAME nope TO x")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE atrc_t RENAME k TO doubled")
+    env.execute_sql("ALTER TABLE atrc_t MODIFY (doubled DECIMAL(10,2))")
+    df = spark.table("atrc_t")
+    assert dict(df.dtypes)["doubled"] == "decimal(10,2)"
+    assert df.count() == 5
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE atrc_t MODIFY (ghost BIGINT)")
+    env.execute_sql("DROP TABLE IF EXISTS atrc_t")
+
+
+def test_alter_catalog_comment_set_reset(spark):
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP CATALOG IF EXISTS ac_cat")
+    env.execute_sql(
+        "CREATE CATALOG ac_cat WITH ('type'='generic_in_memory')"
+    )
+    env.execute_sql("ALTER CATALOG ac_cat COMMENT 'prod metadata'")
+    env.execute_sql("ALTER CATALOG ac_cat SET ('owner'='team-a','tier'='1')")
+    env.execute_sql("ALTER CATALOG ac_cat RESET ('tier')")
+    assert env.catalogs["ac_cat"] == {
+        "type": "generic_in_memory", "owner": "team-a"
+    }
+    ddl = env.execute_sql("SHOW CREATE CATALOG ac_cat").collect()[0].ddl
+    assert "COMMENT 'prod metadata'" in ddl and "'owner' = 'team-a'" in ddl
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot remove 'type'"):
+        env.execute_sql("ALTER CATALOG ac_cat RESET ('type')")
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER CATALOG ghost_cat SET ('a'='b')")
+    env.execute_sql("DROP CATALOG ac_cat")
+
+
+def test_alter_view_set_properties(spark):
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.range(3).createOrReplaceTempView("avp_src")
+    env.execute_sql("DROP VIEW IF EXISTS avp_v")
+    env.execute_sql("CREATE VIEW avp_v AS SELECT id FROM avp_src")
+    env.execute_sql("ALTER VIEW avp_v SET ('note'='rollup','ttl'='1d')")
+    assert env._view_defs["avp_v"]["properties"] == {
+        "note": "rollup", "ttl": "1d"
+    }
+    env.execute_sql("DROP VIEW avp_v")
+
+
+def test_alter_model_rename_reset_and_create_as(spark):
+    """ALTER MODEL RENAME TO / RESET + CREATE MODEL AS SELECT (reference
+    SqlAlterModelRename/Reset.java, SqlCreateModelAs.java)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP MODEL IF EXISTS amr_m")
+    env.execute_sql(
+        "CREATE MODEL amr_m WITH ('provider'='fixed-point-linear', "
+        "'note'='x')"
+    )
+    env.execute_sql("ALTER MODEL amr_m RESET ('note')")
+    assert "note" not in env.model_manager.models["amr_m"].options
+    with pytest.raises(ValueError, match="cannot remove 'provider'"):
+        env.execute_sql("ALTER MODEL amr_m RESET ('provider')")
+    env.execute_sql("ALTER MODEL amr_m RENAME TO amr_m2")
+    assert "amr_m2" in env.model_manager.models
+    assert "amr_m" not in env.model_manager.models
+    env.execute_sql("ALTER MODEL IF EXISTS ghost RENAME TO ghost2")  # no-op
+    env.execute_sql("DROP MODEL amr_m2")
+
+    # CREATE MODEL AS SELECT: input schema derives from the query
+    spark.range(4).selectExpr(
+        "CAST(id AS DOUBLE) AS f1", "CAST(id * 2 AS DOUBLE) AS f2"
+    ).createOrReplaceTempView("cmas_src")
+    env.execute_sql("DROP MODEL IF EXISTS cmas_m")
+    env.execute_sql(
+        "CREATE MODEL cmas_m WITH ('provider'='fixed-point-linear') "
+        "AS SELECT f1, f2 FROM cmas_src"
+    )
+    spec = env.model_manager.models["cmas_m"]
+    assert spec.input_schema == "f1 DOUBLE, f2 DOUBLE"
+    assert spec.options["training-query"] == "SELECT f1, f2 FROM cmas_src"
+    with pytest.raises(ValueError, match="explicit input columns"):
+        env.execute_sql(
+            "CREATE MODEL cmas_bad INPUT (x DOUBLE) WITH "
+            "('provider'='fixed-point-linear') AS SELECT f1 FROM cmas_src"
+        )
+    env.execute_sql("DROP MODEL cmas_m")
