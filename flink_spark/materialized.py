@@ -51,7 +51,8 @@ _UNIT_SEC = {
 }
 
 MT_CREATE_RE = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s*"
+    r"^\s*CREATE\s+(?:(?P<oralter>OR\s+ALTER)\s+)?"
+    r"MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s*"
     r"(?:PARTITIONED\s+BY\s*\(\s*(?P<part>[\w,\s]+?)\s*\)\s*)?"
     r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
     r"(?:FRESHNESS\s*=\s*INTERVAL\s+'(?P<fn>[\d.]+)'\s+(?P<fu>\w+)\s*)?"
@@ -128,6 +129,32 @@ class MaterializedTableManager:
     def create(self, m: re.Match) -> None:
         name = m.group("name")
         if name in self.tables:
+            if m.group("oralter"):
+                # CREATE OR ALTER MATERIALIZED TABLE (reference
+                # SqlCreateOrAlterMaterializedTable.java): existing table
+                # takes the new definition in place — policy first, then
+                # the defining query (AS-replacement schema rules apply);
+                # snapshot history and version counter carry over.
+                mt = self.tables[name]
+                if m.group("fn"):
+                    mt.freshness_sec = (
+                        float(m.group("fn"))
+                        * _UNIT_SEC[m.group("fu").lower()]
+                    )
+                if m.group("mode"):
+                    mt.refresh_mode = m.group("mode").lower()
+                    mt.mode_explicit = True
+                elif m.group("fn") and not mt.mode_explicit:
+                    mt.refresh_mode = (
+                        "continuous" if mt.freshness_sec < self.threshold
+                        else "full"
+                    )
+                mt.options.update(
+                    {o.group("k"): o.group("v")
+                     for o in _MT_OPT_RE.finditer(m.group("opts") or "")}
+                )
+                self._alter_as_query(mt, m.group("query").strip())
+                return None
             raise ValueError(f"materialized table {name!r} already exists")
         fn, fu = m.group("fn"), m.group("fu")
         if fn:

@@ -323,3 +323,41 @@ def test_alter_extended_variants(spark):
         assert got == {("x", 1, 1), ("y", 2, 5)}
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_ext")
+
+
+def test_create_or_alter_materialized_table(spark):
+    """CREATE OR ALTER MATERIALIZED TABLE (reference
+    SqlCreateOrAlterMaterializedTable.java): creates when absent; an
+    existing table takes the new definition in place — snapshot history
+    and the version counter carry over."""
+    env = TableEnvironment(spark)
+    _mk_source(spark, "coa_src", [("x", 1), ("y", 2), ("y", 3)])
+    env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS coa_mt")
+    env.execute_sql(
+        "CREATE OR ALTER MATERIALIZED TABLE coa_mt "
+        "FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT k, count(*) AS n FROM coa_src GROUP BY k"
+    )
+    try:
+        mt = env.materialized.tables["coa_mt"]
+        v1 = mt.version
+        assert v1 >= 1
+        env.execute_sql(
+            "CREATE OR ALTER MATERIALIZED TABLE coa_mt "
+            "FRESHNESS = INTERVAL '2' DAY REFRESH_MODE = FULL "
+            "AS SELECT k, count(*) AS n, sum(v) AS sv "
+            "FROM coa_src GROUP BY k"
+        )
+        assert env.materialized.tables["coa_mt"] is mt  # same object
+        assert mt.freshness_sec == 2 * 86400 and mt.mode_explicit
+        assert mt.version > v1  # history carried, new snapshot landed
+        got = {(r.k, r.n, r.sv) for r in spark.table("coa_mt").collect()}
+        assert got == {("x", 1, 1), ("y", 2, 5)}
+        # dropping a column still rejects through the AS-replacement rule
+        with pytest.raises(ValueError, match="prefix"):
+            env.execute_sql(
+                "CREATE OR ALTER MATERIALIZED TABLE coa_mt "
+                "AS SELECT k FROM coa_src GROUP BY k"
+            )
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS coa_mt")
