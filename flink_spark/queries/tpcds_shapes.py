@@ -3227,3 +3227,515 @@ def tpcds_q46_cross_nation_trips(spark, sf_dir):
         .filter(F.col("_n") >= 2)
         .drop("_n")
     )
+
+
+# -- round-7 additions: ten more reference-tpcds plan shapes ---------------
+
+
+@query(
+    "tpcds_q8_preferred_zips",
+    oracle=f"""
+    WITH zips AS (
+      SELECT n_nationkey AS nk FROM nation
+      WHERE n_nationkey IN (0, 3, 5, 8, 14, 19, 22)
+      INTERSECT
+      SELECT c_nationkey FROM customer
+      GROUP BY c_nationkey HAVING COUNT(*) FILTER (WHERE c_acctbal > 7000) >= 5
+    )
+    SELECT s.s_name AS store,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "net_profit")}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN zips z     ON s.s_nationkey = z.nk
+    GROUP BY 1
+    """,
+)
+def tpcds_q8_preferred_zips(spark, sf_dir):
+    """TPC-DS q8 shape (store profit restricted to zip codes that are BOTH
+    in a literal list AND home to enough preferred customers — an
+    INTERSECT of two dim-derived key sets gating the fact; reference
+    query8.sql): the intersected key set is tiny and broadcast; the fact
+    never scans for non-qualifying geography."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name"
+    )
+    listed = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey").isin(0, 3, 5, 8, 14, 19, 22)
+    ).select(F.col("n_nationkey").alias("nk"))
+    preferred = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count_if(F.col("c_acctbal") > 7000).alias("npref"))
+        .filter(F.col("npref") >= 5)
+        .select("nk")
+    )
+    zips = listed.intersect(preferred)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(zips), s.s_nationkey == F.col("nk"))
+        .groupBy(F.col("s_name").alias("store"))
+        .agg(dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "net_profit",
+        ))
+    )
+
+
+@query(
+    "tpcds_q12_class_revenue_ratio",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, p.p_type AS class,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+               AS itemrevenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size < 15
+      GROUP BY 1, 2
+    )
+    SELECT brand, class,
+           CAST(itemrevenue AS DOUBLE) AS itemrevenue,
+           ROUND(CAST(itemrevenue AS DOUBLE) * 100.0
+                 / CAST(SUM(itemrevenue) OVER (PARTITION BY class) AS DOUBLE),
+                 6) AS revenueratio
+    FROM rev
+    """,
+)
+def tpcds_q12_class_revenue_ratio(spark, sf_dir):
+    """TPC-DS q12 shape (per-item revenue share of its class —
+    ratio_to_report as a windowed sum over the AGGREGATED rows; reference
+    query12.sql): the window partitions |brand×class| rows, never the
+    fact; decimal-exact sums make the ratio engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") < 15
+    ).select("p_partkey", "p_brand", "p_type")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("p_type").alias("class"))
+        .agg(F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("itemrevenue"))
+    )
+    w = Window.partitionBy("class")
+    return rev.select(
+        "brand", "class",
+        F.col("itemrevenue").cast("double").alias("itemrevenue"),
+        F.round(
+            F.col("itemrevenue").cast("double") * 100.0
+            / F.sum("itemrevenue").over(w).cast("double"),
+            6,
+        ).alias("revenueratio"),
+    )
+
+
+@query(
+    "tpcds_q18_demographic_rollup_avgs",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {sql_davg("l.l_quantity", "avg_qty")},
+           {sql_davg("l.l_extendedprice", "avg_price")},
+           {sql_davg("l.l_discount", "avg_disc")},
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def tpcds_q18_demographic_rollup_avgs(spark, sf_dir):
+    """TPC-DS q18 shape (average measures for a demographic slice,
+    reported over a geography ROLLUP; reference query18.sql): the
+    demographic filter prunes through the broadcast customer dim before
+    the single fact aggregation; the rollup re-aggregates |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.withColumnRenamed("r_name", "region")
+        .withColumnRenamed("n_name", "nation")
+        .rollup("region", "nation")
+        .agg(
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpcds_q26_demographic_item_avgs",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           {sql_davg("l.l_quantity", "agg1")},
+           {sql_davg("l.l_extendedprice", "agg2")},
+           {sql_davg("l.l_discount", "agg3")},
+           {sql_davg("l.l_extendedprice * (1 - l.l_discount)", "agg4")}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+      AND o.o_orderpriority = '3-MEDIUM'
+    GROUP BY 1
+    """,
+)
+def tpcds_q26_demographic_item_avgs(spark, sf_dir):
+    """TPC-DS q26 shape (four AVG measures per item for a demographics +
+    promotion slice; reference query26.sql): every dim is broadcast, the
+    filters reach the scans, and the single shuffle is the brand
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "3-MEDIUM"
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select("c_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            davg("l_quantity", "agg1"),
+            davg("l_extendedprice", "agg2"),
+            davg("l_discount", "agg3"),
+            davg(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "agg4"
+            ),
+        )
+    )
+
+
+@query(
+    "tpcds_q42_category_year_report",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS d_year,
+           SPLIT_PART(p.p_type, ' ', 1) AS category,
+           {sql_dsum("l.l_extendedprice", "sum_price")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_q42_category_year_report(spark, sf_dir):
+    """TPC-DS q42 shape (category × year revenue report over a filtered
+    item dim; reference query42.sql): trivial star — but the point is the
+    PLAN: both dims broadcast, item filter pushed, one fact shuffle on
+    the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_type")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("d_year"),
+            F.substring_index("p_type", " ", 1).alias("category"),
+        )
+        .agg(dsum("l_extendedprice", "sum_price"))
+    )
+
+
+@query(
+    "tpcds_q43_weekday_pivot_per_store",
+    oracle=f"""
+    SELECT n.n_name AS store_nation,
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 1 THEN o.o_totalprice ELSE 0 END", "sun_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 2 THEN o.o_totalprice ELSE 0 END", "mon_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 3 THEN o.o_totalprice ELSE 0 END", "tue_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 4 THEN o.o_totalprice ELSE 0 END", "wed_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 5 THEN o.o_totalprice ELSE 0 END", "thu_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 6 THEN o.o_totalprice ELSE 0 END", "fri_sales")},
+           {sql_dsum("CASE WHEN DAYOFWEEK(o.o_orderdate) + 1 = 7 THEN o.o_totalprice ELSE 0 END", "sat_sales")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def tpcds_q43_weekday_pivot_per_store(spark, sf_dir):
+    """TPC-DS q43 shape (per-store sales pivoted across the seven
+    weekdays via conditional sums; reference query43.sql): one scan, one
+    shuffle on the store key, seven map-side conditional partials —
+    NOT seven scans."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dow = F.dayofweek("o_orderdate")
+
+    def day(i, alias):
+        return dsum(
+            F.when(dow == i, F.col("o_totalprice")).otherwise(F.lit(0)),
+            alias,
+        )
+
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("store_nation"))
+        .agg(
+            day(1, "sun_sales"), day(2, "mon_sales"), day(3, "tue_sales"),
+            day(4, "wed_sales"), day(5, "thu_sales"), day(6, "fri_sales"),
+            day(7, "sat_sales"),
+        )
+    )
+
+
+@query(
+    "tpcds_q69_active_without_web",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = c.c_custkey
+                        AND e.event_type = 'click')
+      AND NOT EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = c.c_custkey
+                        AND e.event_type = 'purchase')
+    GROUP BY 1
+    """,
+)
+def tpcds_q69_active_without_web(spark, sf_dir):
+    """TPC-DS q69 shape (demographic counts of customers active in the
+    store channel but absent from BOTH other channels — one EXISTS plus
+    two NOT EXISTS; reference query69.sql): a semi-join then two
+    anti-joins, each shuffling only the distinct key sets."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(clicks, c.c_custkey == clicks.user_id, "left_anti")
+        .join(buys, c.c_custkey == buys.user_id, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "tpcds_q71_brand_by_hour_channels",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'click' AS channel, EXTRACT(HOUR FROM ts)::BIGINT AS hr,
+             value AS v
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'view', EXTRACT(HOUR FROM ts)::BIGINT, value
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT 'purchase', EXTRACT(HOUR FROM ts)::BIGINT, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT hr,
+           {sql_dsum("CASE WHEN channel = 'click' THEN v ELSE 0 END", "click_v")},
+           {sql_dsum("CASE WHEN channel = 'view' THEN v ELSE 0 END", "view_v")},
+           {sql_dsum("CASE WHEN channel = 'purchase' THEN v ELSE 0 END", "purchase_v")}
+    FROM u GROUP BY 1
+    """,
+)
+def tpcds_q71_brand_by_hour_channels(spark, sf_dir):
+    """TPC-DS q71 shape (one report keyed by time-of-day with a UNION ALL
+    of three channels re-aggregated; reference query71.sql): the three
+    branches share one source scan; the union is map-side (no shuffle per
+    branch) and only the final hour-keyed aggregation shuffles."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        F.col("event_type").alias("channel"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.col("value").alias("v"),
+    )
+    return ev.groupBy("hr").agg(
+        dsum(F.when(F.col("channel") == "click", F.col("v"))
+             .otherwise(F.lit(0)), "click_v"),
+        dsum(F.when(F.col("channel") == "view", F.col("v"))
+             .otherwise(F.lit(0)), "view_v"),
+        dsum(F.when(F.col("channel") == "purchase", F.col("v"))
+             .otherwise(F.lit(0)), "purchase_v"),
+    )
+
+
+@query(
+    "tpcds_q76_null_key_channel_counts",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'store' AS channel, o.o_orderstatus AS col_name,
+             EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS d_year,
+             o.o_totalprice AS sales_amt,
+             c.c_custkey IS NULL AS key_missing
+      FROM orders o
+      LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'web', e.event_type,
+             EXTRACT(YEAR FROM e.ts)::BIGINT, e.value,
+             c.c_custkey IS NULL
+      FROM events e
+      LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0) c
+        ON e.user_id = c.c_custkey
+    )
+    SELECT channel, col_name, d_year,
+           CAST(COUNT(*) FILTER (WHERE key_missing) AS BIGINT) AS sales_cnt,
+           {sql_dsum("CASE WHEN key_missing THEN sales_amt ELSE 0 END", "sales_amt")}
+    FROM u GROUP BY 1, 2, 3
+    """,
+)
+def tpcds_q76_null_key_channel_counts(spark, sf_dir):
+    """TPC-DS q76 shape (count + sum of fact rows whose dimension key
+    fails to resolve, per channel, via UNION ALL; reference query76.sql):
+    each branch is fact LEFT JOIN broadcast-dim with an IS NULL probe —
+    the 'orphaned rows audit' a 100-TB warehouse runs after ingest."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") >= 0
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    store = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left")
+        .select(
+            F.lit("store").alias("channel"),
+            F.col("o_orderstatus").alias("col_name"),
+            F.year("o_orderdate").cast("bigint").alias("d_year"),
+            F.col("o_totalprice").alias("sales_amt"),
+            F.col("c_custkey").isNull().alias("key_missing"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    web = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+        .select(
+            F.lit("web").alias("channel"),
+            F.col("event_type").alias("col_name"),
+            F.year("ts").cast("bigint").alias("d_year"),
+            F.col("value").alias("sales_amt"),
+            F.col("c_custkey").isNull().alias("key_missing"),
+        )
+    )
+    return store.unionByName(web).groupBy(
+        "channel", "col_name", "d_year"
+    ).agg(
+        F.count_if("key_missing").alias("sales_cnt"),
+        dsum(F.when(F.col("key_missing"), F.col("sales_amt"))
+             .otherwise(F.lit(0)), "sales_amt"),
+    )
+
+
+@query(
+    "tpcds_q77_channel_profit_rollup",
+    oracle=f"""
+    WITH store AS (
+      SELECT n.n_name AS loc,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+               AS sales,
+             SUM(CAST(CASE WHEN l.l_returnflag = 'R'
+                           THEN l.l_extendedprice ELSE 0 END AS {DEC}))
+               AS returns
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), web AS (
+      SELECT n.n_name AS loc,
+             SUM(CAST(e.value AS {DEC})) AS sales,
+             SUM(CAST(CASE WHEN e.event_type = 'error'
+                           THEN e.value ELSE 0 END AS {DEC})) AS returns
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), u AS (
+      SELECT 'store' AS channel, loc, sales, returns FROM store
+      UNION ALL
+      SELECT 'web', loc, sales, returns FROM web
+    )
+    SELECT channel, loc,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns) AS DOUBLE) AS returns,
+           CAST(SUM(sales) - SUM(returns) AS DOUBLE) AS profit
+    FROM u GROUP BY ROLLUP(channel, loc)
+    """,
+)
+def tpcds_q77_channel_profit_rollup(spark, sf_dir):
+    """TPC-DS q77 shape (per-channel sales/returns/profit, union of
+    channel sub-reports re-aggregated under ROLLUP(channel, location);
+    reference query77.sql): each channel aggregates its own fact once;
+    the rollup re-aggregates |channels×locations| rows — decimal-exact
+    through the rollup so the profit column is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    store = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("loc"))
+        .agg(
+            F.sum((F.col("l_extendedprice")
+                   * (1 - F.col("l_discount"))).cast(DEC)).alias("sales"),
+            F.sum(F.when(F.col("l_returnflag") == "R",
+                         F.col("l_extendedprice"))
+                  .otherwise(F.lit(0)).cast(DEC)).alias("returns"),
+        )
+        .select(F.lit("store").alias("channel"), "loc", "sales", "returns")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    web = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("loc"))
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("sales"),
+            F.sum(F.when(F.col("event_type") == "error", F.col("value"))
+                  .otherwise(F.lit(0)).cast(DEC)).alias("returns"),
+        )
+        .select(F.lit("web").alias("channel"), "loc", "sales", "returns")
+    )
+    u = store.unionByName(web)
+    return (
+        u.rollup("channel", "loc")
+        .agg(
+            F.sum("sales").alias("__s"),
+            F.sum("returns").alias("__r"),
+        )
+        .select(
+            "channel", "loc",
+            F.col("__s").cast("double").alias("sales"),
+            F.col("__r").cast("double").alias("returns"),
+            (F.col("__s") - F.col("__r")).cast("double").alias("profit"),
+        )
+    )
