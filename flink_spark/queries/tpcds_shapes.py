@@ -3739,3 +3739,97 @@ def tpcds_q77_channel_profit_rollup(spark, sf_dir):
             (F.col("__s") - F.col("__r")).cast("double").alias("profit"),
         )
     )
+
+
+@query(
+    "tpcds_q24_paid_above_global_avg",
+    oracle=f"""
+    WITH paid AS (
+      SELECT c.c_name AS customer, p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}))
+               AS paid
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag <> 'R'
+      GROUP BY 1, 2
+    )
+    SELECT customer, brand, CAST(paid AS DOUBLE) AS paid
+    FROM paid
+    WHERE paid > (SELECT 0.05 * AVG(paid) FROM paid)
+    """,
+)
+def tpcds_q24_paid_above_global_avg(spark, sf_dir):
+    """TPC-DS q24 shape (per-customer-per-color net paid, kept only when
+    above a scalar threshold computed over the SAME aggregate — a
+    self-referential CTE gated by its own global average; reference
+    query24.sql): the aggregate materializes once, the 1-row scalar
+    broadcasts, no second fact pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") != "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    paid = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("c_name").alias("customer"),
+                 F.col("p_brand").alias("brand"))
+        .agg(F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("paid"))
+        .localCheckpoint(eager=False)
+    )
+    thresh = paid.agg(
+        (F.avg("paid") * F.lit(0.05)).alias("__t")
+    )
+    return (
+        paid.crossJoin(F.broadcast(thresh))
+        .filter(F.col("paid") > F.col("__t"))
+        .select("customer", "brand", F.col("paid").cast("double").alias("paid"))
+    )
+
+
+@query(
+    "tpcds_q32_excess_discount_per_item",
+    oracle=f"""
+    WITH item_agg AS (
+      SELECT l_partkey, SUM(CAST(l_discount AS {DEC})) AS s,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT {sql_dsum("l.l_extendedprice * l.l_discount", "excess_discount_amount")}
+    FROM lineitem l
+    JOIN item_agg a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_discount AS {DEC}) * a.n * 10 > 13 * a.s
+    """,
+)
+def tpcds_q32_excess_discount_per_item(spark, sf_dir):
+    """TPC-DS q32 shape (fact rows whose discount exceeds 1.3× the
+    per-item average — the fact joined against ITS OWN per-key aggregate,
+    a correlated-scalar decorrelation; reference query32.sql): the
+    aggregate shuffles once on the item key and joins back on the same
+    key (AQE co-locates the pair); decimal averages keep the threshold
+    comparison engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    item_agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_discount").cast(DEC)).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    # exact decimal cross-multiplication (disc > 1.3*s/n <=> 10*disc*n >
+    # 13*s) — no float division on either engine, so the threshold is
+    # boundary-exact
+    return (
+        li.join(item_agg.withColumnRenamed("l_partkey", "__pk"),
+                li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_discount").cast(DEC) * F.col("n") * 10
+                > F.col("s") * 13)
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                  "excess_discount_amount"))
+    )
