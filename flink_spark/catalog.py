@@ -652,7 +652,6 @@ class TableEnvironment:
             from flink_spark.sqltok import split_top_commas
 
             spec = self.tables[m.group("name")]
-            have = {c for c, _ in spec.columns}
             for part in split_top_commas(m.group("cols")):
                 toks = part.split()
                 if len(toks) < 2:
@@ -660,10 +659,29 @@ class TableEnvironment:
                         f"ALTER TABLE ... ADD: expected 'name TYPE', "
                         f"got {part.strip()!r}"
                     )
+                # optional column position (reference ddl/position/
+                # SqlColumnPosSpec.java): ... TYPE [FIRST | AFTER col]
+                pos_idx = None
+                if len(toks) >= 3 and toks[-2].upper() == "AFTER":
+                    anchor = toks[-1]
+                    names = [c for c, _ in spec.columns]
+                    if anchor not in names:
+                        raise ValueError(
+                            f"ALTER TABLE ... ADD AFTER: column "
+                            f"{anchor!r} does not exist"
+                        )
+                    pos_idx = names.index(anchor) + 1
+                    toks = toks[:-2]
+                elif toks[-1].upper() == "FIRST":
+                    pos_idx = 0
+                    toks = toks[:-1]
                 cname, ctype = toks[0], " ".join(toks[1:])
-                if cname in have:
+                if cname in {c for c, _ in spec.columns}:
                     raise ValueError(f"column {cname!r} already exists")
-                spec.columns.append((cname, ctype))
+                if pos_idx is None:
+                    spec.columns.append((cname, ctype))
+                else:
+                    spec.columns.insert(pos_idx, (cname, ctype))
             self._refresh_view(spec)
             return None
         m = self._ALTER_DROPCOL_RE.match(stmt)
@@ -2453,6 +2471,11 @@ class TableEnvironment:
                 if mt.partition_keys:
                     lines.append(
                         f"PARTITIONED BY ({', '.join(mt.partition_keys)})"
+                    )
+                if mt.dist_keys and mt.dist_buckets:
+                    lines.append(
+                        f"DISTRIBUTED BY ({', '.join(mt.dist_keys)}) "
+                        f"INTO {mt.dist_buckets} BUCKETS"
                     )
                 if mt.options:
                     lines.append(

@@ -54,6 +54,8 @@ MT_CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:(?P<oralter>OR\s+ALTER)\s+)?"
     r"MATERIALIZED\s+TABLE\s+(?P<name>[\w.]+)\s*"
     r"(?:PARTITIONED\s+BY\s*\(\s*(?P<part>[\w,\s]+?)\s*\)\s*)?"
+    r"(?:DISTRIBUTED\s+BY\s+(?:HASH\s*)?\(\s*(?P<dkeys>[\w,\s]+?)\s*\)\s+"
+    r"INTO\s+(?P<dbuck>\d+)\s+BUCKETS\s*)?"
     r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
     r"(?:FRESHNESS\s*=\s*INTERVAL\s+'(?P<fn>[\d.]+)'\s+(?P<fu>\w+)\s*)?"
     r"(?:REFRESH_MODE\s*=\s*(?P<mode>FULL|CONTINUOUS)\s*)?"
@@ -81,6 +83,9 @@ MT_ALTER_EXT_RE = re.compile(
     r"|(?:SET\s*\(\s*(?P<sopts>.*?)\s*\))"
     r"|(?:RESET\s*\(\s*(?P<rkeys>.*?)\s*\))"
     r"|(?:RESUME\s+WITH\s*\(\s*(?P<ropts>.*?)\s*\))"
+    r"|(?:MODIFY\s+DISTRIBUTION\s+BY\s+(?:HASH\s*)?"
+    r"\(\s*(?P<mdkeys>[\w,\s]+?)\s*\)\s+INTO\s+(?P<mdbuck>\d+)\s+BUCKETS)"
+    r"|(?P<dropdist>DROP\s+DISTRIBUTION)"
     r")\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -106,6 +111,8 @@ class MaterializedTable:
     state: str = "RUNNING"      # 'RUNNING' | 'SUSPENDED'
     options: dict = field(default_factory=dict)   # WITH / SET options
     mode_explicit: bool = False  # REFRESH_MODE pinned by DDL (vs derived)
+    dist_keys: list = field(default_factory=list)  # DISTRIBUTED BY keys
+    dist_buckets: int | None = None
     version: int = 0
     last_refresh: float | None = None
     commits: dict = field(default_factory=dict)  # version -> commit epoch
@@ -153,6 +160,12 @@ class MaterializedTableManager:
                     {o.group("k"): o.group("v")
                      for o in _MT_OPT_RE.finditer(m.group("opts") or "")}
                 )
+                if m.group("dkeys"):
+                    mt.dist_keys = [
+                        c.strip() for c in m.group("dkeys").split(",")
+                        if c.strip()
+                    ]
+                    mt.dist_buckets = int(m.group("dbuck"))
                 self._alter_as_query(mt, m.group("query").strip())
                 return None
             raise ValueError(f"materialized table {name!r} already exists")
@@ -174,6 +187,10 @@ class MaterializedTableManager:
             options={o.group("k"): o.group("v")
                      for o in _MT_OPT_RE.finditer(m.group("opts") or "")},
             mode_explicit=bool(m.group("mode")),
+            dist_keys=[c.strip() for c in (m.group("dkeys") or "").split(",")
+                       if c.strip()],
+            dist_buckets=(int(m.group("dbuck"))
+                          if m.group("dbuck") else None),
         )
         # probe before registering: an invalid defining query must not leave
         # a half-registered table (and leaked tempdir) behind (ADVICE r2)
@@ -278,6 +295,16 @@ class MaterializedTableManager:
             for k in m.group("rkeys").split(","):
                 mt.options.pop(k.strip().strip("'"), None)
             return None
+        if m.group("mdkeys") is not None:
+            # MODIFY DISTRIBUTION (SqlAlterMaterializedTableDistribution):
+            # next snapshot writes under the new clustering
+            mt.dist_keys = [c.strip() for c in m.group("mdkeys").split(",")
+                            if c.strip()]
+            mt.dist_buckets = int(m.group("mdbuck"))
+            return None
+        if m.group("dropdist") is not None:
+            mt.dist_keys, mt.dist_buckets = [], None
+            return None
         if m.group("ropts") is not None:
             # RESUME WITH ('k'='v'): apply the properties, then resume
             mt.options.update(
@@ -381,6 +408,13 @@ class MaterializedTableManager:
                     df = fresh
             new_version = mt.version + 1
             path = f"{mt.root}/v={new_version}"
+            if mt.dist_keys and mt.dist_buckets:
+                # DISTRIBUTED BY (reference SqlDistribution on
+                # materialized tables): cluster each snapshot by the
+                # distribution key into the declared bucket count, so
+                # same-keyed consumers of the snapshot read co-located
+                # files (the key-clustered layout a table format keeps)
+                df = df.repartition(mt.dist_buckets, *mt.dist_keys)
             writer = df.write.mode("overwrite")
             if mt.partition_keys:
                 writer = writer.partitionBy(*mt.partition_keys)

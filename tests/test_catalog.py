@@ -1745,3 +1745,29 @@ def test_alter_model_rename_reset_and_create_as(spark):
             "('provider'='fixed-point-linear') AS SELECT f1 FROM cmas_src"
         )
     env.execute_sql("DROP MODEL cmas_m")
+
+
+def test_alter_table_add_column_position(spark, tmp_path):
+    """ALTER TABLE ADD with column position (reference
+    ddl/position/SqlColumnPosSpec.java): FIRST and AFTER col place the
+    new column in the declared schema; parquet name-resolution keeps old
+    files readable (new columns null-fill)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS addpos_t")
+    env.execute_sql(
+        "CREATE TABLE addpos_t (a BIGINT, b BIGINT) WITH ("
+        f"'connector'='filesystem', 'path'='{tmp_path}/addpos_t', "
+        "'format'='parquet')"
+    )
+    env.execute_sql("INSERT INTO addpos_t SELECT id, id * 2 FROM range(3)")
+    env.execute_sql("ALTER TABLE addpos_t ADD (z STRING FIRST)")
+    env.execute_sql("ALTER TABLE addpos_t ADD (mid BIGINT AFTER a)")
+    df = spark.table("addpos_t")
+    assert df.columns == ["z", "a", "mid", "b"]
+    rows = {(r.z, r.a, r.mid, r.b) for r in df.collect()}
+    assert rows == {(None, i, None, 2 * i) for i in range(3)}
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE addpos_t ADD (q BIGINT AFTER ghost)")
+    env.execute_sql("DROP TABLE IF EXISTS addpos_t")

@@ -361,3 +361,49 @@ def test_create_or_alter_materialized_table(spark):
             )
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS coa_mt")
+
+
+def test_materialized_distribution(spark):
+    """DISTRIBUTED BY on materialized tables (reference SqlDistribution +
+    SqlAlterMaterializedTableDistribution/DropDistribution): snapshots
+    are written clustered by the distribution key into the declared
+    bucket count; MODIFY/DROP change the layout for the next snapshot;
+    SHOW CREATE renders and round-trips the clause."""
+    import os
+
+    env = TableEnvironment(spark)
+    _mk_source(spark, "mtd_src", [(f"k{i%7}", i) for i in range(60)])
+    env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mtd_mt")
+    env.execute_sql(
+        "CREATE MATERIALIZED TABLE mtd_mt "
+        "DISTRIBUTED BY (k) INTO 4 BUCKETS "
+        "FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT k, count(*) AS n FROM mtd_src GROUP BY k"
+    )
+    try:
+        mt = env.materialized.tables["mtd_mt"]
+        assert mt.dist_keys == ["k"] and mt.dist_buckets == 4
+        snap = f"{mt.root}/v={mt.version}"
+        files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
+        assert len(files) <= 4  # clustered into at most bucket-count files
+        assert spark.table("mtd_mt").count() == 7
+        ddl = env.execute_sql(
+            "SHOW CREATE MATERIALIZED TABLE mtd_mt"
+        ).collect()[0].ddl
+        assert "DISTRIBUTED BY (k) INTO 4 BUCKETS" in ddl
+        env.execute_sql(ddl.replace("mtd_mt", "mtd_mt2"))
+        assert env.materialized.tables["mtd_mt2"].dist_buckets == 4
+        env.execute_sql("DROP MATERIALIZED TABLE mtd_mt2")
+        env.execute_sql(
+            "ALTER MATERIALIZED TABLE mtd_mt MODIFY DISTRIBUTION "
+            "BY HASH (k) INTO 2 BUCKETS"
+        )
+        assert mt.dist_buckets == 2
+        env.execute_sql("ALTER MATERIALIZED TABLE mtd_mt REFRESH")
+        snap = f"{mt.root}/v={mt.version}"
+        files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
+        assert len(files) <= 2
+        env.execute_sql("ALTER MATERIALIZED TABLE mtd_mt DROP DISTRIBUTION")
+        assert mt.dist_keys == [] and mt.dist_buckets is None
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mtd_mt")
