@@ -38,6 +38,19 @@ Role mapping: lineitem = store_sales fact, events = web_sales fact,
 orders carries the date dimension (o_orderdate), part = item,
 customer/supplier/nation/region = the snowflake dims.
 
+All 99 TPC-DS query numbers are covered: 80 as named shapes below; the
+remaining 19 are exact plan-shape twins of a named shape (same operator
+DAG, different literals/channel) and are covered by it:
+
+  q20→q12 (class revenue-share window)   q29→q25 (buy-return-rebuy)
+  q52→q55 (brand single-month report)    q56,q60→q33 (channel-union brand)
+  q57→q47 (moving deviation, 2nd channel) q63,q89→q53 (monthly class dev)
+  q68,q79→q46 (customer trip report)     q73→q34 (HAVING-band buyers)
+  q80→q77/q5 (channel sales/returns rollup) q81→q30 (state return outliers)
+  q82→q37 (inventory in-stock)           q83→q38 (channel date intersect)
+  q85→q13 (band-disjunction averages)    q86→q36 (rollup + rank in level)
+  q91→q26 (demographic returns star)     q99→q62 (latency bands)
+
 Scale notes (100 TB discipline): every dim side is broadcast (part,
 supplier, nation ≤ SF·O(k) rows); fact-fact joins shuffle on their join
 key only after dim filters are pushed into the scans; rollup/report
@@ -3832,4 +3845,252 @@ def tpcds_q32_excess_discount_per_item(spark, sf_dir):
                 > F.col("s") * 13)
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"),
                   "excess_discount_amount"))
+    )
+
+
+@query(
+    "tpcds_q11_two_channel_growth_customers",
+    oracle=f"""
+    WITH store AS (
+      SELECT o.o_custkey AS ck, EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS yr,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ), cat AS (
+      SELECT o_custkey AS ck, EXTRACT(YEAR FROM o_orderdate)::BIGINT AS yr,
+             SUM(CAST(o_totalprice AS {DEC})) AS s
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ), pv AS (
+      SELECT st95.ck,
+             st95.s AS store95, st96.s AS store96,
+             ct95.s AS cat95,   ct96.s AS cat96
+      FROM (SELECT ck, s FROM store WHERE yr = 1995) st95
+      JOIN (SELECT ck, s FROM store WHERE yr = 1996) st96 USING (ck)
+      JOIN (SELECT ck, s FROM cat   WHERE yr = 1995) ct95 USING (ck)
+      JOIN (SELECT ck, s FROM cat   WHERE yr = 1996) ct96 USING (ck)
+      WHERE st95.s > 0 AND ct95.s > 0
+    )
+    SELECT ck AS customer,
+           CAST(store95 AS DOUBLE) AS store95,
+           CAST(store96 AS DOUBLE) AS store96,
+           CAST(cat95 AS DOUBLE) AS cat95,
+           CAST(cat96 AS DOUBLE) AS cat96
+    FROM pv
+    WHERE cat96 * store95 > store96 * cat95
+    """,
+)
+def tpcds_q11_two_channel_growth_customers(spark, sf_dir):
+    """TPC-DS q11/q74 family, the two-channel variant (customers whose
+    growth ratio in one channel beats the other; reference query11.sql):
+    per-channel per-year aggregates pivoted by self-joins on the
+    customer key, with the ratio comparison as exact decimal
+    cross-multiplication (positive denominators) — no float division on
+    either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("bigint")
+    ).filter(F.col("yr").isin(1995, 1996))
+    store = (
+        li.join(o.select("o_orderkey", "o_custkey", "yr"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), "yr")
+        .agg(F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("s"))
+    )
+    cat = (
+        o.groupBy(F.col("o_custkey").alias("ck"), "yr")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("s"))
+    )
+
+    def year_slice(df, yr, alias):
+        return df.filter(F.col("yr") == yr).select(
+            "ck", F.col("s").alias(alias)
+        )
+
+    pv = (
+        year_slice(store, 1995, "store95")
+        .join(year_slice(store, 1996, "store96"), "ck")
+        .join(year_slice(cat, 1995, "cat95"), "ck")
+        .join(year_slice(cat, 1996, "cat96"), "ck")
+        .filter((F.col("store95") > 0) & (F.col("cat95") > 0))
+    )
+    return (
+        pv.filter(F.col("cat96") * F.col("store95")
+                  > F.col("store96") * F.col("cat95"))
+        .select(
+            F.col("ck").alias("customer"),
+            F.col("store95").cast("double").alias("store95"),
+            F.col("store96").cast("double").alias("store96"),
+            F.col("cat95").cast("double").alias("cat95"),
+            F.col("cat96").cast("double").alias("cat96"),
+        )
+    )
+
+
+@query(
+    "tpcds_q27_state_brand_rollup_avgs",
+    oracle=f"""
+    SELECT n.n_name AS state, p.p_brand AS brand,
+           GROUPING(n.n_name) + GROUPING(p.p_brand) AS lochierarchy,
+           {sql_davg("l.l_quantity", "agg1")},
+           {sql_davg("l.l_extendedprice", "agg2")}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY ROLLUP(n.n_name, p.p_brand)
+    """,
+)
+def tpcds_q27_state_brand_rollup_avgs(spark, sf_dir):
+    """TPC-DS q27 shape (average measures for a demographic slice under
+    ROLLUP(state, item); reference query27.sql): like q18 but the rollup
+    spans a dim × item hierarchy — still one fact pass, rollup over
+    |states×brands| aggregated rows, GROUPING() level emitted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return (
+        joined.withColumnRenamed("n_name", "state")
+        .withColumnRenamed("p_brand", "brand")
+        .rollup("state", "brand")
+        .agg(
+            (F.grouping("state") + F.grouping("brand"))
+            .cast("bigint").alias("lochierarchy"),
+            davg("l_quantity", "agg1"),
+            davg("l_extendedprice", "agg2"),
+        )
+    )
+
+
+@query(
+    "tpcds_q28_band_distinct_stats",
+    oracle=f"""
+    SELECT
+      {sql_davg("CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END", "b1_avg")},
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END) AS BIGINT) AS b1_cnt,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END) AS BIGINT) AS b1_cntd,
+      {sql_davg("CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END", "b2_avg")},
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END) AS BIGINT) AS b2_cnt,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END) AS BIGINT) AS b2_cntd,
+      {sql_davg("CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END", "b3_avg")},
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END) AS BIGINT) AS b3_cnt,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END) AS BIGINT) AS b3_cntd
+    FROM lineitem
+    """,
+)
+def tpcds_q28_band_distinct_stats(spark, sf_dir):
+    """TPC-DS q28 shape (avg/count/count-DISTINCT per disjoint quantity
+    band, six scalar subqueries folded into one scan; reference
+    query28.sql): the multiple COUNT(DISTINCT CASE ...) trigger Spark's
+    Expand-based distinct-aggregate rewrite — one scan, one expanded
+    shuffle, not one scan per band."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def band(lo, hi):
+        return F.when(F.col("l_quantity").between(lo, hi),
+                      F.col("l_extendedprice"))
+
+    return li.agg(
+        davg(band(1, 10), "b1_avg"),
+        F.count(band(1, 10)).alias("b1_cnt"),
+        F.countDistinct(band(1, 10)).alias("b1_cntd"),
+        davg(band(11, 20), "b2_avg"),
+        F.count(band(11, 20)).alias("b2_cnt"),
+        F.countDistinct(band(11, 20)).alias("b2_cntd"),
+        davg(band(21, 30), "b3_avg"),
+        F.count(band(21, 30)).alias("b3_cnt"),
+        F.countDistinct(band(21, 30)).alias("b3_cntd"),
+    )
+
+
+@query(
+    "tpcds_q55_brand_month_report",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           {sql_dsum("l.l_extendedprice", "ext_price")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1996
+      AND EXTRACT(MONTH FROM o.o_orderdate) = 3
+    GROUP BY 1
+    """,
+)
+def tpcds_q55_brand_month_report(spark, sf_dir):
+    """TPC-DS q55/q52/q42 family — the single-month brand report
+    (reference query55.sql): the date predicate prunes at the orders
+    scan, item broadcasts, one shuffle on brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 3)
+    ).select("o_orderkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(dsum("l_extendedprice", "ext_price"))
+    )
+
+
+@query(
+    "tpcds_q94_multi_supplier_no_returns",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+           {sql_dsum("o.o_totalprice", "total_price")}
+    FROM orders o
+    WHERE o.o_orderstatus = 'O'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l1
+        WHERE l1.l_orderkey = o.o_orderkey
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey))
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
+    """,
+)
+def tpcds_q94_multi_supplier_no_returns(spark, sf_dir):
+    """TPC-DS q94 shape (orders shipped from more than one supplier with
+    NO returned lines — an EXISTS(multi-supplier) plus NOT EXISTS
+    (returns); reference query94.sql): both subqueries collapse to
+    per-order aggregates joined semi/anti — the fact shuffles once per
+    distinct-key set, never correlated per-row."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+        .filter(F.col("nsupp") > 1)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    kept = (
+        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+    )
+    return kept.agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        dsum("o_totalprice", "total_price"),
     )
