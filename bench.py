@@ -92,6 +92,13 @@ EXTRA = [
     "stream_source_idleness",
     "stream_watermark_alignment",
     "agg_split_distinct",
+    # round-7 operators (ddl_pk_upsert_dml deliberately absent: its cost
+    # is ~12 s of managed-table metastore fixed overhead on 25 rows —
+    # pure commit cost, not a data-scale signal)
+    "ddl_delete_update_roundtrip",
+    "llm_vector_search_sql_ann",
+    "tpcds_q28_band_distinct_stats",
+    "tpcds_q11_two_channel_growth_customers",
 ]
 
 
