@@ -140,13 +140,23 @@ class ModelManager:
     # -- DDL ---------------------------------------------------------------
 
     def create(self, m: re.Match):
-        name = m.group("name")
+        return self._create_impl(
+            name=m.group("name"),
+            if_not_exists=bool(m.group("ine")),
+            input_schema=m.group("input"),
+            output_schema=m.group("output"),
+            opts_str=m.group("opts"),
+        )
+
+    def _create_impl(self, name: str, if_not_exists: bool,
+                     input_schema: str | None, output_schema: str | None,
+                     opts_str: str, extra_options: dict | None = None):
         if name in self.models:
-            if m.group("ine"):
+            if if_not_exists:
                 return None
             raise ValueError(f"model {name!r} already exists")
         options = {o.group("k"): o.group("v")
-                   for o in _OPT_RE.finditer(m.group("opts"))}
+                   for o in _OPT_RE.finditer(opts_str)}
         provider = options.get("provider", "")
         if not provider:
             raise ValueError(
@@ -176,10 +186,14 @@ class ModelManager:
                 if k in known or k in options or k == "provider"
             }
             validate_provider_options(provider, merged)
+        if extra_options:
+            # engine-recorded options (e.g. 'training-query') merge after
+            # provider validation — they are not factory keys
+            options.update(extra_options)
         self.models[name] = ModelSpec(
             name=name,
-            input_schema=m.group("input"),
-            output_schema=m.group("output") or self.DEFAULT_OUTPUT,
+            input_schema=input_schema,
+            output_schema=output_schema or self.DEFAULT_OUTPUT,
             options=options,
         )
         return None
@@ -264,15 +278,12 @@ class ModelManager:
             f"{f.name} {f.dataType.simpleString().upper()}"
             for f in probe.schema.fields
         )
-        # synthesize a plain-create match via the shared validation path
-        fake = MODEL_CREATE_RE.match(
-            f"CREATE MODEL {name} INPUT ({input_schema}) "
-            + (f"OUTPUT ({m.group('output')}) " if m.group("output") else "")
-            + f"WITH ({m.group('opts')})"
+        self._create_impl(
+            name=name, if_not_exists=bool(m.group("ine")),
+            input_schema=input_schema, output_schema=m.group("output"),
+            opts_str=m.group("opts"),
+            extra_options={"training-query": q},
         )
-        assert fake is not None
-        self.create(fake)
-        self.models[name].options["training-query"] = q
         return None
 
     def drop(self, m: re.Match):

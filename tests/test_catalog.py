@@ -1771,3 +1771,26 @@ def test_alter_table_add_column_position(spark, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("ALTER TABLE addpos_t ADD (q BIGINT AFTER ghost)")
     env.execute_sql("DROP TABLE IF EXISTS addpos_t")
+
+
+def test_create_model_as_parameterized_types(spark):
+    """CREATE MODEL AS SELECT with a parameterized column type
+    (DECIMAL(p,s)) and a remote provider: schema derivation must not
+    trip on nested parens, and the recorded training-query must not leak
+    into provider-option validation."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.range(3).selectExpr(
+        "CAST(id AS DECIMAL(10,2)) AS amt", "CAST(id AS DOUBLE) AS f"
+    ).createOrReplaceTempView("cmas_dec_src")
+    env.execute_sql("DROP MODEL IF EXISTS cmas_dec")
+    env.execute_sql(
+        "CREATE MODEL cmas_dec WITH ('provider'='openai', "
+        "'endpoint'='https://h/v1/embeddings', 'api-key'='k', "
+        "'model'='m') AS SELECT amt, f FROM cmas_dec_src"
+    )
+    spec = env.model_manager.models["cmas_dec"]
+    assert spec.input_schema == "amt DECIMAL(10,2), f DOUBLE"
+    assert spec.options["training-query"] == "SELECT amt, f FROM cmas_dec_src"
+    env.execute_sql("DROP MODEL cmas_dec")
