@@ -431,6 +431,14 @@ class TableEnvironment:
         r"\((?P<cols>(?:[^()]|\([^()]*\))*)\)\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _ALTER_DIST_RE = re.compile(
+        # reference SqlAlterTableDistribution / SqlAlterTableDropDistribution
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+"
+        r"(?:(?:MODIFY\s+DISTRIBUTION\s+BY\s+(?:HASH\s*)?"
+        r"\(\s*(?P<dkeys>[\w,\s]+?)\s*\)\s+INTO\s+(?P<dbuck>\d+)\s+BUCKETS)"
+        r"|(?P<drop>DROP\s+DISTRIBUTION))\s*$",
+        re.IGNORECASE,
+    )
     _ALTER_ADDCOL_RE = re.compile(
         # one level of nested parens so parameterized types match:
         # ALTER TABLE t ADD (c DECIMAL(10,2), ts TIMESTAMP(3)) (ADVICE r4)
@@ -577,6 +585,47 @@ class TableEnvironment:
             self.tables[new] = spec
             self.spark.catalog.dropTempView(m.group("name"))
             self._refresh_view(spec)
+            return None
+        m = self._ALTER_DIST_RE.match(stmt)
+        if m and m.group("name") in self.tables:
+            # ALTER TABLE MODIFY DISTRIBUTION / DROP DISTRIBUTION
+            # (reference SqlAlterTableDistribution.java): re-cluster the
+            # managed bucketed store under the new layout (the one-time
+            # shuffle that buys every later same-keyed join its
+            # exchange-free plan); DROP rewrites as a plain table.
+            spec = self.tables[m.group("name")]
+            if not self._is_managed_bucketed(spec):
+                raise ValueError(
+                    "ALTER TABLE ... DISTRIBUTION applies to managed "
+                    "DISTRIBUTED tables only"
+                )
+            df = self._source_df(spec).localCheckpoint(eager=True)
+            if m.group("drop"):
+                # demote to a plain managed table (no bucket layout); the
+                # 'managed' marker keeps it catalog-resolved
+                spec.options.pop("distributed.keys", None)
+                spec.options.pop("distributed.buckets", None)
+                spec.options["managed"] = "true"
+                self.spark.sql(f"DROP TABLE IF EXISTS {spec.name}")
+                df.write.mode("overwrite").saveAsTable(spec.name)
+                self._persist_spec(spec)
+                return None
+            dcols = [c.strip() for c in m.group("dkeys").split(",")
+                     if c.strip()]
+            unknown = [c for c in dcols
+                       if c not in {c0 for c0, _ in spec.columns}]
+            if unknown:
+                raise ValueError(
+                    f"MODIFY DISTRIBUTION names unknown columns {unknown}"
+                )
+            from flink_spark.sources.bucketing import write_bucketed
+
+            spec.options["distributed.keys"] = ",".join(dcols)
+            spec.options["distributed.buckets"] = m.group("dbuck")
+            self.spark.sql(f"DROP TABLE IF EXISTS {spec.name}")
+            write_bucketed(df, spec.name, dcols, int(m.group("dbuck")),
+                           mode="overwrite")
+            self._persist_spec(spec)
             return None
         m = self._ALTER_RENAMECOL_RE.match(stmt)
         if m and m.group("name") in self.tables:
@@ -1519,11 +1568,15 @@ class TableEnvironment:
         import shutil as _shutil
 
         if self._is_managed_bucketed(spec):
-            from flink_spark.sources.bucketing import write_bucketed
+            if "distributed.keys" in spec.options:
+                from flink_spark.sources.bucketing import write_bucketed
 
-            dcols = spec.options["distributed.keys"].split(",")
-            nbuck = int(spec.options["distributed.buckets"])
-            write_bucketed(df, spec.name, dcols, nbuck, mode="overwrite")
+                dcols = spec.options["distributed.keys"].split(",")
+                nbuck = int(spec.options["distributed.buckets"])
+                write_bucketed(df, spec.name, dcols, nbuck,
+                               mode="overwrite")
+            else:
+                df.write.mode("overwrite").saveAsTable(spec.name)
             self.spark.catalog.refreshTable(spec.name)
             self._persist_spec(spec)
             return
@@ -2276,8 +2329,9 @@ class TableEnvironment:
                 spec0 = self.tables.pop(name)
                 self._unpersist_spec(name)
                 self.spark.catalog.dropTempView(name)
-                if "distributed.keys" in spec0.options:
-                    # managed bucketed storage is owned by the table
+                if ("distributed.keys" in spec0.options
+                        or spec0.options.get("managed") == "true"):
+                    # managed storage is owned by the table
                     self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 return None
             if dt.group("ife"):
@@ -3159,22 +3213,28 @@ class TableEnvironment:
         if len(df.columns) == len(declared) and df.columns != declared:
             df = df.toDF(*declared)
         conn = spec.connector
-        if "distributed.keys" in spec.options:
-            # bucketed managed table (DISTRIBUTED BY): append/overwrite
-            # through bucketBy so the pre-shuffled layout is preserved.
-            # A PRIMARY KEY'd managed table gets the same upsert contract
-            # as PK'd filesystem sinks: INSERT merges by key.
-            from flink_spark.sources.bucketing import write_bucketed
-
-            dcols = spec.options["distributed.keys"].split(",")
-            nbuck = int(spec.options["distributed.buckets"])
+        if self._is_managed_bucketed(spec):
+            # managed table: append/overwrite through the catalog —
+            # bucketBy when DISTRIBUTED (pre-shuffled layout preserved),
+            # plain saveAsTable after DROP DISTRIBUTION. A PRIMARY KEY'd
+            # managed table gets the same upsert contract as PK'd
+            # filesystem sinks: INSERT merges by key.
             if spec.primary_key and not overwrite:
                 df = self._upsert_merge(spec, df)
                 overwrite = True
-            write_bucketed(
-                df, name, dcols, nbuck,
-                mode="overwrite" if overwrite else "append",
-            )
+            if "distributed.keys" in spec.options:
+                from flink_spark.sources.bucketing import write_bucketed
+
+                dcols = spec.options["distributed.keys"].split(",")
+                nbuck = int(spec.options["distributed.buckets"])
+                write_bucketed(
+                    df, name, dcols, nbuck,
+                    mode="overwrite" if overwrite else "append",
+                )
+            else:
+                df.write.mode(
+                    "overwrite" if overwrite else "append"
+                ).saveAsTable(name)
             self.spark.catalog.refreshTable(name)
             return None
         if conn == "filesystem" and spec.primary_key and not overwrite:
@@ -3356,11 +3416,15 @@ class TableEnvironment:
 
     @staticmethod
     def _is_managed_bucketed(spec: TableSpec) -> bool:
-        """DISTRIBUTED BY tables are managed bucketBy storage (no 'path'
-        option); they are read/written through the Spark catalog table."""
+        """Engine-managed tables own their storage through the Spark
+        catalog (no 'path' option): DISTRIBUTED BY tables (bucketBy
+        layout) and tables whose distribution was dropped afterwards
+        (plain managed). Both read/write through the catalog table."""
         return (
-            "distributed.keys" in spec.options
+            spec.connector == "filesystem"
             and "path" not in spec.options
+            and ("distributed.keys" in spec.options
+                 or spec.options.get("managed") == "true")
         )
 
     def _source_df(self, spec: TableSpec) -> DataFrame | None:

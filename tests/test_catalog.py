@@ -1794,3 +1794,60 @@ def test_create_model_as_parameterized_types(spark):
     assert spec.input_schema == "amt DECIMAL(10,2), f DOUBLE"
     assert spec.options["training-query"] == "SELECT amt, f FROM cmas_dec_src"
     env.execute_sql("DROP MODEL cmas_dec")
+
+
+def test_alter_table_distribution_modify_drop(spark):
+    """ALTER TABLE MODIFY DISTRIBUTION / DROP DISTRIBUTION (reference
+    SqlAlterTableDistribution.java, SqlAlterTableDropDistribution.java):
+    re-cluster a managed bucketed table under a new key/bucket layout
+    (the one-time shuffle that buys later joins their exchange-free
+    plan); DROP demotes to a plain managed table that still reads,
+    inserts, and DMLs."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS atd_t")
+    env.execute_sql(
+        "CREATE TABLE atd_t (k BIGINT, g BIGINT, v BIGINT) "
+        "DISTRIBUTED BY (k) INTO 4 BUCKETS "
+        "WITH ('connector'='filesystem','format'='parquet')"
+    )
+    env.execute_sql(
+        "INSERT INTO atd_t SELECT id, id % 3, id * 10 FROM range(12)"
+    )
+    env.execute_sql(
+        "ALTER TABLE atd_t MODIFY DISTRIBUTION BY HASH (g) INTO 2 BUCKETS"
+    )
+    desc = {r.col_name: r.data_type for r in
+            spark.sql("DESCRIBE EXTENDED atd_t").collect()}
+    assert desc.get("Num Buckets") == "2"
+    assert "g" in desc.get("Bucket Columns", "")
+    assert spark.table("atd_t").count() == 12
+    with pytest.raises(ValueError, match="unknown columns"):
+        env.execute_sql(
+            "ALTER TABLE atd_t MODIFY DISTRIBUTION BY (ghost) INTO 2 BUCKETS"
+        )
+    env.execute_sql("ALTER TABLE atd_t DROP DISTRIBUTION")
+    desc = {r.col_name: r.data_type for r in
+            spark.sql("DESCRIBE EXTENDED atd_t").collect()}
+    assert "Num Buckets" not in desc
+    # still fully functional as a managed table
+    env.execute_sql("INSERT INTO atd_t SELECT 100, 0, 0")
+    assert spark.table("atd_t").count() == 13
+    n = env.execute_sql(
+        "DELETE FROM atd_t WHERE k >= 100"
+    ).collect()[0].rows_affected
+    assert n == 1 and spark.table("atd_t").count() == 12
+    env.execute_sql("DROP TABLE IF EXISTS atd_t")
+    # non-managed tables reject the statement
+    import tempfile
+    path = tempfile.mkdtemp(prefix="atd_plain_")
+    env.execute_sql(
+        "CREATE TABLE atd_plain (k BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{path}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="managed DISTRIBUTED"):
+        env.execute_sql(
+            "ALTER TABLE atd_plain MODIFY DISTRIBUTION BY (k) INTO 2 BUCKETS"
+        )
+    env.execute_sql("DROP TABLE IF EXISTS atd_plain")
