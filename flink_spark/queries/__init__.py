@@ -33,6 +33,7 @@ from flink_spark.queries import functions_suite4  # noqa: F401
 from flink_spark.queries import functions_suite5  # noqa: F401
 from flink_spark.queries import tpcds_shapes  # noqa: F401
 from flink_spark.queries import ddl_suite  # noqa: F401
+from flink_spark.queries import tpcds_shapes2  # noqa: F401
 
 # Round-7 verification rotation: the driver samples the FIRST 50
 # registered queries. 193 names carry external CORRECTNESS rows (r1-r6);
