@@ -38,18 +38,12 @@ Role mapping: lineitem = store_sales fact, events = web_sales fact,
 orders carries the date dimension (o_orderdate), part = item,
 customer/supplier/nation/region = the snowflake dims.
 
-All 99 TPC-DS query numbers are covered: 80 as named shapes below; the
-remaining 19 are exact plan-shape twins of a named shape (same operator
-DAG, different literals/channel) and are covered by it:
-
-  q20→q12 (class revenue-share window)   q29→q25 (buy-return-rebuy)
-  q52→q55 (brand single-month report)    q56,q60→q33 (channel-union brand)
-  q57→q47 (moving deviation, 2nd channel) q63,q89→q53 (monthly class dev)
-  q68,q79→q46 (customer trip report)     q73→q34 (HAVING-band buyers)
-  q80→q77/q5 (channel sales/returns rollup) q81→q30 (state return outliers)
-  q82→q37 (inventory in-stock)           q83→q38 (channel date intersect)
-  q85→q13 (band-disjunction averages)    q86→q36 (rollup + rank in level)
-  q91→q26 (demographic returns star)     q99→q62 (latency bands)
+All 99 TPC-DS query numbers are covered as first-class gated queries:
+80 as named shapes below, and the remaining 19 (q20 q29 q52 q56 q57 q60
+q63 q68 q73 q79 q80 q81 q82 q83 q85 q86 q89 q91 q99 — the in-family
+variants of shapes here, e.g. q57 = q47 on the second channel) in
+tpcds_shapes2.py, each with its own literals, measures, and exact
+oracle.
 
 Scale notes (100 TB discipline): every dim side is broadcast (part,
 supplier, nation ≤ SF·O(k) rows); fact-fact joins shuffle on their join
