@@ -2522,6 +2522,47 @@ class TableEnvironment:
                         f"materialized table {name!r} does not exist"
                     )
                 lines = [f"CREATE MATERIALIZED TABLE {name}"]
+                if (mt.schema_cols is not None or mt.watermark
+                        or mt.primary_key):
+                    # declared schema block (reference ShowCreateUtil
+                    # renders the full resolved schema; ours re-executes
+                    # through the CREATE-merge path)
+                    vtypes = {
+                        f.name: f.dataType.simpleString().upper()
+                        for f in self.spark.table(name).schema.fields
+                    }
+                    parts = []
+                    for c in (mt.schema_cols or []):
+                        if c["kind"] == "computed":
+                            p = f"{c['name']} AS {c['expr']}"
+                        else:
+                            typ = (c.get("type")
+                                   or vtypes.get(c["name"], "STRING"))
+                            p = f"{c['name']} {typ}"
+                            if c.get("notnull"):
+                                p += " NOT NULL"
+                            if c["kind"] == "metadata":
+                                p += " METADATA"
+                                if c.get("mdkey"):
+                                    p += f" FROM '{c['mdkey']}'"
+                                if c.get("virtual"):
+                                    p += " VIRTUAL"
+                        if c.get("comment"):
+                            p += f" COMMENT '{c['comment']}'"
+                        parts.append(p)
+                    if mt.watermark:
+                        parts.append(
+                            f"WATERMARK FOR {mt.watermark[0]} "
+                            f"AS {mt.watermark[1]}"
+                        )
+                    if mt.primary_key:
+                        cname, pcols = mt.primary_key
+                        pk = (f"CONSTRAINT {cname} " if cname else "")
+                        parts.append(
+                            pk + f"PRIMARY KEY ({', '.join(pcols)}) "
+                            "NOT ENFORCED"
+                        )
+                    lines.append("(" + ", ".join(parts) + ")")
                 if mt.partition_keys:
                     lines.append(
                         f"PARTITIONED BY ({', '.join(mt.partition_keys)})"
@@ -2547,17 +2588,30 @@ class TableEnvironment:
                 return self.spark.createDataFrame(
                     [("\n".join(lines),)], "ddl string"
                 )
-            cm = MT_CREATE_RE.match(stmt)
+            from flink_spark.materialized import extract_schema_block
+
+            base_stmt, mt_schema = extract_schema_block(stmt)
+            cm = MT_CREATE_RE.match(base_stmt)
             if cm:
-                return self.materialized.create(cm)
+                return self.materialized.create(cm, schema_text=mt_schema)
             am = MT_ALTER_RE.match(stmt)
             if am:
                 return self.materialized.alter(am)
-            from flink_spark.materialized import MT_ALTER_EXT_RE
+            from flink_spark.materialized import (
+                MT_ALTER_DROP_SCHEMA_RE,
+                MT_ALTER_EXT_RE,
+                MT_ALTER_SCHEMA_RE,
+            )
 
             amx = MT_ALTER_EXT_RE.match(stmt)
             if amx:
                 return self.materialized.alter_extended(amx)
+            ams = MT_ALTER_SCHEMA_RE.match(stmt)
+            if ams:
+                return self.materialized.alter_schema(ams)
+            amd = MT_ALTER_DROP_SCHEMA_RE.match(stmt)
+            if amd:
+                return self.materialized.alter_drop_schema(amd)
             dm = MT_DROP_RE.match(stmt)
             if dm:
                 return self.materialized.drop(dm)

@@ -905,3 +905,78 @@ def ddl_connection_roundtrip(spark, sf_dir):
     out = env.execute_sql("DESCRIBE CONNECTION EXTENDED llm_east")
     env.execute_sql("DROP CONNECTION llm_east")
     return out
+
+
+@query(
+    "ddl_mt_schema_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(cnt AS BIGINT) AS cnt,
+           sum_total * 2 AS doubled,
+           ROUND(sum_total / cnt, 2) AS avg_per
+    FROM base
+    ORDER BY o_orderpriority
+    """,
+)
+def ddl_mt_schema_roundtrip(spark, sf_dir):
+    """Materialized-table schema evolution (reference
+    SqlAlterMaterializedTableSchema.java; converters materializedtable/
+    SqlAlterMaterializedTableSchemaConverter.java, ...DropSchemaConverter
+    .java): CREATE with a declared schema block (type declaration +
+    computed column + PK NOT ENFORCED), ALTER ADD a positioned computed
+    column, ALTER MODIFY the computed expression, negative-check the
+    used-in-query DROP rule, REFRESH under the evolved schema, then prove
+    SHOW CREATE MATERIALIZED TABLE re-executes to an identical table.
+    Computed columns evaluate on read (never persisted), so the snapshot
+    store keeps raw query output and the projection fuses into the scan."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mt_src_orders")
+    env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mt_prio_rollup")
+    env.execute_sql(f"""
+        CREATE MATERIALIZED TABLE mt_prio_rollup (
+            o_orderpriority STRING,
+            cnt BIGINT,
+            sum_total DOUBLE,
+            avg_per AS ROUND(sum_total / cnt, 2),
+            PRIMARY KEY (o_orderpriority) NOT ENFORCED
+        )
+        FRESHNESS = INTERVAL '1' DAY
+        AS SELECT o_orderpriority,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_total
+           FROM mt_src_orders
+           GROUP BY o_orderpriority
+    """)
+    env.execute_sql(
+        "ALTER MATERIALIZED TABLE mt_prio_rollup "
+        "ADD doubled AS sum_total * 2 AFTER sum_total"
+    )
+    env.execute_sql(
+        "ALTER MATERIALIZED TABLE mt_prio_rollup "
+        "MODIFY avg_per AS ROUND(sum_total / cnt, 2)"
+    )
+    # the reference's used-in-query DROP rule must hold
+    try:
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_prio_rollup DROP cnt")
+        raise AssertionError("DROP of a query-produced column must fail")
+    except ValueError:
+        pass
+    env.execute_sql("ALTER MATERIALIZED TABLE mt_prio_rollup REFRESH")
+    ddl = env.execute_sql(
+        "SHOW CREATE MATERIALIZED TABLE mt_prio_rollup"
+    ).collect()[0][0]
+    env.execute_sql("DROP MATERIALIZED TABLE mt_prio_rollup")
+    env.execute_sql(ddl)  # the emitted DDL re-creates the evolved table
+    out = spark.table("mt_prio_rollup").select(
+        "o_orderpriority", "cnt", "doubled", "avg_per"
+    ).orderBy("o_orderpriority")
+    return out
