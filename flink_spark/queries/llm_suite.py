@@ -748,3 +748,37 @@ def llm_vector_search_sql_ann(spark, sf_dir):
     recall = len(got & brute) / len(brute)
     assert recall >= 0.8, f"ANN recall {recall} < 0.8 vs brute"
     return out
+
+
+@query(
+    "llm_video_frame_sample",
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+               unnest(range(0, CAST(3 + doc_id % 4 AS BIGINT), 2)) AS f
+        FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(f AS DOUBLE) / 4 AS ts_sec,
+           CAST((doc_id + 17 * f) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5 + 3 * f) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 11 + 7 * f) % 256 AS DOUBLE) AS mean_b
+    FROM fr
+    """,
+)
+def llm_video_frame_sample(spark, sf_dir):
+    """Video frame sampling with REAL container decode (multimodal video
+    path of a training-data curation pipeline): deterministic FSV1
+    containers (magic + frame count + fps + length-prefixed P6 PPM
+    frames, 3-6 frames per doc) synthesized per document, then sampled
+    every 2nd frame — the sampler parses the actual header, SEEKS past
+    unsampled frames via the length prefixes (never decoding them) and
+    decodes only the sampled PPMs to per-frame channel means + timestamps.
+    The exact oracle holds iff header parse, frame seek, and every sampled
+    pixel round-trip correctly. Arrow-batched mapInPandas end to end;
+    the 1→ceil(n/2) row fan-out happens inside the Python batch, so no
+    extra shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.video_frame_sample(MM.synthesize_videos(docs), step=2)

@@ -348,3 +348,51 @@ def test_long_substring_spans_properties(spark, sf_dir):
         ss.sort()
         for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
             assert a2 > b1 + 1, (doc, ss)  # merged => gap between islands
+
+
+class TestVideoFrameSample:
+    """FSV1 video container + uniform frame sampling
+    (flink_spark/llm/multimodal.py video section)."""
+
+    def test_container_roundtrip_and_seek(self):
+        import numpy as np
+
+        from flink_spark.llm import multimodal as MM
+
+        frames = [np.full((8, 8, 3), i * 10, dtype=np.uint8) for i in range(6)]
+        v = MM.encode_video(frames, fps=4)
+        assert MM.decode_video_header(v) == (6, 4)
+        # sampled decode: only wanted frames come back, in order
+        got = [(f, int(img[0, 0, 0]))
+               for f, img in MM.iter_video_frames(v, {0, 2, 4})]
+        assert got == [(0, 0), (2, 20), (4, 40)]
+        # full decode
+        assert len(list(MM.iter_video_frames(v))) == 6
+
+    def test_bad_magic_rejected(self):
+        import pytest as _pytest
+
+        from flink_spark.llm import multimodal as MM
+
+        with _pytest.raises(ValueError, match="FSV1"):
+            MM.decode_video_header(b"XXXX\x00\x00\x00\x01\x00\x00\x00\x04")
+
+    def test_sampled_means_match_closed_form(self, spark):
+        from flink_spark.llm import multimodal as MM
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(7)], "doc_id bigint")
+        out = MM.video_frame_sample(MM.synthesize_videos(docs), step=3)
+        rows = {(r.doc_id, r.frame_no): r for r in out.collect()}
+        for d in range(7):
+            n = 3 + d % 4
+            expect_frames = list(range(0, n, 3))
+            got_frames = sorted(f for (dd, f) in rows if dd == d)
+            assert got_frames == expect_frames
+            for f in expect_frames:
+                r = rows[(d, f)]
+                assert r.n_frames == n
+                assert r.ts_sec == f / 4
+                assert r.mean_r == float((d + 17 * f) % 256)
+                assert r.mean_g == float((d * 5 + 3 * f) % 256)
+                assert r.mean_b == float((d * 11 + 7 * f) % 256)
