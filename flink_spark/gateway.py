@@ -85,6 +85,24 @@ _ROUTES = [
     ("POST",
      re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/operations/(?P<oh>[\w-]+)/close$"),
      "op_close"),
+    # materialized-table refresh (reference rest/header/materializedtable/
+    # RefreshMaterializedTableHeaders.java: POST /sessions/:sh/
+    # materialized-tables/:identifier/refresh)
+    ("POST",
+     re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/materialized-tables/"
+                r"(?P<mt>[^/]+)/refresh$"),
+     "mt_refresh"),
+    # embedded workflow scheduler (FLIP-448; reference rest/header/
+    # materializedtable/scheduler/*Headers.java — reference URLs carry no
+    # version prefix, so both spellings are accepted)
+    ("POST", re.compile(r"^(?:/v1)?/workflow/embedded-scheduler/create$"),
+     "wf_create"),
+    ("POST", re.compile(r"^(?:/v1)?/workflow/embedded-scheduler/suspend$"),
+     "wf_suspend"),
+    ("POST", re.compile(r"^(?:/v1)?/workflow/embedded-scheduler/resume$"),
+     "wf_resume"),
+    ("DELETE", re.compile(r"^(?:/v1)?/workflow/embedded-scheduler/delete$"),
+     "wf_delete"),
 ]
 
 
@@ -204,6 +222,9 @@ class SqlGatewayServer:
         self._lock = threading.Lock()
         self.pool = ThreadPoolExecutor(max_workers=workers,
                                        thread_name_prefix="sql-gateway")
+        from flink_spark.workflow import EmbeddedWorkflowScheduler
+
+        self.scheduler = EmbeddedWorkflowScheduler(self._workflow_fire)
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -229,6 +250,10 @@ class SqlGatewayServer:
                             )
                         except KeyError:
                             code, payload = 404, {"errors": ["unknown handle"]}
+                        except ValueError as e:
+                            # scheduler/validation errors surface as JSON
+                            # error bodies, not dropped connections
+                            code, payload = 500, {"errors": [str(e)]}
                         return self._send(code, payload)
                 self._send(404, {"errors": [f"no route {method} {self.path}"]})
 
@@ -263,6 +288,7 @@ class SqlGatewayServer:
         return self.httpd.server_address[1]
 
     def stop(self) -> None:
+        self.scheduler.shutdown()
         self.httpd.shutdown()
         self.httpd.server_close()
         self.pool.shutdown(wait=False, cancel_futures=True)
@@ -425,6 +451,127 @@ class SqlGatewayServer:
         with sess.lock:
             sess.operations.pop(oh)
         return 200, {"status": "CLOSED"}
+
+    # -- materialized-table refresh + embedded workflow scheduler ----------
+    # (FLIP-448; reference rest/handler/materializedtable/
+    # RefreshMaterializedTableHandler.java and .../scheduler/*Handler.java)
+
+    def _h_mt_refresh(self, body, sh, mt):
+        """One refresh of a session-owned materialized table, run as a
+        normal gateway operation (the response carries the operation
+        handle, exactly RefreshMaterializedTableResponseBody). Accepts the
+        reference body fields: isPeriodic/scheduleTime (logged into the
+        statement path only), staticPartitions (single partition scoping —
+        our REFRESH grammar), dynamicOptions/executionConfig (recorded;
+        execution tuning is Catalyst/AQE's job here)."""
+        import urllib.parse
+
+        ident = urllib.parse.unquote(mt)
+        name = ident.split(".")[-1].strip("`")
+        sess = self._session(sh)
+        if name not in sess.env.materialized.tables:
+            return 404, {
+                "errors": [f"materialized table {ident!r} does not exist "
+                           "in this session"]
+            }
+        parts = body.get("staticPartitions") or {}
+        if len(parts) > 1:
+            return 400, {
+                "errors": ["at most one static partition is supported"]
+            }
+        stmt = f"ALTER MATERIALIZED TABLE {name} REFRESH"
+        if parts:
+            (k, v), = parts.items()
+            stmt += f" PARTITION ({k} = '{v}')"
+        return self._h_execute({"statement": stmt}, sh)
+
+    def _find_mt_session(self, ident: str):
+        """Locate the live session whose TableEnvironment owns the
+        materialized table (our MTs are session-scoped rather than in a
+        persistent catalog — the honest divergence documented in
+        flink_spark/workflow.py)."""
+        name = ident.split(".")[-1].strip("`")
+        with self._lock:
+            for sh, sess in self.sessions.items():
+                if name in sess.env.materialized.tables:
+                    return sh, sess, name
+        raise ValueError(
+            f"materialized table {ident!r} not found in any live session"
+        )
+
+    def _workflow_fire(self, info, schedule_time: str) -> None:
+        """One scheduled refresh: loop back through this gateway's own
+        REST surface when the workflow carries a restEndpointUrl (the
+        reference's EmbeddedSchedulerJob posts the refresh endpoint of
+        the gateway that owns the table), else refresh in-process."""
+        sh, sess, name = self._find_mt_session(info.materialized_table)
+        if not info.rest_endpoint_url:
+            sess.env.materialized.refresh(name)
+            return
+        import urllib.parse
+        import urllib.request
+
+        url = (
+            info.rest_endpoint_url.rstrip("/")
+            + f"/v1/sessions/{sh}/materialized-tables/"
+            + urllib.parse.quote(info.materialized_table, safe="")
+            + "/refresh"
+        )
+        payload = json.dumps({
+            "isPeriodic": True,
+            "scheduleTime": schedule_time,
+            "dynamicOptions": info.dynamic_options,
+            "executionConfig": info.execution_config,
+        }).encode()
+        req = urllib.request.Request(
+            url, data=payload,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            oh = json.loads(resp.read()).get("operationHandle")
+        # the reference fetches the operation's results, which blocks
+        # until the refresh completes — poll status to the same effect
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            op = self._operation(sh, oh)
+            if op.status in ("FINISHED", "ERROR", "CANCELED"):
+                if op.status == "ERROR":
+                    raise RuntimeError(op.error or "refresh failed")
+                return
+            time.sleep(0.05)
+        raise TimeoutError("scheduled refresh operation did not finish")
+
+    def _h_wf_create(self, body):
+        ident = body.get("materializedTableIdentifier")
+        cron = body.get("cronExpression")
+        if not ident or not cron:
+            return 400, {
+                "errors": ["materializedTableIdentifier and cronExpression "
+                           "are required"]
+            }
+        name, group = self.scheduler.create(
+            ident, cron,
+            init_config=body.get("initConfig"),
+            execution_config=body.get("executionConfig"),
+            rest_endpoint_url=body.get("restEndpointUrl"),
+        )
+        return 200, {"workflowName": name, "workflowGroup": group}
+
+    def _h_wf_suspend(self, body):
+        self.scheduler.suspend(
+            body.get("workflowName"), body.get("workflowGroup"))
+        return 200, {}
+
+    def _h_wf_resume(self, body):
+        self.scheduler.resume(
+            body.get("workflowName"), body.get("workflowGroup"),
+            dynamic_options=body.get("dynamicOptions"))
+        return 200, {}
+
+    def _h_wf_delete(self, body):
+        self.scheduler.delete(
+            body.get("workflowName"), body.get("workflowGroup"))
+        return 200, {}
 
     @staticmethod
     def _result_uri(sh: str, oh: str, token) -> str:

@@ -270,3 +270,156 @@ def test_session_idle_timeout_sweeps_expired(spark):
         assert code == 200
     finally:
         server.stop()
+
+
+# ---- embedded workflow scheduler (FLIP-448; reference flink-sql-gateway
+# workflow/scheduler/EmbeddedQuartzScheduler.java + rest/header/
+# materializedtable/scheduler/*Headers.java) --------------------------------
+
+
+class TestCronExpr:
+    def test_every_second(self):
+        from flink_spark.workflow import CronExpr
+
+        c = CronExpr.parse("* * * * * ?")
+        t0 = time.mktime((2026, 8, 15, 12, 0, 0, 0, 0, -1))
+        assert c.next_fire(t0) == t0 + 1
+
+    def test_fixed_daily_time(self):
+        from flink_spark.workflow import CronExpr
+
+        c = CronExpr.parse("0 30 9 * * ?")  # 09:30:00 daily
+        t0 = time.mktime((2026, 8, 15, 10, 0, 0, 0, 0, -1))
+        nxt = time.localtime(c.next_fire(t0))
+        assert (nxt.tm_mday, nxt.tm_hour, nxt.tm_min, nxt.tm_sec) == (16, 9, 30, 0)
+
+    def test_step_and_range(self):
+        from flink_spark.workflow import CronExpr
+
+        c = CronExpr.parse("*/15 * 8-17 * * ?")
+        t0 = time.mktime((2026, 8, 15, 7, 59, 50, 0, 0, -1))
+        nxt = time.localtime(c.next_fire(t0))
+        assert (nxt.tm_hour, nxt.tm_min, nxt.tm_sec) == (8, 0, 0)
+        t1 = time.mktime((2026, 8, 15, 8, 0, 0, 0, 0, -1))
+        assert time.localtime(c.next_fire(t1)).tm_sec == 15
+
+    def test_dow_quartz_convention(self):
+        from flink_spark.workflow import CronExpr
+
+        # 2026-08-16 is a Sunday; Quartz Sunday = 1
+        c = CronExpr.parse("0 0 0 ? * 1")
+        t0 = time.mktime((2026, 8, 15, 1, 0, 0, 0, 0, -1))
+        nxt = time.localtime(c.next_fire(t0))
+        assert (nxt.tm_mon, nxt.tm_mday) == (8, 16)
+
+    def test_bad_expressions_rejected(self):
+        from flink_spark.workflow import CronExpr
+
+        with pytest.raises(ValueError):
+            CronExpr.parse("* * * * *")  # 5 fields = unix cron, not quartz
+        with pytest.raises(ValueError):
+            CronExpr.parse("99 * * * * ?")
+        with pytest.raises(ValueError):
+            CronExpr.parse("? * * * * *")  # '?' only valid for day fields
+
+
+def test_workflow_scheduler_end_to_end(gw_server):
+    """Create an MT through a gateway session, schedule an every-second
+    refresh workflow whose fires loop back through the gateway's own
+    refresh endpoint, then suspend / resume / delete."""
+    server, gw = gw_server
+    _, s = _call(gw, "POST", "/v1/sessions", {"properties": {}})
+    sh = s["sessionHandle"]
+
+    _, op = _call(gw, "POST", f"/v1/sessions/{sh}/statements", {
+        "statement": "CREATE MATERIALIZED TABLE wf_mt "
+                     "FRESHNESS = INTERVAL '1' DAY "
+                     "AS SELECT k, v * 2 AS v2 "
+                     "FROM VALUES (1, 10.0), (2, 20.0) AS t(k, v)"})
+    st = _wait_finished(gw, sh, op["operationHandle"])
+    assert st["status"] == "FINISHED", st
+
+    # manual refresh through the REST endpoint (reference
+    # RefreshMaterializedTableHeaders URL shape)
+    code, r = _call(gw, "POST",
+                    f"/v1/sessions/{sh}/materialized-tables/wf_mt/refresh",
+                    {"isPeriodic": False})
+    assert code == 200 and "operationHandle" in r
+    st = _wait_finished(gw, sh, r["operationHandle"])
+    assert st["status"] == "FINISHED", st
+
+    mgr = server.sessions[sh].env.materialized
+    v_before = mgr.tables["wf_mt"].version
+
+    # create the periodic workflow: every second, REST loopback
+    code, wf = _call(gw, "POST", "/workflow/embedded-scheduler/create", {
+        "materializedTableIdentifier": "wf_mt",
+        "cronExpression": "* * * * * ?",
+        "restEndpointUrl": gw,
+    })
+    assert code == 200
+    assert wf == {"workflowName": "quartz_job_wf_mt",
+                  "workflowGroup": "default_group"}
+
+    # duplicate create errors (reference EmbeddedQuartzScheduler)
+    code, err = _call(gw, "POST", "/workflow/embedded-scheduler/create", {
+        "materializedTableIdentifier": "wf_mt",
+        "cronExpression": "* * * * * ?",
+    })
+    assert code == 500 and "already exist" in err["errors"][0]
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if mgr.tables["wf_mt"].version > v_before:
+            break
+        time.sleep(0.2)
+    assert mgr.tables["wf_mt"].version > v_before, "scheduled refresh never fired"
+
+    # suspend: version stops moving
+    code, _ = _call(gw, "POST", "/workflow/embedded-scheduler/suspend",
+                    {"workflowName": wf["workflowName"],
+                     "workflowGroup": wf["workflowGroup"]})
+    assert code == 200
+    time.sleep(1.2)
+    v_susp = mgr.tables["wf_mt"].version
+    time.sleep(2.5)
+    assert mgr.tables["wf_mt"].version == v_susp, "suspended workflow fired"
+
+    # resume with dynamic options: fires again, options replaced
+    code, _ = _call(gw, "POST", "/workflow/embedded-scheduler/resume",
+                    {"workflowName": wf["workflowName"],
+                     "workflowGroup": wf["workflowGroup"],
+                     "dynamicOptions": {"sink.parallelism": "4"}})
+    assert code == 200
+    info = server.scheduler.jobs[(wf["workflowName"], wf["workflowGroup"])]
+    assert info.dynamic_options == {"sink.parallelism": "4"}
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if mgr.tables["wf_mt"].version > v_susp:
+            break
+        time.sleep(0.2)
+    assert mgr.tables["wf_mt"].version > v_susp, "resumed workflow never fired"
+
+    # delete; further verbs on the key error
+    code, _ = _call(gw, "DELETE", "/workflow/embedded-scheduler/delete",
+                    {"workflowName": wf["workflowName"],
+                     "workflowGroup": wf["workflowGroup"]})
+    assert code == 200
+    code, err = _call(gw, "POST", "/workflow/embedded-scheduler/suspend",
+                      {"workflowName": wf["workflowName"],
+                       "workflowGroup": wf["workflowGroup"]})
+    assert code == 500 and "does not exist" in err["errors"][0]
+
+    _, _ = _call(gw, "POST", f"/v1/sessions/{sh}/statements",
+                 {"statement": "DROP MATERIALIZED TABLE wf_mt"})
+    _call(gw, "DELETE", f"/v1/sessions/{sh}")
+
+
+def test_mt_refresh_endpoint_unknown_table(gw):
+    _, s = _call(gw, "POST", "/v1/sessions", {"properties": {}})
+    sh = s["sessionHandle"]
+    code, err = _call(gw, "POST",
+                      f"/v1/sessions/{sh}/materialized-tables/nope/refresh",
+                      {"isPeriodic": False})
+    assert code == 404 and "does not exist" in err["errors"][0]
+    _call(gw, "DELETE", f"/v1/sessions/{sh}")
