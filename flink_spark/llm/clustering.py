@@ -64,29 +64,36 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
     ``assigned_df`` carries cluster + dist_sq for every row; ``centroids``
     is the final k×d python list (ordered by cluster index).
     """
-    centroids = [
-        [float(x) for x in r[vec_col]]
-        for r in df.orderBy(id_col).limit(k).collect()
-    ]
-    for _ in range(n_iter):
-        assigned = assign_clusters(df, centroids, vec_col)
-        means = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+    # pin the working set for the iterate loop: every Lloyd's iteration
+    # re-reads exactly (id, vector); without persist each iteration
+    # re-runs the upstream plan (at 100 TB, a full source scan per round)
+    base = df.select(id_col, vec_col).persist()
+    try:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in base.orderBy(id_col).limit(k).collect()
+        ]
+        for _ in range(n_iter):
+            assigned = assign_clusters(base, centroids, vec_col)
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()
             )
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty clusters keep position
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
-        for ci, dims in by_cluster.items():
-            new_c[ci] = [
-                round(dims[d], 9) for d in range(len(centroids[0]))
-            ]
-        centroids = new_c
+            new_c = [list(c) for c in centroids]  # empty clusters keep position
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            for ci, dims in by_cluster.items():
+                new_c[ci] = [
+                    round(dims[d], 9) for d in range(len(centroids[0]))
+                ]
+            centroids = new_c
+    finally:
+        base.unpersist()
     return assign_clusters(df, centroids, vec_col), centroids
 
 

@@ -272,7 +272,15 @@ def connected_components(
     aggregate; lineage cut per iteration via localCheckpoint. Iteration
     count is the component diameter (near-dup clusters are shallow — a
     handful of rounds in practice); ``max_iter`` bounds pathological
-    chains and raises rather than returning a wrong labeling."""
+    chains and raises rather than returning a wrong labeling.
+
+    Convergence detection exploits monotonicity: a node's label is
+    ``min(old, incoming)``, so labels never increase and ``SUM(comp)``
+    is a strictly decreasing potential function until the fixpoint —
+    one aggregate over the already-checkpointed |V| rows replaces the
+    old-vs-new join + count (a full extra shuffle per iteration).
+    DECIMAL(38,0) accumulation keeps the sum overflow-proof at any
+    corpus size."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -285,6 +293,13 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def _potential(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = _potential(labels)
     try:
         for _ in range(max_iter):
             prop = (
@@ -302,15 +317,11 @@ def connected_components(
                 .agg(F.min("comp").alias("comp"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            cur = _potential(new_labels)
             labels = new_labels
-            if changed == 0:
+            if cur == prev:
                 return labels
+            prev = cur
         raise ValueError(
             f"connected_components: no fixpoint after {max_iter} iterations"
         )
