@@ -2497,6 +2497,19 @@ class TableEnvironment:
             if ML_PREDICT_RE.search(masked):
                 stmt = self.model_manager.rewrite_ml_predict(stmt)
                 masked = mask_literals(stmt)
+        if "OBJECT_" in up:
+            # structured-type constructors (FLIP-520; reference
+            # BuiltInFunctionDefinitions OBJECT_OF / OBJECT_UPDATE) —
+            # rewritten onto named_struct (flink_spark/functions/objects.py)
+            from flink_spark.functions.objects import (
+                _OBJ_FN_RE,
+                rewrite_object_functions,
+            )
+
+            if _OBJ_FN_RE.search(masked):
+                stmt = rewrite_object_functions(stmt)
+                masked = mask_literals(stmt)
+                up = masked.upper()
         if "MATERIALIZED" in up:
             from flink_spark.materialized import (
                 MT_ALTER_RE,

@@ -255,3 +255,53 @@ def fn_overlaps_suite(spark, sf_dir):
                  (ts, INTERVAL '1' HOUR) AS ov_touching
         FROM __ov_events
     """)
+
+
+@query(
+    "fn_object_of_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(o_orderkey % 7 AS INTEGER) AS bucket,
+           'URGENT-OVERRIDE' AS upd_prio,
+           CAST(o_orderkey % 7 AS INTEGER) AS upd_bucket,
+           o_orderkey * 2 AS upd_key
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def fn_object_of_suite(spark, sf_dir):
+    """Structured-type value constructors (FLIP-520; reference
+    BuiltInFunctionDefinitions.java OBJECT_OF/OBJECT_UPDATE): build a
+    typed object per order in SQL, update two of its fields through
+    OBJECT_UPDATE over the inline constructor, and read every field back
+    as scalars. The SQL path runs through the named_struct rewrite
+    (flink_spark/functions/objects.py) — all JVM, one codegen span, no
+    shuffle beyond the scan."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("obj_orders")
+    return env.execute_sql("""
+        WITH objs AS (
+            SELECT o_orderkey,
+                   OBJECT_OF('com.example.Order',
+                             'key', o_orderkey,
+                             'prio', o_orderpriority,
+                             'bucket', CAST(o_orderkey % 7 AS INT)) AS o,
+                   OBJECT_UPDATE(
+                       OBJECT_OF('com.example.Order',
+                                 'key', o_orderkey,
+                                 'prio', o_orderpriority,
+                                 'bucket', CAST(o_orderkey % 7 AS INT)),
+                       'prio', 'URGENT-OVERRIDE',
+                       'key', o_orderkey * 2) AS u
+            FROM obj_orders WHERE o_orderkey <= 500
+        )
+        SELECT o_orderkey,
+               o.prio AS prio,
+               o.bucket AS bucket,
+               u.prio AS upd_prio,
+               u.bucket AS upd_bucket,
+               u.key AS upd_key
+        FROM objs
+    """)

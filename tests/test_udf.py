@@ -296,3 +296,55 @@ def test_sql_registered_ptf_invocation(spark, sf_dir):
     # DROP removes the PTF registration
     env.execute_sql("DROP FUNCTION running_max")
     assert "running_max" not in getattr(env, "user_ptfs", {})
+
+
+class TestObjectFunctions:
+    """OBJECT_OF / OBJECT_UPDATE (FLIP-520; reference
+    BuiltInFunctionDefinitions.java:1846) — DataFrame functions and the
+    SQL named_struct rewrite."""
+
+    def test_dataframe_object_of_and_update(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_spark.functions.objects import object_of, object_update
+
+        df = spark.range(3).select(
+            object_of("com.example.U", "id", F.col("id"), "tag", "x").alias("o")
+        )
+        out = df.select("o.id", "o.tag",
+                        object_update(F.col("o"), "tag", "y").alias("u"))
+        rows = out.select("id", "tag", "u.tag").collect()
+        assert [(r[0], r[1], r[2]) for r in rows] == [
+            (0, "x", "y"), (1, "x", "y"), (2, "x", "y")]
+
+    def test_validations(self):
+        import pytest as _pytest
+
+        from flink_spark.functions.objects import (
+            object_of,
+            rewrite_object_functions,
+        )
+
+        with _pytest.raises(ValueError, match="dotted Java identifier"):
+            object_of("not a class", "a", 1)
+        with _pytest.raises(ValueError, match="name/value pairs"):
+            object_of("c.X", "a")
+        with _pytest.raises(ValueError, match="distinct"):
+            object_of("c.X", "a", 1, "a", 2)
+        with _pytest.raises(ValueError, match="does not exist"):
+            rewrite_object_functions(
+                "SELECT OBJECT_UPDATE(OBJECT_OF('c.X', 'a', 1), 'z', 2)")
+        with _pytest.raises(ValueError, match="resolved struct schema"):
+            rewrite_object_functions("SELECT OBJECT_UPDATE(col, 'a', 1)")
+
+    def test_sql_surface(self, spark):
+        from flink_spark.catalog import TableEnvironment
+
+        env = TableEnvironment(spark)
+        row = env.execute_sql(
+            "SELECT OBJECT_OF('com.example.P', 'x', 1, 'y', 'two') AS p, "
+            "OBJECT_UPDATE(OBJECT_OF('com.example.P', 'x', 1, 'y', 'two'), "
+            "'x', 10).x AS ux"
+        ).collect()[0]
+        assert row["p"].asDict() == {"x": 1, "y": "two"}
+        assert row["ux"] == 10
