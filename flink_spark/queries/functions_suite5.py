@@ -305,3 +305,62 @@ def fn_object_of_suite(spark, sf_dir):
                u.key AS upd_key
         FROM objs
     """)
+
+
+@query(
+    "fn_json_construct_suite",
+    oracle="""
+    SELECT event_id,
+           '{"id":' || event_id || ',"opt":null}' AS jo_null,
+           '{"id":' || event_id || '}' AS jo_absent,
+           '[' || event_id || ',"x"]' AS ja_absent,
+           '[' || event_id || ',null,"x"]' AS ja_null,
+           '[' || (event_id % 3) || ',' || (event_id % 5) || ']' AS jq,
+           CASE WHEN event_id % 2 = 0 THEN NULL
+                ELSE '{"a":' || (event_id % 3) || '}' END AS jq_obj,
+           'p' || event_id AS ju,
+           '"p' || event_id || '"' AS jquote,
+           event_id AS tltz_epoch
+    FROM events WHERE event_id < 400
+    """,
+)
+def fn_json_construct_suite(spark, sf_dir):
+    """SQL:2016 JSON construction + fragment family (reference
+    BuiltInFunctionDefinitions JSON_OBJECT / JSON_ARRAY / JSON_QUERY /
+    JSON_UNQUOTE / JSON_QUOTE, TO_TIMESTAMP_LTZ; runtime
+    SqlJsonUtils.java): objects with NULL-vs-ABSENT ON NULL, arrays with
+    both null policies, JSON_QUERY returning object/array fragments (and
+    NULL on scalar matches), quote/unquote round-trip, and
+    TO_TIMESTAMP_LTZ(ms, 3) pinned via epoch round-trip. All JVM
+    expressions (flink_spark/functions/jsonfn.py) — one codegen span."""
+    from flink_spark.functions import jsonfn as J
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    doc = F.concat(F.lit('{"items":['), F.col("event_id") % 3, F.lit(","),
+                   F.col("event_id") % 5, F.lit('],"s":1,"o":{"a":'),
+                   F.col("event_id") % 3, F.lit("}}"))
+    quoted = F.concat(F.lit('"p'), F.col("event_id").cast("string"),
+                      F.lit('"'))
+    return ev.select(
+        "event_id",
+        J.json_object(id=F.col("event_id"),
+                      opt=F.lit(None).cast("string")).alias("jo_null"),
+        J.json_object(absent_on_null=True, id=F.col("event_id"),
+                      opt=F.lit(None).cast("string")).alias("jo_absent"),
+        J.json_array(F.col("event_id"), F.lit(None).cast("string"),
+                     F.lit("x")).alias("ja_absent"),
+        J.json_array(F.col("event_id"), F.lit(None).cast("string"),
+                     F.lit("x"), absent_on_null=False).alias("ja_null"),
+        J.json_query(doc, "$.items").alias("jq"),
+        # object fragment on odd ids; '$.s' matches a SCALAR → NULL
+        F.when(F.col("event_id") % 2 == 1,
+               J.json_query(doc, "$.o")).otherwise(
+            J.json_query(doc, "$.s")).alias("jq_obj"),
+        J.json_unquote(quoted).alias("ju"),
+        J.json_quote(F.concat(F.lit("p"),
+                              F.col("event_id").cast("string"))).alias("jquote"),
+        # epoch → TIMESTAMP_LTZ → epoch round-trip is tz-independent
+        F.unix_timestamp(
+            J.to_timestamp_ltz(F.col("event_id") * 1000, 3)
+        ).alias("tltz_epoch"),
+    )

@@ -348,3 +348,36 @@ class TestObjectFunctions:
         ).collect()[0]
         assert row["p"].asDict() == {"x": 1, "y": "two"}
         assert row["ux"] == 10
+
+
+class TestJsonConstruct:
+    """JSON_OBJECT/JSON_ARRAY/JSON_QUERY/JSON_UNQUOTE/JSON_QUOTE JVM
+    expressions (flink_spark/functions/jsonfn.py; reference
+    SqlJsonUtils.java)."""
+
+    def test_escaping_and_null_policies(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_spark.functions import jsonfn as J
+
+        df = spark.createDataFrame([('a"b\n',)], "s string")
+        row = df.select(
+            J.json_quote(F.col("s")).alias("q"),
+            J.json_unquote(J.json_quote(F.col("s"))).alias("rt"),
+            J.json_object(x=F.col("s"), n=F.lit(None).cast("int")).alias("o"),
+            J.json_array(F.lit(1), F.lit(None).cast("int"),
+                         F.col("s")).alias("a"),
+            J.json_array(F.lit(None).cast("int"),
+                         absent_on_null=False).alias("an"),
+            J.json_unquote(F.lit("not json")).alias("passthru"),
+            J.json_query(F.lit('{"a":{"b":1},"s":2}'), "$.a").alias("frag"),
+            J.json_query(F.lit('{"s":2}'), "$.s").alias("scalar"),
+        ).collect()[0]
+        assert row["q"] == '"a\\"b\\n"'
+        assert row["rt"] == 'a"b\n'          # quote∘unquote is identity
+        assert row["o"] == '{"x":"a\\"b\\n","n":null}'
+        assert row["a"] == '[1,"a\\"b\\n"]'  # null element absent
+        assert row["an"] == "[null]"         # NULL ON NULL keeps it
+        assert row["passthru"] == "not json"
+        assert row["frag"] == '{"b":1}'
+        assert row["scalar"] is None         # scalars are JSON_VALUE's job
