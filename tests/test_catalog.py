@@ -1851,3 +1851,36 @@ def test_alter_table_distribution_modify_drop(spark):
             "ALTER TABLE atd_plain MODIFY DISTRIBUTION BY (k) INTO 2 BUCKETS"
         )
     env.execute_sql("DROP TABLE IF EXISTS atd_plain")
+
+
+def test_show_views_and_functions_surface(spark):
+    """SHOW VIEWS / SHOW [USER] FUNCTIONS [[NOT] LIKE] (reference
+    show.md SqlShowViews/SqlShowFunctions): Spark-native listings flow
+    through the uniform LIKE-filter layer; user functions registered via
+    CREATE FUNCTION appear under SHOW USER FUNCTIONS."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE VIEW show_probe_v AS SELECT 1 AS x")
+    try:
+        views = {r[1] for r in env.execute_sql("SHOW VIEWS").collect()}
+        assert "show_probe_v" in views
+        assert env.execute_sql("SHOW VIEWS LIKE 'show_probe%'").count() == 1
+        assert env.execute_sql(
+            "SHOW VIEWS NOT LIKE 'show_probe%'").filter(
+            "viewName = 'show_probe_v'").count() == 0
+        assert env.execute_sql("SHOW FUNCTIONS").count() > 300
+        env.execute_sql(
+            "CREATE FUNCTION show_probe_fn AS "
+            "'flink_spark.functions.library.upper_trim'")
+        ufns = {r[0] for r in
+                env.execute_sql("SHOW USER FUNCTIONS").collect()}
+        assert "show_probe_fn" in ufns
+        assert env.execute_sql(
+            "SHOW USER FUNCTIONS LIKE 'show_probe%'").count() == 1
+    finally:
+        env.execute_sql("DROP VIEW show_probe_v")
+        try:
+            env.execute_sql("DROP FUNCTION show_probe_fn")
+        except Exception:
+            pass
