@@ -216,3 +216,48 @@ def test_create_or_alter_resets_schema(env, spark):
         "CREATE OR ALTER MATERIALIZED TABLE mts "
         "FRESHNESS = INTERVAL '1' HOUR AS SELECT * FROM mt_src")
     assert "extra" not in spark.table("mts").columns
+
+
+def test_streaming_mt_schema_evolution(spark, tmp_path):
+    """ALTER ... ADD a computed column on a STREAMING materialized table:
+    the declared projection applies to the live view immediately and to
+    every subsequent micro-batch re-registration (the sink closure reads
+    mt.schema_cols at call time, so evolution takes effect without a
+    stream restart)."""
+    import time
+
+    import pandas as pd
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = tmp_path / "mt_evo_src"
+    src.mkdir()
+    pd.DataFrame([("a", 1), ("b", 2)], columns=["k", "v"]).to_parquet(
+        src / "p0.parquet", index=False)
+    schema = spark.read.parquet(str(src)).schema
+    spark.readStream.schema(schema).parquet(str(src)).createOrReplaceTempView(
+        "mt_evo_view")
+    env.execute_sql(
+        "CREATE MATERIALIZED TABLE mt_evo FRESHNESS = INTERVAL '1' SECOND "
+        "AS SELECT k, v * 10 AS v10 FROM mt_evo_view")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("mt_evo").count() < 2:
+            time.sleep(0.3)
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_evo ADD c AS v10 + 1")
+        assert {(r.k, r.c) for r in spark.table("mt_evo").collect()} == {
+            ("a", 11), ("b", 21)}
+        # rows arriving AFTER the evolution surface the computed column
+        pd.DataFrame([("c", 3)], columns=["k", "v"]).to_parquet(
+            src / "p1.parquet", index=False)
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("mt_evo").count() < 3:
+            time.sleep(0.3)
+        assert {(r.k, r.c) for r in spark.table("mt_evo").collect()} == {
+            ("a", 11), ("b", 21), ("c", 31)}
+        # dropping it restores the raw stream schema
+        env.execute_sql("ALTER MATERIALIZED TABLE mt_evo DROP c")
+        assert "c" not in spark.table("mt_evo").columns
+    finally:
+        env.execute_sql("DROP MATERIALIZED TABLE mt_evo")
