@@ -277,11 +277,104 @@ class TableEnvironment:
         re.IGNORECASE,
     )
     _FN_SHOW_RE = re.compile(r"^\s*SHOW\s+USER\s+FUNCTIONS\s*$", re.IGNORECASE)
+    _FN_ALTER_RE = re.compile(
+        r"^\s*ALTER\s+(?P<tmp>TEMPORARY\s+)?(?P<sys>SYSTEM\s+)?FUNCTION\s+"
+        r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+"
+        r"'(?P<ident>[^']+)'(?:\s+LANGUAGE\s+(?P<lang>\w+))?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _columns_df(self, name: str):
+        """DESCRIBE/SHOW COLUMNS row set for a table (reference
+        ShowColumnsOperation.java:99 generateTableColumnsRows — columns
+        name/type/null/key/extras/watermark). Registered engine tables
+        render their declared schema (watermark + NOT ENFORCED PK);
+        plain Spark temp views fall back to their resolved schema."""
+        if name in self.tables:
+            spec = self.tables[name]
+            wm_col, wm_expr = spec.watermark or (None, None)
+            rows = [
+                (
+                    c,
+                    t.upper(),
+                    True,
+                    "PRI(NOT ENFORCED)" if c in spec.primary_key else None,
+                    None,
+                    f"`{c}` - INTERVAL '{wm_expr}'" if c == wm_col else None,
+                )
+                for c, t in spec.columns
+            ]
+        else:
+            try:
+                schema = self.spark.table(name).schema
+            except Exception as e:  # noqa: BLE001
+                raise ValueError(
+                    f"Tables or views with the identifier '{name}' "
+                    "doesn't exist."
+                ) from e
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString().upper(),
+                    bool(f.nullable),
+                    None,
+                    None,
+                    None,
+                )
+                for f in schema.fields
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, null boolean, key string, "
+            "extras string, watermark string",
+        )
+
+    def _resolve_fn_identifier(self, ident: str, verb: str):
+        """Resolve the dotted 'module.attr' identifier of CREATE/ALTER
+        FUNCTION DDL to the Python object it names (the engine's analog
+        of the reference's CatalogFunctionImpl class-name resolution)."""
+        import importlib
+
+        if "." not in ident:
+            raise ValueError(
+                f"{verb}: identifier {ident!r} must be a "
+                "dotted 'module.attr' path"
+            )
+        mod_name, attr = ident.rsplit(".", 1)
+        try:
+            return getattr(importlib.import_module(mod_name), attr)
+        except (ImportError, AttributeError) as e:
+            raise ValueError(
+                f"{verb}: cannot resolve {ident!r}: {e}"
+            ) from e
+
+    def _bind_function(self, name: str, fn, ident: str) -> None:
+        """Register a resolved function object under ``name`` — the
+        shared tail of CREATE FUNCTION and ALTER FUNCTION."""
+        from flink_spark.functions.udf import (
+            ProcessTableFunction,
+            ScalarFunction,
+        )
+
+        if isinstance(fn, type) and issubclass(fn, ProcessTableFunction):
+            # a PROCESS TABLE FUNCTION registers for the table-valued
+            # SQL spelling `SELECT * FROM f(TABLE t PARTITION BY k)`
+            # (reference ptfs.md; StreamExecProcessTableFunction),
+            # not for scalar calls
+            self.user_ptfs = getattr(self, "user_ptfs", {})
+            self.user_ptfs[name] = fn
+            self.user_functions[name] = ident
+            return
+        if isinstance(fn, type) and issubclass(fn, ScalarFunction):
+            fn = fn()
+        self.create_temporary_function(name, fn)
+        self.user_functions[name] = ident
 
     def _function_statement(self, stmt: str):
         """SQL-text function DDL (reference SqlCreateFunction.java /
-        SqlDropFunction.java / SqlShowFunctions.java; FunctionITCase
-        shapes): CREATE [TEMPORARY] FUNCTION name AS 'module.attr'
+        SqlAlterFunction.java / SqlDropFunction.java /
+        SqlShowFunctions.java; FunctionITCase shapes):
+        CREATE [TEMPORARY] FUNCTION name AS 'module.attr'
         [LANGUAGE PYTHON] resolves the dotted identifier to a
         ScalarFunction subclass/instance or plain callable and registers
         it for SQL use — the bridge from the SQL surface to the Python
@@ -300,38 +393,44 @@ class TableEnvironment:
                 if m.group("ine"):
                     return None
                 raise ValueError(f"function {name!r} already exists")
-            import importlib
-
             ident = m.group("ident")
-            if "." not in ident:
+            fn = self._resolve_fn_identifier(ident, "CREATE FUNCTION")
+            self._bind_function(name, fn, ident)
+            return None
+        m = self._FN_ALTER_RE.match(stmt)
+        if m:
+            # ALTER FUNCTION name AS 'module.attr' [LANGUAGE PYTHON]
+            # (reference SqlAlterFunction.java /
+            # SqlAlterFunctionConverter.java /
+            # AlterCatalogFunctionOperation.java:92): rebind an existing
+            # function to a new identifier. TEMPORARY flavors are
+            # rejected with the reference's exact validation errors.
+            if m.group("sys"):
                 raise ValueError(
-                    f"CREATE FUNCTION: identifier {ident!r} must be a "
-                    "dotted 'module.attr' path"
+                    "Alter temporary system function is not supported"
                 )
-            mod_name, attr = ident.rsplit(".", 1)
-            try:
-                fn = getattr(importlib.import_module(mod_name), attr)
-            except (ImportError, AttributeError) as e:
+            if m.group("tmp"):
                 raise ValueError(
-                    f"CREATE FUNCTION: cannot resolve {ident!r}: {e}"
-                ) from e
-            from flink_spark.functions.udf import ScalarFunction
-
-            from flink_spark.functions.udf import ProcessTableFunction
-
-            if isinstance(fn, type) and issubclass(fn, ProcessTableFunction):
-                # a PROCESS TABLE FUNCTION registers for the table-valued
-                # SQL spelling `SELECT * FROM f(TABLE t PARTITION BY k)`
-                # (reference ptfs.md; StreamExecProcessTableFunction),
-                # not for scalar calls
-                self.user_ptfs = getattr(self, "user_ptfs", {})
-                self.user_ptfs[name] = fn
-                self.user_functions[name] = ident
-                return None
-            if isinstance(fn, type) and issubclass(fn, ScalarFunction):
-                fn = fn()
-            self.create_temporary_function(name, fn)
-            self.user_functions[name] = ident
+                    "Alter temporary catalog function is not supported"
+                )
+            lang = (m.group("lang") or "PYTHON").upper()
+            if lang != "PYTHON":
+                raise ValueError(
+                    f"ALTER FUNCTION: only LANGUAGE PYTHON is supported "
+                    f"in this engine, got {lang}"
+                )
+            name = m.group("name")
+            if name not in self.user_functions:
+                if m.group("ife"):
+                    return None
+                raise ValueError(f"function {name!r} does not exist")
+            fn = self._resolve_fn_identifier(
+                m.group("ident"), "ALTER FUNCTION"
+            )
+            # the old binding may have been a PTF; drop it so the new
+            # kind fully replaces the old one
+            getattr(self, "user_ptfs", {}).pop(name, None)
+            self._bind_function(name, fn, m.group("ident"))
             return None
         m = self._FN_DROP_RE.match(stmt)
         if m:
@@ -3138,24 +3237,17 @@ class TableEnvironment:
             # Flink-shaped DESCRIBE (reference DESCRIBE output columns
             # name/type/null/key/extras/watermark — richer than Spark's,
             # which cannot show watermark or NOT ENFORCED keys)
-            spec = self.tables[dm.group("name")]
-            wm_col, wm_expr = spec.watermark or (None, None)
-            rows = [
-                (
-                    c,
-                    t.upper(),
-                    True,
-                    "PRI(NOT ENFORCED)" if c in spec.primary_key else None,
-                    None,
-                    f"`{c}` - INTERVAL '{wm_expr}'" if c == wm_col else None,
-                )
-                for c, t in spec.columns
-            ]
-            return self.spark.createDataFrame(
-                rows,
-                "name string, type string, null boolean, key string, "
-                "extras string, watermark string",
-            )
+            return self._columns_df(dm.group("name"))
+        sc = re.match(
+            r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if sc:
+            # SHOW COLUMNS (FROM|IN) t (reference SqlShowColumns.java,
+            # ShowColumnsOperation.java:99 — the DESCRIBE row shape
+            # name/type/null/key/extras/watermark; the generic
+            # SHOW ... [NOT] LIKE wrapper above supplies name filtering)
+            return self._columns_df(sc.group("name"))
         if re.match(r"^\s*(SHOW|DESCRIBE|DESC)\b", stmt, re.IGNORECASE):
             return self.spark.sql(stmt)
         im = re.match(

@@ -567,6 +567,103 @@ def test_create_function_sql_ddl_errors(spark):
         env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
 
 
+def test_alter_function_sql_ddl(spark):
+    """ALTER FUNCTION rebinds an existing function to a new identifier
+    (reference SqlAlterFunction.java / SqlAlterFunctionConverter.java /
+    AlterCatalogFunctionOperation.java): subsequent SQL calls use the new
+    implementation, TEMPORARY flavors raise the reference's validation
+    errors, IF EXISTS swallows a missing name."""
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE FUNCTION alterable_py AS "
+        "'flink_spark.functions.library.DigitSumFn'"
+    )
+    assert spark.sql("SELECT alterable_py(1234) AS s").first().s == 10
+    env.execute_sql(
+        "ALTER FUNCTION alterable_py AS "
+        "'flink_spark.functions.library.upper_trim' LANGUAGE PYTHON"
+    )
+    assert spark.sql("SELECT alterable_py('  ab ') AS s").first().s == "AB"
+    # the registry reflects the new identifier (DESCRIBE FUNCTION reads it)
+    rows = dict(
+        env.execute_sql("DESCRIBE FUNCTION alterable_py").collect()
+    )
+    assert rows["class name"] == "flink_spark.functions.library.upper_trim"
+
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql(
+            "ALTER FUNCTION no_such_fn AS 'flink_spark.functions.library.upper_trim'"
+        )
+    env.execute_sql(
+        "ALTER FUNCTION IF EXISTS no_such_fn AS "
+        "'flink_spark.functions.library.upper_trim'"
+    )  # no-op
+    with pytest.raises(
+        ValueError, match="Alter temporary catalog function is not supported"
+    ):
+        env.execute_sql(
+            "ALTER TEMPORARY FUNCTION alterable_py AS "
+            "'flink_spark.functions.library.upper_trim'"
+        )
+    with pytest.raises(
+        ValueError, match="Alter temporary system function is not supported"
+    ):
+        env.execute_sql(
+            "ALTER TEMPORARY SYSTEM FUNCTION alterable_py AS "
+            "'flink_spark.functions.library.upper_trim'"
+        )
+    with pytest.raises(ValueError, match="LANGUAGE PYTHON"):
+        env.execute_sql(
+            "ALTER FUNCTION alterable_py AS 'com.example.Fn' LANGUAGE JAVA"
+        )
+    env.execute_sql("DROP FUNCTION alterable_py")
+
+
+def test_show_columns_sql(spark):
+    """SHOW COLUMNS (FROM|IN) t [[NOT] LIKE 'p'] (reference
+    SqlShowColumns.java, ShowColumnsOperation.java:99): DESCRIBE-shaped
+    rows (name/type/null/key/extras/watermark) with PK + watermark
+    rendered, LIKE filtering on the name column, and the reference's
+    error for a missing table."""
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TABLE show_cols_t ("
+        " id BIGINT,"
+        " name STRING,"
+        " ts TIMESTAMP(3),"
+        " WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,"
+        " PRIMARY KEY (id) NOT ENFORCED"
+        ") WITH ('connector' = 'datagen')"
+    )
+    try:
+        rows = env.execute_sql("SHOW COLUMNS FROM show_cols_t").collect()
+        assert [r.name for r in rows] == ["id", "name", "ts"]
+        assert rows[0].key == "PRI(NOT ENFORCED)"
+        assert rows[2].watermark is not None
+        assert env.execute_sql(
+            "SHOW COLUMNS IN show_cols_t LIKE '%s'"
+        ).count() == 1  # ts
+        assert [
+            r.name
+            for r in env.execute_sql(
+                "SHOW COLUMNS FROM show_cols_t NOT LIKE 'i_'"
+            ).collect()
+        ] == ["name", "ts"]
+        # plain Spark temp view fallback: resolved schema, no key/watermark
+        spark.range(3).selectExpr(
+            "id", "cast(id as string) AS label"
+        ).createOrReplaceTempView("show_cols_v")
+        vrows = env.execute_sql("SHOW COLUMNS FROM show_cols_v").collect()
+        assert [(r.name, r.key) for r in vrows] == [
+            ("id", None), ("label", None),
+        ]
+        with pytest.raises(ValueError, match="doesn't exist"):
+            env.execute_sql("SHOW COLUMNS FROM no_such_table_xyz")
+    finally:
+        env.execute_sql("DROP TABLE show_cols_t")
+        spark.catalog.dropTempView("show_cols_v")
+
+
 def test_alter_table_partition_ddl_roundtrip(spark, tmp_path):
     """ADD/DROP PARTITION + SHOW PARTITIONS over a partitioned filesystem
     table (reference SqlAddPartitions/SqlDropPartitions): partitions are
