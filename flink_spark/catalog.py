@@ -2217,6 +2217,24 @@ class TableEnvironment:
             stmt = self._rewrite_overlaps(stmt)
             masked = mask_literals(stmt)
             up = masked.upper()
+        if "RAND_INTEGER" in up:
+            # RAND_INTEGER(seed, bound) (reference sql_functions.yml):
+            # the seeded form cannot be a SQL function (Spark needs a
+            # foldable seed), so expand it textually onto RAND(seed);
+            # the 1-arg form resolves to the registered SQL function
+            # (functions/builtins_ext.py).
+            stmt = sub_outside_literals(
+                re.compile(
+                    r"\bRAND_INTEGER\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)",
+                    re.IGNORECASE,
+                ),
+                lambda m: (
+                    f"CAST(FLOOR(RAND({m.group(1)}) * ({m.group(2)})) AS INT)"
+                ),
+                stmt,
+            )
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if "/*+" in stmt:
             # Join hints (reference hints.md "Join Hints"): BROADCAST /
             # SHUFFLE_HASH / SHUFFLE_MERGE are Spark-native spellings and

@@ -99,6 +99,18 @@ def json_quote(col) -> Column:
     )
 
 
+def json_string(col) -> Column:
+    """JSON_STRING(value) (reference sql_functions.yml json family):
+    serialize ANY value to its JSON text — numbers/booleans bare,
+    strings quoted+escaped, arrays/structs/maps structurally; SQL NULL
+    in → SQL NULL out (not the text 'null'). Type-generic, so it stays
+    a Column helper rather than a typed SQL function; the serialization
+    reuses the one-element-array trick (:func:`_json_scalar`), which is
+    valid for nested values too."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.when(c.isNotNull(), _json_scalar(c))
+
+
 def to_timestamp_ltz(col, precision: int = 3) -> Column:
     """TO_TIMESTAMP_LTZ(numeric, precision) (reference
     BuiltInFunctionDefinitions TO_TIMESTAMP_LTZ): epoch seconds

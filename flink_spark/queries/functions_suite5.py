@@ -221,6 +221,99 @@ def fn_name_parity_suite(spark, sf_dir):
 
 
 @query(
+    "fn_hash_json_random_suite",
+    oracle="""
+    SELECT p_partkey, p_size,
+           '23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7'
+             AS h224,
+           'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7'
+             AS h384,
+           'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'
+             AS h512,
+           'a9993e364706816aba3e25717850c26c9cd0d89d' AS h1,
+           CASE WHEN regexp_matches(p_name, '[aeiou]')
+                THEN CAST(strpos(p_name, regexp_extract(p_name, '[aeiou]'))
+                          AS BIGINT)
+                ELSE 0 END AS rxi,
+           CAST(0 AS BIGINT) AS rxi0,
+           CAST(json_array_length('[' || repeat('1,', p_partkey % 5) || '9]')
+                AS BIGINT) AS jl_arr,
+           CAST(len(json_keys('{"a":1,"b":{"c":2,"d":3}}')) AS BIGINT)
+             AS jl_obj,
+           CAST(len(json_keys(json_extract('{"a":1,"b":{"c":2,"d":3}}',
+                                           '$.b'))) AS BIGINT) AS jl_path,
+           CAST(1 AS BIGINT) AS jl_scalar,
+           TRUE AS jl_bad_null,
+           TRUE AS riv,
+           TRUE AS rsv,
+           (now() >= TIMESTAMP '2020-01-01 00:00:00') AS crt,
+           TRUE AS u8,
+           p_name AS mv,
+           to_json(p_size) AS js_num,
+           to_json(p_type) AS js_str,
+           to_json(p_size > 25) AS js_bool,
+           to_json([p_size, p_size + 1]) AS js_arr,
+           (to_json(CAST(NULL AS INT)) IS NULL) AS js_null
+    FROM part WHERE p_partkey <= 250
+    """,
+)
+def fn_hash_json_random_suite(spark, sf_dir):
+    """SHA1/SHA224/SHA384/SHA512 (NIST known-answer vectors in the
+    oracle), REGEXP_INSTR, JSON_LENGTH (array/object/path/scalar/
+    invalid), JSON_STRING (number/string/bool/array/NULL),
+    RAND_INTEGER 1-arg (SQL function) + 2-arg seeded (dialect rewrite
+    onto RAND(seed)), CURRENT_ROW_TIMESTAMP, IS_VALID_UTF8 /
+    MAKE_VALID_UTF8 — the sql_functions.yml names Spark lacks,
+    registered as inlined SQL functions (functions/builtins_ext.py) so
+    every spelling stays a whole-stage-codegen JVM expression."""
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.functions.jsonfn import json_string
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") <= 250
+    ).createOrReplaceTempView("__fnext_part")
+    df = env.execute_sql("""
+        SELECT p_partkey, p_size, p_type,
+               sha224('abc') AS h224,
+               sha384('abc') AS h384,
+               sha512('abc') AS h512,
+               sha1('abc') AS h1,
+               CAST(regexp_instr(p_name, '[aeiou]') AS BIGINT) AS rxi,
+               CAST(regexp_instr(p_name, 'zzz9q') AS BIGINT) AS rxi0,
+               CAST(json_length('[' || repeat('1,', p_partkey % 5) || '9]')
+                    AS BIGINT) AS jl_arr,
+               CAST(json_length('{"a":1,"b":{"c":2,"d":3}}') AS BIGINT)
+                 AS jl_obj,
+               CAST(json_length('{"a":1,"b":{"c":2,"d":3}}', '$.b')
+                    AS BIGINT) AS jl_path,
+               CAST(json_length('42') AS BIGINT) AS jl_scalar,
+               (json_length('oops{') IS NULL) AS jl_bad_null,
+               (rand_integer(10) BETWEEN 0 AND 9) AS riv,
+               (RAND_INTEGER(42, 100) BETWEEN 0 AND 99) AS rsv,
+               (current_row_timestamp()
+                  >= TIMESTAMP '2020-01-01 00:00:00') AS crt,
+               is_valid_utf8(CAST(p_name AS BINARY)) AS u8,
+               CAST(make_valid_utf8(CAST(p_name AS BINARY)) AS STRING)
+                 AS mv
+        FROM __fnext_part
+    """)
+    return (
+        df.withColumn("js_num", json_string(F.col("p_size")))
+        .withColumn("js_str", json_string(F.col("p_type")))
+        .withColumn("js_bool", json_string(F.col("p_size") > 25))
+        .withColumn(
+            "js_arr",
+            json_string(F.array(F.col("p_size"), F.col("p_size") + 1)),
+        )
+        .withColumn(
+            "js_null", json_string(F.lit(None).cast("int")).isNull()
+        )
+        .drop("p_type")
+    )
+
+
+@query(
     "fn_overlaps_suite",
     oracle="""
     SELECT event_id,

@@ -50,6 +50,16 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-settable on this build — keep going, defaults are sane
             pass
+    try:
+        from flink_spark.functions.builtins_ext import (
+            register_reference_builtins,
+        )
+
+        register_reference_builtins(spark)
+    except Exception:
+        # SQL-function DDL unavailable on this build — the native
+        # spellings (SHA2, RAND, get_json_object) still work
+        pass
     return spark
 
 
