@@ -167,3 +167,247 @@ def bitmap_from_array(col) -> F.Column:
         )
 
     return f(col)
+
+
+# -- Roaring interop + rendering (reference Bitmap.java toBytes/toString,
+# -- BitmapFromBytesFunction/BitmapToBytesFunction/BitmapToStringFunction;
+# -- byte layout per the public 32-bit RoaringBitmap format spec,
+# -- github.com/RoaringBitmap/RoaringFormatSpec) --------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX_CARD = 4096
+#: guard for the dense internal representation: a deserialized value v
+#: allocates v/8 bytes of bitset, so genuinely sparse-high Roaring inputs
+#: (e.g. {4294967295}) must be rejected rather than silently ballooning
+#: executor memory. 1<<27 caps a single bitmap at 16 MiB of words.
+_DENSE_MAX_VALUE = 1 << 27
+#: BITMAP_TO_STRING truncation bound ("{1,2,3,...}" when too long)
+_TO_STRING_MAX_CHARS = 32768
+
+
+def _values_to_roaring(vals: np.ndarray) -> bytes:
+    """Serialize sorted distinct uint32 values to portable Roaring bytes
+    (always the no-run-container layout: cookie 12346, which every
+    Roaring reader accepts)."""
+    import struct
+
+    vals = np.asarray(vals, dtype=np.uint32)
+    hi = (vals >> np.uint32(16)).astype(np.uint16)
+    lo = (vals & np.uint32(0xFFFF)).astype(np.uint16)
+    keys, starts = np.unique(hi, return_index=True)
+    bounds = list(starts[1:]) + [len(vals)]
+    n = len(keys)
+    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    desc = bytearray()
+    containers: list[bytes] = []
+    for k, s, e in zip(keys, starts, bounds):
+        card = e - s
+        desc += struct.pack("<HH", int(k), card - 1)
+        chunk = lo[s:e]
+        if card <= _ARRAY_MAX_CARD:
+            containers.append(chunk.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(8192, dtype=np.uint8)
+            c = chunk.astype(np.uint32)
+            np.bitwise_or.at(
+                bits, c // 8, (np.uint8(1) << (c % 8).astype(np.uint8))
+            )
+            containers.append(bits.tobytes())
+    offs = bytearray()
+    pos = len(head) + len(desc) + 4 * n
+    for c in containers:
+        offs += struct.pack("<I", pos)
+        pos += len(c)
+    return bytes(head) + bytes(desc) + bytes(offs) + b"".join(containers)
+
+
+def _roaring_to_values(b: bytes) -> np.ndarray:
+    """Parse portable 32-bit Roaring bytes (both cookies, array/bitmap/run
+    containers) to a sorted uint32 value array."""
+    import struct
+
+    if len(b) < 4:
+        return np.empty(0, dtype=np.uint32)
+    (first,) = struct.unpack_from("<I", b, 0)
+    cookie = first & 0xFFFF
+    if cookie == _SERIAL_COOKIE_RUN:
+        n = (first >> 16) + 1
+        run_bitmap = np.frombuffer(b, dtype=np.uint8, count=(n + 7) // 8,
+                                   offset=4)
+        pos = 4 + (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", b, 4)
+        run_bitmap = np.zeros((n + 7) // 8, dtype=np.uint8)
+        pos = 8
+        has_offsets = True
+    else:
+        raise ValueError(
+            f"BITMAP_FROM_BYTES: not a 32-bit Roaring stream "
+            f"(cookie {cookie})"
+        )
+    desc = np.frombuffer(b, dtype="<u2", count=2 * n, offset=pos)
+    keys, cards = desc[0::2].astype(np.uint32), desc[1::2].astype(np.int64) + 1
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for sequential parsing
+    out: list[np.ndarray] = []
+    for i in range(n):
+        is_run = bool(run_bitmap[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (nruns,) = struct.unpack_from("<H", b, pos)
+            pos += 2
+            runs = np.frombuffer(b, dtype="<u2", count=2 * nruns, offset=pos)
+            pos += 4 * nruns
+            los = np.concatenate(
+                [
+                    np.arange(s, s + ln + 1, dtype=np.uint32)
+                    for s, ln in zip(runs[0::2], runs[1::2])
+                ]
+            ) if nruns else np.empty(0, dtype=np.uint32)
+        elif cards[i] > _ARRAY_MAX_CARD:
+            bits = np.frombuffer(b, dtype=np.uint8, count=8192, offset=pos)
+            pos += 8192
+            los = np.flatnonzero(
+                np.unpackbits(bits, bitorder="little")
+            ).astype(np.uint32)
+        else:
+            los = np.frombuffer(
+                b, dtype="<u2", count=int(cards[i]), offset=pos
+            ).astype(np.uint32)
+            pos += 2 * int(cards[i])
+        out.append((keys[i] << np.uint32(16)) | los)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint32)
+
+
+def bitmap_to_bytes(col) -> F.Column:
+    """BITMAP_TO_BYTES: render the bitmap in the public 32-bit Roaring
+    interchange format (reference BitmapToBytesFunction.java)."""
+
+    @pandas_udf("binary")
+    def f(b: pd.Series) -> pd.Series:
+        def g(x):
+            if x is None:
+                return None
+            bits = np.unpackbits(_words(x).view(np.uint8), bitorder="little")
+            return _values_to_roaring(np.flatnonzero(bits))
+
+        return b.map(g)
+
+    return f(col)
+
+
+def bitmap_from_bytes(col) -> F.Column:
+    """BITMAP_FROM_BYTES: parse 32-bit Roaring interchange bytes
+    (reference BitmapFromBytesFunction.java). Values above
+    ``_DENSE_MAX_VALUE`` are rejected: this engine's bitmap payload is a
+    dense word bitset (see module docstring), so an adversarially sparse
+    Roaring input must fail loudly instead of allocating value/8 bytes."""
+
+    @pandas_udf("binary")
+    def f(b: pd.Series) -> pd.Series:
+        def g(x):
+            if x is None:
+                return None
+            vals = _roaring_to_values(bytes(x))
+            if len(vals) and int(vals.max()) > _DENSE_MAX_VALUE:
+                raise ValueError(
+                    f"BITMAP_FROM_BYTES: value {int(vals.max())} exceeds the "
+                    f"dense-representation bound {_DENSE_MAX_VALUE}"
+                )
+            return _build_words(vals.astype(np.int64))
+
+        return b.map(g)
+
+    return f(col)
+
+
+def bitmap_to_string(col) -> F.Column:
+    """BITMAP_TO_STRING: '{v1,v2,...}' in unsigned order, truncated with
+    a trailing '...' when too long (reference Bitmap.java toString
+    contract; examples '{}', '{1,2,3,4,5}', '{1,2,3,...}')."""
+
+    @pandas_udf("string")
+    def f(b: pd.Series) -> pd.Series:
+        def g(x):
+            if x is None:
+                return None
+            bits = np.unpackbits(_words(x).view(np.uint8), bitorder="little")
+            vals = np.flatnonzero(bits)
+            body = ",".join(map(str, vals))
+            if len(body) + 2 > _TO_STRING_MAX_CHARS:
+                body = body[: _TO_STRING_MAX_CHARS - 5]
+                body = body[: body.rfind(",") + 1] + "..."
+            return "{" + body + "}"
+
+        return b.map(g)
+
+    return f(col)
+
+
+# -- bitmap-merging aggregates (reference BitmapOrAggFunction /
+# -- BitmapAndAggFunction / BitmapXorAggFunction and the *_CARDINALITY_AGG
+# -- twins; BitmapBuildCardinalityAggFunction) ----------------------------
+
+
+def _merge_agg(op_name: str):
+    ops = {
+        "or": lambda acc, w: np.bitwise_or(acc, w),
+        "and": lambda acc, w: np.bitwise_and(acc, w),
+        "xor": lambda acc, w: np.bitwise_xor(acc, w),
+    }
+    op = ops[op_name]
+
+    def agg(df: DataFrame, group: str, col: str, out: str = "bitmap",
+            cardinality: bool = False) -> DataFrame:
+        gtype = df.schema[group].dataType.simpleString()
+        out_type = "bigint" if cardinality else "binary"
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = max(len(_words(x)) for x in pdf[col])
+            acc = None
+            for x in pdf[col]:
+                w = np.zeros(n, dtype=np.uint64)
+                ww = _words(x)
+                w[: len(ww)] = ww
+                acc = w if acc is None else op(acc, w)
+            val = _popcount(acc) if cardinality else acc.tobytes()
+            return pd.DataFrame({group: [pdf[group].iloc[0]], out: [val]})
+
+        return df.select(group, col).groupBy(group).applyInPandas(
+            merge, f"{group} {gtype}, {out} {out_type}"
+        )
+
+    return agg
+
+
+bitmap_or_agg = _merge_agg("or")
+bitmap_and_agg = _merge_agg("and")
+bitmap_xor_agg = _merge_agg("xor")
+
+
+def bitmap_or_cardinality_agg(df, group, col, out="card"):
+    """BITMAP_OR_CARDINALITY_AGG → BIGINT."""
+    return bitmap_or_agg(df, group, col, out, cardinality=True)
+
+
+def bitmap_and_cardinality_agg(df, group, col, out="card"):
+    """BITMAP_AND_CARDINALITY_AGG → BIGINT."""
+    return bitmap_and_agg(df, group, col, out, cardinality=True)
+
+
+def bitmap_xor_cardinality_agg(df, group, col, out="card"):
+    """BITMAP_XOR_CARDINALITY_AGG → BIGINT."""
+    return bitmap_xor_agg(df, group, col, out, cardinality=True)
+
+
+def bitmap_build_cardinality_agg(
+    df: DataFrame, group: str, key: str, out: str = "card"
+) -> DataFrame:
+    """BITMAP_BUILD_CARDINALITY_AGG: build then 64-bit cardinality —
+    same two-phase shape as bitmap_build (map-side partial bitmaps,
+    bitmap-payload shuffle), popcount on the merged result."""
+    built = bitmap_build(df, group, key, out="__bmp")
+    return built.select(group, bitmap_cardinality("__bmp").alias(out))

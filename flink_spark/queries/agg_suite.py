@@ -222,6 +222,80 @@ def agg_bitmap_ops(spark, sf_dir):
 
 
 @query(
+    "agg_bitmap_merge_family",
+    oracle="""
+    WITH e AS (SELECT DISTINCT event_type, user_id,
+                      CAST(day(ts) % 3 AS INT) AS sub
+               FROM events),
+         g AS (SELECT event_type, COUNT(DISTINCT sub) AS nsub
+               FROM e GROUP BY event_type),
+         k AS (SELECT event_type, user_id, COUNT(*) AS nk
+               FROM e GROUP BY event_type, user_id)
+    SELECT k.event_type,
+           CAST(COUNT(*) AS BIGINT) AS or_card,
+           CAST(SUM(CASE WHEN k.nk = g.nsub THEN 1 ELSE 0 END) AS BIGINT)
+             AS and_card,
+           CAST(SUM(CASE WHEN k.nk % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS xor_card,
+           CAST(COUNT(*) AS BIGINT) AS build_card,
+           TRUE AS rt_ok,
+           '{1,2,3}' AS ts
+    FROM k JOIN g ON k.event_type = g.event_type
+    GROUP BY k.event_type
+    """,
+)
+def agg_bitmap_merge_family(spark, sf_dir):
+    """BITMAP_OR/AND/XOR_AGG (+_CARDINALITY_AGG twins),
+    BITMAP_BUILD_CARDINALITY_AGG, BITMAP_TO_BYTES→BITMAP_FROM_BYTES
+    Roaring roundtrip, BITMAP_TO_STRING (reference Bitmap*AggFunction,
+    BitmapToBytesFunction/BitmapFromBytesFunction/BitmapToStringFunction;
+    bytes per the public 32-bit RoaringFormatSpec). Per-(type, day-bucket)
+    audience bitmaps merge per type: OR = reach, AND = present every
+    bucket, XOR = odd-bucket parity — each merge shuffles small binary
+    blobs, never the underlying key sets."""
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.withColumn(
+        "g2",
+        F.concat_ws(
+            "|", "event_type", (F.dayofmonth("ts") % 3).cast("string")
+        ),
+    )
+    per = BM.bitmap_build(ev2, "g2", "user_id", out="bmp").withColumn(
+        "event_type", F.substring_index("g2", "|", 1)
+    )
+    orb = BM.bitmap_or_agg(per, "event_type", "bmp", out="orb")
+    rt = orb.select(
+        "event_type",
+        BM.bitmap_cardinality("orb").alias("or_card"),
+        (
+            BM.bitmap_cardinality(
+                BM.bitmap_from_bytes(BM.bitmap_to_bytes("orb"))
+            )
+            == BM.bitmap_cardinality("orb")
+        ).alias("rt_ok"),
+    )
+    andc = BM.bitmap_and_cardinality_agg(per, "event_type", "bmp", "and_card")
+    xorc = BM.bitmap_xor_cardinality_agg(per, "event_type", "bmp", "xor_card")
+    bc = BM.bitmap_build_cardinality_agg(
+        ev, "event_type", "user_id", "build_card"
+    )
+    out = (
+        rt.join(andc, "event_type")
+        .join(xorc, "event_type")
+        .join(bc, "event_type")
+    )
+    return out.withColumn(
+        "ts",
+        BM.bitmap_to_string(
+            BM.bitmap_from_array(F.array(F.lit(3), F.lit(1), F.lit(2)))
+        ),
+    ).select(
+        "event_type", "or_card", "and_card", "xor_card", "build_card",
+        "rt_ok", "ts",
+    )
+
+
+@query(
     "agg_split_distinct",
     oracle="""
     SELECT event_type,
