@@ -1160,6 +1160,177 @@ class TableEnvironment:
 
         return sub_outside_literals(self._OVERLAPS_RE, repl, stmt)
 
+    _GROUP_ID_RE = re.compile(r"\bGROUP_ID\s*\(\s*\)", re.IGNORECASE)
+    _GSETS_RE = re.compile(
+        r"\bGROUP\s+BY\s+GROUPING\s+SETS\s*\(", re.IGNORECASE
+    )
+
+    def _rewrite_group_id(self, stmt: str) -> str:
+        """GROUP_ID() (reference FlinkSqlOperatorTable GROUP_ID;
+        DecomposeGroupingSetsRule.java:369 per CALCITE-1824): always 0
+        when the grouping sets are distinct; with duplicate sets, the
+        occurrence index among the duplicates. Decomposed the same way
+        the reference's rule does: round j aggregates the sets whose
+        multiplicity exceeds j with GROUP_ID() = j, rounds UNION ALL'd —
+        each round stays a native Spark grouping-sets aggregate, so
+        GROUPING()/GROUPING_ID() in the same select list keep working."""
+        from collections import Counter
+
+        from flink_spark.sqltok import (
+            mask_literals,
+            split_top_commas,
+            sub_outside_literals,
+        )
+
+        masked = mask_literals(stmt)
+        m = self._GSETS_RE.search(masked)
+        zero = lambda _m: "CAST(0 AS BIGINT)"  # noqa: E731
+        if not m:
+            # CUBE / ROLLUP / plain GROUP BY: sets distinct by construction
+            return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
+        start = m.end()
+        depth, i = 1, start
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("GROUPING SETS: unbalanced parentheses")
+        items = [s.strip() for s in split_top_commas(stmt[start : i - 1])]
+
+        def canon(item: str):
+            t = item.strip()
+            if t.startswith("(") and t.endswith(")"):
+                t = t[1:-1]
+            return tuple(
+                sorted(
+                    " ".join(p.split()).upper()
+                    for p in split_top_commas(t)
+                    if p.strip()
+                )
+            )
+
+        keys = [canon(it) for it in items]
+        mult = Counter(keys)
+        if max(mult.values()) == 1:
+            return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
+        # split the clause tail: HAVING stays per round; a top-level
+        # ORDER BY / LIMIT applies once, over the union
+        rest, rest_masked = stmt[i:], masked[i:]
+        cut, d0 = None, 0
+        for mm in re.finditer(
+            r"[()]|\bORDER\s+BY\b|\bLIMIT\b", rest_masked, re.IGNORECASE
+        ):
+            tok = mm.group(0)
+            if tok == "(":
+                d0 += 1
+            elif tok == ")":
+                d0 -= 1
+            elif d0 == 0:
+                cut = mm.start()
+                break
+        per_round_tail = rest if cut is None else rest[:cut]
+        outer_tail = "" if cut is None else rest[cut:]
+        first_text: dict = {}
+        for it, k in zip(items, keys):
+            first_text.setdefault(k, it)
+        gid_arg_re = re.compile(r"\bGROUPING_ID\s*\(([^()]*)\)", re.IGNORECASE)
+        g_arg_re = re.compile(r"\bGROUPING\s*\(([^()]*)\)", re.IGNORECASE)
+        # locate the top-level select list so later rounds can NULL out
+        # bare references to grouping columns absent from their universe
+        # (the Expand copies the reference's rule emits carry NULL there)
+        sel_start = frm = None
+        pm = re.match(r"^\s*SELECT\s+", masked[: m.start()], re.IGNORECASE)
+        if pm:
+            sel_start, d0 = pm.end(), 0
+            for mm in re.finditer(
+                r"[()]|\bFROM\b", masked[sel_start : m.start()], re.IGNORECASE
+            ):
+                tok = mm.group(0)
+                if tok == "(":
+                    d0 += 1
+                elif tok == ")":
+                    d0 -= 1
+                elif d0 == 0:
+                    frm = sel_start + mm.start()
+                    break
+        rounds = []
+        for j in range(max(mult.values())):
+            round_keys = [k for k in dict.fromkeys(keys) if mult[k] > j]
+            sets_j = [first_text[k] for k in round_keys]
+            runion = {c for k in round_keys for c in k}
+            sel_text = None
+            if frm is not None:
+                fixed = []
+                for it in split_top_commas(stmt[sel_start:frm]):
+                    m2 = re.match(
+                        r"^\s*([\w.]+)(?:\s+AS\s+(\w+))?\s*$",
+                        it,
+                        re.IGNORECASE,
+                    )
+                    name = m2.group(1) if m2 else None
+                    if (
+                        name
+                        and not name.replace(".", "").isdigit()
+                        and name.upper() not in ("NULL", "TRUE", "FALSE")
+                        and name.upper() not in runion
+                        and name.upper() in {c for k in keys for c in k}
+                    ):
+                        alias = (m2.group(2) or name.split(".")[-1])
+                        fixed.append(f"NULL AS {alias}")
+                    else:
+                        fixed.append(it.strip())
+                sel_text = ", ".join(fixed) + " "
+            q = (
+                (
+                    stmt[:sel_start] + sel_text + stmt[frm : m.start()]
+                    if sel_text is not None
+                    else stmt[: m.start()]
+                )
+                + "GROUP BY GROUPING SETS ("
+                + ", ".join(sets_j)
+                + ")"
+                + per_round_tail
+            )
+            q = sub_outside_literals(
+                self._GROUP_ID_RE,
+                lambda _m, _j=j: f"CAST({_j} AS BIGINT)",
+                q,
+            )
+
+            # GROUPING / GROUPING_ID referencing a column absent from this
+            # round's grouping universe can't stay native (Spark rejects
+            # grouping_id over non-grouping columns); its bit is the
+            # constant 1 there — exactly the literal the reference's
+            # decomposition computes (DecomposeGroupingSetsRule).
+            def fix_gid(mm, _runion=runion):
+                args = [a.strip() for a in mm.group(1).split(",") if a.strip()]
+                canons = [" ".join(a.split()).upper() for a in args]
+                if not args or all(c in _runion for c in canons):
+                    return mm.group(0)
+                k = len(args)
+                terms = []
+                for idx, (a, c) in enumerate(zip(args, canons)):
+                    w = 1 << (k - 1 - idx)
+                    bit = "1" if c not in _runion else f"GROUPING({a})"
+                    terms.append(f"({bit} * {w})" if w > 1 else f"({bit})")
+                return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+            q = sub_outside_literals(gid_arg_re, fix_gid, q)
+
+            def fix_g(mm, _runion=runion):
+                c = " ".join(mm.group(1).split()).upper()
+                return "1" if c and c not in _runion else mm.group(0)
+
+            q = sub_outside_literals(g_arg_re, fix_g, q)
+            rounds.append(q)
+        union = " UNION ALL ".join(rounds)
+        if outer_tail.strip():
+            return f"SELECT * FROM ({union}) {outer_tail}"
+        return union
+
     def _rewrite_join_hints(self, stmt: str) -> str:
         """Inside `/*+ ... */` hint blocks: map NEST_LOOP onto Spark's
         SHUFFLE_REPLICATE_NL and validate LOOKUP hint options against the
@@ -2215,6 +2386,13 @@ class TableEnvironment:
             # second members added to the time point, then
             # (e0 >= s1) AND (e1 >= s0), both bounds INCLUSIVE.
             stmt = self._rewrite_overlaps(stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
+        if "GROUP_ID" in up:
+            # GROUP_ID() (reference DecomposeGroupingSetsRule.java:369):
+            # 0 for distinct grouping sets; duplicate sets decompose into
+            # UNION ALL rounds (see _rewrite_group_id)
+            stmt = self._rewrite_group_id(stmt)
             masked = mask_literals(stmt)
             up = masked.upper()
         if "RAND_INTEGER" in up:

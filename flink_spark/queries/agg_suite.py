@@ -296,6 +296,46 @@ def agg_bitmap_merge_family(spark, sf_dir):
 
 
 @query(
+    "agg_group_id",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(0 AS BIGINT) AS gid,
+           CAST(0 AS BIGINT) AS gmask,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM lineitem
+    """,
+)
+def agg_group_id(spark, sf_dir):
+    """GROUP_ID() over DUPLICATE grouping sets (reference
+    FlinkSqlOperatorTable GROUP_ID, DecomposeGroupingSetsRule.java:369,
+    CALCITE-1824): GROUPING SETS ((flag), (), ()) yields the grand-total
+    row twice, distinguished by GROUP_ID 0 and 1, while GROUPING_ID
+    keeps its native per-round value. Decomposed onto UNION ALL'd
+    native grouping-sets aggregates by the dialect (catalog.py
+    _rewrite_group_id)."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__gid_lineitem"
+    )
+    return env.execute_sql("""
+        SELECT l_returnflag,
+               GROUP_ID() AS gid,
+               CAST(GROUPING_ID(l_returnflag) AS BIGINT) AS gmask,
+               COUNT(*) AS cnt
+        FROM __gid_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (), ())
+    """)
+
+
+@query(
     "agg_split_distinct",
     oracle="""
     SELECT event_type,

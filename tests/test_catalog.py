@@ -567,6 +567,43 @@ def test_create_function_sql_ddl_errors(spark):
         env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
 
 
+def test_group_id_rewrite(spark):
+    """GROUP_ID() (reference FlinkSqlOperatorTable GROUP_ID,
+    DecomposeGroupingSetsRule.java per CALCITE-1824): 0 for distinct
+    grouping sets (incl. CUBE/ROLLUP); duplicate sets decompose into
+    UNION ALL rounds with GROUP_ID = occurrence index, GROUPING/
+    GROUPING_ID staying correct in every round, NULL for grouping
+    columns outside a round's universe, ORDER BY/LIMIT applied over the
+    union."""
+    env = TableEnvironment(spark)
+    spark.range(6).selectExpr("id % 2 AS a", "id AS v").createOrReplaceTempView(
+        "gid_t"
+    )
+    try:
+        rows = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g, CAST(GROUPING_ID(a) AS BIGINT) AS gm,"
+            " COUNT(*) AS c FROM gid_t"
+            " GROUP BY GROUPING SETS ((a), (), (a), ())"
+            " ORDER BY a NULLS FIRST, g LIMIT 10"
+        ).collect()
+        assert [(r.a, r.g, r.gm, r.c) for r in rows] == [
+            (None, 0, 1, 6), (None, 1, 1, 6),
+            (0, 0, 0, 3), (0, 1, 0, 3),
+            (1, 0, 0, 3), (1, 1, 0, 3),
+        ]
+        distinct = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM gid_t"
+            " GROUP BY GROUPING SETS ((a), ()) ORDER BY a NULLS FIRST"
+        ).collect()
+        assert [r.g for r in distinct] == [0, 0, 0]
+        cube = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g FROM gid_t GROUP BY CUBE(a)"
+        ).collect()
+        assert {r.g for r in cube} == {0}
+    finally:
+        spark.catalog.dropTempView("gid_t")
+
+
 def test_alter_function_sql_ddl(spark):
     """ALTER FUNCTION rebinds an existing function to a new identifier
     (reference SqlAlterFunction.java / SqlAlterFunctionConverter.java /
