@@ -105,6 +105,42 @@ def test_to_string_empty_and_truncation(spark):
     assert len(row.b) <= BM._TO_STRING_MAX_CHARS
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                # dense low values (array containers)
+                st.integers(0, 5000),
+                # chunk-boundary neighborhoods
+                st.integers(65530, 65545),
+                st.integers(131066, 131076),
+                # sparse spread across many chunks
+                st.integers(0, (1 << 27) - 1),
+            ),
+            max_size=300,
+        )
+    )
+    def test_roaring_roundtrip_property(vals):
+        arr = np.asarray(sorted(set(vals)), dtype=np.uint32)
+        back = _roaring_to_values(_values_to_roaring(arr))
+        assert back.tolist() == arr.tolist()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(4000, 9000), st.integers(1, 13))
+    def test_roaring_container_form_boundary(n, step):
+        # straddle the 4096 array/bitmap container threshold
+        arr = np.arange(0, n * step, step, dtype=np.uint32)
+        arr = arr[arr < (1 << 16)]  # keep inside one chunk
+        back = _roaring_to_values(_values_to_roaring(arr))
+        assert back.tolist() == arr.tolist()
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_merge_aggs_or_and_xor(spark):
     rows = [
         ("g1", _build_words(np.array([1, 2, 3]))),
