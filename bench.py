@@ -99,6 +99,10 @@ EXTRA = [
     "llm_vector_search_sql_ann",
     "tpcds_q28_band_distinct_stats",
     "tpcds_q11_two_channel_growth_customers",
+    # round-7 continuation operators
+    "agg_bitmap_merge_family",
+    "fn_hash_json_random_suite",
+    "agg_group_id",
 ]
 
 
