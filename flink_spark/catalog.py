@@ -3137,21 +3137,41 @@ class TableEnvironment:
         sm = _SET_RE.match(stmt)
         if sm:
             # SET 'k' = 'v' / SET (list) / RESET 'k' / RESET (reference
-            # SqlSet.java, SqlReset.java → session conf)
+            # SqlSet.java, SqlReset.java → session conf). Well-known
+            # reference table-config keys bridge onto their Spark
+            # equivalents so they actually take effect
+            # (TableConfigOptions.LOCAL_TIME_ZONE, ExecutionConfigOptions
+            # table.exec.resource.default-parallelism,
+            # OptimizerConfigOptions table.optimizer.join.broadcast-threshold)
+            # — the raw key is kept too, so SHOW/round-trips see it.
+            bridge = {
+                "table.local-time-zone": "spark.sql.session.timeZone",
+                "table.exec.resource.default-parallelism":
+                    "spark.sql.shuffle.partitions",
+                "table.optimizer.join.broadcast-threshold":
+                    "spark.sql.autoBroadcastJoinThreshold",
+            }
             verb = sm.group("verb").upper()
             key, val = sm.group("k"), sm.group("v")
             if verb == "SET" and key is not None:
                 self.spark.conf.set(key, val)
+                if key in bridge:
+                    self.spark.conf.set(bridge[key], val)
                 return None
             if verb == "RESET":
                 from flink_spark.session import RUNTIME_CONF
 
-                keys = [key] if key is not None else list(RUNTIME_CONF)
+                keys = (
+                    [key]
+                    if key is not None
+                    else list(RUNTIME_CONF) + list(bridge)
+                )
                 for k in keys:
-                    try:
-                        self.spark.conf.unset(k)
-                    except Exception:  # noqa: BLE001 - non-unsettable key
-                        pass
+                    for kk in ({k, bridge.get(k)} - {None}):
+                        try:
+                            self.spark.conf.unset(kk)
+                        except Exception:  # noqa: BLE001 - non-unsettable
+                            pass
                 # re-pin the engine's required runtime conf
                 from flink_spark.session import prepare_session
 

@@ -567,6 +567,34 @@ def test_create_function_sql_ddl_errors(spark):
         env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
 
 
+def test_set_reference_config_keys_bridge(spark):
+    """Well-known reference table-config keys set through SQL take real
+    effect (reference TableConfigOptions.LOCAL_TIME_ZONE → Spark session
+    timezone, table.exec.resource.default-parallelism → shuffle
+    partitions, table.optimizer.join.broadcast-threshold → broadcast
+    threshold); RESET restores the engine's pinned defaults."""
+    env = TableEnvironment(spark)
+    try:
+        env.execute_sql("SET 'table.local-time-zone' = 'Asia/Tokyo'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        # the raw key round-trips for SHOW-style reads
+        assert spark.conf.get("table.local-time-zone") == "Asia/Tokyo"
+        env.execute_sql(
+            "SET 'table.exec.resource.default-parallelism' = '7'"
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        env.execute_sql(
+            "SET 'table.optimizer.join.broadcast-threshold' = '1048576'"
+        )
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            == "1048576"
+        )
+    finally:
+        env.execute_sql("RESET")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 def test_group_id_rewrite(spark):
     """GROUP_ID() (reference FlinkSqlOperatorTable GROUP_ID,
     DecomposeGroupingSetsRule.java per CALCITE-1824): 0 for distinct
