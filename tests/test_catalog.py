@@ -567,6 +567,63 @@ def test_create_function_sql_ddl_errors(spark):
         env.execute_sql("CREATE FUNCTION f AS 'flink_spark.functions.library.Nope'")
 
 
+def test_group_id_rewrite_matches_bruteforce(spark):
+    """Randomized check of the GROUP_ID decomposition (reference
+    DecomposeGroupingSetsRule semantics): for random multisets of
+    grouping sets over (a, b), the rewritten query must equal the
+    brute-force per-occurrence expansion computed in pandas."""
+    import itertools
+    import random
+
+    env = TableEnvironment(spark)
+    data = [(i % 2, i % 3, i) for i in range(12)]
+    pdf_rows = data
+    spark.createDataFrame(
+        data, "a int, b int, v long"
+    ).createOrReplaceTempView("gidp_t")
+    pool = ["(a)", "(b)", "(a, b)", "()"]
+    rng = random.Random(77)
+    try:
+        for _ in range(12):
+            # the select list names a and b, so the grouping union must
+            # cover both (anything else is invalid SQL on both engines)
+            sets = [rng.choice(pool) for _ in range(rng.randint(1, 5))]
+            covered = {c for s in sets for c in s.strip("() ").replace(",", " ").split()}
+            if covered != {"a", "b"}:
+                sets.append("(a, b)")
+            sql = (
+                "SELECT a, b, GROUP_ID() AS g, COUNT(*) AS c FROM gidp_t "
+                f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+            )
+            got = sorted(
+                (
+                    (r.a, r.b, r.g, r.c)
+                    for r in env.execute_sql(sql).collect()
+                ),
+                key=str,
+            )
+            # brute force: every occurrence aggregates independently with
+            # GROUP_ID = its index among identical sets
+            expect, seen = [], {}
+            for s in sets:
+                cols = [c.strip() for c in s.strip("() ").split(",") if c.strip()]
+                key = tuple(sorted(cols))
+                gid = seen.get(key, 0)
+                seen[key] = gid + 1
+                groups: dict = {}
+                for a, b, _v in pdf_rows:
+                    gk = tuple(
+                        (a if "a" in cols else None,
+                         b if "b" in cols else None)
+                    )
+                    groups[gk] = groups.get(gk, 0) + 1
+                for (ga, gb), c in groups.items():
+                    expect.append((ga, gb, gid, c))
+            assert got == sorted(expect, key=str), sql
+    finally:
+        spark.catalog.dropTempView("gidp_t")
+
+
 def test_set_reference_config_keys_bridge(spark):
     """Well-known reference table-config keys set through SQL take real
     effect (reference TableConfigOptions.LOCAL_TIME_ZONE → Spark session
