@@ -2792,6 +2792,14 @@ class TableEnvironment:
             if ML_PREDICT_RE.search(masked):
                 stmt = self.model_manager.rewrite_ml_predict(stmt)
                 masked = mask_literals(stmt)
+        if "ML_EVALUATE" in up:
+            # reference SqlMLEvaluateTableFunction.java (parser-only
+            # there; executable here — see models.rewrite_ml_evaluate)
+            from flink_spark.models import ML_EVALUATE_RE
+
+            if ML_EVALUATE_RE.search(masked):
+                stmt = self.model_manager.rewrite_ml_evaluate(stmt)
+                masked = mask_literals(stmt)
         if "OBJECT_" in up:
             # structured-type constructors (FLIP-520; reference
             # BuiltInFunctionDefinitions OBJECT_OF / OBJECT_UPDATE) —

@@ -84,6 +84,23 @@ ML_PREDICT_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: SqlMLEvaluateTableFunction.java — ML_EVALUATE(TABLE t, MODEL m,
+#: DESCRIPTOR(label), DESCRIPTOR(features), task[, config MAP]); the task
+#: literal interior is masked at match time, read back from the original.
+ML_EVALUATE_RE = re.compile(
+    r"ML_EVALUATE\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*MODEL\s+"
+    r"(?P<model>[\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*(?P<label>\w+)\s*\)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<col>\w+)\s*\)\s*,\s*'(?P<task>[^']*)'"
+    r"(?:\s*,\s*MAP\s*\[(?P<cfg>[^\]]*)\])?\s*\)",
+    re.IGNORECASE,
+)
+
+#: reference TaskType.java values
+_EVALUATE_TASKS = (
+    "regression", "clustering", "classification", "embedding",
+    "text_generation",
+)
+
 #: providers whose invocation needs a network endpoint — registrable,
 #: not callable here (reference flink-model-openai / flink-model-triton)
 _REMOTE_PROVIDERS = ("openai", "triton")
@@ -349,3 +366,92 @@ class ModelManager:
 
         # mask-matched: ML_PREDICT(...) inside a string literal is data
         return sub_outside_literals(ML_PREDICT_RE, sub, stmt)
+
+    # -- ML_EVALUATE ---------------------------------------------------------
+
+    def rewrite_ml_evaluate(self, stmt: str) -> str:
+        """ML_EVALUATE(TABLE t, MODEL m, DESCRIPTOR(label),
+        DESCRIPTOR(features), task[, config]) → one row with a
+        `result MAP<STRING, DOUBLE>` column (reference
+        SqlMLEvaluateTableFunction.java — which the reference ships as
+        parser/validation only, with no exec node yet; here it executes:
+        the table scores through the same Arrow-batched serving path
+        ML_PREDICT uses, then ONE JVM aggregate computes the task's
+        metrics — nothing is collected to the driver)."""
+        from pyspark.sql import functions as F
+
+        from flink_spark.functions.ml import ml_predict
+
+        def sub(mo: re.Match) -> str:
+            task = mo.group("task").strip().lower()
+            if task not in _EVALUATE_TASKS:
+                raise ValueError(
+                    f"ML_EVALUATE: unknown task {task!r}; expected one of "
+                    f"{sorted(_EVALUATE_TASKS)}"  # reference TaskType.java
+                )
+            if task not in ("regression", "classification"):
+                raise NotImplementedError(
+                    f"ML_EVALUATE task {task!r} requires a remote "
+                    "provider/judge endpoint this environment does not "
+                    "have; regression and classification evaluate locally"
+                )
+            spec = self._get(mo.group("model"))
+            # project to (label, features) under reserved names first:
+            # the input table may itself carry columns named like the
+            # model's outputs, and only these two matter for evaluation
+            inp = self.spark.table(mo.group("tbl")).select(
+                F.col(mo.group("label")).alias("__mle_label"),
+                F.col(mo.group("col")).alias("__mle_feat"),
+            )
+            scored = ml_predict(
+                inp,
+                self._factory_of(spec),
+                "__mle_feat",
+                result_schema=spec.output_schema,
+            )
+            out_cols = [
+                c.strip().split()[0]
+                for c in spec.output_schema.split(",")
+                if c.strip()
+            ]
+            label = F.col("__mle_label").cast("double")
+            if task == "classification":
+                pred_name = (
+                    "pred_label" if "pred_label" in out_cols else out_cols[-1]
+                )
+                pred = F.col(pred_name).cast("double")
+                result = scored.agg(
+                    F.create_map(
+                        F.lit("accuracy"),
+                        F.avg((label == pred).cast("double")),
+                        F.lit("count"),
+                        F.count(F.lit(1)).cast("double"),
+                    ).alias("result")
+                )
+            else:
+                pred = F.col(out_cols[0]).cast("double")
+                err = label - pred
+                # r2 = 1 - SSE/SST with SST = var_pop(label)·n; rounded so
+                # the two engines' variance summation orders agree
+                result = scored.agg(
+                    F.create_map(
+                        F.lit("rmse"), F.sqrt(F.avg(err * err)),
+                        F.lit("mae"), F.avg(F.abs(err)),
+                        F.lit("r2"),
+                        F.round(
+                            F.lit(1.0)
+                            - F.sum(err * err)
+                            / (F.var_pop(label) * F.count(F.lit(1))),
+                            6,
+                        ),
+                        F.lit("count"), F.count(F.lit(1)).cast("double"),
+                    ).alias("result")
+                )
+            self._view_seq += 1
+            view = f"__mle_{mo.group('model')}_{self._view_seq}"
+            result.createOrReplaceTempView(view)
+            return view
+
+        from flink_spark.sqltok import sub_outside_literals
+
+        return sub_outside_literals(ML_EVALUATE_RE, sub, stmt)

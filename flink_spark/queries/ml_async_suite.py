@@ -41,6 +41,92 @@ def ml_predict_linear(spark, sf_dir):
 
 
 @query(
+    "ml_evaluate_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             ((((i * 37) % 21)) - 10)
+               * CAST(FLOOR(embedding[i]::DOUBLE * 1000) AS BIGINT) AS term
+      FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i) s
+      WHERE vec_id < 500),
+    s AS (SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score,
+                 CAST(ABS(SUM(term)) % 3 AS BIGINT) AS pred_label
+          FROM t GROUP BY vec_id),
+    l AS (SELECT vec_id, score, pred_label,
+                 CAST(score + (vec_id % 5) - 2 AS DOUBLE) AS label,
+                 CAST(CASE WHEN vec_id % 10 = 0
+                           THEN (pred_label + 1) % 3
+                           ELSE pred_label END AS DOUBLE) AS label_cls
+          FROM s),
+    e AS (SELECT label - CAST(score AS DOUBLE) AS err, label,
+                 (label_cls = CAST(pred_label AS DOUBLE)) AS hit
+          FROM l)
+    SELECT sqrt(avg(err * err)) AS rmse,
+           avg(abs(err)) AS mae,
+           round(1 - sum(err * err) / (var_pop(label) * count(*)), 6) AS r2,
+           CAST(count(*) AS DOUBLE) AS n,
+           avg(CASE WHEN hit THEN 1.0 ELSE 0.0 END) AS accuracy
+    FROM e
+    """,
+)
+def ml_evaluate_metrics(spark, sf_dir):
+    """ML_EVALUATE(TABLE t, MODEL m, DESCRIPTOR(label),
+    DESCRIPTOR(features), task) (reference
+    SqlMLEvaluateTableFunction.java — parser-only in the reference, no
+    exec node; executable here): regression rmse/mae/r2/count and
+    classification accuracy as one JVM aggregate over the ML_PREDICT
+    serving path, surfaced through the documented
+    `result MAP<STRING, DOUBLE>` row. Labels are the model's own outputs
+    plus deterministic residuals/flips, so every metric is an exact
+    rational both engines reproduce bit-for-bit."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    scored = ml_predict(
+        emb.select("vec_id", "embedding"), FixedPointLinearModel, "embedding"
+    ).select("vec_id", "score", "pred_label")
+    labeled = (
+        emb.join(scored, "vec_id")
+        .withColumn(
+            "label",
+            (F.col("score") + F.col("vec_id") % 5 - 2).cast("double"),
+        )
+        .withColumn(
+            "label_cls",
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                (F.col("pred_label") + 1) % 3,
+            ).otherwise(F.col("pred_label")).cast("double"),
+        )
+        .select("vec_id", "embedding", "label", "label_cls")
+    )
+    labeled.createOrReplaceTempView("__mle_in")
+    env.execute_sql("DROP MODEL IF EXISTS __mle_lin")
+    env.execute_sql(
+        "CREATE MODEL __mle_lin INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    reg = env.execute_sql("""
+        SELECT result['rmse'] AS rmse, result['mae'] AS mae,
+               result['r2'] AS r2, result['count'] AS n
+        FROM ML_EVALUATE(TABLE __mle_in, MODEL __mle_lin,
+                         DESCRIPTOR(label), DESCRIPTOR(embedding),
+                         'regression')
+    """)
+    cls = env.execute_sql("""
+        SELECT result['accuracy'] AS accuracy
+        FROM ML_EVALUATE(TABLE __mle_in, MODEL __mle_lin,
+                         DESCRIPTOR(label_cls), DESCRIPTOR(embedding),
+                         'classification')
+    """)
+    return reg.crossJoin(cls)
+
+
+@query(
     "async_calc_enrich",
     oracle="""
     SELECT doc_id, md5(text) AS digest, upper(lang) AS lang_uc

@@ -283,3 +283,57 @@ def test_describe_model_and_function(spark):
     with pytest.raises(ValueError, match="doesn't exist"):
         env.execute_sql("DESCRIBE FUNCTION no_such_fn_xyz")
     env.execute_sql("DROP FUNCTION IF EXISTS desc_fn")
+
+
+def test_ml_evaluate_sql(env, spark):
+    """ML_EVALUATE (reference SqlMLEvaluateTableFunction.java — parser-only
+    there): result MAP row shape, regression + classification metrics on a
+    perfectly-labeled table, optional config map accepted, TaskType
+    validation, unimplemented tasks gated honestly."""
+    env.execute_sql("DROP MODEL IF EXISTS mle_m")
+    env.execute_sql(
+        "CREATE MODEL mle_m INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    from flink_spark.functions.ml import FixedPointLinearModel, ml_predict
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, [float(i) / 10, float(i % 3)]) for i in range(20)],
+        "rid long, emb array<float>",
+    )
+    scored = ml_predict(base, FixedPointLinearModel, "emb")
+    scored.withColumn("label", F.col("score").cast("double")).withColumn(
+        "label_cls", F.col("pred_label").cast("double")
+    ).createOrReplaceTempView("mle_t")
+    row = env.execute_sql(
+        "SELECT result FROM ML_EVALUATE(TABLE mle_t, MODEL mle_m, "
+        "DESCRIPTOR(label), DESCRIPTOR(emb), 'regression')"
+    ).first()
+    assert row.result["rmse"] == 0.0 and row.result["mae"] == 0.0
+    assert row.result["count"] == 20.0
+    # classification + a config map (accepted, reference PARAM_ARGS)
+    row = env.execute_sql(
+        "SELECT result FROM ML_EVALUATE(TABLE mle_t, MODEL mle_m, "
+        "DESCRIPTOR(label_cls), DESCRIPTOR(emb), 'classification', "
+        "MAP['threshold', '0.5'])"
+    ).first()
+    assert row.result["accuracy"] == 1.0
+
+    with pytest.raises(ValueError, match="unknown task"):
+        env.execute_sql(
+            "SELECT result FROM ML_EVALUATE(TABLE mle_t, MODEL mle_m, "
+            "DESCRIPTOR(label), DESCRIPTOR(emb), 'ranking')"
+        )
+    with pytest.raises(NotImplementedError, match="remote provider"):
+        env.execute_sql(
+            "SELECT result FROM ML_EVALUATE(TABLE mle_t, MODEL mle_m, "
+            "DESCRIPTOR(label), DESCRIPTOR(emb), 'text_generation')"
+        )
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql(
+            "SELECT result FROM ML_EVALUATE(TABLE mle_t, MODEL nope_m, "
+            "DESCRIPTOR(label), DESCRIPTOR(emb), 'regression')"
+        )
+    env.execute_sql("DROP MODEL mle_m")
