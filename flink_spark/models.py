@@ -78,11 +78,29 @@ MODEL_DROP_RE = re.compile(
 )
 SHOW_MODELS_RE = re.compile(r"^\s*SHOW\s+MODELS\s*$", re.IGNORECASE)
 
+#: reference model-inference.md syntax: positional or named
+#: (INPUT => TABLE t, MODEL => MODEL m, ARGS => DESCRIPTOR(...),
+#: CONFIG => MAP[...]), multi-column descriptor, optional config map
 ML_PREDICT_RE = re.compile(
-    r"ML_PREDICT\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*MODEL\s+"
-    r"(?P<model>[\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*(?P<col>\w+)\s*\)\s*\)",
+    r"ML_PREDICT\s*\(\s*(?:INPUT\s*=>\s*)?TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    r"(?:MODEL\s*=>\s*)?MODEL\s+(?P<model>[\w.]+)\s*,\s*"
+    r"(?:ARGS\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)"
+    r"(?:\s*,\s*(?:CONFIG\s*=>\s*)?MAP\s*\[(?P<cfg>[^\]]*)\])?\s*\)",
     re.IGNORECASE,
 )
+
+
+def _parse_config_map(cfg_text: str | None) -> dict:
+    """MAP['k', 'v', ...] literal body → dict (pairs of string literals)."""
+    if not cfg_text:
+        return {}
+    vals = re.findall(r"'([^']*)'", cfg_text)
+    if len(vals) % 2:
+        raise ValueError(
+            f"config MAP[...] needs an even number of string literals, "
+            f"got {len(vals)}"
+        )
+    return dict(zip(vals[0::2], vals[1::2]))
 
 #: SqlMLEvaluateTableFunction.java — ML_EVALUATE(TABLE t, MODEL m,
 #: DESCRIPTOR(label), DESCRIPTOR(features), task[, config MAP]); the task
@@ -344,19 +362,38 @@ class ModelManager:
         raise ValueError(f"model {spec.name!r} has no callable provider")
 
     def rewrite_ml_predict(self, stmt: str) -> str:
-        """Replace every ML_PREDICT(TABLE t, MODEL m, DESCRIPTOR(c)) call
-        with a temp view holding the prediction-extended table, leaving
-        the surrounding SQL for Spark to plan."""
+        """Replace every ML_PREDICT(TABLE t, MODEL m, DESCRIPTOR(cols)
+        [, CONFIG => MAP[...]]) call with a temp view holding the
+        prediction-extended table, leaving the surrounding SQL for Spark
+        to plan. A multi-column descriptor assembles the named scalar
+        feature columns into the model's input vector (reference
+        model-inference.md: "The number of feature columns ... must
+        match the model's input schema")."""
+        from pyspark.sql import functions as F
+
         from flink_spark.functions.ml import ml_predict
 
         def sub(mo: re.Match) -> str:
             spec = self._get(mo.group("model"))
+            cfg = _parse_config_map(mo.group("cfg"))
+            cols = [c.strip() for c in mo.group("cols").split(",")]
+            inp = self.spark.table(mo.group("tbl"))
+            feat, drop_feat = cols[0], False
+            if len(cols) > 1:
+                feat, drop_feat = "__mlp_feat", True
+                inp = inp.withColumn(
+                    feat,
+                    F.array(*[F.col(c).cast("double") for c in cols]),
+                )
             out = ml_predict(
-                self.spark.table(mo.group("tbl")),
+                inp,
                 self._factory_of(spec),
-                mo.group("col"),
+                feat,
                 result_schema=spec.output_schema,
+                config=cfg,
             )
+            if drop_feat:
+                out = out.drop(feat)
             self._view_seq += 1
             view = f"__mlp_{mo.group('model')}_{self._view_seq}"
             out.createOrReplaceTempView(view)
@@ -403,11 +440,21 @@ class ModelManager:
                 F.col(mo.group("label")).alias("__mle_label"),
                 F.col(mo.group("col")).alias("__mle_feat"),
             )
+            # the evaluate config carries task-specific args too
+            # (reference PARAM_ARGS); only the serving keys route to the
+            # prediction path
+            cfg = _parse_config_map(mo.group("cfg"))
+            serving = {
+                k: v
+                for k, v in cfg.items()
+                if k in ("async", "timeout", "max-concurrent-operations")
+            }
             scored = ml_predict(
                 inp,
                 self._factory_of(spec),
                 "__mle_feat",
                 result_schema=spec.output_schema,
+                config=serving,
             )
             out_cols = [
                 c.strip().split()[0]

@@ -337,3 +337,79 @@ def test_ml_evaluate_sql(env, spark):
             "DESCRIPTOR(label), DESCRIPTOR(emb), 'regression')"
         )
     env.execute_sql("DROP MODEL mle_m")
+
+
+def test_ml_predict_config_and_named_params(env, spark):
+    """ML_PREDICT extended surface (reference model-inference.md):
+    named parameters (INPUT/MODEL/ARGS/CONFIG =>), multi-column
+    descriptor assembling the feature vector, async ordered window
+    (identical results to sync), timeout parsing, unknown config keys
+    rejected, output-name collision renaming (note 3)."""
+    from pyspark.sql import functions as F
+
+    env.execute_sql("DROP MODEL IF EXISTS mlp_m")
+    env.execute_sql(
+        "CREATE MODEL mlp_m INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    spark.createDataFrame(
+        [(i, float(i) / 10, float(i % 3)) for i in range(40)],
+        "rid long, f1 double, f2 double",
+    ).createOrReplaceTempView("mlp_t")
+    sync_rows = env.execute_sql(
+        "SELECT rid, score FROM ML_PREDICT(TABLE mlp_t, MODEL mlp_m, "
+        "DESCRIPTOR(f1, f2)) ORDER BY rid"
+    ).collect()
+    assert len(sync_rows) == 40
+    # named params + async config: same values, ordered window path
+    async_rows = env.execute_sql(
+        "SELECT rid, score FROM ML_PREDICT(INPUT => TABLE mlp_t, "
+        "MODEL => MODEL mlp_m, ARGS => DESCRIPTOR(f1, f2), "
+        "CONFIG => MAP['async', 'true', 'timeout', '100s', "
+        "'max-concurrent-operations', '2']) ORDER BY rid"
+    ).collect()
+    assert [tuple(r) for r in async_rows] == [tuple(r) for r in sync_rows]
+
+    with pytest.raises(ValueError, match="unsupported options"):
+        env.execute_sql(
+            "SELECT * FROM ML_PREDICT(TABLE mlp_t, MODEL mlp_m, "
+            "DESCRIPTOR(f1, f2), MAP['retries', '3'])"
+        )
+    with pytest.raises(ValueError, match="duration"):
+        env.execute_sql(
+            "SELECT * FROM ML_PREDICT(TABLE mlp_t, MODEL mlp_m, "
+            "DESCRIPTOR(f1, f2), MAP['timeout', 'soon'])"
+        )
+
+    # collision renaming: input already has a 'score' column → score0
+    spark.createDataFrame(
+        [(1, [0.5, 1.0], 99)], "rid long, emb array<float>, score long"
+    ).createOrReplaceTempView("mlp_coll")
+    row = env.execute_sql(
+        "SELECT * FROM ML_PREDICT(TABLE mlp_coll, MODEL mlp_m, "
+        "DESCRIPTOR(emb))"
+    ).first()
+    assert row.score == 99 and hasattr(row, "score0")
+
+    # async against a sync-only provider → AsyncPredictRuntimeProvider error
+    from flink_spark.functions.ml import ml_predict
+
+    class SyncOnly:
+        def __init__(self, dim):
+            pass
+
+        def __call__(self, x):
+            import numpy as np
+
+            return {"score": np.zeros(len(x), dtype=np.int64)}
+
+    env.model_manager.create_temporary_model(
+        "mlp_sync_only", SyncOnly, output_schema="score BIGINT"
+    ) if hasattr(env.model_manager, "create_temporary_model") else None
+    with pytest.raises(ValueError, match="AsyncPredictRuntimeProvider"):
+        ml_predict(
+            spark.table("mlp_coll"), SyncOnly, "emb",
+            config={"async": "true"},
+        ).collect()
+    env.execute_sql("DROP MODEL mlp_m")
