@@ -245,6 +245,21 @@ def _search(
     k: int,
     config: dict | None = None,
 ) -> DataFrame:
+    if config:
+        # reference vector_search_runtime_config: async/timeout/
+        # max-concurrent-operations are serving-mode hints — the scan
+        # here is an inherently parallel broadcast join, so they are
+        # accepted and moot; 'index' routes to the ANN library; anything
+        # else is a typo worth failing loudly on
+        unknown = set(config) - {
+            "index", "async", "timeout", "max-concurrent-operations"
+        }
+        if unknown:
+            raise ValueError(
+                f"VECTOR_SEARCH: unsupported config options "
+                f"{sorted(unknown)} (supported: index, async, timeout, "
+                "max-concurrent-operations)"
+            )
     if config and config.get("index", "brute").lower() != "brute":
         # exact brute scan stays the default; CONFIG opts into the ANN
         # library (reference vector_search.md CONFIG map)

@@ -192,3 +192,29 @@ def test_index_routing_unknown_rejected(spark, vs_views):
                 TABLE vst_c, vst_q.qv, DESCRIPTOR(embedding), 3,
                 MAP['index','faiss']))
         """)
+
+
+def test_vector_search_config_validation(spark):
+    """Reference vector_search_runtime_config keys accepted (async/
+    timeout/max-concurrent-operations are serving hints; the scan is a
+    parallel broadcast join), unknown keys rejected loudly."""
+    import pytest
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vid long, vec array<float>",
+    ).createOrReplaceTempView("vsc_tbl")
+    rows = env.execute_sql(
+        "SELECT * FROM TABLE(VECTOR_SEARCH(TABLE vsc_tbl, "
+        "ARRAY[CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)], DESCRIPTOR(vec), 3, "
+        "CONFIG => MAP['async', 'true', 'timeout', '100s']))"
+    ).collect()
+    assert len(rows) == 3
+    with pytest.raises(ValueError, match="unsupported config"):
+        env.execute_sql(
+            "SELECT * FROM TABLE(VECTOR_SEARCH(TABLE vsc_tbl, "
+            "ARRAY[CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)], "
+            "DESCRIPTOR(vec), 3, CONFIG => MAP['n_probe', '4']))"
+        )
