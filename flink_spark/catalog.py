@@ -277,8 +277,11 @@ class TableEnvironment:
         re.IGNORECASE,
     )
     _FN_SHOW_RE = re.compile(r"^\s*SHOW\s+USER\s+FUNCTIONS\s*$", re.IGNORECASE)
+    # SYSTEM is only legal after TEMPORARY (reference grammar: ALTER
+    # [TEMPORARY [SYSTEM]] FUNCTION; bare ALTER SYSTEM FUNCTION is a
+    # parse error there and falls through to one here)
     _FN_ALTER_RE = re.compile(
-        r"^\s*ALTER\s+(?P<tmp>TEMPORARY\s+)?(?P<sys>SYSTEM\s+)?FUNCTION\s+"
+        r"^\s*ALTER\s+(?P<tmp>TEMPORARY\s+(?P<sys>SYSTEM\s+)?)?FUNCTION\s+"
         r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+"
         r"'(?P<ident>[^']+)'(?:\s+LANGUAGE\s+(?P<lang>\w+))?\s*$",
         re.IGNORECASE,
@@ -360,7 +363,16 @@ class TableEnvironment:
             # a PROCESS TABLE FUNCTION registers for the table-valued
             # SQL spelling `SELECT * FROM f(TABLE t PARTITION BY k)`
             # (reference ptfs.md; StreamExecProcessTableFunction),
-            # not for scalar calls
+            # not for scalar calls — and any previous SCALAR binding
+            # under this name must stop answering (same loud-failure
+            # contract as DROP FUNCTION)
+            def _not_scalar(*_a, _n=name):
+                raise ValueError(
+                    f"function {_n!r} is a PROCESS TABLE FUNCTION; call it "
+                    "as SELECT * FROM f(TABLE t ...), not as a scalar"
+                )
+
+            self.spark.udf.register(name, _not_scalar)
             self.user_ptfs = getattr(self, "user_ptfs", {})
             self.user_ptfs[name] = fn
             self.user_functions[name] = ident
@@ -1173,7 +1185,11 @@ class TableEnvironment:
         the reference's rule does: round j aggregates the sets whose
         multiplicity exceeds j with GROUP_ID() = j, rounds UNION ALL'd —
         each round stays a native Spark grouping-sets aggregate, so
-        GROUPING()/GROUPING_ID() in the same select list keep working."""
+        GROUPING()/GROUPING_ID() in the same select list keep working.
+        A leading WITH prologue wraps the whole decomposition once; each
+        arm of a top-level set operation decomposes independently
+        (parenthesized back in place); a trailing top-level
+        ORDER BY / LIMIT applies once, over everything."""
         from collections import Counter
 
         from flink_spark.sqltok import (
@@ -1183,8 +1199,60 @@ class TableEnvironment:
         )
 
         masked = mask_literals(stmt)
-        m = self._GSETS_RE.search(masked)
         zero = lambda _m: "CAST(0 AS BIGINT)"  # noqa: E731
+
+        # a WITH prologue scopes over the full (possibly set-op) body —
+        # keep it once, decompose only what follows
+        wm = re.match(r"^\s*WITH\b", masked, re.IGNORECASE)
+        if wm:
+            d0 = 0
+            for mm in re.finditer(r"[()]|\bSELECT\b", masked, re.IGNORECASE):
+                tok = mm.group(0)
+                if tok == "(":
+                    d0 += 1
+                elif tok == ")":
+                    d0 -= 1
+                elif d0 == 0:
+                    return stmt[: mm.start()] + self._rewrite_group_id(
+                        stmt[mm.start():]
+                    )
+            return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
+
+        # top-level set operations: each arm decomposes on its own; a
+        # trailing global ORDER BY / LIMIT (which can only follow the
+        # last arm) splits off first so it stays statement-scoped
+        d0, setops = 0, []
+        gcut = None
+        for mm in re.finditer(
+            r"[()]|\b(?:UNION(?:\s+ALL)?|INTERSECT(?:\s+ALL)?|"
+            r"EXCEPT(?:\s+ALL)?|MINUS|ORDER\s+BY|LIMIT)\b",
+            masked, re.IGNORECASE,
+        ):
+            tok = mm.group(0)
+            if tok == "(":
+                d0 += 1
+            elif tok == ")":
+                d0 -= 1
+            elif d0 == 0:
+                if re.match(r"ORDER|LIMIT", tok, re.IGNORECASE):
+                    gcut = mm.start()
+                    break
+                setops.append(mm.span())
+        if setops:
+            gtail = "" if gcut is None else stmt[gcut:]
+            end = gcut if gcut is not None else len(stmt)
+            pieces, last = [], 0
+            for s, e in setops + [(end, end)]:
+                arm = stmt[last:s]
+                r = self._rewrite_group_id(arm)
+                pieces.append(f"({r.strip()})" if r != arm else arm)
+                if s < e:
+                    pieces.append(stmt[s:e])
+                last = e
+            out = " ".join(p.strip() for p in pieces if p.strip())
+            return f"{out} {gtail}" if gtail.strip() else out
+
+        m = self._GSETS_RE.search(masked)
         if not m:
             # CUBE / ROLLUP / plain GROUP BY: sets distinct by construction
             return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
@@ -1256,6 +1324,47 @@ class TableEnvironment:
                 elif d0 == 0:
                     frm = sel_start + mm.start()
                     break
+        full_union = {c for k in keys for c in k}
+        agg_call_re = re.compile(
+            r"\b(?:SUM|COUNT|AVG|MIN|MAX|FIRST|LAST|ANY_VALUE|MODE|MEDIAN|"
+            r"STDDEV\w*|VAR\w*|COLLECT\w*|APPROX\w*|PERCENTILE\w*|LISTAGG|"
+            r"GROUPING_ID|GROUPING|GROUP_ID)\s*\(",
+            re.IGNORECASE,
+        )
+
+        def null_absent_in_expr(item: str, runion: set) -> str:
+            """NULL out references to grouping columns outside this
+            round's universe, skipping spans inside aggregate/grouping
+            calls (aggregate args read base rows; GROUPING fixes up
+            separately) — the Expand-copy NULLs the reference's rule
+            would have emitted for these positions."""
+            masked_it = mask_literals(item)
+            prot = []
+            for am in agg_call_re.finditer(masked_it):
+                d, i2 = 1, am.end()
+                while i2 < len(masked_it) and d:
+                    if masked_it[i2] == "(":
+                        d += 1
+                    elif masked_it[i2] == ")":
+                        d -= 1
+                    i2 += 1
+                prot.append((am.start(), i2))
+            spans = []
+            for tm in re.finditer(r"[A-Za-z_][\w.]*", masked_it):
+                t = tm.group(0).upper()
+                nxt = masked_it[tm.end():].lstrip()[:1]
+                if (
+                    t in full_union
+                    and t not in runion
+                    and nxt != "("  # a function sharing the name
+                    and not any(s <= tm.start() < e for s, e in prot)
+                ):
+                    spans.append(tm.span())
+            out = item
+            for s, e in reversed(spans):
+                out = out[:s] + "NULL" + out[e:]
+            return out
+
         rounds = []
         for j in range(max(mult.values())):
             round_keys = [k for k in dict.fromkeys(keys) if mult[k] > j]
@@ -1276,12 +1385,15 @@ class TableEnvironment:
                         and not name.replace(".", "").isdigit()
                         and name.upper() not in ("NULL", "TRUE", "FALSE")
                         and name.upper() not in runion
-                        and name.upper() in {c for k in keys for c in k}
+                        and name.upper() in full_union
                     ):
+                        # bare column: keep its output name via an alias
                         alias = (m2.group(2) or name.split(".")[-1])
                         fixed.append(f"NULL AS {alias}")
-                    else:
+                    elif name:
                         fixed.append(it.strip())
+                    else:
+                        fixed.append(null_absent_in_expr(it, runion).strip())
                 sel_text = ", ".join(fixed) + " "
             q = (
                 (

@@ -223,9 +223,11 @@ def _values_to_roaring(vals: np.ndarray) -> bytes:
     return bytes(head) + bytes(desc) + bytes(offs) + b"".join(containers)
 
 
-def _roaring_to_values(b: bytes) -> np.ndarray:
+def _roaring_to_values(b: bytes, max_value: int | None = None) -> np.ndarray:
     """Parse portable 32-bit Roaring bytes (both cookies, array/bitmap/run
-    containers) to a sorted uint32 value array."""
+    containers) to a sorted uint32 value array. ``max_value`` rejects
+    streams whose descriptor keys imply values beyond it BEFORE any
+    container decodes — the memory guard must fire pre-materialization."""
     import struct
 
     if len(b) < 4:
@@ -250,6 +252,14 @@ def _roaring_to_values(b: bytes) -> np.ndarray:
         )
     desc = np.frombuffer(b, dtype="<u2", count=2 * n, offset=pos)
     keys, cards = desc[0::2].astype(np.uint32), desc[1::2].astype(np.int64) + 1
+    if max_value is not None and len(keys) and (
+        (int(keys.max()) << 16) > max_value
+    ):
+        raise ValueError(
+            f"BITMAP_FROM_BYTES: stream declares values up to chunk "
+            f"{int(keys.max())} (≥ {int(keys.max()) << 16}), beyond the "
+            f"dense-representation bound {max_value}"
+        )
     pos += 4 * n
     if has_offsets:
         pos += 4 * n  # offsets are redundant for sequential parsing
@@ -261,9 +271,12 @@ def _roaring_to_values(b: bytes) -> np.ndarray:
             pos += 2
             runs = np.frombuffer(b, dtype="<u2", count=2 * nruns, offset=pos)
             pos += 4 * nruns
+            # int() the uint16 scalars: a run ending at 65535 would
+            # overflow uint16 arithmetic (s + ln + 1 → 0) and silently
+            # drop the run under NumPy 2's strict promotion
             los = np.concatenate(
                 [
-                    np.arange(s, s + ln + 1, dtype=np.uint32)
+                    np.arange(int(s), int(s) + int(ln) + 1, dtype=np.uint32)
                     for s, ln in zip(runs[0::2], runs[1::2])
                 ]
             ) if nruns else np.empty(0, dtype=np.uint32)
@@ -311,7 +324,7 @@ def bitmap_from_bytes(col) -> F.Column:
         def g(x):
             if x is None:
                 return None
-            vals = _roaring_to_values(bytes(x))
+            vals = _roaring_to_values(bytes(x), max_value=_DENSE_MAX_VALUE)
             if len(vals) and int(vals.max()) > _DENSE_MAX_VALUE:
                 raise ValueError(
                     f"BITMAP_FROM_BYTES: value {int(vals.max())} exceeds the "

@@ -12,8 +12,8 @@ whole serving path is value-checkable against a SQL oracle.
 
 Runtime config (reference docs/sql/reference/queries/model-inference.md
 "Configuration Options" + ml_predict_runtime_config):
-  - 'async': 'true' routes batches through an ORDERED bounded-concurrency
-    asyncio window (the AsyncPredictRuntimeProvider analog; requires the
+  - 'async': 'true' routes batches through an ORDERED sliding
+    bounded-concurrency window (the AsyncPredictRuntimeProvider analog; requires the
     factory to advertise ``supports_async``),
   - 'timeout': per-batch inference deadline ('100s', '500 ms', ...),
   - 'max-concurrent-operations': the async window width.
@@ -107,7 +107,7 @@ def ml_predict(
     Arrow batch (the batch IS the serving micro-batch; executor-local
     model instance, loaded once per task, never on the driver). With
     'async'='true', batches inside a partition serve through an ordered
-    bounded-concurrency window instead of strictly sequentially."""
+    sliding bounded-concurrency window instead of strictly sequentially."""
     cfg = _validate_config(config)
     renames, result_schema = _collision_renames(df.columns, result_schema)
     is_async = str(cfg.get("async", "false")).lower() == "true"
@@ -138,36 +138,50 @@ def ml_predict(
             yield _emit(pdf, model(x))
 
     def mapper_async(it):
-        # ordered window of max_conc in-flight batches — the
-        # AsyncWaitOperator ORDERED-mode analog; memory stays bounded by
-        # the window, emission order equals arrival order
-        import asyncio
-        import itertools
+        # SLIDING ordered window of max_conc in-flight batches — the
+        # AsyncWaitOperator ORDERED-mode analog: as each head batch
+        # completes, the next one is admitted immediately (no chunk
+        # barrier, so one slow batch never idles the other slots);
+        # memory stays bounded by the window, emission order equals
+        # arrival order
+        import concurrent.futures
+        import threading
+        from collections import deque
 
         model = None
+        init_lock = threading.Lock()
 
-        async def one(loop, pdf):
+        def run(pdf):
             nonlocal model
             x = np.stack(pdf[input_col].to_numpy())
-            if model is None:
-                model = model_factory(x.shape[1])
-            fut = loop.run_in_executor(None, model, x)
-            out = await (
-                asyncio.wait_for(fut, timeout) if timeout else fut
-            )
-            return pdf, out
-
-        async def window(batch_list):
-            loop = asyncio.get_running_loop()
-            tasks = [asyncio.ensure_future(one(loop, p)) for p in batch_list]
-            return [await t for t in tasks]
+            with init_lock:  # window threads race the lazy init
+                if model is None:
+                    model = model_factory(x.shape[1])
+            return pdf, model(x)
 
         live = (p for p in it if len(p))
-        while True:
-            chunk = list(itertools.islice(live, max_conc))
-            if not chunk:
-                return
-            for pdf, out in asyncio.run(window(chunk)):
+        with concurrent.futures.ThreadPoolExecutor(max_conc) as pool:
+            pending: deque = deque()
+
+            def refill():
+                while len(pending) < max_conc:
+                    try:
+                        pdf = next(live)
+                    except StopIteration:
+                        return
+                    pending.append(pool.submit(run, pdf))
+
+            refill()
+            while pending:
+                head = pending.popleft()
+                try:
+                    pdf, out = head.result(timeout=timeout)
+                except concurrent.futures.TimeoutError:
+                    raise TimeoutError(
+                        f"ML_PREDICT: batch inference exceeded the "
+                        f"configured timeout of {timeout}s"
+                    ) from None
+                refill()
                 yield _emit(pdf, out)
 
     out_schema = df.schema.simpleString()[7:-1] + "," + result_schema

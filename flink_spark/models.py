@@ -443,12 +443,10 @@ class ModelManager:
             # the evaluate config carries task-specific args too
             # (reference PARAM_ARGS); only the serving keys route to the
             # prediction path
+            from flink_spark.functions.ml import _CONFIG_KEYS
+
             cfg = _parse_config_map(mo.group("cfg"))
-            serving = {
-                k: v
-                for k, v in cfg.items()
-                if k in ("async", "timeout", "max-concurrent-operations")
-            }
+            serving = {k: v for k, v in cfg.items() if k in _CONFIG_KEYS}
             scored = ml_predict(
                 inp,
                 self._factory_of(spec),
@@ -456,9 +454,13 @@ class ModelManager:
                 result_schema=spec.output_schema,
                 config=serving,
             )
+            from flink_spark.sqltok import split_top_commas
+
+            # split_top_commas, not str.split: output types may carry
+            # commas (MAP<STRING,DOUBLE>, DECIMAL(10,2), ...)
             out_cols = [
                 c.strip().split()[0]
-                for c in spec.output_schema.split(",")
+                for c in split_top_commas(spec.output_schema)
                 if c.strip()
             ]
             label = F.col("__mle_label").cast("double")

@@ -61,6 +61,26 @@ def test_roaring_run_container_parse():
     assert _roaring_to_values(raw).tolist() == [5, 6, 7, 8, 100]
 
 
+def test_roaring_run_container_ending_at_chunk_max():
+    # run ending exactly at 65535: uint16 arithmetic would wrap and
+    # silently drop the run under NumPy 2's strict promotion
+    n = 1
+    header = struct.pack("<I", 12347 | ((n - 1) << 16))
+    raw = (
+        header + bytes([0b1]) + struct.pack("<HH", 0, 3 - 1)
+        + struct.pack("<H", 1) + struct.pack("<HH", 65533, 2)
+    )
+    assert _roaring_to_values(raw).tolist() == [65533, 65534, 65535]
+
+
+def test_roaring_guard_fires_before_materialization():
+    # a stream declaring a high chunk key must be rejected from the
+    # descriptor alone, before any container decodes
+    raw = _values_to_roaring(np.array([2**31], dtype=np.uint32))
+    with pytest.raises(ValueError, match="dense-representation bound"):
+        _roaring_to_values(raw, max_value=BM._DENSE_MAX_VALUE)
+
+
 def test_roaring_bad_cookie_rejected():
     with pytest.raises(ValueError, match="cookie"):
         _roaring_to_values(struct.pack("<I", 99))

@@ -685,6 +685,36 @@ def test_group_id_rewrite(spark):
             "SELECT a, GROUP_ID() AS g FROM gid_t GROUP BY CUBE(a)"
         ).collect()
         assert {r.g for r in cube} == {0}
+        # a trailing top-level set-op arm must NOT be duplicated into the
+        # decomposition rounds
+        spark.range(4).selectExpr("id % 2 AS a").createOrReplaceTempView(
+            "gid_u"
+        )
+        rows = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM gid_t"
+            " GROUP BY GROUPING SETS ((a), (), ())"
+            " UNION ALL SELECT a, 9 AS g, COUNT(*) AS c FROM gid_u GROUP BY a"
+        ).collect()
+        assert sum(1 for r in rows if r.g == 9) == 2  # arm appears once
+        # a WITH prologue wraps the whole decomposition once
+        rows = env.execute_sql(
+            "WITH w AS (SELECT a FROM gid_t)"
+            " SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM w"
+            " GROUP BY GROUPING SETS ((a), (), ())"
+        ).collect()
+        assert sorted(((r.a, r.g, r.c) for r in rows), key=str) == sorted(
+            [(0, 0, 3), (1, 0, 3), (None, 0, 6), (None, 1, 6)], key=str
+        )
+        # expressions over a grouping column absent from a round NULL out
+        spark.range(6).selectExpr(
+            "id % 2 AS a", "id % 3 AS b"
+        ).createOrReplaceTempView("gid_e")
+        rows = env.execute_sql(
+            "SELECT a, b + 1 AS b1, GROUP_ID() AS g, COUNT(*) AS c"
+            " FROM gid_e GROUP BY GROUPING SETS ((a), (a), (b))"
+        ).collect()
+        assert all(r.b1 is None for r in rows if r.a is not None)
+        assert sorted(r.b1 for r in rows if r.a is None) == [1, 2, 3]
     finally:
         spark.catalog.dropTempView("gid_t")
 
