@@ -103,6 +103,7 @@ EXTRA = [
     "agg_bitmap_merge_family",
     "fn_hash_json_random_suite",
     "agg_group_id",
+    "ml_evaluate_metrics",
 ]
 
 
