@@ -233,6 +233,16 @@ class TableEnvironment:
         # SQL-created user functions (reference SqlCreateFunction DDL /
         # FunctionCatalog): name -> the AS 'identifier' it was created from
         self.user_functions: dict[str, str] = {}
+        # table→materialized-table conversion gate (reference
+        # materialized-table/statements.md): read ONCE at session
+        # initialization — a later session-level SET has no effect,
+        # exactly as documented for the reference's planning-time read
+        self._mt_conversion_enabled = str(
+            self.spark.conf.get(
+                "table.materialized-table.conversion-from-table.enabled",
+                "false",
+            )
+        ).lower() == "true"
 
     @property
     def materialized(self):
@@ -3021,6 +3031,34 @@ class TableEnvironment:
             base_stmt, mt_schema = extract_schema_block(stmt)
             cm = MT_CREATE_RE.match(base_stmt)
             if cm:
+                name = cm.group("name")
+                if name in self.tables:
+                    # converting a REGULAR table (reference
+                    # materialized-table/statements.md "Converting a
+                    # Table to a Materialized Table"): one-way, only via
+                    # CREATE OR ALTER, and only when the conversion
+                    # option was set at session initialization
+                    if not cm.group("oralter"):
+                        raise ValueError(
+                            f"Object '{name}' already exists as a table; "
+                            "use CREATE OR ALTER MATERIALIZED TABLE to "
+                            "convert it"
+                        )
+                    if not self._mt_conversion_enabled:
+                        raise ValueError(
+                            f"Cannot convert table {name!r} to a "
+                            "materialized table: set 'table."
+                            "materialized-table.conversion-from-table."
+                            "enabled' = 'true' in the session's INITIAL "
+                            "configuration (the option is read at "
+                            "session initialization; a later SET has no "
+                            "effect)"
+                        )
+                    # the object keeps its identity; its kind becomes
+                    # materialized table and the definition comes solely
+                    # from this statement — nothing carries over from
+                    # the source table's schema/PK/watermark
+                    del self.tables[name]
                 return self.materialized.create(cm, schema_text=mt_schema)
             am = MT_ALTER_RE.match(stmt)
             if am:

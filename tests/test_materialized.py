@@ -407,3 +407,74 @@ def test_materialized_distribution(spark):
         assert mt.dist_keys == [] and mt.dist_buckets is None
     finally:
         env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mtd_mt")
+
+
+def test_convert_table_to_materialized_table(spark, tmp_path):
+    """Converting a regular table (reference materialized-table/
+    statements.md 'Converting a Table to a Materialized Table'):
+    disabled by default, one-way via CREATE OR ALTER only, gate read at
+    session initialization so a later SET has no effect, definition
+    taken entirely from the conversion statement."""
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+
+    def make_table(env, name):
+        env.execute_sql(
+            f"CREATE TABLE {name} (user_id BIGINT, amount BIGINT) "
+            f"WITH ('connector' = 'filesystem', "
+            f"'path' = '{tmp_path}/{name}', 'format' = 'parquet')"
+        )
+        env.execute_sql(
+            f"INSERT INTO {name} VALUES (1, 10), (1, 20), (2, 5)"
+        )
+
+    # default: conversion disabled — plain CREATE collides, OR ALTER
+    # names the gate
+    env = TableEnvironment(spark)
+    make_table(env, "conv_src")
+    make_table(env, "conv_t")
+    with pytest.raises(ValueError, match="already exists as a table"):
+        env.execute_sql(
+            "CREATE MATERIALIZED TABLE conv_t FRESHNESS = INTERVAL '1' "
+            "MINUTE AS SELECT user_id, SUM(amount) AS total_amount "
+            "FROM conv_src GROUP BY user_id"
+        )
+    with pytest.raises(ValueError, match="conversion-from-table"):
+        env.execute_sql(
+            "CREATE OR ALTER MATERIALIZED TABLE conv_t FRESHNESS = "
+            "INTERVAL '1' MINUTE AS SELECT user_id, SUM(amount) AS "
+            "total_amount FROM conv_src GROUP BY user_id"
+        )
+    # SET after init has no effect (planning-time read, per the doc)
+    env.execute_sql(
+        "SET 'table.materialized-table.conversion-from-table.enabled' "
+        "= 'true'"
+    )
+    with pytest.raises(ValueError, match="conversion-from-table"):
+        env.execute_sql(
+            "CREATE OR ALTER MATERIALIZED TABLE conv_t FRESHNESS = "
+            "INTERVAL '1' MINUTE AS SELECT user_id, SUM(amount) AS "
+            "total_amount FROM conv_src GROUP BY user_id"
+        )
+    # a session INITIALIZED with the option on converts in place
+    env2 = TableEnvironment(spark)
+    assert env2._mt_conversion_enabled
+    make_table(env2, "conv_src2")
+    make_table(env2, "conv_t2")
+    env2.execute_sql(
+        "CREATE OR ALTER MATERIALIZED TABLE conv_t2 FRESHNESS = "
+        "INTERVAL '1' MINUTE AS SELECT user_id, SUM(amount) AS "
+        "total_amount FROM conv_src2 GROUP BY user_id"
+    )
+    assert "conv_t2" not in env2.tables  # kind changed
+    assert "conv_t2" in env2.materialized.tables
+    rows = {
+        r.user_id: r.total_amount
+        for r in spark.sql("SELECT * FROM conv_t2").collect()
+    }
+    assert rows == {1: 30, 2: 5}  # schema/query from the statement only
+    spark.conf.unset(
+        "table.materialized-table.conversion-from-table.enabled"
+    )
+    env2.execute_sql("DROP MATERIALIZED TABLE conv_t2")
