@@ -16,6 +16,9 @@ Endpoints (v1):
     DELETE /v1/sessions/{sh}                       → close
     POST   /v1/sessions/{sh}/heartbeat             → keepalive
     POST   /v1/sessions/{sh}/statements            → operationHandle
+    POST   /v1/sessions/{sh}/configure-session     → {} (config stmt)
+    POST   /v1/sessions/{sh}/complete-statement    → candidates
+    POST   /v1/sessions/{sh}/scripts               → clusterID (v4)
     GET    /v1/sessions/{sh}/operations/{oh}/status
     GET    /v1/sessions/{sh}/operations/{oh}/result/{token}
     POST   /v1/sessions/{sh}/operations/{oh}/cancel
@@ -72,6 +75,19 @@ _ROUTES = [
     ("DELETE", re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)$"), "close_session"),
     ("POST", re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/heartbeat$"), "heartbeat"),
     ("POST", re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/statements$"), "execute"),
+    # session configuration statement (reference ConfigureSessionHeaders,
+    # OperationExecutor.configureSession)
+    ("POST",
+     re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/configure-session$"),
+     "configure_session"),
+    # statement completion (reference CompleteStatementHeaders)
+    ("POST",
+     re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/complete-statement$"),
+     "complete_statement"),
+    # SQL-script deployment as an application (reference v4
+    # DeployScriptHeaders: POST /sessions/:sh/scripts → clusterID)
+    ("POST", re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/scripts$"),
+     "deploy_script"),
     ("GET",
      re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/operations/(?P<oh>[\w-]+)/status$"),
      "op_status"),
@@ -389,6 +405,150 @@ class SqlGatewayServer:
 
         self.pool.submit(run)
         return 200, {"operationHandle": oh}
+
+    #: statement classes configure-session accepts (reference
+    #: OperationExecutor.SUPPORTED_CONFIG_SESSION_OPERATIONS)
+    _CONFIG_STMT_RE = re.compile(
+        r"^\s*(CREATE|DROP|ALTER|USE|SET|RESET|ADD\s+JAR|REMOVE\s+JAR|"
+        r"LOAD\s+MODULE|UNLOAD\s+MODULE)\b",
+        re.IGNORECASE,
+    )
+
+    def _h_configure_session(self, body, sh):
+        """POST /sessions/{sh}/configure-session (reference
+        ConfigureSessionHeaders; SqlGatewayServiceImpl.configureSession):
+        run ONE configuration statement synchronously; queries and
+        multi-statement scripts are rejected; a positive
+        executionTimeout is unsupported, matching the reference."""
+        from flink_spark.sqltok import split_outside_literals
+
+        sess = self._session(sh)
+        if int(body.get("executionTimeout", 0) or 0) > 0:
+            return 400, {
+                "errors": [
+                    "SqlGatewayService doesn't support timeout mechanism now."
+                ]
+            }
+        stmt = body.get("statement", "")
+        parts = [s for s in split_outside_literals(stmt) if s.strip()]
+        if len(parts) != 1:
+            return 400, {
+                "errors": [
+                    "Unsupported SQL statement! Configure session only "
+                    "accepts a single SQL statement."
+                ]
+            }
+        if not self._CONFIG_STMT_RE.match(parts[0]):
+            return 400, {
+                "errors": [
+                    f"Unsupported statement for configuring session: "
+                    f"{parts[0].strip()}\nThe configureSession API only "
+                    "supports statements of type CREATE/DROP/ALTER/USE/"
+                    "SET/RESET/ADD JAR/REMOVE JAR/LOAD MODULE/UNLOAD MODULE."
+                ]
+            }
+        try:
+            sess.env.execute_sql(parts[0])
+        except Exception as e:  # noqa: BLE001
+            return 400, {"errors": [str(e)]}
+        return 200, {}
+
+    _SQL_KEYWORDS = (
+        "SELECT", "FROM", "WHERE", "GROUP BY", "GROUPING SETS", "HAVING",
+        "ORDER BY", "LIMIT", "JOIN", "LEFT JOIN", "RIGHT JOIN",
+        "FULL JOIN", "CROSS JOIN", "UNION", "UNION ALL", "INTERSECT",
+        "EXCEPT", "INSERT INTO", "INSERT OVERWRITE", "CREATE TABLE",
+        "CREATE VIEW", "CREATE FUNCTION", "CREATE MODEL",
+        "CREATE MATERIALIZED TABLE", "CREATE CATALOG", "CREATE DATABASE",
+        "DROP TABLE", "DROP VIEW", "ALTER TABLE", "DESCRIBE", "EXPLAIN",
+        "SHOW TABLES", "SHOW VIEWS", "SHOW DATABASES", "SHOW CATALOGS",
+        "SHOW FUNCTIONS", "SHOW JOBS", "USE", "SET", "RESET", "VALUES",
+        "WATERMARK", "PARTITION", "DISTINCT", "TUMBLE", "HOP", "SESSION",
+        "CUMULATE", "MATCH_RECOGNIZE", "ML_PREDICT", "ML_EVALUATE",
+        "VECTOR_SEARCH",
+    )
+
+    def _h_complete_statement(self, body, sh):
+        """POST /sessions/{sh}/complete-statement (reference
+        CompleteStatementHeaders; the planner's SqlAdvisor analog):
+        returns keyword / table / function candidates for the prefix
+        ending at `position`."""
+        sess = self._session(sh)
+        stmt = body.get("statement", "") or ""
+        pos = int(body.get("position", len(stmt)))
+        pos = max(0, min(pos, len(stmt)))
+        i = pos
+        while i > 0 and (stmt[i - 1].isalnum() or stmt[i - 1] in "_."):
+            i -= 1
+        prefix = stmt[i:pos].upper()
+        names: set[str] = set(sess.env.tables)
+        names.update(sess.env.user_functions)
+        try:
+            names.update(
+                t.name for t in self.spark.catalog.listTables()
+            )
+        except Exception:  # noqa: BLE001
+            pass
+        cands = [k for k in self._SQL_KEYWORDS if k.startswith(prefix)]
+        cands += sorted(
+            n for n in names if n.upper().startswith(prefix)
+        )
+        if not prefix:
+            cands = list(self._SQL_KEYWORDS)
+        return 200, {"candidates": cands}
+
+    def _h_deploy_script(self, body, sh):
+        """POST /sessions/{sh}/scripts (reference v4 DeployScriptHeaders /
+        DeployScriptRequestBody: exactly one of script | scriptUri, plus
+        an executionConfig map): runs the script's statements in order
+        as a detached application and returns its clusterID — the
+        single-JVM analog of deploying the script to an application
+        cluster."""
+        sess = self._session(sh)
+        script, uri = body.get("script"), body.get("scriptUri")
+        if bool(script) == bool(uri):
+            return 400, {
+                "errors": [
+                    "DeployScript requires exactly one of 'script' or "
+                    "'scriptUri'."
+                ]
+            }
+        if uri:
+            import os
+            from urllib.parse import urlparse
+
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                return 400, {
+                    "errors": [
+                        f"unsupported scriptUri scheme {parsed.scheme!r} "
+                        "(only file:// is reachable from this gateway)"
+                    ]
+                }
+            path = parsed.path or uri
+            if not os.path.exists(path):
+                return 400, {"errors": [f"scriptUri not found: {path}"]}
+            with open(path, encoding="utf-8") as fh:
+                script = fh.read()
+        from flink_spark.sqltok import split_outside_literals
+
+        stmts = [s for s in split_outside_literals(script) if s.strip()]
+        cluster_id = f"application_{uuid.uuid4().hex}"
+        self.applications = getattr(self, "applications", {})
+        self.applications[cluster_id] = "RUNNING"
+
+        def run() -> None:
+            try:
+                for k, v in (body.get("executionConfig") or {}).items():
+                    sess.env.execute_sql(f"SET '{k}' = '{v}'")
+                for s in stmts:
+                    sess.env.execute_sql(s)
+                self.applications[cluster_id] = "FINISHED"
+            except Exception:  # noqa: BLE001
+                self.applications[cluster_id] = "FAILED"
+
+        self.pool.submit(run)
+        return 200, {"clusterID": cluster_id}
 
     def _h_op_status(self, body, sh, oh):
         op = self._operation(sh, oh)

@@ -423,3 +423,83 @@ def test_mt_refresh_endpoint_unknown_table(gw):
                       {"isPeriodic": False})
     assert code == 404 and "does not exist" in err["errors"][0]
     _call(gw, "DELETE", f"/v1/sessions/{sh}")
+
+
+def test_configure_session_endpoint(gw):
+    """POST /configure-session (reference ConfigureSessionHeaders /
+    OperationExecutor.configureSession): one config statement runs
+    synchronously; queries, multi-statement scripts and a positive
+    executionTimeout are rejected with the reference's messages."""
+    _, s = _call(gw, "POST", "/v1/sessions", {})
+    sh = s["sessionHandle"]
+    code, _ = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                    {"statement": "SET 'pipeline.name' = 'cfg-test'"})
+    assert code == 200
+    # the SET took effect in THIS session's environment
+    _, op = _call(gw, "POST", f"/v1/sessions/{sh}/statements",
+                  {"statement": "SET"})
+    _wait_finished(gw, sh, op["operationHandle"])
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                       {"statement": "SELECT 1"})
+    assert code == 400 and "Unsupported statement" in body["errors"][0]
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                       {"statement": "SET 'a'='b'; SET 'c'='d'"})
+    assert code == 400 and "single SQL statement" in body["errors"][0]
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                       {"statement": "SET 'a'='b'", "executionTimeout": 5})
+    assert code == 400 and "timeout" in body["errors"][0]
+
+
+def test_complete_statement_endpoint(gw):
+    _, s = _call(gw, "POST", "/v1/sessions", {})
+    sh = s["sessionHandle"]
+    _, op = _call(gw, "POST", f"/v1/sessions/{sh}/statements", {
+        "statement": "CREATE TABLE gw_complete_t (a INT) "
+                     "WITH ('connector' = 'datagen')"
+    })
+    _wait_finished(gw, sh, op["operationHandle"])
+    stmt = "SELECT * FROM gw_comp"
+    code, body = _call(gw, "POST",
+                       f"/v1/sessions/{sh}/complete-statement",
+                       {"statement": stmt, "position": len(stmt)})
+    assert code == 200 and "gw_complete_t" in body["candidates"]
+    stmt2 = "SEL"
+    _, body2 = _call(gw, "POST", f"/v1/sessions/{sh}/complete-statement",
+                     {"statement": stmt2, "position": 3})
+    assert "SELECT" in body2["candidates"]
+
+
+def test_deploy_script_endpoint(gw, tmp_path):
+    """POST /sessions/{sh}/scripts (reference v4 DeployScriptHeaders):
+    exactly one of script|scriptUri, executionConfig applied, statements
+    run in order as a detached application with a clusterID."""
+    _, s = _call(gw, "POST", "/v1/sessions", {})
+    sh = s["sessionHandle"]
+    script = (
+        "CREATE TABLE gw_script_t (a STRING, b STRING) "
+        "WITH ('connector' = 'values', 'data' = 'x|1;y|2');\n"
+        "CREATE VIEW gw_script_v AS SELECT a FROM gw_script_t"
+    )
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"script": script,
+                        "executionConfig": {"pipeline.name": "deploy-test"}})
+    assert code == 200 and body["clusterID"].startswith("application_")
+    for _ in range(100):
+        _, op = _call(gw, "POST", f"/v1/sessions/{sh}/statements",
+                      {"statement": "SELECT COUNT(*) AS n FROM gw_script_v"})
+        st = _wait_finished(gw, sh, op["operationHandle"])
+        if st["status"] == "FINISHED":
+            break
+        time.sleep(0.1)
+    assert st["status"] == "FINISHED"
+    # scriptUri path + mutual exclusion
+    p = tmp_path / "deploy.sql"
+    p.write_text("CREATE VIEW gw_script_v2 AS SELECT b FROM gw_script_t")
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"scriptUri": f"file://{p}"})
+    assert code == 200
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"script": "SELECT 1", "scriptUri": f"file://{p}"})
+    assert code == 400 and "exactly one" in body["errors"][0]
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts", {})
+    assert code == 400
