@@ -251,14 +251,21 @@ def _search(
         # here is an inherently parallel broadcast join, so they are
         # accepted and moot; 'index' routes to the ANN library; anything
         # else is a typo worth failing loudly on
-        unknown = set(config) - {
-            "index", "async", "timeout", "max-concurrent-operations"
+        unknown = {
+            k
+            for k in config
+            if k not in ("index", "async", "timeout",
+                         "max-concurrent-operations")
+            # index-scoped tuning keys ('lsh.bands', 'ivf.probe',
+            # 'pq.codebooks', ...) route to the ANN library untouched
+            and not k.startswith(("lsh.", "ivf.", "pq."))
         }
         if unknown:
             raise ValueError(
                 f"VECTOR_SEARCH: unsupported config options "
                 f"{sorted(unknown)} (supported: index, async, timeout, "
-                "max-concurrent-operations)"
+                "max-concurrent-operations, and lsh./ivf./pq.-prefixed "
+                "index tuning keys)"
             )
     if config and config.get("index", "brute").lower() != "brute":
         # exact brute scan stays the default; CONFIG opts into the ANN
