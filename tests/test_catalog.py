@@ -715,6 +715,23 @@ def test_group_id_rewrite(spark):
         ).collect()
         assert all(r.b1 is None for r in rows if r.a is not None)
         assert sorted(r.b1 for r in rows if r.a is None) == [1, 2, 3]
+        # a UNION nested inside a derived table is NOT a top-level arm
+        rows = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g, COUNT(*) AS c"
+            " FROM (SELECT a FROM gid_t UNION ALL SELECT a FROM gid_t) u"
+            " GROUP BY GROUPING SETS ((a), (), ())"
+        ).collect()
+        assert sorted(((r.a, r.g, r.c) for r in rows), key=str) == sorted(
+            [(0, 0, 6), (1, 0, 6), (None, 0, 12), (None, 1, 12)], key=str
+        )
+        # HAVING stays per round
+        rows = env.execute_sql(
+            "SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM gid_t"
+            " GROUP BY GROUPING SETS ((a), (), ()) HAVING COUNT(*) > 4"
+        ).collect()
+        assert sorted(((r.a, r.g, r.c) for r in rows), key=str) == sorted(
+            [(None, 0, 6), (None, 1, 6)], key=str
+        )
     finally:
         spark.catalog.dropTempView("gid_t")
 
