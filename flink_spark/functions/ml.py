@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-_CONFIG_KEYS = {"async", "timeout", "max-concurrent-operations"}
+_CONFIG_KEYS = {"async", "timeout", "max-concurrent-operations",
+                "output-mode"}
 
 
 class FixedPointLinearModel:
@@ -121,6 +122,13 @@ def ml_predict(
     max_conc = int(cfg.get("max-concurrent-operations", 10))
     if max_conc < 1:
         raise ValueError("ML_PREDICT config: max-concurrent-operations >= 1")
+    out_mode = str(cfg.get("output-mode", "ORDERED")).upper()
+    if out_mode not in ("ORDERED", "ALLOW_UNORDERED"):
+        raise ValueError(
+            f"ML_PREDICT config: output-mode must be ORDERED or "
+            f"ALLOW_UNORDERED, got {out_mode!r}"
+        )
+    unordered = out_mode == "ALLOW_UNORDERED"
 
     def _emit(pdf, out):
         if renames:
@@ -172,6 +180,31 @@ def ml_predict(
                     pending.append(pool.submit(run, pdf))
 
             refill()
+            if unordered:
+                # ALLOW_UNORDERED (reference ml_predict_runtime_config
+                # output-mode → AsyncDataStream.OutputMode.UNORDERED):
+                # emit completions as they land, refilling the window —
+                # lower latency when row order within a partition does
+                # not affect correctness
+                live_set = set(pending)
+                pending.clear()
+                while live_set:
+                    done, live_set = concurrent.futures.wait(
+                        live_set, timeout=timeout,
+                        return_when=concurrent.futures.FIRST_COMPLETED,
+                    )
+                    if not done:
+                        raise TimeoutError(
+                            f"ML_PREDICT: batch inference exceeded the "
+                            f"configured timeout of {timeout}s"
+                        )
+                    for f in done:
+                        pdf, out = f.result()
+                        yield _emit(pdf, out)
+                    refill()
+                    live_set |= set(pending)
+                    pending.clear()
+                return
             while pending:
                 head = pending.popleft()
                 try:

@@ -255,7 +255,7 @@ def _search(
             k
             for k in config
             if k not in ("index", "async", "timeout",
-                         "max-concurrent-operations")
+                         "max-concurrent-operations", "output-mode")
             # index-scoped tuning keys ('lsh.bands', 'ivf.probe',
             # 'pq.codebooks', ...) route to the ANN library untouched
             and not k.startswith(("lsh.", "ivf.", "pq."))

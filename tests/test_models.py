@@ -413,3 +413,42 @@ def test_ml_predict_config_and_named_params(env, spark):
             config={"async": "true"},
         ).collect()
     env.execute_sql("DROP MODEL mlp_m")
+
+
+def test_ml_predict_output_mode(env, spark):
+    """output-mode config (reference ml_predict_runtime_config):
+    ALLOW_UNORDERED emits the same row set (order within a partition is
+    free), invalid values are rejected."""
+    env.execute_sql("DROP MODEL IF EXISTS mlo_m")
+    env.execute_sql(
+        "CREATE MODEL mlo_m INPUT (x ARRAY<FLOAT>) "
+        "OUTPUT (score BIGINT, pred_label BIGINT) "
+        "WITH ('provider' = 'fixed-point-linear')"
+    )
+    spark.createDataFrame(
+        [(i, [float(i) / 10, float(i % 3)]) for i in range(30)],
+        "rid long, emb array<float>",
+    ).createOrReplaceTempView("mlo_t")
+    base = sorted(
+        tuple(r)
+        for r in env.execute_sql(
+            "SELECT rid, score FROM ML_PREDICT(TABLE mlo_t, MODEL mlo_m, "
+            "DESCRIPTOR(emb))"
+        ).collect()
+    )
+    un = sorted(
+        tuple(r)
+        for r in env.execute_sql(
+            "SELECT rid, score FROM ML_PREDICT(TABLE mlo_t, MODEL mlo_m, "
+            "DESCRIPTOR(emb), MAP['async', 'true', "
+            "'output-mode', 'ALLOW_UNORDERED', "
+            "'max-concurrent-operations', '3'])"
+        ).collect()
+    )
+    assert un == base
+    with pytest.raises(ValueError, match="output-mode"):
+        env.execute_sql(
+            "SELECT * FROM ML_PREDICT(TABLE mlo_t, MODEL mlo_m, "
+            "DESCRIPTOR(emb), MAP['output-mode', 'SHUFFLED'])"
+        )
+    env.execute_sql("DROP MODEL mlo_m")
