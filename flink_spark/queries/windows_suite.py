@@ -269,6 +269,63 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "temporal_table_function_sql",
+    oracle="""
+    WITH v AS (SELECT o_custkey AS ck, CAST(o_orderdate AS TIMESTAMP) AS vts,
+                      CAST(MAX(o_totalprice) AS DOUBLE) AS price
+               FROM orders WHERE o_custkey <= 200
+               GROUP BY o_custkey, o_orderdate),
+         p AS (SELECT c_custkey AS ck, CAST(d AS TIMESTAMP) AS pts
+               FROM customer,
+                    (VALUES (DATE '1995-06-01'), (DATE '1997-01-01'))
+                      AS t(d)
+               WHERE c_custkey <= 200)
+    SELECT p.ck, p.pts,
+           (SELECT v.price FROM v
+            WHERE v.ck = p.ck AND v.vts <= p.pts
+            ORDER BY v.vts DESC LIMIT 1) AS price
+    FROM p
+    """,
+)
+def temporal_table_function_sql(spark, sf_dir):
+    """Temporal table FUNCTION (reference TemporalTableFunction.java,
+    `createTemporalTableFunction` + the `LATERAL TABLE (Rates(o.ts))`
+    SQL spelling; lowered through the same as-of machinery as FOR
+    SYSTEM_TIME AS OF): each probe row resolves against the version in
+    effect at its timestamp (NULL when no version precedes it). Versions
+    are per-(customer, order-date) maxima so the winner is
+    deterministic; the oracle replays argmax-by-version-time."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_totalprice").alias("p0")
+    ).selectExpr(
+        "o_custkey AS ck",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS vts",
+        "CAST(p0 AS DOUBLE) AS price",
+    ).createOrReplaceTempView("__ttf_versions")
+    env.create_temporal_table_function("CustRates", "__ttf_versions",
+                                       "vts", "ck")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 200
+    )
+    c.selectExpr("c_custkey AS ck").crossJoin(
+        spark.sql(
+            "SELECT CAST(d AS TIMESTAMP_NTZ) AS pts FROM "
+            "VALUES (DATE '1995-06-01'), (DATE '1997-01-01') AS t(d)"
+        )
+    ).createOrReplaceTempView("__ttf_probes")
+    return env.execute_sql("""
+        SELECT p.ck, p.pts, r.price
+        FROM __ttf_probes AS p,
+        LATERAL TABLE (CustRates(p.pts)) AS r
+        WHERE p.ck = r.ck
+    """)
+
+
+@query(
     "window_join_events",
     oracle="""
     WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
