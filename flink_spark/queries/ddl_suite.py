@@ -980,3 +980,81 @@ def ddl_mt_schema_roundtrip(spark, sf_dir):
         "o_orderpriority", "cnt", "doubled", "avg_per"
     ).orderBy("o_orderpriority")
     return out
+
+
+@query(
+    "ddl_datagen_sequence",
+    oracle="""
+    SELECT CAST(i + 10 AS BIGINT) AS id,
+           CAST(i AS INT) AS sq,
+           CAST((i + 10) * 3 + i AS BIGINT) AS mix
+    FROM range(100) t(i)
+    """,
+)
+def ddl_datagen_sequence(spark, sf_dir):
+    """DataGen source with SEQUENCE field kinds (reference
+    datagen connector 'fields.<col>.kind'='sequence' + start): bounded,
+    deterministic generation — the one datagen mode with an exact
+    oracle; random kinds stay pytest-gated by nature."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP TABLE IF EXISTS __dg_seq")
+    env.execute_sql("""
+        CREATE TABLE __dg_seq (id BIGINT, sq INT) WITH (
+          'connector' = 'datagen',
+          'number-of-rows' = '100',
+          'fields.id.kind' = 'sequence',
+          'fields.id.start' = '10',
+          'fields.sq.kind' = 'sequence',
+          'fields.sq.start' = '0'
+        )
+    """)
+    return env.execute_sql(
+        "SELECT id, sq, id * 3 + sq AS mix FROM __dg_seq"
+    )
+
+
+@query(
+    "datastream_pipeline",
+    oracle="""
+    WITH s AS (SELECT i AS id FROM range(1, 201) t(i)),
+         m AS (SELECT id, id * 2 + 1 AS y FROM s WHERE id % 3 <> 0),
+         u AS (SELECT * FROM m UNION ALL
+               SELECT id, id * 2 + 1 AS y FROM s WHERE id <= 10
+                 AND id % 3 <> 0)
+    SELECT CAST(id % 5 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS total
+    FROM u GROUP BY id % 5
+    """,
+)
+def datastream_pipeline(spark, sf_dir):
+    """Bounded DataStream program (reference DataStream API / SURVEY
+    §3.3 entry point): from_sequence → JVM map → filter → union →
+    key_by → reduce, everything delegating to Catalyst — the fluent
+    surface with an exact relational oracle."""
+    from flink_spark.datastream import StreamExecutionEnvironment
+
+    denv = StreamExecutionEnvironment(spark)
+    base = (
+        denv.from_sequence(1, 200)
+        .map((F.col("id") * 2 + 1).alias("y"))
+        .filter(F.col("id") % 3 != 0)
+    )
+    small = (
+        denv.from_sequence(1, 10)
+        .map((F.col("id") * 2 + 1).alias("y"))
+        .filter(F.col("id") % 3 != 0)
+    )
+    out = (
+        base.union(small)
+        .key_by((F.col("id") % 5).alias("k"))
+        .reduce(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("total"),
+        )
+    )
+    return out.to_data_frame().select(
+        F.col("k").cast("long").alias("k"), "n", "total"
+    )
