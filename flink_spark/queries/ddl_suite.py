@@ -1058,3 +1058,41 @@ def datastream_pipeline(spark, sf_dir):
     return out.to_data_frame().select(
         F.col("k").cast("long").alias("k"), "n", "total"
     )
+
+
+@query(
+    "ddl_compile_execute_plan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS finished
+    FROM orders WHERE o_custkey <= 500
+    GROUP BY o_orderpriority
+    """,
+)
+def ddl_compile_execute_plan(spark, sf_dir):
+    """COMPILE PLAN ... FOR <query> then EXECUTE PLAN (reference
+    SqlCompilePlan / SqlExecutePlan; restore.md): the persisted contract
+    (SQL + analyzed schema + optimized-plan fingerprint) replays through
+    EXECUTE PLAN and must produce the original result exactly — with the
+    schema-drift guard armed in between."""
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__cep_orders"
+    )
+    path = tempfile.mktemp(suffix=".json", prefix="flink_spark_plan_")
+    env.execute_sql(f"""
+        COMPILE PLAN '{path}' FOR
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS finished
+        FROM __cep_orders WHERE o_custkey <= 500
+        GROUP BY o_orderpriority
+    """)
+    return env.execute_sql(f"EXECUTE PLAN '{path}'")
