@@ -1096,3 +1096,35 @@ def ddl_compile_execute_plan(spark, sf_dir):
         GROUP BY o_orderpriority
     """)
     return env.execute_sql(f"EXECUTE PLAN '{path}'")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.o_orderkey, l.o_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS nk
+    FROM (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_custkey <= 100) l
+    JOIN customer c ON l.o_custkey = c.c_custkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Manual skew-salted equi-join (reference FLIP-510 /
+    AdaptiveSkewedJoinOptimizationStrategy — the statically-planned form
+    of AQE's runtime skew split): the large side salts on row identity,
+    the small side replicates per salt, the hot key's rows spread over
+    n_salts shuffle partitions. Results must equal the plain join
+    bit-for-bit; the salt never escapes the operator."""
+    from flink_spark.operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 100
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nk")
+    )
+    out = salted_join(
+        o, c, left_key="o_custkey", right_key="c_custkey",
+        n_salts=8, id_col="o_orderkey",
+    )
+    return out.select("o_orderkey", "o_custkey", "nk")
