@@ -1128,3 +1128,63 @@ def join_skew_salted(spark, sf_dir):
         n_salts=8, id_col="o_orderkey",
     )
     return out.select("o_orderkey", "o_custkey", "nk")
+
+
+@query(
+    "ddl_statement_set",
+    oracle="""
+    SELECT 'hi' AS sink, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(30,6)))
+                AS DOUBLE) AS total
+    FROM orders WHERE o_custkey <= 300 AND o_totalprice >= 150000
+    UNION ALL
+    SELECT 'lo' AS sink, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(30,6)))
+                AS DOUBLE) AS total
+    FROM orders WHERE o_custkey <= 300 AND o_totalprice < 150000
+    """,
+)
+def ddl_statement_set(spark, sf_dir):
+    """EXECUTE STATEMENT SET BEGIN ... END (reference statement sets /
+    StatementSetOperation): two INSERTs sharing one scan fan out to two
+    filesystem sinks in a single execution; reading both sinks back must
+    reproduce the partition of the source exactly."""
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 300
+    ).createOrReplaceTempView("__ss_orders")
+    root = tempfile.mkdtemp(prefix="flink_spark_ss_")
+    for t in ("hi", "lo"):
+        env.execute_sql(f"DROP TABLE IF EXISTS __ss_{t}")
+        env.execute_sql(f"""
+            CREATE TABLE __ss_{t} (o_orderkey BIGINT, o_totalprice DOUBLE)
+            WITH ('connector' = 'filesystem', 'path' = '{root}/{t}',
+                  'format' = 'parquet')
+        """)
+    env.execute_sql("""
+        EXECUTE STATEMENT SET BEGIN
+        INSERT INTO __ss_hi SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) FROM __ss_orders
+          WHERE o_totalprice >= 150000;
+        INSERT INTO __ss_lo SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) FROM __ss_orders
+          WHERE o_totalprice < 150000;
+        END
+    """)
+    from flink_spark.queries.util import dsum
+
+    hi = spark.table("__ss_hi").agg(
+        F.lit("hi").alias("sink"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+    lo = spark.table("__ss_lo").agg(
+        F.lit("lo").alias("sink"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+    return hi.unionAll(lo).select("sink", "n", "total")
