@@ -1644,6 +1644,14 @@ class TableEnvironment:
             right = right.withColumnRenamed(rk, lk)
         joined = asof_join(left, right, key=lk, left_ts=m.group("wts"),
                            right_ts=rts)
+        # the comma / cross-apply spelling is an INNER correlate in the
+        # reference (probe rows with no effective version emit nothing;
+        # LEFT requires an explicit LEFT JOIN LATERAL ... ON TRUE) — the
+        # as-of lowering is left-flavored, so drop the no-version rows
+        from pyspark.sql import functions as F
+
+        rts_name = rts + "_r" if rts in left.columns else rts
+        joined = joined.filter(F.col(rts_name).isNotNull())
         view = f"__ttf_{_det_digest(m.group(0))}"
         joined.createOrReplaceTempView(view)
         cols = re.sub(rf"\b({la}|{ra})\.", "", m.group("cols"))
@@ -3056,9 +3064,15 @@ class TableEnvironment:
                         )
                     # the object keeps its identity; its kind becomes
                     # materialized table and the definition comes solely
-                    # from this statement — nothing carries over from
-                    # the source table's schema/PK/watermark
+                    # from this statement — but the registry entry is
+                    # removed only AFTER create succeeds, so a failing
+                    # conversion (bad query, bad freshness unit, schema
+                    # error) leaves the regular table intact
+                    out = self.materialized.create(
+                        cm, schema_text=mt_schema
+                    )
                     del self.tables[name]
+                    return out
                 return self.materialized.create(cm, schema_text=mt_schema)
             am = MT_ALTER_RE.match(stmt)
             if am:

@@ -183,9 +183,9 @@ def ml_predict(
             if unordered:
                 # ALLOW_UNORDERED (reference ml_predict_runtime_config
                 # output-mode → AsyncDataStream.OutputMode.UNORDERED):
-                # emit completions as they land, refilling the window —
-                # lower latency when row order within a partition does
-                # not affect correctness
+                # emit completions as they land, topping the window back
+                # up to max_conc IN-FLIGHT futures (in-flight, not
+                # per-round submissions — the window must bound memory)
                 live_set = set(pending)
                 pending.clear()
                 while live_set:
@@ -201,9 +201,12 @@ def ml_predict(
                     for f in done:
                         pdf, out = f.result()
                         yield _emit(pdf, out)
-                    refill()
-                    live_set |= set(pending)
-                    pending.clear()
+                    while len(live_set) < max_conc:
+                        try:
+                            nxt = next(live)
+                        except StopIteration:
+                            break
+                        live_set.add(pool.submit(run, nxt))
                 return
             while pending:
                 head = pending.popleft()

@@ -267,6 +267,12 @@ def _search(
                 "max-concurrent-operations, and lsh./ivf./pq.-prefixed "
                 "index tuning keys)"
             )
+        om = str(config.get("output-mode", "ORDERED")).upper()
+        if om not in ("ORDERED", "ALLOW_UNORDERED"):
+            raise ValueError(
+                f"VECTOR_SEARCH: output-mode must be ORDERED or "
+                f"ALLOW_UNORDERED, got {om!r}"
+            )
     if config and config.get("index", "brute").lower() != "brute":
         # exact brute scan stays the default; CONFIG opts into the ANN
         # library (reference vector_search.md CONFIG map)

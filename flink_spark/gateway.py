@@ -89,6 +89,10 @@ _ROUTES = [
     ("POST", re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/scripts$"),
      "deploy_script"),
     ("GET",
+     re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/applications/"
+                r"(?P<app>[\w-]+)/status$"),
+     "app_status"),
+    ("GET",
      re.compile(r"^/v1/sessions/(?P<sh>[\w-]+)/operations/(?P<oh>[\w-]+)/status$"),
      "op_status"),
     ("GET",
@@ -120,6 +124,35 @@ _ROUTES = [
     ("DELETE", re.compile(r"^(?:/v1)?/workflow/embedded-scheduler/delete$"),
      "wf_delete"),
 ]
+
+
+def _split_script(script: str) -> list[str]:
+    """Split a deployed SQL script into statements on top-level
+    semicolons, keeping EXECUTE STATEMENT SET BEGIN ... END blocks whole
+    (their inner semicolons are part of ONE statement — the canonical
+    content of deployed Flink SQL scripts)."""
+    from flink_spark.sqltok import split_outside_literals
+
+    parts = [s for s in split_outside_literals(script) if s.strip()]
+    out: list[str] = []
+    buf: list[str] = []
+    for p in parts:
+        if buf:
+            buf.append(p)
+            if p.strip().upper() == "END":
+                out.append(";".join(buf))
+                buf = []
+            continue
+        head = re.match(
+            r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", p, re.IGNORECASE
+        )
+        if head and not re.search(r"\bEND\s*$", p, re.IGNORECASE):
+            buf = [p]
+        else:
+            out.append(p)
+    if buf:  # unterminated block: pass through, the dialect will error
+        out.append(";".join(buf))
+    return out
 
 
 def _json_value(v):
@@ -234,6 +267,8 @@ class SqlGatewayServer:
             )
         self.spark = spark
         self.sessions: dict[str, _Session] = {}
+        # deployed-script applications: clusterID -> {status, error}
+        self.applications: dict[str, dict] = {}
         self.session_idle_timeout = session_idle_timeout
         self._lock = threading.Lock()
         self.pool = ThreadPoolExecutor(max_workers=workers,
@@ -475,7 +510,10 @@ class SqlGatewayServer:
         ending at `position`."""
         sess = self._session(sh)
         stmt = body.get("statement", "") or ""
-        pos = int(body.get("position", len(stmt)))
+        try:
+            pos = int(body.get("position", len(stmt)))
+        except (TypeError, ValueError):
+            pos = len(stmt)  # null/garbage position → complete at end
         pos = max(0, min(pos, len(stmt)))
         i = pos
         while i > 0 and (stmt[i - 1].isalnum() or stmt[i - 1] in "_."):
@@ -484,8 +522,10 @@ class SqlGatewayServer:
         names: set[str] = set(sess.env.tables)
         names.update(sess.env.user_functions)
         try:
+            # THIS session's isolated catalog (each _Session wraps
+            # spark.newSession()), not the shared root session's
             names.update(
-                t.name for t in self.spark.catalog.listTables()
+                t.name for t in sess.env.spark.catalog.listTables()
             )
         except Exception:  # noqa: BLE001
             pass
@@ -530,25 +570,59 @@ class SqlGatewayServer:
                 return 400, {"errors": [f"scriptUri not found: {path}"]}
             with open(path, encoding="utf-8") as fh:
                 script = fh.read()
-        from flink_spark.sqltok import split_outside_literals
-
-        stmts = [s for s in split_outside_literals(script) if s.strip()]
+        stmts = _split_script(script)
         cluster_id = f"application_{uuid.uuid4().hex}"
-        self.applications = getattr(self, "applications", {})
-        self.applications[cluster_id] = "RUNNING"
+        with self._lock:
+            self.applications[cluster_id] = {"status": "RUNNING",
+                                             "error": None}
 
         def run() -> None:
+            cfg = body.get("executionConfig") or {}
+            saved: dict[str, str | None] = {}
             try:
-                for k, v in (body.get("executionConfig") or {}).items():
-                    sess.env.execute_sql(f"SET '{k}' = '{v}'")
+                # executionConfig scopes to the deployed application:
+                # snapshot, apply (with '' quote escaping), restore
+                for k, v in cfg.items():
+                    try:
+                        saved[k] = sess.env.spark.conf.get(k)
+                    except Exception:  # noqa: BLE001 - unset before
+                        saved[k] = None
+                    kq = str(k).replace("'", "''")
+                    vq = str(v).replace("'", "''")
+                    sess.env.execute_sql(f"SET '{kq}' = '{vq}'")
                 for s in stmts:
                     sess.env.execute_sql(s)
-                self.applications[cluster_id] = "FINISHED"
-            except Exception:  # noqa: BLE001
-                self.applications[cluster_id] = "FAILED"
+                self.applications[cluster_id]["status"] = "FINISHED"
+            except Exception as e:  # noqa: BLE001
+                self.applications[cluster_id].update(
+                    status="FAILED", error=str(e)
+                )
+            finally:
+                for k, old in saved.items():
+                    try:
+                        if old is None:
+                            sess.env.spark.conf.unset(k)
+                        else:
+                            sess.env.spark.conf.set(k, old)
+                    except Exception:  # noqa: BLE001
+                        pass
 
         self.pool.submit(run)
         return 200, {"clusterID": cluster_id}
+
+    def _h_app_status(self, body, sh, app):
+        """GET /sessions/{sh}/applications/{id}/status — engine extension
+        (like the MT refresh route): the deploy response only carries the
+        clusterID, and silently losing a failed script would be worse
+        than exceeding the reference surface."""
+        self._session(sh)
+        info = self.applications.get(app)
+        if info is None:
+            return 404, {"errors": [f"unknown application {app!r}"]}
+        out = {"status": info["status"]}
+        if info["error"]:
+            out["errors"] = [info["error"]]
+        return 200, out
 
     def _h_op_status(self, body, sh, oh):
         op = self._operation(sh, oh)

@@ -1077,6 +1077,7 @@ def ddl_compile_execute_plan(spark, sf_dir):
     (SQL + analyzed schema + optimized-plan fingerprint) replays through
     EXECUTE PLAN and must produce the original result exactly — with the
     schema-drift guard armed in between."""
+    import os
     import tempfile
 
     from flink_spark.catalog import TableEnvironment
@@ -1085,17 +1086,23 @@ def ddl_compile_execute_plan(spark, sf_dir):
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "__cep_orders"
     )
-    path = tempfile.mktemp(suffix=".json", prefix="flink_spark_plan_")
-    env.execute_sql(f"""
-        COMPILE PLAN '{path}' FOR
-        SELECT o_orderpriority,
-               COUNT(*) AS cnt,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                 AS finished
-        FROM __cep_orders WHERE o_custkey <= 500
-        GROUP BY o_orderpriority
-    """)
-    return env.execute_sql(f"EXECUTE PLAN '{path}'")
+    fd, path = tempfile.mkstemp(suffix=".json",
+                                prefix="flink_spark_plan_")
+    os.close(fd)
+    try:
+        env.execute_sql(f"""
+            COMPILE PLAN '{path}' FOR
+            SELECT o_orderpriority,
+                   COUNT(*) AS cnt,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     AS finished
+            FROM __cep_orders WHERE o_custkey <= 500
+            GROUP BY o_orderpriority
+        """)
+        # EXECUTE PLAN reads the artifact eagerly; safe to remove after
+        return env.execute_sql(f"EXECUTE PLAN '{path}'")
+    finally:
+        os.unlink(path)
 
 
 @query(

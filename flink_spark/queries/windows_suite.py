@@ -279,12 +279,13 @@ def asof_join_events(spark, sf_dir):
                FROM customer,
                     (VALUES (DATE '1995-06-01'), (DATE '1997-01-01'))
                       AS t(d)
-               WHERE c_custkey <= 200)
-    SELECT p.ck, p.pts,
-           (SELECT v.price FROM v
-            WHERE v.ck = p.ck AND v.vts <= p.pts
-            ORDER BY v.vts DESC LIMIT 1) AS price
-    FROM p
+               WHERE c_custkey <= 200),
+         j AS (SELECT p.ck, p.pts,
+                      (SELECT v.price FROM v
+                       WHERE v.ck = p.ck AND v.vts <= p.pts
+                       ORDER BY v.vts DESC LIMIT 1) AS price
+               FROM p)
+    SELECT ck, pts, price FROM j WHERE price IS NOT NULL
     """,
 )
 def temporal_table_function_sql(spark, sf_dir):
@@ -292,9 +293,11 @@ def temporal_table_function_sql(spark, sf_dir):
     `createTemporalTableFunction` + the `LATERAL TABLE (Rates(o.ts))`
     SQL spelling; lowered through the same as-of machinery as FOR
     SYSTEM_TIME AS OF): each probe row resolves against the version in
-    effect at its timestamp (NULL when no version precedes it). Versions
-    are per-(customer, order-date) maxima so the winner is
-    deterministic; the oracle replays argmax-by-version-time."""
+    effect at its timestamp, and — INNER correlate, the reference's
+    comma/cross-apply semantics — probes with no preceding version emit
+    nothing. Versions are per-(customer, order-date) maxima so the
+    winner is deterministic; the oracle replays
+    argmax-by-version-time."""
     from flink_spark.catalog import TableEnvironment
 
     env = TableEnvironment(spark)

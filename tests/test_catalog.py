@@ -253,7 +253,9 @@ def test_lateral_temporal_table_function_sql(spark, sf_dir, tmp_path):
         WHERE o.ccy = r.ccy
     """)
     rows = {r["oid"]: r["rate"] for r in got.collect()}
-    assert rows == {1: None, 2: 10.0, 3: 20.0, 4: 7.0}
+    # INNER correlate (reference comma/cross-apply semantics): oid 1 has
+    # no version at or before its timestamp and emits NOTHING
+    assert rows == {2: 10.0, 3: 20.0, 4: 7.0}
 
     # declared key mismatch is rejected
     import pytest

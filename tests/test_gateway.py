@@ -503,3 +503,47 @@ def test_deploy_script_endpoint(gw, tmp_path):
     assert code == 400 and "exactly one" in body["errors"][0]
     code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts", {})
     assert code == 400
+    # EXECUTE STATEMENT SET blocks stay whole through script splitting,
+    # and the application status endpoint reports the outcome
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gw_deploy_ss_")
+    sset = (
+        f"CREATE TABLE gw_ss_a (a STRING) WITH ('connector'='filesystem',"
+        f"'path'='{root}/a','format'='parquet');\n"
+        f"CREATE TABLE gw_ss_b (a STRING) WITH ('connector'='filesystem',"
+        f"'path'='{root}/b','format'='parquet');\n"
+        "EXECUTE STATEMENT SET BEGIN "
+        "INSERT INTO gw_ss_a SELECT a FROM gw_script_t; "
+        "INSERT INTO gw_ss_b SELECT b FROM gw_script_t; "
+        "END"
+    )
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"script": sset})
+    assert code == 200
+    app = body["clusterID"]
+    for _ in range(100):
+        code, st = _call(
+            gw, "GET", f"/v1/sessions/{sh}/applications/{app}/status"
+        )
+        if st["status"] != "RUNNING":
+            break
+        time.sleep(0.1)
+    assert st.get("errors") is None, st
+    assert st["status"] == "FINISHED"
+    code, st = _call(
+        gw, "GET", f"/v1/sessions/{sh}/applications/nope/status"
+    )
+    assert code == 404
+    # a failing script surfaces its error through the status endpoint
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"script": "SELECT * FROM no_such_table_zzz"})
+    app = body["clusterID"]
+    for _ in range(100):
+        _, st = _call(
+            gw, "GET", f"/v1/sessions/{sh}/applications/{app}/status"
+        )
+        if st["status"] != "RUNNING":
+            break
+        time.sleep(0.1)
+    assert st["status"] == "FAILED" and st["errors"]

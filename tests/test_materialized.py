@@ -469,6 +469,16 @@ def test_convert_table_to_materialized_table(spark, tmp_path):
     )
     assert "conv_t2" not in env2.tables  # kind changed
     assert "conv_t2" in env2.materialized.tables
+    # a FAILING conversion must leave the regular table intact
+    make_table(env2, "conv_t3")
+    with pytest.raises(Exception):
+        env2.execute_sql(
+            "CREATE OR ALTER MATERIALIZED TABLE conv_t3 FRESHNESS = "
+            "INTERVAL '1' MINUTE AS SELECT no_such_col FROM conv_src2"
+        )
+    assert "conv_t3" in env2.tables
+    assert "conv_t3" not in env2.materialized.tables
+    assert spark.sql("SELECT COUNT(*) AS n FROM conv_t3").first().n == 3
     rows = {
         r.user_id: r.total_amount
         for r in spark.sql("SELECT * FROM conv_t2").collect()
