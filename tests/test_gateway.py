@@ -547,3 +547,31 @@ def test_deploy_script_endpoint(gw, tmp_path):
             break
         time.sleep(0.1)
     assert st["status"] == "FAILED" and st["errors"]
+
+
+def test_split_script_units():
+    """_split_script keeps EXECUTE STATEMENT SET blocks whole, splits
+    everything else on top-level semicolons, ignores semicolons inside
+    literals, and passes unterminated blocks through for the dialect to
+    reject."""
+    from flink_spark.gateway import _split_script
+
+    out = _split_script(
+        "CREATE TABLE a (x INT) WITH ('k'=';;');"
+        "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; "
+        "INSERT INTO a SELECT 2; END;"
+        "DROP TABLE a"
+    )
+    assert len(out) == 3
+    assert out[0].strip().startswith("CREATE TABLE")
+    assert out[1].strip().upper().startswith("EXECUTE STATEMENT SET")
+    assert "SELECT 2" in out[1] and out[1].strip().upper().endswith("END")
+    assert out[2].strip().startswith("DROP")
+    # unterminated block: single passthrough statement
+    out2 = _split_script("EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1;")
+    assert len(out2) == 1
+    # single-fragment block (END on the same fragment, no inner ';')
+    out3 = _split_script(
+        "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1 END"
+    )
+    assert len(out3) == 1
