@@ -160,6 +160,18 @@ _SET_RE = re.compile(
     r"^\s*(?P<verb>SET|RESET)\s*(?:'(?P<k>[^']+)'\s*(?:=\s*'(?P<v>[^']*)')?)?\s*$",
     re.IGNORECASE,
 )
+#: reference table-config keys that must drive a real Spark conf
+#: (TableConfigOptions.LOCAL_TIME_ZONE, ExecutionConfigOptions
+#: table.exec.resource.default-parallelism, OptimizerConfigOptions
+#: table.optimizer.join.broadcast-threshold) — shared by the SQL
+#: SET/RESET handler and the gateway's executionConfig scoping
+_SET_KEY_BRIDGE = {
+    "table.local-time-zone": "spark.sql.session.timeZone",
+    "table.exec.resource.default-parallelism":
+        "spark.sql.shuffle.partitions",
+    "table.optimizer.join.broadcast-threshold":
+        "spark.sql.autoBroadcastJoinThreshold",
+}
 #: CREATE TABLE ... LIKE (reference SqlTableLike.java) with the optional
 #: merging-strategy feature list `LIKE src ([INCLUDING|EXCLUDING] ALL |
 #: OPTIONS | WATERMARKS | CONSTRAINTS, ...)`
@@ -1643,11 +1655,13 @@ class TableEnvironment:
         if rk != lk:
             right = right.withColumnRenamed(rk, lk)
         joined = asof_join(left, right, key=lk, left_ts=m.group("wts"),
-                           right_ts=rts)
+                           right_ts=rts, suffix="_r")
         # the comma / cross-apply spelling is an INNER correlate in the
         # reference (probe rows with no effective version emit nothing;
         # LEFT requires an explicit LEFT JOIN LATERAL ... ON TRUE) — the
-        # as-of lowering is left-flavored, so drop the no-version rows
+        # as-of lowering is left-flavored, so drop the no-version rows.
+        # The version-time output column follows asof_join's collision
+        # rule for the suffix passed above.
         from pyspark.sql import functions as F
 
         rts_name = rts + "_r" if rts in left.columns else rts
@@ -3065,13 +3079,26 @@ class TableEnvironment:
                     # the object keeps its identity; its kind becomes
                     # materialized table and the definition comes solely
                     # from this statement — but the registry entry is
-                    # removed only AFTER create succeeds, so a failing
-                    # conversion (bad query, bad freshness unit, schema
-                    # error) leaves the regular table intact
-                    out = self.materialized.create(
-                        cm, schema_text=mt_schema
-                    )
+                    # removed (and its persisted spec unpersisted) only
+                    # AFTER create succeeds; a failing conversion leaves
+                    # the regular table intact, re-registering its view
+                    # in case create's refresh had already repointed it
+                    spec0 = self.tables[name]
+                    try:
+                        out = self.materialized.create(
+                            cm, schema_text=mt_schema
+                        )
+                    except BaseException:
+                        try:
+                            if not self._is_managed_bucketed(spec0):
+                                self._source_df(
+                                    spec0
+                                ).createOrReplaceTempView(name)
+                        except Exception:  # noqa: BLE001 - sink-only
+                            pass
+                        raise
                     del self.tables[name]
+                    self._unpersist_spec(name)
                     return out
                 return self.materialized.create(cm, schema_text=mt_schema)
             am = MT_ALTER_RE.match(stmt)
@@ -3311,18 +3338,9 @@ class TableEnvironment:
             # SET 'k' = 'v' / SET (list) / RESET 'k' / RESET (reference
             # SqlSet.java, SqlReset.java → session conf). Well-known
             # reference table-config keys bridge onto their Spark
-            # equivalents so they actually take effect
-            # (TableConfigOptions.LOCAL_TIME_ZONE, ExecutionConfigOptions
-            # table.exec.resource.default-parallelism,
-            # OptimizerConfigOptions table.optimizer.join.broadcast-threshold)
+            # equivalents so they actually take effect (_SET_KEY_BRIDGE)
             # — the raw key is kept too, so SHOW/round-trips see it.
-            bridge = {
-                "table.local-time-zone": "spark.sql.session.timeZone",
-                "table.exec.resource.default-parallelism":
-                    "spark.sql.shuffle.partitions",
-                "table.optimizer.join.broadcast-threshold":
-                    "spark.sql.autoBroadcastJoinThreshold",
-            }
+            bridge = _SET_KEY_BRIDGE
             verb = sm.group("verb").upper()
             key, val = sm.group("k"), sm.group("v")
             if verb == "SET" and key is not None:

@@ -130,23 +130,33 @@ def _split_script(script: str) -> list[str]:
     """Split a deployed SQL script into statements on top-level
     semicolons, keeping EXECUTE STATEMENT SET BEGIN ... END blocks whole
     (their inner semicolons are part of ONE statement — the canonical
-    content of deployed Flink SQL scripts)."""
-    from flink_spark.sqltok import split_outside_literals
+    content of deployed Flink SQL scripts). Detection runs on the
+    literal/comment mask, so a block behind a leading ``--`` comment is
+    still recognized; the block terminates at the first fragment whose
+    END tokens exceed its CASE tokens (a CASE ... END expression inside
+    a fragment consumes its own END and never closes the set)."""
+    from flink_spark.sqltok import mask_literals, split_outside_literals
 
     parts = [s for s in split_outside_literals(script) if s.strip()]
+
+    def _closes(masked_part: str) -> bool:
+        ends = len(re.findall(r"\bEND\b", masked_part, re.IGNORECASE))
+        cases = len(re.findall(r"\bCASE\b", masked_part, re.IGNORECASE))
+        return ends > cases
+
     out: list[str] = []
     buf: list[str] = []
     for p in parts:
+        mp = mask_literals(p)
         if buf:
             buf.append(p)
-            if p.strip().upper() == "END":
+            if _closes(mp):
                 out.append(";".join(buf))
                 buf = []
             continue
-        head = re.match(
-            r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", p, re.IGNORECASE
-        )
-        if head and not re.search(r"\bEND\s*$", p, re.IGNORECASE):
+        if re.match(
+            r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", mp, re.IGNORECASE
+        ) and not _closes(mp):
             buf = [p]
         else:
             out.append(p)
@@ -249,6 +259,9 @@ class _Session:
         self.properties = dict(properties)
         self.operations: dict[str, _Operation] = {}
         self.lock = threading.Lock()
+        # serializes deployed-script runs (their executionConfig scoping
+        # must not interleave on the shared session conf)
+        self.deploy_lock = threading.Lock()
         self.last_access = time.monotonic()
 
 
@@ -570,42 +583,68 @@ class SqlGatewayServer:
                 return 400, {"errors": [f"scriptUri not found: {path}"]}
             with open(path, encoding="utf-8") as fh:
                 script = fh.read()
+        cfg = body.get("executionConfig") or {}
+        if not isinstance(cfg, dict):
+            return 400, {
+                "errors": ["executionConfig must be a map of string "
+                           "key/value pairs"]
+            }
         stmts = _split_script(script)
         cluster_id = f"application_{uuid.uuid4().hex}"
         with self._lock:
+            # bounded registry: drop the oldest settled entries first
+            if len(self.applications) >= 256:
+                for k in [
+                    k for k, v in self.applications.items()
+                    if v["status"] != "RUNNING"
+                ][: len(self.applications) - 255]:
+                    del self.applications[k]
             self.applications[cluster_id] = {"status": "RUNNING",
                                              "error": None}
 
         def run() -> None:
-            cfg = body.get("executionConfig") or {}
+            from flink_spark.catalog import _SET_KEY_BRIDGE
+
+            conf = sess.env.spark.conf
             saved: dict[str, str | None] = {}
-            try:
-                # executionConfig scopes to the deployed application:
-                # snapshot, apply (with '' quote escaping), restore
-                for k, v in cfg.items():
+
+            def snap(k):
+                if k not in saved:
                     try:
-                        saved[k] = sess.env.spark.conf.get(k)
+                        saved[k] = conf.get(k)
                     except Exception:  # noqa: BLE001 - unset before
                         saved[k] = None
-                    kq = str(k).replace("'", "''")
-                    vq = str(v).replace("'", "''")
-                    sess.env.execute_sql(f"SET '{kq}' = '{vq}'")
-                for s in stmts:
-                    sess.env.execute_sql(s)
-                self.applications[cluster_id]["status"] = "FINISHED"
-            except Exception as e:  # noqa: BLE001
-                self.applications[cluster_id].update(
-                    status="FAILED", error=str(e)
-                )
-            finally:
-                for k, old in saved.items():
-                    try:
-                        if old is None:
-                            sess.env.spark.conf.unset(k)
-                        else:
-                            sess.env.spark.conf.set(k, old)
-                    except Exception:  # noqa: BLE001
-                        pass
+
+            # executionConfig scopes to the deployed application:
+            # snapshot → apply (directly on the session conf, no SQL
+            # round-trip, so arbitrary values are safe) → restore.
+            # Deploys on one session serialize (deploy_lock), so two
+            # scripts can't trample each other's config.
+            with sess.deploy_lock:
+                try:
+                    for k, v in cfg.items():
+                        snap(str(k))
+                        conf.set(str(k), str(v))
+                        bridged = _SET_KEY_BRIDGE.get(str(k))
+                        if bridged:
+                            snap(bridged)
+                            conf.set(bridged, str(v))
+                    for s in stmts:
+                        sess.env.execute_sql(s)
+                    self.applications[cluster_id]["status"] = "FINISHED"
+                except Exception as e:  # noqa: BLE001
+                    self.applications[cluster_id].update(
+                        status="FAILED", error=str(e)
+                    )
+                finally:
+                    for k, old in saved.items():
+                        try:
+                            if old is None:
+                                conf.unset(k)
+                            else:
+                                conf.set(k, old)
+                        except Exception:  # noqa: BLE001
+                            pass
 
         self.pool.submit(run)
         return 200, {"clusterID": cluster_id}

@@ -575,3 +575,50 @@ def test_split_script_units():
         "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1 END"
     )
     assert len(out3) == 1
+    # a CASE ... END inside the first inner statement must NOT close
+    # the block early
+    out4 = _split_script(
+        "EXECUTE STATEMENT SET BEGIN "
+        "INSERT INTO a SELECT CASE WHEN x > 0 THEN 1 ELSE 0 END FROM t; "
+        "INSERT INTO b SELECT 1; END"
+    )
+    assert len(out4) == 1 and "SELECT 1" in out4[0]
+    # a leading SQL comment does not hide the block from detection
+    out5 = _split_script(
+        "-- nightly load\n"
+        "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; "
+        "INSERT INTO b SELECT 2; END"
+    )
+    assert len(out5) == 1
+
+
+def test_deploy_execution_config_scoped_and_validated(gw, gw_server):
+    """executionConfig applies for the script's duration only — bridged
+    Spark keys included — and a non-map executionConfig is rejected at
+    deploy time."""
+    server, _ = gw_server
+    _, s = _call(gw, "POST", "/v1/sessions", {})
+    sh = s["sessionHandle"]
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts",
+                       {"script": "SELECT 1", "executionConfig": "k=v"})
+    assert code == 400 and "map" in body["errors"][0]
+    sess = server.sessions[sh]
+    before = sess.env.spark.conf.get("spark.sql.session.timeZone")
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/scripts", {
+        "script": "CREATE VIEW gw_cfg_v AS SELECT 1 AS one",
+        "executionConfig": {"table.local-time-zone": "Asia/Tokyo",
+                            "pipeline.name": "o'brien"},
+    })
+    assert code == 200
+    app = body["clusterID"]
+    for _ in range(100):
+        _, st = _call(
+            gw, "GET", f"/v1/sessions/{sh}/applications/{app}/status"
+        )
+        if st["status"] != "RUNNING":
+            break
+        time.sleep(0.1)
+    assert st["status"] == "FINISHED", st
+    # the bridged key (session timezone) was restored after the script
+    assert sess.env.spark.conf.get("spark.sql.session.timeZone") == before
+    _call(gw, "DELETE", f"/v1/sessions/{sh}")
