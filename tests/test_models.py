@@ -452,3 +452,41 @@ def test_ml_predict_output_mode(env, spark):
             "DESCRIPTOR(emb), MAP['output-mode', 'SHUFFLED'])"
         )
     env.execute_sql("DROP MODEL mlo_m")
+
+
+def test_ml_predict_async_equivalence_property(spark):
+    """Property: for arbitrary row counts and window widths, the sync
+    path, the ORDERED sliding window and the ALLOW_UNORDERED window all
+    produce exactly the same (rid, score) set — the window is a pure
+    scheduling change."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.functions.ml import FixedPointLinearModel, ml_predict
+
+    for n, conc in [(1, 1), (7, 2), (64, 3), (257, 8)]:
+        df = spark.range(n).select(
+            F.col("id").alias("rid"),
+            F.array(
+                (F.col("id") / 10).cast("float"),
+                (F.col("id") % 5).cast("float"),
+            ).alias("emb"),
+        ).repartition(4)
+        base = sorted(
+            (r.rid, r.score)
+            for r in ml_predict(
+                df, FixedPointLinearModel, "emb"
+            ).select("rid", "score").collect()
+        )
+        for mode in ("ORDERED", "ALLOW_UNORDERED"):
+            got = sorted(
+                (r.rid, r.score)
+                for r in ml_predict(
+                    df, FixedPointLinearModel, "emb",
+                    config={
+                        "async": "true",
+                        "max-concurrent-operations": str(conc),
+                        "output-mode": mode,
+                    },
+                ).select("rid", "score").collect()
+            )
+            assert got == base, (n, conc, mode)
