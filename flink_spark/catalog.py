@@ -3089,13 +3089,9 @@ class TableEnvironment:
                             cm, schema_text=mt_schema
                         )
                     except BaseException:
-                        try:
-                            if not self._is_managed_bucketed(spec0):
-                                self._source_df(
-                                    spec0
-                                ).createOrReplaceTempView(name)
-                        except Exception:  # noqa: BLE001 - sink-only
-                            pass
+                        # one source of truth for re-exposing a regular
+                        # table (handles managed-bucketed + sink-only)
+                        self._refresh_view(spec0)
                         raise
                     del self.tables[name]
                     self._unpersist_spec(name)

@@ -583,21 +583,28 @@ class SqlGatewayServer:
                 return 400, {"errors": [f"scriptUri not found: {path}"]}
             with open(path, encoding="utf-8") as fh:
                 script = fh.read()
-        cfg = body.get("executionConfig") or {}
-        if not isinstance(cfg, dict):
+        cfg_raw = body.get("executionConfig")
+        if cfg_raw is not None and not isinstance(cfg_raw, dict):
+            # validate the RAW value: [] / "" / false are type errors
+            # too, not an absent config
             return 400, {
                 "errors": ["executionConfig must be a map of string "
                            "key/value pairs"]
             }
+        cfg = cfg_raw or {}
         stmts = _split_script(script)
         cluster_id = f"application_{uuid.uuid4().hex}"
         with self._lock:
-            # bounded registry: drop the oldest settled entries first
-            if len(self.applications) >= 256:
+            # bounded registry: past 1024 entries, drop the oldest
+            # SETTLED ones (a just-finished deploy's status stays
+            # reachable through any sane polling window; RUNNING entries
+            # are never dropped, so a burst larger than the bound keeps
+            # its in-flight statuses at the cost of temporary overshoot)
+            if len(self.applications) >= 1024:
                 for k in [
                     k for k, v in self.applications.items()
                     if v["status"] != "RUNNING"
-                ][: len(self.applications) - 255]:
+                ][: len(self.applications) - 1023]:
                     del self.applications[k]
             self.applications[cluster_id] = {"status": "RUNNING",
                                              "error": None}
@@ -621,6 +628,7 @@ class SqlGatewayServer:
             # Deploys on one session serialize (deploy_lock), so two
             # scripts can't trample each other's config.
             with sess.deploy_lock:
+                outcome, err = "FINISHED", None
                 try:
                     for k, v in cfg.items():
                         snap(str(k))
@@ -631,11 +639,8 @@ class SqlGatewayServer:
                             conf.set(bridged, str(v))
                     for s in stmts:
                         sess.env.execute_sql(s)
-                    self.applications[cluster_id]["status"] = "FINISHED"
                 except Exception as e:  # noqa: BLE001
-                    self.applications[cluster_id].update(
-                        status="FAILED", error=str(e)
-                    )
+                    outcome, err = "FAILED", str(e)
                 finally:
                     for k, old in saved.items():
                         try:
@@ -645,6 +650,11 @@ class SqlGatewayServer:
                                 conf.set(k, old)
                         except Exception:  # noqa: BLE001
                             pass
+                    # publish ONLY after the restore: a client keying
+                    # off FINISHED must never observe script-scoped conf
+                    self.applications[cluster_id].update(
+                        status=outcome, error=err
+                    )
 
         self.pool.submit(run)
         return 200, {"clusterID": cluster_id}
