@@ -210,6 +210,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(out))
+    # The driver records only a ~2000-char tail of stdout; the full line
+    # above overflows it, truncating away the headline keys (VERDICT r7,
+    # "What's wrong" #3). Print a compact summary LAST so the tail always
+    # parses with the numbers that matter.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "value_multifile": out["value_multifile"],
+        "extra_sec": out["extra_sec"],
+        "n_headline": len(timings),
+        "n_extra": len(extra),
+        "sf": out["sf"],
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -1194,6 +1194,126 @@ class TableEnvironment:
 
         return sub_outside_literals(self._OVERLAPS_RE, repl, stmt)
 
+    #: tail of a CAST body that targets a parameterized character /
+    #: timestamp type — matched against the body's masked text, anchored
+    #: at its end, and accepted only at paren depth 0
+    _PRECISION_CAST_TAIL_RE = re.compile(
+        r"\sAS\s+(?P<ty>CHAR|VARCHAR|TIMESTAMP_LTZ|TIMESTAMP)"
+        r"\s*\(\s*(?P<n>\d+)\s*\)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_precision_casts(self, stmt: str) -> str:
+        """CAST(x AS CHAR(n)/VARCHAR(n)/TIMESTAMP[_LTZ](n)) → the
+        reference's length/precision semantics, which Spark's bare cast
+        does not apply:
+
+        - CHAR(n): trim to n chars when longer, pad with spaces when
+          shorter (reference CharVarCharTrimPadCastRule.java:64 — the
+          generated code pads/substrings around the inner string cast);
+          Spark's RPAD does both in one call.
+        - VARCHAR(n): trim only, never pad (same rule, couldPad=false).
+        - TIMESTAMP(n)/TIMESTAMP_LTZ(n), n < 6: TRUNCATE the fractional
+          seconds to precision n (reference
+          TimestampToTimestampCastRule.java:97 calls
+          TRUNCATE_SQL_TIMESTAMP — truncation, not rounding). n >= 6 is
+          the identity: Spark timestamps are microsecond-precision, so
+          TIMESTAMP(9) degrades to micros (documented in SURVEY §7.3 ⑦).
+          PMOD keeps pre-epoch values truncating toward zero-fraction.
+
+        Pure text rewrite on CAST bodies found by balanced-paren scan —
+        DDL column definitions (no CAST) are never touched."""
+        from flink_spark.sqltok import mask_literals
+
+        while True:
+            masked = mask_literals(stmt)
+            rewritten = None
+            for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
+                start, depth, i = m.end(), 1, m.end()
+                while i < len(masked) and depth:
+                    if masked[i] == "(":
+                        depth += 1
+                    elif masked[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    continue  # unbalanced (mid-edit text) — leave alone
+                body = masked[start : i - 1]
+                tm = self._PRECISION_CAST_TAIL_RE.search(body)
+                if not tm:
+                    continue
+                prefix = body[: tm.start()]
+                if prefix.count("(") != prefix.count(")"):
+                    continue  # the AS belongs to a nested call
+                expr = stmt[start : start + tm.start()].strip()
+                ty = tm.group("ty").upper()
+                n = int(tm.group("n"))
+                if ty == "CHAR":
+                    repl = f"RPAD(CAST(({expr}) AS STRING), {n}, ' ')"
+                elif ty == "VARCHAR":
+                    repl = f"LEFT(CAST(({expr}) AS STRING), {n})"
+                else:
+                    spark_ty = (
+                        "TIMESTAMP" if ty == "TIMESTAMP_LTZ"
+                        else "TIMESTAMP_NTZ"
+                    )
+                    inner = f"CAST(({expr}) AS {spark_ty})"
+                    if n >= 6:
+                        repl = inner
+                    else:
+                        micros = (
+                            f"UNIX_MICROS(CAST({inner} AS TIMESTAMP))"
+                        )
+                        repl = (
+                            f"TIMESTAMPADD(MICROSECOND, "
+                            f"-PMOD({micros}, {10 ** (6 - n)}), {inner})"
+                        )
+                rewritten = stmt[: m.start()] + repl + stmt[i:]
+                break
+            if rewritten is None:
+                return stmt
+            stmt = rewritten
+
+    def _rewrite_rand_integer(self, stmt: str) -> str:
+        """RAND_INTEGER(seed, bound) → CAST(FLOOR(RAND(seed) * bound) AS
+        INT) with a balanced-paren argument split, so parenthesized
+        arguments (RAND_INTEGER(1, ABS(n))) expand instead of silently
+        falling through to the 1-arg SQL function. 1-arg calls are left
+        for the registered SQL function (functions/builtins_ext.py)."""
+        from flink_spark.sqltok import mask_literals, split_top_commas
+
+        while True:
+            masked = mask_literals(stmt)
+            rewritten = None
+            for m in re.finditer(
+                r"\bRAND_INTEGER\s*\(", masked, re.IGNORECASE
+            ):
+                start, depth, i = m.end(), 1, m.end()
+                while i < len(masked) and depth:
+                    if masked[i] == "(":
+                        depth += 1
+                    elif masked[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    continue
+                body = stmt[start : i - 1]
+                args = split_top_commas(body)
+                if len(args) != 2:
+                    continue  # 1-arg form: the registered SQL function
+                seed, bound = args[0].strip(), args[1].strip()
+                if "RAND_INTEGER" in mask_literals(seed).upper() or \
+                        "RAND_INTEGER" in mask_literals(bound).upper():
+                    continue  # rewrite innermost-first on a later pass
+                repl = (
+                    f"CAST(FLOOR(RAND({seed}) * ({bound})) AS INT)"
+                )
+                rewritten = stmt[: m.start()] + repl + stmt[i:]
+                break
+            if rewritten is None:
+                return stmt
+            stmt = rewritten
+
     _GROUP_ID_RE = re.compile(r"\bGROUP_ID\s*\(\s*\)", re.IGNORECASE)
     _GSETS_RE = re.compile(
         r"\bGROUP\s+BY\s+GROUPING\s+SETS\s*\(", re.IGNORECASE
@@ -1222,6 +1342,22 @@ class TableEnvironment:
 
         masked = mask_literals(stmt)
         zero = lambda _m: "CAST(0 AS BIGINT)"  # noqa: E731
+
+        # an INSERT prologue stays outside the decomposition: the UNION
+        # ALL rounds (and the select-list NULL fix, which anchors on a
+        # SELECT prefix) apply to the query part only (ADVICE r7: the
+        # old code duplicated the INSERT head into every round)
+        im = re.match(
+            r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+[\w.]+\s*"
+            r"(?:\([^()]*\)\s*)?",
+            masked, re.IGNORECASE,
+        )
+        if im and re.match(
+            r"^\s*SELECT\b", masked[im.end():], re.IGNORECASE
+        ):
+            return stmt[: im.end()] + self._rewrite_group_id(
+                stmt[im.end():]
+            )
 
         # a WITH prologue scopes over the full (possibly set-op) body —
         # keep it once, decompose only what follows
@@ -1274,7 +1410,61 @@ class TableEnvironment:
             out = " ".join(p.strip() for p in pieces if p.strip())
             return f"{out} {gtail}" if gtail.strip() else out
 
-        m = self._GSETS_RE.search(masked)
+        # only a grouping-sets clause of THIS query block (paren depth 0)
+        # may drive the decomposition — a match inside a derived table
+        # would duplicate the whole outer query under UNION ALL (ADVICE
+        # r7). Nested blocks decompose independently via recursion.
+        m = None
+        nested = []
+        for cand in self._GSETS_RE.finditer(masked):
+            head = masked[: cand.start()]
+            if head.count("(") == head.count(")"):
+                m = cand
+                break
+            nested.append(cand)
+        if m is None and nested:
+            out = stmt
+            # rewrite each nested block once, outermost-enclosing paren
+            # span per match, splicing right-to-left so spans stay valid
+            spans: list[tuple[int, int]] = []
+            for cand in nested:
+                j, depth = cand.start(), 0
+                while j > 0:
+                    j -= 1
+                    if masked[j] == ")":
+                        depth += 1
+                    elif masked[j] == "(":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                k, d2 = j + 1, 1
+                while k < len(masked) and d2:
+                    if masked[k] == "(":
+                        d2 += 1
+                    elif masked[k] == ")":
+                        d2 -= 1
+                    k += 1
+                if d2:
+                    raise ValueError(
+                        "GROUP_ID: unbalanced parentheses around nested "
+                        "GROUPING SETS"
+                    )
+                spans.append((j + 1, k - 1))
+            # keep only outermost spans (an inner block is handled by the
+            # recursion on its container); outermost spans are disjoint,
+            # so right-to-left splicing keeps earlier offsets valid
+            outermost = [
+                (s, e) for s, e in spans
+                if not any(
+                    (s2 < s and e <= e2) or (s2 <= s and e < e2)
+                    for s2, e2 in spans
+                )
+            ]
+            for s, e in sorted(set(outermost), reverse=True):
+                out = out[:s] + self._rewrite_group_id(out[s:e]) + out[e:]
+            # any GROUP_ID of THIS block (outside the rewritten nested
+            # spans) has distinct sets by construction → 0
+            return sub_outside_literals(self._GROUP_ID_RE, zero, out)
         if not m:
             # CUBE / ROLLUP / plain GROUP BY: sets distinct by construction
             return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
@@ -2539,22 +2729,27 @@ class TableEnvironment:
             stmt = self._rewrite_group_id(stmt)
             masked = mask_literals(stmt)
             up = masked.upper()
+        if re.search(
+            r"\bAS\s+(?:CHAR|VARCHAR|TIMESTAMP(?:_LTZ)?)\s*\(\s*\d+\s*\)",
+            up,
+        ):
+            # parameterized CHAR/VARCHAR/TIMESTAMP targets inside CAST
+            # (reference CharVarCharTrimPadCastRule /
+            # TimestampToTimestampCastRule): pad/trim + precision-truncate
+            # semantics Spark's bare cast lacks
+            stmt = self._rewrite_precision_casts(stmt)
+            masked = mask_literals(stmt)
+            up = masked.upper()
         if "RAND_INTEGER" in up:
             # RAND_INTEGER(seed, bound) (reference sql_functions.yml):
             # the seeded form cannot be a SQL function (Spark needs a
             # foldable seed), so expand it textually onto RAND(seed);
             # the 1-arg form resolves to the registered SQL function
-            # (functions/builtins_ext.py).
-            stmt = sub_outside_literals(
-                re.compile(
-                    r"\bRAND_INTEGER\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)",
-                    re.IGNORECASE,
-                ),
-                lambda m: (
-                    f"CAST(FLOOR(RAND({m.group(1)}) * ({m.group(2)})) AS INT)"
-                ),
-                stmt,
-            )
+            # (functions/builtins_ext.py). Balanced-paren arg split so
+            # nested calls in either argument survive (ADVICE r7: the old
+            # paren-free regex silently fell through on
+            # RAND_INTEGER(1, ABS(n)) into a wrong-arity error).
+            stmt = self._rewrite_rand_integer(stmt)
             masked = mask_literals(stmt)
             up = masked.upper()
         if "/*+" in stmt:

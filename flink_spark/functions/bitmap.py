@@ -379,14 +379,23 @@ def _merge_agg(op_name: str):
         out_type = "bigint" if cardinality else "binary"
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = max(len(_words(x)) for x in pdf[col])
-            acc = None
-            for x in pdf[col]:
-                w = np.zeros(n, dtype=np.uint64)
-                ww = _words(x)
-                w[: len(ww)] = ww
-                acc = w if acc is None else op(acc, w)
-            val = _popcount(acc) if cardinality else acc.tobytes()
+            # NULL bitmaps are SKIPPED, not treated as empty (reference
+            # AbstractBitmapAndAggFunction.accumulate:102 returns on null
+            # input — an empty-bitmap reading would collapse AND-merges
+            # to {}), and a group with no non-null input yields NULL
+            # (getValue: `acc.bitmap == null ? null : ...`).
+            vals = [x for x in pdf[col] if x is not None]
+            if not vals:
+                val = None
+            else:
+                n = max(len(_words(x)) for x in vals)
+                acc = None
+                for x in vals:
+                    w = np.zeros(n, dtype=np.uint64)
+                    ww = _words(x)
+                    w[: len(ww)] = ww
+                    acc = w if acc is None else op(acc, w)
+                val = _popcount(acc) if cardinality else acc.tobytes()
             return pd.DataFrame({group: [pdf[group].iloc[0]], out: [val]})
 
         return df.select(group, col).groupBy(group).applyInPandas(

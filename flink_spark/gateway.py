@@ -423,7 +423,15 @@ class SqlGatewayServer:
                 # job group = operation handle (thread-local under pinned
                 # threads), so cancel reaches the actual Spark jobs
                 sc.setJobGroup(oh, f"sql-gateway {oh}", interruptOnCancel=True)
-                res = sess.env.execute_sql(stmt)
+                # serialize with script deploys (ADVICE r7): a deploy
+                # scopes its executionConfig onto the shared session conf
+                # under deploy_lock; without taking the same lock here, a
+                # concurrent statement could observe script-scoped conf
+                # (or have its own SET clobbered by the deploy restore) —
+                # this also matches the reference's per-session sequential
+                # OperationManager
+                with sess.deploy_lock:
+                    res = sess.env.execute_sql(stmt)
                 if isinstance(res, DataFrame):
                     op.columns = [
                         {"name": f.name, "logicalType": f.dataType.simpleString()}
@@ -486,7 +494,18 @@ class SqlGatewayServer:
                     "accepts a single SQL statement."
                 ]
             }
-        if not self._CONFIG_STMT_RE.match(parts[0]):
+        from flink_spark.sqltok import mask_literals
+
+        # CTAS launches a job, which configure-session must never do
+        # (reference OperationExecutor.configureSession rejects it even
+        # though plain CREATE TABLE is allowed) — detect a top-level
+        # `CREATE TABLE ... AS SELECT` on the masked text (ADVICE r7)
+        pm = mask_literals(parts[0])
+        is_ctas = bool(
+            re.match(r"^\s*CREATE\s+TABLE\b", pm, re.IGNORECASE)
+            and re.search(r"\bAS\s+SELECT\b", pm, re.IGNORECASE)
+        )
+        if is_ctas or not self._CONFIG_STMT_RE.match(parts[0]):
             return 400, {
                 "errors": [
                     f"Unsupported statement for configuring session: "
@@ -496,7 +515,10 @@ class SqlGatewayServer:
                 ]
             }
         try:
-            sess.env.execute_sql(parts[0])
+            # serialize with deploys/statements: configure-session writes
+            # session conf the same way a SET statement does
+            with sess.deploy_lock:
+                sess.env.execute_sql(parts[0])
         except Exception as e:  # noqa: BLE001
             return 400, {"errors": [str(e)]}
         return 200, {}

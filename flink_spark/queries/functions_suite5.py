@@ -457,3 +457,65 @@ def fn_json_construct_suite(spark, sf_dir):
             J.to_timestamp_ltz(F.col("event_id") * 1000, 3)
         ).alias("tltz_epoch"),
     )
+
+
+@query(
+    "fn_type_precision_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,4)) * CAST(0.07 AS DECIMAL(18,4))
+                AS DECIMAL(38,6))::VARCHAR AS mul_edge,
+           CAST(round(value / 7, 6) AS DECIMAL(38,6))::VARCHAR AS div7,
+           CAST(round(value / 2.5, 6) AS DECIMAL(38,6))::VARCHAR AS div25,
+           rpad(event_type, 12, ' ') AS c12,
+           length(rpad(event_type, 12, ' ')) AS c12_len,
+           rpad(CAST(event_id AS VARCHAR), 10, ' ') AS c10_num,
+           left(event_type, 3) AS v3,
+           ts AS t6,
+           date_trunc('milliseconds', ts) AS t3,
+           date_trunc('second', ts) AS t0,
+           CAST('2024-01-01 00:00:00.123456789' AS TIMESTAMP) AS t9_lit
+    FROM events WHERE event_id < 300
+    """,
+)
+def fn_type_precision_suite(spark, sf_dir):
+    """Precision corners (SURVEY §7.3 ⑦) through the SQL dialect layer:
+
+    - DECIMAL(p,s) × / ÷ result types at the p=38 edge — DECIMAL(18,4)
+      products and DECIMAL(38,2)/int division both derive (38,6) with
+      HALF_UP rounding at the reduced scale (reference
+      LogicalTypeMerging.java adjustPrecisionScale, the Hive/Spark rule);
+      div7 is non-terminating so the scale-6 rounding is actually
+      exercised, and the string cast pins scale rendering ('864.196900').
+    - CHAR(n)/VARCHAR(n) CAST pad/trim (reference
+      CharVarCharTrimPadCastRule.java:64): CHAR pads with spaces AND
+      trims; VARCHAR only trims; numerics stringify before padding.
+    - TIMESTAMP(n) casts (reference TimestampToTimestampCastRule.java:97):
+      precision reduction TRUNCATES fractional seconds (not rounds);
+      TIMESTAMP(9) degrades to Spark's microsecond domain, so a
+      nanosecond literal truncates to micros.
+    """
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "tp_events"
+    )
+    return env.execute_sql("""
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(20,4)) * CAST(0.07 AS DECIMAL(20,4))
+                    AS STRING) AS mul_edge,
+               CAST(CAST(value AS DECIMAL(38,2)) / 7 AS STRING) AS div7,
+               CAST(CAST(value AS DECIMAL(18,2)) / CAST(2.5 AS DECIMAL(3,1))
+                    AS STRING) AS div25,
+               CAST(event_type AS CHAR(12)) AS c12,
+               LENGTH(CAST(event_type AS CHAR(12))) AS c12_len,
+               CAST(event_id AS CHAR(10)) AS c10_num,
+               CAST(event_type AS VARCHAR(3)) AS v3,
+               CAST(ts AS TIMESTAMP(6)) AS t6,
+               CAST(ts AS TIMESTAMP(3)) AS t3,
+               CAST(ts AS TIMESTAMP(0)) AS t0,
+               CAST('2024-01-01 00:00:00.123456789' AS TIMESTAMP(9))
+                   AS t9_lit
+        FROM tp_events WHERE event_id < 300
+    """)

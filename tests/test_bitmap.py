@@ -184,3 +184,32 @@ def test_merge_aggs_or_and_xor(spark):
     # parity: 1(once),2(twice),3(thrice),4(twice),5(once),200(once)
     assert got["g1"].xc == 4
     assert list(got["g2"].orv) == [7] and got["g2"].ac == 1
+
+
+def test_merge_aggs_skip_null_inputs(spark):
+    # reference AbstractBitmapAndAggFunction.accumulate skips NULL
+    # bitmaps (a NULL is NOT an empty bitmap — that would collapse
+    # AND-merges to {}), and an all-NULL group yields NULL
+    rows = [
+        ("g1", _build_words(np.array([1, 2, 3]))),
+        ("g1", None),
+        ("g1", _build_words(np.array([2, 3, 4]))),
+        ("g2", None),
+        ("g2", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, bmp binary")
+    got = {
+        r.g: r
+        for r in BM.bitmap_and_agg(df, "g", "bmp", "ab")
+        .join(BM.bitmap_and_cardinality_agg(df, "g", "bmp", "ac"), "g")
+        .join(BM.bitmap_or_cardinality_agg(df, "g", "bmp", "oc"), "g")
+        .join(BM.bitmap_xor_cardinality_agg(df, "g", "bmp", "xc"), "g")
+        .collect()
+    }
+    # g1: NULL skipped → AND over the two real bitmaps = {2,3}
+    assert got["g1"].ac == 2
+    assert got["g1"].oc == 4
+    assert got["g1"].xc == 2  # 1 and 4 appear once; 2,3 cancel
+    # g2: no non-null input → NULL (not empty/0)
+    assert got["g2"].ab is None
+    assert got["g2"].ac is None

@@ -2152,3 +2152,167 @@ def test_show_views_and_functions_surface(spark):
             env.execute_sql("DROP FUNCTION show_probe_fn")
         except Exception:
             pass
+
+
+class TestPrecisionCasts:
+    """CAST to CHAR(n)/VARCHAR(n)/TIMESTAMP[_LTZ](n) — the reference's
+    CharVarCharTrimPadCastRule (pad AND trim for CHAR, trim-only for
+    VARCHAR) and TimestampToTimestampCastRule (precision reduction
+    TRUNCATES fractional seconds)."""
+
+    def _one(self, spark, sql):
+        from flink_spark.catalog import TableEnvironment
+
+        return TableEnvironment(spark).execute_sql(
+            f"SELECT {sql} AS r").collect()[0].r
+
+    def test_char_pads_and_trims(self, spark):
+        assert self._one(spark, "CAST('ab' AS CHAR(5))") == "ab   "
+        assert self._one(spark, "CAST('abcdefgh' AS CHAR(5))") == "abcde"
+        assert self._one(spark, "CAST(42 AS CHAR(4))") == "42  "
+        assert self._one(spark, "CAST(NULL AS CHAR(4))") is None
+
+    def test_varchar_trims_only(self, spark):
+        assert self._one(spark, "CAST('abcdefgh' AS VARCHAR(5))") == "abcde"
+        assert self._one(spark, "CAST('ab' AS VARCHAR(5))") == "ab"
+
+    def test_nested_char_casts(self, spark):
+        # outer rewrites first, then the inner on the next pass
+        assert self._one(
+            spark, "CAST(CAST('ab' AS CHAR(5)) AS VARCHAR(3))") == "ab "
+        # CHAR target with a parenthesized expression inside
+        assert self._one(
+            spark, "CAST(UPPER(CONCAT('a', 'b')) AS CHAR(3))") == "AB "
+
+    def test_timestamp_precision_truncates(self, spark):
+        import datetime
+
+        lit = "CAST('2024-01-01 10:00:00.987654' AS TIMESTAMP(6))"
+        assert self._one(spark, f"CAST({lit} AS TIMESTAMP(3))") == \
+            datetime.datetime(2024, 1, 1, 10, 0, 0, 987000)
+        assert self._one(spark, f"CAST({lit} AS TIMESTAMP(0))") == \
+            datetime.datetime(2024, 1, 1, 10, 0, 0)
+        # nanosecond literal degrades to Spark's microsecond domain
+        assert self._one(
+            spark, "CAST('2024-01-01 00:00:00.123456789' AS TIMESTAMP(9))"
+        ) == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+    def test_timestamp_pre_epoch_truncation(self, spark):
+        import datetime
+
+        # PMOD (floor-mod) keeps pre-epoch values truncating the
+        # fractional digits, matching millis-zeroing semantics
+        r = self._one(
+            spark,
+            "CAST(CAST('1961-03-05 10:00:00.123456' AS TIMESTAMP(6)) "
+            "AS TIMESTAMP(3))",
+        )
+        assert r == datetime.datetime(1961, 3, 5, 10, 0, 0, 123000)
+
+    def test_ddl_column_types_not_rewritten(self, spark, tmp_path):
+        # CHAR(5)/TIMESTAMP(3) in CREATE TABLE column lists must pass
+        # through the DDL type mapper untouched (no CAST → no rewrite)
+        from flink_spark.catalog import TableEnvironment
+
+        env = TableEnvironment(spark)
+        env.execute_sql(f"""
+            CREATE TABLE prec_ddl_probe (c CHAR(5), t TIMESTAMP(3))
+            WITH ('connector'='filesystem',
+                  'path'='{tmp_path}/prec_ddl_probe',
+                  'format'='parquet')
+        """)
+        env.execute_sql(
+            "INSERT INTO prec_ddl_probe VALUES "
+            "('ab', CAST('2024-01-01 00:00:00.123456' AS TIMESTAMP(3)))"
+        )
+        row = env.execute_sql("SELECT * FROM prec_ddl_probe").collect()[0]
+        assert row.t.microsecond == 123000
+        env.execute_sql("DROP TABLE prec_ddl_probe")
+
+    def test_char_literal_inside_string_untouched(self, spark):
+        assert self._one(
+            spark, "'CAST(x AS CHAR(5))'") == "CAST(x AS CHAR(5))"
+
+
+class TestRandIntegerArgs:
+    def test_parenthesized_args(self, spark):
+        # ADVICE r7: RAND_INTEGER(1, ABS(n)) fell through the old
+        # paren-free regex into a wrong-arity error
+        from flink_spark.catalog import TableEnvironment
+
+        env = TableEnvironment(spark)
+        r = env.execute_sql(
+            "SELECT RAND_INTEGER(CAST(1 AS INT), ABS(-10)) AS r"
+        ).collect()[0].r
+        assert 0 <= r < 10
+        # seeded: deterministic across runs
+        r2 = env.execute_sql(
+            "SELECT RAND_INTEGER(CAST(1 AS INT), ABS(-10)) AS r"
+        ).collect()[0].r
+        assert r == r2
+
+    def test_one_arg_form_untouched(self, spark):
+        from flink_spark.catalog import TableEnvironment
+
+        r = TableEnvironment(spark).execute_sql(
+            "SELECT RAND_INTEGER(10) AS r").collect()[0].r
+        assert 0 <= r < 10
+
+
+def test_group_id_nested_in_derived_table(spark):
+    """ADVICE r7: duplicate grouping sets inside a derived table must
+    decompose WITHIN that block — the old code matched the first
+    'GROUP BY GROUPING SETS' anywhere and duplicated the whole OUTER
+    query under UNION ALL, doubling outer aggregates."""
+    env = TableEnvironment(spark)
+    spark.range(6).selectExpr("id % 2 AS a", "id AS v").createOrReplaceTempView(
+        "gidn_t"
+    )
+    # inner block: dup sets with GROUP_ID; outer: plain aggregate.
+    rows = env.execute_sql(
+        "SELECT g, SUM(c) AS total FROM ("
+        "  SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM gidn_t"
+        "  GROUP BY GROUPING SETS ((a), (), (a), ())"
+        ") d GROUP BY g ORDER BY g"
+    ).collect()
+    # per round: (a=0:3)+(a=1:3)+(():6) = 12, for g=0 and g=1
+    assert [(r.g, r.total) for r in rows] == [(0, 12), (1, 12)]
+    # outer GROUP_ID over a plain GROUP BY is 0 even with a nested
+    # grouping-sets derived table
+    rows = env.execute_sql(
+        "SELECT g, GROUP_ID() AS og, SUM(c) AS total FROM ("
+        "  SELECT a, GROUP_ID() AS g, COUNT(*) AS c FROM gidn_t"
+        "  GROUP BY GROUPING SETS ((a), (a))"
+        ") d GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.og, r.total) for r in rows] == [(0, 0, 6), (1, 0, 6)]
+
+
+def test_group_id_insert_select(spark, tmp_path):
+    """ADVICE r7: INSERT INTO ... SELECT with GROUP_ID decomposition —
+    the INSERT head must stay outside the UNION ALL rounds and the
+    select-list NULL fix must still anchor on the SELECT."""
+    env = TableEnvironment(spark)
+    spark.range(6).selectExpr("id % 2 AS a", "id % 3 AS b").createOrReplaceTempView(
+        "gidi_t"
+    )
+    env.execute_sql(f"""
+        CREATE TABLE gidi_sink (a BIGINT, b BIGINT, g BIGINT, c BIGINT)
+        WITH ('connector'='filesystem', 'path'='{tmp_path}/gidi_sink',
+              'format'='parquet')
+    """)
+    try:
+        env.execute_sql(
+            "INSERT INTO gidi_sink"
+            " SELECT a, b, GROUP_ID() AS g, COUNT(*) AS c FROM gidi_t"
+            " GROUP BY GROUPING SETS ((a), (a), (b))"
+        )
+        rows = env.execute_sql("SELECT * FROM gidi_sink").collect()
+        # rounds: j=0 has sets {(a),(b)}; j=1 has {(a)} — 2+3 + 2 rows
+        assert sorted(((r.a, r.b, r.g, r.c) for r in rows), key=str) == sorted(
+            [(0, None, 0, 3), (1, None, 0, 3),
+             (None, 0, 0, 2), (None, 1, 0, 2), (None, 2, 0, 2),
+             (0, None, 1, 3), (1, None, 1, 3)], key=str
+        )
+    finally:
+        env.execute_sql("DROP TABLE gidi_sink")

@@ -448,6 +448,20 @@ def test_configure_session_endpoint(gw):
     code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
                        {"statement": "SET 'a'='b'", "executionTimeout": 5})
     assert code == 400 and "timeout" in body["errors"][0]
+    # CTAS launches a job — rejected even though CREATE TABLE passes the
+    # verb gate (ADVICE r7; reference configureSession disallows it)
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                       {"statement": "CREATE TABLE cfg_ctas AS SELECT 1 AS x"})
+    assert code == 400 and "Unsupported statement" in body["errors"][0]
+    # ...including with a WITH options clause between name and AS SELECT
+    code, body = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                       {"statement": "CREATE TABLE cfg_ctas WITH "
+                                     "('connector'='blackhole') AS SELECT 1 AS x"})
+    assert code == 400 and "Unsupported statement" in body["errors"][0]
+    # a literal containing 'AS SELECT' inside plain DDL must NOT trip it
+    code, _ = _call(gw, "POST", f"/v1/sessions/{sh}/configure-session",
+                    {"statement": "SET 'note' = 'CREATE TABLE x AS SELECT'"})
+    assert code == 200
 
 
 def test_complete_statement_endpoint(gw):

@@ -1,8 +1,8 @@
 """Registry-order contract: external correctness harnesses sample the
 first 50 registered queries, so the head of the registry is a curated,
-rotating verification window (round 7 promotes the changed/new DML/DDL
-surfaces plus 46 never-externally-verified tail queries — specials,
-format/ddl gates, 31 TPC-DS shapes).
+rotating verification window (round 8 promotes the never-sampled
+streaming/CEP tail, the r7-new DDL/function gates, the r8-new
+precision-corner suite, and 13 TPC-DS shapes).
 """
 
 from __future__ import annotations
@@ -11,8 +11,16 @@ import json
 import os
 
 from flink_spark.queries import QUERIES, promote_first
-from flink_spark.queries import VERIFICATION_ROTATION_R7 as ROTATION
+from flink_spark.queries import VERIFICATION_ROTATION_R8 as ROTATION
 import pytest
+
+# rows-only entries deliberately promoted for an external row despite
+# having no SQL-expressible oracle (the driver records the weaker check)
+ROWS_ONLY_PROMOTED = {
+    # ANN recall gate: top-k under an approximate index is not
+    # SQL-expressible; VERDICT r7 asked for its external row anyway
+    "llm_vector_search_sql_ann",
+}
 
 
 def test_rotation_is_registry_head():
@@ -28,24 +36,28 @@ def test_entry_query_stays_first():
 
 def test_rotation_head_is_fully_oracled():
     # every sampled entry must carry an exact DuckDB oracle — the rotation
-    # exists to BUY exact external rows, not rows-only checks
+    # exists to BUY exact external rows, not rows-only checks. The
+    # documented exceptions are listed in ROWS_ONLY_PROMOTED.
     for name in ROTATION:
+        if name in ROWS_ONLY_PROMOTED:
+            assert QUERIES[name].oracle is None, name
+            continue
         assert QUERIES[name].oracle is not None, name
 
 
 def test_rotation_actually_rotates_vs_prior_rounds():
     base = os.path.join(os.path.dirname(__file__), "..")
     prev: set = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         p = os.path.join(base, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             prev |= set(json.load(open(p)))
     if not prev:
         pytest.skip("no prior-round artifacts")
     new = [n for n in ROTATION if n not in prev]
-    # tpch_q1 (entry) stays; ddl_delete_update_roundtrip is intentionally
-    # re-promoted because its oracle changed (NULL-predicate DELETE leg)
-    assert len(new) >= 44, f"rotation window barely moved: {len(new)} new keys"
+    # tpch_q1 (entry) stays; everything else in the r8 head has never
+    # been externally sampled
+    assert len(new) >= 48, f"rotation window barely moved: {len(new)} new keys"
 
 
 def test_promote_first_rejects_unknown_and_duplicate():
