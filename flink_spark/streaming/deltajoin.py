@@ -59,6 +59,7 @@ def delta_join(
     right_ts: str | None = None,
     compact_every: int = 4,
     store_stats: dict | None = None,
+    root: str | None = None,
 ) -> DataFrame:
     """Drain a two-sided tagged stream through an incremental delta join;
     return the append-only join result as a batch DataFrame.
@@ -81,7 +82,16 @@ def delta_join(
 
     spark = tagged.sparkSession
     ttl_delta = pd.Timedelta(ttl) if ttl else None
-    root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    # an explicit root makes the store tables + checkpoint durable
+    # across calls: a second drain with the same root RESUMES — the
+    # streaming checkpoint skips already-processed files and the store
+    # tables carry the accumulated sides (the reference's restore path:
+    # the delta join's state IS the store tables, RestoreTestBase analog)
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
     l_store, r_store = f"{root}/left", f"{root}/right"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
@@ -229,6 +239,9 @@ def delta_join(
             [f for f in tagged.schema.fields if f.name in set(left_cols + right_cols)]
         )
         return spark.createDataFrame([], empty)
+    if persistent:
+        # durable root: leave stores/out/checkpoint in place for resume
+        return spark.read.parquet(out_dir)
     # materialize off the temp store so it can be pruned eagerly
     result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
