@@ -279,11 +279,71 @@ def llm_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(q, c, k=5)
 
 
-@query("llm_lsh_topk", oracle=None)
+@query(
+    "llm_lsh_topk",
+    oracle="""
+    WITH planes AS (
+      SELECT j, list_transform(range(0, 64), i ->
+        CASE WHEN ('0x' || substr(md5('0:' || j || ':' || i), 1, 8))::BIGINT
+                  % 2 = 0
+             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS p
+      FROM range(0, 4) t(j)
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, any_value(emb) AS qv,
+             CAST(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS INT)
+               AS bucket
+      FROM (
+        SELECT e.vec_id, e.embedding AS emb, pl.j,
+               list_reduce(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * pl.p[i]), (a, b) -> a + b)
+                 AS dot
+        FROM embeddings e, planes pl
+        WHERE e.vec_id < 10) s
+      GROUP BY vec_id
+    ),
+    cb AS (
+      SELECT vec_id AS cand_id, any_value(emb) AS cv,
+             CAST(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS INT)
+               AS bucket
+      FROM (
+        SELECT e.vec_id, e.embedding AS emb, pl.j,
+               list_reduce(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * pl.p[i]), (a, b) -> a + b)
+                 AS dot
+        FROM embeddings e, planes pl
+        WHERE e.vec_id >= 10) s
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT qb.query_id, cb.cand_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b)))
+               AS cos
+      FROM qb JOIN cb USING (bucket)
+    )
+    SELECT query_id, cand_id, round(cos, 12) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, cand_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def llm_lsh_topk(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH buckets — the scale path
-    (recall < 1 by design → no SQL oracle; rows-only check here, recall
-    measured in tests/test_llm.py against the brute-force baseline)."""
+    """Approximate ANN via random-hyperplane LSH buckets — the scale path.
+    Exactified in r8: the sketch's ±1 hyperplanes are *deterministically*
+    md5-derived (similarity.hyperplane_sketch — no runtime RNG), and both
+    engines fold the plane dot products in the same left-to-right IEEE
+    order, so the whole approximate index — plane generation, sign
+    bucketing, bucket equi-join, cosine re-score, top-5 — is reproduced
+    verbatim in DuckDB SQL and value-checked end to end. (Recall vs the
+    brute-force baseline is separately measured in tests/test_llm.py and
+    gated by llm_lsh_recall_gate.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -311,11 +371,45 @@ def llm_multimodal_meta(spark, sf_dir):
     return MM.attach_binary(docs).select("doc_id", "n_bytes", "payload_md5", "mime")
 
 
-@query("llm_multimodal_features", oracle=None)
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n_bytes,
+             list_transform(range(0, n_bytes), i ->
+               ('0x' || substr(hx, (i*2+1)::INT, 2))::BIGINT) AS vals
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           'text/plain' AS mime,
+           CASE WHEN n_bytes > 0
+                THEN list_reduce(vals, (a, x) -> a + x)::DOUBLE / n_bytes
+           END AS byte_mean,
+           CASE WHEN n_bytes > 0
+                THEN list_reduce(vals, (a, x) -> least(a, x))::INT
+           END AS byte_min,
+           CASE WHEN n_bytes > 0
+                THEN list_reduce(vals, (a, x) -> greatest(a, x))::INT
+           END AS byte_max,
+           COALESCE(n_bytes > 0, FALSE) AS feature_ok
+    FROM v
+    """,
+)
 def llm_multimodal_features(spark, sf_dir):
-    """Arrow-batched feature extraction over binary payloads (stubbed
-    codec — see flink_spark/llm/multimodal.py). Rows-only check: the
-    pandas-UDF path is not SQL-expressible."""
+    """Arrow-batched feature extraction over binary payloads (the
+    codec-free `_fake_decode` byte-stats path — see
+    flink_spark/llm/multimodal.py). Exactified in r8: the byte-level
+    features (mean/min/max over the UTF-8 payload) are reproduced in
+    DuckDB by hex-encoding the payload and folding over the parsed byte
+    list, so the pandas-UDF batch path is value-checked end to end (both
+    engines fold an exact integer sum, then one double divide)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.attach_binary(docs))
 
@@ -364,8 +458,12 @@ def llm_cosine_neardup_pairs(spark, sf_dir):
 def llm_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate ANN (the inverted-file scale path next to LSH;
     reference surface VECTOR_SEARCH): k-means cells + n_probe nearest
-    cells per query. Approximate by design → rows-only check here; recall
-    vs brute force asserted in tests/test_llm.py."""
+    cells per query. Rows-only — justification: the cell layout comes
+    from iterative Lloyd's k-means (a multi-pass dataflow DuckDB's
+    single-statement SQL cannot express, unlike LSH's closed-form
+    md5-derived planes); the value-checked contract lives in
+    llm_ivf_recall_gate (exact oracle on the ≥0.8-recall boolean) and
+    tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -549,8 +647,11 @@ def llm_pq_topk(spark, sf_dir):
     the VECTOR_SEARCH surface): 16 subspaces × 16 codes (32× compression
     of the 64-dim doubles), asymmetric scoring against the codebook
     reconstruction as one JVM expression, then exact rerank of a
-    corpus-fraction shortlist. Rows-only; the exact contract lives in
-    llm_pq_recall_gate."""
+    corpus-fraction shortlist. Rows-only — justification: the codebooks
+    come from iterative per-subspace k-means (pq_train), not a
+    closed-form hash, so no single-statement SQL oracle exists; the
+    value-checked contract lives in llm_pq_recall_gate (exact oracle on
+    the recall boolean)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -717,8 +818,11 @@ def llm_vector_search_sql_ann(spark, sf_dir):
     vector_search.md CONFIG map): ``MAP['index','ivf']`` sends the TVF
     through the IVF ANN library (llm/similarity.py) instead of the exact
     brute scan — the spelling that scales to a 100-TB vector table.
-    Approximate by nature → rows-only gate, with an in-query recall
-    floor of 0.8 against the brute top-k."""
+    Rows-only — justification: IVF cells come from iterative k-means (no
+    single-statement SQL oracle, unlike the md5-closed-form llm_lsh_topk);
+    the correctness teeth are the in-query ≥0.8-recall assert below
+    (the query FAILS, not degrades, under recall loss) plus the exact
+    brute twin llm_vector_search_sql it is measured against."""
     from flink_spark.catalog import TableEnvironment
 
     env = TableEnvironment(spark)
