@@ -117,3 +117,91 @@ def test_ndu_rule_flags_rand_in_stateful_operator(spark, sf_dir):
     assert "non-deterministic-update" not in {
         a.rule for a in plan_advice(good)
     }
+
+
+def test_topk_with_group_limit_not_flagged(spark, pq):
+    """The well-planned per-group top-k (Partial+Final WindowGroupLimit)
+    yields zero group-limit advice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    df = (
+        spark.read.parquet(pq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    df.collect()  # finalize the AQE plan
+    rules = {a.rule for a in plan_advice(df)}
+    assert "topk-no-window-group-limit" not in rules
+    assert "window-group-limit-no-partial" not in rules
+
+
+def test_topk_without_group_limit_flagged(spark, pq):
+    """Disabling InsertWindowGroupLimit reproduces the bad shape: every
+    group's full row set sorts/shuffles before the rank filter."""
+    from pyspark.sql import Window
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "0")
+    try:
+        w = Window.partitionBy("g").orderBy(F.desc("v"))
+        df = (
+            spark.read.parquet(pq)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+        df.collect()
+        rules = {a.rule for a in plan_advice(df)}
+        assert "topk-no-window-group-limit" in rules
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_group_limit_partial_missing_flagged_on_synthetic_plan():
+    """The Final-without-Partial shape can't be produced by the Spark
+    optimizer directly; pin the rule on a handcrafted plan string."""
+    from flink_spark.plan_advice import advise_plan_text
+
+    bad = """Filter (rank#19 <= 3)
++- Window [row_number() windowspecdefinition(g#1L) AS rank#19], [g#1L], [v#2L DESC NULLS LAST]
+   +- WindowGroupLimit [g#1L], [v#2L DESC NULLS LAST], row_number(), 3, Final
+      +- Sort [g#1L ASC NULLS FIRST], false, 0
+         +- Exchange hashpartitioning(g#1L, 4), ENSURE_REQUIREMENTS, [plan_id=1]
+            +- FileScan parquet [g#1L,v#2L]"""
+    rules = {a.rule for a in advise_plan_text(bad)}
+    assert "window-group-limit-no-partial" in rules
+
+    good = """Filter (rank#19 <= 3)
++- Window [row_number() windowspecdefinition(g#1L) AS rank#19], [g#1L], [v#2L DESC NULLS LAST]
+   +- WindowGroupLimit [g#1L], [v#2L DESC NULLS LAST], row_number(), 3, Final
+      +- Sort [g#1L ASC NULLS FIRST], false, 0
+         +- Exchange hashpartitioning(g#1L, 4), ENSURE_REQUIREMENTS, [plan_id=1]
+            +- WindowGroupLimit [g#1L], [v#2L DESC NULLS LAST], row_number(), 3, Partial
+               +- Sort [g#1L ASC NULLS FIRST], false, 0
+                  +- FileScan parquet [g#1L,v#2L]"""
+    assert advise_plan_text(good) == []
+
+
+def test_collect_audit_clean():
+    """Every driver-side .collect() in flink_spark/ is literal-limit
+    bounded or allowlisted with a boundedness justification."""
+    from flink_spark.plan_advice import audit_collect_sites
+
+    assert audit_collect_sites() == []
+
+
+def test_collect_audit_flags_unbounded(tmp_path):
+    """A new unbounded collect is flagged; a literal-limit one is not."""
+    from flink_spark.plan_advice import audit_collect_sites
+
+    mod = tmp_path / "newop.py"
+    mod.write_text(
+        "def bad(df):\n"
+        "    return df.collect()\n"
+        "\n"
+        "def ok(df):\n"
+        "    return df.limit(10).collect()\n"
+    )
+    flagged = audit_collect_sites(str(tmp_path))
+    assert [(f[0], f[1]) for f in flagged] == [("newop.py", "bad")]
