@@ -29,6 +29,15 @@ class TableSpec:
     options: dict[str, str]
     watermark: tuple[str, str] | None = None  # (column, delay expr e.g. "5 seconds")
     primary_key: list[str] = field(default_factory=list)
+    #: watermark strategy (reference SqlWatermark / WatermarkSpec):
+    #: "bounded"   — `AS col - INTERVAL 'n' unit` (BoundedOutOfOrderness)
+    #: "ascending" — `AS col` (strictly/monotonically ascending, 0 delay)
+    #: "source"    — `AS SOURCE_WATERMARK()` (connector-provided;
+    #:               SupportsSourceWatermark.java — maps to a 0-delay
+    #:               event-time watermark on the declared column here,
+    #:               which is what a source emitting max-seen-event-time
+    #:               produces)
+    watermark_kind: str = "bounded"
 
     @property
     def connector(self) -> str:
@@ -150,6 +159,15 @@ def _extract_ctas(stmt: str):
 _WATERMARK_RE = re.compile(
     r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+(?P<col2>\w+)\s*-\s*INTERVAL\s*"
     r"'(?P<n>[\d.]+)'\s*(?P<unit>\w+)",
+    re.IGNORECASE,
+)
+#: the two non-interval watermark strategies (reference SqlWatermark):
+#: `AS SOURCE_WATERMARK()` (connector-provided, SupportsSourceWatermark)
+#: and `AS <rowtime col>` (strictly-ascending). Matched only after the
+#: bounded form above fails, so `AS c - INTERVAL ...` never lands here.
+_WATERMARK_SRC_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+"
+    r"(?:(?P<src>SOURCE_WATERMARK\s*\(\s*\))|(?P<asc>\w+))\s*(?=,|\)|$)",
     re.IGNORECASE,
 )
 _PK_RE = re.compile(
@@ -325,7 +343,14 @@ class TableEnvironment:
                     True,
                     "PRI(NOT ENFORCED)" if c in spec.primary_key else None,
                     None,
-                    f"`{c}` - INTERVAL '{wm_expr}'" if c == wm_col else None,
+                    (
+                        None if c != wm_col
+                        else "SOURCE_WATERMARK()"
+                        if spec.watermark_kind == "source"
+                        else f"`{c}`"
+                        if spec.watermark_kind == "ascending"
+                        else f"`{c}` - INTERVAL '{wm_expr}'"
+                    ),
                 )
                 for c, t in spec.columns
             ]
@@ -932,6 +957,7 @@ class TableEnvironment:
             "columns": spec.columns,
             "options": spec.options,
             "watermark": spec.watermark,
+            "watermark_kind": spec.watermark_kind,
             "primary_key": spec.primary_key,
         }
         tmp = _os.path.join(d, f".{spec.name}.json.tmp")
@@ -969,6 +995,7 @@ class TableEnvironment:
                 options=p["options"],
                 watermark=tuple(p["watermark"]) if p["watermark"] else None,
                 primary_key=list(p["primary_key"]),
+                watermark_kind=p.get("watermark_kind", "bounded"),
             )
             self.tables[spec.name] = spec
             try:
@@ -1678,6 +1705,36 @@ class TableEnvironment:
     def _fix_hint_block(self, body: str) -> str:
         body = re.sub(r"\bNEST_LOOP\b", "SHUFFLE_REPLICATE_NL", body,
                       flags=re.IGNORECASE)
+        sm = re.search(r"\bSTATE_TTL\s*\(", body, re.IGNORECASE)
+        if sm:
+            # STATE_TTL('t1'='1d', ...) (reference StateTtlHint.java /
+            # FlinkHintStrategies): per-input idle-state retention for
+            # streaming joins/group aggs. Validate the KV shape and the
+            # duration spellings TimeUtils.parseDuration accepts, then
+            # strip: batch execution retains no idle state (the reference
+            # ignores the hint in batch mode too), and the streaming
+            # DataFrame operators take state_ttl explicitly
+            # (streaming/changelog.py, deltajoin.py, ...).
+            opts = {
+                o.group("k"): o.group("v")
+                for o in _OPT_RE.finditer(body[sm.end():])
+            }
+            if not opts:
+                raise ValueError(
+                    "STATE_TTL hint: expected key-value options "
+                    "'table'='duration' (e.g. STATE_TTL('t1'='1d'))"
+                )
+            for k, v in opts.items():
+                if not re.match(
+                    r"^\d+\s*(ms|msec|milliseconds?|s|sec|seconds?|min|"
+                    r"minutes?|m|h|hours?|d|days?)?$",
+                    v, re.IGNORECASE,
+                ):
+                    raise ValueError(
+                        f"STATE_TTL hint: could not parse duration {v!r} "
+                        f"for table {k!r}"
+                    )
+            return ""
         lm = re.search(r"\bLOOKUP\s*\(", body, re.IGNORECASE)
         if lm:
             opts = {
@@ -3426,6 +3483,7 @@ class TableEnvironment:
                 tmp = TableSpec(
                     name=tbl, columns=list(src0.columns), options=opts,
                     watermark=src0.watermark,
+                    watermark_kind=src0.watermark_kind,
                     primary_key=list(src0.primary_key),
                 )
                 view = f"__opts_{tbl}_{_det_digest(*sorted(opts.items()))}"
@@ -3486,6 +3544,7 @@ class TableEnvironment:
                     None if feats.get("WATERMARKS") == "EXCLUDING"
                     else src.watermark
                 ),
+                watermark_kind=src.watermark_kind,
                 primary_key=(
                     [] if feats.get("CONSTRAINTS") == "EXCLUDING"
                     else list(src.primary_key)
@@ -3757,11 +3816,16 @@ class TableEnvironment:
             body = [spec.ddl_schema()]
             if spec.watermark is not None:
                 wc, wd = spec.watermark
-                n, _, unit = wd.partition(" ")
-                body.append(
-                    f"WATERMARK FOR {wc} AS {wc} - INTERVAL '{n}' "
-                    f"{unit.rstrip('s').upper()}"
-                )
+                if spec.watermark_kind == "source":
+                    body.append(f"WATERMARK FOR {wc} AS SOURCE_WATERMARK()")
+                elif spec.watermark_kind == "ascending":
+                    body.append(f"WATERMARK FOR {wc} AS {wc}")
+                else:
+                    n, _, unit = wd.partition(" ")
+                    body.append(
+                        f"WATERMARK FOR {wc} AS {wc} - INTERVAL '{n}' "
+                        f"{unit.rstrip('s').upper()}"
+                    )
             if spec.primary_key:
                 body.append(
                     f"PRIMARY KEY ({', '.join(spec.primary_key)}) NOT ENFORCED"
@@ -4090,12 +4154,35 @@ class TableEnvironment:
             # DDL spelling of the 'partition.keys' connector option.
             options["partition.keys"] = ",".join(partitioned)
         watermark = None
+        wm_kind = "bounded"
         wm = _WATERMARK_RE.search(body)
         if wm:
             watermark = (wm.group("col"), f"{wm.group('n')} {wm.group('unit').lower()}s"
                          if not wm.group("unit").lower().endswith("s")
                          else f"{wm.group('n')} {wm.group('unit').lower()}")
             body = _WATERMARK_RE.sub("", body)
+        else:
+            sm = _WATERMARK_SRC_RE.search(body)
+            if sm:
+                col = sm.group("col")
+                if sm.group("src"):
+                    # SOURCE_WATERMARK(): connector-provided strategy
+                    # (reference SupportsSourceWatermark.java) — the
+                    # closest event-time contract is 0-delay on the
+                    # declared rowtime column
+                    wm_kind = "source"
+                elif sm.group("asc").lower() == col.lower():
+                    # strictly-ascending rowtime (`WATERMARK FOR c AS c`)
+                    wm_kind = "ascending"
+                else:
+                    raise ValueError(
+                        "WATERMARK FOR "
+                        f"{col} AS {sm.group('asc')}: only `<col> - "
+                        "INTERVAL 'n' <unit>`, `<col>` (ascending) and "
+                        "SOURCE_WATERMARK() strategies are supported"
+                    )
+                watermark = (col, "0 seconds")
+                body = _WATERMARK_SRC_RE.sub("", body, count=1)
         pk: list[str] = []
         pkm = _PK_RE.search(body)
         if pkm:
@@ -4137,7 +4224,8 @@ class TableEnvironment:
             options["distributed.keys"] = ",".join(dcols)
             options["distributed.buckets"] = str(nbuck)
         spec = TableSpec(name=name, columns=columns, options=options,
-                         watermark=watermark, primary_key=pk)
+                         watermark=watermark, primary_key=pk,
+                         watermark_kind=wm_kind)
         self.tables[name] = spec
         if distributed is not None and not self.spark.catalog.tableExists(name):
             from flink_spark.sources.bucketing import write_bucketed

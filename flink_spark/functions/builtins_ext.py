@@ -43,6 +43,15 @@ _DEFS: list[str] = [
     # CURRENT_ROW_TIMESTAMP() -> TIMESTAMP_LTZ(3)-equivalent
     """CREATE OR REPLACE TEMPORARY FUNCTION current_row_timestamp()
        RETURNS TIMESTAMP RETURN current_timestamp()""",
+    # PROCTIME() (reference sql_functions.yml temporal section /
+    # ProctimeMaterializeSqlFunction): the processing-time attribute.
+    # In batch/micro-batch execution processing time materializes to the
+    # statement clock — the same value-stability contract the reference
+    # gives when it materializes proctime on a boundary (e.g. a sink or
+    # a batch-mode plan), and the same per-query freeze
+    # CURRENT_ROW_TIMESTAMP gets above.
+    """CREATE OR REPLACE TEMPORARY FUNCTION proctime()
+       RETURNS TIMESTAMP RETURN current_timestamp()""",
     # JSON_LENGTH(doc[, path]): elements of an array, keys of an object,
     # 1 for a located scalar, NULL for NULL/invalid/missing path
     """CREATE OR REPLACE TEMPORARY FUNCTION json_length(

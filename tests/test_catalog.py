@@ -2316,3 +2316,95 @@ def test_group_id_insert_select(spark, tmp_path):
         )
     finally:
         env.execute_sql("DROP TABLE gidi_sink")
+
+
+def test_watermark_source_watermark_ddl(spark, tmp_path):
+    """WATERMARK FOR ts AS SOURCE_WATERMARK() (reference SqlWatermark /
+    SupportsSourceWatermark.java): parses to a 0-delay event-time
+    watermark, DESCRIBE shows SOURCE_WATERMARK(), and SHOW CREATE TABLE
+    round-trips the spelling verbatim."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE swt (ts TIMESTAMP(3), v BIGINT,
+            WATERMARK FOR ts AS SOURCE_WATERMARK())
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/swt')
+    """)
+    spec = env.tables["swt"]
+    assert spec.watermark == ("ts", "0 seconds")
+    assert spec.watermark_kind == "source"
+    desc = {r[0]: r for r in env.execute_sql("DESCRIBE swt").collect()}
+    assert desc["ts"][-1] == "SOURCE_WATERMARK()"
+    ddl = env.execute_sql("SHOW CREATE TABLE swt").first().ddl
+    assert "WATERMARK FOR ts AS SOURCE_WATERMARK()" in ddl
+    env2 = TableEnvironment(spark)
+    env2.execute_sql(ddl.replace("swt", "swt_rt"))
+    assert env2.tables["swt_rt"].watermark_kind == "source"
+    assert env2.tables["swt_rt"].watermark == ("ts", "0 seconds")
+
+
+def test_watermark_ascending_ddl(spark, tmp_path):
+    """WATERMARK FOR ts AS ts — the strictly-ascending strategy — maps to
+    a 0-delay watermark; a watermark expression over a DIFFERENT column
+    is rejected with a targeted error."""
+    import pytest
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE awt (ts TIMESTAMP(3), v BIGINT,
+            WATERMARK FOR ts AS ts)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/awt')
+    """)
+    assert env.tables["awt"].watermark == ("ts", "0 seconds")
+    assert env.tables["awt"].watermark_kind == "ascending"
+    ddl = env.execute_sql("SHOW CREATE TABLE awt").first().ddl
+    assert "WATERMARK FOR ts AS ts" in ddl and "INTERVAL" not in ddl
+    with pytest.raises(ValueError, match="SOURCE_WATERMARK"):
+        env.execute_sql(f"""
+            CREATE TABLE bad_wt (ts TIMESTAMP(3), other TIMESTAMP(3),
+                WATERMARK FOR ts AS other)
+            WITH ('connector'='filesystem','format'='parquet',
+                  'path'='{tmp_path}/bad_wt')
+        """)
+
+
+def test_state_ttl_hint_validated_and_stripped(spark):
+    """/*+ STATE_TTL('t'='1d') */ (reference StateTtlHint.java): the hint
+    validates its KV duration options and is stripped for batch execution
+    (the reference also ignores idle-state retention in batch mode); a
+    malformed duration raises instead of being silently dropped."""
+    import pytest
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING") \
+        .createOrReplaceTempView("ttl_t")
+    rows = env.execute_sql(
+        "SELECT /*+ STATE_TTL('ttl_t'='1d') */ k, v FROM ttl_t ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "b")]
+    for dur in ("1 h", "36000ms", "2 minutes", "90s"):
+        assert env.execute_sql(
+            f"SELECT /*+ STATE_TTL('ttl_t'='{dur}') */ count(*) AS c "
+            "FROM ttl_t"
+        ).first().c == 2
+    with pytest.raises(ValueError, match="STATE_TTL"):
+        env.execute_sql(
+            "SELECT /*+ STATE_TTL('ttl_t'='fortnight') */ k FROM ttl_t"
+        )
+    with pytest.raises(ValueError, match="STATE_TTL"):
+        env.execute_sql("SELECT /*+ STATE_TTL() */ k FROM ttl_t")
+
+
+def test_proctime_function_registered(spark):
+    """PROCTIME() (reference sql_functions.yml): resolves as a SQL
+    function returning the statement-clock timestamp — equal to
+    CURRENT_ROW_TIMESTAMP() within one statement (both freeze per query,
+    the batch materialization of processing time)."""
+    from flink_spark.session import prepare_session
+
+    prepare_session(spark)
+    r = spark.sql(
+        "SELECT proctime() AS pt, current_row_timestamp() AS crt"
+    ).first()
+    assert r.pt is not None and r.pt == r.crt
