@@ -1734,7 +1734,16 @@ class TableEnvironment:
                         f"STATE_TTL hint: could not parse duration {v!r} "
                         f"for table {k!r}"
                     )
-            return ""
+            # excise just the STATE_TTL(...) call (+ a trailing/leading
+            # comma) so sibling hints in the same block survive
+            depth, j = 1, sm.end()
+            while j < len(body) and depth:
+                depth += {"(": 1, ")": -1}.get(body[j], 0)
+                j += 1
+            rest = body[: sm.start()] + " " + body[j:]
+            rest = re.sub(r",\s*,", ",", rest)  # mid-list excision
+            rest = re.sub(r"^\s*,|,\s*$", "", rest.strip()).strip()
+            return self._fix_hint_block(rest) if rest else ""
         lm = re.search(r"\bLOOKUP\s*\(", body, re.IGNORECASE)
         if lm:
             opts = {

@@ -2408,3 +2408,26 @@ def test_proctime_function_registered(spark):
         "SELECT proctime() AS pt, current_row_timestamp() AS crt"
     ).first()
     assert r.pt is not None and r.pt == r.crt
+
+
+def test_state_ttl_hint_keeps_sibling_hints(spark):
+    """A STATE_TTL sharing a hint block with a join hint must be excised
+    alone — the sibling BROADCAST survives and still pins the strategy."""
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(i, i % 3) for i in range(100)], "k INT, g INT") \
+        .createOrReplaceTempView("ttl_big")
+    spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "g INT, name STRING") \
+        .createOrReplaceTempView("ttl_dim")
+    df = env.execute_sql(
+        "SELECT /*+ STATE_TTL('ttl_big'='1h'), BROADCAST(d) */ "
+        "b.k, d.name FROM ttl_big b JOIN ttl_dim d ON b.g = d.g"
+    )
+    assert df.count() == 100
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # middle-position excision keeps both neighbours
+    df2 = env.execute_sql(
+        "SELECT /*+ BROADCAST(d), STATE_TTL('ttl_big'='2 min'), "
+        "BROADCAST(d) */ b.k FROM ttl_big b JOIN ttl_dim d ON b.g = d.g"
+    )
+    assert df2.count() == 100
