@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_spark.session import prepare_session
 from flink_spark.sqltok import det_digest as _det_digest
+from flink_spark.sqltok import match_paren as _match_paren
 
 
 @dataclass
@@ -1256,14 +1257,9 @@ class TableEnvironment:
             masked = mask_literals(stmt)
             rewritten = None
             for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
-                start, depth, i = m.end(), 1, m.end()
-                while i < len(masked) and depth:
-                    if masked[i] == "(":
-                        depth += 1
-                    elif masked[i] == ")":
-                        depth -= 1
-                    i += 1
-                if depth:
+                start = m.end()
+                i = _match_paren(masked, start)
+                if i < 0:
                     continue  # unbalanced (mid-edit text) — leave alone
                 body = masked[start : i - 1]
                 tm = self._PRECISION_CAST_TAIL_RE.search(body)
@@ -1315,14 +1311,9 @@ class TableEnvironment:
             for m in re.finditer(
                 r"\bRAND_INTEGER\s*\(", masked, re.IGNORECASE
             ):
-                start, depth, i = m.end(), 1, m.end()
-                while i < len(masked) and depth:
-                    if masked[i] == "(":
-                        depth += 1
-                    elif masked[i] == ")":
-                        depth -= 1
-                    i += 1
-                if depth:
+                start = m.end()
+                i = _match_paren(masked, start)
+                if i < 0:
                     continue
                 body = stmt[start : i - 1]
                 args = split_top_commas(body)
@@ -1375,7 +1366,9 @@ class TableEnvironment:
         # SELECT prefix) apply to the query part only (ADVICE r7: the
         # old code duplicated the INSERT head into every round)
         im = re.match(
-            r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+[\w.]+\s*"
+            r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+"
+            r"(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*\s*"
+            r"(?:PARTITION\s*\([^()]*\)\s*)?"
             r"(?:\([^()]*\)\s*)?",
             masked, re.IGNORECASE,
         )
@@ -1446,10 +1439,11 @@ class TableEnvironment:
         for cand in self._GSETS_RE.finditer(masked):
             head = masked[: cand.start()]
             if head.count("(") == head.count(")"):
-                m = cand
-                break
-            nested.append(cand)
-        if m is None and nested:
+                if m is None:
+                    m = cand
+            else:
+                nested.append(cand)
+        if nested:
             out = stmt
             # rewrite each nested block once, outermost-enclosing paren
             # span per match, splicing right-to-left so spans stay valid
@@ -1464,14 +1458,8 @@ class TableEnvironment:
                         if depth == 0:
                             break
                         depth -= 1
-                k, d2 = j + 1, 1
-                while k < len(masked) and d2:
-                    if masked[k] == "(":
-                        d2 += 1
-                    elif masked[k] == ")":
-                        d2 -= 1
-                    k += 1
-                if d2:
+                k = _match_paren(masked, j + 1)
+                if k < 0:
                     raise ValueError(
                         "GROUP_ID: unbalanced parentheses around nested "
                         "GROUPING SETS"
@@ -1489,21 +1477,26 @@ class TableEnvironment:
             ]
             for s, e in sorted(set(outermost), reverse=True):
                 out = out[:s] + self._rewrite_group_id(out[s:e]) + out[e:]
-            # any GROUP_ID of THIS block (outside the rewritten nested
-            # spans) has distinct sets by construction → 0
-            return sub_outside_literals(self._GROUP_ID_RE, zero, out)
+            if out != stmt:
+                # nested blocks decomposed — re-enter so a depth-0
+                # duplicate GROUPING SETS of THIS block (if any) still
+                # decomposes against the spliced text instead of being
+                # skipped (and its GROUP_ID still enumerates rounds);
+                # terminates because the re-entry sees the nested spans
+                # in fixed form (distinct sets, GROUP_ID already a
+                # constant) and leaves them unchanged
+                return self._rewrite_group_id(out)
+            if m is None:
+                # nested spans already in fixed form and no depth-0
+                # duplicate clause: any remaining GROUP_ID of THIS block
+                # has distinct sets by construction → 0
+                return sub_outside_literals(self._GROUP_ID_RE, zero, out)
         if not m:
             # CUBE / ROLLUP / plain GROUP BY: sets distinct by construction
             return sub_outside_literals(self._GROUP_ID_RE, zero, stmt)
         start = m.end()
-        depth, i = 1, start
-        while i < len(masked) and depth:
-            if masked[i] == "(":
-                depth += 1
-            elif masked[i] == ")":
-                depth -= 1
-            i += 1
-        if depth:
+        i = _match_paren(masked, start)
+        if i < 0:
             raise ValueError("GROUPING SETS: unbalanced parentheses")
         items = [s.strip() for s in split_top_commas(stmt[start : i - 1])]
 
@@ -1715,9 +1708,17 @@ class TableEnvironment:
             # ignores the hint in batch mode too), and the streaming
             # DataFrame operators take state_ttl explicitly
             # (streaming/changelog.py, deltajoin.py, ...).
+            j = _match_paren(body, sm.end())
+            if j < 0:
+                raise ValueError(
+                    "STATE_TTL hint: unbalanced parentheses"
+                )
+            # validate options from THIS call's span only — scanning the
+            # rest of the block would misread a sibling hint's quoted
+            # options (e.g. LOOKUP's 'retry-predicate') as durations
             opts = {
                 o.group("k"): o.group("v")
-                for o in _OPT_RE.finditer(body[sm.end():])
+                for o in _OPT_RE.finditer(body[sm.end() : j - 1])
             }
             if not opts:
                 raise ValueError(
@@ -1736,10 +1737,6 @@ class TableEnvironment:
                     )
             # excise just the STATE_TTL(...) call (+ a trailing/leading
             # comma) so sibling hints in the same block survive
-            depth, j = 1, sm.end()
-            while j < len(body) and depth:
-                depth += {"(": 1, ")": -1}.get(body[j], 0)
-                j += 1
             rest = body[: sm.start()] + " " + body[j:]
             rest = re.sub(r",\s*,", ",", rest)  # mid-list excision
             rest = re.sub(r"^\s*,|,\s*$", "", rest.strip()).strip()

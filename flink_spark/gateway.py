@@ -502,8 +502,13 @@ class SqlGatewayServer:
         # `CREATE TABLE ... AS SELECT` on the masked text (ADVICE r7)
         pm = mask_literals(parts[0])
         is_ctas = bool(
-            re.match(r"^\s*CREATE\s+TABLE\b", pm, re.IGNORECASE)
-            and re.search(r"\bAS\s+SELECT\b", pm, re.IGNORECASE)
+            re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\b",
+                pm, re.IGNORECASE,
+            )
+            # AS SELECT / AS (SELECT / AS ((SELECT ... — any parenthesized
+            # query body still launches a job
+            and re.search(r"\bAS\s*\(*\s*SELECT\b", pm, re.IGNORECASE)
         )
         if is_ctas or not self._CONFIG_STMT_RE.match(parts[0]):
             return 400, {

@@ -359,17 +359,20 @@ def pq_train(
     sample = candidates.select(
         F.col(cand_id).alias("__id"), F.col(vec).cast("array<double>").alias("__cv")
     )
-    if train_limit is not None:
-        # cap by rows×dim ELEMENTS, not rows (VERDICT r7): a fixed row
-        # count at embedding dim 4096 would pull ~1.6 GB of float64 to
-        # the driver; the budget keeps the driver copy ≤ ~64 MB at any
-        # dim while leaving the limit unchanged for small dims (d=128 →
-        # 62.5k cap > the 50k default). Never below ks (training needs
-        # ks distinct seeds); same md5 total order → still deterministic.
-        train_limit = min(train_limit, max(ks, PQ_TRAIN_BUDGET_ELEMS // d))
-        sample = sample.orderBy(
-            F.md5(F.col("__id").cast("string")), F.col("__id")
-        ).limit(train_limit)
+    # cap by rows×dim ELEMENTS, not rows (VERDICT r7): a fixed row
+    # count at embedding dim 4096 would pull ~1.6 GB of float64 to
+    # the driver; the budget keeps the driver copy ≤ ~64 MB at any
+    # dim while leaving the limit unchanged for small dims (d=128 →
+    # 62.5k cap > the 50k default). Never below ks (training needs
+    # ks distinct seeds); same md5 total order → still deterministic.
+    # train_limit=None means "budget only" — the byte cap ALWAYS
+    # applies, so no spelling of this call collects an unbounded set.
+    byte_cap = max(ks, PQ_TRAIN_BUDGET_ELEMS // d)
+    train_limit = byte_cap if train_limit is None else min(train_limit,
+                                                           byte_cap)
+    sample = sample.orderBy(
+        F.md5(F.col("__id").cast("string")), F.col("__id")
+    ).limit(train_limit)
     rows = sample.collect()
     if len(rows) < ks:
         raise ValueError(

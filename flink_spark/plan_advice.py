@@ -164,14 +164,17 @@ def _window_group_limit_advice(nodes) -> list:
     for n in nodes:
         if _name(n) != "Filter" or not n.children:
             continue
-        m = _RANK_FILTER.search(n.text)
-        if not m:
-            continue
-        attr = m.group(1)
         win = _first_significant(n.children[0])
         if win is None or _name(win) != "Window" \
-                or not _RANK_FN.search(win.text) \
-                or f"AS {attr}" not in win.text:
+                or not _RANK_FN.search(win.text):
+            continue
+        # ANY rank-bound comparison in the (possibly compound) filter may
+        # be the top-k predicate — taking only the first match would let
+        # 'Filter ((flag = 1) AND (rn <= 3))' slip past the audit
+        if not any(
+            f"AS {m.group(1)}" in win.text
+            for m in _RANK_FILTER.finditer(n.text)
+        ):
             continue
         below = _subtree(win)[1:]
         wgl = [d for d in below if _name(d) == "WindowGroupLimit"]
@@ -299,13 +302,15 @@ COLLECT_ALLOWLIST: dict = {
     ("streaming/idleness.py", "run_round"):
         (2, "per-source watermark aggregates — one row per source"),
     ("streaming/deltajoin.py", "process"):
-        (1, "scalar MAX(batch_id) over the store — one row"),
+        (1, "scalar MIN(event ts) aggregate over the current batch — "
+            "one row (drives TTL compaction)"),
     ("llm/dedup.py", "_potential"):
         (1, "scalar SUM(potential) convergence probe — one row"),
     ("llm/clustering.py", "kmeans"):
         (2, "init limit(k) rows; update k×d group means — both tiny"),
     ("llm/similarity.py", "pq_train"):
-        (1, "training sample byte-capped at rows×dim ≤ _PQ_TRAIN_ELEMS"),
+        (1, "training sample byte-capped at rows×dim ≤ "
+            "PQ_TRAIN_BUDGET_ELEMS (applies for train_limit=None too)"),
     ("formats/avro.py", "write_avro"):
         (1, "mapInPandas side-effect writer: one count row per partition"),
     ("datastream.py", "execute_and_collect"):
@@ -363,9 +368,23 @@ def audit_collect_sites(root: str | None = None) -> list:
             for i, line in enumerate(lines, 1):
                 if ".collect()" not in line or line.lstrip().startswith("#"):
                     continue
-                # same-statement window: this line plus up to 4
-                # continuation lines above it (chained-call style)
-                stmt = "\n".join(lines[max(0, i - 5):i])
+                # same-STATEMENT window (not a fixed line count, which
+                # both accepts an adjacent statement's .limit() and
+                # misses a chain longer than the window): walk upward
+                # while the accumulated text still has unmatched closing
+                # brackets or the current line is a continuation
+                j = i
+                while j > 1 and (i - j) < 40:
+                    seg = "\n".join(lines[j - 1:i])
+                    unbalanced = seg.count(")") > seg.count("(")
+                    cont = lines[j - 1].lstrip().startswith((".", ")"))
+                    prev = lines[j - 2].rstrip()
+                    opened = prev.endswith(("(", ",", "\\", "=", "+", "["))
+                    if unbalanced or cont or opened:
+                        j -= 1
+                    else:
+                        break
+                stmt = "\n".join(lines[j - 1:i])
                 if _LIMIT_LIT.search(stmt):
                     continue
                 func = None

@@ -206,3 +206,22 @@ def split_top_commas(sql: str) -> list[str]:
             last = i + 1
     parts.append(sql[last:])
     return [p.strip() for p in parts]
+
+
+def match_paren(text: str, open_end: int) -> int:
+    """Given ``open_end`` = the index JUST PAST an opening ``(`` (e.g. a
+    regex match's ``.end()`` for a pattern ending in ``\\(``), return the
+    index just past its matching ``)``, or ``-1`` when unbalanced. Run it
+    on MASKED text (mask_literals) so parens inside literals don't count
+    — one shared scanner instead of per-site hand-rolled loops, with the
+    imbalance policy (skip vs raise) left to the caller."""
+    depth, i = 1, open_end
+    n = len(text)
+    while i < n and depth:
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return -1 if depth else i

@@ -23,9 +23,12 @@ Scale notes (100 TB): the per-batch work is |ΔL| ⋈ R + L ⋈ |ΔR| with the
 delta side small — AQE broadcasts it, and the store is partitioned by a
 key-hash bucket so a delta carrying few buckets prunes most store
 partitions at scan time (the parquet analog of the reference's index
-lookup). The append-only sink write is idempotent per micro-batch only if
-the sink dedupes on batch id — production would land it in a table format
-with MERGE; the local parquet append is the test bridge.
+lookup). Sink and store writes are keyed by batch id (dynamic partition
+overwrite on a ``__dj_bid`` partition), so a batch re-delivered after a
+crash between the writes and the checkpoint commit overwrites its own
+partition instead of double-appending — the standard foreachBatch
+idempotence pattern; a production deployment would land the same writes
+in a table format with MERGE.
 """
 
 from __future__ import annotations
@@ -38,6 +41,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET = "__dj_bucket"
+
+
+def _has_parquet(d: str) -> bool:
+    """True if any part file exists under ``d`` — a bid-partitioned write
+    of an all-empty stream creates the directory (or nothing) without a
+    single schema-bearing file, which read.parquet cannot infer from."""
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(d) for f in fs
+    )
 
 
 def _bucketed(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
@@ -95,6 +108,17 @@ def delta_join(
     l_store, r_store = f"{root}/left", f"{root}/right"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
+    # crash recovery for the durable-root path: finish or roll back a
+    # compaction swap that died between its renames, and clear a stale
+    # compacting scratch dir (see the swap ordering in process())
+    for store in (l_store, r_store):
+        old_d, tmp_d = store + ".old", store + ".compacting"
+        if not os.path.isdir(store) and os.path.isdir(old_d):
+            os.rename(old_d, store)  # crashed after store→.old swap-out
+        elif os.path.isdir(store) and os.path.isdir(old_d):
+            shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+        shutil.rmtree(tmp_d, ignore_errors=True)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
@@ -107,10 +131,26 @@ def delta_join(
                 right_keys, num_buckets,
             ).persist()
             sess = batch.sparkSession
-            have_l = os.path.isdir(l_store)
-            have_r = os.path.isdir(r_store)
-            old_l = sess.read.parquet(l_store) if have_l else None
-            old_r = sess.read.parquet(r_store) if have_r else None
+            have_l = _has_parquet(l_store)
+            have_r = _has_parquet(r_store)
+            # R_before/L_before = rows of STRICTLY EARLIER batches. The
+            # bid partition makes this a pruning filter, and it is what
+            # makes re-delivery exact: a replayed batch must not see the
+            # store rows its own (or a later) execution already landed —
+            # without the cut, ΔL ⋈ (R_before ∪ ΔR) double-counts ΔL⋈ΔR
+            # because R_before already contains ΔR from the first attempt
+            old_l = (
+                sess.read.parquet(l_store)
+                .filter(F.col("__dj_bid") < F.lit(batch_id))
+                .drop("__dj_bid")
+                if have_l else None
+            )
+            old_r = (
+                sess.read.parquet(r_store)
+                .filter(F.col("__dj_bid") < F.lit(batch_id))
+                .drop("__dj_bid")
+                if have_r else None
+            )
             cut_fn = None
             if ttl_delta is not None:
                 # state TTL: under in-order delivery, store rows older
@@ -177,10 +217,29 @@ def delta_join(
             out = join(delta_l, r_all)
             if old_l is not None:
                 out = out.unionByName(join(old_l, delta_r))
-            out.write.mode("append").parquet(out_dir)
-
-            delta_l.write.mode("append").partitionBy(_BUCKET).parquet(l_store)
-            delta_r.write.mode("append").partitionBy(_BUCKET).parquet(r_store)
+            # batch-id-keyed DYNAMIC partition overwrite instead of blind
+            # append: foreachBatch re-delivers a batch whose writes
+            # landed but whose checkpoint never committed (crash between
+            # the two), and an append would then double every row. The
+            # replay overwrites exactly its own __dj_bid partition with
+            # identical content — the documented foreachBatch idempotence
+            # pattern, and the parquet stand-in for the MERGE a table
+            # format would give the reference's store.
+            (
+                out.withColumn("__dj_bid", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__dj_bid")
+                .parquet(out_dir)
+            )
+            for delta, store in ((delta_l, l_store), (delta_r, r_store)):
+                (
+                    delta.withColumn("__dj_bid", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__dj_bid", _BUCKET)
+                    .parquet(store)
+                )
             if (
                 cut_fn is not None
                 and compact_every
@@ -197,18 +256,23 @@ def delta_join(
                 # foreachBatch stand-in for the store table format's
                 # MERGE/compaction job at 100 TB.
                 for store, ts_col in ((l_store, left_ts), (r_store, right_ts)):
-                    if not os.path.isdir(store):
+                    if not _has_parquet(store):
                         continue
                     tmp = store + ".compacting"
                     (
                         sess.read.parquet(store)
                         .filter(F.col(ts_col) >= cut_fn(ts_col))
                         .write.mode("overwrite")
-                        .partitionBy(_BUCKET)
+                        .partitionBy("__dj_bid", _BUCKET)
                         .parquet(tmp)
                     )
-                    shutil.rmtree(store, ignore_errors=True)
+                    # swap via .old so a crash at any point is
+                    # recoverable (the sweep at delta_join start): the
+                    # store is never the only copy mid-swap
+                    old_d = store + ".old"
+                    os.rename(store, old_d)
                     os.rename(tmp, store)
+                    shutil.rmtree(old_d, ignore_errors=True)
         finally:
             batch.unpersist()
 
@@ -222,7 +286,7 @@ def delta_join(
 
     if store_stats is not None:
         for side, store in (("left", l_store), ("right", r_store)):
-            if os.path.isdir(store):
+            if _has_parquet(store):
                 nfiles = sum(
                     len([f for f in fs if f.endswith(".parquet")])
                     for _, _, fs in os.walk(store)
@@ -232,7 +296,7 @@ def delta_join(
                     "files": nfiles,
                 }
 
-    if not os.path.isdir(out_dir):
+    if not _has_parquet(out_dir):
         from pyspark.sql.types import StructType
 
         empty = StructType(
@@ -241,9 +305,12 @@ def delta_join(
         return spark.createDataFrame([], empty)
     if persistent:
         # durable root: leave stores/out/checkpoint in place for resume
-        return spark.read.parquet(out_dir)
+        return spark.read.parquet(out_dir).drop("__dj_bid")
     # materialize off the temp store so it can be pruned eagerly
-    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    result = (
+        spark.read.parquet(out_dir).drop("__dj_bid")
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -315,8 +382,8 @@ def delta_join_outer(
                 batch.filter(F.col("__side") == "R").select(*right_cols),
                 right_keys, num_buckets,
             ).persist()
-            old_l = sess.read.parquet(l_store) if os.path.isdir(l_store) else None
-            old_r = sess.read.parquet(r_store) if os.path.isdir(r_store) else None
+            old_l = sess.read.parquet(l_store) if _has_parquet(l_store) else None
+            old_r = sess.read.parquet(r_store) if _has_parquet(r_store) else None
 
             def pair_join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 l, r = lf.alias("__dj_l"), rf.alias("__dj_r")
@@ -424,7 +491,7 @@ def delta_join_outer(
     )
     q.awaitTermination()
 
-    if not os.path.isdir(out_dir):
+    if not _has_parquet(out_dir):
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
         shutil.rmtree(root, ignore_errors=True)

@@ -259,3 +259,61 @@ def test_delta_join_ttl_compaction_off_keeps_history(spark, tmp_path):
         compact_every=0, store_stats=stats, prefix="dj_nocompact_test",
     )
     assert stats["left"]["rows"] == 12 and stats["right"]["rows"] == 12
+
+
+def test_delta_join_replayed_batch_is_idempotent(spark, tmp_path):
+    """Crash-window re-delivery (foreachBatch contract: a batch whose
+    writes landed but whose checkpoint commit did not is re-run on
+    restart): losing the commit log after the writes forces the replay,
+    and the bid-keyed dynamic-overwrite writes must leave the result —
+    sink AND stores — identical to a single clean run, not doubled."""
+    left_pdf = pd.DataFrame({"lk": [1, 2, 3, 1], "lv": list("abcd")})
+    right_pdf = pd.DataFrame({"rk": [1, 2, 2, 5], "rv": list("wxyz")})
+    root = str(tmp_path / "dj_root")
+
+    (tmp_path / "run").mkdir()
+    srcs = {}
+    for name, pdf in (("l", left_pdf), ("r", right_pdf)):
+        d = tmp_path / "run" / name
+        d.mkdir()
+        for i in range(2):
+            n = len(pdf)
+            pdf.iloc[i * n // 2 : (i + 1) * n // 2].to_parquet(
+                d / f"part-{i}.parquet", index=False
+            )
+        srcs[name] = (str(d), spark.read.parquet(str(d)).schema)
+
+    def drain():
+        lt = (spark.readStream.schema(srcs["l"][1])
+              .option("maxFilesPerTrigger", 1).parquet(srcs["l"][0]))
+        rt = (spark.readStream.schema(srcs["r"][1])
+              .option("maxFilesPerTrigger", 1).parquet(srcs["r"][0]))
+        tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+        return delta_join(
+            tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+            num_buckets=4, root=root,
+        )
+
+    drain()
+    # simulate the crash window at its WORST: all writes are on disk,
+    # no checkpoint commit survives — every batch re-delivers on
+    # restart with the same deterministic file→batch mapping (Spark 4
+    # fences surgical commit-log edits, so lose the whole log instead)
+    import shutil
+
+    shutil.rmtree(f"{root}/ckpt")
+    got = drain()  # full replay: every batch re-delivered
+
+    got_rows = sorted((r.lk, r.lv, r.rk, r.rv) for r in got.collect())
+    expect = sorted(
+        (lr.lk, lr.lv, rr.rk, rr.rv)
+        for _, lr in left_pdf.iterrows()
+        for _, rr in right_pdf.iterrows()
+        if lr.lk == rr.rk
+    )
+    assert got_rows == expect  # an append-on-replay would double pairs
+    # stores must hold each input row exactly once too
+    l_rows = spark.read.parquet(f"{root}/left").select("lk", "lv").collect()
+    assert sorted((r.lk, r.lv) for r in l_rows) == sorted(
+        (r.lk, r.lv) for _, r in left_pdf.iterrows()
+    )
