@@ -220,3 +220,72 @@ def test_delete_update_match_duckdb(spark, rows, pred, tmp_path_factory):
     got = {(r.k, r.v, r.w) for r in spark.table("dml_prop").collect()}
     assert got == want, (pred, got, want)
     env.execute_sql("DROP TABLE IF EXISTS dml_prop")
+
+
+# -- dialect text-rewrite properties (pure Python, no Spark jobs) --------
+
+_DURATIONS = st.sampled_from(
+    ["1h", "36000ms", "2 min", "90s", "1 d", "500", "3 hours"]
+)
+_SIBLINGS = st.sampled_from(
+    ["BROADCAST(d)", "SHUFFLE_HASH(t1)", "MERGE(a, b)",
+     "SHUFFLE_REPLICATE_NL(x)", "REPARTITION(8)"]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pre=st.lists(_SIBLINGS, max_size=2),
+    post=st.lists(_SIBLINGS, max_size=2),
+    durs=st.lists(_DURATIONS, min_size=1, max_size=3),
+)
+def test_state_ttl_excision_preserves_siblings(spark, pre, post, durs):
+    """For any placement of STATE_TTL among sibling hints, excision keeps
+    every sibling (order preserved) and never raises for valid
+    durations."""
+    from flink_spark.catalog import TableEnvironment
+
+    ttl = "STATE_TTL(" + ", ".join(
+        f"'t{i}'='{d}'" for i, d in enumerate(durs)
+    ) + ")"
+    body = " " + ", ".join(pre + [ttl] + post) + " "
+    out = TableEnvironment(spark)._fix_hint_block(body)
+    for sib in pre + post:
+        assert sib in out, (body, out)
+    assert "STATE_TTL" not in out.upper()
+    if not pre and not post:
+        assert out == ""
+    else:
+        # well-formed block: balanced delimiters, no dangling commas
+        inner = out.removeprefix("/*+").removesuffix("*/").strip()
+        assert not inner.startswith(",") and not inner.endswith(",")
+        assert ",," not in inner.replace(" ", "")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"),
+            whitelist_characters=" ()',",
+        ),
+        max_size=12,
+    ),
+    n=st.integers(1, 8),
+    char_kind=st.booleans(),
+)
+def test_precision_cast_property(spark, s, n, char_kind):
+    """CAST('<arbitrary literal>' AS CHAR/VARCHAR(n)) matches the
+    reference pad/trim model (CharVarCharTrimPadCastRule) for any string
+    content — including quotes, parens and commas inside the literal,
+    which exercise the masked balanced-paren scan."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    lit = s.replace("'", "''")
+    ty = "CHAR" if char_kind else "VARCHAR"
+    got = env.execute_sql(
+        f"SELECT CAST('{lit}' AS {ty}({n})) AS v"
+    ).first().v
+    exp = s[:n].ljust(n) if char_kind else s[:n]
+    assert got == exp, (s, n, ty, got, exp)
