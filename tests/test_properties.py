@@ -222,7 +222,7 @@ def test_delete_update_match_duckdb(spark, rows, pred, tmp_path_factory):
     env.execute_sql("DROP TABLE IF EXISTS dml_prop")
 
 
-# -- dialect text-rewrite properties (pure Python, no Spark jobs) --------
+# -- dialect text-rewrite properties ------------------------------------
 
 _DURATIONS = st.sampled_from(
     ["1h", "36000ms", "2 min", "90s", "1 d", "500", "3 hours"]
@@ -250,16 +250,21 @@ def test_state_ttl_excision_preserves_siblings(spark, pre, post, durs):
     ) + ")"
     body = " " + ", ".join(pre + [ttl] + post) + " "
     out = TableEnvironment(spark)._fix_hint_block(body)
-    for sib in pre + post:
-        assert sib in out, (body, out)
     assert "STATE_TTL" not in out.upper()
     if not pre and not post:
         assert out == ""
     else:
-        # well-formed block: balanced delimiters, no dangling commas
+        # well-formed wrapped block: the rewriter splices this into the
+        # statement where the original markers were already consumed
+        assert out.startswith("/*+") and out.endswith("*/"), out
         inner = out.removeprefix("/*+").removesuffix("*/").strip()
         assert not inner.startswith(",") and not inner.endswith(",")
         assert ",," not in inner.replace(" ", "")
+        # EVERY sibling survives, duplicates included, in order
+        import re as _re
+
+        kept = [h.strip() for h in _re.split(r",(?![^()]*\))", inner)]
+        assert kept == pre + post, (body, out)
 
 
 @settings(max_examples=40, deadline=None)
