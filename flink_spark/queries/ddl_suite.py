@@ -1195,3 +1195,97 @@ def ddl_statement_set(spark, sf_dir):
         dsum("o_totalprice", "total"),
     )
     return hi.unionAll(lo).select("sink", "n", "total")
+
+
+@query(
+    "ddl_watermark_strategies",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('wm_asc',     'ascending', 'ts', '0 seconds'),
+      ('wm_bounded', 'bounded',   'ts', '5 seconds'),
+      ('wm_source',  'source',    'ts', '0 seconds')
+    ) t(tbl, kind, wm_col, delay)
+    """,
+)
+def ddl_watermark_strategies(spark, sf_dir):
+    """The three WATERMARK DDL strategies (reference SqlWatermark /
+    WatermarkSpec): `AS col - INTERVAL` (bounded out-of-orderness),
+    `AS col` (strictly ascending), `AS SOURCE_WATERMARK()`
+    (connector-provided, SupportsSourceWatermark.java). Each parses to
+    its strategy kind, renders back through SHOW CREATE TABLE verbatim,
+    and the emitted DDL re-executes in a FRESH TableEnvironment to an
+    identical spec — the round-trip row set below is taken from the
+    CLONES, so a rendering defect cannot pass."""
+    import tempfile
+
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    d = tempfile.mkdtemp(prefix="flink_spark_wmgate_")
+    specs = {
+        "wm_bounded": "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND",
+        "wm_asc": "WATERMARK FOR ts AS ts",
+        "wm_source": "WATERMARK FOR ts AS SOURCE_WATERMARK()",
+    }
+    env2 = TableEnvironment(spark)
+    rows = []
+    for name, clause in specs.items():
+        env.execute_sql(f"DROP TABLE IF EXISTS {name}")
+        env2.execute_sql(f"DROP TABLE IF EXISTS {name}_rt")
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k BIGINT, ts TIMESTAMP(3), {clause})
+            WITH ('connector'='filesystem','format'='parquet',
+                  'path'='{d}/{name}')
+        """)
+        ddl = env.execute_sql(f"SHOW CREATE TABLE {name}").first().ddl
+        assert clause in ddl, (name, ddl)
+        env2.execute_sql(ddl.replace(name, f"{name}_rt"))
+        clone = env2.tables[f"{name}_rt"]
+        rows.append((name, clone.watermark_kind, *clone.watermark))
+    return spark.createDataFrame(
+        sorted(rows), "tbl string, kind string, wm_col string, delay string"
+    )
+
+
+@query(
+    "hint_state_ttl_gate",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def hint_state_ttl_gate(spark, sf_dir):
+    """STATE_TTL hint (reference StateTtlHint.java / FlinkHintStrategies):
+    the hint validates its per-table duration options, is excised for
+    batch execution (the reference ignores idle-state retention in batch
+    mode too), and a sibling join hint in the SAME block still pins the
+    strategy — asserted on the executed plan with broadcast
+    auto-conversion disabled, so only the surviving hint can pick it."""
+    from flink_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("ttlg_n")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("ttlg_r")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = env.execute_sql(
+            "SELECT /*+ STATE_TTL('ttlg_n'='1d', 'ttlg_r'='12 h'), "
+            "BROADCAST(ttlg_r) */ "
+            "ttlg_n.n_name AS n_name, ttlg_r.r_name AS r_name "
+            "FROM ttlg_n JOIN ttlg_r "
+            "ON ttlg_n.n_regionkey = ttlg_r.r_regionkey"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan  # sibling hint survived
+        try:
+            env.execute_sql(
+                "SELECT /*+ STATE_TTL('ttlg_n'='fortnight') */ n_name "
+                "FROM ttlg_n"
+            )
+            raise AssertionError("bad STATE_TTL duration must raise")
+        except ValueError:
+            pass
+        return df
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
