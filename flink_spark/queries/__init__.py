@@ -407,3 +407,79 @@ VERIFICATION_ROTATION_R4 = [
 promote_first(VERIFICATION_ROTATION_R8)
 
 __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
+
+
+#: Prepared r9 head (NOT promoted -- promote at the start of round 9
+#: after re-verifying locally): entry + all 15 never-sampled
+#: non-TPC-DS gates + the first 34 TPC-DS shapes; the 15-query
+#: remainder (VERIFICATION_ROTATION_R10_TAIL) retires in round 10.
+VERIFICATION_ROTATION_R9_CANDIDATES = [
+    "tpch_q1_pricing_summary",
+    "llm_lsh_topk",
+    "llm_multimodal_features",
+    "llm_ivf_topk",
+    "llm_ivf_recall_gate",
+    "llm_pq_topk",
+    "llm_pq_recall_gate",
+    "pipe_normalize",
+    "pipe_vocab_top100",
+    "pipe_kmeans_clusters",
+    "pipe_semantic_neardup",
+    "pipe_passage_dedup",
+    "pipe_unigram_logprob",
+    "pipe_bigram_logprob",
+    "ddl_watermark_strategies",
+    "hint_state_ttl_gate",
+    "tpcds_q65_low_revenue_parts",
+    "tpcds_q98_class_revenue_share",
+    "tpcds_q6_above_average_price",
+    "tpcds_q15_regional_big_spenders",
+    "tpcds_q96_time_band_count",
+    "tpcds_q2_weekday_yoy",
+    "tpcds_q4_three_channel_growth",
+    "tpcds_q30_state_return_outliers",
+    "tpcds_q45_zip_or_subquery",
+    "tpcds_q61_promo_ratio",
+    "tpcds_q84_income_band_lookup",
+    "tpcds_q87_distinct_except_chain",
+    "tpcds_q46_cross_nation_trips",
+    "tpcds_q8_preferred_zips",
+    "tpcds_q12_class_revenue_ratio",
+    "tpcds_q18_demographic_rollup_avgs",
+    "tpcds_q26_demographic_item_avgs",
+    "tpcds_q42_category_year_report",
+    "tpcds_q43_weekday_pivot_per_store",
+    "tpcds_q69_active_without_web",
+    "tpcds_q71_brand_by_hour_channels",
+    "tpcds_q76_null_key_channel_counts",
+    "tpcds_q77_channel_profit_rollup",
+    "tpcds_q24_paid_above_global_avg",
+    "tpcds_q32_excess_discount_per_item",
+    "tpcds_q11_two_channel_growth_customers",
+    "tpcds_q27_state_brand_rollup_avgs",
+    "tpcds_q28_band_distinct_stats",
+    "tpcds_q55_brand_month_report",
+    "tpcds_q94_multi_supplier_no_returns",
+    "tpcds_q20_windowed_class_share",
+    "tpcds_q29_quantity_funnel",
+    "tpcds_q52_brand_year_report",
+    "tpcds_q56_item_channel_union",
+]
+
+VERIFICATION_ROTATION_R10_TAIL = [
+    "tpcds_q60_category_channel_union",
+    "tpcds_q57_event_daily_deviation",
+    "tpcds_q63_monthly_brand_deviation",
+    "tpcds_q89_series_abs_deviation",
+    "tpcds_q68_trip_tax_report",
+    "tpcds_q79_same_nation_trips",
+    "tpcds_q73_small_basket_buyers",
+    "tpcds_q80_windowed_channel_rollup",
+    "tpcds_q81_nation_return_outliers",
+    "tpcds_q82_store_inventory_instock",
+    "tpcds_q83_returned_parts_intersect",
+    "tpcds_q85_returns_band_disjunction",
+    "tpcds_q86_event_rollup_rank",
+    "tpcds_q91_nation_return_losses",
+    "tpcds_q99_nation_latency_bands",
+]
