@@ -158,8 +158,12 @@ def _extract_ctas(stmt: str):
         "query": stmt[wc + 1 + qm.start(1) :],
     }
 _WATERMARK_RE = re.compile(
+    # the quoted count group accepts any literal interior so the pattern
+    # also matches on mask_literals output (which blanks '5' to ' ');
+    # callers matching on the mask must read <n> from the RAW text via
+    # the match span and validate it numerically
     r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+(?P<col2>\w+)\s*-\s*INTERVAL\s*"
-    r"'(?P<n>[\d.]+)'\s*(?P<unit>\w+)",
+    r"'(?P<n>[^']*)'\s*(?P<unit>\w+)",
     re.IGNORECASE,
 )
 #: the two non-interval watermark strategies (reference SqlWatermark):
@@ -1726,9 +1730,14 @@ class TableEnvironment:
                     "'table'='duration' (e.g. STATE_TTL('t1'='1d'))"
                 )
             for k, v in opts.items():
+                # the exact label set of the reference's
+                # TimeUtils.parseDuration (singular/plural of
+                # ns/nano/µs/micro/ms/milli/s/sec/min/h/d + the full
+                # words; a bare number = milliseconds; no 'm', no 'msec')
                 if not re.match(
-                    r"^\d+\s*(ms|msec|milliseconds?|s|sec|seconds?|min|"
-                    r"minutes?|m|h|hours?|d|days?)?$",
+                    r"^\d+\s*(ns|nanos?|nanoseconds?|µs|us|micros?|"
+                    r"microseconds?|ms|millis?|milliseconds?|s|secs?|"
+                    r"seconds?|min|minutes?|h|hours?|d|days?)?$",
                     v, re.IGNORECASE,
                 ):
                     raise ValueError(
@@ -1743,9 +1752,16 @@ class TableEnvironment:
             return self._fix_hint_block(rest) if rest else ""
         lm = re.search(r"\bLOOKUP\s*\(", body, re.IGNORECASE)
         if lm:
+            # scope option parsing to THIS call's span (a sibling hint's
+            # quoted options would otherwise be misread as LOOKUP's) and
+            # excise only the call, keeping sibling hints — same contract
+            # as the STATE_TTL branch above
+            jl = _match_paren(body, lm.end())
+            if jl < 0:
+                raise ValueError("LOOKUP hint: unbalanced parentheses")
             opts = {
                 o.group("k"): o.group("v")
-                for o in _OPT_RE.finditer(body[lm.end():])
+                for o in _OPT_RE.finditer(body[lm.end() : jl - 1])
             }
             unknown = sorted(
                 k for k in opts if k not in self._LOOKUP_HINT_KEYS
@@ -1778,9 +1794,12 @@ class TableEnvironment:
                     )
             # validated; the strategies are implemented in
             # operators/joins.py (sync/async/cached/retry lookup) —
-            # strip the block so Spark's parser doesn't warn on an
-            # unknown hint name
-            return ""
+            # excise the call so Spark's parser doesn't warn on an
+            # unknown hint name; siblings in the block survive
+            rest = body[: lm.start()] + " " + body[jl:]
+            rest = re.sub(r",\s*,", ",", rest)
+            rest = re.sub(r"^\s*,|,\s*$", "", rest.strip()).strip()
+            return self._fix_hint_block(rest) if rest else ""
         return "/*+" + body + "*/"
 
     def _rewrite_legacy_group_windows(self, stmt: str) -> str:
@@ -4159,16 +4178,29 @@ class TableEnvironment:
             # PARTITIONED BY (cols) (reference SqlCreateTable.java) is the
             # DDL spelling of the 'partition.keys' connector option.
             options["partition.keys"] = ",".join(partitioned)
+        from flink_spark.sqltok import mask_literals as _mask
+
         watermark = None
         wm_kind = "bounded"
-        wm = _WATERMARK_RE.search(body)
+        # match on the MASKED body (a column COMMENT may contain
+        # watermark-shaped text) but edit the raw body by span — the mask
+        # is length-preserving so spans map 1:1
+        mbody = _mask(body)
+        wm = _WATERMARK_RE.search(mbody)
         if wm:
-            watermark = (wm.group("col"), f"{wm.group('n')} {wm.group('unit').lower()}s"
+            # <n> sits inside a quoted literal, blanked on the mask —
+            # read it from the RAW body via the group span
+            n = body[wm.start("n"): wm.end("n")].strip()
+            if not re.fullmatch(r"[\d.]+", n):
+                raise ValueError(
+                    f"WATERMARK FOR: could not parse interval count {n!r}"
+                )
+            watermark = (wm.group("col"), f"{n} {wm.group('unit').lower()}s"
                          if not wm.group("unit").lower().endswith("s")
-                         else f"{wm.group('n')} {wm.group('unit').lower()}")
-            body = _WATERMARK_RE.sub("", body)
+                         else f"{n} {wm.group('unit').lower()}")
+            body = body[: wm.start()] + body[wm.end():]
         else:
-            sm = _WATERMARK_SRC_RE.search(body)
+            sm = _WATERMARK_SRC_RE.search(mbody)
             if sm:
                 col = sm.group("col")
                 if sm.group("src"):
@@ -4188,7 +4220,18 @@ class TableEnvironment:
                         "SOURCE_WATERMARK() strategies are supported"
                     )
                 watermark = (col, "0 seconds")
-                body = _WATERMARK_SRC_RE.sub("", body, count=1)
+                body = body[: sm.start()] + body[sm.end():]
+        if re.search(r"\bWATERMARK\s+FOR\b", _mask(body), re.IGNORECASE):
+            # a WATERMARK clause neither regex consumed (general
+            # expression form `AS ts + INTERVAL`, CAST-wrapped rowtime,
+            # backticked column, ...): reject loudly — falling through
+            # would register the clause tail as a phantom COLUMN and
+            # silently drop the watermark
+            raise ValueError(
+                "WATERMARK FOR: unsupported watermark expression; "
+                "supported strategies are `<col> - INTERVAL 'n' <unit>` "
+                "(bounded), `<col>` (ascending) and SOURCE_WATERMARK()"
+            )
         pk: list[str] = []
         pkm = _PK_RE.search(body)
         if pkm:

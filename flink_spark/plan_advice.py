@@ -365,6 +365,19 @@ def audit_collect_sites(root: str | None = None) -> list:
                          node.name)
                     )
             lines = src.splitlines()
+            # bracket/continuation decisions run on COMMENT- and
+            # STRING-masked lines: a '(' inside a trailing comment or a
+            # ')' inside a string literal would otherwise walk the
+            # window across statement boundaries, letting an adjacent
+            # statement's .limit() exempt an unbounded collect
+            _str_re = re.compile(
+                r"('([^'\\]|\\.)*'|\"([^\"\\]|\\.)*\")"
+            )
+            masked = [
+                _str_re.sub(lambda m: " " * len(m.group(0)),
+                            ln).split("#", 1)[0]
+                for ln in lines
+            ]
             for i, line in enumerate(lines, 1):
                 if ".collect()" not in line or line.lstrip().startswith("#"):
                     continue
@@ -375,16 +388,16 @@ def audit_collect_sites(root: str | None = None) -> list:
                 # brackets or the current line is a continuation
                 j = i
                 while j > 1 and (i - j) < 40:
-                    seg = "\n".join(lines[j - 1:i])
+                    seg = "\n".join(masked[j - 1:i])
                     unbalanced = seg.count(")") > seg.count("(")
-                    cont = lines[j - 1].lstrip().startswith((".", ")"))
-                    prev = lines[j - 2].rstrip()
+                    cont = masked[j - 1].lstrip().startswith((".", ")"))
+                    prev = masked[j - 2].rstrip()
                     opened = prev.endswith(("(", ",", "\\", "=", "+", "["))
                     if unbalanced or cont or opened:
                         j -= 1
                     else:
                         break
-                stmt = "\n".join(lines[j - 1:i])
+                stmt = "\n".join(masked[j - 1:i])
                 if _LIMIT_LIT.search(stmt):
                     continue
                 func = None

@@ -23,12 +23,15 @@ Scale notes (100 TB): the per-batch work is |ΔL| ⋈ R + L ⋈ |ΔR| with the
 delta side small — AQE broadcasts it, and the store is partitioned by a
 key-hash bucket so a delta carrying few buckets prunes most store
 partitions at scan time (the parquet analog of the reference's index
-lookup). Sink and store writes are keyed by batch id (dynamic partition
+lookup). In :func:`delta_join` (the variant with a durable-root resume
+path) sink and store writes are keyed by batch id (dynamic partition
 overwrite on a ``__dj_bid`` partition), so a batch re-delivered after a
 crash between the writes and the checkpoint commit overwrites its own
 partition instead of double-appending — the standard foreachBatch
 idempotence pattern; a production deployment would land the same writes
-in a table format with MERGE.
+in a table format with MERGE. :func:`delta_join_outer` has no resume
+path (temp root, single availableNow drain, discarded on failure), so
+its plain appends cannot observe a re-delivered batch.
 """
 
 from __future__ import annotations
@@ -118,6 +121,18 @@ def delta_join(
         elif os.path.isdir(store) and os.path.isdir(old_d):
             shutil.rmtree(old_d, ignore_errors=True)  # swap completed
         shutil.rmtree(tmp_d, ignore_errors=True)
+        if _has_parquet(store) and not any(
+            d.startswith("__dj_bid=") for d in os.listdir(store)
+        ):
+            # durable root written by the pre-__dj_bid layout: mixing the
+            # layouts corrupts partition discovery, and the batch filter
+            # would fail with an opaque UNRESOLVED_COLUMN — fail clearly
+            raise ValueError(
+                f"delta_join: store {store!r} was written by an older "
+                "layout (no __dj_bid batch partition); start a fresh "
+                "root, or migrate by rewriting the store partitioned by "
+                "a literal __dj_bid=-1 plus the existing bucket column"
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -302,6 +317,10 @@ def delta_join(
         empty = StructType(
             [f for f in tagged.schema.fields if f.name in set(left_cols + right_cols)]
         )
+        if not persistent:
+            # all-empty result: still prune the temp root — the stores
+            # hold full copies of both inputs
+            shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame([], empty)
     if persistent:
         # durable root: leave stores/out/checkpoint in place for resume
@@ -357,7 +376,9 @@ def delta_join_outer(
     The unmatched store is tiny relative to history (only currently
     null-padded rows) and is rewritten per batch as a new version — at
     100 TB that rewrite is the MERGE/compaction job of the store's table
-    format, same note as the inner join's sink idempotence."""
+    format. Unlike :func:`delta_join` there is no durable-root resume
+    path here (temp root, one availableNow drain, discarded on failure),
+    so the plain append writes cannot observe a re-delivered batch."""
     if how not in ("left", "right", "full"):
         raise ValueError(f"delta_join_outer: how must be left/right/full, got {how!r}")
     spark = tagged.sparkSession

@@ -2431,3 +2431,71 @@ def test_state_ttl_hint_keeps_sibling_hints(spark):
         "BROADCAST(d) */ b.k FROM ttl_big b JOIN ttl_dim d ON b.g = d.g"
     )
     assert df2.count() == 100
+
+
+def test_watermark_expression_form_rejected_loudly(spark, tmp_path):
+    """A watermark expression no strategy regex understands must raise a
+    targeted error, not fall through to column parsing as a phantom
+    column with the watermark silently dropped."""
+    import pytest
+
+    env = TableEnvironment(spark)
+    for expr in ("ts + INTERVAL '2' SECOND", "CAST(ts AS TIMESTAMP(3))"):
+        with pytest.raises(ValueError, match="WATERMARK FOR"):
+            env.execute_sql(f"""
+                CREATE TABLE bad_wm_expr (k BIGINT, ts TIMESTAMP(3),
+                    WATERMARK FOR ts AS {expr})
+                WITH ('connector'='filesystem','format'='parquet',
+                      'path'='{tmp_path}/bad_wm_expr')
+            """)
+        assert "bad_wm_expr" not in env.tables
+
+
+def test_watermark_text_inside_comment_literal_ignored(spark, tmp_path):
+    """Watermark-shaped text inside a column COMMENT is data: the real
+    clause drives the spec and the comment column parses intact (the
+    strategy regexes run on the literal mask)."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE wm_cmt (k BIGINT,
+            note STRING COMMENT 'WATERMARK FOR x AS SOURCE_WATERMARK(), ok',
+            ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '7' SECOND)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/wm_cmt')
+    """)
+    spec = env.tables["wm_cmt"]
+    assert spec.watermark == ("ts", "7 seconds")
+    assert spec.watermark_kind == "bounded"
+    assert [c for c, _ in spec.columns] == ["k", "note", "ts"]
+
+
+def test_lookup_hint_keeps_sibling_hints(spark):
+    """A LOOKUP hint sharing a block with a join hint is excised alone —
+    the sibling BROADCAST survives and pins the strategy — and a sibling
+    hint AFTER the LOOKUP no longer has its options misread as LOOKUP's."""
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(i, i % 3) for i in range(50)], "k INT, g INT") \
+        .createOrReplaceTempView("lk_big")
+    spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "g INT, name STRING") \
+        .createOrReplaceTempView("lk_dim")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = env.execute_sql(
+            "SELECT /*+ LOOKUP('table'='lk_dim','async'='true'), "
+            "BROADCAST(d) */ b.k, d.name "
+            "FROM lk_big b JOIN lk_dim d ON b.g = d.g"
+        )
+        assert df.count() == 50
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # STATE_TTL after LOOKUP: neither hint's options leak into the
+        # other's validation
+        assert env.execute_sql(
+            "SELECT /*+ LOOKUP('table'='lk_dim'), "
+            "STATE_TTL('lk_big'='1 min') */ count(*) AS c FROM lk_big b "
+            "JOIN lk_dim d ON b.g = d.g"
+        ).first().c == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -317,3 +317,43 @@ def test_delta_join_replayed_batch_is_idempotent(spark, tmp_path):
     assert sorted((r.lk, r.lv) for r in l_rows) == sorted(
         (r.lk, r.lv) for _, r in left_pdf.iterrows()
     )
+
+
+def test_delta_join_empty_result_prunes_temp_root(spark, tmp_path):
+    """An all-empty join over a NON-persistent root must still remove the
+    temp root: the stores hold full copies of both inputs."""
+    import glob
+    import tempfile
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/flink_spark_dj_leak_*"))
+    left_pdf = pd.DataFrame({"lk": [1, 2], "lv": ["a", "b"]})
+    right_pdf = pd.DataFrame({"rk": [7], "rv": ["z"]})
+    lt = _chunked_stream(spark, tmp_path, "l", left_pdf, 1)
+    rt = _chunked_stream(spark, tmp_path, "r", right_pdf, 1)
+    tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+    got = delta_join(tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+                     prefix="dj_leak")
+    assert got.count() == 0
+    after = set(glob.glob(f"{tempfile.gettempdir()}/flink_spark_dj_leak_*"))
+    assert after == before  # temp root pruned, not leaked
+
+
+def test_delta_join_rejects_old_store_layout(spark, tmp_path):
+    """A durable root whose stores predate the __dj_bid layout must fail
+    with a clear layout error at start, not an opaque unresolved-column
+    error mid-batch."""
+    import pytest
+
+    root = tmp_path / "old_root"
+    (root / "left").mkdir(parents=True)
+    pd.DataFrame({"lk": [1], "lv": ["a"], "__dj_bucket": [0]}).to_parquet(
+        root / "left" / "part-0.parquet", index=False
+    )
+    left_pdf = pd.DataFrame({"lk": [1], "lv": ["a"]})
+    right_pdf = pd.DataFrame({"rk": [1], "rv": ["w"]})
+    lt = _chunked_stream(spark, tmp_path, "l", left_pdf, 1)
+    rt = _chunked_stream(spark, tmp_path, "r", right_pdf, 1)
+    tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+    with pytest.raises(ValueError, match="older .*layout|__dj_bid"):
+        delta_join(tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+                   root=str(root))
