@@ -163,7 +163,9 @@ _WATERMARK_RE = re.compile(
     # callers matching on the mask must read <n> from the RAW text via
     # the match span and validate it numerically
     r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+(?P<col2>\w+)\s*-\s*INTERVAL\s*"
-    r"'(?P<n>[^']*)'\s*(?P<unit>\w+)",
+    # optional Calcite interval unit precision (SECOND(3)): consumed so
+    # no '(3)' residue survives into the column list (ADVICE r8)
+    r"'(?P<n>[^']*)'\s*(?P<unit>\w+)(?:\s*\(\s*\d+\s*\))?",
     re.IGNORECASE,
 )
 #: the two non-interval watermark strategies (reference SqlWatermark):
@@ -1287,10 +1289,25 @@ class TableEnvironment:
                     inner = f"CAST(({expr}) AS {spark_ty})"
                     if n >= 6:
                         repl = inner
-                    else:
-                        micros = (
-                            f"UNIX_MICROS(CAST({inner} AS TIMESTAMP))"
+                    elif spark_ty == "TIMESTAMP_NTZ":
+                        # wall-clock fraction, timezone-independent
+                        # (ADVICE r8: UNIX_MICROS(CAST(ntz AS TIMESTAMP))
+                        # converts through the session zone). EXTRACT
+                        # SECOND is DECIMAL(8,6) incl. fraction; the
+                        # whole-second part is ≡ 0 mod 10^(6-n).
+                        frac = (
+                            f"CAST(EXTRACT(SECOND FROM {inner}) "
+                            f"* 1000000 AS BIGINT)"
                         )
+                        repl = (
+                            f"TIMESTAMPADD(MICROSECOND, "
+                            f"-PMOD({frac}, {10 ** (6 - n)}), {inner})"
+                        )
+                    else:
+                        # LTZ: internal rep is epoch micros — truncate
+                        # on the absolute instant, like the reference's
+                        # TRUNCATE_SQL_TIMESTAMP on the internal value
+                        micros = f"UNIX_MICROS({inner})"
                         repl = (
                             f"TIMESTAMPADD(MICROSECOND, "
                             f"-PMOD({micros}, {10 ** (6 - n)}), {inner})"
@@ -1377,7 +1394,8 @@ class TableEnvironment:
             masked, re.IGNORECASE,
         )
         if im and re.match(
-            r"^\s*SELECT\b", masked[im.end():], re.IGNORECASE
+            r"^\s*(?:SELECT\b|WITH\b|\()", masked[im.end():],
+            re.IGNORECASE,
         ):
             return stmt[: im.end()] + self._rewrite_group_id(
                 stmt[im.end():]
@@ -1732,12 +1750,12 @@ class TableEnvironment:
             for k, v in opts.items():
                 # the exact label set of the reference's
                 # TimeUtils.parseDuration (singular/plural of
-                # ns/nano/µs/micro/ms/milli/s/sec/min/h/d + the full
-                # words; a bare number = milliseconds; no 'm', no 'msec')
+                # ns/nano/µs/micro/ms/milli/s/sec/min|m/h/d + the full
+                # words; a bare number = milliseconds; no 'msec')
                 if not re.match(
                     r"^\d+\s*(ns|nanos?|nanoseconds?|µs|us|micros?|"
                     r"microseconds?|ms|millis?|milliseconds?|s|secs?|"
-                    r"seconds?|min|minutes?|h|hours?|d|days?)?$",
+                    r"seconds?|min|minutes?|m|h|hours?|d|days?)?$",
                     v, re.IGNORECASE,
                 ):
                     raise ValueError(

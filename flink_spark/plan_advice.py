@@ -331,6 +331,45 @@ _COLLECT_GATED_DIRS = ("queries/",)  # gated-query harness code: audited
 _LIMIT_LIT = re.compile(r"\.limit\(\s*\d+\s*\)")
 
 
+def _mask_strings_comments(src: str, lines: list) -> list:
+    """Blank every STRING / COMMENT / f-string-part token span (same
+    line lengths, spaces in place) so the statement-window walk in
+    audit_collect_sites never sees a bracket that lives inside a
+    literal — including triple-quoted multi-line strings, which a
+    per-line regex cannot mask."""
+    import io
+    import tokenize
+
+    masked = [list(ln) for ln in lines]
+    mask_types = {tokenize.STRING, tokenize.COMMENT}
+    for name in ("FSTRING_START", "FSTRING_MIDDLE", "FSTRING_END"):
+        t = getattr(tokenize, name, None)
+        if t is not None:
+            mask_types.add(t)
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type not in mask_types:
+                continue
+            (sr, sc), (er, ec) = tok.start, tok.end
+            for r in range(sr, er + 1):
+                if r - 1 >= len(masked):
+                    break
+                row = masked[r - 1]
+                a = sc if r == sr else 0
+                b = ec if r == er else len(row)
+                for c in range(a, min(b, len(row))):
+                    row[c] = " "
+    except (tokenize.TokenError, IndentationError, SyntaxError):
+        # unreachable for sources that already ast.parse'd; keep the
+        # audit usable on a pathological file rather than crashing
+        str_re = re.compile(r"('([^'\\]|\\.)*'|\"([^\"\\]|\\.)*\")")
+        return [
+            str_re.sub(lambda m: " " * len(m.group(0)), ln).split("#", 1)[0]
+            for ln in lines
+        ]
+    return ["".join(cs) for cs in masked]
+
+
 def audit_collect_sites(root: str | None = None) -> list:
     """Return [(relpath, func, line, snippet), ...] for every .collect()
     call site that is neither literal-limit-bounded in-statement nor
@@ -369,15 +408,12 @@ def audit_collect_sites(root: str | None = None) -> list:
             # STRING-masked lines: a '(' inside a trailing comment or a
             # ')' inside a string literal would otherwise walk the
             # window across statement boundaries, letting an adjacent
-            # statement's .limit() exempt an unbounded collect
-            _str_re = re.compile(
-                r"('([^'\\]|\\.)*'|\"([^\"\\]|\\.)*\")"
-            )
-            masked = [
-                _str_re.sub(lambda m: " " * len(m.group(0)),
-                            ln).split("#", 1)[0]
-                for ln in lines
-            ]
+            # statement's .limit() exempt an unbounded collect. Masking
+            # is tokenize-based so triple-quoted (multi-line) strings
+            # and f-string parts mask too — a per-line regex misses
+            # them and an unbalanced bracket inside a docstring would
+            # corrupt the statement walk (ADVICE r8).
+            masked = _mask_strings_comments(src, lines)
             for i, line in enumerate(lines, 1):
                 if ".collect()" not in line or line.lstrip().startswith("#"):
                     continue

@@ -2233,6 +2233,25 @@ class TestPrecisionCasts:
         assert self._one(
             spark, "'CAST(x AS CHAR(5))'") == "CAST(x AS CHAR(5))"
 
+    def test_ntz_truncation_timezone_independent(self, spark):
+        # ADVICE r8: the NTZ fraction must not be derived through the
+        # session timezone — truncation is a wall-clock operation. Same
+        # result under offsets with sub-hour components and for
+        # LMT-era (pre-standardization) datetimes.
+        import datetime
+
+        expr = ("CAST(CAST('1850-06-01 12:00:00.987654' AS TIMESTAMP(6)) "
+                "AS TIMESTAMP(3))")
+        want = datetime.datetime(1850, 6, 1, 12, 0, 0, 987000)
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for tz in ("UTC", "Asia/Kathmandu", "Europe/Amsterdam",
+                       "Pacific/Chatham"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                assert self._one(spark, expr) == want, tz
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
 
 class TestRandIntegerArgs:
     def test_parenthesized_args(self, spark):
@@ -2318,6 +2337,53 @@ def test_group_id_insert_select(spark, tmp_path):
         env.execute_sql("DROP TABLE gidi_sink")
 
 
+def test_group_id_insert_with_cte(spark, tmp_path):
+    """ADVICE r8: INSERT INTO ... WITH cte AS (...) SELECT with a
+    duplicate-sets GROUP_ID — the INSERT head must stay outside the
+    decomposition when the query part starts with WITH, not just
+    SELECT (the WITH prologue then wraps the UNION ALL rounds once)."""
+    env = TableEnvironment(spark)
+    spark.range(6).selectExpr("id % 2 AS a", "id % 3 AS b").createOrReplaceTempView(
+        "gidw_t"
+    )
+    env.execute_sql(f"""
+        CREATE TABLE gidw_sink (a BIGINT, b BIGINT, g BIGINT, c BIGINT)
+        WITH ('connector'='filesystem', 'path'='{tmp_path}/gidw_sink',
+              'format'='parquet')
+    """)
+    try:
+        env.execute_sql(
+            "INSERT INTO gidw_sink"
+            " WITH src AS (SELECT a, b FROM gidw_t)"
+            " SELECT a, b, GROUP_ID() AS g, COUNT(*) AS c FROM src"
+            " GROUP BY GROUPING SETS ((a), (a), (b))"
+        )
+        rows = env.execute_sql("SELECT * FROM gidw_sink").collect()
+        assert sorted(((r.a, r.b, r.g, r.c) for r in rows), key=str) == sorted(
+            [(0, None, 0, 3), (1, None, 0, 3),
+             (None, 0, 0, 2), (None, 1, 0, 2), (None, 2, 0, 2),
+             (0, None, 1, 3), (1, None, 1, 3)], key=str
+        )
+    finally:
+        env.execute_sql("DROP TABLE gidw_sink")
+
+
+def test_watermark_interval_unit_precision(spark, tmp_path):
+    """ADVICE r8: INTERVAL '5' SECOND(3) (Calcite unit precision) in a
+    WATERMARK clause must parse without leaving a '(3)' residue in the
+    column list."""
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE wmp (ts TIMESTAMP(3), v BIGINT,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND(3))
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/wmp')
+    """)
+    spec = env.tables["wmp"]
+    assert spec.watermark == ("ts", "5 seconds")
+    assert [c[0] for c in spec.columns] == ["ts", "v"]
+
+
 def test_watermark_source_watermark_ddl(spark, tmp_path):
     """WATERMARK FOR ts AS SOURCE_WATERMARK() (reference SqlWatermark /
     SupportsSourceWatermark.java): parses to a 0-delay event-time
@@ -2383,7 +2449,9 @@ def test_state_ttl_hint_validated_and_stripped(spark):
         "SELECT /*+ STATE_TTL('ttl_t'='1d') */ k, v FROM ttl_t ORDER BY k"
     ).collect()
     assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "b")]
-    for dur in ("1 h", "36000ms", "2 minutes", "90s"):
+    # incl. 'm' for minutes (ADVICE r8: reference TimeUtils.java:226
+    # MINUTES carries singular("m"))
+    for dur in ("1 h", "36000ms", "2 minutes", "90s", "30 m", "5m"):
         assert env.execute_sql(
             f"SELECT /*+ STATE_TTL('ttl_t'='{dur}') */ count(*) AS c "
             "FROM ttl_t"

@@ -205,3 +205,27 @@ def test_collect_audit_flags_unbounded(tmp_path):
     )
     flagged = audit_collect_sites(str(tmp_path))
     assert [(f[0], f[1]) for f in flagged] == [("newop.py", "bad")]
+
+
+def test_collect_audit_masks_triple_quoted_strings(tmp_path):
+    """ADVICE r8: unbalanced brackets inside a triple-quoted docstring
+    must not corrupt the statement-window walk — an adjacent statement's
+    .limit() must not exempt an unbounded .collect(), and a bounded one
+    must not be spuriously flagged."""
+    from flink_spark.plan_advice import audit_collect_sites
+
+    mod = tmp_path / "docop.py"
+    mod.write_text(
+        "def bad(df):\n"
+        '    """docstring with unbalanced bracket ) and a paren (\n'
+        "    spanning lines ))) .limit(5)\n"
+        '    """\n'
+        "    bounded = df.limit(3).collect()\n"
+        "    return df.collect()\n"
+        "\n"
+        "def ok(df):\n"
+        '    """another ))) unbalanced docstring"""\n'
+        "    return df.limit(10).collect()\n"
+    )
+    flagged = audit_collect_sites(str(tmp_path))
+    assert [(f[0], f[1], f[2]) for f in flagged] == [("docop.py", "bad", 6)]
