@@ -404,16 +404,17 @@ VERIFICATION_ROTATION_R4 = [
     "agg_percentile_family",
     "agg_bitmap_ops",
 ]
-promote_first(VERIFICATION_ROTATION_R8)
-
-__all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
-
-
-#: Prepared r9 head (NOT promoted -- promote at the start of round 9
-#: after re-verifying locally): entry + all 15 never-sampled
-#: non-TPC-DS gates + the first 34 TPC-DS shapes; the 15-query
-#: remainder (VERIFICATION_ROTATION_R10_TAIL) retires in round 10.
-VERIFICATION_ROTATION_R9_CANDIDATES = [
+#: Round-9 head (promoted below): entry + all 15 never-sampled
+#: non-TPC-DS gates + 34 TPC-DS shapes; the 15-query remainder
+#: (VERIFICATION_ROTATION_R10_TAIL) retires in round 10. Every entry
+#: carries an exact DuckDB oracle — the four previously rows-only
+#: members (llm_ivf_topk, llm_pq_topk, pipe_kmeans_clusters,
+#: pipe_semantic_neardup) were exactified this round by unrolling the
+#: deterministic Lloyd's iteration into DuckDB CTEs (queries/annsql.py),
+#: so no head slot burns a `no_oracle` row. All 50 re-verified locally
+#: vs DuckDB at sf0.01 under the dtype-strict + non-scalar-rejecting
+#: gate before promotion.
+VERIFICATION_ROTATION_R9 = [
     "tpch_q1_pricing_summary",
     "llm_lsh_topk",
     "llm_multimodal_features",
@@ -466,6 +467,14 @@ VERIFICATION_ROTATION_R9_CANDIDATES = [
     "tpcds_q56_item_channel_union",
 ]
 
+promote_first(VERIFICATION_ROTATION_R9)
+
+__all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
+
+#: Staged r10 head tail (NOT promoted — promote at the start of round
+#: 10, prepended with tpch_q1_pricing_summary so entry() stays first):
+#: the last 15 never-externally-sampled gated queries. Promoting these
+#: retires the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
     "tpcds_q60_category_channel_union",
     "tpcds_q57_event_daily_deviation",

@@ -15,6 +15,7 @@ from flink_spark.llm import dedup as D
 from flink_spark.llm import multimodal as MM
 from flink_spark.llm import similarity as SIM
 from flink_spark.llm import text as TXT
+from flink_spark.queries import annsql as ANN
 from flink_spark.queries.registry import query
 from flink_spark.sources.tables import load_table
 
@@ -454,16 +455,16 @@ def llm_cosine_neardup_pairs(spark, sf_dir):
     return scored.filter(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
 
 
-@query("llm_ivf_topk", oracle=None)
+@query("llm_ivf_topk", oracle=ANN.ivf_topk_oracle())
 def llm_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate ANN (the inverted-file scale path next to LSH;
     reference surface VECTOR_SEARCH): k-means cells + n_probe nearest
-    cells per query. Rows-only — justification: the cell layout comes
-    from iterative Lloyd's k-means (a multi-pass dataflow DuckDB's
-    single-statement SQL cannot express, unlike LSH's closed-form
-    md5-derived planes); the value-checked contract lives in
-    llm_ivf_recall_gate (exact oracle on the ≥0.8-recall boolean) and
-    tests/test_llm.py."""
+    cells per query. EXACT oracle (r9): the deterministic Lloyd's
+    (id-ordered init, sequential-fold distances, round-9 means, fixed 3
+    iterations) unrolls into plain CTEs on the DuckDB side — see
+    queries/annsql.py — the same way llm_lsh_topk's md5 planes were
+    reproduced in r8. The ≥0.8-recall contract stays in
+    llm_ivf_recall_gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -641,17 +642,18 @@ def llm_image_resize(spark, sf_dir):
     return MM.image_resize_features(MM.synthesize_images(docs), 4, 4)
 
 
-@query("llm_pq_topk")
+@query("llm_pq_topk", oracle=ANN.pq_topk_oracle())
 def llm_pq_topk(spark, sf_dir):
     """Product-quantization ANN (FAISS PQ; the compressed-index family of
     the VECTOR_SEARCH surface): 16 subspaces × 16 codes (32× compression
     of the 64-dim doubles), asymmetric scoring against the codebook
     reconstruction as one JVM expression, then exact rerank of a
-    corpus-fraction shortlist. Rows-only — justification: the codebooks
-    come from iterative per-subspace k-means (pq_train), not a
-    closed-form hash, so no single-statement SQL oracle exists; the
-    value-checked contract lives in llm_pq_recall_gate (exact oracle on
-    the recall boolean)."""
+    corpus-fraction shortlist. EXACT oracle (r9): pq_train's joint
+    Lloyd's is deterministic (md5-ordered sample, id-ordered init,
+    first-occurrence argmin ties, round-9 means) and fixed at 3
+    iterations, so queries/annsql.py unrolls training + encoding +
+    shortlist + rerank into one DuckDB statement. The recall contract
+    stays in llm_pq_recall_gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

