@@ -1,0 +1,150 @@
+"""JVM-only event-time keep-first dedup (streaming/dedup_jvm.py —
+reference StreamExecDeduplicate keep-first / RowTimeDeduplicateKeepFirstRow):
+cross-micro-batch absorption, checkpoint-stop-resume exactness against
+the batch oracle, and the zero-Python plan property that motivated the
+operator (VERDICT r8: the applyInPandasWithState path's per-key Python
+constant was the one >3x sf1 flag)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_spark.sources.tables import load_table
+from flink_spark.streaming.dedup_jvm import (
+    batch_keep_first_plan,
+    dedup_keep_first_jvm,
+)
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _expected_keep_first(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _land(df, tmp_path, src, stage: str) -> None:
+    staging = tmp_path / f"stage_{stage}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    (part,) = glob.glob(str(staging / "part-*.parquet"))
+    shutil.move(part, str(src / f"{stage}.parquet"))
+
+
+def test_dedup_jvm_multi_batch_absorb(spark, sf_dir, tmp_path):
+    """Keys straddling micro-batch boundaries: the first batch's emission
+    absorbs every later sighting — one drain, two files, one file per
+    trigger, result equals the global batch keep-first."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    cut = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS LONG), 0.5) AS c"
+    ).collect()[0]["c"]
+    _land(ev.filter(F.col("ts").cast("timestamp").cast("long") <= cut),
+          tmp_path, src, "b1")
+    _land(ev.filter(F.col("ts").cast("timestamp").cast("long") > cut),
+          tmp_path, src, "b2")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = dedup_keep_first_jvm(stream, ["user_id"], ["ts", "event_id"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, _expected_keep_first(spark, sf_dir).collect())
+    )
+
+
+def test_dedup_jvm_restore(spark, sf_dir, tmp_path):
+    """Stop-resume (RestoreTestBase analog): drain the early half with a
+    durable root, then land the late half and drain again with the SAME
+    root — run 2 must resume from the checkpoint and absorb every key
+    run 1 already emitted; the union equals the uninterrupted oracle."""
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "dedup_root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    cut = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS LONG), 0.5) AS c"
+    ).collect()[0]["c"]
+    # users % 3 == 0 land ENTIRELY in run 2 (their event-time order is
+    # preserved, so the batch oracle still holds) — run 1 must then emit
+    # a strict subset and run 2 both absorbs old keys and emits new ones
+    in_run1 = (
+        (F.col("ts").cast("timestamp").cast("long") <= cut)
+        & (F.col("user_id") % 3 != 0)
+    )
+    early = ev.filter(in_run1)
+    late = ev.filter(~in_run1)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        return dedup_keep_first_jvm(
+            stream, ["user_id"], ["ts", "event_id"], root=root
+        )
+
+    _land(early, tmp_path, src, "b1")
+    run1 = run_once().collect()
+    _land(late, tmp_path, src, "b2")
+    got = run_once().collect()  # resumed: checkpoint skips b1
+
+    expected = sorted(map(tuple, _expected_keep_first(spark, sf_dir).collect()))
+    assert sorted(map(tuple, got)) == expected
+    # the restart genuinely exercised cross-run absorption: run 1 emitted
+    # a strict, non-empty subset (late-half keys exist, early keys absorb)
+    assert 0 < len(run1) < len(expected)
+
+
+def test_dedup_jvm_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch re-delivery (crash between writes and checkpoint
+    commit): re-running a batch id overwrites its own partitions with
+    identical content instead of double-appending, and its anti-join
+    reads only strictly-earlier partitions."""
+    import os
+
+    from flink_spark.streaming.dedup_jvm import _has_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "dedup_root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS).limit(2000)
+    _land(ev, tmp_path, src, "b1")
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    first = dedup_keep_first_jvm(
+        stream, ["user_id"], ["ts", "event_id"], root=root
+    )
+    n1 = first.count()
+    # simulate re-delivery of batch 0: wipe the CHECKPOINT only (writes
+    # survived), re-drain the same source from scratch
+    shutil.rmtree(f"{root}/ckpt")
+    stream2 = spark.readStream.schema(ev.schema).parquet(str(src))
+    again = dedup_keep_first_jvm(
+        stream2, ["user_id"], ["ts", "event_id"], root=root
+    )
+    assert again.count() == n1
+    assert _has_parquet(os.path.join(root, "out"))
+
+
+def test_dedup_jvm_plan_is_python_free(spark, sf_dir):
+    """The motivating property: the per-batch plan contains no Python
+    eval node of any kind (the applyInPandasWithState twin pays ~50us
+    per key per batch in Python — this path must not)."""
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    seen = ev.select(
+        F.pmod(F.hash("user_id"), F.lit(16)).alias("__bucket"), "user_id"
+    ).limit(10)
+    plan = batch_keep_first_plan(
+        ev, ["user_id"], ["ts", "event_id"], 16, seen
+    )._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Python", "Pandas", "Arrow"):
+        assert marker not in plan, f"{marker} node in plan:\n{plan}"
+    assert "WindowGroupLimit" in plan  # rn=1 prunes below the exchange
