@@ -473,9 +473,11 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 
 #: Staged r10 head tail (NOT promoted — promote at the start of round
 #: 10, prepended with tpch_q1_pricing_summary so entry() stays first):
-#: the last 15 never-externally-sampled gated queries. Promoting these
-#: retires the external-verification debt to zero.
+#: the last never-externally-sampled gated queries (15 TPC-DS shapes +
+#: the r9-new stream_group_agg_retract gate). Promoting these retires
+#: the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
+    "stream_group_agg_retract",
     "tpcds_q60_category_channel_union",
     "tpcds_q57_event_daily_deviation",
     "tpcds_q63_monthly_brand_deviation",

@@ -261,6 +261,46 @@ def stream_topn_changelog(spark, sf_dir):
 
 
 @query(
+    "stream_group_agg_retract",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                  AS BIGINT) AS run
+      FROM events WHERE user_id <= 50
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT '+I' AS op, event_type, CAST(1 AS BIGINT) AS cnt, run AS total
+    FROM v WHERE rn = 1
+    UNION ALL
+    SELECT '-U', event_type, rn - 1, run - cents FROM v WHERE rn > 1
+    UNION ALL
+    SELECT '+U', event_type, rn, run FROM v WHERE rn > 1
+    """,
+)
+def stream_group_agg_retract(spark, sf_dir):
+    """Retracting streaming group aggregation (reference
+    StreamExecGroupAggregate.java / GroupAggFunction.java:140): per-key
+    COUNT/SUM accumulators, each arriving row emitting +I or the
+    -U(old)/+U(new) retraction pair of the AGGREGATE row — the operator
+    the changelog layer previously only covered implicitly. Event-time
+    processing order makes the full emission sequence deterministic, so
+    the oracle reconstructs it with prefix sums (integer cents keep it
+    exact)."""
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 50
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        "ts", "event_id",
+    )
+    out = CL.group_agg_retract(ev, ["event_type"], "cents", ["ts", "event_id"])
+    return run_to_memory(out, "append", "gaggr")
+
+
+@query(
     "stream_upsert_materialize",
     oracle=f"""
     SELECT user_id, ts, event_id, value FROM (

@@ -115,6 +115,67 @@ def dedup_keep_first(
     )
 
 
+def group_agg_retract(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    seq_cols: list[str],
+) -> DataFrame:
+    """Retracting streaming group aggregation (reference
+    StreamExecGroupAggregate.java / GroupAggFunction.java:140: each
+    arriving row updates the key's accumulator and emits the retraction
+    pair of the aggregate row — +I for the key's first value, then
+    -U(old agg)/+U(new agg) per update).
+
+    Aggregates COUNT(*) and SUM(``value_col``) (an integer column —
+    integer accumulators keep the emission sequence integer-exact, the
+    same discipline as the state-reader gate). Rows are processed in
+    ``seq_cols`` order within a batch, so the emitted -U/+U sequence is
+    deterministic and the whole changelog gets an exact prefix-sum SQL
+    oracle. State per key = (count, sum) — O(1), exactly the reference's
+    accumulator row."""
+    import pandas as pd
+
+    schema = stream.schema
+    cols = schema.fieldNames()
+    out_schema = StructType(
+        [
+            OP_FIELD,
+            *[schema[c] for c in key_cols],
+            StructField("cnt", LongType(), False),
+            StructField("total", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType(), True),
+            StructField("total", LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_cols, kind="mergesort")[cols]
+        cnt, total = state.get if state.exists else (0, 0)
+        out = []
+        for v in pdf[value_col]:
+            old = (cnt, total)
+            cnt, total = cnt + 1, total + int(v)
+            if old[0] == 0:
+                out.append((OP_INSERT, *key, cnt, total))
+            else:
+                out.append((OP_UPDATE_BEFORE, *key, *old))
+                out.append((OP_UPDATE_AFTER, *key, cnt, total))
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            out, columns=["op", *key_cols, "cnt", "total"]
+        )
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_topn(
     stream: DataFrame,
     partition_cols: list[str],

@@ -331,3 +331,63 @@ def test_restore_stream_interval_join(spark, sf_dir, tmp_path):
         & (F.col("purchase_ts").cast("long") > cut)
     ).count()
     assert cross > 0
+
+
+def test_restore_group_agg_retract(spark, sf_dir, tmp_path):
+    """Retracting group aggregation (reference
+    restore-tests/stream-exec-group-aggregate; GroupAggFunction state =
+    the per-key accumulator row): the first run-2 row of a key seen in
+    run 1 must emit -U of the RUN-1 aggregate value — a lost accumulator
+    would restart the count at +I(1). The combined two-run retraction
+    sequence equals the uninterrupted run exactly."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+            "ts", "event_id",
+        )
+    )
+    schema = ev.schema
+    early, late, _ = _split_by_ts(ev)
+
+    def run(sink, ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = CL.group_agg_retract(
+            stream, ["event_type"], "cents", ["ts", "event_id"]
+        )
+        _drain(out, sink, ckpt)
+
+    _land(early, tmp_path, src, "batch1")
+    run(tmp_path / "sink", tmp_path / "ckpt")
+    _land(late, tmp_path, src, "batch2")
+    run(tmp_path / "sink", tmp_path / "ckpt")  # resumed
+
+    run(tmp_path / "sink_solid", tmp_path / "ckpt_solid")  # uninterrupted
+
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    solid = spark.read.parquet(str(tmp_path / "sink_solid"))
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, solid.collect())
+    )
+    # every key appears in both halves (5 event types x thousands of
+    # rows), so each key must emit exactly ONE +I across the restart —
+    # a lost accumulator re-inserts at the run boundary; and the run-2
+    # head must retract the run-1 tail: for each key there is a -U whose
+    # cnt equals the key's run-1 row count (the restored accumulator)
+    ins = got.filter(F.col("op") == CL.OP_INSERT).groupBy("event_type").count()
+    assert ins.filter(F.col("count") != 1).count() == 0
+    run1_cnt = early.groupBy("event_type").count()
+    bridge = (
+        got.filter(F.col("op") == CL.OP_UPDATE_BEFORE)
+        .join(
+            run1_cnt.withColumnRenamed("count", "r1"),
+            "event_type",
+        )
+        .filter(F.col("cnt") == F.col("r1"))
+    )
+    assert bridge.count() >= run1_cnt.count()
