@@ -203,6 +203,77 @@ def _window_group_limit_advice(nodes) -> list:
     return out
 
 
+_STATS_SIZE = re.compile(
+    r"Statistics\(sizeInBytes=([\d.]+)\s*(B|KiB|MiB|GiB|TiB|PiB|EiB)"
+)
+_SIZE_MULT = {"B": 1.0, "KiB": 2.0 ** 10, "MiB": 2.0 ** 20,
+              "GiB": 2.0 ** 30, "TiB": 2.0 ** 40, "PiB": 2.0 ** 50,
+              "EiB": 2.0 ** 60}
+
+
+def _stats_size(node: _Node) -> float | None:
+    m = _STATS_SIZE.search(node.text)
+    return float(m.group(1)) * _SIZE_MULT[m.group(2)] if m else None
+
+
+def _parse_byte_conf(v: str) -> float:
+    """Parse a Spark byte-size conf value ('10MB', '10485760b', '-1')."""
+    m = re.fullmatch(
+        r"(-?\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?)[bB]?", v.strip()
+    )
+    if not m:
+        return -1.0
+    mult = {"": 1, "k": 2 ** 10, "m": 2 ** 20, "g": 2 ** 30,
+            "t": 2 ** 40, "p": 2 ** 50}[m.group(2).lower()]
+    return float(m.group(1)) * mult
+
+
+def join_strategy_advice(stats_plan: str, physical_plan: str,
+                         threshold_bytes: float) -> list[Advice]:
+    """r9 audit rule (VERDICT r8 #7, the last unencoded item of the plan
+    checklist): a SortMergeJoin/ShuffledHashJoin whose one side's
+    ESTIMATED size (the optimized logical plan's Statistics, the same
+    numbers EXPLAIN ESTIMATED_COST prints) sits under the broadcast
+    threshold shuffles BOTH sides where a broadcast would ship only the
+    small one — at 100 TB that is a corpus-wide exchange bought for
+    nothing. Fires when more under-threshold joins exist than broadcast
+    joins in the physical plan (a forced SHUFFLE hint, a disabled
+    threshold, or missing stats at planning time)."""
+    phys = _parse_tree(physical_plan)
+    if not any(_name(n) in ("SortMergeJoin", "ShuffledHashJoin")
+               for n in phys):
+        return []
+    n_bcast = sum(
+        1 for n in phys
+        if _name(n) in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    )
+    small = []
+    for n in _parse_tree(stats_plan):
+        if _name(n) != "Join" or len(n.children) < 2:
+            continue
+        sizes = [_stats_size(c) for c in n.children[:2]]
+        if None in sizes:
+            continue
+        lo = min(sizes)
+        if lo <= threshold_bytes:
+            small.append((lo, n))
+    # each physical broadcast join accounts for one small-side logical
+    # join; only the excess (smallest first) is mis-planned
+    small.sort(key=lambda t: t[0])
+    out = []
+    for lo, n in small[: max(0, len(small) - n_bcast)]:
+        out.append(Advice(
+            "join-small-side-not-broadcast", "warn", n.text[:160],
+            f"a join side is estimated at {int(lo)} bytes, under the "
+            f"{int(threshold_bytes)}-byte broadcast threshold, yet the "
+            "plan shuffles both sides (SortMergeJoin/ShuffledHashJoin) "
+            "— broadcast the small side (drop the SHUFFLE_* hint, "
+            "re-enable spark.sql.autoBroadcastJoinThreshold, or ANALYZE "
+            "the table so the planner sees its size)",
+        ))
+    return out
+
+
 def advise_plan_text(plan: str) -> list[Advice]:
     """Run the full rule engine over a physical-plan string (the testable
     core: plan_advice(df) is this over executedPlan().toString()).
@@ -279,9 +350,21 @@ def advise_plan_text(plan: str) -> list[Advice]:
 
 
 def plan_advice(df: DataFrame) -> list[Advice]:
-    return advise_plan_text(
-        df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    physical = qe.executedPlan().toString()
+    out = advise_plan_text(physical)
+    thr = _parse_byte_conf(
+        df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        )
     )
+    if thr <= 0:
+        # broadcast disabled by conf: audit against the default anyway —
+        # a tiny side shuffled because broadcasting was switched off is
+        # exactly what the rule exists to surface
+        thr = 10 * 1024 * 1024
+    out.extend(join_strategy_advice(qe.stringWithStats(), physical, thr))
+    return out
 
 
 # ---------------------------------------------------------------------------

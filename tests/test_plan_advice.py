@@ -183,6 +183,44 @@ def test_group_limit_partial_missing_flagged_on_synthetic_plan():
     assert advise_plan_text(good) == []
 
 
+def test_small_side_join_not_broadcast_flagged(spark, pq, tmp_path):
+    """r9 rule (VERDICT r8 #7): an equi-join whose tiny side the planner
+    shuffles (forced SHUFFLE_MERGE here) is flagged against the
+    Statistics estimate; the same join left to the planner broadcasts
+    and is NOT flagged."""
+    tiny = str(tmp_path / "tiny_dim")
+    spark.range(5).select(
+        F.col("id").alias("g"), F.lit("x").alias("nm")
+    ).write.parquet(tiny)
+    big = spark.read.parquet(pq)
+    dim = spark.read.parquet(tiny)
+
+    bad = big.join(dim.hint("shuffle_merge"), "g")
+    rules = [x.rule for x in plan_advice(bad)]
+    assert "join-small-side-not-broadcast" in rules
+
+    clean = big.join(dim, "g")
+    assert [
+        x.rule for x in plan_advice(clean)
+        if x.rule == "join-small-side-not-broadcast"
+    ] == []
+
+
+def test_small_side_join_rule_ignores_big_sides(spark, pq):
+    """Two genuinely big sides under a forced merge join: the estimate is
+    above threshold, so the rule stays silent (no false positive)."""
+    from flink_spark.plan_advice import join_strategy_advice
+
+    a = spark.read.parquet(pq)
+    b = spark.read.parquet(pq).withColumnRenamed("v", "v2")
+    df = a.join(b.hint("shuffle_merge"), "g")
+    qe = df._jdf.queryExecution()
+    # a 1-byte threshold: nothing qualifies as small
+    assert join_strategy_advice(
+        qe.stringWithStats(), qe.executedPlan().toString(), 1.0
+    ) == []
+
+
 def test_collect_audit_clean():
     """Every driver-side .collect() in flink_spark/ is literal-limit
     bounded or allowlisted with a boundedness justification."""
