@@ -1,0 +1,89 @@
+"""queries/annsql.py generator robustness: the unrolled-Lloyd's DuckDB
+oracles must match the Spark operators at NON-default parameterizations
+too — exactness that held only for the registered defaults would be
+overfitting, not a reproduction of the iteration."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.queries import annsql
+from flink_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{SF}/embeddings.parquet')"
+        )
+        return sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+
+
+def _qc(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return q, c
+
+
+@pytest.mark.parametrize(
+    "k,n_centroids,n_probe,n_assign,n_iter",
+    [(3, 5, 3, 1, 2), (5, 8, 2, 2, 4)],
+)
+def test_ivf_oracle_alternative_params(spark, k, n_centroids, n_probe,
+                                       n_assign, n_iter):
+    from flink_spark.llm import similarity as SIM
+
+    q, c = _qc(spark)
+    got = SIM.ivf_topk(q, c, k=k, n_centroids=n_centroids,
+                       n_probe=n_probe, n_assign=n_assign)
+    # ivf_topk pins n_iter=3 internally; only compare a non-3 n_iter via
+    # the kmeans core below — here exercise probe/assign/k variation
+    sql = annsql.ivf_topk_oracle(k=k, n_centroids=n_centroids,
+                                 n_probe=n_probe, n_assign=n_assign,
+                                 n_iter=3)
+    assert sorted(map(tuple, got.collect())) == _oracle(sql)
+
+
+@pytest.mark.parametrize("k,n_iter", [(5, 2), (12, 3)])
+def test_kmeans_oracle_alternative_params(spark, k, n_iter):
+    from flink_spark.llm.clustering import kmeans
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned, _ = kmeans(emb, k=k, n_iter=n_iter)
+    got = sorted(
+        map(tuple, assigned.select("vec_id", "cluster", "dist_sq").collect())
+    )
+    assert got == _oracle(annsql.kmeans_assign_oracle(k=k, n_iter=n_iter))
+
+
+def test_pq_oracle_alternative_params(spark):
+    from flink_spark.llm import similarity as SIM
+
+    q, c = _qc(spark)
+    got = SIM.pq_topk(q, c, k=3, m=8, ks=8)
+    sql = annsql.pq_topk_oracle(k=3, m=8, ks=8, n_iter=3)
+    assert sorted(map(tuple, got.collect())) == _oracle(sql)
+
+
+def test_semantic_neardup_oracle_alternative_params(spark):
+    from flink_spark.llm.clustering import semantic_neardup_pairs
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    got = semantic_neardup_pairs(emb, k=5, n_iter=2, threshold=0.3)
+    sql = annsql.semantic_neardup_oracle(
+        k=5, n_iter=2, threshold=0.3, id_max=150
+    )
+    assert sorted(map(tuple, got.collect())) == _oracle(sql)
