@@ -1033,13 +1033,37 @@ class TableEnvironment:
             df._jdf.queryExecution(), mode
         )
 
+    #: compiled-plan artifact format. v1 (r5): sql + result schema +
+    #: optimized-plan fingerprint. v2 (r9): + engine stamp and the
+    #: schema contracts of every referenced CATALOG table, so EXECUTE
+    #: PLAN also fails fast when a source table's declared shape drifted
+    #: (the reference's restore contract validates the serialized table
+    #: specs, not just the result row type). Older versions MIGRATE on
+    #: load (reference FLIP-190 / CompiledPlan: plans written by an
+    #: older version keep loading); newer versions fail loudly.
+    PLAN_FORMAT_VERSION = 2
+
+    def _referenced_catalog_tables(self, sql: str) -> dict:
+        """Schema contracts (name -> [[col, type], ...]) of the declared
+        catalog tables the statement references by word-boundary match on
+        the literal-masked text."""
+        from flink_spark.sqltok import mask_literals
+
+        masked = mask_literals(sql)
+        out = {}
+        for name, spec in self.tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", masked, re.IGNORECASE):
+                out[name] = [[c, t] for c, t in spec.columns]
+        return out
+
     def compile_plan_sql(self, sql: str, path: str) -> dict:
         """COMPILE PLAN ... FOR <insert/query> (reference
         SqlCompilePlan.java; ExecNodeGraph JSON serialization): persist the
-        statement plus its analyzed schema and optimized-plan fingerprint.
-        Catalyst plans are not portable artifacts the way ExecNodeGraph is,
-        so the replayable unit is the SQL + schema contract; the plan text
-        lets a restart detect optimizer drift (the restore-test concern)."""
+        statement plus its analyzed schema, optimized-plan fingerprint and
+        (v2) the referenced catalog tables' schema contracts. Catalyst
+        plans are not portable artifacts the way ExecNodeGraph is, so the
+        replayable unit is the SQL + schema contracts; the plan text lets
+        a restart detect optimizer drift (the restore-test concern)."""
         import hashlib
         import json
 
@@ -1054,9 +1078,12 @@ class TableEnvironment:
             df._jdf.queryExecution(), "extended"
         )
         plan = {
-            "version": 1,
+            "version": self.PLAN_FORMAT_VERSION,
+            "engine": {"name": "flink_spark",
+                       "spark_version": self.spark.version},
             "sql": sql,
             "schema": df.schema.jsonValue(),
+            "sources": self._referenced_catalog_tables(sql),
             "plan_sha256": hashlib.sha256(optimized.encode()).hexdigest(),
             "optimized_plan": optimized,
         }
@@ -1064,16 +1091,72 @@ class TableEnvironment:
             json.dump(plan, f, indent=1)
         return plan
 
+    def _migrate_plan(self, plan: dict) -> dict:
+        """Upgrade a loaded compiled-plan dict to the current format
+        (reference CompiledPlan version compatibility: older plans keep
+        loading; future versions fail loudly, never guess)."""
+        v = plan.get("version")
+        if v == self.PLAN_FORMAT_VERSION:
+            return plan
+        if v == 1:
+            # v1 carried no source contracts or engine stamp — migrate
+            # with an empty contract set (the result-schema guard still
+            # applies; re-compile to arm the source guard)
+            plan = dict(plan)
+            plan["version"] = 2
+            plan.setdefault("sources", {})
+            plan.setdefault(
+                "engine",
+                {"name": "flink_spark", "spark_version": None},
+            )
+            plan["migrated_from"] = 1
+            return plan
+        raise ValueError(
+            f"compiled plan version {v!r} is newer than this engine's "
+            f"format {self.PLAN_FORMAT_VERSION} — upgrade the engine or "
+            "re-compile the plan (versions only migrate forward)"
+        )
+
+    def migrate_plan_file(self, path: str) -> dict:
+        """Rewrite a compiled-plan file in the current format: load (with
+        in-memory migration), re-derive the source contracts from the
+        stored SQL against the CURRENT catalog, persist. The explicit
+        counterpart of the reference's plan-upgrade workflow."""
+        import json
+
+        with open(path) as f:
+            plan = self._migrate_plan(json.load(f))
+        plan["sources"] = self._referenced_catalog_tables(plan["sql"])
+        plan.pop("migrated_from", None)
+        with open(path, "w") as f:
+            json.dump(plan, f, indent=1)
+        return plan
+
     def execute_plan(self, path: str) -> DataFrame:
         """EXECUTE PLAN '<path>' (reference SqlExecutePlan): replay a
-        compiled plan; fails fast if the result schema drifted from the
-        compiled contract."""
+        compiled plan; fails fast if the result schema — or (v2) a
+        referenced catalog table's declared schema — drifted from the
+        compiled contract. Older plan formats migrate on load."""
         import json
 
         from pyspark.sql.types import StructType
 
         with open(path) as f:
-            plan = json.load(f)
+            plan = self._migrate_plan(json.load(f))
+        for name, cols in plan.get("sources", {}).items():
+            spec = self.tables.get(name)
+            if spec is None:
+                raise ValueError(
+                    f"compiled plan source drift: table {name!r} was "
+                    "declared at compile time but is no longer in the "
+                    "catalog"
+                )
+            now = [[c, t] for c, t in spec.columns]
+            if now != [list(x) for x in cols]:
+                raise ValueError(
+                    f"compiled plan source drift: table {name!r} schema "
+                    f"changed from {cols} to {now}"
+                )
         sql = plan["sql"]
         if re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
             # an INSERT plan replays through the dialect (engine-managed

@@ -145,6 +145,77 @@ def test_compile_and_execute_plan(spark, sf_dir, tmp_path):
         env.execute_plan(path)
 
 
+def test_compiled_plan_version_migration(spark, sf_dir, tmp_path):
+    """Compiled-plan version migration (reference FLIP-190 / CompiledPlan
+    compatibility): a v1 artifact (r5 layout, no source contracts) keeps
+    loading via in-memory migration; migrate_plan_file rewrites it to the
+    current format with re-derived source contracts; a FUTURE version
+    fails loudly; a v2 source-schema drift fails loudly."""
+    import json
+
+    import pytest
+
+    from flink_spark.catalog import TableEnvironment
+    from flink_spark.sources.tables import load_table
+
+    env = TableEnvironment(spark)
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/cpv_nation")
+    env.execute_sql(f"""
+        CREATE TABLE cpv_nation (n_nationkey BIGINT, n_regionkey BIGINT)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/cpv_nation')
+    """)
+    sql = ("SELECT n_regionkey, COUNT(*) AS cnt FROM cpv_nation "
+           "GROUP BY n_regionkey")
+    path = str(tmp_path / "plan.json")
+
+    # current compile writes v2 with the catalog table's contract
+    plan = env.compile_plan_sql(sql, path)
+    assert plan["version"] == env.PLAN_FORMAT_VERSION == 2
+    assert plan["sources"]["cpv_nation"] == [
+        ["n_nationkey", "BIGINT"], ["n_regionkey", "BIGINT"]
+    ]
+    assert env.execute_plan(path).count() == 5
+
+    # hand-write the v1 layout: loads via migration, executes
+    v1 = {k: plan[k] for k in ("sql", "schema", "plan_sha256",
+                               "optimized_plan")}
+    v1["version"] = 1
+    with open(path, "w") as f:
+        json.dump(v1, f)
+    assert env.execute_plan(path).count() == 5
+
+    # explicit file migration re-derives the source contracts
+    migrated = env.migrate_plan_file(path)
+    assert migrated["version"] == 2
+    assert "cpv_nation" in migrated["sources"]
+    with open(path) as f:
+        assert json.load(f)["version"] == 2
+
+    # a future version must not be guessed at
+    with open(path) as f:
+        future = json.load(f)
+    future["version"] = 99
+    with open(path, "w") as f:
+        json.dump(future, f)
+    with pytest.raises(ValueError, match="newer than this engine"):
+        env.execute_plan(path)
+
+    # v2 source drift: re-declare the table with another schema
+    env.compile_plan_sql(sql, path)
+    env.execute_sql("DROP TABLE cpv_nation")
+    env.execute_sql(f"""
+        CREATE TABLE cpv_nation (n_nationkey BIGINT, extra STRING)
+        WITH ('connector'='filesystem','format'='parquet',
+              'path'='{tmp_path}/cpv_nation2')
+    """)
+    with pytest.raises(ValueError, match="source drift"):
+        env.execute_plan(path)
+    env.execute_sql("DROP TABLE cpv_nation")
+
+
 def test_explain_sql(spark, sf_dir):
     from flink_spark.catalog import TableEnvironment
     from flink_spark.sources.tables import load_table
