@@ -399,6 +399,13 @@ COLLECT_ALLOWLIST: dict = {
     ("datastream.py", "execute_and_collect"):
         (1, "public terminal action (Flink executeAndCollect parity) — "
             "boundedness is the caller's contract, as in the reference"),
+    ("datastream_v2.py", "to_list"):
+        (1, "public terminal action (V2 stream terminal) — boundedness "
+            "is the caller's contract, as in the reference"),
+    ("datastream_v2.py", "connect_and_process"):
+        (1, "broadcast side only: small + bounded by contract (the "
+            "reference replicates broadcast state fully to every task "
+            "too)"),
     ("table_api.py", "collect"):
         (1, "public terminal action (Table#execute#collect parity)"),
     ("catalog.py", "_affected_partitions"):

@@ -1061,6 +1061,55 @@ def datastream_pipeline(spark, sf_dir):
 
 
 @query(
+    "datastream_v2_pipeline",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE user_id <= 50 AND event_type = 'click'
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def datastream_v2_pipeline(spark, sf_dir):
+    """DataStream API V2 program (reference flink-datastream-api
+    FLIP-408/409: ExecutionEnvironment → partition streams →
+    BuiltinFuncs → window strategies): fromSource → builtin filter/map
+    (JVM Columns, FLIP-409) → key_by → TumblingTimeWindowStrategy
+    (extension/window) → reduce — the V2 fluent surface delegating
+    everything to Catalyst, with an exact relational oracle (integer
+    cents keep the sum engine-exact)."""
+    from flink_spark.datastream_v2 import (
+        BuiltinFuncs,
+        ExecutionEnvironment,
+        TumblingTimeWindowStrategy,
+    )
+
+    env = ExecutionEnvironment.get_instance(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    s = env.from_source(ev, "events")
+    s = BuiltinFuncs.filter(
+        s, (F.col("user_id") <= 50) & (F.col("event_type") == "click")
+    )
+    s = BuiltinFuncs.map(
+        s, F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    out = (
+        s.key_by("user_id")
+        .window(TumblingTimeWindowStrategy("ts", "1 hour"))
+        .reduce(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    return out.to_data_frame().select(
+        "user_id",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n", "cents",
+    )
+
+
+@query(
     "ddl_compile_execute_plan",
     oracle="""
     SELECT o_orderpriority,
