@@ -104,6 +104,9 @@ EXTRA = [
     "fn_hash_json_random_suite",
     "agg_group_id",
     "ml_evaluate_metrics",
+    # round-9 operators
+    "stream_group_agg_retract",
+    "datastream_v2_pipeline",
 ]
 
 
