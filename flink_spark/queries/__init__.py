@@ -478,6 +478,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 #: the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
     "stream_group_agg_retract",
+    "stream_group_agg_retract_ttl",
     "datastream_v2_pipeline",
     "tpcds_q60_category_channel_union",
     "tpcds_q57_event_daily_deviation",

@@ -301,6 +301,59 @@ def stream_group_agg_retract(spark, sf_dir):
 
 
 @query(
+    "stream_group_agg_retract_ttl",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             LAG(ts) OVER w AS pts
+      FROM events WHERE user_id <= 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT *, SUM(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 12 HOUR
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+      FROM v
+    ),
+    r AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER wi AS rn,
+             CAST(SUM(cents) OVER wi AS BIGINT) AS run
+      FROM i
+      WINDOW wi AS (PARTITION BY user_id, island ORDER BY ts, event_id)
+    )
+    SELECT '+I' AS op, user_id, CAST(1 AS BIGINT) AS cnt, run AS total
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT '-U', user_id, rn - 1, run - cents FROM r WHERE rn > 1
+    UNION ALL
+    SELECT '+U', user_id, rn, run FROM r WHERE rn > 1
+    """,
+)
+def stream_group_agg_retract_ttl(spark, sf_dir):
+    """Retracting group aggregation with state TTL (reference
+    StateTtlConfig OnReadAndWrite on StreamExecGroupAggregate /
+    `table.exec.state.ttl`): a >12h event-time quiet gap expires the
+    key's accumulator SILENTLY (no retraction — Flink's TTL semantics)
+    and the next row re-inserts with a restarted count. The oracle
+    splits each key's timeline into TTL islands with LAG and replays the
+    prefix-sum emission sequence per island — exact, like the
+    dedup/topn TTL twins."""
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= 50
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        "ts", "event_id",
+    )
+    out = CL.group_agg_retract_ttl(
+        ev, ["user_id"], "cents", "ts", ["event_id"], "12 hours"
+    )
+    return run_to_memory(out, "append", "gaggrt")
+
+
+@query(
     "stream_upsert_materialize",
     oracle=f"""
     SELECT user_id, ts, event_id, value FROM (

@@ -176,6 +176,75 @@ def group_agg_retract(
     )
 
 
+def group_agg_retract_ttl(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    ttl: str,
+) -> DataFrame:
+    """Retracting group aggregation with state TTL (reference
+    StateTtlConfig OnReadAndWrite on StreamExecGroupAggregate /
+    `table.exec.state.ttl`): the key's accumulator refreshes on every
+    sighting; once the event-time gap since the last sighting exceeds
+    ``ttl`` the state is expired — dropped SILENTLY, with no retraction
+    (exactly Flink's TTL semantics) — and the next row re-emits as a
+    fresh +I with a restarted count.
+
+    Closed form (what makes the oracle exact): TTL gaps split each key's
+    timeline into islands (LAG(ts) IS NULL OR ts - LAG(ts) > ttl starts
+    one); within an island the emissions are the prefix-sum sequence of
+    :func:`group_agg_retract`."""
+    import pandas as pd
+
+    ttl_us = int(pd.Timedelta(ttl).value // 1000)
+    schema = stream.schema
+    cols = schema.fieldNames()
+    out_schema = StructType(
+        [
+            OP_FIELD,
+            *[schema[c] for c in key_cols],
+            StructField("cnt", LongType(), False),
+            StructField("total", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType(), True),
+            StructField("total", LongType(), True),
+            StructField("last_seen_us", LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, *tiebreak_cols],
+                              kind="mergesort")[cols]
+        cnt, total, last = state.get if state.exists else (0, 0, None)
+        ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        out = []
+        for v, t in zip(pdf[value_col], ts_us):
+            if last is not None and t - last > ttl_us:
+                cnt, total = 0, 0  # silent expiry, no retraction
+            old = (cnt, total)
+            cnt, total = cnt + 1, total + int(v)
+            if old[0] == 0:
+                out.append((OP_INSERT, *key, cnt, total))
+            else:
+                out.append((OP_UPDATE_BEFORE, *key, *old))
+                out.append((OP_UPDATE_AFTER, *key, cnt, total))
+            last = int(t)  # OnReadAndWrite: every sighting refreshes
+        state.update((cnt, total, last))
+        yield pd.DataFrame(
+            out, columns=["op", *key_cols, "cnt", "total"]
+        )
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_topn(
     stream: DataFrame,
     partition_cols: list[str],
