@@ -107,6 +107,7 @@ EXTRA = [
     # round-9 operators
     "stream_group_agg_retract",
     "datastream_v2_pipeline",
+    "pipe_curation_e2e",
 ]
 
 

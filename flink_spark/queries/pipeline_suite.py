@@ -662,3 +662,106 @@ def pipe_longsubstring_filter(spark, sf_dir):
             .alias("drop_doc"),
         )
     )
+
+
+def _curation_oracle() -> str:
+    """One-statement DuckDB twin of the full curation chain: Gopher keep
+    -> exact dedup (min doc_id per normalized fingerprint) -> MinHash-LSH
+    pair-kill (drop the higher id of every verified near-dup pair) ->
+    per-source survivor counts + token totals. Reuses the deterministic
+    hash family of the llm_minhash_lsh_pairs oracle, re-rooted on the
+    survivor set instead of the raw table."""
+    from flink_spark.llm import dedup as D
+    from flink_spark.queries.llm_suite import _MH_PARAMS_SQL
+
+    return rf"""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, source, text, len(toks) AS n_words,
+                 (length(text) - len(toks) + 1) / len(toks) AS mean_wl,
+                 length(text) - length(regexp_replace(text, '[#@\.\*]', '', 'g'))
+                   AS n_sym,
+                 len(list_intersect(list_distinct(toks),
+                     ['the','and','of','to','a'])) AS n_stop
+          FROM t),
+    q AS (SELECT doc_id, source, text FROM m
+          WHERE n_words >= {P.GOPHER_MIN_WORDS}
+            AND n_words <= {P.GOPHER_MAX_WORDS}
+            AND mean_wl >= {P.GOPHER_MEAN_WORD_LEN_MIN}
+            AND mean_wl <= {P.GOPHER_MEAN_WORD_LEN_MAX}
+            AND n_sym / length(text) <= {P.GOPHER_MAX_SYMBOL_RATIO}
+            AND n_stop >= {P.GOPHER_MIN_STOPWORD_TYPES}),
+    ex AS (SELECT doc_id, source, text FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM q) WHERE rn = 1),
+    w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM ex),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM w, LATERAL (SELECT generate_subscripts(ws, 1) AS i) tt
+           WHERE i <= len(ws) - 2),
+    params(i, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+    hashed AS (SELECT doc_id,
+                      (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {D.MH_PRIME} AS h
+               FROM sh),
+    sig AS (SELECT doc_id, i, MIN((a * h + b) % {D.MH_PRIME}) AS mh
+            FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // {D.MH_BAND_ROWS} AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+              FROM sig GROUP BY doc_id, i // {D.MH_BAND_ROWS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+              FROM cand c
+              JOIN sig x ON x.doc_id = c.doc_a
+              JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
+              GROUP BY c.doc_a, c.doc_b),
+    kill AS (SELECT DISTINCT doc_b AS doc_id FROM agree
+             WHERE n_agree >= {D.MH_K // 2}),
+    surv AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM kill))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM surv GROUP BY source
+    """
+
+
+@query("pipe_curation_e2e", oracle=_curation_oracle())
+def pipe_curation_e2e(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE DataFrame plan — the
+    composition a 100 TB training-data run executes, not just its pieces:
+    Gopher quality gate (JVM expressions) -> exact dedup (one hash
+    shuffle on the normalized fingerprint, keep min doc_id) ->
+    MinHash-LSH near-dup pair-kill over the SURVIVORS (banded equality
+    joins, drop the higher id of every verified pair) -> per-source
+    survivor counts and token totals. Every stage is the already-gated
+    operator re-rooted on the previous stage's output; the oracle chains
+    the same CTEs, so the whole composition is value-checked exactly."""
+    from flink_spark.llm import dedup as D
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = P.gopher_quality_flags(docs).filter(F.col("keep")).select(
+        "doc_id", "source", "text"
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    wfp = Window.partitionBy(fp).orderBy("doc_id")
+    ex = (
+        kept.withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = D.minhash_lsh_pairs(ex)
+    kill = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = ex.join(kill, "doc_id", "left_anti")
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+            .cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
