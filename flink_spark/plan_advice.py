@@ -84,9 +84,15 @@ def _first_significant(node: _Node):
     return None
 
 
-# a comparison against a literal (number or quoted string) anywhere in the
-# filter condition — the pushable-shaped predicate class
-_CMP_LIT = re.compile(r"(=|>=|<=|<|>)\s*-?(\d|')")
+# a bare attribute — possibly inside literal ARITHMETIC the user could
+# rewrite away ((k + 1) > 100 → k > 99) — compared against a literal:
+# the predicate class a parquet reader could push. Function-wrapped
+# comparisons (size(split(text)) >= 10) are excluded: nothing there is
+# pushable under any rewrite, so flagging them is noise (refined r9 —
+# the Gopher-filter false positive)
+_CMP_LIT = re.compile(
+    r"\(+\w+#\d+L?(?:\s[-+*/]\s-?[\d.]+\)?)*\s(?:=|>=|<=|<|>)\s-?(?:\d|')"
+)
 _PUSHED = re.compile(r"PushedFilters: \[([^\]]*)\]")
 # filter classes that actually prune data at the reader (IsNotNull alone
 # prunes nothing a comparison was meant to)

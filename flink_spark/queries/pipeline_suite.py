@@ -758,7 +758,12 @@ def pipe_curation_e2e(spark, sf_dir):
     )
     pairs = D.minhash_lsh_pairs(ex)
     kill = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    surv = ex.join(kill, "doc_id", "left_anti")
+    # the kill list is bounded by the verified near-dup pair count —
+    # broadcast it (the static planner under-uses its 42 KiB estimate
+    # and AQE leaves the anti-join shuffled); for corpora whose dup set
+    # outgrows broadcast, drop the hint and the anti-join shuffles on
+    # doc_id — both are correct, this pins the small-side plan
+    surv = ex.join(F.broadcast(kill), "doc_id", "left_anti")
     return surv.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
