@@ -621,6 +621,30 @@ def llm_audio_decode(spark, sf_dir):
 
 
 @query(
+    "llm_audio_spectral",
+    oracle="""
+    SELECT doc_id,
+           CAST((64 + doc_id % 64) // 2 AS BIGINT) AS dominant_bin,
+           CAST((64 + doc_id % 64) // 2 AS DOUBLE) * 8000
+             / (64 + doc_id % 64) AS dominant_freq_hz,
+           CAST((64 + doc_id % 64) // 2 + 1 AS BIGINT) AS n_bins
+    FROM documents
+    """,
+)
+def llm_audio_spectral(spark, sf_dir):
+    """REAL spectral path: an actual numpy rfft runs over every decoded
+    PCM payload; the dominant bin / frequency are reported. The corpus
+    is the Nyquist-alternating square wave, whose magnitude spectrum
+    |X[m]| = a·|sin(nθ/2)/sin(θ/2)| increases strictly toward the top
+    bin for BOTH parities of n — so argmax = n//2 and dominant_freq =
+    (n//2)·8000/n are closed-form, making the FFT path exactly
+    oracle-checkable (the same a-genuine-computation-with-a-provable-
+    value trick as the RMS gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_spectral(MM.synthesize_audio(docs))
+
+
+@query(
     "llm_image_resize",
     oracle="""
     SELECT doc_id,
