@@ -415,6 +415,124 @@ def audio_spectral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real decode + perceptual average-hash (aHash — the standard cheap
+    image fingerprint image-dedup pipelines bucket on): grayscale =
+    (r+g+b)//3 per pixel, bit = gray > mean(gray), the 64 bits emitted
+    as four 16-bit band keys (``b0..b3``). The band split IS the LSH
+    layout: images sharing any band are near-dup candidates, so the
+    pair join downstream is an equality join — never all-pairs.
+
+    Exact cross-engine: integer grayscale, and mean = sum/64 (a
+    power-of-two divide of an exactly-representable integer sum) is
+    bitwise the same double in numpy and SQL."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"b0": [], "b1": [], "b2": [], "b3": [],
+                    "mean_r": [], "mean_g": [], "mean_b": []}
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload))
+                gray = (
+                    img[:, :, 0].astype(np.int64)
+                    + img[:, :, 1] + img[:, :, 2]
+                ) // 3
+                flat = gray.reshape(-1)
+                bits = (flat > flat.mean()).astype(np.int64)
+                for b in range(4):
+                    val = int(
+                        (bits[b * 16:(b + 1) * 16]
+                         << np.arange(16, dtype=np.int64)).sum()
+                    )
+                    rows[f"b{b}"].append(val)
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(
+                        float(img[:, :, ch].astype(np.float64).mean())
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} BIGINT, b0 BIGINT, b1 BIGINT, b2 BIGINT, "
+            "b3 BIGINT, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+        ),
+    )
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        max_hamming: int = 8,
+                        max_color_l1: float = 25.0,
+                        color_bucket: int = 8) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal twin of MinHash-LSH
+    text dedup. Candidates = equality join on COMPOSITE blocking keys
+    (16-bit aHash band, quantized green mean): structure alone
+    under-blocks on low-texture corpora (every smooth gradient shares
+    an aHash), color alone under-blocks on recolored crops — the pair
+    key needs both, which is also what keeps the join bounded here.
+    Verification is exact and dual: 64-bit hamming distance
+    (bit_count(xor), codegen'd) ≤ ``max_hamming`` AND channel-mean L1
+    ≤ ``max_color_l1``. Like every LSH family, blocking recall < 1
+    (a pair straddling a color-bucket boundary is missed; raise
+    recall with multi-probe on adjacent buckets).
+
+    ``df`` is (id, payload); decode + hashing is the one Python (Arrow)
+    pass, everything after stays in the JVM — never all-pairs."""
+    # the fingerprint table feeds three join branches (bands twice, the
+    # verification sides twice) — cache it so the Arrow decode pass runs
+    # once, not once per branch (same discipline as minhash's wide cache)
+    hashed = image_ahash(df, id_col).cache()
+    cbucket = F.floor(F.col("mean_g") / color_bucket).cast("bigint")
+    bandsv = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bv"))
+        for b in range(4)
+    ])
+    bands = hashed.select(
+        id_col, cbucket.alias("cb"), F.explode(bandsv).alias("p")
+    ).select(
+        id_col, "cb", F.col("p.band").alias("band"), F.col("p.bv").alias("bv")
+    )
+    ba = bands.select(F.col(id_col).alias("doc_a"), "cb", "band", "bv")
+    bb = bands.select(F.col(id_col).alias("doc_b"), "cb", "band", "bv")
+    cand = (
+        ba.join(bb, ["cb", "band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = hashed.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+        F.col("mean_r").alias("ar"), F.col("mean_g").alias("ag"),
+        F.col("mean_b").alias("ab"),
+    )
+    wb = hashed.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
+        F.col("mean_r").alias("br"), F.col("mean_g").alias("bg"),
+        F.col("mean_b").alias("bb_"),
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{b} ^ bb{b}")) for b in range(4)
+    )
+    l1 = (
+        F.abs(F.col("ar") - F.col("br"))
+        + F.abs(F.col("ag") - F.col("bg"))
+        + F.abs(F.col("ab") - F.col("bb_"))
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b",
+                hamming.cast("bigint").alias("hamming"),
+                l1.alias("color_l1"))
+        .filter((F.col("hamming") <= max_hamming)
+                & (F.col("color_l1") <= max_color_l1))
+    )
+
+
 def resize_image(img, out_w: int, out_h: int):
     """Nearest-neighbor resize on a decoded HxWx3 array (pure numpy
     index sampling — deterministic, no interpolation kernel)."""

@@ -482,6 +482,7 @@ VERIFICATION_ROTATION_R10_TAIL = [
     "datastream_v2_pipeline",
     "pipe_curation_e2e",
     "llm_audio_spectral",
+    "llm_image_neardup",
     "tpcds_q60_category_channel_union",
     "tpcds_q57_event_daily_deviation",
     "tpcds_q63_monthly_brand_deviation",

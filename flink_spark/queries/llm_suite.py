@@ -645,6 +645,71 @@ def llm_audio_spectral(spark, sf_dir):
 
 
 @query(
+    "llm_image_neardup",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 100 + (doc_id * 7) % 256
+                        + (doc_id * 13) % 256 AS s
+               FROM documents WHERE doc_id < 2000),
+    px AS (SELECT doc_id, s, i, (i + s) // 3 AS gray
+           FROM d, range(0, 64) t(i)),
+    mn AS (SELECT doc_id, AVG(gray) AS m FROM px GROUP BY doc_id),
+    bits AS (SELECT p.doc_id, p.i,
+                    CASE WHEN p.gray > m.m THEN 1 ELSE 0 END AS bit
+             FROM px p JOIN mn m USING (doc_id)),
+    bands AS (SELECT doc_id, i // 16 AS band,
+                     CAST(SUM(bit << (i % 16)) AS BIGINT) AS bv
+              FROM bits GROUP BY doc_id, i // 16),
+    cb AS (SELECT doc_id,
+                  ((doc_id * 7) % 256) // 8 AS cbucket,
+                  doc_id % 100 + 31.5 AS mean_r,
+                  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+           FROM d),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN cb ca ON ca.doc_id = a.doc_id
+                  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                  JOIN cb cbb ON cbb.doc_id = b.doc_id
+                    AND cbb.cbucket = ca.cbucket
+             WHERE a.doc_id < b.doc_id),
+    wide AS (SELECT doc_id,
+                    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+                    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+                    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+                    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY doc_id)
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+               AS BIGINT) AS hamming,
+             abs(ca.mean_r - cbb.mean_r) + abs(ca.mean_g - cbb.mean_g)
+               + abs(ca.mean_b - cbb.mean_b) AS color_l1
+      FROM cand c JOIN wide wa ON wa.doc_id = c.doc_a
+                  JOIN wide wb ON wb.doc_id = c.doc_b
+                  JOIN cb ca ON ca.doc_id = c.doc_a
+                  JOIN cb cbb ON cbb.doc_id = c.doc_b) t
+    WHERE hamming <= 8 AND color_l1 <= 25.0
+    """,
+)
+def llm_image_neardup(spark, sf_dir):
+    """IMAGE near-duplicate pairs — the multimodal twin of MinHash-LSH
+    text dedup: REAL payload decode → perceptual average-hash (gray =
+    (r+g+b)//3, bit = pixel > mean) + channel means → COMPOSITE blocking
+    (16-bit hash band × quantized green mean; structure alone
+    under-blocks on smooth-gradient corpora like this synthetic one) →
+    equality-join candidates → exact dual verification: 64-bit hamming
+    (bit_count(xor), all JVM) AND channel-mean L1. Every hash bit and
+    mean is closed-form in doc_id, so the whole candidate+verify
+    pipeline carries an exact SQL oracle. Scale shape: one Arrow decode
+    pass; composite-key equality joins after — never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000
+    )
+    return MM.image_neardup_pairs(MM.synthesize_images(docs))
+
+
+@query(
     "llm_image_resize",
     oracle="""
     SELECT doc_id,
