@@ -108,6 +108,9 @@ EXTRA = [
     "stream_group_agg_retract",
     "datastream_v2_pipeline",
     "pipe_curation_e2e",
+    "llm_image_neardup",
+    "llm_video_neardup",
+    "llm_audio_spectral",
 ]
 
 

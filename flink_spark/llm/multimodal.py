@@ -533,6 +533,55 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        min_match: int = 2) -> DataFrame:
+    """VIDEO near-duplicate pairs via frame-signature overlap — the
+    shot-level dedup a video-curation pass runs (same content re-encoded
+    or re-cut shares frames; full-stream hashing misses it): decode ALL
+    frames (one Arrow pass, real FSV1 parsing), reduce each frame to its
+    integer channel-mean signature, equality-join signatures across
+    videos (an inverted frame index — never all-pairs), keep pairs
+    sharing at least ``min_match`` frames.
+
+    Scale shape: the signature table is |total frames| rows; the join
+    key is the signature, so the shuffle carries frame signatures, not
+    pixels, and candidates are bounded by signature collisions."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fnos, rs, gs, bs = [], [], [], [], []
+            for d, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames, _fps = decode_video_header(payload)
+                for fno, img in iter_video_frames(
+                    payload, set(range(n_frames))
+                ):
+                    ids.append(d)
+                    fnos.append(fno)
+                    rs.append(int(img[:, :, 0].astype("int64").mean()))
+                    gs.append(int(img[:, :, 1].astype("int64").mean()))
+                    bs.append(int(img[:, :, 2].astype("int64").mean()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": fnos,
+                 "r": rs, "g": gs, "b": bs}
+            )
+
+    sigs = df.mapInPandas(
+        run,
+        schema=f"{id_col} BIGINT, frame_no INT, r BIGINT, g BIGINT, b BIGINT",
+    ).cache()
+    a = sigs.select(F.col(id_col).alias("doc_a"), "r", "g", "b")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "r", "g", "b")
+    return (
+        a.join(b, ["r", "g", "b"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+    )
+
+
 def resize_image(img, out_w: int, out_h: int):
     """Nearest-neighbor resize on a decoded HxWx3 array (pure numpy
     index sampling — deterministic, no interpolation kernel)."""

@@ -710,6 +710,34 @@ def llm_image_neardup(spark, sf_dir):
 
 
 @query(
+    "llm_video_neardup",
+    oracle="""
+    WITH fr AS (SELECT doc_id, f,
+                       (doc_id + 17 * f) % 256 AS r,
+                       (doc_id * 5 + 3 * f) % 256 AS g,
+                       (doc_id * 11 + 7 * f) % 256 AS b
+                FROM documents, range(0, 7) t(f)
+                WHERE f < 3 + doc_id % 4)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_match
+    FROM fr a JOIN fr b
+      ON a.r = b.r AND a.g = b.g AND a.b = b.b AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def llm_video_neardup(spark, sf_dir):
+    """VIDEO near-duplicate pairs (shot-level dedup): real FSV1 decode of
+    every frame → integer channel-mean signatures → inverted frame index
+    (equality join on the signature — never all-pairs) → pairs sharing
+    ≥2 frames. The synthetic videos' frame planes are closed-form in
+    (doc_id, frame), so the whole decode+index+overlap pipeline carries
+    an exact SQL oracle. Completes the modality sweep: text (MinHash),
+    image (aHash), audio (spectral), video (frame overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.video_neardup_pairs(MM.synthesize_videos(docs))
+
+
+@query(
     "llm_image_resize",
     oracle="""
     SELECT doc_id,
