@@ -109,7 +109,7 @@ EXTRA = [
     "datastream_v2_pipeline",
     "pipe_curation_e2e",
     "llm_image_neardup",
-    "llm_video_neardup",
+    "llm_video_dedup",
     "llm_audio_spectral",
 ]
 

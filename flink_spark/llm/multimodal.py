@@ -533,19 +533,11 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
-                        min_match: int = 2) -> DataFrame:
-    """VIDEO near-duplicate pairs via frame-signature overlap — the
-    shot-level dedup a video-curation pass runs (same content re-encoded
-    or re-cut shares frames; full-stream hashing misses it): decode ALL
-    frames (one Arrow pass, real FSV1 parsing), reduce each frame to its
-    integer channel-mean signature, equality-join signatures across
-    videos (an inverted frame index — never all-pairs), keep pairs
-    sharing at least ``min_match`` frames.
-
-    Scale shape: the signature table is |total frames| rows; the join
-    key is the signature, so the shuffle carries frame signatures, not
-    pixels, and candidates are bounded by signature collisions."""
+def video_frame_signatures(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Decode ALL frames (one Arrow pass, real FSV1 parsing) and reduce
+    each to its integer channel-mean signature — the per-frame
+    fingerprint table video dedup builds on."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -567,18 +559,90 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                  "r": rs, "g": gs, "b": bs}
             )
 
-    sigs = df.mapInPandas(
+    return df.mapInPandas(
         run,
         schema=f"{id_col} BIGINT, frame_no INT, r BIGINT, g BIGINT, b BIGINT",
-    ).cache()
-    a = sigs.select(F.col(id_col).alias("doc_a"), "r", "g", "b")
-    b = sigs.select(F.col(id_col).alias("doc_b"), "r", "g", "b")
+    )
+
+
+def video_dedup_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact VIDEO dedup — the multimodal mirror of llm_dedup_exact: a
+    full-sequence fingerprint (md5 of the ordered frame signatures)
+    groups byte-identical-content videos; one row per group with the
+    canonical keep id and the copy count. One hash shuffle on the
+    fingerprint; LINEAR output at any scale (the r9 pair-form first cut
+    was retired precisely because duplicate-pair enumeration is
+    inherently quadratic in per-group copies — 20.8x at sf1)."""
+    return video_dedup_groups_from_sigs(
+        video_frame_signatures(df, id_col), id_col
+    )
+
+
+def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        min_match: int = 1) -> DataFrame:
+    """VIDEO near-duplicate pairs via temporal-shingle overlap — the
+    shot-level dedup a video-curation pass runs AFTER exact dedup:
+    canonicalize first (one video per full-sequence fingerprint; the
+    cheap linear stage absorbs exact copies, which would otherwise
+    explode the pair join quadratically), then equality-join
+    consecutive-frame shingles among CANONICALS only and keep pairs
+    sharing at least ``min_match`` shingles.
+
+    Scale shape: the shingle table is |canonical frames| rows; the join
+    key is the 2-frame shingle (a far larger effective key space than a
+    single frame signature), so candidates stay bounded by genuine
+    shared shots."""
+    sigs = video_frame_signatures(df, id_col).cache()
+    canon = (
+        video_dedup_groups_from_sigs(sigs, id_col)
+        .select(F.col("keep_id").alias(id_col))
+    )
+    csigs = sigs.join(F.broadcast(canon), id_col)
+    nxt = csigs.select(
+        id_col, (F.col("frame_no") + 1).alias("frame_no"),
+        F.col("r").alias("r2"), F.col("g").alias("g2"),
+        F.col("b").alias("b2"),
+    )
+    shingles = csigs.join(nxt, [id_col, "frame_no"])
+    a = shingles.select(F.col(id_col).alias("doc_a"),
+                        "r", "g", "b", "r2", "g2", "b2")
+    b = shingles.select(F.col(id_col).alias("doc_b"),
+                        "r", "g", "b", "r2", "g2", "b2")
     return (
-        a.join(b, ["r", "g", "b"])
+        a.join(b, ["r", "g", "b", "r2", "g2", "b2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_match"))
         .filter(F.col("n_match") >= min_match)
+    )
+
+
+def video_dedup_groups_from_sigs(sigs: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """video_dedup_groups over an already-computed signature table."""
+    fp = sigs.groupBy(id_col).agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "frame_no",
+                            F.concat_ws(
+                                ":",
+                                F.col("r").cast("string"),
+                                F.col("g").cast("string"),
+                                F.col("b").cast("string"),
+                            ).alias("sig"),
+                        )
+                    )
+                ).getField("sig"),
+            )
+        ).alias("video_fp")
+    )
+    return fp.groupBy("video_fp").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
 
 

@@ -483,7 +483,7 @@ VERIFICATION_ROTATION_R10_TAIL = [
     "pipe_curation_e2e",
     "llm_audio_spectral",
     "llm_image_neardup",
-    "llm_video_neardup",
+    "llm_video_dedup",
     "tpcds_q60_category_channel_union",
     "tpcds_q57_event_daily_deviation",
     "tpcds_q63_monthly_brand_deviation",

@@ -710,31 +710,38 @@ def llm_image_neardup(spark, sf_dir):
 
 
 @query(
-    "llm_video_neardup",
+    "llm_video_dedup",
     oracle="""
     WITH fr AS (SELECT doc_id, f,
                        (doc_id + 17 * f) % 256 AS r,
                        (doc_id * 5 + 3 * f) % 256 AS g,
                        (doc_id * 11 + 7 * f) % 256 AS b
                 FROM documents, range(0, 7) t(f)
-                WHERE f < 3 + doc_id % 4)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_match
-    FROM fr a JOIN fr b
-      ON a.r = b.r AND a.g = b.g AND a.b = b.b AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+                WHERE f < 3 + doc_id % 4),
+    fp AS (SELECT doc_id,
+                  md5(string_agg(r::VARCHAR || ':' || g || ':' || b,
+                                 '|' ORDER BY f)) AS video_fp
+           FROM fr GROUP BY doc_id)
+    SELECT video_fp, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY video_fp
     """,
 )
-def llm_video_neardup(spark, sf_dir):
-    """VIDEO near-duplicate pairs (shot-level dedup): real FSV1 decode of
-    every frame → integer channel-mean signatures → inverted frame index
-    (equality join on the signature — never all-pairs) → pairs sharing
-    ≥2 frames. The synthetic videos' frame planes are closed-form in
-    (doc_id, frame), so the whole decode+index+overlap pipeline carries
-    an exact SQL oracle. Completes the modality sweep: text (MinHash),
-    image (aHash), audio (spectral), video (frame overlap)."""
+def llm_video_dedup(spark, sf_dir):
+    """Exact VIDEO dedup (the multimodal mirror of llm_dedup_exact):
+    real FSV1 decode of every frame → integer channel-mean signatures →
+    full-sequence fingerprint (md5 of the ordered signatures) → one
+    canonical keep id + copy count per group. One hash shuffle; output
+    LINEAR in distinct content at any scale — this replaced the first
+    pair-form cut, whose duplicate-pair enumeration went 20.8× at sf1
+    because pairs are inherently quadratic in per-group copies
+    (BASELINE.md r9). The shot-level near-dup operator
+    (multimodal.video_neardup_pairs) builds on these canonicals and is
+    unit-tested with constructed shared-shot videos. Completes the
+    modality sweep: text (MinHash), image (aHash), audio (spectral),
+    video (sequence fingerprint)."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.video_neardup_pairs(MM.synthesize_videos(docs))
+    return MM.video_dedup_groups(MM.synthesize_videos(docs))
 
 
 @query(

@@ -418,3 +418,60 @@ def test_pq_training_budget_caps_by_rows_times_dim(spark, monkeypatch):
     floor = S.pq_train(df, m=4, ks=4, train_limit=60)
     monkeypatch.setattr(S, "PQ_TRAIN_BUDGET_ELEMS", 8_000_000)
     assert floor == S.pq_train(df, m=4, ks=4, train_limit=4)
+
+
+def test_video_neardup_pairs_canonical_first(spark):
+    """Shot-overlap near-dup (multimodal.video_neardup_pairs): exact
+    copies collapse to ONE canonical before the shingle join (the sf1
+    lesson: duplicate-pair enumeration is quadratic in copies), and two
+    DIFFERENT videos sharing a 2-frame shot are still paired."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_spark.llm.multimodal import encode_video, video_neardup_pairs
+
+    def frame(r, g, b):
+        img = np.empty((6, 8, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = r, g, b
+        return img
+
+    shot = [frame(10, 20, 30), frame(11, 21, 31)]  # the shared 2-frame shot
+    vids = {
+        0: [frame(1, 2, 3)] + shot,            # canonical A
+        1: [frame(1, 2, 3)] + shot,            # exact copy of A (absorbed)
+        2: shot + [frame(99, 98, 97)],         # different video, same shot
+        3: [frame(50, 60, 70), frame(51, 61, 71)],  # unrelated
+    }
+    rows = [(k, encode_video(v)) for k, v in vids.items()]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    got = sorted(
+        tuple(r) for r in video_neardup_pairs(df, min_match=1).collect()
+    )
+    # canonicals are {0, 2, 3}: (0,2) share the shot ONCE; the exact
+    # copy 1 must not appear in any pair
+    assert got == [(0, 2, 1)]
+
+
+def test_video_dedup_groups_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from flink_spark.llm.multimodal import encode_video, video_dedup_groups
+
+    def frame(c):
+        img = np.full((6, 8, 3), c, dtype=np.uint8)
+        return img
+
+    vids = {0: [frame(5), frame(6)], 1: [frame(5), frame(6)],
+            2: [frame(7)], 3: [frame(5), frame(6)]}
+    rows = [(k, encode_video(v)) for k, v in vids.items()]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    got = {(r.keep_id, r.n_copies)
+           for r in video_dedup_groups(df).collect()}
+    assert got == {(0, 3), (2, 1)}
