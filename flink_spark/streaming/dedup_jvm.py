@@ -88,6 +88,7 @@ def dedup_keep_first_jvm(
     num_buckets: int = 16,
     prefix: str = "dedup_jvm",
     root: str | None = None,
+    compact_every: int = 16,
 ) -> DataFrame:
     """Drain ``stream`` through the JVM keep-first plan; return the
     emitted (insert-only) rows as a batch DataFrame.
@@ -96,6 +97,15 @@ def dedup_keep_first_jvm(
     seen-keys store and checkpoint survive the call — a second drain
     with the same root RESUMES (the restore contract of the reference's
     keyed dedup state).
+
+    Every ``compact_every`` batches the store's per-batch partitions
+    fold into one ``__bid=-1`` partition (crash-safe ``.old`` swap, the
+    deltajoin discipline) — without it a long-running stream accumulates
+    one partition per batch forever, and at 100 TB the file/partition
+    count, not the key count, becomes the scan cost. Folding only
+    STRICTLY-EARLIER batches keeps replay exact: the current batch's
+    partition survives under its own bid, so a re-delivered batch still
+    reads none of its own first-attempt rows.
     """
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
@@ -106,6 +116,14 @@ def dedup_keep_first_jvm(
         os.makedirs(root, exist_ok=True)
     seen_store = f"{root}/seen"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    # crash recovery for a compaction swap that died between renames
+    old_d, tmp_d = seen_store + ".old", seen_store + ".compacting"
+    if not os.path.isdir(seen_store) and os.path.isdir(old_d):
+        os.rename(old_d, seen_store)  # crashed after store→.old swap-out
+    elif os.path.isdir(seen_store) and os.path.isdir(old_d):
+        shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+    shutil.rmtree(tmp_d, ignore_errors=True)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -139,6 +157,34 @@ def dedup_keep_first_jvm(
                 .partitionBy("__bid", _BUCKET)
                 .parquet(seen_store)
             )
+            if (
+                compact_every
+                and batch_id % compact_every == compact_every - 1
+                and sum(
+                    1 for d in os.listdir(seen_store)
+                    if d.startswith("__bid=")
+                ) > 2
+            ):
+                # fold strictly-earlier partitions into __bid=-1 (always
+                # < any real batch id, so both future batches and a
+                # replay of THIS batch keep reading them); this batch's
+                # partition carries over under its own bid
+                tmp = seen_store + ".compacting"
+                (
+                    sess.read.parquet(seen_store)
+                    .withColumn(
+                        "__bid",
+                        F.when(F.col("__bid") < F.lit(batch_id),
+                               F.lit(-1)).otherwise(F.col("__bid")),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("__bid", _BUCKET)
+                    .parquet(tmp)
+                )
+                old = seen_store + ".old"
+                os.rename(seen_store, old)
+                os.rename(tmp, seen_store)
+                shutil.rmtree(old, ignore_errors=True)
         finally:
             firsts.unpersist()
 

@@ -148,3 +148,49 @@ def test_dedup_jvm_plan_is_python_free(spark, sf_dir):
     for marker in ("Python", "Pandas", "Arrow"):
         assert marker not in plan, f"{marker} node in plan:\n{plan}"
     assert "WindowGroupLimit" in plan  # rn=1 prunes below the exchange
+
+
+def test_dedup_jvm_store_compaction(spark, sf_dir, tmp_path):
+    """Store compaction (partition-count bound for long streams): each
+    micro-batch introduces a fresh user group (so every batch lands a
+    store partition), and with compact_every=2 the earlier bid
+    partitions fold into __bid=-1 via the crash-safe swap — the result
+    stays exact, and a resumed drain of re-delivered rows is still
+    absorbed by keys that now live only in the COMPACTED partition."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "dedup_root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    # one user group per file → every batch emits new keys
+    for i in range(4):
+        _land(ev.filter(F.col("user_id") % 4 == i), tmp_path, src, f"b{i}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return dedup_keep_first_jvm(
+            stream, ["user_id"], ["ts", "event_id"],
+            root=root, compact_every=2,
+        )
+
+    got = run_once()
+    expected = sorted(
+        map(tuple, _expected_keep_first(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expected
+    bids = sorted(
+        d for d in os.listdir(f"{root}/seen") if d.startswith("__bid=")
+    )
+    # batch 3 compacted bids {−1 (from batch-1's fold), 1, 2} → −1 and
+    # kept its own partition: exactly two remain, not one-per-batch
+    assert bids == ["__bid=-1", "__bid=3"], bids
+
+    # resume with re-delivered rows of group 0 (later sightings): their
+    # keys live ONLY in the compacted partition now and must absorb
+    _land(ev.filter(F.col("user_id") % 4 == 0), tmp_path, src, "b4")
+    got2 = run_once()
+    assert sorted(map(tuple, got2.collect())) == expected
