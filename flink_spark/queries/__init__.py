@@ -500,3 +500,44 @@ VERIFICATION_ROTATION_R10_TAIL = [
     "tpcds_q91_nation_return_losses",
     "tpcds_q99_nation_latency_bands",
 ]
+
+#: Prepared r10 head (NOT promoted — promote at the start of round 10
+#: after local re-verification): entry + the full never-sampled tail
+#: above (retiring external-verification debt to zero) + 27 freshness
+#: re-verifications of high-value operators last sampled in r4-r7
+#: (streaming/changelog/delta-join/CEP-adjacent families, the LLM dedup
+#: and ANN heads, CDC, formats, MATCH_RECOGNIZE, and the plan-advice
+#: gate, which re-validates the r9-new join-strategy rule externally).
+#: All entries carry exact oracles.
+VERIFICATION_ROTATION_R10_CANDIDATES = [
+    "tpch_q1_pricing_summary",
+    *VERIFICATION_ROTATION_R10_TAIL,
+    # freshness re-verification (last sampled r4-r7)
+    "tpch_q9_product_type_profit",
+    "stream_tumble_agg",
+    "stream_interval_join",
+    "stream_topn_changelog",
+    "stream_upsert_materialize",
+    "stream_changelog_normalize",
+    "stream_delta_join",
+    "stream_delta_join_ttl",
+    "stream_multiway_join",
+    "stream_session_agg",
+    "llm_dedup_exact",
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_clusters",
+    "llm_cosine_topk",
+    "llm_lsh_recall_gate",
+    "llm_lsh_topk",
+    "llm_multimodal_features",
+    "cdc_debezium_materialize",
+    "cdc_ogg_materialize",
+    "format_avro_roundtrip",
+    "agg_grouping_sets",
+    "join_hints_gate",
+    "hybrid_source_backfill",
+    "pipe_decontaminate",
+    "pipe_stratified_sample",
+    "sql_match_all_rows_pairs",
+    "explain_plan_advice_gate",
+]
