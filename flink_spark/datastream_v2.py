@@ -275,22 +275,50 @@ class NonKeyedPartitionStream:
     ) -> "NonKeyedPartitionStream":
         """Two-input non-broadcast connect (reference
         TwoInputNonBroadcastStreamProcessFunction): union-tag the sides
-        (the same single-plan bridge the delta join uses), dispatch per
-        row. First input's records are processed before the second's
-        within a partition — the reference makes no cross-input order
-        promise beyond arrival."""
+        (the same single-plan bridge the delta join uses) and round-robin
+        repartition so every task receives records from BOTH inputs —
+        the reference rebalances each input across all parallel
+        instances, and a side-pure partition layout would make
+        per-instance state built from the first input invisible to the
+        second. Each side's records arrive in that side's OWN schema
+        (the other side's padding never leaks into the record tuple).
+        First input's records are processed before the second's within a
+        task (side-1 rows buffer until side-0 drains); the reference
+        makes no cross-input order promise beyond arrival."""
+        ldt, rdt = dict(self._df.dtypes), dict(other._df.dtypes)
+        lcols, rcols = list(self._df.columns), list(other._df.columns)
         left = self._df.withColumn("__ds2_side", F.lit(0))
         right = other._df.withColumn("__ds2_side", F.lit(1))
-        for c in right.columns:
+        for c in rcols:
             if c not in left.columns:
-                left = left.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-        for c in left.columns:
+                left = left.withColumn(c, F.lit(None).cast(rdt[c]))
+        for c in lcols:
             if c not in right.columns:
-                right = right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+                right = right.withColumn(c, F.lit(None).cast(ldt[c]))
         tagged = left.select(*sorted(left.columns)).unionByName(
             right.select(*sorted(left.columns))
         )
+        # round-robin shuffle: mixes both sides into every partition
+        # (union alone concatenates side-pure partitions)
+        tagged = tagged.repartition(
+            self._df.sparkSession.sparkContext.defaultParallelism
+        )
         cols = _schema_cols(output_schema)
+        int_like = ("tinyint", "smallint", "int", "bigint")
+
+        def side_records(pdf, side_cols, dts):
+            # each side's own columns only; undo the float/object
+            # coercion the other side's null padding forced on the
+            # unioned Arrow batch (safe: own-side rows have no padding)
+            sub = pdf[side_cols]
+            for c in side_cols:
+                if sub[c].isna().any():
+                    continue  # genuine nulls: keep pandas' representation
+                if dts[c] in int_like and sub[c].dtype.kind == "f":
+                    sub = sub.assign(**{c: sub[c].astype("int64")})
+                elif dts[c] == "boolean" and sub[c].dtype == object:
+                    sub = sub.assign(**{c: sub[c].astype(bool)})
+            return sub.itertuples(index=False)
 
         def run(batches):
             import pandas as pd
@@ -298,19 +326,21 @@ class NonKeyedPartitionStream:
             fn.open(PartitionedContext())
             ctx = PartitionedContext()
             out = Collector(cols)
+            pending = []  # side-1 chunks, replayed after side 0 drains
             for pdf in batches:
-                pdf = pdf.sort_values("__ds2_side", kind="mergesort")
-                # itertuples mangles leading-underscore names — pull the
-                # side tags out before building the record tuples
-                sides = pdf["__ds2_side"].tolist()
-                recs = pdf.drop(columns=["__ds2_side"]).itertuples(
-                    index=False
-                )
-                for side, rec in zip(sides, recs):
-                    if side == 0:
-                        fn.process_record_from_first(rec, out, ctx)
-                    else:
-                        fn.process_record_from_second(rec, out, ctx)
+                second = pdf[pdf["__ds2_side"] == 1]
+                if len(second):
+                    pending.append(second)
+                for rec in side_records(
+                    pdf[pdf["__ds2_side"] == 0], lcols, ldt
+                ):
+                    fn.process_record_from_first(rec, out, ctx)
+                if out.rows:
+                    yield pd.DataFrame(out.rows, columns=cols)
+                    out.rows = []
+            for pdf in pending:
+                for rec in side_records(pdf, rcols, rdt):
+                    fn.process_record_from_second(rec, out, ctx)
                 if out.rows:
                     yield pd.DataFrame(out.rows, columns=cols)
                     out.rows = []
@@ -375,9 +405,14 @@ class KeyedPartitionStream:
                     key[0] if len(key) == 1 else key, sm
                 )
                 out = Collector(cols)
+                if order_by:
+                    # sort the key's WHOLE micro-batch, not each Arrow
+                    # chunk: a >maxRecordsPerBatch group arrives as
+                    # several chunks, and per-chunk sorting would break
+                    # the promised deterministic in-group order
+                    whole = pd.concat(list(pdfs), ignore_index=True)
+                    pdfs = [whole.sort_values(order_by, kind="mergesort")]
                 for pdf in pdfs:
-                    if order_by:
-                        pdf = pdf.sort_values(order_by, kind="mergesort")
                     for rec in pdf.itertuples(index=False):
                         fn.process_record(rec, out, ctx)
                 state.update(sm.snapshot() if decls else (0,))

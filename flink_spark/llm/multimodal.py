@@ -69,7 +69,12 @@ def extract_features(df: DataFrame) -> DataFrame:
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    # nullable Int32: a NULL payload row arrives with
+                    # n_bytes NaN (octet_length of NULL), and a plain
+                    # int32 astype raises on non-finite values — the
+                    # null-tolerant _fake_decode branch must stay
+                    # reachable
+                    "n_bytes": pdf["n_bytes"].astype("Int32"),
                     "mime": pdf["mime"],
                     "byte_mean": feats.map(lambda d: d["byte_mean"]),
                     "byte_min": feats.map(lambda d: d["byte_min"]),
@@ -247,9 +252,16 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64,
                  id_col: str = "doc_id") -> DataFrame:
     """'Frame sampling' on the opaque payload: take 1 byte every N as a
     cheap signature — JVM-only (substring on binary), shows the
-    slice-without-decode pattern used for video keyframe selection."""
+    slice-without-decode pattern used for video keyframe selection.
+    Every NON-empty payload gets at least one frame (offset 0 always
+    lies inside it); empty or NULL payloads get none — without the
+    guard the greatest(…, 0) floor would manufacture a phantom frame
+    whose offset points past the end of a 0-byte payload."""
     n_frames = (F.col("n_bytes") / every_n_bytes).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    idx = F.when(
+        F.col("n_bytes") > 0,
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+    )  # NULL array otherwise — explode emits no rows for it
     return df.select(
         id_col,
         F.explode(idx).alias("frame_no"),
@@ -543,9 +555,10 @@ def video_frame_signatures(df: DataFrame,
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, fnos, rs, gs, bs = [], [], [], [], []
+            ws, hs, fpss = [], [], []
             for d, payload in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(payload)
-                n_frames, _fps = decode_video_header(payload)
+                n_frames, fps = decode_video_header(payload)
                 for fno, img in iter_video_frames(
                     payload, set(range(n_frames))
                 ):
@@ -554,25 +567,36 @@ def video_frame_signatures(df: DataFrame,
                     rs.append(int(img[:, :, 0].astype("int64").mean()))
                     gs.append(int(img[:, :, 1].astype("int64").mean()))
                     bs.append(int(img[:, :, 2].astype("int64").mean()))
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    fpss.append(fps)
             yield pd.DataFrame(
                 {id_col: ids, "frame_no": fnos,
-                 "r": rs, "g": gs, "b": bs}
+                 "r": rs, "g": gs, "b": bs,
+                 "w": ws, "h": hs, "fps": fpss}
             )
 
     return df.mapInPandas(
         run,
-        schema=f"{id_col} BIGINT, frame_no INT, r BIGINT, g BIGINT, b BIGINT",
+        schema=(
+            f"{id_col} BIGINT, frame_no INT, r BIGINT, g BIGINT, "
+            "b BIGINT, w INT, h INT, fps INT"
+        ),
     )
 
 
 def video_dedup_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact VIDEO dedup — the multimodal mirror of llm_dedup_exact: a
-    full-sequence fingerprint (md5 of the ordered frame signatures)
-    groups byte-identical-content videos; one row per group with the
-    canonical keep id and the copy count. One hash shuffle on the
-    fingerprint; LINEAR output at any scale (the r9 pair-form first cut
-    was retired precisely because duplicate-pair enumeration is
-    inherently quadratic in per-group copies — 20.8x at sf1)."""
+    """VIDEO dedup — the multimodal mirror of llm_dedup_exact: a
+    full-sequence fingerprint (md5 over fps + the ordered per-frame
+    geometry+channel-mean signatures) groups same-content videos; one
+    row per group with the canonical keep id and the copy count. The
+    grouping is EXACT for constant-plane frames (all synthesized corpora
+    here) and perceptual for real video — see
+    video_dedup_groups_from_sigs for the signature contract and the
+    byte-exact swap-in. One hash shuffle on the fingerprint; LINEAR
+    output at any scale (the r9 pair-form first cut was retired
+    precisely because duplicate-pair enumeration is inherently quadratic
+    in per-group copies — 20.8x at sf1)."""
     return video_dedup_groups_from_sigs(
         video_frame_signatures(df, id_col), id_col
     )
@@ -603,7 +627,15 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("r").alias("r2"), F.col("g").alias("g2"),
         F.col("b").alias("b2"),
     )
-    shingles = csigs.join(nxt, [id_col, "frame_no"])
+    # DISTINCT shingle values per doc: a still scene repeating one
+    # shingle p times in doc_a and q times in doc_b must count as ONE
+    # shared shingle, not p*q — the occurrence cross-product would both
+    # inflate n_match and promote single-shot overlaps past min_match
+    shingles = (
+        csigs.join(nxt, [id_col, "frame_no"])
+        .select(id_col, "r", "g", "b", "r2", "g2", "b2")
+        .distinct()
+    )
     a = shingles.select(F.col(id_col).alias("doc_a"),
                         "r", "g", "b", "r2", "g2", "b2")
     b = shingles.select(F.col(id_col).alias("doc_b"),
@@ -619,24 +651,38 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def video_dedup_groups_from_sigs(sigs: DataFrame,
                                  id_col: str = "doc_id") -> DataFrame:
-    """video_dedup_groups over an already-computed signature table."""
+    """video_dedup_groups over an already-computed signature table.
+
+    The fingerprint covers fps + per-frame (w, h, r̄, ḡ, b̄): geometry
+    and frame rate are part of content identity (equal-mean videos at
+    different resolutions or speeds must NOT merge). The per-frame
+    reduction is the integer channel means — exact for constant-plane
+    frames (every synthesized corpus here), a perceptual signature for
+    real video; a deployment wanting byte-exact grouping swaps the mean
+    triplet for a full-frame content hash in the same decode pass."""
+    frame_sig = F.concat_ws(
+        ":",
+        F.col("r").cast("string"),
+        F.col("g").cast("string"),
+        F.col("b").cast("string"),
+        F.col("w").cast("string"),
+        F.col("h").cast("string"),
+    )
     fp = sigs.groupBy(id_col).agg(
         F.md5(
             F.concat_ws(
                 "|",
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "frame_no",
-                            F.concat_ws(
-                                ":",
-                                F.col("r").cast("string"),
-                                F.col("g").cast("string"),
-                                F.col("b").cast("string"),
-                            ).alias("sig"),
+                F.concat(
+                    F.lit("fps="), F.min("fps").cast("string")
+                ),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("frame_no", frame_sig.alias("sig"))
                         )
-                    )
-                ).getField("sig"),
+                    ).getField("sig"),
+                ),
             )
         ).alias("video_fp")
     )

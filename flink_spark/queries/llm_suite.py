@@ -719,7 +719,9 @@ def llm_image_neardup(spark, sf_dir):
                 FROM documents, range(0, 7) t(f)
                 WHERE f < 3 + doc_id % 4),
     fp AS (SELECT doc_id,
-                  md5(string_agg(r::VARCHAR || ':' || g || ':' || b,
+                  md5('fps=4|' ||
+                      string_agg(r::VARCHAR || ':' || g || ':' || b
+                                 || ':8:8',
                                  '|' ORDER BY f)) AS video_fp
            FROM fr GROUP BY doc_id)
     SELECT video_fp, MIN(doc_id) AS keep_id,
@@ -729,9 +731,10 @@ def llm_image_neardup(spark, sf_dir):
 )
 def llm_video_dedup(spark, sf_dir):
     """Exact VIDEO dedup (the multimodal mirror of llm_dedup_exact):
-    real FSV1 decode of every frame → integer channel-mean signatures →
-    full-sequence fingerprint (md5 of the ordered signatures) → one
-    canonical keep id + copy count per group. One hash shuffle; output
+    real FSV1 decode of every frame → per-frame geometry +
+    integer channel-mean signatures → full-sequence fingerprint (md5
+    over fps + the ordered signatures; geometry and frame rate are part
+    of content identity) → one canonical keep id + copy count per group. One hash shuffle; output
     LINEAR in distinct content at any scale — this replaced the first
     pair-form cut, whose duplicate-pair enumeration went 20.8× at sf1
     because pairs are inherently quadratic in per-group copies

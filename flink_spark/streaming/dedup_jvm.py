@@ -50,9 +50,24 @@ _BUCKET = "__bucket"
 
 
 def _has_parquet(d: str) -> bool:
-    return os.path.isdir(d) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
-    )
+    """True if any COMMITTED part file exists under ``d``: hidden dirs
+    (``_temporary`` staging from a write that crashed mid-commit, Spark
+    metadata dirs) must not count — read.parquet ignores them, so
+    counting them would wedge a resume on 'unable to infer schema'."""
+    if not os.path.isdir(d):
+        return False
+    for _cur, dirs, fs in os.walk(d):
+        # partition dirs (name=value — e.g. __bid=3) stay visible even
+        # underscore-prefixed, exactly as Spark's file index treats them
+        dirs[:] = [
+            x for x in dirs if "=" in x or not x.startswith(("_", "."))
+        ]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in fs
+        ):
+            return True
+    return False
 
 
 def batch_keep_first_plan(
@@ -118,12 +133,14 @@ def dedup_keep_first_jvm(
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
     # crash recovery for a compaction swap that died between renames
-    old_d, tmp_d = seen_store + ".old", seen_store + ".compacting"
-    if not os.path.isdir(seen_store) and os.path.isdir(old_d):
-        os.rename(old_d, seen_store)  # crashed after store→.old swap-out
-    elif os.path.isdir(seen_store) and os.path.isdir(old_d):
-        shutil.rmtree(old_d, ignore_errors=True)  # swap completed
-    shutil.rmtree(tmp_d, ignore_errors=True)
+    # (seen store always; out dir folds too on a persistent root)
+    for store in (seen_store, out_dir):
+        old_d, tmp_d = store + ".old", store + ".compacting"
+        if not os.path.isdir(store) and os.path.isdir(old_d):
+            os.rename(old_d, store)  # crashed after store→.old swap-out
+        elif os.path.isdir(store) and os.path.isdir(old_d):
+            shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+        shutil.rmtree(tmp_d, ignore_errors=True)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -157,34 +174,42 @@ def dedup_keep_first_jvm(
                 .partitionBy("__bid", _BUCKET)
                 .parquet(seen_store)
             )
-            if (
-                compact_every
-                and batch_id % compact_every == compact_every - 1
-                and sum(
-                    1 for d in os.listdir(seen_store)
-                    if d.startswith("__bid=")
-                ) > 2
-            ):
+            if compact_every and batch_id % compact_every == compact_every - 1:
                 # fold strictly-earlier partitions into __bid=-1 (always
                 # < any real batch id, so both future batches and a
                 # replay of THIS batch keep reading them); this batch's
                 # partition carries over under its own bid
-                tmp = seen_store + ".compacting"
-                (
-                    sess.read.parquet(seen_store)
-                    .withColumn(
-                        "__bid",
-                        F.when(F.col("__bid") < F.lit(batch_id),
-                               F.lit(-1)).otherwise(F.col("__bid")),
+                def fold(store: str, part_cols: list[str]) -> None:
+                    if sum(
+                        1 for d in os.listdir(store)
+                        if d.startswith("__bid=")
+                    ) <= 2:
+                        return
+                    tmp = store + ".compacting"
+                    (
+                        sess.read.parquet(store)
+                        .withColumn(
+                            "__bid",
+                            F.when(F.col("__bid") < F.lit(batch_id),
+                                   F.lit(-1)).otherwise(F.col("__bid")),
+                        )
+                        .write.mode("overwrite")
+                        .partitionBy(*part_cols)
+                        .parquet(tmp)
                     )
-                    .write.mode("overwrite")
-                    .partitionBy("__bid", _BUCKET)
-                    .parquet(tmp)
-                )
-                old = seen_store + ".old"
-                os.rename(seen_store, old)
-                os.rename(tmp, seen_store)
-                shutil.rmtree(old, ignore_errors=True)
+                    old = store + ".old"
+                    os.rename(store, old)
+                    os.rename(tmp, store)
+                    shutil.rmtree(old, ignore_errors=True)
+
+                fold(seen_store, ["__bid", _BUCKET])
+                if persistent and _has_parquet(out_dir):
+                    # only a durable root re-reads the sink across
+                    # drains: without folding, a long-running resumed
+                    # stream accumulates one out partition per batch
+                    # forever — the exact listing-cost blowup the
+                    # seen-store fold exists to prevent
+                    fold(out_dir, ["__bid"])
         finally:
             firsts.unpersist()
 

@@ -47,13 +47,27 @@ _BUCKET = "__dj_bucket"
 
 
 def _has_parquet(d: str) -> bool:
-    """True if any part file exists under ``d`` — a bid-partitioned write
-    of an all-empty stream creates the directory (or nothing) without a
-    single schema-bearing file, which read.parquet cannot infer from."""
-    return os.path.isdir(d) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(d) for f in fs
-    )
+    """True if any COMMITTED part file exists under ``d`` — a
+    bid-partitioned write of an all-empty stream creates the directory
+    (or nothing) without a single schema-bearing file, which
+    read.parquet cannot infer from. Hidden dirs (``_temporary`` staging
+    left by a write that crashed mid-commit) must not count either:
+    read.parquet ignores them, so counting them would wedge a
+    durable-root resume on 'unable to infer schema'."""
+    if not os.path.isdir(d):
+        return False
+    for _cur, dirs, fs in os.walk(d):
+        # partition dirs (name=value — e.g. __dj_bid=3) stay visible even
+        # underscore-prefixed, exactly as Spark's file index treats them
+        dirs[:] = [
+            x for x in dirs if "=" in x or not x.startswith(("_", "."))
+        ]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in fs
+        ):
+            return True
+    return False
 
 
 def _bucketed(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
