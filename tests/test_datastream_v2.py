@@ -255,3 +255,99 @@ def test_window_strategies_native(spark):
         F.count("*").alias("n")
     )
     assert sorted(r.n for r in sess.to_data_frame().collect()) == [1, 1, 2]
+
+
+class _BufferMatch(TwoInputNonBroadcastStreamProcessFunction):
+    """Buffers input-1 rows per instance; every input-2 row reports how
+    many input-1 rows this instance had already seen — the canonical
+    two-input pattern that requires (a) both sides reaching the same
+    task and (b) first-before-second processing order."""
+
+    def open(self, ctx):
+        self.firsts = 0
+
+    def process_record_from_first(self, record, output, ctx):
+        # each side's record arrives in its OWN schema, own dtypes
+        assert record._fields == ("a", "b"), record._fields
+        assert not isinstance(record.a, float), type(record.a)
+        self.firsts += 1
+
+    def process_record_from_second(self, record, output, ctx):
+        assert record._fields == ("c",), record._fields
+        assert not isinstance(record.c, float), type(record.c)
+        output.collect({"c": record.c, "seen_first": self.firsts})
+
+
+def test_connect_co_locates_and_orders_sides(spark):
+    """Every task must see records from BOTH inputs (the reference
+    rebalances each input across all parallel instances; a side-pure
+    partition layout would make input-1 state invisible to input-2),
+    with the first input fully processed before the second within a
+    task. 2000 rows per side round-robined across the default
+    parallelism puts both sides in every partition."""
+    env = ExecutionEnvironment.get_instance(spark)
+    n = 2000
+    a = env.from_source(
+        ([(i, f"s{i}") for i in range(n)], "a int, b string")
+    )
+    b = env.from_source(([(i,) for i in range(n)], "c int"))
+    got = a.connect_and_process(
+        b, _BufferMatch(), "c int, seen_first int"
+    ).to_list()
+    assert len(got) == n
+    assert sorted(c for c, _seen in got) == list(range(n))
+    # first-before-second + co-location: every input-2 record saw
+    # input-1 state already built in its instance
+    assert all(seen > 0 for _c, seen in got)
+
+
+def test_keyed_streaming_order_by_spans_arrow_chunks(spark, tmp_path):
+    """order_by must sort the key's WHOLE micro-batch, not each Arrow
+    chunk: with maxRecordsPerBatch smaller than the group, per-chunk
+    sorting would run later-chunk low-seq records after earlier-chunk
+    high-seq ones and corrupt order-dependent state transitions."""
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        n = 50
+        # land in REVERSED seq order so chunk boundaries cut across it
+        df = spark.createDataFrame(
+            [(1, seq, 1) for seq in reversed(range(n))],
+            "k int, seq int, v int",
+        )
+        staging = tmp_path / "stage_b1"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        (part,) = glob.glob(str(staging / "part-*.parquet"))
+        shutil.move(part, str(src / "b1.parquet"))
+        env = ExecutionEnvironment.get_instance(spark)
+        stream = (
+            spark.readStream.schema("k int, seq int, v int")
+            .parquet(str(src))
+        )
+        out = (
+            env.from_source(stream)
+            .key_by("k")
+            .process(
+                _RunningTotal(),
+                "k int, seq int, total bigint, n bigint",
+                order_by=["seq"],
+            )
+            .to_data_frame()
+        )
+        q = (
+            out.writeStream.format("memory").queryName("ds2_chunk_order")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            tuple(r) for r in spark.table("ds2_chunk_order").collect()
+        )
+        assert got == [(1, seq, seq + 1, seq + 1) for seq in range(n)]
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", saved
+        )

@@ -194,3 +194,95 @@ def test_dedup_jvm_store_compaction(spark, sf_dir, tmp_path):
     _land(ev.filter(F.col("user_id") % 4 == 0), tmp_path, src, "b4")
     got2 = run_once()
     assert sorted(map(tuple, got2.collect())) == expected
+
+
+def test_has_parquet_ignores_uncommitted_staging(tmp_path):
+    """A write that crashed mid-commit leaves only _temporary staging:
+    read.parquet ignores it, so _has_parquet must too — counting it
+    wedges a durable-root resume on 'unable to infer schema'. Partition
+    dirs (name=value) stay visible even underscore-prefixed."""
+    from flink_spark.streaming.dedup_jvm import _has_parquet
+
+    d = tmp_path / "store"
+    staging = d / "_temporary" / "0" / "task_x"
+    staging.mkdir(parents=True)
+    (staging / "part-0.parquet").write_bytes(b"x")
+    assert not _has_parquet(str(d))
+    part = d / "__bid=0" / "__bucket=1"
+    part.mkdir(parents=True)
+    (part / "part-1.parquet").write_bytes(b"x")
+    assert _has_parquet(str(d))
+
+
+def test_dedup_jvm_persistent_out_fold(spark, sf_dir, tmp_path):
+    """Durable-root drains fold the OUT dir's per-batch partitions too
+    (one partition per batch forever is the listing-cost blowup the
+    seen-store fold exists to prevent), and the folded sink still
+    equals the batch oracle exactly across a resume."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    cut = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS LONG), 0.5) AS c"
+    ).collect()[0]["c"]
+    tl = F.col("ts").cast("timestamp").cast("long")
+    early = ev.filter(tl <= cut)
+    late = ev.filter(tl > cut)
+    # split early into four TIME-ordered files (keep-first's contract is
+    # in-order delivery) and OFFSET each file's key space so every batch
+    # introduces fresh keys — otherwise batches past the first emit
+    # nothing and the out dir never accumulates partitions to fold
+    qs = early.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS LONG), "
+        "array(0.25D, 0.5D, 0.75D)) AS q"
+    ).collect()[0]["q"]
+    bounds = [None, *qs, None]
+    landed = []
+    for i in range(4):
+        part_df = early
+        if bounds[i] is not None:
+            part_df = part_df.filter(tl > bounds[i])
+        if bounds[i + 1] is not None:
+            part_df = part_df.filter(tl <= bounds[i + 1])
+        part_df = part_df.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 10_000)
+        )
+        landed.append(part_df)
+        _land(part_df, tmp_path, src, f"a{i}")
+    late = late.withColumn("user_id", F.col("user_id") + F.lit(40_000))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return dedup_keep_first_jvm(
+            stream, ["user_id"], ["ts", "event_id"],
+            root=root, compact_every=2,
+        )
+
+    drain()
+    _land(late, tmp_path, src, "b1")
+    got = drain()  # resumed from the same root
+    union = landed[0]
+    for part_df in landed[1:] + [late]:
+        union = union.unionByName(part_df)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # the out dir folded: at most the -1 fold + a couple of live bids
+    out_parts = [
+        d for d in os.listdir(f"{root}/out") if d.startswith("__bid=")
+    ]
+    assert len(out_parts) <= 3, out_parts
+    assert "__bid=-1" in out_parts

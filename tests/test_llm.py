@@ -475,3 +475,100 @@ def test_video_dedup_groups_exact(spark):
     got = {(r.keep_id, r.n_copies)
            for r in video_dedup_groups(df).collect()}
     assert got == {(0, 3), (2, 1)}
+
+
+def test_extract_features_null_payload(spark):
+    """A NULL payload row (n_bytes NULL from octet_length) must flow
+    through extract_features via the null-tolerant decode branch, not
+    crash the Arrow task on a non-finite astype."""
+    from flink_spark.llm.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, b"ab", 2, "m1", "text/plain"),
+         (2, None, None, None, "text/plain")],
+        "doc_id long, payload binary, n_bytes int, "
+        "payload_md5 string, mime string",
+    )
+    got = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert got[1]["feature_ok"] and got[1]["n_bytes"] == 2
+    assert got[2]["feature_ok"] is False and got[2]["n_bytes"] is None
+    assert got[2]["byte_mean"] is None
+
+
+def test_frame_sample_empty_payload(spark):
+    """Empty/NULL payloads emit NO frames (a phantom frame's offset
+    would point past the end); every non-empty payload gets >= 1."""
+    from flink_spark.llm.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b"", 0), (2, b"x" * 10, 10), (3, None, None),
+         (4, b"y" * 130, 130)],
+        "doc_id long, payload binary, n_bytes int",
+    )
+    got = frame_sample(df, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["frame_no"], r["frame_offset"])
+        )
+    assert set(by_doc) == {2, 4}
+    assert by_doc[2] == [(0, 0)]
+    assert sorted(by_doc[4]) == [(0, 0), (1, 64)]
+
+
+def test_video_dedup_geometry_fps_separate_groups(spark):
+    """Equal per-frame channel means at different geometry or fps are
+    DIFFERENT content — the fingerprint must not merge them."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_spark.llm.multimodal import encode_video, video_dedup_groups
+
+    def frame(c, h=6, w=8):
+        return np.full((h, w, 3), c, dtype=np.uint8)
+
+    rows = [
+        (0, encode_video([frame(5), frame(6)])),
+        (1, encode_video([frame(5), frame(6)])),             # exact copy
+        (2, encode_video([frame(5, h=12, w=16),
+                          frame(6, h=12, w=16)])),           # same means, 2x frame
+        (3, encode_video([frame(5), frame(6)], fps=8)),      # same frames, 2x speed
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    got = {(r.keep_id, r.n_copies)
+           for r in video_dedup_groups(df).collect()}
+    assert got == {(0, 2), (2, 1), (3, 1)}
+
+
+def test_video_neardup_distinct_shingles(spark):
+    """A still scene repeating one shared shingle must count as ONE
+    shared shingle, not the occurrence cross-product — the old p*q
+    count both inflated n_match and promoted single-shot overlaps
+    past min_match."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_spark.llm.multimodal import encode_video, video_neardup_pairs
+
+    def frame(r, g, b):
+        img = np.empty((6, 8, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = r, g, b
+        return img
+
+    A, B, C = frame(10, 20, 30), frame(11, 21, 31), frame(90, 91, 92)
+    vids = {
+        0: [A, B, A, B, A, B],  # still scene: shingle (A,B) x3, (B,A) x2
+        1: [A, B, C],           # shares (A,B) once
+    }
+    rows = [(k, encode_video(v)) for k, v in vids.items()]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    got = sorted(
+        tuple(r) for r in video_neardup_pairs(df, min_match=1).collect()
+    )
+    assert got == [(0, 1, 1)]
