@@ -528,8 +528,14 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     "llm_dedup_clusters",
     "llm_cosine_topk",
     "llm_lsh_recall_gate",
-    "llm_lsh_topk",
-    "llm_multimodal_features",
+    # r9-exactified last rows-only gate: its r8 row was no_oracle; this
+    # converts it to a green external row (llm_lsh_topk and
+    # llm_multimodal_features, previously here, are already in the
+    # promoted R9 head — re-listing them would waste the two slots)
+    "llm_vector_search_sql_ann",
+    # r9 JVM keep-first rework: the r8 external row verified the old
+    # applyInPandasWithState path; re-verify the new implementation
+    "stream_dedup_first",
     "cdc_debezium_materialize",
     "cdc_ogg_materialize",
     "format_avro_roundtrip",

@@ -941,17 +941,26 @@ def llm_vector_search_sql(spark, sf_dir):
     """)
 
 
-@query("llm_vector_search_sql_ann", oracle=None)
+@query(
+    "llm_vector_search_sql_ann",
+    oracle=(
+        "SELECT query_id, cand_id, cos_sim FROM ("
+        + ANN.ivf_topk_oracle(k=5, n_centroids=8, n_probe=4, n_assign=2)
+        + ") t"
+    ),
+)
 def llm_vector_search_sql_ann(spark, sf_dir):
     """VECTOR_SEARCH SQL TVF with index routing (reference
     vector_search.md CONFIG map): ``MAP['index','ivf']`` sends the TVF
     through the IVF ANN library (llm/similarity.py) instead of the exact
     brute scan — the spelling that scales to a 100-TB vector table.
-    Rows-only — justification: IVF cells come from iterative k-means (no
-    single-statement SQL oracle, unlike the md5-closed-form llm_lsh_topk);
-    the correctness teeth are the in-query ≥0.8-recall assert below
-    (the query FAILS, not degrades, under recall loss) plus the exact
-    brute twin llm_vector_search_sql it is measured against."""
+    EXACT oracle (r9, closing the LAST rows-only gate): the TVF's IVF
+    routing is the same deterministic Lloyd's that queries/annsql.py
+    unrolls into DuckDB CTEs — parameterized here at the CONFIG map's
+    (centroids=8, probe=4, assign=2, k=5) and verified bitwise-equal.
+    The in-query ≥0.8-recall assert below stays as the semantic ANN
+    contract (the query FAILS, not degrades, under recall loss),
+    measured against the exact brute twin llm_vector_search_sql."""
     from flink_spark.catalog import TableEnvironment
 
     env = TableEnvironment(spark)
