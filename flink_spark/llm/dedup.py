@@ -125,19 +125,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id",
-                      min_agree: int = MH_K // 2) -> DataFrame:
-    """MinHash LSH candidate pairs + signature-agreement verification.
-
-    bands: group signature rows into MH_K/MH_BAND_ROWS bands; band key =
-    concatenated minhashes. Docs sharing any band bucket are candidates
-    (equality join — no cross product); candidates verified by counting
-    agreeing signature positions (>= min_agree of MH_K).
-    """
-    wide = minhash_signatures_wide(df, text_col, id_col).cache()
-    # band signatures straight off the wide row — a per-row expression,
-    # no (doc, band) regroup shuffle and no collect_list nondeterminism
+def band_rows(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH band rows (id, band, sig) off a wide signature table: band key
+    = concatenated minhashes of the band's MH_BAND_ROWS positions — a
+    per-row expression (no (doc, band) regroup shuffle and no
+    collect_list nondeterminism)."""
     n_bands = MH_K // MH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -154,9 +146,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ]
     )
-    bands = wide.select(id_col, F.explode(band_structs).alias("p")).select(
+    return wide.select(id_col, F.explode(band_structs).alias("p")).select(
         id_col, F.col("p.band").alias("band"), F.col("p.sig").alias("sig")
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_agree: int = MH_K // 2) -> DataFrame:
+    """MinHash LSH candidate pairs + signature-agreement verification.
+
+    bands: group signature rows into MH_K/MH_BAND_ROWS bands; band key =
+    concatenated minhashes. Docs sharing any band bucket are candidates
+    (equality join — no cross product); candidates verified by counting
+    agreeing signature positions (>= min_agree of MH_K).
+    """
+    wide = minhash_signatures_wide(df, text_col, id_col).cache()
+    bands = band_rows(wide, id_col)
     ba = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     bb = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     cand = (

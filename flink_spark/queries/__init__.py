@@ -477,6 +477,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 #: the r9-new stream_group_agg_retract gate). Promoting these retires
 #: the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
+    "stream_minhash_neardup",
     "stream_group_agg_retract",
     "stream_group_agg_retract_ttl",
     "datastream_v2_pipeline",

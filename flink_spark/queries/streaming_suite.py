@@ -2174,3 +2174,53 @@ def changelog_to_changelog(spark, sf_dir):
           op_mapping => MAP['INSERT, UPDATE_AFTER', 'add', 'DELETE', 'del'],
           produces_full_deletes => false)
     """)
+
+
+# shared with llm_suite: the deterministic MinHash construction both
+# engines reproduce bitwise (portable 60-bit md5 hash, shared params)
+from flink_spark.queries.llm_suite import _MINHASH_SQL, _SHINGLES_SQL  # noqa: E402
+from flink_spark.llm import dedup as _D  # noqa: E402
+
+
+@query(
+    "stream_minhash_neardup",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    bands AS (SELECT doc_id, i // {_D.MH_BAND_ROWS} AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+              FROM sig GROUP BY doc_id, i // {_D.MH_BAND_ROWS}),
+    cand AS (SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.new_id,
+                     SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+              FROM cand c
+              JOIN sig x ON x.doc_id = c.old_id
+              JOIN sig y ON y.doc_id = c.new_id AND y.i = x.i
+              GROUP BY c.old_id, c.new_id),
+    dup AS (SELECT DISTINCT new_id FROM agree
+            WHERE n_agree >= {_D.MH_K // 2})
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN dup ON dup.new_id = d.doc_id
+    WHERE dup.new_id IS NULL
+    """,
+)
+def stream_minhash_neardup(spark, sf_dir):
+    """Streaming incremental MinHash-LSH near-dup dedup
+    (streaming/neardup_stream.py — the continuous-ingestion shape of the
+    llm_minhash_lsh_pairs batch pipeline; reference
+    StreamExecDeduplicate's keyed-state family, near-dup semantics): the
+    documents table arrives in 3 id-ordered micro-batches; each batch is
+    signature-banded and checked against the LSH index of everything
+    seen earlier (strictly-earlier batches + smaller ids in-batch);
+    survivors are emitted insert-only. With id-ordered arrival the
+    semantics close to 'D survives iff no smaller-id doc is band-matched
+    and >=16/32-signature-verified against D', which the oracle states
+    directly — the result is invariant to the micro-batch partitioning."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.neardup_stream import minhash_neardup_stream
+
+    docs = chunked_table_stream(spark, sf_dir, "documents", 3, "doc_id")
+    out = minhash_neardup_stream(docs)
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -46,28 +46,15 @@ import tempfile
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_spark.streaming.storeutil import (
+    fold_bid_partitions,
+    has_parquet as _has_parquet,
+    read_earlier,
+    recover_swap,
+    write_bid_partition,
+)
+
 _BUCKET = "__bucket"
-
-
-def _has_parquet(d: str) -> bool:
-    """True if any COMMITTED part file exists under ``d``: hidden dirs
-    (``_temporary`` staging from a write that crashed mid-commit, Spark
-    metadata dirs) must not count — read.parquet ignores them, so
-    counting them would wedge a resume on 'unable to infer schema'."""
-    if not os.path.isdir(d):
-        return False
-    for _cur, dirs, fs in os.walk(d):
-        # partition dirs (name=value — e.g. __bid=3) stay visible even
-        # underscore-prefixed, exactly as Spark's file index treats them
-        dirs[:] = [
-            x for x in dirs if "=" in x or not x.startswith(("_", "."))
-        ]
-        if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in fs
-        ):
-            return True
-    return False
 
 
 def batch_keep_first_plan(
@@ -135,81 +122,33 @@ def dedup_keep_first_jvm(
     # crash recovery for a compaction swap that died between renames
     # (seen store always; out dir folds too on a persistent root)
     for store in (seen_store, out_dir):
-        old_d, tmp_d = store + ".old", store + ".compacting"
-        if not os.path.isdir(store) and os.path.isdir(old_d):
-            os.rename(old_d, store)  # crashed after store→.old swap-out
-        elif os.path.isdir(store) and os.path.isdir(old_d):
-            shutil.rmtree(old_d, ignore_errors=True)  # swap completed
-        shutil.rmtree(tmp_d, ignore_errors=True)
+        recover_swap(store)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        if _has_parquet(seen_store):
-            # strictly-earlier partitions only: a replayed batch must
-            # not anti-join against the keys its own first attempt wrote
-            seen = (
-                sess.read.parquet(seen_store)
-                .filter(F.col("__bid") < F.lit(batch_id))
-                .drop("__bid")
-            )
-        else:
-            seen = None
+        # strictly-earlier partitions only: a replayed batch must
+        # not anti-join against the keys its own first attempt wrote
+        seen = read_earlier(sess, seen_store, batch_id)
         firsts = batch_keep_first_plan(
             batch, key_cols, seq_cols, num_buckets, seen
         ).persist()
         try:
-            (
-                firsts.select(*cols)
-                .withColumn("__bid", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__bid")
-                .parquet(out_dir)
-            )
-            (
-                firsts.select(_BUCKET, *key_cols)
-                .withColumn("__bid", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__bid", _BUCKET)
-                .parquet(seen_store)
+            write_bid_partition(firsts.select(*cols), out_dir, batch_id)
+            write_bid_partition(
+                firsts.select(_BUCKET, *key_cols), seen_store, batch_id,
+                [_BUCKET],
             )
             if compact_every and batch_id % compact_every == compact_every - 1:
-                # fold strictly-earlier partitions into __bid=-1 (always
-                # < any real batch id, so both future batches and a
-                # replay of THIS batch keep reading them); this batch's
-                # partition carries over under its own bid
-                def fold(store: str, part_cols: list[str]) -> None:
-                    if sum(
-                        1 for d in os.listdir(store)
-                        if d.startswith("__bid=")
-                    ) <= 2:
-                        return
-                    tmp = store + ".compacting"
-                    (
-                        sess.read.parquet(store)
-                        .withColumn(
-                            "__bid",
-                            F.when(F.col("__bid") < F.lit(batch_id),
-                                   F.lit(-1)).otherwise(F.col("__bid")),
-                        )
-                        .write.mode("overwrite")
-                        .partitionBy(*part_cols)
-                        .parquet(tmp)
-                    )
-                    old = store + ".old"
-                    os.rename(store, old)
-                    os.rename(tmp, store)
-                    shutil.rmtree(old, ignore_errors=True)
-
-                fold(seen_store, ["__bid", _BUCKET])
+                fold_bid_partitions(
+                    sess, seen_store, [_BUCKET], batch_id
+                )
                 if persistent and _has_parquet(out_dir):
                     # only a durable root re-reads the sink across
                     # drains: without folding, a long-running resumed
                     # stream accumulates one out partition per batch
                     # forever — the exact listing-cost blowup the
                     # seen-store fold exists to prevent
-                    fold(out_dir, ["__bid"])
+                    fold_bid_partitions(sess, out_dir, [], batch_id)
         finally:
             firsts.unpersist()
 

@@ -1,0 +1,226 @@
+"""Streaming incremental MinHash-LSH near-dup dedup.
+
+The batch MinHash pipeline (llm/dedup.py — signatures, banding,
+agreement verification) run INCREMENTALLY over a document stream: each
+micro-batch's documents are checked against every document seen in
+strictly earlier batches (the historical LSH index) plus smaller-id
+documents of the same batch, and only the near-dup-free survivors are
+emitted. This is the continuous-ingestion shape of a 100 TB training
+corpus: the crawl never stops, and each new snapshot must dedup against
+everything already ingested without re-pairing the whole corpus.
+
+Semantics (deterministic, exactly SQL-oracle-able): a document D is
+DROPPED iff some earlier-seen document E (earlier batch, or same batch
+with ``E.id < D.id``) shares at least one LSH band with D AND agrees on
+``>= min_agree`` of the MH_K signature positions. "Earlier-seen", not
+"earlier-kept": the index grows by every document seen, which is the
+standard production posture (an ever-growing LSH index of all ingested
+docs) and — unlike greedy keep-first chaining — is order-parallel inside
+a batch and invariant to micro-batch boundaries whenever batches arrive
+in id order, which is what gives the operator a closed-form oracle:
+``D survives iff no E with E.id < D.id is band-matched and
+signature-verified against D``.
+
+State = two bid-partitioned parquet stores under the replay-exactness
+discipline of streaming/storeutil.py (idempotent per-batch dynamic
+overwrites, strictly-earlier reads, crash-safe ``__bid=-1`` folding):
+
+  - ``bands``: (bucket, band, sig, id) — one row per (doc, band); the
+    join side of the candidate lookup, sub-partitioned by
+    ``pmod(hash(sig))`` so the candidate equality join shuffles on
+    co-located buckets and a table-format store would prune untouched
+    buckets;
+  - ``sigs``: (id, mh_0..mh_{K-1}) — one row per doc; the verification
+    side (agreement is a K-term JVM expression over two wide rows, no
+    per-position explode).
+
+Docs too short to shingle (< n words) have no signature, can never
+band-match, and therefore always survive — the batch operators treat
+them identically.
+
+Scale shape: per batch = one signature aggregation over the delta
+(fixed K mins per doc), one banded equality join delta-vs-index, one
+wide-row verification join, one anti-join. Nothing crosses to Python;
+no collect; index size is O(docs seen) rows of fixed width — the same
+asymptotics as the reference's keyed dedup state, with near-dup
+instead of exact-key semantics.
+
+Reference parity: StreamExecDeduplicate.java keeps exact-key state;
+this operator is the near-dup member of the same family (SURVEY §7.1
+LLM-pipeline scope), with MinHash/LSH per Broder '97 and the banding
+layout of llm/dedup.py::minhash_lsh_pairs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_spark.llm.dedup import (
+    MH_K,
+    band_rows,
+    minhash_signatures_wide,
+)
+from flink_spark.streaming.storeutil import (
+    fold_bid_partitions,
+    has_parquet,
+    read_earlier,
+    recover_swap,
+    write_bid_partition,
+)
+
+_BUCKET = "__bucket"
+
+
+def batch_neardup_plan(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_agree: int,
+    num_buckets: int,
+    hist_bands: DataFrame | None,
+    hist_sigs: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The per-micro-batch plan (exposed for plan-audit tests): returns
+    ``(survivors, new_bands, new_sigs)`` as unexecuted DataFrames — all
+    JVM expressions, no Python eval node.
+
+    ``hist_bands``/``hist_sigs`` are the strictly-earlier index slices
+    ((bucket, band, sig, id) and (id, mh_*)) or None on the first batch.
+    """
+    wide = minhash_signatures_wide(batch, text_col, id_col)
+    new_bands = band_rows(wide, id_col).withColumn(
+        _BUCKET, F.pmod(F.hash(F.col("sig")), F.lit(num_buckets))
+    )
+
+    mine = new_bands.select(
+        F.col(id_col).alias("__new_id"), "band", "sig", _BUCKET
+    )
+    # same-batch candidates: smaller id claims seniority
+    intra = new_bands.select(
+        F.col(id_col).alias("__old_id"), "band", "sig", _BUCKET
+    )
+    cand = (
+        mine.join(intra, ["band", "sig", _BUCKET])
+        .filter(F.col("__old_id") < F.col("__new_id"))
+        .select("__new_id", "__old_id")
+    )
+    if hist_bands is not None:
+        hist = hist_bands.select(
+            F.col(id_col).alias("__old_id"), "band", "sig", _BUCKET
+        )
+        cand = cand.unionByName(
+            mine.join(hist, ["band", "sig", _BUCKET]).select(
+                "__new_id", "__old_id"
+            )
+        )
+    cand = cand.distinct()
+
+    # verification: wide-row agreement (>= min_agree of MH_K positions)
+    old_sigs = wide if hist_sigs is None else wide.unionByName(hist_sigs)
+    wa = old_sigs.select(
+        F.col(id_col).alias("__old_id"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MH_K)],
+    )
+    wb = wide.select(
+        F.col(id_col).alias("__new_id"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MH_K)],
+    )
+    n_agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(MH_K)
+    )
+    dup_ids = (
+        cand.join(wa, "__old_id")
+        .join(wb, "__new_id")
+        .filter(n_agree >= F.lit(min_agree))
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(dup_ids, [id_col], "left_anti")
+    return survivors, new_bands, wide
+
+
+def minhash_neardup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_agree: int = MH_K // 2,
+    num_buckets: int = 16,
+    prefix: str = "neardup_stream",
+    root: str | None = None,
+    compact_every: int = 16,
+) -> DataFrame:
+    """Drain ``stream`` through the incremental near-dup plan; return the
+    emitted (insert-only) survivor rows as a batch DataFrame.
+
+    Passing ``root`` makes the LSH index stores and checkpoint survive
+    the call — a second drain with the same root RESUMES against the
+    index the first drain built (the restore contract of the reference's
+    keyed dedup state)."""
+    spark = stream.sparkSession
+    cols = stream.schema.fieldNames()
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
+    bands_store = f"{root}/bands"
+    sigs_store = f"{root}/sigs"
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    for store in (bands_store, sigs_store, out_dir):
+        recover_swap(store)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        hist_bands = read_earlier(sess, bands_store, batch_id)
+        hist_sigs = read_earlier(sess, sigs_store, batch_id)
+        survivors, new_bands, new_sigs = batch_neardup_plan(
+            batch, text_col, id_col, min_agree, num_buckets,
+            hist_bands, hist_sigs,
+        )
+        # caching the wide signature table short-circuits every plan that
+        # embeds it (bands write, sigs write, verification, anti-join) —
+        # the shingle aggregation runs once per batch, not four times
+        new_sigs = new_sigs.persist()
+        survivors = survivors.persist()
+        try:
+            write_bid_partition(survivors.select(*cols), out_dir, batch_id)
+            # the index grows by EVERY seen doc (kept or dropped)
+            write_bid_partition(new_bands, bands_store, batch_id, [_BUCKET])
+            write_bid_partition(new_sigs, sigs_store, batch_id)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                fold_bid_partitions(sess, bands_store, [_BUCKET], batch_id)
+                fold_bid_partitions(sess, sigs_store, [], batch_id)
+                if persistent and has_parquet(out_dir):
+                    fold_bid_partitions(sess, out_dir, [], batch_id)
+        finally:
+            survivors.unpersist()
+            new_sigs.unpersist()
+
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if not has_parquet(out_dir):
+        if not persistent:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame([], stream.schema)
+    out = spark.read.parquet(out_dir).select(*cols)
+    if persistent:
+        return out
+    result = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

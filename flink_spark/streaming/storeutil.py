@@ -1,0 +1,116 @@
+"""Shared machinery for foreachBatch parquet state stores.
+
+The replay-exactness discipline established by streaming/deltajoin.py and
+streaming/dedup_jvm.py, factored out for every foreachBatch operator that
+keeps durable state as a batch-id-partitioned parquet table:
+
+  - writes are ``__bid``-keyed dynamic partition overwrites, so a
+    re-delivered micro-batch overwrites its own partition with identical
+    content instead of double-appending;
+  - reads filter ``__bid < batch_id``, so a replayed batch can never
+    observe its own earlier partial write;
+  - every ``compact_every`` batches the strictly-earlier partitions fold
+    into one ``__bid=-1`` partition (always < any real batch id) through
+    a crash-safe ``.old`` swap — without folding, a long-running stream
+    accumulates one partition per batch forever, and at 100 TB the
+    file/partition count, not the row count, becomes the scan cost.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BID = "__bid"
+
+
+def has_parquet(d: str) -> bool:
+    """True if any COMMITTED part file exists under ``d``: hidden dirs
+    (``_temporary`` staging from a write that crashed mid-commit, Spark
+    metadata dirs) must not count — read.parquet ignores them, so
+    counting them would wedge a resume on 'unable to infer schema'."""
+    if not os.path.isdir(d):
+        return False
+    for _cur, dirs, fs in os.walk(d):
+        # partition dirs (name=value — e.g. __bid=3) stay visible even
+        # underscore-prefixed, exactly as Spark's file index treats them
+        dirs[:] = [
+            x for x in dirs if "=" in x or not x.startswith(("_", "."))
+        ]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in fs
+        ):
+            return True
+    return False
+
+
+def recover_swap(store: str) -> None:
+    """Crash recovery for a compaction swap that died between renames:
+    restore from ``.old`` if the swap-out happened but the swap-in
+    didn't; clear leftovers otherwise."""
+    old_d, tmp_d = store + ".old", store + ".compacting"
+    if not os.path.isdir(store) and os.path.isdir(old_d):
+        os.rename(old_d, store)  # crashed after store→.old swap-out
+    elif os.path.isdir(store) and os.path.isdir(old_d):
+        shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+    shutil.rmtree(tmp_d, ignore_errors=True)
+
+
+def read_earlier(
+    sess: SparkSession, store: str, batch_id: int
+) -> DataFrame | None:
+    """The store's rows from STRICTLY earlier batches (``__bid`` dropped),
+    or None if the store has no committed data yet."""
+    if not has_parquet(store):
+        return None
+    return (
+        sess.read.parquet(store)
+        .filter(F.col(BID) < F.lit(batch_id))
+        .drop(BID)
+    )
+
+
+def write_bid_partition(
+    df: DataFrame, store: str, batch_id: int, part_cols: list[str] = ()
+) -> None:
+    """Idempotent store append: dynamic overwrite of this batch's own
+    ``__bid`` partition (plus ``part_cols`` sub-partitions)."""
+    (
+        df.withColumn(BID, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BID, *part_cols)
+        .parquet(store)
+    )
+
+
+def fold_bid_partitions(
+    sess: SparkSession, store: str, part_cols: list[str], batch_id: int
+) -> None:
+    """Fold strictly-earlier partitions into ``__bid=-1`` (always < any
+    real batch id, so both future batches and a replay of THIS batch keep
+    reading them); this batch's partition carries over under its own bid.
+    ``part_cols`` are the sub-partition columns below ``__bid`` (same as
+    :func:`write_bid_partition`). Crash-safe ``.old`` swap."""
+    if sum(1 for d in os.listdir(store) if d.startswith(f"{BID}=")) <= 2:
+        return
+    tmp = store + ".compacting"
+    (
+        sess.read.parquet(store)
+        .withColumn(
+            BID,
+            F.when(F.col(BID) < F.lit(batch_id), F.lit(-1))
+            .otherwise(F.col(BID)),
+        )
+        .write.mode("overwrite")
+        .partitionBy(BID, *part_cols)
+        .parquet(tmp)
+    )
+    old = store + ".old"
+    os.rename(store, old)
+    os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
