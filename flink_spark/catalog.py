@@ -4534,7 +4534,20 @@ class TableEnvironment:
         return df
 
     def sql_query(self, sql: str) -> DataFrame:
-        return self.spark.sql(sql)
+        """Evaluate a query through the SAME dialect layer as
+        ``execute_sql`` (reference TableEnvironment.sqlQuery — both entry
+        points speak one SQL dialect; TableEnvironmentImpl.sqlQuery and
+        executeSql share the parser). A bare ``spark.sql`` passthrough
+        here silently skipped every dialect rewrite for queries issued
+        via sql_query — GROUP_ID decomposition, CHAR/VARCHAR pad-trim,
+        TIMESTAMP(n) truncation, RAND_INTEGER, hint validation."""
+        out = self.execute_sql(sql)
+        if not isinstance(out, DataFrame):
+            raise ValueError(
+                "sql_query expects a query that produces a result table; "
+                "use execute_sql for statements"
+            )
+        return out
 
 
 def _split_top_level(s: str) -> list[str]:

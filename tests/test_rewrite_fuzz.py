@@ -1,0 +1,362 @@
+"""Property/fuzz tests for the SQL-rewrite dialect layer (catalog.py +
+sqltok.py) — the statement rewrites are regex-over-masked-text
+transforms, and every external review round has found its bugs in their
+edge geometry (literals that look like structure, prologues, residues,
+nesting). These properties pin the whole invariant class down:
+
+  - literal spans survive every rewrite byte-for-byte;
+  - rewrites reach a fixpoint (re-running is the identity);
+  - paren balance is preserved;
+  - prologues (INSERT / WITH) are kept exactly once;
+  - the rewritten SQL actually executes on Spark and matches a
+    directly-computed model of the reference semantics.
+
+Derandomized so the suite is deterministic in CI."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from flink_spark.sqltok import (
+    mask_literals,
+    match_paren,
+    split_top_commas,
+)
+
+# --- generators -------------------------------------------------------------
+
+#: literal payloads that LOOK like rewrite triggers — none of them may
+#: ever be touched by a rewrite
+HOSTILE_PAYLOADS = [
+    "CAST(x AS CHAR(3))",
+    "RAND_INTEGER(1, 2)",
+    "GROUP_ID()",
+    "it''s fine",
+    ") , ((",
+    "-- not a comment",
+    "/*+ BROADCAST(t) */",
+    "GROUP BY GROUPING SETS ((a),(a))",
+    "AS VARCHAR(7)",
+    "",
+]
+
+_lit = st.sampled_from(HOSTILE_PAYLOADS).map(lambda p: f"'{p}'")
+_atom = st.one_of(_lit, st.sampled_from(["c1", "42", "NULL"]))
+
+
+def _exprs(depth: int = 2):
+    if depth == 0:
+        return _atom
+    sub = _exprs(depth - 1)
+    return st.one_of(
+        _atom,
+        st.tuples(sub, sub).map(lambda t: f"CONCAT({t[0]}, {t[1]})"),
+        sub.map(lambda e: f"({e})"),
+        sub.map(lambda e: f"UPPER({e})"),
+        sub.map(lambda e: f"CAST({e} AS STRING)"),
+    )
+
+
+def _balance(sql: str) -> int:
+    m = mask_literals(sql)
+    return m.count("(") - m.count(")")
+
+
+def _lit_counts(sql: str) -> dict:
+    return {
+        f"'{p}'": sql.count(f"'{p}'") for p in HOSTILE_PAYLOADS if p
+    }
+
+
+@pytest.fixture(scope="module")
+def dialect_env(spark):
+    from flink_spark.catalog import TableEnvironment
+
+    return TableEnvironment(spark)
+
+
+# --- sqltok primitives ------------------------------------------------------
+
+_text = st.text(
+    alphabet="ab'\"`()-,/*\\\n x",
+    max_size=60,
+)
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_mask_literals_same_length_and_idempotent(s):
+    m = mask_literals(s)
+    assert len(m) == len(s)
+    # masking an already-masked text changes nothing: interiors are
+    # blank, delimiters survive
+    assert mask_literals(m) == m
+
+
+@given(st.lists(_exprs(1), min_size=1, max_size=4))
+@settings(max_examples=120, deadline=None, derandomize=True)
+def test_split_top_commas_constructive(parts):
+    joined = ", ".join(parts)
+    assert split_top_commas(joined) == [p.strip() for p in parts]
+
+
+@given(_exprs(2), _text)
+@settings(max_examples=120, deadline=None, derandomize=True)
+def test_match_paren_finds_closer(inner, suffix):
+    s = "(" + inner + ")" + suffix
+    m = mask_literals(s)
+    j = match_paren(m, 1)
+    assert j == len(inner) + 2
+    assert _balance(s[:j]) == 0
+
+
+# --- precision casts --------------------------------------------------------
+
+
+@given(
+    _exprs(2),
+    st.sampled_from(["CHAR", "VARCHAR", "TIMESTAMP", "TIMESTAMP_LTZ"]),
+    st.integers(min_value=0, max_value=9),
+)
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_precision_cast_rewrite_structure(dialect_env, expr, ty, n):
+    if ty in ("CHAR", "VARCHAR") and n == 0:
+        n = 1
+    stmt = f"SELECT CAST({expr} AS {ty}({n})) AS c, {expr} AS d FROM t"
+    out = dialect_env._rewrite_precision_casts(stmt)
+    # fixpoint
+    assert dialect_env._rewrite_precision_casts(out) == out
+    # paren balance preserved
+    assert _balance(out) == _balance(stmt) == 0
+    # hostile literals preserved byte-for-byte (counts may GROW — the
+    # TIMESTAMP(n) truncation legitimately references its operand twice —
+    # but no literal may be corrupted or lost)
+    assert all(
+        _lit_counts(out)[k] >= v for k, v in _lit_counts(stmt).items()
+    )
+    # no precision-cast tail survives outside literals
+    assert not re.search(
+        r"AS\s+(CHAR|VARCHAR|TIMESTAMP|TIMESTAMP_LTZ)\s*\(\s*\d+\s*\)",
+        mask_literals(out),
+        re.IGNORECASE,
+    )
+
+
+@given(
+    st.text(alphabet="ab x", max_size=12),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from(["CHAR", "VARCHAR"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precision_cast_char_model(dialect_env, payload, n, ty):
+    """CAST('<s>' AS CHAR(n)) pads/truncates to n; VARCHAR(n) truncates
+    (reference CastRulesProvider CHAR/VARCHAR trim-pad semantics) — the
+    rewritten SQL must execute and match the model."""
+    got = dialect_env.sql_query(
+        f"SELECT CAST('{payload}' AS {ty}({n})) AS c"
+    ).collect()[0].c
+    if ty == "CHAR":
+        exp = payload[:n] if len(payload) > n else payload.ljust(n)
+    else:
+        exp = payload[:n]
+    assert got == exp, (payload, n, ty, got, exp)
+
+
+@given(
+    st.integers(min_value=0, max_value=999_999),
+    st.integers(min_value=0, max_value=6),
+    st.sampled_from(["UTC", "Asia/Kathmandu", "America/New_York"]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precision_cast_ntz_truncation_tz_independent(
+    spark, dialect_env, micros, n, tz
+):
+    """TIMESTAMP(n) truncation of an NTZ value is a wall-clock operation
+    — the result must not depend on the session timezone (the fraction
+    is derived via EXTRACT(SECOND), not epoch micros)."""
+    frac = f"{micros:06d}"
+    lit = f"2024-03-05 10:11:12.{frac}"
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        got = dialect_env.sql_query(
+            f"SELECT CAST(TIMESTAMP '{lit}' AS TIMESTAMP({n})) AS c"
+        ).collect()[0].c
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    keep = micros - micros % (10 ** (6 - n))
+    assert got.microsecond == keep, (lit, n, tz, got)
+    assert got.second == 12
+
+
+# --- RAND_INTEGER -----------------------------------------------------------
+
+
+@given(_exprs(1), st.integers(min_value=1, max_value=99))
+@settings(max_examples=100, deadline=None, derandomize=True)
+def test_rand_integer_rewrite_structure(dialect_env, seed_expr, bound):
+    stmt = (
+        f"SELECT RAND_INTEGER(7, RAND_INTEGER(3, {bound}) + 1) AS r, "
+        f"{seed_expr} AS d FROM t"
+    )
+    out = dialect_env._rewrite_rand_integer(stmt)
+    assert dialect_env._rewrite_rand_integer(out) == out
+    assert _balance(out) == _balance(stmt) == 0
+    assert _lit_counts(out) == _lit_counts(stmt)
+    # no 2-arg RAND_INTEGER survives outside literals
+    for m in re.finditer(r"\bRAND_INTEGER\s*\(", mask_literals(out),
+                         re.IGNORECASE):
+        j = match_paren(mask_literals(out), m.end())
+        assert j > 0
+        assert len(split_top_commas(out[m.end(): j - 1])) == 1
+
+
+def test_rand_integer_nested_executes(dialect_env):
+    rows = dialect_env.sql_query(
+        "SELECT RAND_INTEGER(7, RAND_INTEGER(3, 50) + 1) AS r "
+        "FROM VALUES (1), (2), (3) AS t(x)"
+    ).collect()
+    assert all(0 <= r.r <= 50 for r in rows)
+
+
+# --- GROUP_ID decomposition -------------------------------------------------
+
+_SETS_POOL = ["(a)", "(b)", "(a, b)", "()"]
+
+
+def _expected_group_id(data, sets):
+    """The reference decomposition (DecomposeGroupingSetsRule): round j
+    aggregates the distinct sets whose multiplicity exceeds j with
+    GROUP_ID() = j."""
+    canon = [" ".join(s.replace("(", " ").replace(")", " ").split())
+             for s in sets]
+    mult = Counter(canon)
+    order = list(dict.fromkeys(canon))
+    out = []
+    for j in range(max(mult.values())):
+        for key in order:
+            if mult[key] <= j:
+                continue
+            cols = [c.strip() for c in key.split(",") if c.strip()]
+            groups = {}
+            for a, b, v in data:
+                gk = tuple((a if "a" in cols else None,
+                            b if "b" in cols else None))
+                groups[gk] = groups.get(gk, 0) + 1
+            for (ga, gb), nrows in groups.items():
+                out.append((ga, gb, nrows, j))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+@given(
+    st.lists(st.sampled_from(_SETS_POOL), min_size=1, max_size=5),
+    st.booleans(),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_id_duplicate_sets_model(spark, dialect_env, sets, use_with):
+    """Duplicate grouping sets with GROUP_ID() — executed end to end
+    through the dialect layer and compared against the decomposition
+    model, with and without a WITH prologue."""
+    sets = sets + ["(a, b)"]  # keep every selected column groupable
+    data = [("x", "p", 1), ("x", "q", 2), ("y", "p", 3), ("y", "p", 4)]
+    spark.createDataFrame(data, "a string, b string, v int") \
+        .createOrReplaceTempView("gid_src")
+    body = (
+        "SELECT a, b, COUNT(*) AS n, GROUP_ID() AS gid FROM gid_src "
+        f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+    )
+    stmt = (
+        "WITH gw AS (SELECT * FROM gid_src) "
+        + body.replace("FROM gid_src", "FROM gw")
+        if use_with else body
+    )
+    got = sorted(
+        (tuple(r) for r in dialect_env.sql_query(stmt).collect()),
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    assert [tuple(r) for r in got] == _expected_group_id(data, sets)
+
+
+@given(st.lists(st.sampled_from(_SETS_POOL), min_size=2, max_size=4))
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_group_id_insert_prologue_structure(dialect_env, sets):
+    """INSERT (with or without a WITH prologue) stays OUTSIDE the
+    decomposition: exactly one INSERT head, no GROUP_ID residue."""
+    sets = sets + [sets[0]]  # force a duplicate → real decomposition
+    for prologue in (
+        "INSERT INTO tgt ",
+        "INSERT INTO tgt WITH cte AS (SELECT * FROM src) ",
+    ):
+        src = "cte" if "cte" in prologue else "src"
+        stmt = (
+            prologue
+            + f"SELECT a, GROUP_ID() AS gid FROM {src} "
+            + f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+        )
+        out = dialect_env._rewrite_group_id(stmt)
+        masked = mask_literals(out)
+        assert not re.search(r"\bGROUP_ID\s*\(", masked, re.IGNORECASE)
+        assert _balance(out) == 0
+        heads = re.findall(r"\bINSERT\s+INTO\b", masked, re.IGNORECASE)
+        assert len(heads) == 1, out
+        assert re.match(r"\s*INSERT\s+INTO\s+tgt\b", out, re.IGNORECASE)
+        # every duplicate round is present: UNION ALL count = rounds - 1
+        canon = Counter(
+            " ".join(s.replace("(", " ").replace(")", " ").split())
+            for s in sets
+        )
+        n_union = len(re.findall(r"\bUNION\s+ALL\b", masked, re.IGNORECASE))
+        assert n_union >= max(canon.values()) - 1
+
+
+# --- STATE_TTL duration labels ----------------------------------------------
+
+_TTL_LABELS_OK = (
+    "ns nano nanos nanosecond nanoseconds us µs micro micros microsecond "
+    "microseconds ms milli millis millisecond milliseconds s sec secs "
+    "second seconds min minute minutes m h hour hours d day days"
+).split()
+_TTL_LABELS_BAD = ["fortnight", "mss", "x", "secondss", "minz", "hrs"]
+
+
+@pytest.mark.parametrize("label", _TTL_LABELS_OK)
+def test_state_ttl_accepts_reference_labels(dialect_env, label):
+    """Every label of the reference TimeUtils.parseDuration plural table
+    validates — including bare 'm' minutes (TimeUtils.java MINUTES
+    singular) and spaced forms."""
+    assert dialect_env._fix_hint_block(
+        f"STATE_TTL('t1'='30 {label}')"
+    ) == ""
+    assert dialect_env._fix_hint_block(
+        f"STATE_TTL('t1'='30{label}')"
+    ) == ""
+
+
+@pytest.mark.parametrize("label", _TTL_LABELS_BAD)
+def test_state_ttl_rejects_unknown_labels(dialect_env, label):
+    with pytest.raises(ValueError, match="STATE_TTL"):
+        dialect_env._fix_hint_block(f"STATE_TTL('t1'='30 {label}')")
