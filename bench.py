@@ -111,6 +111,7 @@ EXTRA = [
     "llm_image_neardup",
     "llm_video_dedup",
     "llm_audio_spectral",
+    "stream_minhash_neardup",
 ]
 
 
