@@ -30,11 +30,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def _rows_only_params():
-    return [pytest.param(name, id=name) for name, e in QUERIES.items() if not e.oracle]
+    # every gated query carries an exact oracle as of round 9; this
+    # sentinel keeps the runner alive (instead of an empty-param skip)
+    # should a future rows-only query ever be registered
+    names = [name for name, e in QUERIES.items() if not e.oracle]
+    return [pytest.param(n, id=n) for n in names] or [
+        pytest.param(None, id="no_rows_only_queries")
+    ]
 
 
 @pytest.mark.parametrize("name", _rows_only_params())
 def test_rows_only_queries_run(spark, sf_dir, name):
+    if name is None:
+        assert all(e.oracle for e in QUERIES.values())
+        return
     entry = QUERIES[name]
     df = entry.fn(spark, sf_dir)
     assert df.count() >= 0
