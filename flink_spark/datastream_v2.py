@@ -497,6 +497,9 @@ class BroadcastStream:
         output_schema: str,
     ) -> NonKeyedPartitionStream:
         rows = [r for r in self._df.collect()]  # broadcast side: small
+        # torrent-broadcast the rows so they ship once per executor, not
+        # once per task in the mapInPandas closure
+        bc = self._df.sparkSession.sparkContext.broadcast(rows)
         odf = other.to_data_frame()
         cols = _schema_cols(output_schema)
 
@@ -508,7 +511,7 @@ class BroadcastStream:
             # the reference initializes broadcast state before the
             # non-broadcast side flows — replay the broadcast records
             # first on every partition
-            for rec in rows:
+            for rec in bc.value:
                 fn.process_record_from_broadcast(rec, ctx)
             out = Collector(cols)
             for pdf in batches:

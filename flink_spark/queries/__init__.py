@@ -544,7 +544,10 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     "join_hints_gate",
     "hybrid_source_backfill",
     "pipe_decontaminate",
-    "pipe_stratified_sample",
+    # pipe_stratified_sample rotated out (r9 continuation) to hold the
+    # head at exactly 50 after stream_minhash_neardup joined the tail:
+    # it is the lowest-risk remaining freshness slot (stateless
+    # hash-bucket sampling, exact-oracled locally every run)
     "sql_match_all_rows_pairs",
     "explain_plan_advice_gate",
 ]
