@@ -478,6 +478,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 #: the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
     "stream_minhash_neardup",
+    "stream_ivf_ingest",
     "stream_group_agg_retract",
     "stream_group_agg_retract_ttl",
     "datastream_v2_pipeline",
@@ -540,7 +541,9 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     "cdc_debezium_materialize",
     "cdc_ogg_materialize",
     "format_avro_roundtrip",
-    "agg_grouping_sets",
+    # agg_grouping_sets rotated out (r9 continuation) to hold the head
+    # at 50 after stream_ivf_ingest joined the tail: native Spark
+    # expansion, minimal regression risk, exact-oracled locally each run
     "join_hints_gate",
     "hybrid_source_backfill",
     "pipe_decontaminate",

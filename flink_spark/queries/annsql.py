@@ -231,3 +231,46 @@ SELECT query_id, cand_id, round(cos_sim, 12) AS cos_sim, rank FROM (
                                ORDER BY cos_sim DESC, cand_id) AS rank
   FROM rer) t
 WHERE rank <= {k}"""
+
+
+def ivf_ingest_oracle(k: int = 5, n_centroids: int = 8, n_probe: int = 2,
+                      n_iter: int = 3, n_chunks: int = 3,
+                      dim: int = DIM) -> str:
+    """Oracle for streaming/ann_stream.ivf_ingest_stream over the
+    embeddings table delivered in ``n_chunks`` id-ordered micro-batches
+    (candidates vec_id >= 10 streamed, queries vec_id < 10 probed after
+    the drain): the codebook is the deterministic Lloyd's over the FIRST
+    batch's slice only (train-once / add-after-train — vec_ids are dense,
+    so batch 0 is exactly ``id < COUNT(*) // n_chunks``); every candidate
+    is assigned to its single nearest frozen cell; queries probe n_probe
+    cells; in-cell cosine top-k with (cos DESC, cand_id) tie-break."""
+    fin = f"c{n_iter}"
+    return f"""WITH
+kb AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings WHERE vec_id >= 10),
+kb0 AS (SELECT id, v FROM kb
+        WHERE id < (SELECT COUNT(*) // {n_chunks} FROM embeddings)),
+qy AS (SELECT vec_id AS query_id,
+              list_transform(embedding, x -> x::DOUBLE) AS qv
+       FROM embeddings WHERE vec_id < 10),
+{_kmeans_ctes('kb0', n_centroids, n_iter, dim)},
+asg AS (SELECT id AS cand_id, v, cell FROM (
+    SELECT b.id, b.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.id
+                              ORDER BY {_dist('b.v', 'c.cent', dim)},
+                                       c.cell) AS rn
+    FROM kb b, {fin} c) WHERE rn = 1),
+prb AS (SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dist('q.qv', 'c.cent', dim)},
+                                       c.cell) AS rn
+    FROM qy q, {fin} c) WHERE rn <= {n_probe}),
+scored AS (SELECT p.query_id, a.cand_id,
+                  {_cos('p.qv', 'a.v', dim)} AS cos_sim
+           FROM prb p JOIN asg a USING (cell))
+SELECT query_id, cand_id, round(cos_sim, 12) AS cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored) t
+WHERE rank <= {k}"""

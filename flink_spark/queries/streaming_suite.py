@@ -2224,3 +2224,32 @@ def stream_minhash_neardup(spark, sf_dir):
     docs = chunked_table_stream(spark, sf_dir, "documents", 3, "doc_id")
     out = minhash_neardup_stream(docs)
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+from flink_spark.queries import annsql as _ANN  # noqa: E402
+
+
+@query("stream_ivf_ingest", oracle=_ANN.ivf_ingest_oracle())
+def stream_ivf_ingest(spark, sf_dir):
+    """Streaming IVF index ingest (streaming/ann_stream.py — FAISS
+    add-after-train as a Structured Streaming operator; reference
+    VECTOR_SEARCH index family, StreamExecVectorSearchTableFunction):
+    candidate embeddings arrive in 3 id-ordered micro-batches; the first
+    batch trains and freezes the codebook (deterministic Lloyd's), every
+    batch is assigned map-only to its nearest frozen cell and appended
+    to the cell-partitioned store; after the drain the 10 query vectors
+    probe their 2 nearest cells of the accumulated index for cosine
+    top-5. Exact oracle: annsql.ivf_ingest_oracle unrolls the same
+    batch-0 Lloyd's and probe into DuckDB CTEs."""
+    from flink_spark.sources.tables import load_table as _lt
+    from flink_spark.streaming.ann_stream import ivf_ingest_stream
+    from flink_spark.streaming.core import chunked_table_stream
+
+    emb = chunked_table_stream(spark, sf_dir, "embeddings", 3, "vec_id")
+    idx = ivf_ingest_stream(emb.filter(F.col("vec_id") >= 10))
+    q = _lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.topk(q, k=5, n_probe=2).localCheckpoint(eager=True)
+    idx.close()
+    return out

@@ -1,0 +1,226 @@
+"""Streaming IVF index ingest: continuous ANN index maintenance.
+
+The batch IVF path (llm/similarity.py ivf_topk) trains centroids and
+assigns the whole corpus in one job. Production vector pipelines don't
+get that luxury: embeddings arrive continuously, and each batch must be
+indexed (assigned to cells) without retraining or re-scanning the
+corpus — FAISS's add-after-train contract, here as a Structured
+Streaming operator:
+
+  - the FIRST micro-batch trains the codebook with the deterministic
+    Lloyd's of llm/clustering.py (id-ordered init, sequential-fold
+    distances, 9-digit-rounded means) and freezes it to a JSON sidecar
+    under the root (atomic write; a replay retrains bit-identically, a
+    resume reloads);
+  - EVERY batch assigns its vectors to their nearest frozen centroid —
+    a pure JVM argmin over inlined centroid literals (no crossJoin, no
+    window, no Python) — and appends (cell, id, vec) rows to a
+    cell-sub-partitioned parquet store under the storeutil
+    replay-exactness discipline (idempotent ``__bid`` overwrites,
+    crash-safe compaction folds);
+  - queries probe the ``n_probe`` nearest cells of the ACCUMULATED
+    store: cell ids come from the same inlined-argmin expression
+    (``slice(sort_array(...))`` — still no crossJoin), the probe is an
+    equality join on the cell id, and the store's cell sub-partitioning
+    means a table-format store prunes unprobed cells entirely.
+
+Scale shape (100 TB): per batch = one map-only assignment pass over the
+delta + one partitioned append; a search touches ~n_probe/n_centroids
+of the index via partition pruning. Index rows are fixed width; the
+codebook is k×d floats on the driver and a literal in every plan.
+
+Because every step is deterministic, the whole thing carries an exact
+DuckDB oracle (queries/annsql.py ivf_ingest_oracle: the same unrolled
+Lloyd's over the first batch's id-slice, assignment and probe over the
+full corpus).
+
+Reference parity: VECTOR_SEARCH index family
+(StreamExecVectorSearchTableFunction) + FAISS IVF add-after-train;
+state discipline shared with streaming/deltajoin.py and dedup_jvm.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_spark.llm.clustering import assign_clusters, kmeans
+from flink_spark.streaming.storeutil import (
+    fold_bid_partitions,
+    has_parquet,
+    recover_swap,
+    write_bid_partition,
+)
+
+
+def _load_centroids(path: str) -> list[list[float]] | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _save_centroids(path: str, cents: list[list[float]]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cents, fh)
+    os.replace(tmp, path)
+
+
+class IvfStreamIndex:
+    """Handle over an ingested IVF store: frozen centroids + the
+    accumulated (cell, id, vec) rows; ``topk`` probes it."""
+
+    def __init__(self, spark, root: str, id_col: str, vec_col: str,
+                 persistent: bool):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.persistent = persistent
+        self.centroids = _load_centroids(f"{root}/centroids.json") or []
+
+    def assigned(self) -> DataFrame:
+        """The raw index rows (__cell, id, vec)."""
+        return self.spark.read.parquet(f"{self.root}/cells")
+
+    def topk(self, queries: DataFrame, k: int = 5, n_probe: int = 2,
+             query_id: str = "query_id", vec: str = "embedding",
+             ) -> DataFrame:
+        """Probed cosine top-k over the accumulated index: each query's
+        n_probe nearest cells via the inlined-argmin expression, then an
+        equality join on the cell id (partition-prunable), exact cosine
+        inside the probed cells, (cos DESC, id) tie-break."""
+        from pyspark.sql import Window
+
+        from flink_spark.llm.similarity import cosine
+
+        cents = self.centroids
+        if not cents:  # empty index: no cells to probe
+            return self.spark.createDataFrame(
+                [], f"{query_id} long, cand_id long, cos_sim double, "
+                    f"rank int"
+            )
+        qv = F.col(vec).cast("array<double>")
+        cells = F.slice(
+            F.sort_array(F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cents)
+            ])),
+            1, n_probe,
+        )
+        probes = queries.select(
+            query_id, F.col(vec).alias("__qv"),
+            F.explode(cells).alias("__p"),
+        ).select(query_id, "__qv", F.col("__p.i").alias("__cell"))
+        idx = self.assigned().select(
+            F.col(self.id_col).alias("cand_id"),
+            F.col(self.vec_col).alias("__cv"),
+            "__cell",
+        )
+        pairs = probes.join(idx, "__cell")
+        scored = pairs.withColumn("cos_sim", cosine("__qv", "__cv"))
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("cos_sim"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "cand_id",
+                    F.round("cos_sim", 12).alias("cos_sim"), "rank")
+        )
+
+    def close(self) -> None:
+        if not self.persistent:
+            shutil.rmtree(self.root, ignore_errors=True)
+
+
+def ivf_ingest_stream(
+    stream: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    prefix: str = "ivf_ingest",
+    root: str | None = None,
+    compact_every: int = 16,
+) -> IvfStreamIndex:
+    """Drain ``stream`` through the IVF ingest; return the index handle.
+
+    The first batch trains and freezes the codebook (deterministic, so a
+    crash-replay retrains the identical centroids; a resume with the
+    same ``root`` reloads them — FAISS's train-once contract)."""
+    spark = stream.sparkSession
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
+    cells_store, ckpt = f"{root}/cells", f"{root}/ckpt"
+    cent_path = f"{root}/centroids.json"
+    recover_swap(cells_store)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        if batch.isEmpty():
+            return  # nothing to index; never train a codebook on nothing
+        cents = _load_centroids(cent_path)
+        if cents is None:
+            base = batch.select(
+                id_col, F.col(vec_col).cast("array<double>").alias("__dv")
+            )
+            _, cents = kmeans(
+                base, k=n_centroids, n_iter=n_iter,
+                id_col=id_col, vec_col="__dv",
+            )
+            _save_centroids(cent_path, cents)
+        assigned = (
+            assign_clusters(
+                batch.select(
+                    id_col,
+                    F.col(vec_col).cast("array<double>").alias(vec_col),
+                ),
+                cents, vec_col,
+            )
+            .select(id_col, vec_col, F.col("cluster").alias("__cell"))
+        )
+        write_bid_partition(assigned, cells_store, batch_id, ["__cell"])
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            fold_bid_partitions(sess, cells_store, ["__cell"], batch_id)
+
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if not has_parquet(cells_store):
+        # empty stream: an index with no rows (topk returns nothing)
+        os.makedirs(cells_store, exist_ok=True)
+        spark.createDataFrame(
+            [],
+            f"{id_col} long, {vec_col} array<double>, __cell int",
+        ).write.mode("overwrite").parquet(cells_store)
+    return IvfStreamIndex(spark, root, id_col, vec_col, persistent)

@@ -1,0 +1,165 @@
+"""Streaming IVF index ingest (streaming/ann_stream.py): train-once
+codebook freezing, cross-batch accumulation, stop-resume, replay
+idempotence, and the python-free map-only assignment plan."""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from flink_spark.llm.clustering import assign_clusters, kmeans
+from flink_spark.sources.tables import load_table
+from flink_spark.streaming.ann_stream import IvfStreamIndex, ivf_ingest_stream
+
+
+def _queries(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 10
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _cands(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= 10
+    ).select("vec_id", "embedding")
+
+
+def _expected_topk(spark, sf_dir, train_cut: int, k=5, n_probe=2):
+    """Batch model of the ingest semantics: codebook from the id-slice
+    below ``train_cut``, every candidate assigned to its nearest frozen
+    cell, queries probe n_probe cells."""
+    cands = _cands(spark, sf_dir)
+    base = cands.filter(F.col("vec_id") < train_cut).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__dv")
+    )
+    _, cents = kmeans(base, k=8, n_iter=3, id_col="vec_id", vec_col="__dv")
+    assigned = assign_clusters(
+        cands.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents, "v",
+    ).select("vec_id", "v", F.col("cluster").alias("__cell"))
+
+    # reuse the production probe by pointing a handle at a fake store
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ivf_expected_")
+    assigned.withColumn("__bid", F.lit(0)).write.mode("overwrite") \
+        .partitionBy("__bid", "__cell").parquet(f"{root}/cells")
+    with open(f"{root}/centroids.json", "w") as fh:
+        json.dump(cents, fh)
+    idx = IvfStreamIndex(spark, root, "vec_id", "v", persistent=False)
+    out = idx.topk(_queries(spark, sf_dir), k=k, n_probe=n_probe) \
+        .localCheckpoint(eager=True)
+    idx.close()
+    return out
+
+
+def _land(df, tmp_path, src, stage: str) -> None:
+    import os
+
+    staging = tmp_path / f"stage_{stage}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    (part,) = glob.glob(str(staging / "part-*.parquet"))
+    dest = str(src / f"{stage}.parquet")
+    shutil.move(part, dest)
+    t = 1_600_000_000 + int(stage[1:]) * 60
+    os.utime(dest, (t, t))
+
+
+def test_ivf_ingest_resume_and_frozen_codebook(spark, sf_dir, tmp_path):
+    """Drain batch 0 with a durable root (trains the codebook), then
+    land two more id-ranges and drain again with the SAME root: the
+    codebook file is byte-identical (train-once), the resumed index
+    covers all batches, and the probe equals the batch model."""
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+    n = cands.count()
+    ids = sorted(r.vec_id for r in cands.select("vec_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ivf_ingest_stream(stream, root=root)
+
+    _land(cands.filter(F.col("vec_id") < cut1), tmp_path, src, "b0")
+    idx1 = run_once()
+    cents1 = open(f"{root}/centroids.json").read()
+    assert len(json.loads(cents1)) == 8
+    n1 = idx1.assigned().count()
+
+    _land(cands.filter(
+        (F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)
+    ), tmp_path, src, "b1")
+    _land(cands.filter(F.col("vec_id") >= cut2), tmp_path, src, "b2")
+    idx2 = run_once()
+    # codebook frozen across the resume
+    assert open(f"{root}/centroids.json").read() == cents1
+    assert n1 < idx2.assigned().count() == n
+    got = sorted(map(tuple, idx2.topk(_queries(spark, sf_dir)).collect()))
+    exp = sorted(map(tuple, _expected_topk(spark, sf_dir, cut1).collect()))
+    assert got == exp
+
+
+def test_ivf_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivery after a checkpoint wipe: the batch overwrites its own
+    __bid partition — no duplicate index rows, identical top-k."""
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+    _land(cands, tmp_path, src, "b0")
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ivf_ingest_stream(stream, root=root)
+
+    idx1 = run_once()
+    rows1 = sorted(map(tuple, idx1.topk(_queries(spark, sf_dir)).collect()))
+    n1 = idx1.assigned().count()
+    shutil.rmtree(f"{root}/ckpt")
+    idx2 = run_once()
+    assert idx2.assigned().count() == n1
+    assert sorted(
+        map(tuple, idx2.topk(_queries(spark, sf_dir)).collect())
+    ) == rows1
+
+
+def test_ivf_assignment_plan_is_python_free(spark, sf_dir):
+    """The per-batch assignment is a map-only JVM expression: no Python
+    eval, no crossJoin, no Exchange (nothing to shuffle — the argmin is
+    inlined per row)."""
+    cands = _cands(spark, sf_dir).limit(200)
+    base = cands.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__dv")
+    )
+    _, cents = kmeans(base, k=8, n_iter=1, id_col="vec_id", vec_col="__dv")
+    plan = (
+        assign_clusters(
+            cands.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            cents, "v",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("Python", "Pandas", "Arrow", "CartesianProduct",
+                   "Exchange"):
+        assert marker not in plan, f"{marker} node in plan:\n{plan}"
+
+
+def test_ivf_ingest_empty_stream(spark, sf_dir, tmp_path):
+    """An empty drain yields an empty (but well-formed) index."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cands = _cands(spark, sf_dir)
+    _land(cands.filter(F.lit(False)), tmp_path, src, "b0")
+    stream = spark.readStream.schema(cands.schema).parquet(str(src))
+    idx = ivf_ingest_stream(stream, root=str(tmp_path / "ivf_root"))
+    assert idx.assigned().count() == 0
+    assert idx.topk(_queries(spark, sf_dir)).count() == 0
