@@ -360,3 +360,35 @@ def test_state_ttl_accepts_reference_labels(dialect_env, label):
 def test_state_ttl_rejects_unknown_labels(dialect_env, label):
     with pytest.raises(ValueError, match="STATE_TTL"):
         dialect_env._fix_hint_block(f"STATE_TTL('t1'='30 {label}')")
+
+
+# --- full-router literal passthrough ------------------------------------
+
+_ROUTER_MARKERS = [
+    "TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL ''1'' HOUR)",
+    "MATCH_RECOGNIZE (PARTITION BY x)",
+    "ML_PREDICT(MODEL m, DESCRIPTOR(x))",
+    "FROM_CHANGELOG(input => TABLE x)",
+    "GROUP BY GROUPING SETS ((a),(a))",
+    "RAND_INTEGER(1, 2)",
+    "CAST(x AS CHAR(3))",
+    "(a, b) OVERLAPS (c, d)",
+    "/*+ STATE_TTL(''t''=''1d'') */",
+    "INSERT INTO tgt SELECT 1",
+    "SET ''k''=''v''",
+    "USE MODULE hive",
+    "SHOW CREATE TABLE t",
+    "WATERMARK FOR ts AS ts - INTERVAL ''5'' SECOND(3)",
+]
+
+
+@pytest.mark.parametrize("marker", _ROUTER_MARKERS)
+def test_router_keywords_inside_literals_pass_through(dialect_env, marker):
+    """A dialect marker quoted inside a string literal is DATA: the full
+    execute_sql router must neither reroute the statement nor rewrite
+    the literal — the value comes back byte-for-byte."""
+    rows = dialect_env.sql_query(
+        f"SELECT '{marker}' AS s FROM VALUES (1) AS t(x)"
+    ).collect()
+    expected = marker.replace("''", "'")
+    assert rows[0].s == expected
