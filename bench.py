@@ -113,6 +113,7 @@ EXTRA = [
     "llm_audio_spectral",
     "stream_minhash_neardup",
     "stream_ivf_ingest",
+    "stream_pq_ingest",
 ]
 
 

@@ -479,6 +479,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 VERIFICATION_ROTATION_R10_TAIL = [
     "stream_minhash_neardup",
     "stream_ivf_ingest",
+    "stream_pq_ingest",
     "stream_group_agg_retract",
     "stream_group_agg_retract_ttl",
     "datastream_v2_pipeline",
@@ -524,7 +525,10 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     "stream_delta_join",
     "stream_delta_join_ttl",
     "stream_multiway_join",
-    "stream_session_agg",
+    # stream_session_agg rotated out (r9 continuation) to hold the head
+    # at 50 after stream_pq_ingest joined the tail: the session-window
+    # family keeps two fresher r8-green external rows
+    # (stream_session_dynamic_gap, stream_session_window_join)
     "llm_dedup_exact",
     "llm_minhash_lsh_pairs",
     "llm_dedup_clusters",

@@ -157,7 +157,8 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}"""
 
 
 def pq_topk_oracle(k: int = 5, m: int = 16, ks: int = 16, n_iter: int = 3,
-                   train_limit: int = 50_000, dim: int = DIM) -> str:
+                   train_limit: int = 50_000, dim: int = DIM,
+                   train_where: str = "") -> str:
     """Oracle for similarity.pq_topk: per-subspace codebooks from the
     joint Lloyd's over the md5(cand_id)-ordered training sample
     (pq_train: id-ordered init, first-occurrence argmin ties, round-9
@@ -173,7 +174,7 @@ kb AS (SELECT vec_id AS cand_id,
 qy AS (SELECT vec_id AS query_id,
               list_transform(embedding, x -> x::DOUBLE) AS qv
        FROM embeddings WHERE vec_id < 10),
-smp AS (SELECT cand_id, v FROM kb
+smp AS (SELECT cand_id, v FROM kb {train_where}
         ORDER BY md5(CAST(cand_id AS VARCHAR)), cand_id
         LIMIT {train_limit}),
 sv AS (SELECT cand_id, j,

@@ -2253,3 +2253,35 @@ def stream_ivf_ingest(spark, sf_dir):
     out = idx.topk(q, k=5, n_probe=2).localCheckpoint(eager=True)
     idx.close()
     return out
+
+
+@query(
+    "stream_pq_ingest",
+    oracle=_ANN.pq_topk_oracle(
+        train_where="WHERE cand_id < (SELECT COUNT(*) // 3 "
+                    "FROM embeddings)"
+    ),
+)
+def stream_pq_ingest(spark, sf_dir):
+    """Streaming PQ index ingest (streaming/ann_stream.py — the
+    compressed-index sibling of stream_ivf_ingest; FAISS PQ
+    add-after-train): the first of 3 id-ordered micro-batches trains the
+    16x16 codebooks on its md5-ordered sample and freezes them; every
+    batch encodes map-only against the frozen books and appends
+    (id, vec, code) to the store; search reconstructs from codes,
+    shortlists by ADC cosine over the accumulated index, exact-reranks.
+    Exact oracle: pq_topk_oracle with the training sample pinned to the
+    batch-0 id-slice (vec_ids are dense, so batch 0 is a pure SQL
+    slice)."""
+    from flink_spark.sources.tables import load_table as _lt
+    from flink_spark.streaming.ann_stream import pq_ingest_stream
+    from flink_spark.streaming.core import chunked_table_stream
+
+    emb = chunked_table_stream(spark, sf_dir, "embeddings", 3, "vec_id")
+    idx = pq_ingest_stream(emb.filter(F.col("vec_id") >= 10))
+    q = _lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.topk(q, k=5).localCheckpoint(eager=True)
+    idx.close()
+    return out

@@ -224,3 +224,167 @@ def ivf_ingest_stream(
             f"{id_col} long, {vec_col} array<double>, __cell int",
         ).write.mode("overwrite").parquet(cells_store)
     return IvfStreamIndex(spark, root, id_col, vec_col, persistent)
+
+
+class PqStreamIndex:
+    """Handle over an ingested PQ store: frozen m×ks codebooks + the
+    accumulated (id, vec, code) rows; ``topk`` runs the two-stage
+    ADC-shortlist + exact-rerank search over it."""
+
+    def __init__(self, spark, root: str, id_col: str, vec_col: str,
+                 persistent: bool):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.persistent = persistent
+        self.books = _load_centroids(f"{root}/codebooks.json") or []
+
+    def encoded(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/codes")
+
+    def _recon_expr(self) -> str:
+        """Codebook reconstruction as one JVM expression over the stored
+        code array (no recon stored — m bytes per vector stay m bytes)."""
+        def arr(vals):
+            return ("array(" + ",".join(
+                f"CAST({v!r} AS DOUBLE)" for v in vals) + ")")
+
+        parts = []
+        for j, book in enumerate(self.books):
+            lit = "array(" + ",".join(arr(c) for c in book) + ")"
+            # __code[j] is Spark's 0-based array indexing; the code
+            # VALUES are 1-based (array_position) — element_at is 1-based
+            parts.append(f"element_at({lit}, __code[{j}])")
+        return "concat(" + ",".join(parts) + ")"
+
+    def topk(self, queries: DataFrame, k: int = 5,
+             shortlist: int | None = None,
+             query_id: str = "query_id", vec: str = "embedding",
+             ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from flink_spark.llm.similarity import cosine
+
+        if not self.books:
+            return self.spark.createDataFrame(
+                [], f"{query_id} long, cand_id long, cos_sim double, "
+                    f"rank int"
+            )
+        enc = self.encoded().select(
+            F.col(self.id_col).alias("cand_id"),
+            F.col(self.vec_col).alias("__cv"),
+            "__code",
+        )
+        if shortlist is None:
+            n_cand = enc.count()
+            shortlist = max(30 * k, -(-n_cand * 8 // 100))
+        q = queries.select(query_id, F.col(vec).alias("__qv"))
+        approx = (
+            F.broadcast(q)
+            .crossJoin(enc.select(
+                "cand_id", F.expr(self._recon_expr()).alias("__recon")))
+            .withColumn("__approx", cosine("__qv", "__recon"))
+        )
+        ws = Window.partitionBy(query_id).orderBy(
+            F.desc("__approx"), F.asc("cand_id"))
+        short = (
+            approx.withColumn("__sr", F.row_number().over(ws))
+            .filter(F.col("__sr") <= shortlist)
+            .select(query_id, "__qv", "cand_id")
+        )
+        rer = short.join(enc.select("cand_id", "__cv"), "cand_id") \
+            .withColumn("cos_sim", cosine("__qv", "__cv"))
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("cos_sim"), F.asc("cand_id"))
+        return (
+            rer.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "cand_id",
+                    F.round("cos_sim", 12).alias("cos_sim"), "rank")
+        )
+
+    def close(self) -> None:
+        if not self.persistent:
+            shutil.rmtree(self.root, ignore_errors=True)
+
+
+def pq_ingest_stream(
+    stream: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ks: int = 16,
+    train_limit: int | None = 50_000,
+    n_iter: int = 3,
+    prefix: str = "pq_ingest",
+    root: str | None = None,
+    compact_every: int = 16,
+) -> PqStreamIndex:
+    """Streaming PQ index ingest — the compressed-index sibling of
+    :func:`ivf_ingest_stream`: the first micro-batch trains the m×ks
+    codebooks (llm/similarity.pq_train — md5-ordered deterministic
+    sample, driver-side Lloyd's under the rows×dim byte budget) and
+    freezes them; every batch encodes map-only against the frozen books
+    (pq_encode's add-after-train path: argmin over literal centroids per
+    subspace, zero shuffle) and appends (id, vec, code) to the store.
+    Search reconstructs from codes per the frozen books, shortlists by
+    ADC cosine, and exact-reranks — identical semantics to the batch
+    pq_topk with training pinned to batch 0."""
+    spark = stream.sparkSession
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
+    codes_store, ckpt = f"{root}/codes", f"{root}/ckpt"
+    books_path = f"{root}/codebooks.json"
+    recover_swap(codes_store)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from flink_spark.llm.similarity import pq_encode, pq_train
+
+        sess = batch.sparkSession
+        if batch.isEmpty():
+            return
+        books = _load_centroids(books_path)
+        if books is None:
+            books = pq_train(
+                batch, cand_id=id_col, vec=vec_col, m=m, ks=ks,
+                train_limit=train_limit, n_iter=n_iter,
+            )
+            _save_centroids(books_path, books)
+        enc, _ = pq_encode(
+            batch, cand_id=id_col, vec=vec_col, m=m, ks=ks, books=books
+        )
+        write_bid_partition(
+            enc.select(
+                F.col(id_col),
+                F.col("__cv").alias(vec_col),
+                "__code",
+            ),
+            codes_store, batch_id,
+        )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            fold_bid_partitions(sess, codes_store, [], batch_id)
+
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if not has_parquet(codes_store):
+        os.makedirs(codes_store, exist_ok=True)
+        spark.createDataFrame(
+            [],
+            f"{id_col} long, {vec_col} array<double>, __code array<int>",
+        ).write.mode("overwrite").parquet(codes_store)
+    return PqStreamIndex(spark, root, id_col, vec_col, persistent)

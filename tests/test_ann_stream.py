@@ -163,3 +163,66 @@ def test_ivf_ingest_empty_stream(spark, sf_dir, tmp_path):
     idx = ivf_ingest_stream(stream, root=str(tmp_path / "ivf_root"))
     assert idx.assigned().count() == 0
     assert idx.topk(_queries(spark, sf_dir)).count() == 0
+
+
+def test_pq_ingest_resume_frozen_books(spark, sf_dir, tmp_path):
+    """PQ twin of the IVF resume test: batch 0 trains and freezes the
+    codebooks; the resumed drain encodes the rest against them; the
+    search equals the batch pq_topk with the same frozen books."""
+    from flink_spark.llm.similarity import pq_topk, pq_train
+    from flink_spark.streaming.ann_stream import pq_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "pq_root")
+    cands = _cands(spark, sf_dir)
+    ids = sorted(r.vec_id for r in cands.select("vec_id").collect())
+    cut = ids[len(ids) // 3]
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return pq_ingest_stream(stream, root=root)
+
+    _land(cands.filter(F.col("vec_id") < cut), tmp_path, src, "b0")
+    run_once()
+    books1 = open(f"{root}/codebooks.json").read()
+    _land(cands.filter(F.col("vec_id") >= cut), tmp_path, src, "b1")
+    idx = run_once()
+    assert open(f"{root}/codebooks.json").read() == books1
+    assert idx.encoded().count() == cands.count()
+
+    books0 = pq_train(
+        cands.filter(F.col("vec_id") < cut),
+        cand_id="vec_id", vec="embedding", m=16, ks=16,
+    )
+    exp = pq_topk(
+        _queries(spark, sf_dir), cands.select(
+            F.col("vec_id").alias("cand_id"), "embedding"),
+        k=5, m=16, ks=16, books=books0,
+    )
+    got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
+    assert got == sorted(map(tuple, exp.collect()))
+
+
+def test_pq_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    from flink_spark.streaming.ann_stream import pq_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "pq_root")
+    cands = _cands(spark, sf_dir)
+    _land(cands, tmp_path, src, "b0")
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return pq_ingest_stream(stream, root=root)
+
+    idx1 = run_once()
+    n1 = idx1.encoded().count()
+    rows1 = sorted(map(tuple, idx1.topk(_queries(spark, sf_dir)).collect()))
+    shutil.rmtree(f"{root}/ckpt")
+    idx2 = run_once()
+    assert idx2.encoded().count() == n1
+    assert sorted(
+        map(tuple, idx2.topk(_queries(spark, sf_dir)).collect())
+    ) == rows1
