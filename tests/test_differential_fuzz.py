@@ -150,3 +150,99 @@ def test_expression_compositions_agree(spark, duck, spark_rel, exprs):
         for e, g, x in zip(exprs, row_g, row_x)
         if g != x
     )
+
+
+# --- date/time fragment ------------------------------------------------------
+#
+# Cross-engine-total subset, probed empirically; excluded with reasons:
+#   EXTRACT(DOW)      — Spark 1-based (Sunday=1), DuckDB 0-based
+#   EXTRACT(EPOCH)    — unsupported by Spark's EXTRACT
+#   DATEDIFF          — different signatures (Spark 2-arg, DuckDB 3-arg)
+#   date + INTERVAL / DATE_TRUNC('month'...) — type drift (DuckDB
+#     promotes to TIMESTAMP / demotes to DATE) — normalized by an
+#     explicit CAST AS DATE at generation
+
+ROWS_DT = [
+    (0, "DATE '2024-02-29'", "TIMESTAMP '2023-12-31 23:59:59.5'"),
+]
+
+
+def _date_exprs(depth: int):
+    base = st.sampled_from(["d", "DATE '2000-01-01'", "DATE '1969-07-20'"])
+    if depth == 0:
+        return base
+    sub = _date_exprs(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.integers(0, 40)).map(
+            lambda a: f"CAST(({a[0]} + INTERVAL {a[1]} DAY) AS DATE)"
+        ),
+        st.tuples(sub, st.integers(0, 14)).map(
+            lambda a: f"CAST(({a[0]} - INTERVAL {a[1]} MONTH) AS DATE)"
+        ),
+        sub.map(lambda e: f"LAST_DAY({e})"),
+        st.tuples(sub, sub).map(lambda a: f"GREATEST({a[0]}, {a[1]})"),
+        st.tuples(sub, sub).map(lambda a: f"LEAST({a[0]}, {a[1]})"),
+        st.tuples(sub, st.integers(-5, 5)).map(
+            lambda a: f"({a[0]} + {a[1]})"
+        ),
+    )
+
+
+_date_out = st.one_of(
+    _date_exprs(3),
+    _date_exprs(2).map(lambda e: f"EXTRACT(YEAR FROM {e})"),
+    _date_exprs(2).map(lambda e: f"EXTRACT(MONTH FROM {e})"),
+    _date_exprs(2).map(lambda e: f"EXTRACT(DAY FROM {e})"),
+    st.sampled_from([
+        "CAST(DATE_TRUNC('month', ts) AS DATE)",
+        "CAST(DATE_TRUNC('year', ts) AS DATE)",
+        "DATE_TRUNC('hour', ts)",
+        "CAST(ts AS DATE)",
+    ]),
+    st.integers(1, 5000).map(
+        lambda m: f"ts + INTERVAL {m} MINUTE"
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def dt_rel(spark, duck):
+    spark.sql(
+        "SELECT DATE '2024-02-29' AS d, "
+        "TIMESTAMP_NTZ '2023-12-31 23:59:59.5' AS ts, 1 AS n "
+        "UNION ALL SELECT DATE '1969-07-20', "
+        "TIMESTAMP_NTZ '2024-03-10 02:30:00', 2 "
+        "UNION ALL SELECT NULL, NULL, 3"
+    ).createOrReplaceTempView("diff_dt")
+    duck.execute(
+        "CREATE TABLE dt AS SELECT * FROM (VALUES "
+        "(DATE '2024-02-29', TIMESTAMP '2023-12-31 23:59:59.5', 1), "
+        "(DATE '1969-07-20', TIMESTAMP '2024-03-10 02:30:00', 2), "
+        "(NULL, NULL, 3)) t(d, ts, n)"
+    )
+    return True
+
+
+@given(st.lists(_date_out, min_size=8, max_size=14))
+@settings(max_examples=20, deadline=None, derandomize=True)
+def test_date_compositions_agree(spark, duck, dt_rel, exprs):
+    sel_s = ", ".join(
+        f"CAST({e} AS STRING) AS c{i}" for i, e in enumerate(exprs)
+    )
+    sel_d = ", ".join(
+        f"CAST({e} AS VARCHAR) AS c{i}" for i, e in enumerate(exprs)
+    )
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT {sel_s} FROM diff_dt ORDER BY n"
+        ).collect()
+    ]
+    exp = duck.execute(f"SELECT {sel_d} FROM dt ORDER BY n").fetchall()
+    assert got == exp, "\n".join(
+        f"{e}: spark={g!r} duck={x!r}"
+        for row_g, row_x in zip(got, exp)
+        for e, g, x in zip(exprs, row_g, row_x)
+        if g != x
+    )
