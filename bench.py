@@ -112,6 +112,7 @@ EXTRA = [
     "llm_video_dedup",
     "llm_audio_spectral",
     "stream_minhash_neardup",
+    "stream_semantic_neardup",
     "stream_ivf_ingest",
     "stream_pq_ingest",
 ]

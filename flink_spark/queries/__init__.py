@@ -478,6 +478,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 #: the external-verification debt to zero.
 VERIFICATION_ROTATION_R10_TAIL = [
     "stream_minhash_neardup",
+    "stream_semantic_neardup",
     "stream_ivf_ingest",
     "stream_pq_ingest",
     "stream_group_agg_retract",
@@ -542,7 +543,9 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     # r9 JVM keep-first rework: the r8 external row verified the old
     # applyInPandasWithState path; re-verify the new implementation
     "stream_dedup_first",
-    "cdc_debezium_materialize",
+    # cdc_debezium_materialize rotated out (r9 continuation) to hold the
+    # head at 50 after stream_semantic_neardup joined the tail: the CDC
+    # family keeps a freshness slot via cdc_ogg_materialize
     "cdc_ogg_materialize",
     "format_avro_roundtrip",
     # agg_grouping_sets rotated out (r9 continuation) to hold the head

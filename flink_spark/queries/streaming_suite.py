@@ -2285,3 +2285,73 @@ def stream_pq_ingest(spark, sf_dir):
     out = idx.topk(q, k=5).localCheckpoint(eager=True)
     idx.close()
     return out
+
+
+_SEM_PLANES = 8
+_SEM_TABLES = 2
+_SEM_TAU = 0.35
+
+
+@query(
+    "stream_semantic_neardup",
+    oracle=f"""
+    WITH kb AS (SELECT vec_id AS id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+    planes AS (
+      SELECT t, j, list_transform(range(0, 64), i ->
+        CASE WHEN ('0x' || substr(md5(t || ':' || j || ':' || i), 1, 8))
+                      ::BIGINT % 2 = 0
+             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS p
+      FROM range(0, {_SEM_TABLES}) tt(t), range(0, {_SEM_PLANES}) jj(j)
+    ),
+    bk AS (
+      SELECT id, t,
+             CAST(SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS INT)
+               AS bucket
+      FROM (
+        SELECT k.id, pl.t, pl.j,
+               list_reduce(list_transform(range(1, 65),
+                 i -> k.v[i] * pl.p[i]), (a, b) -> a + b) AS dot
+        FROM kb k, planes pl) s
+      GROUP BY id, t
+    ),
+    cand AS (SELECT DISTINCT a.id AS old_id, b.id AS new_id
+             FROM bk a JOIN bk b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+    ver AS (SELECT DISTINCT c.new_id
+            FROM cand c JOIN kb va ON va.id = c.old_id
+                        JOIN kb vb ON vb.id = c.new_id
+            WHERE round(
+              list_reduce(list_transform(range(1, 65),
+                i -> va.v[i] * vb.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> va.v[i] * va.v[i]), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(range(1, 65),
+                     i -> vb.v[i] * vb.v[i]), (x, y) -> x + y))), 12)
+              >= {_SEM_TAU})
+    SELECT e.vec_id FROM embeddings e
+    LEFT JOIN ver ON ver.new_id = e.vec_id
+    WHERE ver.new_id IS NULL
+    """,
+)
+def stream_semantic_neardup(spark, sf_dir):
+    """Streaming semantic (embedding) near-dup dedup
+    (streaming/neardup_stream.semantic_neardup_stream — SemDeDup's
+    continuous-ingestion form, the embedding sibling of
+    stream_minhash_neardup): embeddings arrive in 3 id-ordered
+    micro-batches; each batch is sign-sketched into 2 independent
+    md5-derived hyperplane bucket families, checked against the bucket
+    index of everything seen earlier, verified by rounded-12 cosine
+    >= 0.35; survivors emit insert-only. Boundary-invariant closed form:
+    'survives iff no smaller-id vector is bucket-matched and
+    cosine-verified' — stated directly by the oracle."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.neardup_stream import semantic_neardup_stream
+
+    emb = chunked_table_stream(spark, sf_dir, "embeddings", 3, "vec_id")
+    out = semantic_neardup_stream(
+        emb, n_planes=_SEM_PLANES, n_tables=_SEM_TABLES,
+        threshold=_SEM_TAU,
+    )
+    return out.select("vec_id")

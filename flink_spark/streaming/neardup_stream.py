@@ -224,3 +224,174 @@ def minhash_neardup_stream(
     result = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def semantic_neardup_stream(
+    stream: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    threshold: float = 0.35,
+    dim: int = 64,
+    prefix: str = "semdedup_stream",
+    root: str | None = None,
+    compact_every: int = 16,
+) -> DataFrame:
+    """Streaming semantic (embedding) near-dup dedup — SemDeDup's
+    continuous-ingestion form, the embedding sibling of
+    :func:`minhash_neardup_stream`: each micro-batch's vectors are
+    sign-sketched into ``n_tables`` independent hyperplane bucket
+    families (llm/similarity.hyperplane_sketch — deterministic md5
+    planes, no RNG), checked against the bucket index of everything seen
+    earlier (strictly-earlier batches + smaller ids in-batch), verified
+    by rounded-12 cosine >= ``threshold``, and survivors are emitted
+    insert-only.
+
+    Same closed-form semantics as the minhash twin ('D survives iff no
+    earlier-seen vector is bucket-matched in any table AND
+    cosine-verified against D'), same bid-partitioned replay-exact
+    state (buckets index + vector store), same exact-oracle form."""
+    import hashlib
+
+    from flink_spark.llm.similarity import cosine
+
+    spark = stream.sparkSession
+    cols = stream.schema.fieldNames()
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
+    buckets_store = f"{root}/buckets"
+    vecs_store = f"{root}/vecs"
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    for store in (buckets_store, vecs_store, out_dir):
+        recover_swap(store)
+
+    # the md5-derived ±1 planes are deterministic — precompute them in
+    # Python (bit-identical to hyperplane_sketch's in-engine
+    # conv(substring(md5(...)))) and inline as LITERAL arrays: the
+    # sketch expression shrinks from n_tables×n_planes×dim nested
+    # CASE/when nodes (codegen-compile-bound per micro-batch) to one
+    # literal-array fold per plane
+    def _plane(t: int, j: int) -> list[float]:
+        return [
+            1.0 if int(
+                hashlib.md5(f"{t}:{j}:{i}".encode()).hexdigest()[:8], 16
+            ) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+
+    def batch_buckets(batch: DataFrame) -> DataFrame:
+        per_table = []
+        for t in range(n_tables):
+            bucket = None
+            for j in range(n_planes):
+                arr = "array(" + ",".join(
+                    f"CAST({v!r} AS DOUBLE)" for v in _plane(t, j)
+                ) + ")"
+                dot = F.expr(
+                    f"aggregate(zip_with({vec_col}, {arr}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * y), "
+                    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+                bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)) \
+                    .otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            per_table.append(
+                batch.select(
+                    id_col,
+                    F.lit(t).alias("__table"),
+                    bucket.cast("int").alias("bucket"),
+                )
+            )
+        out = per_table[0]
+        for p in per_table[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # computed once per batch: candidate mine/intra sides, the
+        # bucket-store write and the history join all reuse it
+        bks = batch_buckets(batch).persist()
+        hist_bks = read_earlier(sess, buckets_store, batch_id)
+        hist_vecs = read_earlier(sess, vecs_store, batch_id)
+
+        mine = bks.select(
+            F.col(id_col).alias("__new_id"), "__table", "bucket")
+        intra = bks.select(
+            F.col(id_col).alias("__old_id"), "__table", "bucket")
+        cand = (
+            mine.join(intra, ["__table", "bucket"])
+            .filter(F.col("__old_id") < F.col("__new_id"))
+            .select("__new_id", "__old_id")
+        )
+        if hist_bks is not None:
+            hist = hist_bks.select(
+                F.col(id_col).alias("__old_id"), "__table", "bucket")
+            cand = cand.unionByName(
+                mine.join(hist, ["__table", "bucket"]).select(
+                    "__new_id", "__old_id")
+            )
+        cand = cand.distinct()
+
+        new_vecs = batch.select(id_col, F.col(vec_col).alias("__vv"))
+        old_vecs = (
+            new_vecs if hist_vecs is None
+            else new_vecs.unionByName(hist_vecs)
+        )
+        dup_ids = (
+            cand.join(
+                old_vecs.select(F.col(id_col).alias("__old_id"),
+                                F.col("__vv").alias("__va")),
+                "__old_id")
+            .join(
+                new_vecs.select(F.col(id_col).alias("__new_id"),
+                                F.col("__vv").alias("__vb")),
+                "__new_id")
+            .filter(F.round(cosine("__va", "__vb"), 12)
+                    >= F.lit(threshold))
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = batch.join(dup_ids, [id_col], "left_anti").persist()
+        try:
+            write_bid_partition(survivors.select(*cols), out_dir, batch_id)
+            # the index grows by EVERY seen vector (kept or dropped)
+            write_bid_partition(bks, buckets_store, batch_id, ["__table"])
+            write_bid_partition(new_vecs, vecs_store, batch_id)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                fold_bid_partitions(
+                    sess, buckets_store, ["__table"], batch_id)
+                fold_bid_partitions(sess, vecs_store, [], batch_id)
+                if persistent and has_parquet(out_dir):
+                    fold_bid_partitions(sess, out_dir, [], batch_id)
+        finally:
+            survivors.unpersist()
+            bks.unpersist()
+
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if not has_parquet(out_dir):
+        if not persistent:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame([], stream.schema)
+    out = spark.read.parquet(out_dir).select(*cols)
+    if persistent:
+        return out
+    result = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -195,3 +195,87 @@ def test_neardup_plan_is_python_free(spark, sf_dir):
     for marker in ("Python", "Pandas", "Arrow"):
         assert marker not in plan, f"{marker} node in plan:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def _expected_sem_survivors(spark, sf_dir, n_planes=8, n_tables=2,
+                            tau=0.35):
+    """Closed-form batch model: survives iff no smaller-id vector is
+    bucket-matched (any table) and rounded-12-cosine-verified."""
+    from flink_spark.llm.similarity import cosine, hyperplane_sketch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_table = []
+    for t in range(n_tables):
+        sk = hyperplane_sketch(
+            emb.select("vec_id", F.col("embedding").alias("__v")),
+            "__v", n_planes, 64, table=t,
+        )
+        per_table.append(sk.select("vec_id", F.lit(t).alias("t"), "bucket"))
+    bk = per_table[0]
+    for p in per_table[1:]:
+        bk = bk.unionByName(p)
+    a = bk.select(F.col("vec_id").alias("old_id"), "t", "bucket")
+    b = bk.select(F.col("vec_id").alias("new_id"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select("old_id", "new_id").distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("old_id"),
+                    F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("new_id"),
+                    F.col("embedding").alias("__vb"))
+    dup = (
+        cand.join(va, "old_id").join(vb, "new_id")
+        .filter(F.round(cosine("__va", "__vb"), 12) >= F.lit(tau))
+        .select(F.col("new_id").alias("vec_id")).distinct()
+    )
+    return emb.join(dup, ["vec_id"], "left_anti").select("vec_id")
+
+
+def test_semantic_neardup_stream_restore(spark, sf_dir, tmp_path):
+    """Embedding twin of the minhash restore test: drain the early
+    id-range with a durable root, then the rest — the resumed drain
+    dedups against the bucket index run 1 built."""
+    from flink_spark.streaming.neardup_stream import semantic_neardup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "sem_root")
+    emb = load_table(spark, sf_dir, "embeddings")
+    early = emb.filter(F.col("vec_id") < 200)
+    late = emb.filter(F.col("vec_id") >= 200)
+
+    def run_once():
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        return semantic_neardup_stream(stream, root=root)
+
+    _land(early, tmp_path, src, "b1")
+    run1 = run_once().select("vec_id").collect()
+    _land(late, tmp_path, src, "b2")
+    got = sorted(r.vec_id for r in run_once().select("vec_id").collect())
+    exp = sorted(
+        r.vec_id
+        for r in _expected_sem_survivors(spark, sf_dir).collect()
+    )
+    assert got == exp
+    assert 0 < len(run1) < len(exp)
+
+
+def test_semantic_neardup_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    from flink_spark.streaming.neardup_stream import semantic_neardup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "sem_root")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _land(emb, tmp_path, src, "b1")
+
+    def run_once():
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        return semantic_neardup_stream(stream, root=root)
+
+    n1 = sorted(r.vec_id for r in run_once().select("vec_id").collect())
+    shutil.rmtree(f"{root}/ckpt")
+    n2 = sorted(r.vec_id for r in run_once().select("vec_id").collect())
+    assert n1 == n2
