@@ -70,43 +70,47 @@ def brute_force_topk(
     )
 
 
+def hyperplane_plane(table: int, j: int, dim: int = 64) -> list[float]:
+    """Plane r_j of family ``table``: ±1 per dimension from the first 8
+    md5 hex digits of "table:j:i" — the same numbers the in-engine
+    ``conv(substring(md5(...)), 16, 10) % 2`` spelling produces (and the
+    DuckDB oracles reproduce), precomputed in Python."""
+    import hashlib
+
+    return [
+        1.0 if int(
+            hashlib.md5(f"{table}:{j}:{i}".encode()).hexdigest()[:8], 16
+        ) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_sketch(df: DataFrame, vec: str, n_planes: int = 16,
                       dim: int = 64, table: int = 0) -> DataFrame:
     """Sign-sketch for LSH bucketing: bit j = sign(v · r_j) where r_j is a
     deterministic pseudo-random hyperplane derived from md5(table, j, i) —
     no RNG at runtime, reproducible across engines/runs. ``table`` selects
-    an independent plane family for multi-table LSH."""
-    planes = []
+    an independent plane family for multi-table LSH.
+
+    The planes are inlined as Python-precomputed LITERAL arrays rather
+    than in-engine md5 expressions: values are bit-identical, but the
+    expression tree shrinks from n_planes×dim nested CASE nodes to one
+    literal fold per plane — the r9 lesson from stream_semantic_neardup,
+    where the CASE-tree form was codegen-compile-bound (50 s → 4.8 s on
+    identical data)."""
+    bucket = None
     for j in range(n_planes):
-        # deterministic ±1 plane from bit-mix of (table, j, i)
-        comps = F.array(
-            *[
-                F.when(
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"{table}:{j}:{i}")), 1, 8),
-                        16, 10
-                    ).cast("bigint")
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for i in range(dim)
-            ]
-        )
+        arr = "array(" + ",".join(
+            f"CAST({v!r} AS DOUBLE)" for v in hyperplane_plane(table, j, dim)
+        ) + ")"
         dot = F.expr(
-            f"aggregate(zip_with({vec}, __plane_{j}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"aggregate(zip_with({vec}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
             "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        planes.append((comps, dot, j))
-    out = df
-    for comps, _, j in planes:
-        out = out.withColumn(f"__plane_{j}", comps)
-    bucket = None
-    for _, dot, j in planes:
         bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    out = out.withColumn("bucket", bucket.cast("int"))
-    return out.drop(*[f"__plane_{j}" for j in range(n_planes)])
+    return df.withColumn("bucket", bucket.cast("int"))
 
 
 def lsh_topk(

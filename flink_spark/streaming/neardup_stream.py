@@ -252,9 +252,7 @@ def semantic_neardup_stream(
     earlier-seen vector is bucket-matched in any table AND
     cosine-verified against D'), same bid-partitioned replay-exact
     state (buckets index + vector store), same exact-oracle form."""
-    import hashlib
-
-    from flink_spark.llm.similarity import cosine
+    from flink_spark.llm.similarity import cosine, hyperplane_sketch
 
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
@@ -269,42 +267,17 @@ def semantic_neardup_stream(
     for store in (buckets_store, vecs_store, out_dir):
         recover_swap(store)
 
-    # the md5-derived ±1 planes are deterministic — precompute them in
-    # Python (bit-identical to hyperplane_sketch's in-engine
-    # conv(substring(md5(...)))) and inline as LITERAL arrays: the
-    # sketch expression shrinks from n_tables×n_planes×dim nested
-    # CASE/when nodes (codegen-compile-bound per micro-batch) to one
-    # literal-array fold per plane
-    def _plane(t: int, j: int) -> list[float]:
-        return [
-            1.0 if int(
-                hashlib.md5(f"{t}:{j}:{i}".encode()).hexdigest()[:8], 16
-            ) % 2 == 0 else -1.0
-            for i in range(dim)
-        ]
-
     def batch_buckets(batch: DataFrame) -> DataFrame:
+        # hyperplane_sketch inlines Python-precomputed literal planes
+        # (the r9 plan-size lesson lives there now)
         per_table = []
         for t in range(n_tables):
-            bucket = None
-            for j in range(n_planes):
-                arr = "array(" + ",".join(
-                    f"CAST({v!r} AS DOUBLE)" for v in _plane(t, j)
-                ) + ")"
-                dot = F.expr(
-                    f"aggregate(zip_with({vec_col}, {arr}, "
-                    "(x, y) -> CAST(x AS DOUBLE) * y), "
-                    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-                )
-                bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)) \
-                    .otherwise(F.lit(0))
-                bucket = bit if bucket is None else bucket + bit
+            sk = hyperplane_sketch(
+                batch.select(id_col, F.col(vec_col).alias("__v")),
+                "__v", n_planes, dim, table=t,
+            )
             per_table.append(
-                batch.select(
-                    id_col,
-                    F.lit(t).alias("__table"),
-                    bucket.cast("int").alias("bucket"),
-                )
+                sk.select(id_col, F.lit(t).alias("__table"), "bucket")
             )
         out = per_table[0]
         for p in per_table[1:]:
