@@ -111,9 +111,13 @@ EXTRA = [
     "llm_image_neardup",
     "llm_video_dedup",
     "llm_audio_spectral",
-    "stream_minhash_neardup",
+    # of the five r9-continuation streaming ops, bench the three
+    # non-overlapping shapes: the curation chain subsumes the minhash
+    # near-dup stage, and the PQ ingest covers the add-after-train shape
+    # (IVF probing is already exercised by llm_vector_search_sql_ann's
+    # index routing). All five have dedicated sf1 ratios in BASELINE.md.
     "stream_semantic_neardup",
-    "stream_ivf_ingest",
+    "stream_curation_e2e",
     "stream_pq_ingest",
 ]
 

@@ -479,6 +479,7 @@ __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 VERIFICATION_ROTATION_R10_TAIL = [
     "stream_minhash_neardup",
     "stream_semantic_neardup",
+    "stream_curation_e2e",
     "stream_ivf_ingest",
     "stream_pq_ingest",
     "stream_group_agg_retract",
@@ -546,8 +547,10 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     # cdc_debezium_materialize rotated out (r9 continuation) to hold the
     # head at 50 after stream_semantic_neardup joined the tail: the CDC
     # family keeps a freshness slot via cdc_ogg_materialize
+    # format_avro_roundtrip rotated out (r9 continuation) to hold the
+    # head at 50 after stream_curation_e2e joined the tail: formats are
+    # capability-gated with their own suite and were pass(r6/r7)
     "cdc_ogg_materialize",
-    "format_avro_roundtrip",
     # agg_grouping_sets rotated out (r9 continuation) to hold the head
     # at 50 after stream_ivf_ingest joined the tail: native Spark
     # expansion, minimal regression risk, exact-oracled locally each run

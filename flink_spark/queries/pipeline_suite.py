@@ -664,16 +664,25 @@ def pipe_longsubstring_filter(spark, sf_dir):
     )
 
 
-def _curation_oracle() -> str:
+def _curation_oracle(final_select: str | None = None) -> str:
     """One-statement DuckDB twin of the full curation chain: Gopher keep
     -> exact dedup (min doc_id per normalized fingerprint) -> MinHash-LSH
     pair-kill (drop the higher id of every verified near-dup pair) ->
-    per-source survivor counts + token totals. Reuses the deterministic
-    hash family of the llm_minhash_lsh_pairs oracle, re-rooted on the
-    survivor set instead of the raw table."""
+    per-source survivor counts + token totals (or ``final_select`` over
+    the ``surv`` CTE — the streaming twin emits survivor rows). Reuses
+    the deterministic hash family of the llm_minhash_lsh_pairs oracle,
+    re-rooted on the survivor set instead of the raw table."""
     from flink_spark.llm import dedup as D
     from flink_spark.queries.llm_suite import _MH_PARAMS_SQL
 
+    if final_select is None:
+        final_select = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM surv GROUP BY source"""
     return rf"""
     WITH t AS (SELECT doc_id, source, text,
                       string_split_regex(trim(text), '\s+') AS toks
@@ -722,12 +731,7 @@ def _curation_oracle() -> str:
     kill AS (SELECT DISTINCT doc_b AS doc_id FROM agree
              WHERE n_agree >= {D.MH_K // 2}),
     surv AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM kill))
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-             AS n_tokens,
-           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-    FROM surv GROUP BY source
+    {final_select}
     """
 
 

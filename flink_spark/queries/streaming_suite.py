@@ -2355,3 +2355,31 @@ def stream_semantic_neardup(spark, sf_dir):
         threshold=_SEM_TAU,
     )
     return out.select("vec_id")
+
+
+@query(
+    "stream_curation_e2e",
+    oracle=__import__(
+        "flink_spark.queries.pipeline_suite", fromlist=["_curation_oracle"]
+    )._curation_oracle(
+        final_select="SELECT doc_id, source, "
+                     "CAST(length(text) AS BIGINT) AS n_chars_m FROM surv"
+    ),
+)
+def stream_curation_e2e(spark, sf_dir):
+    """Streaming end-to-end curation (streaming/curation_stream.py — the
+    batch pipe_curation_e2e chain run incrementally): documents arrive
+    in 3 id-ordered micro-batches; each batch flows Gopher filter →
+    exact keep-first vs the fingerprint store → MinHash near-dup vs the
+    LSH index of earlier exact survivors; survivors emit insert-only.
+    Seen-based, id-monotone stages close to the batch chain's `surv`
+    set, which the oracle (the pipe_curation_e2e CTE chain with a
+    row-level final select) states directly."""
+    from flink_spark.streaming.core import chunked_table_stream
+    from flink_spark.streaming.curation_stream import curation_stream
+
+    docs = chunked_table_stream(spark, sf_dir, "documents", 3, "doc_id")
+    out = curation_stream(docs)
+    return out.select(
+        "doc_id", "source", F.length("text").alias("n_chars_m")
+    )

@@ -279,3 +279,73 @@ def test_semantic_neardup_stream_replay_idempotent(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{root}/ckpt")
     n2 = sorted(r.vec_id for r in run_once().select("vec_id").collect())
     assert n1 == n2
+
+
+def _expected_curation_survivors(spark, sf_dir):
+    """Batch model of the streaming curation chain: Gopher keep →
+    min-id per fingerprint → near-dup pair-kill among exact survivors."""
+    from flink_spark.llm.dedup import minhash_lsh_pairs
+    from flink_spark.llm.pipeline import gopher_quality_flags
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = gopher_quality_flags(docs).filter(F.col("keep")).select(
+        *docs.columns
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    ex = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    kill = minhash_lsh_pairs(ex).select(
+        F.col("doc_b").alias("doc_id")).distinct()
+    return ex.join(kill, ["doc_id"], "left_anti").select("doc_id", "source")
+
+
+def test_curation_stream_restore(spark, sf_dir, tmp_path):
+    """Stop-resume across the WHOLE curation chain: the resumed drain
+    dedups against the fingerprint store AND the LSH index run 1 built."""
+    from flink_spark.streaming.curation_stream import curation_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "cur_root")
+    docs = load_table(spark, sf_dir, "documents")
+    early = docs.filter(F.col("doc_id") < 200)
+    late = docs.filter(F.col("doc_id") >= 200)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        return curation_stream(stream, root=root)
+
+    _land(early, tmp_path, src, "b1")
+    run1 = run_once().select("doc_id").collect()
+    _land(late, tmp_path, src, "b2")
+    got = sorted(
+        map(tuple, run_once().select("doc_id", "source").collect())
+    )
+    exp = sorted(
+        map(tuple, _expected_curation_survivors(spark, sf_dir).collect())
+    )
+    assert got == exp
+    assert 0 < len(run1) < len(exp)
+
+
+def test_curation_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    from flink_spark.streaming.curation_stream import curation_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "cur_root")
+    docs = load_table(spark, sf_dir, "documents")
+    _land(docs, tmp_path, src, "b1")
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        return curation_stream(stream, root=root)
+
+    n1 = sorted(r.doc_id for r in run_once().select("doc_id").collect())
+    shutil.rmtree(f"{root}/ckpt")
+    n2 = sorted(r.doc_id for r in run_once().select("doc_id").collect())
+    assert n1 == n2
