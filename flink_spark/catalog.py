@@ -4540,10 +4540,24 @@ class TableEnvironment:
         executeSql share the parser). A bare ``spark.sql`` passthrough
         here silently skipped every dialect rewrite for queries issued
         via sql_query — GROUP_ID decomposition, CHAR/VARCHAR pad-trim,
-        TIMESTAMP(n) truncation, RAND_INTEGER, hint validation."""
-        out = self.execute_sql(sql)
-        if not isinstance(out, DataFrame):
+        TIMESTAMP(n) truncation, RAND_INTEGER, hint validation.
+
+        Non-queries are rejected BEFORE anything executes (the reference
+        sqlQuery throws 'only single queries accepted' at parse time) —
+        a validate-after-execute would let sql_query('INSERT ...')
+        mutate state and then raise."""
+        from flink_spark.sqltok import mask_literals
+
+        head = mask_literals(sql.strip().rstrip(";")).lstrip("( \t\n\r")
+        if not re.match(r"(?:SELECT|WITH|VALUES|TABLE)\b", head,
+                        re.IGNORECASE):
             raise ValueError(
+                "sql_query expects a query (SELECT/WITH/VALUES/TABLE); "
+                "use execute_sql for statements"
+            )
+        out = self.execute_sql(sql)
+        if not isinstance(out, DataFrame):  # defensive: rewrites routed
+            raise ValueError(  # the query somewhere sink-shaped
                 "sql_query expects a query that produces a result table; "
                 "use execute_sql for statements"
             )

@@ -496,10 +496,12 @@ class BroadcastStream:
         fn: TwoInputBroadcastStreamProcessFunction,
         output_schema: str,
     ) -> NonKeyedPartitionStream:
-        rows = [r for r in self._df.collect()]  # broadcast side: small
-        # torrent-broadcast the rows so they ship once per executor, not
-        # once per task in the mapInPandas closure
-        bc = self._df.sparkSession.sparkContext.broadcast(rows)
+        # ship the broadcast side in the task closure: it is bounded +
+        # small by contract (docstring above), and a SparkContext
+        # broadcast here would never be unpersisted — the returned
+        # stream is lazy, so there is no safe destroy point, and a
+        # long-lived session would accumulate every broadcast payload
+        rows = [r for r in self._df.collect()]
         odf = other.to_data_frame()
         cols = _schema_cols(output_schema)
 
@@ -511,7 +513,7 @@ class BroadcastStream:
             # the reference initializes broadcast state before the
             # non-broadcast side flows — replay the broadcast records
             # first on every partition
-            for rec in bc.value:
+            for rec in rows:
                 fn.process_record_from_broadcast(rec, ctx)
             out = Collector(cols)
             for pdf in batches:

@@ -53,7 +53,9 @@ from flink_spark.llm.clustering import assign_clusters, kmeans
 from flink_spark.streaming.storeutil import (
     fold_bid_partitions,
     has_parquet,
+    prepare_root,
     recover_swap,
+    run_drain,
     write_bid_partition,
 )
 
@@ -86,7 +88,16 @@ class IvfStreamIndex:
         self.centroids = _load_centroids(f"{root}/centroids.json") or []
 
     def assigned(self) -> DataFrame:
-        """The raw index rows (__cell, id, vec)."""
+        """The raw index rows (__cell, id, vec). An empty index (nothing
+        ever drained) yields an empty frame WITHOUT writing anything —
+        a flat bootstrap file under the partitioned store root would
+        poison the __bid/__cell directory layout for later resumes."""
+        if not has_parquet(f"{self.root}/cells"):
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} long, {self.vec_col} array<double>, "
+                f"__cell int",
+            )
         return self.spark.read.parquet(f"{self.root}/cells")
 
     def topk(self, queries: DataFrame, k: int = 5, n_probe: int = 2,
@@ -166,11 +177,7 @@ def ivf_ingest_stream(
     crash-replay retrains the identical centroids; a resume with the
     same ``root`` reloads them — FAISS's train-once contract)."""
     spark = stream.sparkSession
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     cells_store, ckpt = f"{root}/cells", f"{root}/ckpt"
     cent_path = f"{root}/centroids.json"
     recover_swap(cells_store)
@@ -203,26 +210,11 @@ def ivf_ingest_stream(
         if compact_every and batch_id % compact_every == compact_every - 1:
             fold_bid_partitions(sess, cells_store, ["__cell"], batch_id)
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not has_parquet(cells_store):
-        # empty stream: an index with no rows (topk returns nothing)
-        os.makedirs(cells_store, exist_ok=True)
-        spark.createDataFrame(
-            [],
-            f"{id_col} long, {vec_col} array<double>, __cell int",
-        ).write.mode("overwrite").parquet(cells_store)
+    run_drain(stream, process, ckpt)
+    # NO bootstrap write on an empty drain: a flat part file under the
+    # partitioned store root would conflict with later __bid=/__cell=
+    # partition dirs on resume; assigned()/topk() handle the absent
+    # store by returning empty frames instead
     return IvfStreamIndex(spark, root, id_col, vec_col, persistent)
 
 
@@ -241,6 +233,14 @@ class PqStreamIndex:
         self.books = _load_centroids(f"{root}/codebooks.json") or []
 
     def encoded(self) -> DataFrame:
+        """The raw index rows (id, vec, code); empty frame when nothing
+        was ever drained (no bootstrap file — see IvfStreamIndex)."""
+        if not has_parquet(f"{self.root}/codes"):
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} long, {self.vec_col} array<double>, "
+                f"__code array<int>",
+            )
         return self.spark.read.parquet(f"{self.root}/codes")
 
     def _recon_expr(self) -> str:
@@ -332,11 +332,7 @@ def pq_ingest_stream(
     ADC cosine, and exact-reranks — identical semantics to the batch
     pq_topk with training pinned to batch 0."""
     spark = stream.sparkSession
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     codes_store, ckpt = f"{root}/codes", f"{root}/ckpt"
     books_path = f"{root}/codebooks.json"
     recover_swap(codes_store)
@@ -368,23 +364,6 @@ def pq_ingest_stream(
         if compact_every and batch_id % compact_every == compact_every - 1:
             fold_bid_partitions(sess, codes_store, [], batch_id)
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not has_parquet(codes_store):
-        os.makedirs(codes_store, exist_ok=True)
-        spark.createDataFrame(
-            [],
-            f"{id_col} long, {vec_col} array<double>, __code array<int>",
-        ).write.mode("overwrite").parquet(codes_store)
+    run_drain(stream, process, ckpt)
+    # no bootstrap write on an empty drain (see ivf_ingest_stream)
     return PqStreamIndex(spark, root, id_col, vec_col, persistent)

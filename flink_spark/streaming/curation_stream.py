@@ -41,10 +41,13 @@ from flink_spark.llm.dedup import MH_K
 from flink_spark.llm.pipeline import gopher_quality_flags
 from flink_spark.streaming.neardup_stream import batch_neardup_plan
 from flink_spark.streaming.storeutil import (
+    collect_out,
     fold_bid_partitions,
     has_parquet,
+    prepare_root,
     read_earlier,
     recover_swap,
+    run_drain,
     write_bid_partition,
 )
 
@@ -66,11 +69,7 @@ def curation_stream(
     ``root`` makes all four stores + checkpoint durable for resume."""
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     fps_store = f"{root}/fps"
     bands_store = f"{root}/bands"
     sigs_store = f"{root}/sigs"
@@ -136,26 +135,6 @@ def curation_stream(
             new_sigs.unpersist()
             exact_kept.unpersist()
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not has_parquet(out_dir):
-        if not persistent:
-            shutil.rmtree(root, ignore_errors=True)
-        return spark.createDataFrame([], stream.schema)
-    out = spark.read.parquet(out_dir).select(*cols)
-    if persistent:
-        return out
-    result = out.localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    run_drain(stream, process, ckpt)
+    return collect_out(spark, root, out_dir, cols, stream.schema,
+                       persistent)

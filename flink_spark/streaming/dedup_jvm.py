@@ -47,10 +47,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_spark.streaming.storeutil import (
+    collect_out,
     fold_bid_partitions,
     has_parquet as _has_parquet,
+    prepare_root,
     read_earlier,
     recover_swap,
+    run_drain,
     write_bid_partition,
 )
 
@@ -111,11 +114,7 @@ def dedup_keep_first_jvm(
     """
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     seen_store = f"{root}/seen"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
@@ -152,28 +151,6 @@ def dedup_keep_first_jvm(
         finally:
             firsts.unpersist()
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not _has_parquet(out_dir):
-        if not persistent:
-            shutil.rmtree(root, ignore_errors=True)
-        return spark.createDataFrame([], stream.schema)
-    out = spark.read.parquet(out_dir).select(*cols)
-    if persistent:
-        # durable root: leave store/out/checkpoint in place for resume
-        return out
-    # materialize off the temp root so it can be pruned eagerly
-    result = out.localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    run_drain(stream, process, ckpt)
+    return collect_out(spark, root, out_dir, cols, stream.schema,
+                       persistent)

@@ -66,10 +66,13 @@ from flink_spark.llm.dedup import (
     minhash_signatures_wide,
 )
 from flink_spark.streaming.storeutil import (
+    collect_out,
     fold_bid_partitions,
     has_parquet,
+    prepare_root,
     read_earlier,
     recover_swap,
+    run_drain,
     write_bid_partition,
 )
 
@@ -163,11 +166,7 @@ def minhash_neardup_stream(
     keyed dedup state)."""
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     bands_store = f"{root}/bands"
     sigs_store = f"{root}/sigs"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
@@ -201,29 +200,9 @@ def minhash_neardup_stream(
             survivors.unpersist()
             new_sigs.unpersist()
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not has_parquet(out_dir):
-        if not persistent:
-            shutil.rmtree(root, ignore_errors=True)
-        return spark.createDataFrame([], stream.schema)
-    out = spark.read.parquet(out_dir).select(*cols)
-    if persistent:
-        return out
-    result = out.localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    run_drain(stream, process, ckpt)
+    return collect_out(spark, root, out_dir, cols, stream.schema,
+                       persistent)
 
 
 def semantic_neardup_stream(
@@ -256,11 +235,7 @@ def semantic_neardup_stream(
 
     spark = stream.sparkSession
     cols = stream.schema.fieldNames()
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    root, persistent = prepare_root(prefix, root)
     buckets_store = f"{root}/buckets"
     vecs_store = f"{root}/vecs"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
@@ -345,26 +320,6 @@ def semantic_neardup_stream(
             survivors.unpersist()
             bks.unpersist()
 
-    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
-    try:
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if not has_parquet(out_dir):
-        if not persistent:
-            shutil.rmtree(root, ignore_errors=True)
-        return spark.createDataFrame([], stream.schema)
-    out = spark.read.parquet(out_dir).select(*cols)
-    if persistent:
-        return out
-    result = out.localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    run_drain(stream, process, ckpt)
+    return collect_out(spark, root, out_dir, cols, stream.schema,
+                       persistent)

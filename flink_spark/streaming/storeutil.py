@@ -20,11 +20,64 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BID = "__bid"
+
+
+def prepare_root(prefix: str, root: str | None) -> tuple[str, bool]:
+    """Resolve the operator's state root: a caller-provided durable root
+    (resume contract) or a fresh tmpdir. Returns (root, persistent)."""
+    persistent = root is not None
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
+    else:
+        os.makedirs(root, exist_ok=True)
+    return root, persistent
+
+
+def run_drain(stream: DataFrame, process, ckpt: str) -> None:
+    """Drain ``stream`` to completion through ``process`` (a
+    foreachBatch(batch, batch_id) callable) under the streaming shuffle
+    sizing (SPARK_GRAFT_STREAM_SHUFFLE — state-store instances are fixed
+    at query start from shuffle.partitions and each pays per-batch
+    commit overhead); the batch setting is restored after the drain."""
+    spark = stream.sparkSession
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def collect_out(
+    spark: SparkSession, root: str, out_dir: str, cols, schema,
+    persistent: bool,
+) -> DataFrame:
+    """Hand back the drained ``out`` store as a batch DataFrame. A
+    durable root stays on disk for resume; a tmp root is materialized
+    eagerly (localCheckpoint) and pruned."""
+    if not has_parquet(out_dir):
+        if not persistent:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame([], schema)
+    out = spark.read.parquet(out_dir).select(*cols)
+    if persistent:
+        return out
+    result = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
 
 
 def has_parquet(d: str) -> bool:

@@ -226,3 +226,26 @@ def test_pq_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, idx2.topk(_queries(spark, sf_dir)).collect())
     ) == rows1
+
+
+def test_ivf_empty_drain_then_resume_not_poisoned(spark, sf_dir, tmp_path):
+    """An empty first drain must NOT write a flat bootstrap file under
+    the partitioned store root — it would conflict with the __bid/__cell
+    partition dirs a later resume writes (code-review r9 finding)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+    _land(cands.filter(F.lit(False)), tmp_path, src, "b0")
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ivf_ingest_stream(stream, root=root)
+
+    idx0 = run_once()
+    assert idx0.assigned().count() == 0
+    # resume with real data against the same root
+    _land(cands, tmp_path, src, "b1")
+    idx1 = run_once()
+    assert idx1.assigned().count() == cands.count()
+    assert idx1.topk(_queries(spark, sf_dir)).count() == 50

@@ -392,3 +392,39 @@ def test_router_keywords_inside_literals_pass_through(dialect_env, marker):
     ).collect()
     expected = marker.replace("''", "'")
     assert rows[0].s == expected
+
+
+def test_sql_query_rejects_statements_without_executing(
+    spark, dialect_env, monkeypatch
+):
+    """sql_query must reject non-queries BEFORE executing them — a
+    validate-after-execute would let sql_query('INSERT ...') mutate
+    state and then raise (code-review r9 finding; reference sqlQuery
+    rejects at parse time). Proven with a spy: execute_sql must never
+    be reached for a rejected statement."""
+    calls = []
+    real = dialect_env.execute_sql
+    monkeypatch.setattr(
+        dialect_env, "execute_sql",
+        lambda sql: (calls.append(sql), real(sql))[1],
+    )
+    for stmt in (
+        "INSERT INTO t SELECT 1",
+        "DROP TABLE t",
+        "CREATE TABLE t (x INT) WITH ('connector'='values')",
+        "SET 'k'='v'",
+        "  insert overwrite t SELECT 1",
+    ):
+        with pytest.raises(ValueError, match="sql_query expects a query"):
+            dialect_env.sql_query(stmt)
+    assert calls == [], "execute_sql ran for a rejected statement"
+    # a marker spelled inside a literal must NOT trigger the rejection
+    assert dialect_env.sql_query(
+        "SELECT 'INSERT INTO t' AS s").collect()[0].s == "INSERT INTO t"
+    # queries in every accepted spelling still route
+    assert dialect_env.sql_query("VALUES (1), (2)").count() == 2
+    assert dialect_env.sql_query(
+        "WITH c AS (SELECT 1 AS a) SELECT * FROM c").count() == 1
+    assert dialect_env.sql_query(
+        "(SELECT 1 AS a) UNION ALL (SELECT 2)").count() == 2
+    assert len(calls) == 4
