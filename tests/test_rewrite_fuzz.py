@@ -428,3 +428,59 @@ def test_sql_query_rejects_statements_without_executing(
     assert dialect_env.sql_query(
         "(SELECT 1 AS a) UNION ALL (SELECT 2)").count() == 2
     assert len(calls) == 4
+
+
+# --- OVERLAPS ---------------------------------------------------------------
+
+
+@given(
+    st.sampled_from([
+        ("ts1", "INTERVAL '1' HOUR"),
+        ("ts1", "ts2"),
+        ("TIMESTAMP '2024-01-01 10:00:00'", "INTERVAL '30' MINUTE"),
+        ("COALESCE(ts1, ts2)", "ts2"),
+    ]),
+    st.sampled_from([
+        ("ts2", "INTERVAL '2' HOUR"),
+        ("ts2", "ts1"),
+    ]),
+    _lit,
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_overlaps_rewrite_structure(dialect_env, left, right, lit):
+    stmt = (
+        f"SELECT ({left[0]}, {left[1]}) OVERLAPS ({right[0]}, {right[1]})"
+        f" AS o, {lit} AS d FROM t"
+    )
+    out = dialect_env._rewrite_overlaps(stmt)
+    # no OVERLAPS survives outside literals; balanced; fixpoint; the
+    # hostile literal is untouched
+    assert not re.search(r"\bOVERLAPS\b", mask_literals(out), re.IGNORECASE)
+    assert _balance(out) == 0
+    assert dialect_env._rewrite_overlaps(out) == out
+    assert all(
+        _lit_counts(out)[k] >= v for k, v in _lit_counts(stmt).items()
+    )
+
+
+def test_overlaps_executes_and_matches_model(dialect_env):
+    """Executable check of the normalized inclusive-bounds semantics:
+    reversed endpoints still overlap correctly, bound-touching counts
+    as overlap (reference TemporalOverlapsConverter)."""
+    rows = dialect_env.sql_query("""
+      SELECT
+        (TIMESTAMP '2024-01-01 10:00:00', INTERVAL '1' HOUR) OVERLAPS
+          (TIMESTAMP '2024-01-01 10:30:00', INTERVAL '1' HOUR) AS a,
+        (TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-01 11:00:00')
+          OVERLAPS
+          (TIMESTAMP '2024-01-01 11:30:00', TIMESTAMP '2024-01-01 13:00:00')
+          AS b,
+        (TIMESTAMP '2024-01-01 10:00:00', INTERVAL '1' HOUR) OVERLAPS
+          (TIMESTAMP '2024-01-01 11:00:00', INTERVAL '1' HOUR) AS c,
+        (TIMESTAMP '2024-01-01 10:00:00', INTERVAL '1' HOUR) OVERLAPS
+          (TIMESTAMP '2024-01-01 11:00:01', INTERVAL '1' HOUR) AS d
+    """).collect()[0]
+    assert rows.a is True        # plain overlap
+    assert rows.b is True        # reversed endpoints normalized
+    assert rows.c is True        # touching bounds are INCLUSIVE
+    assert rows.d is False       # disjoint
