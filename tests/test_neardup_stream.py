@@ -8,6 +8,8 @@ from __future__ import annotations
 import glob
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_spark.llm.dedup import MH_K, band_rows, minhash_signatures_wide
@@ -349,3 +351,50 @@ def test_curation_stream_replay_idempotent(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{root}/ckpt")
     n2 = sorted(r.doc_id for r in run_once().select("doc_id").collect())
     assert n1 == n2
+
+
+def test_neardup_stream_crash_mid_batch(spark, sf_dir, tmp_path,
+                                        monkeypatch):
+    """Crash INSIDE foreachBatch between store writes (the hardest
+    crash point: out partition committed, sigs store not): the rerun
+    replays the batch, overwrites its own __bid partitions with
+    identical content, and the final result equals the uninterrupted
+    oracle."""
+    import flink_spark.streaming.neardup_stream as NS
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "nd_root")
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    _land(docs, tmp_path, src, "b1")
+
+    real = NS.write_bid_partition
+    state = {"writes": 0}
+
+    def crashing(df, store, batch_id, part_cols=()):
+        state["writes"] += 1
+        if state["writes"] == 2:  # after the out write, before bands
+            raise RuntimeError("injected crash between store writes")
+        return real(df, store, batch_id, part_cols)
+
+    monkeypatch.setattr(NS, "write_bid_partition", crashing)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        return NS.minhash_neardup_stream(stream, root=root)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+
+    # recovery: restore the real write and rerun against the same root
+    monkeypatch.setattr(NS, "write_bid_partition", real)
+    got = sorted(map(tuple, run_once().select(*COLS).collect()))
+    expected = sorted(
+        map(
+            tuple,
+            _expected_survivors(spark, sf_dir)
+            .join(docs.select("doc_id"), ["doc_id"])
+            .collect(),
+        )
+    )
+    assert got == expected
