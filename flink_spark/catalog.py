@@ -4548,13 +4548,34 @@ class TableEnvironment:
         mutate state and then raise."""
         from flink_spark.sqltok import mask_literals
 
-        head = mask_literals(sql.strip().rstrip(";")).lstrip("( \t\n\r")
+        masked = mask_literals(sql.strip().rstrip(";"))
+        head = masked.lstrip("( \t\n\r")
         if not re.match(r"(?:SELECT|WITH|VALUES|TABLE)\b", head,
                         re.IGNORECASE):
             raise ValueError(
                 "sql_query expects a query (SELECT/WITH/VALUES/TABLE); "
                 "use execute_sql for statements"
             )
+        # a WITH prologue can legally prefix DML (Spark grammar allows
+        # ctes before dmlStatementNoWith), so the head check alone would
+        # let sql_query("WITH c AS (...) INSERT INTO t ...") execute —
+        # reject any DML verb at paren depth 0 (DML cannot appear inside
+        # a subquery, so depth-0 is exactly the statement's own verb)
+        depth = 0
+        for m in re.finditer(
+            r"[()]|\b(?:INSERT|DELETE|UPDATE|MERGE)\b", masked,
+            re.IGNORECASE,
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                raise ValueError(
+                    "sql_query expects a query (SELECT/WITH/VALUES/"
+                    "TABLE); use execute_sql for statements"
+                )
         out = self.execute_sql(sql)
         if not isinstance(out, DataFrame):  # defensive: rewrites routed
             raise ValueError(  # the query somewhere sink-shaped

@@ -2227,6 +2227,9 @@ def stream_minhash_neardup(spark, sf_dir):
 
 
 from flink_spark.queries import annsql as _ANN  # noqa: E402
+from flink_spark.queries.pipeline_suite import (  # noqa: E402
+    _curation_oracle as _CURATION_ORACLE,
+)
 
 
 @query("stream_ivf_ingest", oracle=_ANN.ivf_ingest_oracle())
@@ -2359,9 +2362,7 @@ def stream_semantic_neardup(spark, sf_dir):
 
 @query(
     "stream_curation_e2e",
-    oracle=__import__(
-        "flink_spark.queries.pipeline_suite", fromlist=["_curation_oracle"]
-    )._curation_oracle(
+    oracle=_CURATION_ORACLE(
         final_select="SELECT doc_id, source, "
                      "CAST(length(text) AS BIGINT) AS n_chars_m FROM surv"
     ),

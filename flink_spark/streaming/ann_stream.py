@@ -44,7 +44,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,17 +87,23 @@ class IvfStreamIndex:
         self.centroids = _load_centroids(f"{root}/centroids.json") or []
 
     def assigned(self) -> DataFrame:
-        """The raw index rows (__cell, id, vec). An empty index (nothing
-        ever drained) yields an empty frame WITHOUT writing anything —
-        a flat bootstrap file under the partitioned store root would
-        poison the __bid/__cell directory layout for later resumes."""
+        """The raw index rows (id, vec, __cell) — ``__bid`` dropped so
+        the schema is identical on the empty and non-empty paths. An
+        empty index (nothing ever drained) yields an empty frame WITHOUT
+        writing anything — a flat bootstrap file under the partitioned
+        store root would poison the __bid/__cell directory layout for
+        later resumes. (The empty frame types the id column as long —
+        the test-corpus id type; a non-long id only surfaces here when
+        the index never saw a row.)"""
         if not has_parquet(f"{self.root}/cells"):
             return self.spark.createDataFrame(
                 [],
                 f"{self.id_col} long, {self.vec_col} array<double>, "
                 f"__cell int",
             )
-        return self.spark.read.parquet(f"{self.root}/cells")
+        return self.spark.read.parquet(f"{self.root}/cells").select(
+            self.id_col, self.vec_col, "__cell"
+        )
 
     def topk(self, queries: DataFrame, k: int = 5, n_probe: int = 2,
              query_id: str = "query_id", vec: str = "embedding",
@@ -173,9 +178,12 @@ def ivf_ingest_stream(
 ) -> IvfStreamIndex:
     """Drain ``stream`` through the IVF ingest; return the index handle.
 
-    The first batch trains and freezes the codebook (deterministic, so a
-    crash-replay retrains the identical centroids; a resume with the
-    same ``root`` reloads them — FAISS's train-once contract)."""
+    The first NON-EMPTY batch trains and freezes the codebook
+    (deterministic, so a crash-replay retrains the identical centroids;
+    a resume with the same ``root`` reloads them — FAISS's train-once
+    contract). The exact gate's oracle pins the batch-0 id-slice, which
+    assumes batch 0 is non-empty — guaranteed by the id-ordered chunker
+    over the test tables."""
     spark = stream.sparkSession
     root, persistent = prepare_root(prefix, root)
     cells_store, ckpt = f"{root}/cells", f"{root}/ckpt"
@@ -233,15 +241,19 @@ class PqStreamIndex:
         self.books = _load_centroids(f"{root}/codebooks.json") or []
 
     def encoded(self) -> DataFrame:
-        """The raw index rows (id, vec, code); empty frame when nothing
-        was ever drained (no bootstrap file — see IvfStreamIndex)."""
+        """The raw index rows (id, vec, __code) — ``__bid`` dropped so
+        the schema is identical on the empty and non-empty paths; empty
+        frame when nothing was ever drained (no bootstrap file — see
+        IvfStreamIndex)."""
         if not has_parquet(f"{self.root}/codes"):
             return self.spark.createDataFrame(
                 [],
                 f"{self.id_col} long, {self.vec_col} array<double>, "
                 f"__code array<int>",
             )
-        return self.spark.read.parquet(f"{self.root}/codes")
+        return self.spark.read.parquet(f"{self.root}/codes").select(
+            self.id_col, self.vec_col, "__code"
+        )
 
     def _recon_expr(self) -> str:
         """Codebook reconstruction as one JVM expression over the stored

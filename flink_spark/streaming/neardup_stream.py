@@ -53,10 +53,6 @@ layout of llm/dedup.py::minhash_lsh_pairs.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -484,3 +484,29 @@ def test_overlaps_executes_and_matches_model(dialect_env):
     assert rows.b is True        # reversed endpoints normalized
     assert rows.c is True        # touching bounds are INCLUSIVE
     assert rows.d is False       # disjoint
+
+
+def test_sql_query_rejects_with_prefixed_dml(dialect_env, monkeypatch):
+    """A WITH prologue can legally prefix DML in Spark's grammar — the
+    query gate must reject it at depth 0 without executing (code-review
+    r9 second pass)."""
+    calls = []
+    monkeypatch.setattr(
+        dialect_env, "execute_sql",
+        lambda sql: calls.append(sql),
+    )
+    for stmt in (
+        "WITH c AS (SELECT 1 AS a) INSERT INTO tgt SELECT * FROM c",
+        "WITH c AS (SELECT 1 AS a) DELETE FROM tgt",
+        "WITH c AS (SELECT 1 AS a) MERGE INTO tgt USING c ON true "
+        "WHEN MATCHED THEN DELETE",
+    ):
+        with pytest.raises(ValueError, match="sql_query expects a query"):
+            dialect_env.sql_query(stmt)
+    assert calls == []
+    # DML verbs inside subqueries/identifiers/literals must NOT trip it
+    monkeypatch.undo()
+    assert dialect_env.sql_query(
+        "SELECT 'INSERT INTO x' AS s, 1 AS delete_flag "
+        "FROM VALUES (1) AS updates(x)"
+    ).count() == 1
