@@ -4558,24 +4558,42 @@ class TableEnvironment:
             )
         # a WITH prologue can legally prefix DML (Spark grammar allows
         # ctes before dmlStatementNoWith), so the head check alone would
-        # let sql_query("WITH c AS (...) INSERT INTO t ...") execute —
-        # reject any DML verb at paren depth 0 (DML cannot appear inside
-        # a subquery, so depth-0 is exactly the statement's own verb)
-        depth = 0
-        for m in re.finditer(
-            r"[()]|\b(?:INSERT|DELETE|UPDATE|MERGE)\b", masked,
-            re.IGNORECASE,
-        ):
-            tok = m.group(0)
-            if tok == "(":
-                depth += 1
-            elif tok == ")":
-                depth -= 1
-            elif depth == 0:
-                raise ValueError(
-                    "sql_query expects a query (SELECT/WITH/VALUES/"
-                    "TABLE); use execute_sql for statements"
-                )
+        # let sql_query("WITH c AS (...) INSERT INTO t ...") execute.
+        # For every other accepted head (SELECT/VALUES/TABLE, or a
+        # parenthesized query) no grammar production reaches DML, and a
+        # blanket depth-0 verb scan rejected legal bare identifiers
+        # named insert/update/delete/merge (ADVICE r9: `SELECT 1 AS
+        # merge`) — so parse the CTE prologue and inspect only the verb
+        # that BEGINS the statement body, the one depth-0 position where
+        # the grammar puts DML. An unparseable prologue falls back to
+        # the conservative depth-0 scan rather than letting anything
+        # through.
+        if re.match(r"WITH\b", head, re.IGNORECASE):
+            verb = _with_body_verb(head)
+            if verb is not None:
+                if verb.upper() in ("INSERT", "DELETE", "UPDATE",
+                                    "MERGE"):
+                    raise ValueError(
+                        "sql_query expects a query (SELECT/WITH/VALUES/"
+                        "TABLE); use execute_sql for statements"
+                    )
+            else:
+                depth = 0
+                for m in re.finditer(
+                    r"[()]|\b(?:INSERT|DELETE|UPDATE|MERGE)\b", masked,
+                    re.IGNORECASE,
+                ):
+                    tok = m.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        raise ValueError(
+                            "sql_query expects a query (SELECT/WITH/"
+                            "VALUES/TABLE); use execute_sql for "
+                            "statements"
+                        )
         out = self.execute_sql(sql)
         if not isinstance(out, DataFrame):  # defensive: rewrites routed
             raise ValueError(  # the query somewhere sink-shaped
@@ -4583,6 +4601,49 @@ class TableEnvironment:
                 "use execute_sql for statements"
             )
         return out
+
+
+def _with_body_verb(masked: str) -> str | None:
+    """Given a literal-masked statement starting at its ``WITH`` keyword,
+    skip the CTE prologue (``WITH [RECURSIVE] name [(cols)] AS (body)
+    [, ...]``) and return the first token of the statement body — the
+    only depth-0 position where Spark's grammar accepts a DML verb
+    (SqlBaseParser: ctes precede queryNoWith | dmlStatementNoWith).
+    Returns ``None`` when the prologue doesn't parse; the caller must
+    then fall back to a conservative rejection scan."""
+    m = re.match(r"\s*WITH\b(?:\s+RECURSIVE\b)?", masked, re.IGNORECASE)
+    if not m:
+        return None
+    i = m.end()
+    ws = re.compile(r"\s*")
+    ident = re.compile(r"\s*[A-Za-z_][\w$]*")
+    as_kw = re.compile(r"AS\b", re.IGNORECASE)
+    while True:
+        m = ident.match(masked, i)
+        if not m:
+            return None
+        i = ws.match(masked, m.end()).end()
+        if i < len(masked) and masked[i] == "(":  # column alias list
+            i = _match_paren(masked, i + 1)
+            if i < 0:
+                return None
+            i = ws.match(masked, i).end()
+        m = as_kw.match(masked, i)
+        if not m:
+            return None
+        i = ws.match(masked, m.end()).end()
+        if i >= len(masked) or masked[i] != "(":
+            return None
+        i = _match_paren(masked, i + 1)
+        if i < 0:
+            return None
+        i = ws.match(masked, i).end()
+        if i < len(masked) and masked[i] == ",":
+            i += 1
+            continue
+        break
+    m = re.match(r"[A-Za-z_][\w$]*|\(", masked[i:])
+    return m.group(0) if m else None
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -452,13 +452,16 @@ def pq_topk(
     (asymmetric-distance semantics as one JVM expression — the compressed
     index is all a 100 TB scan would touch), keep a per-query shortlist,
     then rerank only the shortlist with true vectors. The default
-    shortlist is max(30·k, 8% of the corpus): a fixed FRACTION, because
-    PQ's quantization error is corpus-size-independent, so a constant
-    shortlist dilutes recall as n grows while a fraction holds it —
-    that is what lets the companion gate promise a ≥0.8 floor."""
+    shortlist is 30·k — rows-independent, so the default plan needs no
+    corpus count action (r10; the r9 default's 8%-of-corpus term forced
+    a full count per call and is not a shortlist at 100 TB). Because
+    PQ's quantization error is corpus-size-independent, a constant
+    shortlist DOES dilute recall as n grows — callers who need the
+    recall gate's ≥0.8 floor to hold as the corpus scales should pass
+    ``shortlist`` as an explicit fraction of their corpus size (the
+    companion recall gates pin their own widths)."""
     if shortlist is None:
-        n_cand = candidates.count()
-        shortlist = max(30 * k, -(-n_cand * 8 // 100))
+        shortlist = 30 * k
     enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed, books=books,
                        train_limit=train_limit)
     q = queries.select(query_id, F.col(vec).alias("__qv"))

@@ -467,8 +467,6 @@ VERIFICATION_ROTATION_R9 = [
     "tpcds_q56_item_channel_union",
 ]
 
-promote_first(VERIFICATION_ROTATION_R9)
-
 __all__ = ["QUERIES", "query", "get_queries", "get_oracles", "promote_first"]
 
 #: Staged r10 head tail (NOT promoted — promote at the start of round
@@ -564,3 +562,18 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
     "sql_match_all_rows_pairs",
     "explain_plan_advice_gate",
 ]
+
+#: Round-10 head (promoted below): entry + the 27 never-externally-
+#: sampled gates (VERIFICATION_ROTATION_R10_TAIL — the r9 streaming-LLM
+#: family, group-agg-retract ±TTL, DataStream V2, curation e2e ×2, the
+#: multimodal trio, 15 TPC-DS shapes) + 22 freshness re-samples of
+#: r4-r7-verified operators, including the two conversion slots
+#: (llm_vector_search_sql_ann: r8 no_oracle → green; stream_dedup_first:
+#: re-verify the r9 JVM rework externally). Promoting this head retires
+#: the external-verification debt to zero: every one of the gated
+#: queries has at least one external CORRECTNESS row after round 10.
+#: All 50 re-verified locally vs DuckDB at sf0.01 under the
+#: dtype-strict + non-scalar-rejecting gate before promotion.
+VERIFICATION_ROTATION_R10 = VERIFICATION_ROTATION_R10_CANDIDATES
+
+promote_first(VERIFICATION_ROTATION_R10)

@@ -158,13 +158,19 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}"""
 
 def pq_topk_oracle(k: int = 5, m: int = 16, ks: int = 16, n_iter: int = 3,
                    train_limit: int = 50_000, dim: int = DIM,
-                   train_where: str = "") -> str:
+                   train_where: str = "",
+                   shortlist: int | None = None) -> str:
     """Oracle for similarity.pq_topk: per-subspace codebooks from the
     joint Lloyd's over the md5(cand_id)-ordered training sample
     (pq_train: id-ordered init, first-occurrence argmin ties, round-9
     means, empty codes keep their centroid), map-only encoding of every
     candidate, asymmetric cosine against the codebook reconstruction,
-    shortlist of max(30k, ceil(8% of corpus)) per query, exact rerank."""
+    shortlist of 30·k per query (pq_topk's rows-independent default —
+    r10: the former 8%-of-corpus term required a corpus count; pass
+    ``shortlist`` to pin a different width on both sides), exact
+    rerank."""
+    if shortlist is None:
+        shortlist = 30 * k
     sub = dim // m
     sd = _dist("s.sv", "p.cent", sub)
     parts = [f"""
@@ -214,13 +220,12 @@ enc AS (SELECT cand_id, j, code FROM (
 recon AS (SELECT e.cand_id, flatten(list(f.cent ORDER BY e.j)) AS rv
           FROM enc e JOIN {fin} f ON f.j = e.j AND f.code = e.code
           GROUP BY e.cand_id),
-sl AS (SELECT GREATEST({30 * k}, (COUNT(*) * 8 + 99) // 100) AS n FROM kb),
 short AS (SELECT query_id, cand_id FROM (
     SELECT q.query_id, r.cand_id,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                               ORDER BY {_cos('q.qv', 'r.rv', dim)} DESC,
                                        r.cand_id) AS sr
-    FROM qy q, recon r) WHERE sr <= (SELECT n FROM sl)),
+    FROM qy q, recon r) WHERE sr <= {shortlist}),
 rer AS (SELECT s.query_id, s.cand_id,
                {_cos('q.qv', 'c.v', dim)} AS cos_sim
         FROM short s JOIN qy q USING (query_id)

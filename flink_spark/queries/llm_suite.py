@@ -775,7 +775,7 @@ def llm_pq_topk(spark, sf_dir):
     the VECTOR_SEARCH surface): 16 subspaces × 16 codes (32× compression
     of the 64-dim doubles), asymmetric scoring against the codebook
     reconstruction as one JVM expression, then exact rerank of a
-    corpus-fraction shortlist. EXACT oracle (r9): pq_train's joint
+    30·k shortlist. EXACT oracle (r9): pq_train's joint
     Lloyd's is deterministic (md5-ordered sample, id-ordered init,
     first-occurrence argmin ties, round-9 means) and fixed at 3
     iterations, so queries/annsql.py unrolls training + encoding +
@@ -800,9 +800,10 @@ def llm_pq_recall_gate(spark, sf_dir):
     deterministic joint Lloyd's (all subspaces trained in one plan per
     iteration, 9-digit-rounded updates — reproducible across runs where
     Spark ML's reduce-order would not be), two-stage retrieve+rerank
-    with a max(30·k, 8% of corpus) shortlist. ≥80% recall floor against
-    the exact top-5 pairs (measured 1.00 at sf0.01, 0.96 at sf0.1,
-    stable across repeated runs)."""
+    with the rows-independent 30·k shortlist. ≥80% recall floor against
+    the exact top-5 pairs (measured 1.00 at sf0.01, stable across
+    repeated runs; at larger corpora pass an explicit corpus-fraction
+    shortlist to hold the floor — see similarity.pq_topk)."""
     return _ann_recall_gate(spark, sf_dir, "pq")
 
 

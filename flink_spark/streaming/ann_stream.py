@@ -288,9 +288,11 @@ class PqStreamIndex:
             F.col(self.vec_col).alias("__cv"),
             "__code",
         )
+        # rows-independent default (r10): no count action over the
+        # accumulated index per search call; see similarity.pq_topk's
+        # docstring for when to pass an explicit corpus-fraction width
         if shortlist is None:
-            n_cand = enc.count()
-            shortlist = max(30 * k, -(-n_cand * 8 // 100))
+            shortlist = 30 * k
         q = queries.select(query_id, F.col(vec).alias("__qv"))
         approx = (
             F.broadcast(q)

@@ -30,7 +30,8 @@ observe its own earlier partial write.
 
 Scale shape (100 TB): per batch = one window over the delta (small) +
 one anti-join delta-vs-key-set. The store carries a ``__bucket`` =
-pmod(hash(keys)) column in the join condition and the partition layout,
+storeutil.portable_bucket(keys) (md5-derived — engine-version-stable,
+because it is persisted) column in the join condition and the layout,
 so the anti-join shuffles on co-located buckets and a table-format
 store would prune untouched buckets; the key set is orders of magnitude
 smaller than the stream. No collect anywhere; nothing crosses to
@@ -39,10 +40,6 @@ Python.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +47,7 @@ from flink_spark.streaming.storeutil import (
     collect_out,
     fold_bid_partitions,
     has_parquet as _has_parquet,
+    portable_bucket,
     prepare_root,
     read_earlier,
     recover_swap,
@@ -75,11 +73,7 @@ def batch_keep_first_plan(
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .withColumn(
-            _BUCKET,
-            F.pmod(F.hash(*[F.col(k) for k in key_cols]),
-                   F.lit(num_buckets)),
-        )
+        .withColumn(_BUCKET, portable_bucket(num_buckets, *key_cols))
     )
     if seen is not None:
         firsts = firsts.join(seen, [_BUCKET, *key_cols], "left_anti")

@@ -71,9 +71,12 @@ def _has_parquet(d: str) -> bool:
 
 
 def _bucketed(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
-    return df.withColumn(
-        _BUCKET, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
-    )
+    # md5-derived (engine-version-stable) because the bucket is persisted
+    # in the store's partition layout and join keys — see
+    # storeutil.portable_bucket (ADVICE r9)
+    from flink_spark.streaming.storeutil import portable_bucket
+
+    return df.withColumn(_BUCKET, portable_bucket(num_buckets, *keys))
 
 
 def delta_join(

@@ -65,6 +65,7 @@ from flink_spark.streaming.storeutil import (
     collect_out,
     fold_bid_partitions,
     has_parquet,
+    portable_bucket,
     prepare_root,
     read_earlier,
     recover_swap,
@@ -93,7 +94,7 @@ def batch_neardup_plan(
     """
     wide = minhash_signatures_wide(batch, text_col, id_col)
     new_bands = band_rows(wide, id_col).withColumn(
-        _BUCKET, F.pmod(F.hash(F.col("sig")), F.lit(num_buckets))
+        _BUCKET, portable_bucket(num_buckets, "sig")
     )
 
     mine = new_bands.select(

@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 BID = "__bid"
 
 
+def portable_bucket(num_buckets: int, *cols):
+    """Bucket id from a format-specified digest (md5, RFC 1321) instead
+    of Spark's internal ``hash()``: buckets are PERSISTED in store
+    partition layouts and join keys, so they must reproduce bit-for-bit
+    across Spark versions/engines over a durable resume root — if the
+    engine's hash seed or algorithm ever changed, stored buckets would
+    silently stop matching recomputed ones and cross-run matches would
+    be missed (ADVICE r9). The top 15 hex digits (60 bits) keep the
+    conv() result positive in a signed long. Nulls hash as empty via
+    concat_ws — a deterministic (if shared) bucket, and every caller
+    also joins on the raw key columns, so bucket collisions only affect
+    co-location, never results."""
+    payload = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in cols]
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+
+
 def prepare_root(prefix: str, root: str | None) -> tuple[str, bool]:
     """Resolve the operator's state root: a caller-provided durable root
     (resume contract) or a fresh tmpdir. Returns (root, persistent)."""
@@ -80,37 +101,91 @@ def collect_out(
     return result
 
 
+class LocalFsStoreBackend:
+    """Every filesystem assumption behind the store discipline, in one
+    place — callers (``has_parquet`` / ``recover_swap`` /
+    ``fold_bid_partitions``) go through ``BACKEND`` so the semantics
+    (idempotent ``__bid`` overwrites, strictly-earlier reads, crash-safe
+    compaction folds) stay portable while the primitives swap out.
+
+    This implementation relies on POSIX directory rename being atomic,
+    which is true on a local filesystem and HDFS but NOT on object
+    stores (S3/GCS rename = copy+delete). A real 100-TB deployment rides
+    the same discipline on a table format instead; the mapping is
+    one-to-one:
+
+    - ``write_bid_partition`` (dynamic partition overwrite of this
+      batch's ``__bid``) → Iceberg/Delta ``INSERT OVERWRITE`` of the
+      ``__bid=N`` partition (Delta ``replaceWhere``): the snapshot
+      commit is atomic, so replay idempotence needs no rename at all.
+    - ``fold_bid_partitions``'s read→rewrite→swap → a single-snapshot
+      compaction commit (Iceberg ``rewrite_data_files`` /
+      REPLACE-partition; Delta OPTIMIZE or an overwrite transaction
+      folding ``__bid < batch_id`` into ``__bid=-1``).
+    - ``replace_store``/``recover`` → unnecessary there: a crashed
+      compaction leaves orphan files for vacuum, never a half-swapped
+      store, because readers only see committed snapshots.
+    - ``has_committed_data`` → "table exists and current snapshot is
+      non-empty".
+    """
+
+    def has_committed_data(self, d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        for _cur, dirs, fs in os.walk(d):
+            # partition dirs (name=value — e.g. __bid=3) stay visible
+            # even underscore-prefixed, exactly as Spark's file index
+            # treats them
+            dirs[:] = [
+                x for x in dirs if "=" in x or not x.startswith(("_", "."))
+            ]
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in fs
+            ):
+                return True
+        return False
+
+    def partition_dir_count(self, store: str, prefix: str) -> int:
+        return sum(1 for d in os.listdir(store) if d.startswith(prefix))
+
+    def replace_store(self, store: str, tmp: str) -> None:
+        """Atomically-enough replace ``store`` with ``tmp``: the only
+        non-crash-safe instant is between the two renames, and
+        ``recover`` repairs exactly that window."""
+        old = store + ".old"
+        os.rename(store, old)
+        os.rename(tmp, store)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def recover(self, store: str) -> None:
+        """Crash recovery for a ``replace_store`` that died between
+        renames: restore from ``.old`` if the swap-out happened but the
+        swap-in didn't; clear leftovers otherwise."""
+        old_d, tmp_d = store + ".old", store + ".compacting"
+        if not os.path.isdir(store) and os.path.isdir(old_d):
+            os.rename(old_d, store)  # crashed after store→.old swap-out
+        elif os.path.isdir(store) and os.path.isdir(old_d):
+            shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+        shutil.rmtree(tmp_d, ignore_errors=True)
+
+
+BACKEND = LocalFsStoreBackend()
+
+
 def has_parquet(d: str) -> bool:
     """True if any COMMITTED part file exists under ``d``: hidden dirs
     (``_temporary`` staging from a write that crashed mid-commit, Spark
     metadata dirs) must not count — read.parquet ignores them, so
     counting them would wedge a resume on 'unable to infer schema'."""
-    if not os.path.isdir(d):
-        return False
-    for _cur, dirs, fs in os.walk(d):
-        # partition dirs (name=value — e.g. __bid=3) stay visible even
-        # underscore-prefixed, exactly as Spark's file index treats them
-        dirs[:] = [
-            x for x in dirs if "=" in x or not x.startswith(("_", "."))
-        ]
-        if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in fs
-        ):
-            return True
-    return False
+    return BACKEND.has_committed_data(d)
 
 
 def recover_swap(store: str) -> None:
-    """Crash recovery for a compaction swap that died between renames:
-    restore from ``.old`` if the swap-out happened but the swap-in
-    didn't; clear leftovers otherwise."""
-    old_d, tmp_d = store + ".old", store + ".compacting"
-    if not os.path.isdir(store) and os.path.isdir(old_d):
-        os.rename(old_d, store)  # crashed after store→.old swap-out
-    elif os.path.isdir(store) and os.path.isdir(old_d):
-        shutil.rmtree(old_d, ignore_errors=True)  # swap completed
-    shutil.rmtree(tmp_d, ignore_errors=True)
+    """Crash recovery for a compaction swap that died between renames —
+    delegates to the store backend (a table-format backend makes this a
+    no-op; see :class:`LocalFsStoreBackend`)."""
+    BACKEND.recover(store)
 
 
 def read_earlier(
@@ -148,8 +223,10 @@ def fold_bid_partitions(
     real batch id, so both future batches and a replay of THIS batch keep
     reading them); this batch's partition carries over under its own bid.
     ``part_cols`` are the sub-partition columns below ``__bid`` (same as
-    :func:`write_bid_partition`). Crash-safe ``.old`` swap."""
-    if sum(1 for d in os.listdir(store) if d.startswith(f"{BID}=")) <= 2:
+    :func:`write_bid_partition`). Crash-safe ``.old`` swap via the store
+    backend (a table format commits the fold as one snapshot instead —
+    see :class:`LocalFsStoreBackend`)."""
+    if BACKEND.partition_dir_count(store, f"{BID}=") <= 2:
         return
     tmp = store + ".compacting"
     (
@@ -163,7 +240,4 @@ def fold_bid_partitions(
         .partitionBy(BID, *part_cols)
         .parquet(tmp)
     )
-    old = store + ".old"
-    os.rename(store, old)
-    os.rename(tmp, store)
-    shutil.rmtree(old, ignore_errors=True)
+    BACKEND.replace_store(store, tmp)

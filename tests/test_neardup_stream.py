@@ -398,3 +398,29 @@ def test_neardup_stream_crash_mid_batch(spark, sf_dir, tmp_path,
         )
     )
     assert got == expected
+
+
+def test_portable_bucket_is_engine_version_stable(spark):
+    """ADVICE r9: persisted ``__bucket`` values must reproduce across
+    Spark versions over a durable resume root, so they derive from the
+    format-specified md5 digest, not Spark's internal hash(). Pin the
+    exact values a store written today would contain — this test is the
+    cross-version contract."""
+    from flink_spark.streaming.storeutil import portable_bucket
+
+    df = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), (None, 3)], "k string, n int"
+    ).withColumn("b", portable_bucket(16, "k", "n"))
+    got = {r.n: r.b for r in df.collect()}
+    # hand-computed: pmod(int(md5(k + '\x1f' + n)[:15], 16), 16)
+    import hashlib
+
+    def model(*vals):
+        payload = "\x1f".join(v for v in vals if v is not None)
+        return int(hashlib.md5(payload.encode()).hexdigest()[:15], 16) % 16
+
+    assert got == {
+        1: model("alpha", "1"), 2: model("beta", "2"), 3: model("3")
+    }
+    # and every value is a valid bucket
+    assert all(0 <= v < 16 for v in got.values())

@@ -20,6 +20,7 @@ import glob
 import json
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_spark.operators.joins import lookup_join
@@ -286,3 +287,143 @@ def test_restore_lookup_join_cache(spark, sf_dir, tmp_path):
     # join re-probed instead of emitting stale/missing rows)
     assert late_keys <= run2_keys
     assert run1_keys & run2_keys, "no key straddled the restart"
+
+
+# --- crash BETWEEN store writes inside foreachBatch (r10: the r9
+# neardup fail-between-writes test extended to the remaining multi-store
+# drains, per VERDICT r9 #5) -------------------------------------------
+
+
+@pytest.mark.parametrize("crash_after", [1, 2, 3])
+def test_crash_exactness_curation_stream(spark, sf_dir, tmp_path,
+                                         monkeypatch, crash_after):
+    """curation_stream commits FOUR stores per batch (out, fps, bands,
+    sigs) — the most write points of any drain. Inject a crash after
+    each committed prefix of a RESUMED batch (so the replay also has to
+    dedup against run-1 history), then rerun: the replayed batch
+    overwrites its own __bid partitions with identical content and the
+    final survivors equal the uninterrupted oracle."""
+    import flink_spark.streaming.curation_stream as CS
+    from tests.test_neardup_stream import _expected_curation_survivors
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "cur_root")
+    docs = load_table(spark, sf_dir, "documents")
+    early = docs.filter(F.col("doc_id") < 200)
+    late = docs.filter(F.col("doc_id") >= 200)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        return CS.curation_stream(stream, root=root)
+
+    _land(early, tmp_path, src, "b1")
+    run_once()  # batch 0 commits cleanly; stores hold run-1 history
+
+    real = CS.write_bid_partition
+    state = {"writes": 0}
+
+    def crashing(df, store, batch_id, part_cols=()):
+        state["writes"] += 1
+        if state["writes"] == crash_after + 1:
+            raise RuntimeError("injected crash between store writes")
+        return real(df, store, batch_id, part_cols)
+
+    monkeypatch.setattr(CS, "write_bid_partition", crashing)
+    _land(late, tmp_path, src, "b2")
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+
+    monkeypatch.setattr(CS, "write_bid_partition", real)
+    got = sorted(
+        map(tuple, run_once().select("doc_id", "source").collect())
+    )
+    exp = sorted(
+        map(tuple, _expected_curation_survivors(spark, sf_dir).collect())
+    )
+    assert got == exp
+
+
+def test_crash_exactness_ivf_ingest(spark, sf_dir, tmp_path, monkeypatch):
+    """IVF ingest's hardest crash point: the codebook json is frozen but
+    the batch-0 cells write never committed. The rerun must RELOAD the
+    frozen centroids (train-once contract — not retrain on replay) and
+    land the cells; search equals the uninterrupted run."""
+    import flink_spark.streaming.ann_stream as ANN
+    from tests.test_ann_stream import _cands, _expected_topk, _queries
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+    _land(cands, tmp_path, src, "b0")
+
+    real = ANN.write_bid_partition
+
+    def crashing(df, store, batch_id, part_cols=()):
+        raise RuntimeError("injected crash between store writes")
+
+    monkeypatch.setattr(ANN, "write_bid_partition", crashing)
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ANN.ivf_ingest_stream(stream, root=root)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+    books = open(f"{root}/centroids.json").read()
+
+    monkeypatch.setattr(ANN, "write_bid_partition", real)
+    idx = run_once()
+    # frozen-codebook contract survived the crash window
+    assert open(f"{root}/centroids.json").read() == books
+    assert idx.assigned().count() == cands.count()
+    cut = cands.agg(F.max("vec_id") + 1).collect()[0][0]
+    got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
+    exp = sorted(
+        map(tuple, _expected_topk(spark, sf_dir, train_cut=cut).collect())
+    )
+    assert got == exp
+
+
+def test_crash_exactness_pq_ingest(spark, sf_dir, tmp_path, monkeypatch):
+    """PQ twin: codebooks frozen, batch-0 codes write crashed. The rerun
+    reuses the frozen books byte-for-byte and the search equals the
+    batch pq_topk under those books."""
+    import flink_spark.streaming.ann_stream as ANN
+    from flink_spark.llm.similarity import pq_topk, pq_train
+    from tests.test_ann_stream import _cands, _queries
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "pq_root")
+    cands = _cands(spark, sf_dir)
+    _land(cands, tmp_path, src, "b0")
+
+    real = ANN.write_bid_partition
+    monkeypatch.setattr(
+        ANN, "write_bid_partition",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash between store writes")),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ANN.pq_ingest_stream(stream, root=root)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+    books_json = open(f"{root}/codebooks.json").read()
+
+    monkeypatch.setattr(ANN, "write_bid_partition", real)
+    idx = run_once()
+    assert open(f"{root}/codebooks.json").read() == books_json
+    assert idx.encoded().count() == cands.count()
+    books = pq_train(cands, cand_id="vec_id", vec="embedding", m=16, ks=16)
+    exp = pq_topk(
+        _queries(spark, sf_dir),
+        cands.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        k=5, m=16, ks=16, books=books,
+    )
+    got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
+    assert got == sorted(map(tuple, exp.collect()))

@@ -510,3 +510,50 @@ def test_sql_query_rejects_with_prefixed_dml(dialect_env, monkeypatch):
         "SELECT 'INSERT INTO x' AS s, 1 AS delete_flag "
         "FROM VALUES (1) AS updates(x)"
     ).count() == 1
+
+
+def test_sql_query_accepts_bare_dml_named_identifiers(dialect_env):
+    """ADVICE r9: insert/update/delete/merge are NOT reserved in Spark's
+    grammar, so a depth-0 identifier spelled like a DML verb is a legal
+    query token — the gate must only inspect the statement-body verb
+    position (after a WITH prologue), never arbitrary depth-0 tokens."""
+    assert dialect_env.sql_query("SELECT 1 AS merge").collect()[0].merge == 1
+    assert dialect_env.sql_query(
+        "SELECT x AS insert, x + 1 AS update FROM VALUES (1) AS t(x) "
+        "ORDER BY insert"
+    ).count() == 1
+    # the same bare identifiers after a WITH prologue (depth 0, but in
+    # expression position — the body verb is SELECT)
+    assert dialect_env.sql_query(
+        "WITH c (delete) AS (SELECT 2) SELECT delete AS merge, 1 AS "
+        "insert FROM c"
+    ).collect()[0].merge == 2
+    # multi-CTE prologue with a column-alias list still finds the body
+    assert dialect_env.sql_query(
+        "WITH a AS (SELECT 1 AS x), b (update) AS (SELECT 2) "
+        "SELECT a.x, b.update FROM a, b"
+    ).count() == 1
+
+
+def test_sql_query_with_gate_hostile_prologues(dialect_env, monkeypatch):
+    """The narrowed WITH gate must not be bypassable: DML bodies behind
+    RECURSIVE keywords, column-alias lists, multi-CTE chains, and
+    comment/literal camouflage are all still rejected before execution;
+    an unparseable prologue falls back to the conservative scan."""
+    calls = []
+    monkeypatch.setattr(
+        dialect_env, "execute_sql", lambda sql: calls.append(sql),
+    )
+    for stmt in (
+        "WITH c (a) AS (SELECT 1) INSERT INTO tgt SELECT * FROM c",
+        "WITH a AS (SELECT 1), b AS (SELECT 2) UPDATE tgt SET x = 1",
+        "WITH /* body: */ c AS (SELECT 1 AS a) DELETE FROM tgt",
+        "WITH c AS (SELECT ') INSERT' AS s) MERGE INTO tgt USING c "
+        "ON true WHEN MATCHED THEN DELETE",
+        # unparseable prologue (missing AS) + depth-0 DML: the
+        # conservative fallback must still reject
+        "WITH c (SELECT 1) INSERT INTO tgt VALUES (1)",
+    ):
+        with pytest.raises(ValueError, match="sql_query expects a query"):
+            dialect_env.sql_query(stmt)
+    assert calls == []
