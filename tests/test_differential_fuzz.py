@@ -288,3 +288,143 @@ def test_grouped_aggregates_agree(spark, duck, spark_rel, key, aggs):
         f"GROUP BY {key} ORDER BY k NULLS FIRST"
     ).fetchall()
     assert got == exp, (key, aggs, got, exp)
+
+
+# --- over-window / rank fragment (r10) ---------------------------------------
+#
+# Routed through TableEnvironment.sql_query so the dialect REWRITE layer
+# (the layer every oracle's SQL passes through) is part of the system
+# under test — VERDICT r9 #7 named the over-frame rewrites the biggest
+# untouched fuzz surface (reference coverage analog:
+# OverAggregateITCase). Cross-engine-total subset, probed empirically:
+#   - ORDER BY inside OVER always pins NULLS FIRST/LAST explicitly
+#     (Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST);
+#   - ROW_NUMBER/NTILE/LEAD/LAG and ROWS frames order by a UNIQUE key
+#     (id tie-break) so peer rows never make the result order-dependent;
+#     RANK/DENSE_RANK may use tied keys (tie semantics are standard);
+#   - offset RANGE frames sort by the non-NULL numeric id only (NULL
+#     peer semantics in offset RANGE frames are not worth pinning);
+#   - AVG/PERCENT_RANK/CUME_DIST excluded (double formatting of
+#     non-terminating quotients differs).
+
+ROWS_W = [
+    (1, "a", 10), (2, "a", 10), (3, "a", None), (4, "b", 7),
+    (5, "b", 42), (6, None, 7), (7, None, None), (8, "b", 10),
+    (9, "a", -3), (10, "b", 7),
+]
+
+_W_PARTS = ["", "PARTITION BY g", "PARTITION BY COALESCE(g, 'zz')"]
+_W_ORD_UNIQ = [
+    "ORDER BY id",
+    "ORDER BY id DESC",
+    "ORDER BY v DESC NULLS LAST, id",
+    "ORDER BY v NULLS FIRST, id DESC",
+]
+_W_ORD_TIED = [
+    "ORDER BY v NULLS FIRST",
+    "ORDER BY v DESC NULLS LAST",
+    "ORDER BY g NULLS LAST, v NULLS FIRST",
+]
+_W_ROWS_FRAMES = [
+    "",
+    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING",  # can be empty -> NULL/0
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+_W_RANGE_FRAMES = [
+    "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "RANGE BETWEEN 3 FOLLOWING AND 5 FOLLOWING",
+]
+_W_AGGS = [
+    "SUM(v)", "COUNT(v)", "COUNT(*)", "MIN(v)", "MAX(v)",
+    "FIRST_VALUE(v)", "LAST_VALUE(v)", "SUM(ABS(v) + id)",
+]
+
+_win_expr = st.one_of(
+    st.tuples(
+        st.sampled_from(["RANK()", "DENSE_RANK()"]),
+        st.sampled_from(_W_PARTS),
+        st.sampled_from(_W_ORD_TIED),
+    ).map(lambda a: f"{a[0]} OVER ({a[1]} {a[2]})"),
+    st.tuples(
+        st.sampled_from(
+            ["ROW_NUMBER()", "NTILE(3)", "LEAD(v, 1)", "LAG(v, 2, -1)"]
+        ),
+        st.sampled_from(_W_PARTS),
+        st.sampled_from(_W_ORD_UNIQ),
+    ).map(lambda a: f"{a[0]} OVER ({a[1]} {a[2]})"),
+    st.tuples(
+        st.sampled_from(_W_AGGS),
+        st.sampled_from(_W_PARTS),
+        st.sampled_from(_W_ORD_UNIQ),
+        st.sampled_from(_W_ROWS_FRAMES),
+    ).map(lambda a: f"{a[0]} OVER ({a[1]} {a[2]} {a[3]})"),
+    st.tuples(  # whole-partition aggregate: no ORDER BY, so only
+        # order-insensitive aggs (FIRST/LAST_VALUE would be picking
+        # from an undefined physical order in BOTH engines)
+        st.sampled_from(
+            [a for a in _W_AGGS if "VALUE" not in a]
+        ),
+        st.sampled_from(_W_PARTS),
+    ).map(lambda a: f"{a[0]} OVER ({a[1]})"),
+    st.tuples(
+        st.sampled_from(_W_AGGS),
+        st.sampled_from(_W_PARTS),
+        st.sampled_from(_W_RANGE_FRAMES),
+    ).map(lambda a: f"{a[0]} OVER ({a[1]} ORDER BY id {a[2]})"),
+)
+
+
+@pytest.fixture(scope="module")
+def win_rel(spark, duck):
+    spark.createDataFrame(
+        ROWS_W, "id long, g string, v long"
+    ).createOrReplaceTempView("diff_w")
+    vals = ", ".join(
+        "({}, {}, {})".format(
+            i, "NULL" if g is None else f"'{g}'",
+            "NULL" if v is None else v,
+        )
+        for i, g, v in ROWS_W
+    )
+    duck.execute(
+        f"CREATE TABLE w AS SELECT * FROM (VALUES {vals}) t(id, g, v)"
+    )
+    return True
+
+
+@pytest.fixture(scope="module")
+def win_env(spark):
+    from flink_spark.catalog import TableEnvironment
+
+    return TableEnvironment(spark)
+
+
+@given(st.lists(_win_expr, min_size=6, max_size=12))
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_over_window_compositions_agree(spark, duck, win_rel, win_env, exprs):
+    sel_s = ", ".join(
+        f"CAST({e} AS STRING) AS c{i}" for i, e in enumerate(exprs)
+    )
+    sel_d = ", ".join(
+        f"CAST({e} AS VARCHAR) AS c{i}" for i, e in enumerate(exprs)
+    )
+    got = [
+        tuple(r)
+        for r in win_env.sql_query(
+            f"SELECT id, {sel_s} FROM diff_w ORDER BY id"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT id, {sel_d} FROM w ORDER BY id"
+    ).fetchall()
+    assert got == exp, "\n".join(
+        f"id={row_g[0]} {e}: spark={g!r} duck={x!r}"
+        for row_g, row_x in zip(got, exp)
+        for e, g, x in zip(exprs, row_g[1:], row_x[1:])
+        if g != x
+    )
