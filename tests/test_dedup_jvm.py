@@ -286,3 +286,57 @@ def test_dedup_jvm_persistent_out_fold(spark, sf_dir, tmp_path):
     ]
     assert len(out_parts) <= 3, out_parts
     assert "__bid=-1" in out_parts
+
+
+def test_dedup_jvm_crash_between_store_writes(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """r10: the fail-between-writes crash-exactness pattern (r9 neardup,
+    28861a6) applied to dedup_jvm's two stores — the crash lands after
+    the OUT write of a RESUMED batch but before the seen-keys write, so
+    the rerun replays a batch whose emissions are already committed. It
+    must overwrite its own __bid partition with identical content
+    (anti-join against the same strictly-earlier seen slice) and the
+    final result must equal the uninterrupted keep-first oracle."""
+    import pytest
+
+    import flink_spark.streaming.dedup_jvm as DJ
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "dedup_root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    cut = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS LONG), 0.5) AS c"
+    ).collect()[0]["c"]
+    early = ev.filter(F.col("ts").cast("timestamp").cast("long") <= cut)
+    late = ev.filter(F.col("ts").cast("timestamp").cast("long") > cut)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        return dedup_keep_first_jvm(
+            stream, ["user_id"], ["ts", "event_id"], root=root
+        )
+
+    _land(early, tmp_path, src, "b1")
+    run_once()  # batch 0 commits cleanly
+
+    real = DJ.write_bid_partition
+    state = {"writes": 0}
+
+    def crashing(df, store, batch_id, part_cols=()):
+        state["writes"] += 1
+        if state["writes"] == 2:  # out committed, seen-keys not
+            raise RuntimeError("injected crash between store writes")
+        return real(df, store, batch_id, part_cols)
+
+    monkeypatch.setattr(DJ, "write_bid_partition", crashing)
+    _land(late, tmp_path, src, "b2")
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+
+    monkeypatch.setattr(DJ, "write_bid_partition", real)
+    got = sorted(map(tuple, run_once().collect()))
+    expected = sorted(
+        map(tuple, _expected_keep_first(spark, sf_dir).collect())
+    )
+    assert got == expected

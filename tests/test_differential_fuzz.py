@@ -428,3 +428,58 @@ def test_over_window_compositions_agree(spark, duck, win_rel, win_env, exprs):
         for e, g, x in zip(exprs, row_g[1:], row_x[1:])
         if g != x
     )
+
+
+# --- grouping-sets / rollup / cube fragment (r10) -----------------------------
+#
+# Executed (not just structural) differential check of the multi-set
+# grouping surface, routed through TableEnvironment.sql_query so the
+# dialect layer's GROUPING decompositions stay under test. GROUPING(col)
+# is cross-engine-total; GROUPING_ID()/GROUP_ID() are not in DuckDB and
+# keep their own exact gates (agg_group_id, agg_grouping_sets). NULL
+# grouping keys and the NULLs grouping-sets *introduce* are
+# disambiguated by selecting GROUPING(k) for every key, and the result
+# order is pinned NULLS FIRST on every output column.
+
+_GS_SPECS = [
+    "GROUPING SETS ((g), (v), ())",
+    "GROUPING SETS ((g, v), (g), ())",
+    "GROUPING SETS ((g, v), (g, v))",  # duplicate set: must emit twice
+    "ROLLUP (g, v)",
+    "CUBE (g, v)",
+    "ROLLUP (v, g)",
+]
+_GS_AGGS = [
+    "SUM(v)", "COUNT(*)", "COUNT(v)", "MIN(id)", "MAX(v)",
+    "COUNT(DISTINCT v)", "SUM(CASE WHEN v > 5 THEN 1 ELSE 0 END)",
+]
+
+
+@given(
+    st.sampled_from(_GS_SPECS),
+    st.lists(st.sampled_from(_GS_AGGS), min_size=2, max_size=5,
+             unique=True),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_grouping_sets_agree(spark, duck, win_rel, win_env, spec, aggs):
+    sel_s = ", ".join(
+        f"CAST({a} AS STRING) AS c{i}" for i, a in enumerate(aggs)
+    )
+    sel_d = ", ".join(
+        f"CAST({a} AS VARCHAR) AS c{i}" for i, a in enumerate(aggs)
+    )
+    head = ("g, v, CAST(GROUPING(g) AS INT) AS gg, "
+            "CAST(GROUPING(v) AS INT) AS gv")
+    order = "ORDER BY gg, gv, g NULLS FIRST, v NULLS FIRST"
+    for i in range(len(aggs)):
+        order += f", c{i} NULLS FIRST"
+    got = [
+        tuple(r)
+        for r in win_env.sql_query(
+            f"SELECT {head}, {sel_s} FROM diff_w GROUP BY {spec} {order}"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT {head}, {sel_d} FROM w GROUP BY {spec} {order}"
+    ).fetchall()
+    assert got == exp, (spec, aggs, got[:4], exp[:4])
