@@ -4616,7 +4616,9 @@ def _with_body_verb(masked: str) -> str | None:
         return None
     i = m.end()
     ws = re.compile(r"\s*")
-    ident = re.compile(r"\s*[A-Za-z_][\w$]*")
+    # plain or backtick-quoted CTE name (mask_literals blanks the quoted
+    # interior but keeps the backticks, so `...` matches as a unit)
+    ident = re.compile(r"\s*(?:[A-Za-z_][\w$]*|`[^`]*`)")
     as_kw = re.compile(r"AS\b", re.IGNORECASE)
     while True:
         m = ident.match(masked, i)

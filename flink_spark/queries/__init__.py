@@ -577,3 +577,65 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
 VERIFICATION_ROTATION_R10 = VERIFICATION_ROTATION_R10_CANDIDATES
 
 promote_first(VERIFICATION_ROTATION_R10)
+
+
+#: Staged r11 head (NOT promoted — promote at the start of round 11):
+#: the FIRST mechanically-assembled head, emitted by tools/next_head.py
+#: from the CORRECTNESS archive plus this round's samples (entry first,
+#: never-sampled none — debt is zero after r10 — then stalest-first:
+#: these 49 are the queries externally verified longest ago, r4-r6).
+#: test_registry.py pins this constant against the policy function, so
+#: a drifted registry or archive fails CI instead of silently staging
+#: the wrong head.
+VERIFICATION_ROTATION_R11_CANDIDATES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales_opportunity",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_null_aware_anti",
+    "join_theta_band",
+    "join_cross",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except_all",
+    "set_intersect_all",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_rollup",
+    "agg_distinct_mix",
+    "agg_min_max_by",
+    "agg_listagg",
+    "agg_stddev_var_exact",
+    "agg_approx_count_distinct",
+    "scalar_subquery",
+    "correlated_exists_having",
+    "values_inline",
+    "unnest_words",
+    "unnest_with_ordinality",
+    "pivot_status",
+    "join_salted_skew",
+    "agg_grouping_id",
+    "over_rank_suite",
+]

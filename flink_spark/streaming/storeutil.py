@@ -39,7 +39,13 @@ def portable_bucket(num_buckets: int, *cols):
     conv() result positive in a signed long. Nulls hash as empty via
     concat_ws — a deterministic (if shared) bucket, and every caller
     also joins on the raw key columns, so bucket collisions only affect
-    co-location, never results."""
+    co-location, never results.
+
+    Constraint: key columns must stringify session-independently —
+    ids/strings/dates are fine, but a tz-aware TIMESTAMP key would make
+    the persisted bucket depend on the session time zone (cast such a
+    key to BIGINT micros first). The shipped callers key on ids and
+    signature strings only."""
     payload = F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in cols]
     )

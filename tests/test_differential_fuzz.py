@@ -483,3 +483,55 @@ def test_grouping_sets_agree(spark, duck, win_rel, win_env, spec, aggs):
         f"SELECT {head}, {sel_d} FROM w GROUP BY {spec} {order}"
     ).fetchall()
     assert got == exp, (spec, aggs, got[:4], exp[:4])
+
+
+# --- set-operation fragment (r10) ---------------------------------------------
+#
+# Multiset semantics (INTERSECT ALL / EXCEPT ALL duplicate counting,
+# NULL-equality in set ops) are a classic cross-engine divergence area
+# and underlie the §2.9 gates (tpcds_q87/q83/q56). Chains of 2-3 set
+# operators over two small relations with duplicate and NULL rows,
+# executed on both engines. Spark and DuckDB share left-associative
+# chaining and INTERSECT-binds-tighter precedence; parenthesization is
+# still emitted explicitly so the comparison never rests on parser
+# precedence.
+
+_SO_SRCS = [
+    "SELECT g, v FROM {w}",
+    "SELECT g, v FROM {w} WHERE COALESCE(v, 0) <> 42",
+    "SELECT COALESCE(g, 'x') AS g, v FROM {w}",
+    "SELECT g, v % 5 AS v FROM {w}",
+    "SELECT 'a' AS g, CAST(NULL AS BIGINT) AS v",
+]
+_SO_OPS = [
+    "UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+    "EXCEPT", "EXCEPT ALL",
+]
+
+
+@given(
+    st.lists(st.sampled_from(_SO_SRCS), min_size=2, max_size=4),
+    st.lists(st.sampled_from(_SO_OPS), min_size=1, max_size=3),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_set_operations_agree(spark, duck, win_rel, win_env, srcs, ops):
+    ops = ops[: len(srcs) - 1]
+    srcs = srcs[: len(ops) + 1]
+
+    def chain(w):
+        q = f"({srcs[0].format(w=w)})"
+        for op, s in zip(ops, srcs[1:]):
+            q = f"({q} {op} ({s.format(w=w)}))"
+        return q
+
+    order = "ORDER BY g NULLS FIRST, v NULLS FIRST"
+    got = [
+        tuple(r)
+        for r in win_env.sql_query(
+            f"SELECT g, CAST(v AS STRING) AS v FROM {chain('diff_w')} {order}"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT g, CAST(v AS VARCHAR) AS v FROM {chain('w')} {order}"
+    ).fetchall()
+    assert got == exp, (ops, srcs, got[:6], exp[:6])

@@ -139,3 +139,26 @@ def test_next_head_policy_mechanical():
     assert all(QUERIES[n].oracle is not None for n in head)
     # nothing in the r11 head was sampled this round (freshness advances)
     assert not (set(head) - {"tpch_q1_pricing_summary"}) & set(ROTATION)
+
+
+def test_staged_r11_head_matches_policy():
+    """The staged VERIFICATION_ROTATION_R11_CANDIDATES must be exactly
+    what tools/next_head.py computes from the archive + this round's
+    samples — heads self-assemble from round 11 on, and a drifted
+    registry or archive fails here instead of silently staging the
+    wrong head."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from next_head import compute_head, load_archive
+
+    from flink_spark.queries import VERIFICATION_ROTATION_R11_CANDIDATES
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    archive = load_archive(repo)
+    if not archive:
+        pytest.skip("no prior-round artifacts")
+    if 10 not in archive:
+        archive[10] = set(ROTATION)
+    head = compute_head(archive, list(QUERIES))
+    assert VERIFICATION_ROTATION_R11_CANDIDATES == head

@@ -533,6 +533,12 @@ def test_sql_query_accepts_bare_dml_named_identifiers(dialect_env):
         "WITH a AS (SELECT 1 AS x), b (update) AS (SELECT 2) "
         "SELECT a.x, b.update FROM a, b"
     ).count() == 1
+    # backtick-quoted CTE name + a bare DML-named identifier: the
+    # prologue parser must handle the quoted name rather than falling
+    # back to the conservative scan (which would wrongly reject `merge`)
+    assert dialect_env.sql_query(
+        "WITH `c` AS (SELECT 1 AS x) SELECT x AS merge FROM `c`"
+    ).collect()[0].merge == 1
 
 
 def test_sql_query_with_gate_hostile_prologues(dialect_env, monkeypatch):

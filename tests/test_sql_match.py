@@ -318,3 +318,101 @@ def test_permute_pattern(spark):
     # (a b) at 0-1 matches as A B; (b a) at 3-4 matches as B A; trailing
     # lone 'a' matches nothing
     assert rows == [(1, "A", 4.0, 3.0), (1, "B", 1.0, 2.0)]
+
+
+# --- property fuzz vs a regex reference model (r10) ---------------------------
+
+import re as _re
+
+import pytest as _pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    given = None
+
+_QUANTS = ["", "+", "*", "?", "{2}", "{1,2}"]
+_MIN1 = {"", "+", "{2}", "{1,2}"}
+
+
+def _pattern_elems():
+    elem = st.tuples(st.sampled_from("ABC"), st.sampled_from(_QUANTS))
+    return st.lists(elem, min_size=1, max_size=3).filter(
+        lambda es: any(q in _MIN1 for _, q in es)
+    )
+
+
+def _model_matches(s: str, rx: str):
+    """SQL-standard MATCH_RECOGNIZE semantics on a symbol string: try a
+    greedy leftmost match at each row; on a match, emit and SKIP PAST
+    LAST ROW. With mutually-exclusive single-symbol DEFINEs this IS
+    Python re's greedy matching, which makes it an independent oracle
+    for the NFA in operators/cep.py."""
+    out, i, pat = [], 0, _re.compile(rx)
+    while i < len(s):
+        m = pat.match(s, i)
+        if m and m.end() > m.start():
+            seg = s[m.start():m.end()]
+            out.append((
+                m.start(), m.end() - 1,
+                seg.count("a"), seg.count("b"), seg.count("c"),
+            ))
+            i = m.end()
+        else:
+            i += 1
+    return out
+
+
+if given is not None:
+
+    @given(
+        _pattern_elems(),
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=12),
+            min_size=1, max_size=3,
+        ),
+    )
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    def test_match_recognize_fuzz_vs_regex_model(spark, elems, seqs):
+        """Generative differential check of the whole SQL->NFA stack
+        (reference analog: MatchRecognizeITCase breadth): random
+        greedy-quantified patterns over mutually-exclusive symbol
+        variables, random per-partition symbol sequences, compared
+        against Python re's greedy semantics row-for-row."""
+        env = TableEnvironment(spark)
+        rows = [
+            (p, i, ch)
+            for p, s in enumerate(seqs)
+            for i, ch in enumerate(s)
+        ]
+        if not rows:
+            return
+        spark.createDataFrame(
+            rows, "p int, ts int, s string"
+        ).createOrReplaceTempView("mr_fuzz")
+
+        sql_pat = " ".join(f"{v}{q}" for v, q in elems)
+        rx = "".join(f"{v.lower()}{q}" for v, q in elems)
+        got = env.execute_sql(f"""
+            SELECT * FROM mr_fuzz MATCH_RECOGNIZE (
+                PARTITION BY p
+                ORDER BY ts
+                MEASURES FIRST(U.ts) AS t0, LAST(U.ts) AS t1,
+                         COUNT(A.*) AS na, COUNT(B.*) AS nb,
+                         COUNT(C.*) AS nc
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN ({sql_pat})
+                SUBSET U = (A, B, C)
+                DEFINE A AS A.s = 'a', B AS B.s = 'b', C AS C.s = 'c'
+            )
+        """)
+        got_rows = sorted(
+            (r["p"], r["t0"], r["t1"], r["na"], r["nb"], r["nc"])
+            for r in got.collect()
+        )
+        exp_rows = sorted(
+            (p, *m) for p, s in enumerate(seqs) for m in _model_matches(s, rx)
+        )
+        assert got_rows == exp_rows, (sql_pat, seqs, got_rows, exp_rows)
