@@ -2896,6 +2896,31 @@ class TableEnvironment:
                 dm_upd.group("name"), dm_upd.group("sets"),
                 dm_upd.group("cond"),
             )
+        if (
+            re.search(r"\bNOT\s+IN\b", up)
+            and re.search(r"\bOR\b", up)
+            and re.match(
+                r"(?:SELECT|WITH|VALUES|TABLE)\b",
+                masked.lstrip("( \t\n\r"), re.IGNORECASE,
+            )
+        ):
+            # disjunctive NOT IN <subquery>: restore standard
+            # three-valued logic upstream Spark loses in this position
+            # (see _rewrite_disjunctive_not_in; pure-query heads only so
+            # the analysis probe below stays side-effect-free — spark.sql
+            # on a query is lazy, on a command it would execute)
+            cand = _rewrite_disjunctive_not_in(stmt)
+            if cand != stmt:
+                try:
+                    self.spark.sql(cand)  # analysis probe, no execution
+                    stmt = cand
+                    masked = mask_literals(stmt)
+                    up = masked.upper()
+                except Exception:
+                    # e.g. a correlated subquery, which the derived-table
+                    # wrapping nests one correlation level too deep —
+                    # keep the original (upstream semantics) over failing
+                    pass
         if re.search(r"\bOVERLAPS\b", up):
             # (tp1, t1) OVERLAPS (tp2, t2) (reference sql_functions.yml
             # temporal family; TemporalOverlapsConverter.java — Calcite's
@@ -4646,6 +4671,120 @@ def _with_body_verb(masked: str) -> str | None:
         break
     m = re.match(r"[A-Za-z_][\w$]*|\(", masked[i:])
     return m.group(0) if m else None
+
+
+def _rewrite_disjunctive_not_in(stmt: str) -> str:
+    """Restore SQL-standard three-valued logic for ``X NOT IN
+    (<subquery>)`` in DISJUNCTIVE position (r10; found by the
+    correlated-subquery differential fuzzer, pinned in
+    test_known_deviation_not_in_subquery_under_or): upstream Spark
+    4.1.2 plans it as a negated plain-equality ExistenceJoin, so with
+    NULLs in the subquery result (or a NULL probe) the predicate
+    evaluates TRUE where the standard — and the reference's
+    Calcite-planned NOT IN (SubQueryDecorrelator; FlinkSubQueryRemoveRule)
+    — says UNKNOWN. The rewrite replaces the predicate with an exactly
+    three-valued composite built from EXISTS (two-valued, so Spark's
+    ExistenceJoin translation is exact in any boolean position):
+
+        (NOT EXISTS (SELECT 1 FROM (Q) a(v) WHERE v = X)       -- match
+         AND NOT ((EXISTS (SELECT 1 FROM (Q) b(v) WHERE v IS NULL)
+                   OR (X IS NULL AND EXISTS (SELECT 1 FROM (Q) c(v))))
+                  AND CAST(NULL AS BOOLEAN)))                  -- unknown
+
+    Scope, deliberately conservative:
+      - only subquery operands (a literal IN-list is an In expression,
+        which Spark already evaluates with correct null semantics);
+      - only single-column probes spelled as a qualified identifier
+        (tuple probes and computed expressions keep upstream behavior);
+      - only when a bare OR exists at the predicate's own paren depth
+        within its enclosing region — a conjunctive NOT IN keeps
+        Spark's correct AND efficient null-aware anti join;
+      - a NOT IN nested inside another rewritten subquery's body keeps
+        upstream semantics (the outer replacement embeds the original
+        text) — the caller's analysis probe still validates the result.
+    The caller probes the rewritten statement with a lazy analysis pass
+    and falls back to the original text if it does not analyze (e.g. a
+    correlated subquery, which the derived-table wrapping would nest
+    one correlation level too deep for Spark)."""
+    from flink_spark.sqltok import mask_literals
+
+    masked = mask_literals(stmt)
+    depth: list[int] = []
+    d = 0
+    for ch in masked:
+        if ch == "(":
+            d += 1
+            depth.append(d)
+        elif ch == ")":
+            depth.append(d)
+            d -= 1
+        else:
+            depth.append(d)
+    out = stmt
+    for m in reversed(
+        list(re.finditer(r"\bNOT\s+IN\s*\(", masked, re.IGNORECASE))
+    ):
+        q0 = m.end() - 1
+        q1 = _match_paren(masked, q0 + 1)
+        if q1 < 0:
+            continue
+        inner = stmt[q0 + 1:q1 - 1]
+        if not re.match(
+            r"\s*\(*\s*(?:SELECT|WITH)\b", mask_literals(inner),
+            re.IGNORECASE,
+        ):
+            continue  # literal IN-list: expression path is standard
+        j = m.start()
+        while j > 0 and stmt[j - 1] in " \t\n\r":
+            j -= 1
+        k0 = j
+        while k0 > 0 and (stmt[k0 - 1].isalnum()
+                          or stmt[k0 - 1] in "_.$`"):
+            k0 -= 1
+        probe = stmt[k0:j]
+        if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
+            continue  # tuple / expression probes: out of scope
+        # disjunctive-context walk: parentheses are structural noise in
+        # a boolean expression (`(A) OR (B)` parses identically to
+        # `A OR B`), so expand outward level by level looking for a
+        # bare OR at each level, stopping at a subquery boundary — an
+        # OR in an OUTER query does not change how Spark plans a NOT IN
+        # inside a nested subquery's own Filter.
+        lvl = depth[m.start()]
+        left, right = k0, q1
+        disjunctive = False
+        while True:
+            while left > 0 and depth[left - 1] >= lvl:
+                left -= 1
+            while right < len(masked) and depth[right] >= lvl:
+                right += 1
+            if any(
+                depth[left + mo.start()] == lvl
+                for mo in re.finditer(
+                    r"\bOR\b", masked[left:right], re.IGNORECASE
+                )
+            ):
+                disjunctive = True
+                break
+            if lvl == 0 or masked[left] != "(":
+                break
+            if re.match(
+                r"\(\s*(?:SELECT|WITH)\b", masked[left:], re.IGNORECASE
+            ):
+                break  # predicate confined to this subquery's filter
+            lvl -= 1
+        if not disjunctive:
+            continue  # conjunctive: keep the null-aware anti join
+        tag = f"__nis{m.start()}"
+        rep = (
+            f"(NOT EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
+            f"WHERE __nis_v = ({probe})) AND NOT ((EXISTS (SELECT 1 "
+            f"FROM ({inner}) {tag}b(__nis_v) WHERE __nis_v IS NULL) OR "
+            f"((({probe}) IS NULL) AND EXISTS (SELECT 1 FROM ({inner}) "
+            f"{tag}c(__nis_v)))) AND CAST(NULL AS BOOLEAN)))"
+        )
+        out = out[:k0] + rep + out[q1:]
+    return out
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -592,24 +592,23 @@ def test_join_fragment_agree(spark, duck, spark_rel, win_rel, win_env,
 # NOT IN never-true), which both engines implement per the standard in
 # CONJUNCTIVE position and which several gated anti-join shapes rely on.
 #
-# Documented exclusion (found BY this fuzzer, r10): a null-capable
-# NOT IN subquery under a DISJUNCTION. Spark 4.1.2 plans it as a plain
-# equality ExistenceJoin and negates the exists flag, losing
-# null-awareness: with NULLs in the subquery result, `x NOT IN S` is
-# UNKNOWN per the standard (and per Spark's own top-level null-aware
-# anti join — "NOT IN alone" filters everything), but under OR Spark
-# evaluates it TRUE for non-matching and NULL x. DuckDB follows the
-# standard. Upstream Spark deviation, pinned in
-# test_known_deviation_not_in_subquery_under_or; no gated query uses
-# the shape (all 9 NOT IN subqueries in queries/ are conjunctive).
+# History (r10): this fuzzer found on its first run that upstream
+# Spark 4.1.2 loses three-valued logic for a null-capable NOT IN
+# subquery under a DISJUNCTION (negated plain-equality ExistenceJoin:
+# TRUE where the standard says UNKNOWN; standalone, Spark's null-aware
+# anti join is correct). The deviation is pinned against plain
+# spark.sql in test_known_deviation_not_in_subquery_under_or; the
+# dialect layer FIXES it (catalog._rewrite_disjunctive_not_in rewrites
+# the predicate into an exactly-three-valued EXISTS composite), and
+# because this fuzzer routes through sql_query, the combination is
+# INCLUDED below and proves the fix across generated cases.
 
-_SQ_NULLCAPABLE_NOT_IN = "r.i NOT IN (SELECT v FROM diff_w)"
 _SQ_PREDS = [
     "EXISTS (SELECT 1 FROM diff_w w WHERE w.v = r.i)",
     "NOT EXISTS (SELECT 1 FROM diff_w w WHERE w.v = r.i)",
     "EXISTS (SELECT 1 FROM diff_w w WHERE w.v = r.i AND w.g = 'b')",
     "r.i IN (SELECT v FROM diff_w)",
-    _SQ_NULLCAPABLE_NOT_IN,                        # NULL trap
+    "r.i NOT IN (SELECT v FROM diff_w)",           # NULL trap
     "r.i IN (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
     "r.i NOT IN (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
     "r.j IN (SELECT v FROM diff_w w WHERE w.g IS NULL)",
@@ -618,21 +617,13 @@ _SQ_PREDS = [
 
 
 @given(
-    st.tuples(
-        st.lists(st.sampled_from(_SQ_PREDS), min_size=1, max_size=2,
-                 unique=True),
-        st.sampled_from(["AND", "OR"]),
-    ).filter(
-        lambda t: not (
-            t[1] == "OR" and len(t[0]) > 1
-            and _SQ_NULLCAPABLE_NOT_IN in t[0]
-        )
-    )
+    st.lists(st.sampled_from(_SQ_PREDS), min_size=1, max_size=2,
+             unique=True),
+    st.sampled_from(["AND", "OR"]),
 )
 @settings(max_examples=25, deadline=None, derandomize=True)
 def test_subquery_fragment_agree(spark, duck, spark_rel, win_rel, win_env,
-                                 preds_conj):
-    preds, conj = preds_conj
+                                 preds, conj):
     where = f" {conj} ".join(f"({p})" for p in preds)
     sel = "CAST(r.i AS STRING) AS a, CAST(r.j AS STRING) AS b"
     order = "ORDER BY a NULLS FIRST, b NULLS FIRST"
@@ -651,13 +642,15 @@ def test_subquery_fragment_agree(spark, duck, spark_rel, win_rel, win_env,
 
 
 def test_known_deviation_not_in_subquery_under_or(spark, duck, spark_rel,
-                                                  win_rel):
+                                                  win_rel, win_env):
     """Pins the upstream Spark 4.1.2 deviation the subquery fuzzer
     found: a null-capable NOT IN subquery under OR loses three-valued
     logic (planned as a negated plain-equality ExistenceJoin), while
     the SAME predicate standalone takes the null-aware anti join and is
-    standard-correct. If a Spark upgrade fixes this, this test fails —
-    then delete it and lift the fuzz grammar exclusion above."""
+    standard-correct. The dialect layer FIXES the deviant position
+    (catalog._rewrite_disjunctive_not_in) — asserted at the end. If a
+    Spark upgrade fixes it upstream, the plain-spark assertion fails:
+    then drop the rewrite and this pin together."""
     # standalone: standard-correct on both engines (the null trap)
     alone = "SELECT i FROM diff_r r WHERE r.i NOT IN (SELECT v FROM diff_w)"
     assert spark.sql(alone).collect() == []
@@ -683,3 +676,5 @@ def test_known_deviation_not_in_subquery_under_or(spark, duck, spark_rel,
     got_spark = [r.i for r in spark.sql(under_or).collect()]
     # Spark 4.1.2's actual (deviant) answer: all 8 rows
     assert got_spark == [None, None, -100, -7, 0, 9, 42, 100]
+    # the dialect layer restores the standard answer
+    assert [r.i for r in win_env.sql_query(under_or).collect()] == [42]

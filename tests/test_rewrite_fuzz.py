@@ -563,3 +563,85 @@ def test_sql_query_with_gate_hostile_prologues(dialect_env, monkeypatch):
         with pytest.raises(ValueError, match="sql_query expects a query"):
             dialect_env.sql_query(stmt)
     assert calls == []
+
+
+# --- disjunctive NOT IN rewrite (r10) -----------------------------------------
+
+
+def test_disjunctive_not_in_rewrite_scope():
+    """catalog._rewrite_disjunctive_not_in: only a single-column
+    identifier-probe NOT IN <subquery> in a disjunctive position is
+    rewritten; everything else must pass through byte-identical (a
+    conjunctive NOT IN keeps Spark's correct-and-fast null-aware anti
+    join; literal lists and tuple probes keep the expression path)."""
+    from flink_spark.catalog import _rewrite_disjunctive_not_in as rw
+
+    untouched = [
+        # conjunctive
+        "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w) AND j > 0",
+        "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w)",
+        # literal IN-list (expression path is already standard)
+        "SELECT i FROM r WHERE i NOT IN (1, 2, NULL) OR j = 3",
+        # tuple probe: out of scope
+        "SELECT i FROM r WHERE (i, j) NOT IN (SELECT v, u FROM w) OR j = 3",
+        # OR exists only DEEPER than the predicate's level
+        "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w WHERE a OR b)",
+        # NOT IN inside a string literal
+        "SELECT 'x NOT IN (SELECT v FROM w) OR y' AS s FROM r",
+    ]
+    for stmt in untouched:
+        assert rw(stmt) == stmt, stmt
+
+    rewritten = [
+        "SELECT i FROM r WHERE j = 3 OR i NOT IN (SELECT v FROM w)",
+        "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w) OR j = 3",
+        "SELECT i FROM r WHERE a = 1 AND (j = 3 OR i NOT IN "
+        "(SELECT v FROM w))",
+        "SELECT i FROM r WHERE r.i NOT IN (WITH c AS (SELECT v FROM w) "
+        "SELECT v FROM c) OR j = 3",
+    ]
+    for stmt in rewritten:
+        out = rw(stmt)
+        assert out != stmt, stmt
+        assert "NOT EXISTS" in out and "CAST(NULL AS BOOLEAN)" in out
+        # the replacement is balanced and idempotent-ish: no NOT IN
+        # subquery survives outside the embedded original text
+        assert out.count("(") == out.count(")")
+
+    # both branches in one statement: disjunctive one rewritten, the
+    # conjunctive one preserved verbatim
+    both = ("SELECT i FROM r WHERE (j = 3 OR i NOT IN (SELECT v FROM w)) "
+            "AND k NOT IN (SELECT u FROM x)")
+    out = rw(both)
+    assert "k NOT IN (SELECT u FROM x)" in out
+    assert "NOT EXISTS" in out
+
+
+def test_disjunctive_not_in_fix_executes(spark, dialect_env):
+    """End-to-end: the rewritten disjunctive NOT IN gives the SQL-
+    standard three-valued answer through sql_query; a correlated
+    subquery falls back to upstream semantics without erroring."""
+    spark.createDataFrame(
+        [(0,), (42,), (None,)], "i long"
+    ).createOrReplaceTempView("nis_r")
+    spark.createDataFrame(
+        [(10,), (42,), (None,)], "v long"
+    ).createOrReplaceTempView("nis_w")
+    got = dialect_env.sql_query(
+        "SELECT i FROM nis_r r WHERE r.i IN (SELECT v FROM nis_w) "
+        "OR r.i NOT IN (SELECT v FROM nis_w)"
+    ).collect()
+    assert [r.i for r in got] == [42]
+    # no NULLs in the subquery: NOT IN under OR is plain complement
+    got2 = dialect_env.sql_query(
+        "SELECT i FROM nis_r r WHERE 1 = 2 OR r.i NOT IN "
+        "(SELECT v FROM nis_w w WHERE v IS NOT NULL) "
+        "ORDER BY i NULLS FIRST"
+    ).collect()
+    assert [r.i for r in got2] == [0]  # NULL probe stays UNKNOWN
+    # correlated: analysis probe fails, falls back, still executes
+    got3 = dialect_env.sql_query(
+        "SELECT i FROM nis_r r WHERE r.i = -1 OR r.i NOT IN "
+        "(SELECT v FROM nis_w w WHERE w.v > r.i)"
+    )
+    assert got3.count() >= 0
