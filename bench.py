@@ -118,6 +118,8 @@ EXTRA = [
     # index routing). All five have dedicated sf1 ratios in BASELINE.md.
     "stream_semantic_neardup",
     "stream_curation_e2e",
+    # round-10 operator: disjunctive NOT IN three-valued rewrite
+    "sql_not_in_disjunctive",
     "stream_pq_ingest",
 ]
 

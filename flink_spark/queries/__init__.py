@@ -582,13 +582,15 @@ promote_first(VERIFICATION_ROTATION_R10)
 #: Staged r11 head (NOT promoted — promote at the start of round 11):
 #: the FIRST mechanically-assembled head, emitted by tools/next_head.py
 #: from the CORRECTNESS archive plus this round's samples (entry first,
-#: never-sampled none — debt is zero after r10 — then stalest-first:
-#: these 49 are the queries externally verified longest ago, r4-r6).
+#: then never-sampled — only sql_not_in_disjunctive, the r10-new gate
+#: for the disjunctive NOT IN three-valued fix — then stalest-first:
+#: the queries externally verified longest ago, r4-r6).
 #: test_registry.py pins this constant against the policy function, so
 #: a drifted registry or archive fails CI instead of silently staging
 #: the wrong head.
 VERIFICATION_ROTATION_R11_CANDIDATES = [
     "tpch_q1_pricing_summary",
+    "sql_not_in_disjunctive",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -637,5 +639,4 @@ VERIFICATION_ROTATION_R11_CANDIDATES = [
     "pivot_status",
     "join_salted_skew",
     "agg_grouping_id",
-    "over_rank_suite",
 ]

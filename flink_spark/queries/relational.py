@@ -157,6 +157,45 @@ def join_null_aware_anti(spark, sf_dir):
 
 
 @query(
+    "sql_not_in_disjunctive",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+       OR c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                        THEN NULL ELSE o_custkey END
+                            FROM orders)
+    """,
+)
+def sql_not_in_disjunctive(spark, sf_dir):
+    """NOT IN subquery in DISJUNCTIVE position with a null-capable
+    result set — the SQL-standard three-valued case the r10 subquery
+    fuzzer caught upstream Spark 4.1.2 getting wrong (the NOT IN arm
+    must stay UNKNOWN for every probe because the subquery emits NULLs,
+    so the answer is exactly the customers with an 'F' order; vanilla
+    Spark's negated plain-equality ExistenceJoin would also admit
+    customers with only-'P' or no orders). Routed through
+    TableEnvironment.sql_query so catalog._rewrite_disjunctive_not_in
+    restores the standard semantics the reference's Calcite-planned
+    NOT IN has natively (FlinkSubQueryRemoveRule); the DuckDB oracle is
+    the standard answer, making this gate an exact external check of
+    the fix."""
+    from flink_spark.catalog import TableEnvironment
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return TableEnvironment(spark).sql_query(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+           OR c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                             THEN NULL ELSE o_custkey END
+                                FROM orders)
+        """
+    )
+
+
+@query(
     "join_theta_band",
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n_close

@@ -73,9 +73,20 @@ def test_rotation_retires_all_never_sampled_gates():
     for name in VERIFICATION_ROTATION_R10_TAIL:
         assert name in ROTATION, name
         assert name not in prev, f"{name} was already externally sampled"
-    # debt-zero check: nothing gated remains unsampled after this head
+    # debt-zero check: nothing gated remains unsampled after this head,
+    # except gates registered AFTER the r10 head froze — those must be
+    # queued in the staged (mechanically-assembled) r11 head, which
+    # slots never-sampled entries right behind the entry query
+    from flink_spark.queries import VERIFICATION_ROTATION_R11_CANDIDATES
+
     uncovered = [n for n in QUERIES if n not in prev and n not in ROTATION]
-    assert uncovered == [], f"still never externally sampled: {uncovered}"
+    stragglers = set(uncovered) - set(VERIFICATION_ROTATION_R11_CANDIDATES)
+    assert stragglers == set(), (
+        f"never sampled and not queued for r11: {stragglers}"
+    )
+    assert len(uncovered) <= 3, (
+        f"too many post-freeze gates piling up: {uncovered}"
+    )
 
 
 def test_freshness_slots_resample_previously_verified_queries():
