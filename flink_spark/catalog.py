@@ -4744,6 +4744,12 @@ def _rewrite_disjunctive_not_in(stmt: str) -> str:
         probe = stmt[k0:j]
         if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
             continue  # tuple / expression probes: out of scope
+        if probe.count("`") % 2 == 1:
+            # a backticked identifier with an inner space scans to a
+            # truncated fragment (the charset walk stops at the space);
+            # the analysis probe would reject the malformed rewrite
+            # anyway, but skip it cleanly here
+            continue
         # disjunctive-context walk: parentheses are structural noise in
         # a boolean expression (`(A) OR (B)` parses identically to
         # `A OR B`), so expand outward level by level looking for a

@@ -645,3 +645,19 @@ def test_disjunctive_not_in_fix_executes(spark, dialect_env):
         "(SELECT v FROM nis_w w WHERE w.v > r.i)"
     )
     assert got3.count() >= 0
+
+
+def test_disjunctive_not_in_backticked_probes():
+    """Backticked probes: a balanced quoted identifier is rewritten; an
+    identifier with an inner space (the charset walk would truncate it
+    to a malformed fragment) is skipped cleanly rather than relying on
+    the analysis-probe fallback."""
+    from flink_spark.catalog import _rewrite_disjunctive_not_in as rw
+
+    spaced = "SELECT i FROM r WHERE `my col` NOT IN (SELECT v FROM w) OR j = 3"
+    assert rw(spaced) == spaced
+    plain = "SELECT i FROM r WHERE `col` NOT IN (SELECT v FROM w) OR j = 3"
+    out = rw(plain)
+    assert "NOT EXISTS" in out and "(`col`)" in out
+    qual = "SELECT i FROM r WHERE `t`.`col` NOT IN (SELECT v FROM w) OR j = 3"
+    assert "NOT EXISTS" in rw(qual)
