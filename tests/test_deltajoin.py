@@ -357,3 +357,66 @@ def test_delta_join_rejects_old_store_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="older .*layout|__dj_bid"):
         delta_join(tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
                    root=str(root))
+
+
+def test_delta_join_crash_between_store_writes(spark, tmp_path, monkeypatch):
+    """r10: the fail-between-writes pattern for deltajoin's THREE
+    per-batch writes (out, left store, right store) — inject the crash
+    after the out partition commits but before the left store write, so
+    the replayed batch must overwrite its own __dj_bid partitions with
+    identical content and the drain must still equal the batch join."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    left_pdf = pd.DataFrame({"lk": [1, 2, 3, 1], "lv": list("abcd")})
+    right_pdf = pd.DataFrame({"rk": [1, 2, 2, 5], "rv": list("wxyz")})
+    root = str(tmp_path / "dj_root")
+
+    (tmp_path / "run").mkdir()
+    srcs = {}
+    for name, pdf in (("l", left_pdf), ("r", right_pdf)):
+        d = tmp_path / "run" / name
+        d.mkdir()
+        for i in range(2):
+            n = len(pdf)
+            pdf.iloc[i * n // 2 : (i + 1) * n // 2].to_parquet(
+                d / f"part-{i}.parquet", index=False
+            )
+        srcs[name] = (str(d), spark.read.parquet(str(d)).schema)
+
+    def drain():
+        lt = (spark.readStream.schema(srcs["l"][1])
+              .option("maxFilesPerTrigger", 1).parquet(srcs["l"][0]))
+        rt = (spark.readStream.schema(srcs["r"][1])
+              .option("maxFilesPerTrigger", 1).parquet(srcs["r"][0]))
+        tagged = tag_union(lt, rt, ["lk", "lv"], ["rk", "rv"])
+        return delta_join(
+            tagged, ["lk", "lv"], ["rk", "rv"], ["lk"], ["rk"],
+            num_buckets=4, root=root,
+        )
+
+    real = DataFrameWriter.parquet
+
+    def crashing(self, path, *a, **k):
+        if path.endswith("/left"):  # out already committed this batch
+            raise RuntimeError("injected crash between store writes")
+        return real(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", real)
+    got = drain()  # resume: the torn batch replays against its own bid
+    got_rows = sorted((r.lk, r.lv, r.rk, r.rv) for r in got.collect())
+    expect = sorted(
+        (lr.lk, lr.lv, rr.rk, rr.rv)
+        for _, lr in left_pdf.iterrows()
+        for _, rr in right_pdf.iterrows()
+        if lr.lk == rr.rk
+    )
+    assert got_rows == expect
+    l_rows = spark.read.parquet(f"{root}/left").select("lk", "lv").collect()
+    assert sorted((r.lk, r.lv) for r in l_rows) == sorted(
+        (r.lk, r.lv) for _, r in left_pdf.iterrows()
+    )
