@@ -678,3 +678,99 @@ def test_known_deviation_not_in_subquery_under_or(spark, duck, spark_rel,
     assert got_spark == [None, None, -100, -7, 0, 9, 42, 100]
     # the dialect layer restores the standard answer
     assert [r.i for r in win_env.sql_query(under_or).collect()] == [42]
+
+
+# --- array / higher-order-function fragment (r10) -------------------------------
+#
+# The ANN/embedding oracles lean on cross-engine list semantics
+# (list_transform / slices / reductions in queries/annsql.py); this
+# fragment checks the array surface directly. Spark and DuckDB spell
+# the functions differently, so templates are (spark, duck) PAIRS with
+# the same semantics; divergent NULL conventions are normalized on the
+# duck side where DuckDB treats a NULL list as empty (list_concat) or
+# skips NULL elements (list_sum). Arrays carry no NULL elements (NULL
+# element reduction semantics genuinely differ); NULL and empty ARRAYS
+# are both present.
+
+ROWS_ARR = [
+    (1, [1, 2, 3]),
+    (2, [3, 3, 0]),
+    (3, []),
+    (4, None),
+    (5, [42]),
+    (6, [-7, 99, -7, 2]),
+]
+
+_ARR_PAIRS = [
+    ("size(a)", "len(a)"),
+    # try_element_at: Spark's ANSI element_at throws on out-of-bounds
+    # (empty arrays); DuckDB's subscript returns NULL — the try_ form
+    # is the NULL-returning spelling
+    ("try_element_at(a, 1)", "a[1]"),
+    ("try_element_at(a, -1)", "a[-1]"),
+    ("array_contains(a, 3)", "list_contains(a, 3)"),
+    ("transform(a, x -> x + 1)", "list_transform(a, x -> x + 1)"),
+    ("transform(a, x -> x * x)", "list_transform(a, x -> x * x)"),
+    ("filter(a, x -> x > 2)", "list_filter(a, x -> x > 2)"),
+    ("sort_array(a)", "list_sort(a)"),
+    ("sort_array(a, false)", "list_reverse_sort(a)"),
+    ("array_max(a)", "list_max(a)"),
+    ("array_min(a)", "list_min(a)"),
+    ("slice(a, 1, 2)", "a[1:2]"),
+    ("array_position(a, 3)",
+     "CASE WHEN a IS NULL THEN NULL ELSE coalesce(list_position(a, 3), 0)"
+     " END"),
+    ("aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+     "CASE WHEN a IS NULL THEN NULL ELSE CAST(coalesce(list_sum(a), 0) "
+     "AS BIGINT) END"),
+    ("concat(a, array(9))",
+     "CASE WHEN a IS NULL THEN NULL ELSE list_concat(a, [9]) END"),
+    ("array_distinct(sort_array(a))", "list_sort(list_distinct(a))"),
+    ("reverse(a)", "list_reverse(a)"),
+]
+
+
+@pytest.fixture(scope="module")
+def arr_rel(spark, duck):
+    spark.createDataFrame(
+        ROWS_ARR, "n long, a array<bigint>"
+    ).createOrReplaceTempView("diff_a")
+    vals = ", ".join(
+        "({}, {})".format(
+            n, "NULL" if a is None
+            else "[" + ",".join(f"{x}::BIGINT" for x in a) + "]"
+            if a else "[]::BIGINT[]",
+        )
+        for n, a in ROWS_ARR
+    )
+    duck.execute(
+        f"CREATE TABLE arr AS SELECT * FROM (VALUES {vals}) t(n, a)"
+    )
+    return True
+
+
+@given(st.lists(st.sampled_from(_ARR_PAIRS), min_size=4, max_size=10,
+                unique=True))
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_array_functions_agree(spark, duck, arr_rel, pairs):
+    sel_s = ", ".join(
+        f"CAST({s} AS STRING) AS c{i}" for i, (s, _) in enumerate(pairs)
+    )
+    sel_d = ", ".join(
+        f"CAST({d} AS VARCHAR) AS c{i}" for i, (_, d) in enumerate(pairs)
+    )
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT n, {sel_s} FROM diff_a ORDER BY n"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT n, {sel_d} FROM arr ORDER BY n"
+    ).fetchall()
+    assert got == exp, "\n".join(
+        f"n={rg[0]} {p[0]} vs {p[1]}: spark={g!r} duck={x!r}"
+        for rg, rx in zip(got, exp)
+        for p, g, x in zip(pairs, rg[1:], rx[1:])
+        if g != x
+    )
