@@ -2896,19 +2896,32 @@ class TableEnvironment:
                 dm_upd.group("name"), dm_upd.group("sets"),
                 dm_upd.group("cond"),
             )
-        if (
-            re.search(r"\bNOT\s+IN\b", up)
-            and re.search(r"\bOR\b", up)
-            and re.match(
-                r"(?:SELECT|WITH|VALUES|TABLE)\b",
-                masked.lstrip("( \t\n\r"), re.IGNORECASE,
+        _nis_head = masked.lstrip("( \t\n\r")
+        if re.match(r"(?:SELECT|VALUES|TABLE)\b", _nis_head,
+                    re.IGNORECASE):
+            _nis_is_query = True
+        elif re.match(r"WITH\b", _nis_head, re.IGNORECASE):
+            _nis_is_query = (
+                (_with_body_verb(_nis_head) or "").upper()
+                not in ("", "INSERT", "DELETE", "UPDATE", "MERGE")
             )
+        else:
+            _nis_is_query = False
+        if (
+            _nis_is_query
+            and re.search(r"\bNOT\s+IN\b", up)
+            and re.search(r"\bOR\b", up)
         ):
             # disjunctive NOT IN <subquery>: restore standard
             # three-valued logic upstream Spark loses in this position
-            # (see _rewrite_disjunctive_not_in; pure-query heads only so
-            # the analysis probe below stays side-effect-free — spark.sql
-            # on a query is lazy, on a command it would execute)
+            # (see _rewrite_disjunctive_not_in). PURE-QUERY heads only,
+            # so the analysis probe below stays side-effect-free —
+            # spark.sql on a query is lazy, on a command it would
+            # execute. A WITH head counts only when its prologue parses
+            # AND the body verb is not DML: Spark's grammar allows ctes
+            # before dmlStatementNoWith, and probing a WITH-prefixed
+            # INSERT would EXECUTE it (then the normal path would run it
+            # a second time).
             cand = _rewrite_disjunctive_not_in(stmt)
             if cand != stmt:
                 try:

@@ -661,3 +661,27 @@ def test_disjunctive_not_in_backticked_probes():
     assert "NOT EXISTS" in out and "(`col`)" in out
     qual = "SELECT i FROM r WHERE `t`.`col` NOT IN (SELECT v FROM w) OR j = 3"
     assert "NOT EXISTS" in rw(qual)
+
+
+def test_disjunctive_not_in_probe_never_executes_dml(dialect_env, spark):
+    """The rewrite's analysis probe runs spark.sql on the candidate
+    text, which is lazy for queries but EXECUTES commands — so a
+    WITH-prefixed DML (legal in Spark's grammar) must never reach the
+    probe, or the statement would run twice (r10 self-review finding).
+    Proven with a real managed sink: after the statement completes,
+    exactly the expected rows exist."""
+    spark.sql("DROP TABLE IF EXISTS nis_probe_t")
+    spark.sql("CREATE TABLE nis_probe_t (x INT) USING parquet")
+    try:
+        dialect_env.execute_sql(
+            "WITH c AS (SELECT 1 AS x UNION ALL SELECT 2) "
+            "INSERT INTO nis_probe_t SELECT x FROM c "
+            "WHERE x NOT IN (SELECT 3) OR x = 1"
+        )
+        rows = sorted(
+            r.x for r in spark.sql("SELECT x FROM nis_probe_t").collect()
+        )
+        # a probe-then-execute double-run would give [1, 1, 2, 2]
+        assert rows == [1, 2], rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nis_probe_t")
