@@ -774,3 +774,31 @@ def test_array_functions_agree(spark, duck, arr_rel, pairs):
         for p, g, x in zip(pairs, rg[1:], rx[1:])
         if g != x
     )
+
+
+def test_known_deviation_not_in_subquery_value_position(spark, duck,
+                                                        spark_rel, win_rel):
+    """Sibling spelling of the disjunctive NOT IN deviation: in VALUE
+    position (a projected column) upstream Spark 4.1.2 yields FALSE
+    where the standard — and DuckDB — yield NULL for a null-capable
+    NOT IN. Contexts that cannot distinguish FALSE from UNKNOWN (WHERE,
+    CASE..ELSE) still produce standard OUTCOMES, which is why no gated
+    query is affected; contexts that can (projection output, IS NULL
+    tests, negation) expose it. The dialect rewrite deliberately scopes
+    to disjunctive predicate positions — value position is a documented
+    r11 candidate. Interesting contrast, also pinned: the NOT(x IN S)
+    spelling under OR IS planned null-aware correctly upstream."""
+    proj = ("SELECT r.i, r.i NOT IN (SELECT v FROM diff_w) AS f "
+            "FROM diff_r r WHERE r.i IS NULL OR r.i IN (0, 42) "
+            "ORDER BY i NULLS FIRST")
+    exp = duck.execute(
+        proj.replace("diff_r r", "r r").replace("diff_w", "w")
+    ).fetchall()
+    # standard: NULL probe/NULL-in-set -> f IS NULL; 42 matches -> FALSE
+    assert [t[1] for t in exp] == [None, None, None, False]
+    got = [r.f for r in spark.sql(proj).collect()]
+    assert got == [False, False, False, False]  # upstream deviance
+    # NOT(IN) spelling under OR: upstream is CORRECT (null-aware)
+    notin = ("SELECT i FROM diff_r r WHERE r.i = 42 "
+             "OR NOT (r.i IN (SELECT v FROM diff_w)) ORDER BY i")
+    assert [r.i for r in spark.sql(notin).collect()] == [42]
