@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_spark.sources.tables import load_table
+from flink_spark.streaming import storeutil
 from flink_spark.streaming.dedup_jvm import (
     batch_keep_first_plan,
     dedup_keep_first_jvm,
@@ -139,8 +140,13 @@ def test_dedup_jvm_plan_is_python_free(spark, sf_dir):
     eval node of any kind (the applyInPandasWithState twin pays ~50us
     per key per batch in Python — this path must not)."""
     ev = load_table(spark, sf_dir, "events").select(*COLS)
+    # seen buckets must match production's persisted bucketing
+    # (storeutil.portable_bucket), not Spark's session hash() — a
+    # mismatched fixture would silently break any result assertion
+    # added here later (ADVICE r10)
     seen = ev.select(
-        F.pmod(F.hash("user_id"), F.lit(16)).alias("__bucket"), "user_id"
+        storeutil.portable_bucket(16, "user_id").alias("__bucket"),
+        "user_id",
     ).limit(10)
     plan = batch_keep_first_plan(
         ev, ["user_id"], ["ts", "event_id"], 16, seen

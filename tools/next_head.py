@@ -79,6 +79,11 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=50)
     args = ap.parse_args()
 
+    import sys
+
+    # bare `python tools/next_head.py` from any cwd: the repo root is
+    # this file's parent's parent, not necessarily on sys.path
+    sys.path.insert(0, args.repo)
     from flink_spark.queries.registry import QUERIES
 
     head = compute_head(load_archive(args.repo), list(QUERIES), args.size)
