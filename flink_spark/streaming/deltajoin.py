@@ -120,24 +120,19 @@ def delta_join(
     # streaming checkpoint skips already-processed files and the store
     # tables carry the accumulated sides (the reference's restore path:
     # the delta join's state IS the store tables, RestoreTestBase analog)
-    persistent = root is not None
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
-    else:
-        os.makedirs(root, exist_ok=True)
+    from flink_spark.streaming import storeutil
+
+    root, persistent = storeutil.prepare_root(prefix, root)
     l_store, r_store = f"{root}/left", f"{root}/right"
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
     # crash recovery for the durable-root path: finish or roll back a
     # compaction swap that died between its renames, and clear a stale
-    # compacting scratch dir (see the swap ordering in process())
+    # compacting scratch dir (see the swap ordering in process()) —
+    # delegated to the store backend so object-store semantics
+    # (non-atomic rename) recover correctly too
     for store in (l_store, r_store):
-        old_d, tmp_d = store + ".old", store + ".compacting"
-        if not os.path.isdir(store) and os.path.isdir(old_d):
-            os.rename(old_d, store)  # crashed after store→.old swap-out
-        elif os.path.isdir(store) and os.path.isdir(old_d):
-            shutil.rmtree(old_d, ignore_errors=True)  # swap completed
-        shutil.rmtree(tmp_d, ignore_errors=True)
+        storeutil.BACKEND.recover(store)
         if _has_parquet(store) and not any(
             d.startswith("__dj_bid=") for d in os.listdir(store)
         ):
@@ -298,13 +293,12 @@ def delta_join(
                         .partitionBy("__dj_bid", _BUCKET)
                         .parquet(tmp)
                     )
-                    # swap via .old so a crash at any point is
-                    # recoverable (the sweep at delta_join start): the
-                    # store is never the only copy mid-swap
-                    old_d = store + ".old"
-                    os.rename(store, old_d)
-                    os.rename(tmp, store)
-                    shutil.rmtree(old_d, ignore_errors=True)
+                    # swap via the store backend (.old two-step on
+                    # LocalFs, copy+marker on object-store semantics) so
+                    # a crash at any point is recoverable by the sweep
+                    # at delta_join start: the store is never the only
+                    # copy mid-swap
+                    storeutil.BACKEND.replace_store(store, tmp)
         finally:
             batch.unpersist()
 

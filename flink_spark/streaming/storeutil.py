@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 
 BID = "__bid"
 
+#: Persisted-store layout version. History:
+#:   1 — buckets derived from Spark's internal ``hash()`` (pre-r10);
+#:   2 — buckets derived from :func:`portable_bucket` (md5) — the
+#:       engine-version-stable layout every shipped caller writes.
+#: Bumped whenever anything about the on-disk store layout (bucket
+#: function, partition scheme, column contract) changes incompatibly.
+LAYOUT_VERSION = 2
+
+#: Marker filename under a durable store root. Underscore-prefixed so
+#: Spark's file index ignores it (same convention as ``_SUCCESS``).
+LAYOUT_MARKER = "_flink_spark_layout"
+
 
 def portable_bucket(num_buckets: int, *cols):
     """Bucket id from a format-specified digest (md5, RFC 1321) instead
@@ -55,14 +67,51 @@ def portable_bucket(num_buckets: int, *cols):
     )
 
 
+def check_layout(root: str) -> None:
+    """Fail fast when a durable store root was written by a different
+    on-disk layout (ADVICE r10: the pmod(hash())→md5 bucket change would
+    otherwise make a resumed v1 store silently stop matching — dedup's
+    left_anti misses seen keys and re-emits duplicates, deltajoin misses
+    cross-run matches). A fresh/empty root gets the current marker; a
+    root with committed data but NO marker predates layout versioning
+    and is ambiguous (v1 engine-hash or early-v2 md5 buckets), so it is
+    rejected with the manual-acceptance escape hatch spelled out."""
+    ver = BACKEND.read_marker(root, LAYOUT_MARKER)
+    if ver is not None:
+        if ver.strip() != str(LAYOUT_VERSION):
+            raise ValueError(
+                f"store root {root!r} has layout version {ver.strip()!r} "
+                f"but this engine writes version {LAYOUT_VERSION}: "
+                "resuming would silently mismatch persisted buckets. "
+                "Start a fresh root, or migrate the store (rewrite with "
+                "buckets recomputed by storeutil.portable_bucket)."
+            )
+        return
+    if BACKEND.has_committed_data(root):
+        raise ValueError(
+            f"store root {root!r} holds committed data but no "
+            f"{LAYOUT_MARKER} marker: it predates layout versioning, so "
+            "its persisted buckets may be engine-hash derived (layout "
+            "v1) and would silently stop matching this engine's md5 "
+            "buckets (layout v2). Start a fresh root; if the store is "
+            f"KNOWN md5-bucketed, accept it by writing '{LAYOUT_VERSION}'"
+            f" to {os.path.join(root, LAYOUT_MARKER)!r}."
+        )
+    BACKEND.write_marker(root, LAYOUT_MARKER, str(LAYOUT_VERSION))
+
+
 def prepare_root(prefix: str, root: str | None) -> tuple[str, bool]:
     """Resolve the operator's state root: a caller-provided durable root
-    (resume contract) or a fresh tmpdir. Returns (root, persistent)."""
+    (resume contract) or a fresh tmpdir. Returns (root, persistent).
+    Durable roots are layout-version checked (:func:`check_layout`) —
+    every shipped caller resolves its root here, so the resume entry
+    point is the single gate."""
     persistent = root is not None
     if root is None:
         root = tempfile.mkdtemp(prefix=f"flink_spark_{prefix}_")
     else:
         os.makedirs(root, exist_ok=True)
+        check_layout(root)
     return root, persistent
 
 
@@ -173,6 +222,111 @@ class LocalFsStoreBackend:
             os.rename(old_d, store)  # crashed after store→.old swap-out
         elif os.path.isdir(store) and os.path.isdir(old_d):
             shutil.rmtree(old_d, ignore_errors=True)  # swap completed
+        shutil.rmtree(tmp_d, ignore_errors=True)
+
+    def read_marker(self, root: str, name: str) -> str | None:
+        """Small metadata file under the root (layout-version marker),
+        or None if absent. Table-format analog: a table property."""
+        p = os.path.join(root, name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return fh.read()
+
+    def write_marker(self, root: str, name: str, content: str) -> None:
+        p = os.path.join(root, name)
+        with open(p + ".tmp", "w") as fh:
+            fh.write(content)
+        os.replace(p + ".tmp", p)  # atomic on POSIX
+
+
+class NonAtomicRenameBackend(LocalFsStoreBackend):
+    """Adversarial test backend with OBJECT-STORE rename semantics:
+    directory "rename" is copy+delete (S3/GCS have no atomic directory
+    rename, and a crashed copy leaves a PARTIAL destination). Driving
+    the crash-exactness tests through this backend proves no caller
+    secretly relies on LocalFs rename atomicity beyond what
+    :meth:`recover` repairs (VERDICT r10 #4).
+
+    Protocol: every directory copy writes a ``_copy_complete`` marker
+    object into the destination as its last step (the standard
+    object-store commit idiom — per-object puts are atomic, directory
+    "renames" are not), so :meth:`recover` can always tell a complete
+    copy from a torn one. ``replace_store``:
+
+        copy store -> .old (+marker)   [crash: 'old_copy_done']
+        delete store                   [crash: 'swap_out']
+        copy tmp -> store              [crash: 'store_copy_partial'
+                                        — dst torn, no marker]
+        write store marker             [crash: 'store_copy_done'
+                                        — tmp and .old leftovers]
+        delete tmp, delete .old
+
+    Recovery invariant: a marked ``.old`` is always a full copy of the
+    pre-compaction store, and an unmarked/absent ``store`` alongside a
+    marked ``.old`` is either the untouched original (bitwise equal to
+    ``.old``) or a torn second copy — restoring from ``.old`` is correct
+    in every such window. ``crash_at`` is one-shot so the rerun
+    proceeds."""
+
+    COPY_MARK = "_copy_complete"
+
+    def __init__(self, crash_at: str | None = None):
+        self.crash_at = crash_at
+        self.crashes = 0
+
+    def _maybe_crash(self, step: str) -> None:
+        if self.crash_at == step:
+            self.crashes += 1
+            self.crash_at = None  # one-shot: the rerun proceeds
+            raise RuntimeError(f"injected object-store crash at {step}")
+
+    def _marked(self, d: str) -> bool:
+        return os.path.isfile(os.path.join(d, self.COPY_MARK))
+
+    def _copy(self, src: str, dst: str, torn_at: str | None) -> None:
+        """Object-by-object copy, marker last. ``torn_at`` injects a
+        crash mid-copy: some objects landed, the marker did not."""
+        shutil.copytree(
+            src, dst,
+            ignore=shutil.ignore_patterns(self.COPY_MARK),
+        )
+        if torn_at is not None and self.crash_at == torn_at:
+            # tear the copy: drop one landed data object, no marker
+            for cur, _dirs, fs in os.walk(dst):
+                data = [f for f in fs if f.endswith(".parquet")]
+                if data:
+                    os.remove(os.path.join(cur, data[0]))
+                    break
+            self._maybe_crash(torn_at)
+        self.write_marker(dst, self.COPY_MARK, "1")
+
+    def replace_store(self, store: str, tmp: str) -> None:
+        old = store + ".old"
+        self._copy(store, old, torn_at=None)
+        self._maybe_crash("old_copy_done")
+        shutil.rmtree(store)
+        self._maybe_crash("swap_out")
+        self._copy(tmp, store, torn_at="store_copy_partial")
+        self._maybe_crash("store_copy_done")
+        shutil.rmtree(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def recover(self, store: str) -> None:
+        old_d, tmp_d = store + ".old", store + ".compacting"
+        if os.path.isdir(old_d) and self._marked(old_d):
+            if not (os.path.isdir(store) and self._marked(store)):
+                # store is missing, torn, or the untouched original
+                # (== .old content): restoring from .old is correct in
+                # every window — see class docstring
+                shutil.rmtree(store, ignore_errors=True)
+                self._copy(old_d, store, torn_at=None)
+            shutil.rmtree(old_d, ignore_errors=True)
+        else:
+            # no (complete) .old: the original store was never deleted
+            # (store -> .old copy is the first step and swap_out only
+            # fires after .old is marked); clear the torn leftover
+            shutil.rmtree(old_d, ignore_errors=True)
         shutil.rmtree(tmp_d, ignore_errors=True)
 
 

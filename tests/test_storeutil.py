@@ -1,0 +1,283 @@
+"""Store-discipline machinery: layout versioning and the adversarial
+object-store backend.
+
+Layout versioning (ADVICE r10): persisted ``__bucket`` values changed
+from engine ``hash()`` (layout v1) to md5 ``portable_bucket`` (v2) — a
+v1 durable root resumed with v2 code would SILENTLY stop matching
+(dedup re-emits seen keys, deltajoin misses cross-run pairs). The
+marker gate turns that silent mismatch into a fail-fast at the resume
+entry point.
+
+NonAtomicRenameBackend (VERDICT r10 #4): the LocalFs backend's
+crash-safety argument leans on atomic directory rename, which object
+stores do not have. The adversarial backend re-implements
+``replace_store`` as copy+marker+delete with injectable crashes at
+every window — including a TORN copy — and the crash-exactness tests
+drive the real operators through it, proving no caller relies on
+rename atomicity beyond what ``recover`` repairs. Reference analog:
+RestoreTestBase.java:107's savepoint-replay matrix crossed with
+filesystem semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.sources.tables import load_table
+from flink_spark.streaming import storeutil
+from flink_spark.streaming.storeutil import (
+    LAYOUT_MARKER,
+    LAYOUT_VERSION,
+    NonAtomicRenameBackend,
+    check_layout,
+    prepare_root,
+)
+from tests.test_dedup_jvm import COLS, _expected_keep_first, _land
+
+
+# --- layout-version marker -------------------------------------------
+
+
+def test_fresh_durable_root_gets_marker(tmp_path):
+    root, persistent = prepare_root("t", str(tmp_path / "r"))
+    assert persistent
+    with open(os.path.join(root, LAYOUT_MARKER)) as fh:
+        assert fh.read().strip() == str(LAYOUT_VERSION)
+    # idempotent on resume
+    prepare_root("t", root)
+
+
+def test_tmp_root_skips_marker(tmp_path):
+    import shutil
+
+    root, persistent = prepare_root("t", None)
+    try:
+        assert not persistent
+        assert not os.path.exists(os.path.join(root, LAYOUT_MARKER))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_layout_version_mismatch_fails_fast(tmp_path):
+    root = tmp_path / "r"
+    root.mkdir()
+    (root / LAYOUT_MARKER).write_text("1\n")
+    with pytest.raises(ValueError, match="layout version '1'"):
+        check_layout(str(root))
+
+
+def test_unversioned_store_with_data_fails_fast(tmp_path):
+    """The exact ADVICE r10 hazard: a root written before layout
+    versioning holds committed data but no marker — resuming must fail
+    with the migration path spelled out, not silently mismatch."""
+    root = tmp_path / "r"
+    part = root / "seen" / "__bid=0" / "__bucket=1"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="predates layout versioning"):
+        check_layout(str(root))
+    # the documented manual acceptance: write the current marker
+    (root / LAYOUT_MARKER).write_text(str(LAYOUT_VERSION))
+    check_layout(str(root))
+
+
+# --- NonAtomicRenameBackend: recovery windows (filesystem-level) ------
+
+
+def _mk_store(d, names):
+    os.makedirs(d, exist_ok=True)
+    for n in names:
+        with open(os.path.join(d, n), "w") as fh:
+            fh.write(n)
+
+
+def _data_files(d):
+    out = set()
+    for cur, _dirs, fs in os.walk(d):
+        for f in fs:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(cur, f), d))
+    return out
+
+
+WINDOWS = ["old_copy_done", "swap_out", "store_copy_partial",
+           "store_copy_done"]
+
+
+@pytest.mark.parametrize("window", WINDOWS)
+def test_nonatomic_replace_recovers_every_window(tmp_path, window):
+    """Crash replace_store at each window, run recover: the store must
+    hold either the complete OLD content (fold lost — reads stay exact,
+    folds are content-preserving) or the complete NEW content (fold
+    committed) — never a torn mixture, never nothing."""
+    store = str(tmp_path / "store")
+    tmp = str(tmp_path / "store.compacting")
+    _mk_store(store, ["a.parquet", "b.parquet"])
+    _mk_store(tmp, ["folded.parquet"])
+    old_files, new_files = _data_files(store), _data_files(tmp)
+
+    be = NonAtomicRenameBackend(crash_at=window)
+    with pytest.raises(RuntimeError, match="injected object-store"):
+        be.replace_store(store, tmp)
+    assert be.crashes == 1
+    be.recover(store)
+    got = _data_files(store)
+    assert got in (old_files, new_files), (window, got)
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compacting")
+    # windows before the new-content marker must restore OLD content
+    if window in ("old_copy_done", "swap_out", "store_copy_partial"):
+        assert got == old_files, (window, got)
+
+
+def test_nonatomic_replace_clean_run(tmp_path):
+    store = str(tmp_path / "store")
+    tmp = str(tmp_path / "store.compacting")
+    _mk_store(store, ["a.parquet"])
+    _mk_store(tmp, ["folded.parquet"])
+    be = NonAtomicRenameBackend()
+    be.replace_store(store, tmp)
+    assert _data_files(store) == {"folded.parquet"}
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compacting")
+    be.recover(store)  # no-op on a committed store
+    assert _data_files(store) == {"folded.parquet"}
+
+
+def test_nonatomic_torn_copy_never_counts_as_committed(tmp_path):
+    """The torn window drops a data object and has no completion
+    marker: recover must NOT accept the torn store even though
+    has_committed_data would see parquet files in it."""
+    store = str(tmp_path / "store")
+    tmp = str(tmp_path / "store.compacting")
+    _mk_store(store, ["a.parquet", "b.parquet"])
+    _mk_store(tmp, ["f1.parquet", "f2.parquet"])
+    be = NonAtomicRenameBackend(crash_at="store_copy_partial")
+    with pytest.raises(RuntimeError):
+        be.replace_store(store, tmp)
+    # mid-crash state: store exists, is non-empty, but torn
+    assert be.has_committed_data(store)
+    assert _data_files(store) < {"f1.parquet", "f2.parquet"}
+    be.recover(store)
+    assert _data_files(store) == {"a.parquet", "b.parquet"}
+
+
+# --- crash-exactness through the adversarial backend ------------------
+
+
+@pytest.mark.parametrize("window", WINDOWS)
+def test_dedup_compaction_crash_exact_on_object_store(
+    spark, sf_dir, tmp_path, monkeypatch, window
+):
+    """The dedup_jvm store-compaction crash matrix on object-store
+    rename semantics: the fold's replace_store dies at each window
+    during a durable-root drain; the resumed drain must recover the
+    store (via BACKEND.recover at operator start), replay the torn
+    batch idempotently, and end exactly equal to the batch oracle."""
+    from flink_spark.streaming.dedup_jvm import dedup_keep_first_jvm
+
+    be = NonAtomicRenameBackend(crash_at=window)
+    monkeypatch.setattr(storeutil, "BACKEND", be)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "dedup_root")
+    ev = load_table(spark, sf_dir, "events").select(*COLS)
+    for i in range(4):
+        _land(ev.filter(F.col("user_id") % 4 == i), tmp_path, src, f"b{i}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return dedup_keep_first_jvm(
+            stream, ["user_id"], ["ts", "event_id"],
+            root=root, compact_every=2,
+        )
+
+    with pytest.raises(Exception, match="injected object-store"):
+        run_once()
+    assert be.crashes == 1
+
+    got = run_once()  # one-shot crash cleared: resume repairs + replays
+    expected = sorted(
+        map(tuple, _expected_keep_first(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expected
+
+
+def test_deltajoin_ttl_compaction_crash_exact_on_object_store(
+    spark, tmp_path, monkeypatch
+):
+    """Deltajoin's TTL compaction swap through the nastiest window (a
+    TORN store copy): recovery restores the complete pre-compaction
+    store (a superset the join's band predicate filters exactly), the
+    replayed batch overwrites its own __dj_bid partitions, and the
+    result equals the batch interval join."""
+    import pandas as pd
+
+    from flink_spark.streaming.deltajoin import delta_join, tag_union
+    
+
+    be = NonAtomicRenameBackend(crash_at="store_copy_partial")
+    monkeypatch.setattr(storeutil, "BACKEND", be)
+
+    ts = pd.Series(
+        pd.date_range("2024-01-01", periods=12, freq="1min")
+    ).astype("datetime64[us]")
+    left_pdf = pd.DataFrame({"lk": [i % 3 for i in range(12)], "lts": ts,
+                             "lv": [f"l{i}" for i in range(12)]})
+    right_pdf = pd.DataFrame({"rk": [i % 3 for i in range(12)], "rts": ts,
+                              "rv": [f"r{i}" for i in range(12)]})
+    root = str(tmp_path / "dj_root")
+    lc, rc = ["lk", "lts", "lv"], ["rk", "rts", "rv"]
+    # land the chunked sources ONCE; both drains read the same dirs so
+    # the run-2 checkpoint resumes (replays the torn batch) instead of
+    # seeing a different source
+    for name, pdf in (("l", left_pdf), ("r", right_pdf)):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(6):
+            n = len(pdf)
+            pdf.iloc[i * n // 6:(i + 1) * n // 6].to_parquet(
+                d / f"part-{i}.parquet", index=False
+            )
+
+    def drain():
+        schemas = {
+            n: spark.read.parquet(str(tmp_path / n)).schema
+            for n in ("l", "r")
+        }
+        lt = (spark.readStream.schema(schemas["l"])
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "l")))
+        rt = (spark.readStream.schema(schemas["r"])
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "r")))
+        return delta_join(
+            tag_union(lt, rt, lc, rc), lc, rc, ["lk"], ["rk"],
+            num_buckets=2, ttl="3 minutes", left_ts="lts",
+            right_ts="rts", compact_every=2, root=root,
+        )
+
+    with pytest.raises(Exception, match="injected object-store"):
+        drain()
+    assert be.crashes == 1
+
+    got = drain()
+    ttl_s = 180.0
+    expect = sorted(
+        (lr.lk, lr.lts, lr.lv, rr.rk, rr.rts, rr.rv)
+        for _, lr in left_pdf.iterrows()
+        for _, rr in right_pdf.iterrows()
+        if lr.lk == rr.rk
+        and abs((lr.lts - rr.rts).total_seconds()) <= ttl_s
+    )
+    got_rows = sorted(
+        (r.lk, pd.Timestamp(r.lts), r.lv, r.rk, pd.Timestamp(r.rts), r.rv)
+        for r in got.collect()
+    )
+    assert got_rows == expect
