@@ -2907,14 +2907,12 @@ class TableEnvironment:
             )
         else:
             _nis_is_query = False
-        if (
-            _nis_is_query
-            and re.search(r"\bNOT\s+IN\b", up)
-            and re.search(r"\bOR\b", up)
-        ):
-            # disjunctive NOT IN <subquery>: restore standard
-            # three-valued logic upstream Spark loses in this position
-            # (see _rewrite_disjunctive_not_in). PURE-QUERY heads only,
+        if _nis_is_query and re.search(r"\bIN\s*\(", up):
+            # deviant-position [NOT] IN <subquery> (value position for
+            # both operators; effectively-negated disjuncts): restore
+            # standard three-valued logic upstream Spark loses there
+            # (see _rewrite_nonconjunctive_not_in; conjunctive spellings
+            # pass through byte-identical). PURE-QUERY heads only,
             # so the analysis probe below stays side-effect-free —
             # spark.sql on a query is lazy, on a command it would
             # execute. A WITH head counts only when its prologue parses
@@ -2922,7 +2920,7 @@ class TableEnvironment:
             # before dmlStatementNoWith, and probing a WITH-prefixed
             # INSERT would EXECUTE it (then the normal path would run it
             # a second time).
-            cand = _rewrite_disjunctive_not_in(stmt)
+            cand = _rewrite_nonconjunctive_not_in(stmt)
             if cand != stmt:
                 try:
                     self.spark.sql(cand)  # analysis probe, no execution
@@ -4686,18 +4684,161 @@ def _with_body_verb(masked: str) -> str | None:
     return m.group(0) if m else None
 
 
-def _rewrite_disjunctive_not_in(stmt: str) -> str:
+_NIS_CLAUSE_RE = re.compile(
+    r"\b(?:SELECT|FROM|WHERE|GROUP|HAVING|QUALIFY|ORDER|WINDOW|LIMIT|"
+    r"DISTRIBUTE|SORT|CLUSTER|ON|USING|WHEN|THEN|ELSE|CASE|END|SET|"
+    r"VALUES|JOIN|UNION|INTERSECT|EXCEPT|MINUS|PIVOT|UNPIVOT|LATERAL)\b|,",
+    re.IGNORECASE,
+)
+
+#: Clause heads under which a BOOLEAN-CONSUMED IN/NOT IN keeps upstream
+#: planning: WHERE/HAVING/ON get Spark's exact null-aware semi/anti
+#: join for pure conjuncts; WHEN because a WHEN condition cannot
+#: distinguish FALSE from UNKNOWN (same branch either way) unless an OR
+#: re-exposes the complementary-dedup miscompilation, which the
+#: effective-operator rule catches separately.
+_NIS_SAFE_HEADS = {"WHERE", "HAVING", "ON", "WHEN"}
+
+#: Keywords that legitimately precede a GROUPING paren in boolean
+#: context — anything else before ``(`` means the paren is a function
+#: call (or list), i.e. the predicate inside it is in value position.
+_NIS_GROUPING_KWS = {
+    "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE", "ON", "HAVING",
+    "SELECT", "BY", "CASE", "END", "AS", "ALL", "DISTINCT", "UNION",
+    "INTERSECT", "EXCEPT", "MINUS", "USING", "FROM", "JOIN", "LIKE",
+    "BETWEEN", "IS", "ESCAPE",
+}
+
+
+def _not_in_needs_rewrite(
+    masked: str, depth: list[int], k0: int, q1: int, op_not: bool = True
+) -> bool:
+    """Position classifier for an ``X [NOT] IN (<subquery>)`` predicate
+    spanning ``[k0, q1)``: True when upstream Spark 4.1.2 plans the
+    position with broken three-valued logic and the EXISTS composite
+    should replace it; False when the position is safe upstream or when
+    bare operator adjacency makes a textual replacement parse-hazardous
+    (upstream semantics kept, documented out of scope).
+
+    Upstream's deviance surface (mapped empirically by the differential
+    fuzzer, r10-r11, each shape pinned in test_differential_fuzz):
+
+    - VALUE position — projection, IS-NULL test, projected negation,
+      function argument, THEN/ELSE result, scalar-subquery body —
+      yields FALSE where the standard says NULL, for BOTH ``IN`` and
+      ``NOT IN``.
+    - FILTER positions are planned null-aware correctly upstream
+      (including single disjuncts, AND-nested disjuncts, and NNF'd
+      negations) EXCEPT when complementary same-subquery predicates
+      share a disjunction (``P OR NOT P`` in any spelling): the planner
+      dedups both arms onto one two-valued existence variable and the
+      filter collapses to const-TRUE, admitting every row the standard
+      says UNKNOWN. Rewriting the effectively-negated arm breaks the
+      dedup and restores the standard answer.
+
+    Rule: rewrite iff (a) value position, or (b) the EFFECTIVE operator
+    after absorbing enclosing NOTs is NOT IN and an OR appears between
+    the leaf and its clause head (supersets the complementary-dedup
+    shapes; the extra rewrites are semantically exact and keep the r10
+    behavior for single disjuncts, sf1-measured 1.67x). An effective
+    ``IN`` in any filter context passes through byte-identical —
+    UNKNOWN and FALSE are outcome-equivalent under a filter, and
+    upstream resolves NOT-wrapped spellings by NNF before planning.
+    Reference parity: Calcite plans IN/NOT IN null-aware in every
+    position (FlinkSubQueryRemoveRule.scala; SubQueryDecorrelator)."""
+    n = len(masked)
+    # bare adjacency hazards: with no parens around the predicate, a
+    # neighboring operator re-groups under Spark's precedence (e.g.
+    # `a = i NOT IN (q)` parses as `(a = i) NOT IN (q)` because
+    # comparison lives INSIDE valueExpression), so a textual
+    # replacement of `i NOT IN (q)` would change the parse — skip.
+    if re.match(r"\s*(?:IS\b|\|\||[=<>!+\-*/%^&])", masked[q1:],
+                re.IGNORECASE):
+        return False
+    if re.search(r"[=<>!+\-*/%^&|]\s*$", masked[:k0]):
+        return False
+    lvl = depth[k0]
+    left, right = k0, q1
+    span_l, span_r = k0, q1  # predicate, or the paren group wrapping it
+    nots = 0       # enclosing NOTs absorbed (parity flips the operator)
+    saw_or = False  # an OR between the leaf and its clause head
+    while True:
+        while left > 0 and depth[left - 1] >= lvl:
+            left -= 1
+        while right < n and depth[right] >= lvl:
+            right += 1
+        # absorb NOT prefixes directly wrapping the current span
+        while True:
+            mnot = re.search(r"\bNOT\s*$", masked[:span_l],
+                             re.IGNORECASE)
+            if mnot and depth[mnot.start()] == lvl:
+                nots += 1
+                span_l = mnot.start()
+            else:
+                break
+        if re.match(r"\s*(?:IS\b|[=<>!])", masked[span_r:],
+                    re.IGNORECASE):
+            return True  # the (grouped) boolean VALUE is tested
+        if lvl == 0 or masked[left] != "(":
+            break
+        if re.match(r"\(\s*(?:SELECT|WITH|VALUES|TABLE)\b",
+                    masked[left:], re.IGNORECASE):
+            break  # the enclosing STATEMENT is this subquery
+        j = left - 1
+        while j >= 0 and masked[j] in " \t\n\r":
+            j -= 1
+        if j >= 0 and (masked[j].isalnum() or masked[j] in "_$`"):
+            w1 = j
+            while w1 > 0 and (masked[w1 - 1].isalnum()
+                              or masked[w1 - 1] in "_$`"):
+                w1 -= 1
+            if masked[w1:j + 1].upper() not in _NIS_GROUPING_KWS:
+                return True  # function-call argument: value position
+        elif j >= 0 and masked[j] == ",":
+            return True  # list element: value position
+        elif j >= 0 and masked[j] in "=<>!+-*/%^|":
+            return True  # operand of an operator: value position
+        if not saw_or:
+            for mo in re.finditer(r"\bOR\b", masked[left:right],
+                                  re.IGNORECASE):
+                if depth[left + mo.start()] == lvl:
+                    saw_or = True
+                    break
+        span_l, span_r = left, right
+        lvl -= 1
+    # statement level: clause-scope the context scan (ADVICE r10: an OR
+    # in an UNRELATED clause — e.g. the SELECT list — must not demote
+    # a conjunctive WHERE predicate to the 3x-scan composite)
+    head, head_end, seg_hi = None, left, right
+    for mo in _NIS_CLAUSE_RE.finditer(masked, left, right):
+        if depth[mo.start()] != lvl:
+            continue
+        if mo.end() <= span_l:
+            head, head_end = mo.group(0), mo.end()
+        elif mo.start() >= span_r:
+            seg_hi = mo.start()
+            break
+    if head is None or head.upper() not in _NIS_SAFE_HEADS:
+        return True  # value position: SELECT item, THEN/ELSE, comma...
+    if not saw_or:
+        for mo in re.finditer(r"\bOR\b", masked, re.IGNORECASE):
+            if (head_end <= mo.start() < seg_hi
+                    and depth[mo.start()] == lvl):
+                saw_or = True
+                break
+    effective_not = op_not != (nots % 2 == 1)
+    return effective_not and saw_or
+
+
+def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
     """Restore SQL-standard three-valued logic for ``X NOT IN
-    (<subquery>)`` in DISJUNCTIVE position (r10; found by the
-    correlated-subquery differential fuzzer, pinned in
-    test_known_deviation_not_in_subquery_under_or): upstream Spark
-    4.1.2 plans it as a negated plain-equality ExistenceJoin, so with
-    NULLs in the subquery result (or a NULL probe) the predicate
-    evaluates TRUE where the standard — and the reference's
-    Calcite-planned NOT IN (SubQueryDecorrelator; FlinkSubQueryRemoveRule)
-    — says UNKNOWN. The rewrite replaces the predicate with an exactly
-    three-valued composite built from EXISTS (two-valued, so Spark's
-    ExistenceJoin translation is exact in any boolean position):
+    (<subquery>)`` in every position upstream Spark 4.1.2 miscompiles
+    (r10 found the disjunctive case, r11 extends to value position —
+    both pinned in test_differential_fuzz): see
+    :func:`_not_in_needs_rewrite` for the position taxonomy. The
+    rewrite replaces the predicate with an exactly three-valued
+    composite built from EXISTS (two-valued, so Spark's ExistenceJoin
+    translation is exact in any boolean OR value position):
 
         (NOT EXISTS (SELECT 1 FROM (Q) a(v) WHERE v = X)       -- match
          AND NOT ((EXISTS (SELECT 1 FROM (Q) b(v) WHERE v IS NULL)
@@ -4709,16 +4850,25 @@ def _rewrite_disjunctive_not_in(stmt: str) -> str:
         which Spark already evaluates with correct null semantics);
       - only single-column probes spelled as a qualified identifier
         (tuple probes and computed expressions keep upstream behavior);
-      - only when a bare OR exists at the predicate's own paren depth
-        within its enclosing region — a conjunctive NOT IN keeps
-        Spark's correct AND efficient null-aware anti join;
-      - a NOT IN nested inside another rewritten subquery's body keeps
-        upstream semantics (the outer replacement embeds the original
-        text) — the caller's analysis probe still validates the result.
+      - a pure-conjunct predicate under WHERE/HAVING/ON/WHEN keeps
+        Spark's correct AND efficient null-aware anti join,
+        byte-identical;
+      - a NOT IN nested inside another rewritten predicate's subquery
+        keeps upstream semantics (the outer replacement embeds the
+        original inner text; overlapping matches are resolved
+        outermost-first so nested rewrites can never corrupt offsets —
+        ADVICE r10).
     The caller probes the rewritten statement with a lazy analysis pass
     and falls back to the original text if it does not analyze (e.g. a
     correlated subquery, which the derived-table wrapping would nest
-    one correlation level too deep for Spark)."""
+    one correlation level too deep for Spark).
+
+    Scan-cost note (measured, r11): the subquery text is embedded three
+    times; a shared-scan form via WITH is physically unreachable —
+    Spark inlines CTE references inside subquery expressions (verified:
+    8 scan nodes, 0 ReusedSubquery) — but the two guard branches
+    collapse to tiny uncorrelated EXISTS reductions (sf1 1.67x,
+    plan-audited: 0 CartesianProduct)."""
     from flink_spark.sqltok import mask_literals
 
     masked = mask_literals(stmt)
@@ -4733,10 +4883,9 @@ def _rewrite_disjunctive_not_in(stmt: str) -> str:
             d -= 1
         else:
             depth.append(d)
-    out = stmt
-    for m in reversed(
-        list(re.finditer(r"\bNOT\s+IN\s*\(", masked, re.IGNORECASE))
-    ):
+    accepted: list[tuple[int, int, str, str, int, bool]] = []
+    for m in re.finditer(r"\b(?:NOT\s+)?IN\s*\(", masked, re.IGNORECASE):
+        op_not = masked[m.start():m.start() + 3].upper() == "NOT"
         q0 = m.end() - 1
         q1 = _match_paren(masked, q0 + 1)
         if q1 < 0:
@@ -4763,47 +4912,43 @@ def _rewrite_disjunctive_not_in(stmt: str) -> str:
             # the analysis probe would reject the malformed rewrite
             # anyway, but skip it cleanly here
             continue
-        # disjunctive-context walk: parentheses are structural noise in
-        # a boolean expression (`(A) OR (B)` parses identically to
-        # `A OR B`), so expand outward level by level looking for a
-        # bare OR at each level, stopping at a subquery boundary — an
-        # OR in an OUTER query does not change how Spark plans a NOT IN
-        # inside a nested subquery's own Filter.
-        lvl = depth[m.start()]
-        left, right = k0, q1
-        disjunctive = False
-        while True:
-            while left > 0 and depth[left - 1] >= lvl:
-                left -= 1
-            while right < len(masked) and depth[right] >= lvl:
-                right += 1
-            if any(
-                depth[left + mo.start()] == lvl
-                for mo in re.finditer(
-                    r"\bOR\b", masked[left:right], re.IGNORECASE
-                )
-            ):
-                disjunctive = True
-                break
-            if lvl == 0 or masked[left] != "(":
-                break
-            if re.match(
-                r"\(\s*(?:SELECT|WITH)\b", masked[left:], re.IGNORECASE
-            ):
-                break  # predicate confined to this subquery's filter
-            lvl -= 1
-        if not disjunctive:
-            continue  # conjunctive: keep the null-aware anti join
-        tag = f"__nis{m.start()}"
-        rep = (
-            f"(NOT EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
-            f"WHERE __nis_v = ({probe})) AND NOT ((EXISTS (SELECT 1 "
-            f"FROM ({inner}) {tag}b(__nis_v) WHERE __nis_v IS NULL) OR "
-            f"((({probe}) IS NULL) AND EXISTS (SELECT 1 FROM ({inner}) "
-            f"{tag}c(__nis_v)))) AND CAST(NULL AS BOOLEAN)))"
+        # outermost-first (matches ascend by start; a nested candidate
+        # starts inside the accepted outer span): skip it — the outer
+        # replacement embeds the ORIGINAL inner text, and replacing
+        # both would slice the outer span at stale offsets (the exact
+        # unbalanced-SQL bug ADVICE r10 reproduced)
+        if any(a0 <= k0 < a1 for a0, a1, _, _, _, _ in accepted):
+            continue
+        if not _not_in_needs_rewrite(masked, depth, k0, q1, op_not):
+            continue
+        accepted.append((k0, q1, probe, inner, m.start(), op_not))
+    out = stmt
+    for k0, q1, probe, inner, tag0, op_not in reversed(accepted):
+        tag = f"__nis{tag0}"
+        unknown_guard = (
+            f"(EXISTS (SELECT 1 FROM ({inner}) {tag}b(__nis_v) "
+            f"WHERE __nis_v IS NULL) OR ((({probe}) IS NULL) AND "
+            f"EXISTS (SELECT 1 FROM ({inner}) {tag}c(__nis_v))))"
         )
+        if op_not:
+            rep = (
+                f"(NOT EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
+                f"WHERE __nis_v = ({probe})) AND NOT ({unknown_guard} "
+                f"AND CAST(NULL AS BOOLEAN)))"
+            )
+        else:
+            rep = (
+                f"(EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
+                f"WHERE __nis_v = ({probe})) OR ({unknown_guard} "
+                f"AND CAST(NULL AS BOOLEAN)))"
+            )
         out = out[:k0] + rep + out[q1:]
     return out
+
+
+#: Backwards-compatible alias (the r10 name; the r11 scope extension
+#: covers every non-conjunctive position, not just disjunctions).
+_rewrite_disjunctive_not_in = _rewrite_nonconjunctive_not_in
 
 
 def _split_top_level(s: str) -> list[str]:

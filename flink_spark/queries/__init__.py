@@ -576,21 +576,23 @@ VERIFICATION_ROTATION_R10_CANDIDATES = [
 #: dtype-strict + non-scalar-rejecting gate before promotion.
 VERIFICATION_ROTATION_R10 = VERIFICATION_ROTATION_R10_CANDIDATES
 
-promote_first(VERIFICATION_ROTATION_R10)
 
-
-#: Staged r11 head (NOT promoted — promote at the start of round 11):
-#: the FIRST mechanically-assembled head, emitted by tools/next_head.py
-#: from the CORRECTNESS archive plus this round's samples (entry first,
-#: then never-sampled — only sql_not_in_disjunctive, the r10-new gate
-#: for the disjunctive NOT IN three-valued fix — then stalest-first:
-#: the queries externally verified longest ago, r4-r6).
-#: test_registry.py pins this constant against the policy function, so
-#: a drifted registry or archive fails CI instead of silently staging
-#: the wrong head.
+#: Round-11 head (PROMOTED below): the FIRST mechanically-assembled
+#: head, emitted by tools/next_head.py from the CORRECTNESS archive
+#: (entry first, then never-sampled — sql_not_in_disjunctive, the
+#: r10-new gate for the disjunctive NOT IN three-valued fix, and
+#: sql_not_in_projected, the r11 gate for the value-position extension
+#: — then stalest-first: the queries externally verified longest ago,
+#: r3-r6: tpch q2-q22 and the agg_*/join_*/set_* relational core).
+#: Regenerated mid-round when sql_not_in_projected was gated (the
+#: policy slots a new never-sampled gate at position 2, displacing
+#: agg_grouping_id to round 12). test_registry.py pins this constant
+#: against the policy function, so a drifted registry or archive fails
+#: CI instead of silently staging the wrong head.
 VERIFICATION_ROTATION_R11_CANDIDATES = [
     "tpch_q1_pricing_summary",
     "sql_not_in_disjunctive",
+    "sql_not_in_projected",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -638,5 +640,8 @@ VERIFICATION_ROTATION_R11_CANDIDATES = [
     "unnest_with_ordinality",
     "pivot_status",
     "join_salted_skew",
-    "agg_grouping_id",
 ]
+
+VERIFICATION_ROTATION_R11 = VERIFICATION_ROTATION_R11_CANDIDATES
+
+promote_first(VERIFICATION_ROTATION_R11)

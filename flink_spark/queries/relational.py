@@ -195,6 +195,45 @@ def sql_not_in_disjunctive(spark, sf_dir):
     )
 
 
+_NIS_PROJECTED_SQL = """
+SELECT c_custkey,
+       CASE WHEN nf IS NULL THEN 'U' WHEN nf THEN 'T' ELSE 'F' END
+           AS not_in_3v,
+       CASE WHEN pf IS NULL THEN 'U' WHEN pf THEN 'T' ELSE 'F' END
+           AS in_3v
+FROM (SELECT c_custkey,
+             c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                           THEN NULL ELSE o_custkey END
+                               FROM orders) AS nf,
+             c_custkey IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                       THEN NULL ELSE o_custkey END
+                           FROM orders) AS pf
+      FROM customer) t
+"""
+
+
+@query("sql_not_in_projected", oracle=_NIS_PROJECTED_SQL)
+def sql_not_in_projected(spark, sf_dir):
+    """[NOT] IN subquery in VALUE position (r11; the r10 fuzzer's
+    disjunctive find extended by the value-position fuzz surface):
+    a PROJECTED flag is a context that DISTINGUISHES FALSE from
+    UNKNOWN, and upstream Spark 4.1.2 yields FALSE where the standard —
+    and the reference's Calcite-planned IN/NOT IN
+    (FlinkSubQueryRemoveRule.scala plans null-aware in every position)
+    — yields NULL, for BOTH operators. The null-capable subquery
+    (status 'P' orders project NULL) makes every non-matching
+    customer's flag UNKNOWN; the dialect layer's EXISTS composite
+    restores exactly that. The outer CASE folds the three states to
+    non-null 'T'/'F'/'U' strings (the UNKNOWN state stays visible —
+    the thing under test — while the gate output avoids nullable
+    booleans, whose NULL spelling differs between the engines' pandas
+    bridges)."""
+    from flink_spark.catalog import TableEnvironment
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return TableEnvironment(spark).sql_query(_NIS_PROJECTED_SQL)
+
+
 @query(
     "join_theta_band",
     oracle="""

@@ -641,6 +641,39 @@ def test_subquery_fragment_agree(spark, duck, spark_rel, win_rel, win_env,
     assert got == exp, (preds, conj, got, exp)
 
 
+@given(
+    st.lists(st.sampled_from(_SQ_PREDS), min_size=1, max_size=3,
+             unique=True),
+    st.sampled_from(["{p}", "({p}) IS NULL", "NOT ({p})",
+                     "CASE WHEN {p} THEN 'y' ELSE 'n' END",
+                     "coalesce({p}, FALSE)"]),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_subquery_value_position_agree(spark, duck, spark_rel, win_rel,
+                                       win_env, preds, wrap):
+    """VALUE-position twin of the predicate fragment (r11): the same
+    subquery predicates PROJECTED as columns — including IS-NULL tests,
+    negation, CASE results, and coalesce defaults, the contexts that
+    distinguish FALSE from UNKNOWN and exposed the upstream NOT IN
+    value-position deviance the r11 rewrite fixes."""
+    sel = ", ".join(
+        f"CAST({wrap.format(p=p)} AS STRING) AS c{i}"
+        for i, p in enumerate(preds)
+    )
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    got = [
+        tuple(x)
+        for x in win_env.sql_query(
+            f"SELECT r.i, r.j, {sel} FROM diff_r r {order}"
+        ).collect()
+    ]
+    d_sel = sel.replace("diff_w", "w").replace("STRING", "VARCHAR")
+    exp = duck.execute(
+        f"SELECT r.i, r.j, {d_sel} FROM r r {order}"
+    ).fetchall()
+    assert got == exp, (preds, wrap, got, exp)
+
+
 def test_known_deviation_not_in_subquery_under_or(spark, duck, spark_rel,
                                                   win_rel, win_env):
     """Pins the upstream Spark 4.1.2 deviation the subquery fuzzer
@@ -777,16 +810,18 @@ def test_array_functions_agree(spark, duck, arr_rel, pairs):
 
 
 def test_known_deviation_not_in_subquery_value_position(spark, duck,
-                                                        spark_rel, win_rel):
+                                                        spark_rel, win_rel,
+                                                        win_env):
     """Sibling spelling of the disjunctive NOT IN deviation: in VALUE
     position (a projected column) upstream Spark 4.1.2 yields FALSE
     where the standard — and DuckDB — yield NULL for a null-capable
     NOT IN. Contexts that cannot distinguish FALSE from UNKNOWN (WHERE,
-    CASE..ELSE) still produce standard OUTCOMES, which is why no gated
-    query is affected; contexts that can (projection output, IS NULL
-    tests, negation) expose it. The dialect rewrite deliberately scopes
-    to disjunctive predicate positions — value position is a documented
-    r11 candidate. Interesting contrast, also pinned: the NOT(x IN S)
+    CASE..ELSE) still produce standard OUTCOMES; contexts that can
+    (projection output, IS NULL tests, negation) expose it. Since r11
+    the dialect rewrite covers value position too
+    (catalog._not_in_needs_rewrite) — asserted below, alongside the
+    upstream pin (if a Spark upgrade fixes it, drop rewrite + pin
+    together). Interesting contrast, also pinned: the NOT(x IN S)
     spelling under OR IS planned null-aware correctly upstream."""
     proj = ("SELECT r.i, r.i NOT IN (SELECT v FROM diff_w) AS f "
             "FROM diff_r r WHERE r.i IS NULL OR r.i IN (0, 42) "
@@ -798,7 +833,63 @@ def test_known_deviation_not_in_subquery_value_position(spark, duck,
     assert [t[1] for t in exp] == [None, None, None, False]
     got = [r.f for r in spark.sql(proj).collect()]
     assert got == [False, False, False, False]  # upstream deviance
+    # the dialect layer restores the standard answer (r11)
+    fixed = [r.f for r in win_env.sql_query(proj).collect()]
+    assert fixed == [None, None, None, False]
+    # ... and in IS-NULL / negated positions
+    isnull = ("SELECT r.i, (r.i NOT IN (SELECT v FROM diff_w)) IS NULL "
+              "AS f FROM diff_r r ORDER BY i NULLS FIRST")
+    assert ([tuple(x) for x in win_env.sql_query(isnull).collect()]
+            == duck.execute(isnull.replace("diff_r r", "r r")
+                            .replace("diff_w", "w")).fetchall())
+    neg = ("SELECT r.i, NOT (r.i NOT IN (SELECT v FROM diff_w)) AS f "
+           "FROM diff_r r ORDER BY i NULLS FIRST")
+    assert ([tuple(x) for x in win_env.sql_query(neg).collect()]
+            == duck.execute(neg.replace("diff_r r", "r r")
+                            .replace("diff_w", "w")).fetchall())
     # NOT(IN) spelling under OR: upstream is CORRECT (null-aware)
     notin = ("SELECT i FROM diff_r r WHERE r.i = 42 "
              "OR NOT (r.i IN (SELECT v FROM diff_w)) ORDER BY i")
     assert [r.i for r in spark.sql(notin).collect()] == [42]
+
+
+def test_known_deviation_complementary_subquery_dedup(spark, duck,
+                                                      spark_rel, win_rel,
+                                                      win_env):
+    """Sharper r11 characterization of the r10 filter-context find:
+    upstream plans SINGLE [NOT] IN disjuncts null-aware correctly
+    (pinned below) — the filter deviance specifically requires
+    COMPLEMENTARY same-subquery predicates sharing a disjunction
+    (`P OR NOT P` in any spelling): the planner dedups both arms onto
+    one two-valued existence variable and the filter collapses to
+    const-TRUE, admitting every row the standard says UNKNOWN. The
+    dialect rewrite of the effectively-negated arm breaks the dedup and
+    restores the standard answer (asserted per spelling)."""
+    std = [42]  # the single genuine match; UNKNOWN excludes the rest
+    all_rows = [None, None, -100, -7, 0, 9, 42, 100]
+    complements = [
+        "r.i IN (SELECT v FROM diff_w) OR r.i NOT IN (SELECT v FROM diff_w)",
+        "r.i IN (SELECT v FROM diff_w) OR NOT (r.i IN (SELECT v FROM diff_w))",
+        "r.i NOT IN (SELECT v FROM diff_w) OR NOT (r.i NOT IN (SELECT v FROM diff_w))",
+    ]
+    for c in complements:
+        q = f"SELECT i FROM diff_r r WHERE {c} ORDER BY i NULLS FIRST"
+        dq = q.replace("diff_r r", "r r").replace("diff_w", "w")
+        assert [t[0] for t in duck.execute(dq).fetchall()] == std, c
+        assert [r.i for r in spark.sql(q).collect()] == all_rows, c
+        assert [r.i for r in win_env.sql_query(q).collect()] == std, c
+    # single disjuncts and NNF'd negations: upstream CORRECT — the
+    # dialect layer's extra rewrite of the NOT IN spellings must agree
+    singles = [
+        "r.i = 42 OR r.i NOT IN (SELECT v FROM diff_w)",
+        "r.i = 42 OR (r.i > -1000 AND r.i NOT IN (SELECT v FROM diff_w))",
+        "NOT (r.i < -1000 OR r.i NOT IN (SELECT v FROM diff_w))",
+        "NOT (r.i > -1000 AND r.i NOT IN (SELECT v FROM diff_w))",
+        "r.i = 42 OR r.i IN (SELECT v FROM diff_w)",
+    ]
+    for c in singles:
+        q = f"SELECT i FROM diff_r r WHERE {c} ORDER BY i NULLS FIRST"
+        dq = q.replace("diff_r r", "r r").replace("diff_w", "w")
+        exp = [t[0] for t in duck.execute(dq).fetchall()]
+        assert [r.i for r in spark.sql(q).collect()] == exp, c
+        assert [r.i for r in win_env.sql_query(q).collect()] == exp, c

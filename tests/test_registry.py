@@ -1,11 +1,13 @@
 """Registry-order contract: external correctness harnesses sample the
 first 50 registered queries, so the head of the registry is a curated,
-rotating verification window.  Round 10 promotes the 27 gates that have
-never had an external CORRECTNESS row (the r9 streaming-LLM family,
-group-agg-retract ±TTL, DataStream V2, the curation e2e pair, the
-multimodal trio, and 15 TPC-DS shapes) plus 22 freshness re-samples of
-operators last externally verified in rounds 4-7 — retiring the
-external-verification debt to zero.
+rotating verification window.  From round 11 on, heads are MECHANICAL:
+tools/next_head.py emits them from the CORRECTNESS archive (entry
+first, never-sampled next in registry order, then stalest-first), and
+the promoted head is pinned against that policy here.  The r11 head
+carries the two never-sampled NOT IN three-valued gates
+(sql_not_in_disjunctive from r10, sql_not_in_projected from r11) and 47
+freshness re-samples of the r3-r6-verified relational core (tpch
+q2-q22, agg_*/join_*/set_*).
 """
 
 from __future__ import annotations
@@ -15,10 +17,10 @@ import os
 
 from flink_spark.queries import (
     QUERIES,
-    VERIFICATION_ROTATION_R10_TAIL,
+    VERIFICATION_ROTATION_R10,
     promote_first,
 )
-from flink_spark.queries import VERIFICATION_ROTATION_R10 as ROTATION
+from flink_spark.queries import VERIFICATION_ROTATION_R11 as ROTATION
 import pytest
 
 # rows-only entries deliberately promoted for an external row despite
@@ -61,47 +63,36 @@ def test_rotation_head_is_fully_oracled():
 
 
 def test_rotation_retires_all_never_sampled_gates():
-    """The r10 head's raison d'être: after this round, every gated query
-    has had at least one external CORRECTNESS row.  The 27 tail entries
-    must (a) all be in the head and (b) all be absent from every prior
-    round's artifact; every other gated query must appear in some prior
-    artifact or in this head."""
-    prev = _prior_round_keys(range(1, 10))
+    """Debt stays at zero: every gated query must either carry a prior
+    external CORRECTNESS row (r1-r10) or sit in THIS head (the policy
+    slots never-sampled gates right behind the entry query — for r11
+    that is exactly the two NOT IN three-valued gates)."""
+    prev = _prior_round_keys(range(1, 11))
     if not prev:
         pytest.skip("no prior-round artifacts")
-    assert len(VERIFICATION_ROTATION_R10_TAIL) == 27
-    for name in VERIFICATION_ROTATION_R10_TAIL:
-        assert name in ROTATION, name
-        assert name not in prev, f"{name} was already externally sampled"
-    # debt-zero check: nothing gated remains unsampled after this head,
-    # except gates registered AFTER the r10 head froze — those must be
-    # queued in the staged (mechanically-assembled) r11 head, which
-    # slots never-sampled entries right behind the entry query
-    from flink_spark.queries import VERIFICATION_ROTATION_R11_CANDIDATES
-
-    uncovered = [n for n in QUERIES if n not in prev and n not in ROTATION]
-    stragglers = set(uncovered) - set(VERIFICATION_ROTATION_R11_CANDIDATES)
-    assert stragglers == set(), (
-        f"never sampled and not queued for r11: {stragglers}"
-    )
-    assert len(uncovered) <= 3, (
-        f"too many post-freeze gates piling up: {uncovered}"
-    )
+    never = [n for n in QUERIES if n not in prev]
+    uncovered = [n for n in never if n not in ROTATION]
+    assert uncovered == [], f"never sampled and not in this head: {uncovered}"
+    assert len(never) <= 4, f"too many never-sampled gates: {never}"
+    # the policy places them immediately after the entry
+    k = len([n for n in never if n != "tpch_q1_pricing_summary"])
+    assert set(ROTATION[1:1 + k]) == set(never) - {"tpch_q1_pricing_summary"}
 
 
 def test_freshness_slots_resample_previously_verified_queries():
-    prev = _prior_round_keys(range(1, 10))
+    prev = _prior_round_keys(range(1, 11))
     if not prev:
         pytest.skip("no prior-round artifacts")
+    never = {"sql_not_in_disjunctive", "sql_not_in_projected"}
     fresh = [
-        n
-        for n in ROTATION
-        if n not in VERIFICATION_ROTATION_R10_TAIL
-        and n != "tpch_q1_pricing_summary"
+        n for n in ROTATION
+        if n not in never and n != "tpch_q1_pricing_summary"
     ]
-    assert len(fresh) == 22
+    assert len(fresh) == 47
     for name in fresh:
         assert name in prev, f"freshness slot {name} was never sampled before"
+        # freshness means STALE: nothing re-sampled that r10 just covered
+        assert name not in VERIFICATION_ROTATION_R10, name
 
 
 def test_promote_first_rejects_unknown_and_duplicate():
@@ -136,40 +127,38 @@ def test_next_head_policy_mechanical():
         "tpch_q1_pricing_summary", "b", "d"
     ]
 
-    # real archive: after the r10 head is sampled, no gated query may
-    # remain never-sampled, and the computed r11 head must be exactly
-    # the 49 stalest + entry, all oracled
+    # real archive: once the r11 head is sampled, the computed r12 head
+    # must be debt-free (no never-sampled gates remain), fully oracled,
+    # and advance freshness past this round's samples
     repo = os.path.join(os.path.dirname(__file__), "..")
     archive = load_archive(repo)
     if not archive:
         pytest.skip("no prior-round artifacts")
-    archive[10] = set(ROTATION)  # the driver samples this round's head
+    archive[11] = set(ROTATION)  # the driver samples this round's head
     head = compute_head(archive, list(QUERIES))
     assert len(head) == 50 and len(set(head)) == 50
     assert head[0] == "tpch_q1_pricing_summary"
     assert all(QUERIES[n].oracle is not None for n in head)
-    # nothing in the r11 head was sampled this round (freshness advances)
+    # nothing in the r12 preview was sampled this round (freshness advances)
     assert not (set(head) - {"tpch_q1_pricing_summary"}) & set(ROTATION)
 
 
-def test_staged_r11_head_matches_policy():
-    """The staged VERIFICATION_ROTATION_R11_CANDIDATES must be exactly
-    what tools/next_head.py computes from the archive + this round's
-    samples — heads self-assemble from round 11 on, and a drifted
-    registry or archive fails here instead of silently staging the
-    wrong head."""
+def test_promoted_r11_head_matches_policy():
+    """The PROMOTED r11 head must be exactly what tools/next_head.py
+    computes from the r1-r10 archive — heads self-assemble from round
+    11 on, and a drifted registry or archive fails here instead of
+    silently promoting the wrong head. (Regenerated mid-round when
+    sql_not_in_projected was gated: the policy is a fixpoint of
+    promotion, so recomputing against the promoted registry must
+    reproduce the promoted constant.)"""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from next_head import compute_head, load_archive
 
-    from flink_spark.queries import VERIFICATION_ROTATION_R11_CANDIDATES
-
     repo = os.path.join(os.path.dirname(__file__), "..")
     archive = load_archive(repo)
     if not archive:
         pytest.skip("no prior-round artifacts")
-    if 10 not in archive:
-        archive[10] = set(ROTATION)
     head = compute_head(archive, list(QUERIES))
-    assert VERIFICATION_ROTATION_R11_CANDIDATES == head
+    assert ROTATION == head

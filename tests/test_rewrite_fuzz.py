@@ -565,16 +565,19 @@ def test_sql_query_with_gate_hostile_prologues(dialect_env, monkeypatch):
     assert calls == []
 
 
-# --- disjunctive NOT IN rewrite (r10) -----------------------------------------
+# --- non-conjunctive NOT IN rewrite (r10 disjunctive, r11 all
+# --- non-conjunctive positions) ------------------------------------------------
 
 
-def test_disjunctive_not_in_rewrite_scope():
-    """catalog._rewrite_disjunctive_not_in: only a single-column
-    identifier-probe NOT IN <subquery> in a disjunctive position is
-    rewritten; everything else must pass through byte-identical (a
-    conjunctive NOT IN keeps Spark's correct-and-fast null-aware anti
-    join; literal lists and tuple probes keep the expression path)."""
-    from flink_spark.catalog import _rewrite_disjunctive_not_in as rw
+def test_not_in_rewrite_scope():
+    """catalog._rewrite_nonconjunctive_not_in: a single-column
+    identifier-probe NOT IN <subquery> is rewritten in every position
+    upstream miscompiles (disjunctive clause, projection, IS-NULL test,
+    negation, function argument, THEN/ELSE result); a pure conjunct
+    under WHERE/HAVING/ON/WHEN passes through byte-identical (Spark's
+    null-aware anti join is correct AND fast there), as do literal
+    lists, tuple probes, and parse-hazardous bare operator adjacency."""
+    from flink_spark.catalog import _rewrite_nonconjunctive_not_in as rw
 
     untouched = [
         # conjunctive
@@ -588,22 +591,67 @@ def test_disjunctive_not_in_rewrite_scope():
         "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w WHERE a OR b)",
         # NOT IN inside a string literal
         "SELECT 'x NOT IN (SELECT v FROM w) OR y' AS s FROM r",
+        # ADVICE r10: an OR in an UNRELATED clause (the SELECT list)
+        # must not demote a conjunctive WHERE predicate to the
+        # 3x-scan composite
+        "SELECT p OR q FROM t WHERE x NOT IN (SELECT a FROM s)",
+        "SELECT p OR q AS c FROM t WHERE x NOT IN (SELECT a FROM s) "
+        "AND y = 1",
+        # WHEN condition, no OR: FALSE and UNKNOWN take the same branch
+        "SELECT CASE WHEN i NOT IN (SELECT v FROM w) THEN 1 ELSE 2 END "
+        "FROM r",
+        # bare comparison adjacency: `a = i NOT IN (q)` parses as
+        # `(a = i) NOT IN (q)` — a textual replacement would re-group
+        "SELECT i FROM r WHERE a = i NOT IN (SELECT v FROM w) OR j = 3",
+        # HAVING conjunct
+        "SELECT g FROM r GROUP BY g HAVING g NOT IN (SELECT v FROM w)",
+        # trailing clauses after the predicate bound the clause scan
+        "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w) ORDER BY i",
+        # double negation in a FILTER: NNF resolves to IN, which is
+        # outcome-safe under a filter — upstream plans it correctly
+        # (pinned empirically in test_differential_fuzz)
+        "SELECT i FROM r WHERE NOT (i NOT IN (SELECT v FROM w))",
+        "SELECT i FROM r WHERE NOT i NOT IN (SELECT v FROM w)",
+        # plain IN is outcome-safe in EVERY filter context, even
+        # disjunctive/negated (UNKNOWN and FALSE both exclude)
+        "SELECT i FROM r WHERE j = 3 OR i IN (SELECT v FROM w)",
+        "SELECT i FROM r WHERE NOT (j = 3 AND i IN (SELECT v FROM w))",
+        "SELECT i FROM r WHERE i IN (SELECT v FROM w)",
     ]
     for stmt in untouched:
         assert rw(stmt) == stmt, stmt
 
     rewritten = [
+        # disjunctive (r10)
         "SELECT i FROM r WHERE j = 3 OR i NOT IN (SELECT v FROM w)",
         "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w) OR j = 3",
         "SELECT i FROM r WHERE a = 1 AND (j = 3 OR i NOT IN "
         "(SELECT v FROM w))",
         "SELECT i FROM r WHERE r.i NOT IN (WITH c AS (SELECT v FROM w) "
         "SELECT v FROM c) OR j = 3",
+        # value positions (r11) — both operators deviate there upstream
+        "SELECT i, i NOT IN (SELECT v FROM w) AS f FROM r",
+        "SELECT i NOT IN (SELECT v FROM w) FROM r",
+        "SELECT i, i IN (SELECT v FROM w) AS f FROM r",
+        "SELECT i, (i NOT IN (SELECT v FROM w)) IS NULL AS f FROM r",
+        "SELECT i, (i IN (SELECT v FROM w)) IS NULL AS f FROM r",
+        "SELECT i, NOT (i IN (SELECT v FROM w)) AS f FROM r",
+        "SELECT CASE WHEN a THEN i NOT IN (SELECT v FROM w) "
+        "ELSE FALSE END FROM r",
+        "SELECT coalesce(i NOT IN (SELECT v FROM w), FALSE) FROM r",
+        "SELECT CASE WHEN i NOT IN (SELECT v FROM w) OR a THEN 1 "
+        "ELSE 2 END FROM r",
+        "SELECT (SELECT i NOT IN (SELECT v FROM w)) FROM r",
+        # effectively-negated IN under OR: one arm of the
+        # complementary-dedup deviance (`P OR NOT P` collapses to a
+        # two-valued existence variable upstream)
+        "SELECT i FROM r WHERE i IN (SELECT v FROM w) "
+        "OR NOT (i IN (SELECT v FROM w))",
     ]
     for stmt in rewritten:
         out = rw(stmt)
         assert out != stmt, stmt
-        assert "NOT EXISTS" in out and "CAST(NULL AS BOOLEAN)" in out
+        assert "EXISTS" in out and "CAST(NULL AS BOOLEAN)" in out
         # the replacement is balanced and idempotent-ish: no NOT IN
         # subquery survives outside the embedded original text
         assert out.count("(") == out.count(")")
@@ -617,7 +665,39 @@ def test_disjunctive_not_in_rewrite_scope():
     assert "NOT EXISTS" in out
 
 
-def test_disjunctive_not_in_fix_executes(spark, dialect_env):
+def test_not_in_rewrite_nested_outermost_first():
+    """ADVICE r10 medium: a disjunctive NOT IN NESTED inside another
+    rewritten predicate's subquery used to corrupt offsets (the
+    right-to-left pass sliced the outer span after the inner
+    replacement changed its length), yielding unbalanced SQL and
+    silently dropping BOTH fixes. Overlap resolution is now
+    outermost-first: the outer rewrite applies, embedding the inner
+    ORIGINAL text verbatim in each of its three branches."""
+    from flink_spark.catalog import _rewrite_nonconjunctive_not_in as rw
+
+    nested = ("SELECT i FROM r WHERE j = 3 OR i NOT IN "
+              "(SELECT v FROM w WHERE a = 1 OR k NOT IN "
+              "(SELECT u FROM z))")
+    out = rw(nested)
+    assert out != nested
+    assert out.count("(") == out.count(")"), out
+    assert out.count("k NOT IN (SELECT u FROM z)") == 3, out
+    # sibling (non-nested) disjunctive predicates both rewrite
+    siblings = ("SELECT i FROM r WHERE i NOT IN (SELECT v FROM w) "
+                "OR k NOT IN (SELECT u FROM z)")
+    out2 = rw(siblings)
+    assert out2.count("NOT EXISTS") == 2
+    assert out2.count("(") == out2.count(")"), out2
+    # an inner NOT IN under a SAFE outer is still classified on its own
+    inner_only = ("SELECT i FROM r WHERE i NOT IN (SELECT v FROM w "
+                  "WHERE x = 1 OR k NOT IN (SELECT u FROM z))")
+    out3 = rw(inner_only)
+    assert out3.count("NOT EXISTS") == 1  # only the inner rewrote
+    assert "i NOT IN (SELECT v FROM w" in out3
+    assert out3.count("(") == out3.count(")"), out3
+
+
+def test_not_in_fix_executes(spark, dialect_env):
     """End-to-end: the rewritten disjunctive NOT IN gives the SQL-
     standard three-valued answer through sql_query; a correlated
     subquery falls back to upstream semantics without erroring."""
@@ -647,12 +727,12 @@ def test_disjunctive_not_in_fix_executes(spark, dialect_env):
     assert got3.count() >= 0
 
 
-def test_disjunctive_not_in_backticked_probes():
+def test_not_in_backticked_probes():
     """Backticked probes: a balanced quoted identifier is rewritten; an
     identifier with an inner space (the charset walk would truncate it
     to a malformed fragment) is skipped cleanly rather than relying on
     the analysis-probe fallback."""
-    from flink_spark.catalog import _rewrite_disjunctive_not_in as rw
+    from flink_spark.catalog import _rewrite_nonconjunctive_not_in as rw
 
     spaced = "SELECT i FROM r WHERE `my col` NOT IN (SELECT v FROM w) OR j = 3"
     assert rw(spaced) == spaced
@@ -663,7 +743,7 @@ def test_disjunctive_not_in_backticked_probes():
     assert "NOT EXISTS" in rw(qual)
 
 
-def test_disjunctive_not_in_probe_never_executes_dml(dialect_env, spark):
+def test_not_in_probe_never_executes_dml(dialect_env, spark):
     """The rewrite's analysis probe runs spark.sql on the candidate
     text, which is lazy for queries but EXECUTES commands — so a
     WITH-prefixed DML (legal in Spark's grammar) must never reach the
