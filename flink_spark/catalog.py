@@ -2932,6 +2932,22 @@ class TableEnvironment:
                     # wrapping nests one correlation level too deep —
                     # keep the original (upstream semantics) over failing
                     pass
+        if _nis_is_query and _QCMP_RE.search(masked):
+            # quantified subquery comparisons (ANY/SOME/ALL) — standard
+            # SQL the reference plans natively and Spark cannot parse;
+            # rewritten to EXISTS composites. Same pure-query-head +
+            # analysis-probe discipline as the NOT IN rewrite (a failed
+            # probe falls back to the original text, surfacing Spark's
+            # own parse error for shapes the rewrite cannot cover).
+            cand = _rewrite_quantified_cmp(stmt)
+            if cand != stmt:
+                try:
+                    self.spark.sql(cand)  # analysis probe, no execution
+                    stmt = cand
+                    masked = mask_literals(stmt)
+                    up = masked.upper()
+                except Exception:
+                    pass
         if re.search(r"\bOVERLAPS\b", up):
             # (tp1, t1) OVERLAPS (tp2, t2) (reference sql_functions.yml
             # temporal family; TemporalOverlapsConverter.java — Calcite's
@@ -4949,6 +4965,95 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
 #: Backwards-compatible alias (the r10 name; the r11 scope extension
 #: covers every non-conjunctive position, not just disjunctions).
 _rewrite_disjunctive_not_in = _rewrite_nonconjunctive_not_in
+
+
+_QCMP_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantified_cmp(stmt: str) -> str:
+    """Quantified subquery comparisons ``X <op> ANY|SOME|ALL
+    (<subquery>)`` (r11) — SQL-standard syntax the reference supports
+    natively (Calcite SqlStdOperatorTable.SOME/ALL; Flink's
+    SubQueryITCase quantified cases) but Spark 4.1.2 cannot parse at
+    all. Rewritten to exactly three-valued EXISTS composites (EXISTS is
+    two-valued, so Spark's ExistenceJoin translation is exact in any
+    position):
+
+        X op ALL (Q) -> (NOT EXISTS(SELECT 1 FROM (Q) t(v)
+                                    WHERE NOT (X op v))
+                         AND NOT (EXISTS(SELECT 1 FROM (Q) t(v)
+                                         WHERE (X op v) IS NULL)
+                                  AND CAST(NULL AS BOOLEAN)))
+        X op ANY (Q) -> (EXISTS(SELECT 1 FROM (Q) t(v) WHERE X op v)
+                         OR (EXISTS(SELECT 1 FROM (Q) t(v)
+                                    WHERE (X op v) IS NULL)
+                             AND CAST(NULL AS BOOLEAN)))
+
+    Standard semantics preserved: ALL over empty Q is TRUE, ANY over
+    empty Q is FALSE; a NULL comparison (NULL element or NULL probe)
+    yields UNKNOWN unless decided by a definite row (a FALSE for ALL, a
+    TRUE for ANY). Scope mirrors the NOT IN rewrite: subquery operands,
+    identifier probes; anything else is left for Spark to reject (there
+    is no upstream fallback semantics — upstream has no ANY/ALL). The
+    caller's analysis probe validates the rewrite and surfaces the
+    original parse error on failure (e.g. correlated Q)."""
+    from flink_spark.sqltok import mask_literals
+
+    masked = mask_literals(stmt)
+    accepted: list[tuple[int, int, str, str, str, str, int]] = []
+    for m in _QCMP_RE.finditer(masked):
+        q0 = m.end() - 1
+        q1 = _match_paren(masked, q0 + 1)
+        if q1 < 0:
+            continue
+        inner = stmt[q0 + 1:q1 - 1]
+        if not re.match(
+            r"\s*\(*\s*(?:SELECT|WITH)\b", mask_literals(inner),
+            re.IGNORECASE,
+        ):
+            continue  # e.g. the any()/some() boolean aggregates
+        j = m.start()
+        while j > 0 and stmt[j - 1] in " \t\n\r":
+            j -= 1
+        k0 = j
+        while k0 > 0 and (stmt[k0 - 1].isalnum()
+                          or stmt[k0 - 1] in "_.$`"):
+            k0 -= 1
+        probe = stmt[k0:j]
+        if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
+            continue
+        if probe.count("`") % 2 == 1:
+            continue
+        if any(a0 <= k0 < a1 for a0, a1, *_ in accepted):
+            continue  # nested inside an outer accepted span
+        accepted.append(
+            (k0, q1, probe, m.group(1), m.group(2).upper(), inner,
+             m.start())
+        )
+    out = stmt
+    for k0, q1, probe, op, quant, inner, tag0 in reversed(accepted):
+        tag = f"__qc{tag0}"
+        cmp_ = f"(({probe}) {op} __qc_v)"
+        guard = (
+            f"EXISTS (SELECT 1 FROM ({inner}) {tag}b(__qc_v) "
+            f"WHERE {cmp_} IS NULL)"
+        )
+        if quant == "ALL":
+            rep = (
+                f"(NOT EXISTS (SELECT 1 FROM ({inner}) {tag}a(__qc_v) "
+                f"WHERE NOT {cmp_}) AND NOT ({guard} "
+                f"AND CAST(NULL AS BOOLEAN)))"
+            )
+        else:  # ANY / SOME
+            rep = (
+                f"(EXISTS (SELECT 1 FROM ({inner}) {tag}a(__qc_v) "
+                f"WHERE {cmp_}) OR ({guard} "
+                f"AND CAST(NULL AS BOOLEAN)))"
+            )
+        out = out[:k0] + rep + out[q1:]
+    return out
 
 
 def _split_top_level(s: str) -> list[str]:

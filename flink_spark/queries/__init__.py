@@ -581,18 +581,20 @@ VERIFICATION_ROTATION_R10 = VERIFICATION_ROTATION_R10_CANDIDATES
 #: head, emitted by tools/next_head.py from the CORRECTNESS archive
 #: (entry first, then never-sampled — sql_not_in_disjunctive, the
 #: r10-new gate for the disjunctive NOT IN three-valued fix, and
-#: sql_not_in_projected, the r11 gate for the value-position extension
-#: — then stalest-first: the queries externally verified longest ago,
-#: r3-r6: tpch q2-q22 and the agg_*/join_*/set_* relational core).
-#: Regenerated mid-round when sql_not_in_projected was gated (the
-#: policy slots a new never-sampled gate at position 2, displacing
-#: agg_grouping_id to round 12). test_registry.py pins this constant
+#: sql_not_in_projected and sql_quantified_any_all, the r11 gates for
+#: the value-position extension and the ANY/SOME/ALL quantified
+#: comparisons — then stalest-first: the queries externally verified
+#: longest ago, r3-r6: tpch q2-q22 and the agg_*/join_*/set_*
+#: relational core). Regenerated mid-round as each r11 gate landed
+#: (the policy slots new never-sampled gates right behind the entry,
+#: displacing agg_grouping_id and join_salted_skew to round 12). test_registry.py pins this constant
 #: against the policy function, so a drifted registry or archive fails
 #: CI instead of silently staging the wrong head.
 VERIFICATION_ROTATION_R11_CANDIDATES = [
     "tpch_q1_pricing_summary",
     "sql_not_in_disjunctive",
     "sql_not_in_projected",
+    "sql_quantified_any_all",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -639,7 +641,6 @@ VERIFICATION_ROTATION_R11_CANDIDATES = [
     "unnest_words",
     "unnest_with_ordinality",
     "pivot_status",
-    "join_salted_skew",
 ]
 
 VERIFICATION_ROTATION_R11 = VERIFICATION_ROTATION_R11_CANDIDATES

@@ -234,6 +234,57 @@ def sql_not_in_projected(spark, sf_dir):
     return TableEnvironment(spark).sql_query(_NIS_PROJECTED_SQL)
 
 
+_QUANTIFIED_SQL = """
+SELECT s_suppkey,
+       CASE WHEN ga IS NULL THEN 'U' WHEN ga THEN 'T' ELSE 'F' END
+           AS gt_all_3v,
+       CASE WHEN gn IS NULL THEN 'U' WHEN gn THEN 'T' ELSE 'F' END
+           AS gt_all_nn_3v,
+       CASE WHEN la IS NULL THEN 'U' WHEN la THEN 'T' ELSE 'F' END
+           AS lt_any_3v
+FROM (SELECT s_suppkey,
+             s_acctbal > ALL (SELECT CASE WHEN n_nationkey = 1
+                                          THEN NULL
+                                          ELSE CAST(n_nationkey * 1000
+                                                    AS DECIMAL(12, 2))
+                                          END
+                              FROM nation WHERE n_nationkey < 4) AS ga,
+             s_acctbal > ALL (SELECT CAST(n_nationkey * 1000
+                                          AS DECIMAL(12, 2))
+                              FROM nation
+                              WHERE n_nationkey < 4
+                                AND n_nationkey <> 1) AS gn,
+             s_acctbal < SOME (SELECT CASE WHEN n_nationkey = 1
+                                           THEN NULL
+                                           ELSE CAST(n_nationkey * 1000
+                                                     AS DECIMAL(12, 2))
+                                           END
+                               FROM nation WHERE n_nationkey < 4) AS la
+      FROM supplier) t
+"""
+
+
+@query("sql_quantified_any_all", oracle=_QUANTIFIED_SQL)
+def sql_quantified_any_all(spark, sf_dir):
+    """Quantified subquery comparisons — ``> ALL`` and ``< SOME`` over
+    null-capable and null-free sets (r11): SQL-standard syntax the
+    reference plans natively (Calcite SqlStdOperatorTable SOME/ALL
+    quantify operators; flink-table-planner SubQueryITCase) and Spark
+    4.1.2 cannot parse at all; the dialect layer rewrites each into an
+    exactly three-valued EXISTS composite
+    (catalog._rewrite_quantified_cmp). The null-capable set makes the
+    undecided rows UNKNOWN ('U' — a supplier above every non-null bound
+    cannot be decided against the NULL element), the null-free twin
+    proves the definite 'T' path, and the SOME spelling covers the ANY
+    alias; all three states are visible in the gate output as non-null
+    strings checked exactly against DuckDB's native quantified
+    evaluation."""
+    from flink_spark.catalog import TableEnvironment
+
+    register_views(spark, sf_dir, "supplier", "nation")
+    return TableEnvironment(spark).sql_query(_QUANTIFIED_SQL)
+
+
 @query(
     "join_theta_band",
     oracle="""

@@ -853,6 +853,72 @@ def test_known_deviation_not_in_subquery_value_position(spark, duck,
     assert [r.i for r in spark.sql(notin).collect()] == [42]
 
 
+# --- quantified subquery comparisons (r11) -------------------------------------
+#
+# ANY/SOME/ALL — the sibling family of the IN/EXISTS fragment whose r10
+# fuzzer found the upstream NOT IN bug. Spark has NO quantified
+# comparison syntax; the dialect layer adds it via EXISTS composites
+# (catalog._rewrite_quantified_cmp), so this surface is a pure
+# implementation check against DuckDB's native quantified evaluation:
+# every op x quantifier x null-capability combination, in predicate AND
+# value position, over a NULL-capable set, a null-free set, and an
+# empty set (ALL-over-empty = TRUE, ANY-over-empty = FALSE are the
+# classic trap). Reference coverage: flink-table-planner
+# runtime/batch/sql/SubQueryITCase quantified cases (Calcite
+# SqlQuantifyOperator).
+
+_QC_OPS = ["=", "<>", "<", "<=", ">", ">="]
+_QC_TMPL = [
+    "r.i {op} ANY (SELECT v FROM diff_w)",
+    "r.i {op} ALL (SELECT v FROM diff_w)",
+    "r.i {op} SOME (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
+    "r.i {op} ALL (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
+    "r.j {op} ALL (SELECT v FROM diff_w w WHERE w.v > 1000)",
+    "r.j {op} ANY (SELECT v FROM diff_w w WHERE w.v > 1000)",
+]
+
+
+@given(
+    st.sampled_from(_QC_OPS),
+    st.lists(st.sampled_from(_QC_TMPL), min_size=1, max_size=2,
+             unique=True),
+    st.sampled_from(["AND", "OR"]),
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_quantified_comparison_agree(spark, duck, spark_rel, win_rel,
+                                     win_env, op, tmpls, conj):
+    preds = [t.format(op=op) for t in tmpls]
+    where = f" {conj} ".join(f"({p})" for p in preds)
+    sel = ", ".join(
+        f"CAST(({p}) AS STRING) AS c{i}" for i, p in enumerate(preds)
+    )
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    # predicate position
+    got = [
+        tuple(x)
+        for x in win_env.sql_query(
+            f"SELECT r.i, r.j FROM diff_r r WHERE {where} {order}"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT r.i, r.j FROM r r "
+        f"WHERE {where.replace('diff_w', 'w')} {order}"
+    ).fetchall()
+    assert got == exp, ("WHERE", op, tmpls, conj, got, exp)
+    # value position (three-valued results projected)
+    got = [
+        tuple(x)
+        for x in win_env.sql_query(
+            f"SELECT r.i, r.j, {sel} FROM diff_r r {order}"
+        ).collect()
+    ]
+    d_sel = sel.replace("diff_w", "w").replace("STRING", "VARCHAR")
+    exp = duck.execute(
+        f"SELECT r.i, r.j, {d_sel} FROM r r {order}"
+    ).fetchall()
+    assert got == exp, ("SELECT", op, tmpls, conj, got, exp)
+
+
 def test_known_deviation_complementary_subquery_dedup(spark, duck,
                                                       spark_rel, win_rel,
                                                       win_env):

@@ -83,12 +83,14 @@ def test_freshness_slots_resample_previously_verified_queries():
     prev = _prior_round_keys(range(1, 11))
     if not prev:
         pytest.skip("no prior-round artifacts")
-    never = {"sql_not_in_disjunctive", "sql_not_in_projected"}
+    never = {"sql_not_in_disjunctive", "sql_not_in_projected",
+             "sql_quantified_any_all"}
+    assert never == {n for n in ROTATION if n not in prev}
     fresh = [
         n for n in ROTATION
         if n not in never and n != "tpch_q1_pricing_summary"
     ]
-    assert len(fresh) == 47
+    assert len(fresh) == 46
     for name in fresh:
         assert name in prev, f"freshness slot {name} was never sampled before"
         # freshness means STALE: nothing re-sampled that r10 just covered

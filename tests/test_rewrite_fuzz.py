@@ -665,6 +665,60 @@ def test_not_in_rewrite_scope():
     assert "NOT EXISTS" in out
 
 
+def test_quantified_cmp_rewrite_scope():
+    """catalog._rewrite_quantified_cmp: only ``<identifier> <op>
+    ANY|SOME|ALL (<subquery>)`` is rewritten — the any()/some() boolean
+    AGGREGATES, literal operands, and expression probes pass through
+    byte-identical (Spark parses the aggregates; the rest surface
+    Spark's own error, since upstream has no quantified syntax to fall
+    back to)."""
+    from flink_spark.catalog import _rewrite_quantified_cmp as rw
+
+    untouched = [
+        # boolean aggregates, not quantifiers
+        "SELECT any(flag) FROM r",
+        "SELECT some(flag), every(flag) FROM r GROUP BY g",
+        # no comparison operator before the quantifier keyword
+        "SELECT i FROM r WHERE ANY (SELECT v FROM w) IS NOT NULL",
+        # literal operand list (not a subquery)
+        "SELECT i FROM r WHERE i > 1 AND all_vals = 3",
+        # expression probe: out of scope
+        "SELECT i FROM r WHERE i + 1 > ALL (SELECT v FROM w)",
+        # quantifier inside a string literal
+        "SELECT '> ALL (SELECT v FROM w)' AS s FROM r",
+    ]
+    for stmt in untouched:
+        assert rw(stmt) == stmt, (stmt, rw(stmt))
+
+    rewritten = [
+        "SELECT i FROM r WHERE i > ALL (SELECT v FROM w)",
+        "SELECT i FROM r WHERE i <> ALL (SELECT v FROM w) OR j = 3",
+        "SELECT i FROM r WHERE i = ANY (SELECT v FROM w)",
+        "SELECT i FROM r WHERE i <= SOME (WITH c AS (SELECT v FROM w) "
+        "SELECT v FROM c)",
+        "SELECT i >= ALL (SELECT v FROM w) AS f FROM r",
+        "SELECT i FROM r WHERE a.b.`c` < ANY (SELECT v FROM w)",
+    ]
+    for stmt in rewritten:
+        out = rw(stmt)
+        assert out != stmt, stmt
+        assert "EXISTS" in out and "CAST(NULL AS BOOLEAN)" in out, stmt
+        assert out.count("(") == out.count(")"), (stmt, out)
+        assert not _QC_LEFTOVER.search(
+            mask_literals(out).replace("__qc_v", "x")
+        ), out
+    # ALL and ANY produce the dual composites
+    all_out = rw("SELECT i FROM r WHERE i > ALL (SELECT v FROM w)")
+    assert "NOT EXISTS" in all_out
+    any_out = rw("SELECT i FROM r WHERE i > ANY (SELECT v FROM w)")
+    assert "NOT EXISTS" not in any_out and "EXISTS" in any_out
+
+
+_QC_LEFTOVER = re.compile(
+    r"[=<>!]\s*(?:ANY|SOME|ALL)\s*\(\s*(?:SELECT|WITH)\b", re.IGNORECASE
+)
+
+
 def test_not_in_rewrite_nested_outermost_first():
     """ADVICE r10 medium: a disjunctive NOT IN NESTED inside another
     rewritten predicate's subquery used to corrupt offsets (the
