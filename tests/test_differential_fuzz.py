@@ -853,6 +853,106 @@ def test_known_deviation_not_in_subquery_value_position(spark, duck,
     assert [r.i for r in spark.sql(notin).collect()] == [42]
 
 
+# --- random boolean trees over subquery-predicate leaves (r11) ------------------
+#
+# Generative stress for catalog._not_in_needs_rewrite: the classifier
+# decides per-leaf whether upstream's planning is trustworthy from
+# NOT-parity, OR-presence, and clause position — so generate random
+# AND/OR/NOT trees over [NOT] IN leaves (including the complementary
+# same-subquery pair that triggers the upstream dedup collapse), place
+# them in WHERE and in SELECT, and require exact agreement with DuckDB
+# through the dialect layer. Any disagreement is either a classifier
+# hole or a new upstream shape — both are finds.
+
+_BT_ATOMS = [
+    "r.i > 0",
+    "r.j = 3",
+    "r.i IN (SELECT v FROM diff_w)",
+    "r.i NOT IN (SELECT v FROM diff_w)",
+    "r.i NOT IN (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
+    "r.j IN (SELECT v FROM diff_w)",
+]
+
+
+def _btrees(depth: int):
+    if depth == 0:
+        return st.sampled_from(_BT_ATOMS)
+    sub = _btrees(depth - 1)
+    return st.one_of(
+        st.sampled_from(_BT_ATOMS),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+        sub.map(lambda e: f"(NOT {e})"),
+    )
+
+
+@given(_btrees(2))
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_boolean_tree_subquery_predicates_agree(spark, duck, spark_rel,
+                                                win_rel, win_env, tree):
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    qw = f"SELECT r.i, r.j FROM diff_r r WHERE {tree} {order}"
+    qs = (f"SELECT r.i, r.j, CAST({tree} AS STRING) AS c0 "
+          f"FROM diff_r r {order}")
+    for stmt in (qw, qs):
+        got = [tuple(x) for x in win_env.sql_query(stmt).collect()]
+        d = stmt.replace("diff_w", "w").replace("diff_r", "r") \
+                .replace("AS STRING", "AS VARCHAR")
+        exp = duck.execute(d).fetchall()
+        assert got == exp, (stmt, got, exp)
+
+
+# --- correlated scalar subqueries (r11) ----------------------------------------
+#
+# The third sibling of the subquery family: aggregated correlated
+# scalar subqueries in SELECT and WHERE position. Classic traps the
+# surface covers: COUNT over an EMPTY correlated group is 0 (not NULL
+# — the decorrelating outer join must not lose the count-bug fix),
+# SUM/MAX over an empty group IS NULL, groups keyed on NULL correlate
+# to nothing, and the subquery value participates three-valuedly in
+# comparisons. AVG is pinned through DECIMAL(20,4) so both engines
+# format identically. Reference coverage: flink-table-planner
+# SubQueryITCase scalar cases (SubQueryDecorrelator).
+
+_SC_TMPL = [
+    "(SELECT MAX(w.v) FROM diff_w w WHERE w.id = r.j)",
+    "(SELECT MIN(w.v) FROM diff_w w WHERE w.id = r.j)",
+    "(SELECT SUM(w.v) FROM diff_w w WHERE w.id = r.j)",
+    "(SELECT COUNT(*) FROM diff_w w WHERE w.id = r.j)",
+    "(SELECT COUNT(w.v) FROM diff_w w WHERE w.g = r.t)",
+    "(SELECT MAX(w.v) FROM diff_w w WHERE w.g = r.t)",
+    "(SELECT CAST(AVG(w.v) AS DECIMAL(20, 4)) FROM diff_w w "
+    "WHERE w.g = r.t)",
+    "(SELECT SUM(w.v) FROM diff_w w WHERE w.g = r.t AND w.v > 5)",
+]
+
+
+@given(
+    st.lists(st.sampled_from(_SC_TMPL), min_size=1, max_size=3,
+             unique=True),
+    st.sampled_from(_SC_TMPL),
+    st.sampled_from(["r.i > {q}", "r.j = {q}", "({q}) IS NULL",
+                     "COALESCE({q}, -1) < r.i"]),
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_correlated_scalar_subquery_agree(spark, duck, spark_rel,
+                                          win_rel, win_env, sels, wq,
+                                          wrap):
+    sel = ", ".join(
+        f"CAST({t} AS STRING) AS c{i}" for i, t in enumerate(sels)
+    )
+    where = wrap.format(q=wq)
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    q = (f"SELECT r.i, r.j, {sel} FROM diff_r r {order}")
+    qw = (f"SELECT r.i, r.j FROM diff_r r WHERE {where} {order}")
+    for stmt in (q, qw):
+        got = [tuple(x) for x in win_env.sql_query(stmt).collect()]
+        d = stmt.replace("diff_w", "w").replace("diff_r", "r") \
+                .replace("AS STRING", "AS VARCHAR")
+        exp = duck.execute(d).fetchall()
+        assert got == exp, (stmt, got, exp)
+
+
 # --- quantified subquery comparisons (r11) -------------------------------------
 #
 # ANY/SOME/ALL — the sibling family of the IN/EXISTS fragment whose r10

@@ -719,6 +719,33 @@ _QC_LEFTOVER = re.compile(
 )
 
 
+def test_subquery_rewrites_are_fixpoints():
+    """Re-running either subquery rewrite on its own output is the
+    identity: the EXISTS composites contain no [NOT] IN-subquery and no
+    quantified comparison, so a double application (e.g. a statement
+    passing through sql_query twice) can never stack rewrites."""
+    from flink_spark.catalog import (
+        _rewrite_nonconjunctive_not_in,
+        _rewrite_quantified_cmp,
+    )
+
+    stmts = [
+        "SELECT i, i NOT IN (SELECT v FROM w) AS f FROM r",
+        "SELECT i FROM r WHERE j = 3 OR i NOT IN (SELECT v FROM w)",
+        "SELECT i, i IN (SELECT v FROM w) AS f FROM r",
+        "SELECT i FROM r WHERE i > ALL (SELECT v FROM w)",
+        "SELECT i <= SOME (SELECT v FROM w) AS f FROM r",
+    ]
+    for s in stmts:
+        for rw in (_rewrite_nonconjunctive_not_in,
+                   _rewrite_quantified_cmp):
+            once = rw(s)
+            assert rw(once) == once, (rw.__name__, s)
+        # and across the two rewrites in either order
+        a = _rewrite_quantified_cmp(_rewrite_nonconjunctive_not_in(s))
+        assert _rewrite_nonconjunctive_not_in(a) == a, s
+
+
 def test_not_in_rewrite_nested_outermost_first():
     """ADVICE r10 medium: a disjunctive NOT IN NESTED inside another
     rewritten predicate's subquery used to corrupt offsets (the

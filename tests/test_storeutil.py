@@ -281,3 +281,50 @@ def test_deltajoin_ttl_compaction_crash_exact_on_object_store(
         for r in got.collect()
     )
     assert got_rows == expect
+
+
+def test_curation_fold_crash_exact_on_object_store(spark, sf_dir,
+                                                   tmp_path, monkeypatch):
+    """The heaviest multi-store drain (curation: out/fps/bands/sigs)
+    through the torn-copy window of its FIRST fold swap: with
+    compact_every=2 over 4 batches the fps-store fold fires at batch 3;
+    the injected object-store crash tears the folded copy mid-write.
+    The resumed drain must restore the complete pre-fold store from the
+    marked .old copy, replay batch 3 idempotently, and the survivors
+    must equal the uninterrupted batch oracle."""
+    import flink_spark.streaming.curation_stream as CS
+    from tests.test_neardup_stream import _expected_curation_survivors
+
+    be = NonAtomicRenameBackend(crash_at="store_copy_partial")
+    monkeypatch.setattr(storeutil, "BACKEND", be)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "cur_root")
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = [0, 120, 240, 360, 10**9]
+    for i in range(4):
+        _land(
+            docs.filter((F.col("doc_id") >= cuts[i])
+                        & (F.col("doc_id") < cuts[i + 1])),
+            tmp_path, src, f"b{i}",
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return CS.curation_stream(stream, root=root, compact_every=2)
+
+    with pytest.raises(Exception, match="injected object-store"):
+        run_once()
+    assert be.crashes == 1
+
+    got = sorted(
+        map(tuple, run_once().select("doc_id", "source").collect())
+    )
+    exp = sorted(
+        map(tuple, _expected_curation_survivors(spark, sf_dir).collect())
+    )
+    assert got == exp
