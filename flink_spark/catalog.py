@@ -2907,6 +2907,50 @@ class TableEnvironment:
             )
         else:
             _nis_is_query = False
+        if (
+            not _nis_is_query
+            and re.match(r"INSERT\b", _nis_head, re.IGNORECASE)
+            and (re.search(r"\bIN\s*\(", up) or _QCMP_RE.search(masked))
+        ):
+            # INSERT bodies are pure queries: apply the same dialect
+            # rewrites by probing the BODY alone (spark.sql is lazy for
+            # queries), so `INSERT INTO t SELECT ... WHERE x > ALL
+            # (<subquery>)` works like the reference instead of dying on
+            # Spark's parser, and a deviant-position [NOT] IN in the
+            # body gets standard three-valued semantics. The whole-
+            # statement probe stays forbidden (it would EXECUTE the
+            # INSERT); a WITH-headed body whose verb is DML is skipped
+            # for the same reason.
+            bm = re.match(
+                r"^(\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                r"[\w.`]+\s*(?:\([^)]*\)\s*)?"
+                r"(?:PARTITION\s*\([^)]*\)\s*)?)"
+                r"((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            if bm is not None:
+                cut = bm.end(1)
+                body = stmt[cut:]
+                body_ok = True
+                if re.match(r"\s*WITH\b", bm.group(2), re.IGNORECASE):
+                    verb = _with_body_verb(bm.group(2).lstrip())
+                    body_ok = (verb or "").upper() not in (
+                        "", "INSERT", "DELETE", "UPDATE", "MERGE"
+                    )
+                if body_ok:
+                    for rwfn in (_rewrite_nonconjunctive_not_in,
+                                 _rewrite_quantified_cmp):
+                        cand = rwfn(body)
+                        if cand != body:
+                            try:
+                                self.spark.sql(cand)  # lazy: query body
+                                body = cand
+                            except Exception:
+                                pass
+                    if stmt[cut:] != body:
+                        stmt = stmt[:cut] + body
+                        masked = mask_literals(stmt)
+                        up = masked.upper()
         if _nis_is_query and re.search(r"\bIN\s*\(", up):
             # deviant-position [NOT] IN <subquery> (value position for
             # both operators; effectively-negated disjuncts): restore

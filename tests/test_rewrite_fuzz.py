@@ -846,3 +846,63 @@ def test_not_in_probe_never_executes_dml(dialect_env, spark):
         assert rows == [1, 2], rows
     finally:
         spark.sql("DROP TABLE IF EXISTS nis_probe_t")
+
+
+def test_insert_body_gets_subquery_rewrites(dialect_env, spark):
+    """INSERT bodies are pure queries, so the [NOT] IN / quantified
+    rewrites apply by probing the BODY alone (lazy): an INSERT whose
+    WHERE uses `> ALL (<subquery>)` executes with standard semantics
+    instead of dying on Spark's parser, and a complementary-dedup
+    NOT IN in the body lands the standard rows. The whole-statement
+    probe stays forbidden — proven by the row counts (a double
+    execution would double the rows)."""
+    spark.sql("DROP TABLE IF EXISTS nis_ins_t")
+    spark.sql("CREATE TABLE nis_ins_t (x INT) USING parquet")
+    try:
+        dialect_env.execute_sql(
+            "INSERT INTO nis_ins_t "
+            "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 7) "
+            "WHERE x > ALL (SELECT 2 UNION ALL SELECT 5)"
+        )
+        rows = sorted(
+            r.x for r in spark.sql("SELECT x FROM nis_ins_t").collect()
+        )
+        assert rows == [7], rows  # quantified body worked, ran ONCE
+        dialect_env.execute_sql(
+            "INSERT INTO nis_ins_t "
+            "SELECT x FROM (SELECT 3 AS x UNION ALL SELECT 9) "
+            "WHERE x IN (SELECT 3) OR x NOT IN (SELECT 3)"
+        )
+        rows = sorted(
+            r.x for r in spark.sql("SELECT x FROM nis_ins_t").collect()
+        )
+        # standard: 9 is UNKNOWN OR UNKNOWN -> excluded... no NULLs in
+        # the set, so NOT IN (3) is TRUE for 9: both rows land — but
+        # each exactly once (no probe double-run)
+        assert rows == [3, 7, 9], rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nis_ins_t")
+
+
+def test_insert_body_null_capable_complement_standard(dialect_env, spark):
+    """The body-level NOT IN rewrite restores standard semantics inside
+    an INSERT: with a NULL in the subquery set, the complementary
+    disjunction keeps only the genuine match (upstream would admit
+    every row)."""
+    spark.sql("DROP TABLE IF EXISTS nis_ins_u")
+    spark.sql("CREATE TABLE nis_ins_u (x INT) USING parquet")
+    try:
+        dialect_env.execute_sql(
+            "INSERT INTO nis_ins_u "
+            "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 42) "
+            "WHERE x IN (SELECT CAST(42 AS INT) UNION ALL "
+            "            SELECT CAST(NULL AS INT)) "
+            "   OR x NOT IN (SELECT CAST(42 AS INT) UNION ALL "
+            "                SELECT CAST(NULL AS INT))"
+        )
+        rows = sorted(
+            r.x for r in spark.sql("SELECT x FROM nis_ins_u").collect()
+        )
+        assert rows == [42], rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nis_ins_u")
