@@ -2938,8 +2938,12 @@ class TableEnvironment:
                         "", "INSERT", "DELETE", "UPDATE", "MERGE"
                     )
                 if body_ok:
-                    for rwfn in (_rewrite_nonconjunctive_not_in,
-                                 _rewrite_quantified_cmp):
+                    # quantified FIRST: its syntax is unparseable
+                    # upstream, so a NOT IN probe on text still
+                    # containing ANY/ALL would always fail and silently
+                    # drop the [NOT] IN fix
+                    for rwfn in (_rewrite_quantified_cmp,
+                                 _rewrite_nonconjunctive_not_in):
                         cand = rwfn(body)
                         if cand != body:
                             try:
@@ -2951,19 +2955,39 @@ class TableEnvironment:
                         stmt = stmt[:cut] + body
                         masked = mask_literals(stmt)
                         up = masked.upper()
+        if _nis_is_query and _QCMP_RE.search(masked):
+            # quantified subquery comparisons (ANY/SOME/ALL) — standard
+            # SQL the reference plans natively and Spark cannot parse;
+            # rewritten to EXISTS composites. Same pure-query-head +
+            # analysis-probe discipline as the NOT IN rewrite (a failed
+            # probe falls back to the original text, surfacing Spark's
+            # own parse error for shapes the rewrite cannot cover).
+            # MUST run before the [NOT] IN rewrite: quantified syntax is
+            # unparseable upstream, so a NOT IN probe on text still
+            # containing ANY/ALL would always fail and silently drop
+            # that fix (caught by the boolean-tree fuzz surface, r11).
+            cand = _rewrite_quantified_cmp(stmt)
+            if cand != stmt:
+                try:
+                    self.spark.sql(cand)  # analysis probe, no execution
+                    stmt = cand
+                    masked = mask_literals(stmt)
+                    up = masked.upper()
+                except Exception:
+                    pass
         if _nis_is_query and re.search(r"\bIN\s*\(", up):
             # deviant-position [NOT] IN <subquery> (value position for
-            # both operators; effectively-negated disjuncts): restore
-            # standard three-valued logic upstream Spark loses there
-            # (see _rewrite_nonconjunctive_not_in; conjunctive spellings
-            # pass through byte-identical). PURE-QUERY heads only,
-            # so the analysis probe below stays side-effect-free —
-            # spark.sql on a query is lazy, on a command it would
-            # execute. A WITH head counts only when its prologue parses
-            # AND the body verb is not DML: Spark's grammar allows ctes
-            # before dmlStatementNoWith, and probing a WITH-prefixed
-            # INSERT would EXECUTE it (then the normal path would run it
-            # a second time).
+            # both operators; effectively-negated NNF-disjunctive
+            # predicates): restore standard three-valued logic upstream
+            # Spark loses there (see _rewrite_nonconjunctive_not_in;
+            # conjunctive spellings pass through byte-identical).
+            # PURE-QUERY heads only, so the analysis probe below stays
+            # side-effect-free — spark.sql on a query is lazy, on a
+            # command it would execute. A WITH head counts only when its
+            # prologue parses AND the body verb is not DML: Spark's
+            # grammar allows ctes before dmlStatementNoWith, and probing
+            # a WITH-prefixed INSERT would EXECUTE it (then the normal
+            # path would run it a second time).
             cand = _rewrite_nonconjunctive_not_in(stmt)
             if cand != stmt:
                 try:
@@ -2975,22 +2999,6 @@ class TableEnvironment:
                     # e.g. a correlated subquery, which the derived-table
                     # wrapping nests one correlation level too deep —
                     # keep the original (upstream semantics) over failing
-                    pass
-        if _nis_is_query and _QCMP_RE.search(masked):
-            # quantified subquery comparisons (ANY/SOME/ALL) — standard
-            # SQL the reference plans natively and Spark cannot parse;
-            # rewritten to EXISTS composites. Same pure-query-head +
-            # analysis-probe discipline as the NOT IN rewrite (a failed
-            # probe falls back to the original text, surfacing Spark's
-            # own parse error for shapes the rewrite cannot cover).
-            cand = _rewrite_quantified_cmp(stmt)
-            if cand != stmt:
-                try:
-                    self.spark.sql(cand)  # analysis probe, no execution
-                    stmt = cand
-                    masked = mask_literals(stmt)
-                    up = masked.upper()
-                except Exception:
                     pass
         if re.search(r"\bOVERLAPS\b", up):
             # (tp1, t1) OVERLAPS (tp2, t2) (reference sql_functions.yml
@@ -4820,19 +4828,38 @@ def _not_in_needs_rewrite(
     lvl = depth[k0]
     left, right = k0, q1
     span_l, span_r = k0, q1  # predicate, or the paren group wrapping it
-    nots = 0       # enclosing NOTs absorbed (parity flips the operator)
-    saw_or = False  # an OR between the leaf and its clause head
+
+    def _conn(lo: int, hi: int, at: int) -> tuple[bool, bool]:
+        has_or = any(
+            depth[lo + mo.start()] == at
+            for mo in re.finditer(r"\bOR\b", masked[lo:hi],
+                                  re.IGNORECASE)
+        )
+        has_and = any(
+            depth[lo + mo.start()] == at
+            for mo in re.finditer(r"\bAND\b", masked[lo:hi],
+                                  re.IGNORECASE)
+        )
+        return has_or, has_and
+
+    # per-level walk facts, leaf-outward: (has_or, has_and) at each
+    # level, and the count of NOTs absorbed at that iteration (those
+    # wrap everything from EARLIER iterations, so they sit BELOW the
+    # iteration's own connectives)
+    levels: list[tuple[bool, bool]] = []
+    nots_at: list[int] = []
     while True:
         while left > 0 and depth[left - 1] >= lvl:
             left -= 1
         while right < n and depth[right] >= lvl:
             right += 1
         # absorb NOT prefixes directly wrapping the current span
+        absorbed = 0
         while True:
             mnot = re.search(r"\bNOT\s*$", masked[:span_l],
                              re.IGNORECASE)
             if mnot and depth[mnot.start()] == lvl:
-                nots += 1
+                absorbed += 1
                 span_l = mnot.start()
             else:
                 break
@@ -4840,9 +4867,11 @@ def _not_in_needs_rewrite(
                     re.IGNORECASE):
             return True  # the (grouped) boolean VALUE is tested
         if lvl == 0 or masked[left] != "(":
+            nots_at.append(absorbed)
             break
         if re.match(r"\(\s*(?:SELECT|WITH|VALUES|TABLE)\b",
                     masked[left:], re.IGNORECASE):
+            nots_at.append(absorbed)
             break  # the enclosing STATEMENT is this subquery
         j = left - 1
         while j >= 0 and masked[j] in " \t\n\r":
@@ -4858,12 +4887,8 @@ def _not_in_needs_rewrite(
             return True  # list element: value position
         elif j >= 0 and masked[j] in "=<>!+-*/%^|":
             return True  # operand of an operator: value position
-        if not saw_or:
-            for mo in re.finditer(r"\bOR\b", masked[left:right],
-                                  re.IGNORECASE):
-                if depth[left + mo.start()] == lvl:
-                    saw_or = True
-                    break
+        nots_at.append(absorbed)
+        levels.append(_conn(left, right, lvl))
         span_l, span_r = left, right
         lvl -= 1
     # statement level: clause-scope the context scan (ADVICE r10: an OR
@@ -4880,14 +4905,22 @@ def _not_in_needs_rewrite(
             break
     if head is None or head.upper() not in _NIS_SAFE_HEADS:
         return True  # value position: SELECT item, THEN/ELSE, comma...
-    if not saw_or:
-        for mo in re.finditer(r"\bOR\b", masked, re.IGNORECASE):
-            if (head_end <= mo.start() < seg_hi
-                    and depth[mo.start()] == lvl):
-                saw_or = True
-                break
+    levels.append(_conn(head_end, seg_hi, lvl))
+    # NNF accounting: a NOT wrapping level t's span flips every
+    # connective INSIDE it — a conjunction under an odd number of
+    # enclosing NOTs is effectively a disjunction (De Morgan), which is
+    # exactly how the generative tree surface re-exposed the
+    # complementary-dedup collapse via `NOT (P AND NOT P)` (r11). NOTs
+    # recorded at iteration u wrap the connectives of iterations < u.
+    nots = sum(nots_at)
     effective_not = op_not != (nots % 2 == 1)
-    return effective_not and saw_or
+    if not effective_not:
+        return False  # an effective IN is outcome-safe in any filter
+    for t, (has_or, has_and) in enumerate(levels):
+        above = sum(nots_at[t + 1:])  # NOTs wrapping level t's span
+        if (has_or and above % 2 == 0) or (has_and and above % 2 == 1):
+            return True  # effectively disjunctive in NNF
+    return False
 
 
 def _rewrite_nonconjunctive_not_in(stmt: str) -> str:

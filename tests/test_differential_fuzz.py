@@ -871,6 +871,10 @@ _BT_ATOMS = [
     "r.i NOT IN (SELECT v FROM diff_w)",
     "r.i NOT IN (SELECT v FROM diff_w w WHERE w.v IS NOT NULL)",
     "r.j IN (SELECT v FROM diff_w)",
+    # quantified leaves: the EXISTS composites are position-independent,
+    # so they must stay exact under any NOT/OR/AND composition too
+    "r.i >= ALL (SELECT v FROM diff_w)",
+    "r.j < ANY (SELECT v FROM diff_w)",
 ]
 
 

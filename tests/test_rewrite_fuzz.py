@@ -612,11 +612,12 @@ def test_not_in_rewrite_scope():
         # (pinned empirically in test_differential_fuzz)
         "SELECT i FROM r WHERE NOT (i NOT IN (SELECT v FROM w))",
         "SELECT i FROM r WHERE NOT i NOT IN (SELECT v FROM w)",
-        # plain IN is outcome-safe in EVERY filter context, even
-        # disjunctive/negated (UNKNOWN and FALSE both exclude)
+        # plain IN is outcome-safe in positive filter contexts
         "SELECT i FROM r WHERE j = 3 OR i IN (SELECT v FROM w)",
-        "SELECT i FROM r WHERE NOT (j = 3 AND i IN (SELECT v FROM w))",
         "SELECT i FROM r WHERE i IN (SELECT v FROM w)",
+        # NOT over an OR-group: NNF turns it into a conjunction of
+        # effective NOT INs — upstream plans that null-aware (pinned)
+        "SELECT i FROM r WHERE NOT (j = 3 OR i IN (SELECT v FROM w))",
     ]
     for stmt in untouched:
         assert rw(stmt) == stmt, stmt
@@ -647,6 +648,12 @@ def test_not_in_rewrite_scope():
         # two-valued existence variable upstream)
         "SELECT i FROM r WHERE i IN (SELECT v FROM w) "
         "OR NOT (i IN (SELECT v FROM w))",
+        # NOT over an AND-group: NNF-disjunctive (De Morgan) — the
+        # shape that re-exposed the complementary dedup via
+        # NOT (P AND NOT P) (boolean-tree fuzz find, r11)
+        "SELECT i FROM r WHERE NOT (j = 3 AND i IN (SELECT v FROM w))",
+        "SELECT i FROM r WHERE NOT (i IN (SELECT v FROM w) "
+        "AND i NOT IN (SELECT v FROM w))",
     ]
     for stmt in rewritten:
         out = rw(stmt)
