@@ -254,7 +254,9 @@ class NonAtomicRenameBackend(LocalFsStoreBackend):
     "renames" are not), so :meth:`recover` can always tell a complete
     copy from a torn one. ``replace_store``:
 
-        copy store -> .old (+marker)   [crash: 'old_copy_done']
+        copy store -> .old (+marker)   [crash: 'old_copy_partial'
+                                        — .old torn, no marker;
+                                        'old_copy_done']
         delete store                   [crash: 'swap_out']
         copy tmp -> store              [crash: 'store_copy_partial'
                                         — dst torn, no marker]
@@ -303,7 +305,7 @@ class NonAtomicRenameBackend(LocalFsStoreBackend):
 
     def replace_store(self, store: str, tmp: str) -> None:
         old = store + ".old"
-        self._copy(store, old, torn_at=None)
+        self._copy(store, old, torn_at="old_copy_partial")
         self._maybe_crash("old_copy_done")
         shutil.rmtree(store)
         self._maybe_crash("swap_out")

@@ -102,8 +102,8 @@ def _data_files(d):
     return out
 
 
-WINDOWS = ["old_copy_done", "swap_out", "store_copy_partial",
-           "store_copy_done"]
+WINDOWS = ["old_copy_partial", "old_copy_done", "swap_out",
+           "store_copy_partial", "store_copy_done"]
 
 
 @pytest.mark.parametrize("window", WINDOWS)
@@ -128,7 +128,8 @@ def test_nonatomic_replace_recovers_every_window(tmp_path, window):
     assert not os.path.exists(store + ".old")
     assert not os.path.exists(store + ".compacting")
     # windows before the new-content marker must restore OLD content
-    if window in ("old_copy_done", "swap_out", "store_copy_partial"):
+    if window in ("old_copy_partial", "old_copy_done", "swap_out",
+                  "store_copy_partial"):
         assert got == old_files, (window, got)
 
 
