@@ -121,6 +121,11 @@ EXTRA = [
     # round-10 operator: disjunctive NOT IN three-valued rewrite
     "sql_not_in_disjunctive",
     "stream_pq_ingest",
+    # round-11 operators: value-position [NOT] IN three-valued rewrite
+    # and ANY/SOME/ALL quantified comparisons (sf1 ratios in BASELINE.md
+    # r11 section: 1.98x / 1.00x)
+    "sql_not_in_projected",
+    "sql_quantified_any_all",
 ]
 
 
