@@ -645,4 +645,68 @@ VERIFICATION_ROTATION_R11_CANDIDATES = [
 
 VERIFICATION_ROTATION_R11 = VERIFICATION_ROTATION_R11_CANDIDATES
 
-promote_first(VERIFICATION_ROTATION_R11)
+#: Round-12 head (PROMOTED below): mechanical output of
+#: tools/next_head.py over the r1-r11 archive. Zero never-sampled gates
+#: remain (debt retired r10), so after the entry the head is pure
+#: stalest-first freshness: join_salted_skew and agg_grouping_id (the
+#: last two r3-floor queries — promoting them raises the archive-wide
+#: freshness floor to r4), then the r4-r6-verified analytic/window/
+#: function/streaming/CEP core. test_registry.py pins this constant as
+#: the policy fixpoint (recomputing over the promoted registry + r1-r11
+#: archive must reproduce it byte-for-byte).
+VERIFICATION_ROTATION_R12_CANDIDATES = [
+    "tpch_q1_pricing_summary",
+    "join_salted_skew",
+    "agg_grouping_id",
+    "over_rank_suite",
+    "topn_per_group",
+    "dedup_keep_first",
+    "lateral_topk_per_nation",
+    "fn_string_suite",
+    "fn_datetime_suite",
+    "fn_json_suite",
+    "window_tumble",
+    "window_hop",
+    "window_cumulate",
+    "window_session",
+    "window_topn",
+    "asof_join_events",
+    "llm_token_stats",
+    "llm_simhash_pairs",
+    "llm_embedding_quantize",
+    "llm_audio_decode",
+    "stream_hop_agg",
+    "stream_session_agg",
+    "stream_late_side_output",
+    "stream_cep_timeout",
+    "cdc_debezium_materialize",
+    "stream_state_reader",
+    "pipe_quality_filter",
+    "pipe_tfidf_top_terms",
+    "cep_click_purchase_adjacent",
+    "cep_error_burst",
+    "cep_abandoned_click",
+    "fn_regexp_suite",
+    "agg_percentile_family",
+    "agg_bitmap_ops",
+    "tpcds_q51_cumulative_channels",
+    "tpcds_q67_rollup_topn",
+    "tpcds_q72_two_fact_correlation",
+    "set_except_distinct",
+    "over_range_interval_frame",
+    "over_lead_lag_first_last",
+    "sort_limit_offset",
+    "fn_math_suite",
+    "fn_conditional_suite",
+    "fn_array_suite",
+    "fn_bitwise_suite",
+    "fn_map_suite",
+    "window_dedup",
+    "window_session_tvf_sql",
+    "window_tumble_legacy_sql",
+    "window_session_legacy_sql",
+]
+
+VERIFICATION_ROTATION_R12 = VERIFICATION_ROTATION_R12_CANDIDATES
+
+promote_first(VERIFICATION_ROTATION_R12)
