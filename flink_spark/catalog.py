@@ -4779,7 +4779,8 @@ _NIS_GROUPING_KWS = {
 
 
 def _not_in_needs_rewrite(
-    masked: str, depth: list[int], k0: int, q1: int, op_not: bool = True
+    masked: str, depth: list[int], k0: int, q1: int, op_not: bool = True,
+    lvl: int | None = None,
 ) -> bool:
     """Position classifier for an ``X [NOT] IN (<subquery>)`` predicate
     spanning ``[k0, q1)``: True when upstream Spark 4.1.2 plans the
@@ -4825,7 +4826,10 @@ def _not_in_needs_rewrite(
         return False
     if re.search(r"[=<>!+\-*/%^&|]\s*$", masked[:k0]):
         return False
-    lvl = depth[k0]
+    if lvl is None:
+        lvl = depth[k0]  # identifier probe: k0 sits at the enclosing
+        # level; a TUPLE probe's k0 is its own '(' (one level deeper),
+        # so the caller passes the enclosing level explicitly
     left, right = k0, q1
     span_l, span_r = k0, q1  # predicate, or the paren group wrapping it
 
@@ -4941,8 +4945,14 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
     Scope, deliberately conservative:
       - only subquery operands (a literal IN-list is an In expression,
         which Spark already evaluates with correct null semantics);
-      - only single-column probes spelled as a qualified identifier
-        (tuple probes and computed expressions keep upstream behavior);
+      - probes spelled as a qualified identifier or (r12) a
+        parenthesized tuple of qualified identifiers — `(a, b) NOT IN
+        (SELECT x, y ...)`, the row-value form Calcite also plans
+        null-aware (FlinkSubQueryRemoveRule.scala); the tuple
+        composite generalizes the match to a pairwise equality
+        conjunction and the unknown guard to `(pairwise =) IS NULL`
+        (SQL's AND is exactly the 3VL row comparison). Computed
+        expressions keep upstream behavior;
       - a pure-conjunct predicate under WHERE/HAVING/ON/WHEN keeps
         Spark's correct AND efficient null-aware anti join,
         byte-identical;
@@ -4992,19 +5002,59 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
         j = m.start()
         while j > 0 and stmt[j - 1] in " \t\n\r":
             j -= 1
-        k0 = j
-        while k0 > 0 and (stmt[k0 - 1].isalnum()
-                          or stmt[k0 - 1] in "_.$`"):
-            k0 -= 1
-        probe = stmt[k0:j]
-        if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
-            continue  # tuple / expression probes: out of scope
-        if probe.count("`") % 2 == 1:
-            # a backticked identifier with an inner space scans to a
-            # truncated fragment (the charset walk stops at the space);
-            # the analysis probe would reject the malformed rewrite
-            # anyway, but skip it cleanly here
-            continue
+        probes: list[str] | None = None
+        lvl: int | None = None
+        if j > 0 and stmt[j - 1] == ")":
+            # TUPLE probe `(a, b, ...) [NOT] IN (<subquery>)` (r12):
+            # walk back to the matching '(' by balance, reject function
+            # calls (an identifier word other than a clause/connective
+            # keyword directly before the paren), and accept only a
+            # comma-list of plain qualified identifiers — computed
+            # expressions keep upstream behavior, same as the
+            # single-column scope cut.
+            bal, i = 1, j - 2
+            while i >= 0 and bal:
+                if masked[i] == ")":
+                    bal += 1
+                elif masked[i] == "(":
+                    bal -= 1
+                i -= 1
+            if bal:
+                continue
+            k0 = i + 1
+            w1 = k0 - 1
+            while w1 >= 0 and masked[w1] in " \t\n\r":
+                w1 -= 1
+            if w1 >= 0 and (masked[w1].isalnum() or masked[w1] in "_$`"):
+                w0 = w1
+                while w0 > 0 and (masked[w0 - 1].isalnum()
+                                  or masked[w0 - 1] in "_$`"):
+                    w0 -= 1
+                if masked[w0:w1 + 1].upper() not in _NIS_GROUPING_KWS:
+                    continue  # function-call argument list, not a tuple
+            parts = [p.strip() for p in _split_top_level(stmt[k0 + 1:j - 1])]
+            if len(parts) < 2 or not all(
+                re.fullmatch(r"[A-Za-z_`][\w.$`]*", p)
+                and p.count("`") % 2 == 0
+                for p in parts
+            ):
+                continue
+            probes, lvl = parts, depth[k0] - 1
+        else:
+            k0 = j
+            while k0 > 0 and (stmt[k0 - 1].isalnum()
+                              or stmt[k0 - 1] in "_.$`"):
+                k0 -= 1
+            probe = stmt[k0:j]
+            if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
+                continue  # expression probes: out of scope
+            if probe.count("`") % 2 == 1:
+                # a backticked identifier with an inner space scans to a
+                # truncated fragment (the charset walk stops at the
+                # space); the analysis probe would reject the malformed
+                # rewrite anyway, but skip it cleanly here
+                continue
+            probes = [probe]
         # outermost-first (matches ascend by start; a nested candidate
         # starts inside the accepted outer span): skip it — the outer
         # replacement embeds the ORIGINAL inner text, and replacing
@@ -5012,27 +5062,59 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
         # unbalanced-SQL bug ADVICE r10 reproduced)
         if any(a0 <= k0 < a1 for a0, a1, _, _, _, _ in accepted):
             continue
-        if not _not_in_needs_rewrite(masked, depth, k0, q1, op_not):
+        if not _not_in_needs_rewrite(masked, depth, k0, q1, op_not, lvl):
             continue
-        accepted.append((k0, q1, probe, inner, m.start(), op_not))
+        accepted.append((k0, q1, probes, inner, m.start(), op_not))
     out = stmt
-    for k0, q1, probe, inner, tag0, op_not in reversed(accepted):
+    for k0, q1, probes, inner, tag0, op_not in reversed(accepted):
         tag = f"__nis{tag0}"
-        unknown_guard = (
-            f"(EXISTS (SELECT 1 FROM ({inner}) {tag}b(__nis_v) "
-            f"WHERE __nis_v IS NULL) OR ((({probe}) IS NULL) AND "
-            f"EXISTS (SELECT 1 FROM ({inner}) {tag}c(__nis_v))))"
-        )
+        if len(probes) == 1:
+            # single-column composite (r11): the unknown guard
+            # DECOMPOSES — an UNKNOWN row exists iff the set has a NULL
+            # element, or the probe is NULL and the set is non-empty —
+            # into uncorrelated/equi EXISTS reductions Catalyst folds
+            # to broadcast scalar subplans (plan-audited r11).
+            probe = probes[0]
+            match = (
+                f"EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
+                f"WHERE __nis_v = ({probe}))"
+            )
+            unknown_guard = (
+                f"(EXISTS (SELECT 1 FROM ({inner}) {tag}b(__nis_v) "
+                f"WHERE __nis_v IS NULL) OR ((({probe}) IS NULL) AND "
+                f"EXISTS (SELECT 1 FROM ({inner}) {tag}c(__nis_v))))"
+            )
+        else:
+            # tuple composite (r12): row comparison TRUE iff every pair
+            # matches (equi conjunction → hashable ExistenceJoin);
+            # UNKNOWN iff the 3VL conjunction of the pair comparisons
+            # is UNKNOWN, which SQL's own AND computes — the guard
+            # tests `(pairwise =) IS NULL` per set row. The guard's
+            # non-equi correlated predicate plans as a broadcast
+            # nested-loop ExistenceJoin over the subquery side — the
+            # same cost class as upstream's own null-aware anti join
+            # (and Calcite's, FlinkSubQueryRemoveRule.scala row-value
+            # IN), so scale is bounded by the set side, not the probe.
+            cols = ", ".join(f"__nis_v{i}" for i in range(len(probes)))
+            pairs = " AND ".join(
+                f"(__nis_v{i} = ({p}))" for i, p in enumerate(probes)
+            )
+            match = (
+                f"EXISTS (SELECT 1 FROM ({inner}) {tag}a({cols}) "
+                f"WHERE {pairs})"
+            )
+            unknown_guard = (
+                f"EXISTS (SELECT 1 FROM ({inner}) {tag}b({cols}) "
+                f"WHERE ({pairs}) IS NULL)"
+            )
         if op_not:
             rep = (
-                f"(NOT EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
-                f"WHERE __nis_v = ({probe})) AND NOT ({unknown_guard} "
+                f"(NOT {match} AND NOT ({unknown_guard} "
                 f"AND CAST(NULL AS BOOLEAN)))"
             )
         else:
             rep = (
-                f"(EXISTS (SELECT 1 FROM ({inner}) {tag}a(__nis_v) "
-                f"WHERE __nis_v = ({probe})) OR ({unknown_guard} "
+                f"({match} OR ({unknown_guard} "
                 f"AND CAST(NULL AS BOOLEAN)))"
             )
         out = out[:k0] + rep + out[q1:]
@@ -5102,6 +5184,20 @@ def _rewrite_quantified_cmp(stmt: str) -> str:
         if not re.fullmatch(r"[A-Za-z_`][\w.$`]*", probe):
             continue
         if probe.count("`") % 2 == 1:
+            continue
+        # bare operator adjacency (ADVICE r11): with no parens around
+        # the predicate, the charset walk truncates a COMPOSITE probe —
+        # `a || b > ALL (q)` would take `b` and silently compute a
+        # string concat where the reference parses `(a || b) > ALL (q)`
+        # (boolean implicitly casts under ||, so the analysis probe
+        # passes); and `x > ALL (q) IS NULL` is syntax BOTH engines
+        # reject that a textual replacement would liberally accept.
+        # Mirror the hazard guards at the top of _not_in_needs_rewrite:
+        # skip when an operator abuts either side.
+        if re.search(r"[=<>!+\-*/%^&|]\s*$", masked[:k0]):
+            continue
+        if re.match(r"\s*(?:IS\b|\|\||[=<>!+\-*/%^&])", masked[q1:],
+                    re.IGNORECASE):
             continue
         if any(a0 <= k0 < a1 for a0, a1, *_ in accepted):
             continue  # nested inside an outer accepted span

@@ -656,6 +656,7 @@ VERIFICATION_ROTATION_R11 = VERIFICATION_ROTATION_R11_CANDIDATES
 #: archive must reproduce it byte-for-byte).
 VERIFICATION_ROTATION_R12_CANDIDATES = [
     "tpch_q1_pricing_summary",
+    "sql_not_in_tuple",
     "join_salted_skew",
     "agg_grouping_id",
     "over_rank_suite",
@@ -704,7 +705,6 @@ VERIFICATION_ROTATION_R12_CANDIDATES = [
     "window_dedup",
     "window_session_tvf_sql",
     "window_tumble_legacy_sql",
-    "window_session_legacy_sql",
 ]
 
 VERIFICATION_ROTATION_R12 = VERIFICATION_ROTATION_R12_CANDIDATES

@@ -234,6 +234,85 @@ def sql_not_in_projected(spark, sf_dir):
     return TableEnvironment(spark).sql_query(_NIS_PROJECTED_SQL)
 
 
+#: Spark side: row-value [NOT] IN with a null-capable second element —
+#: the dialect layer's r12 tuple composite restores three-valued logic.
+_NIS_TUPLE_SPARK = """
+SELECT c_custkey,
+       CASE WHEN nf IS NULL THEN 'U' WHEN nf THEN 'T' ELSE 'F' END
+           AS not_in_3v,
+       CASE WHEN pf IS NULL THEN 'U' WHEN pf THEN 'T' ELSE 'F' END
+           AS in_3v
+FROM (SELECT c_custkey,
+             (c_custkey, c_mktsegment) NOT IN
+                 (SELECT o_custkey,
+                         CASE WHEN o_orderstatus = 'P'
+                              THEN NULL ELSE 'BUILDING' END
+                  FROM orders) AS nf,
+             (c_custkey, c_mktsegment) IN
+                 (SELECT o_custkey,
+                         CASE WHEN o_orderstatus = 'P'
+                              THEN NULL ELSE 'BUILDING' END
+                  FROM orders) AS pf
+      FROM customer) t
+"""
+
+#: DuckDB cannot parse multi-column IN ("Subquery returns 2 columns"),
+#: so the oracle spells the SQL-standard row-value IN from first
+#: principles: TRUE iff a pairwise-equal row exists, else NULL iff a
+#: row with an UNKNOWN pairwise comparison exists, else FALSE — an
+#: independent formulation of the same semantics, not an echo of the
+#: engine's EXISTS composite.
+_NIS_TUPLE_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN nf IS NULL THEN 'U' WHEN nf THEN 'T' ELSE 'F' END
+           AS not_in_3v,
+       CASE WHEN pf IS NULL THEN 'U' WHEN pf THEN 'T' ELSE 'F' END
+           AS in_3v
+FROM (SELECT c_custkey, NOT (m) AS nf, (m) AS pf
+      FROM (SELECT c_custkey,
+                   CASE WHEN EXISTS
+                            (SELECT 1 FROM orders o
+                             WHERE (o.o_custkey = c.c_custkey)
+                               AND ((CASE WHEN o.o_orderstatus = 'P'
+                                          THEN NULL ELSE 'BUILDING' END)
+                                    = c.c_mktsegment))
+                        THEN TRUE
+                        WHEN EXISTS
+                            (SELECT 1 FROM orders o
+                             WHERE ((o.o_custkey = c.c_custkey)
+                                    AND ((CASE WHEN o.o_orderstatus = 'P'
+                                               THEN NULL
+                                               ELSE 'BUILDING' END)
+                                         = c.c_mktsegment)) IS NULL)
+                        THEN NULL
+                        ELSE FALSE END AS m
+            FROM customer c) t1) t2
+"""
+
+
+@query("sql_not_in_tuple", oracle=_NIS_TUPLE_ORACLE)
+def sql_not_in_tuple(spark, sf_dir):
+    """Row-value (tuple) [NOT] IN subquery in VALUE position (r12) —
+    the last documented deviance the dialect layer passed through:
+    upstream Spark 4.1.2 yields FALSE where the standard says NULL for
+    `(a, b) NOT IN (SELECT x, y ...)`, exactly the class r11 fixed for
+    single-column probes (pinned in test_differential_fuzz
+    test_known_deviation_tuple_not_in_subquery). The reference plans
+    row-value IN null-aware everywhere (Calcite,
+    flink-table-planner FlinkSubQueryRemoveRule.scala). The probe pairs
+    (c_custkey, c_mktsegment) against (o_custkey, a status-gated
+    segment literal that is NULL for 'P' orders), so all three states
+    are reachable: 'T'/'F' via definite pair matches/mismatches, 'U'
+    for customers whose only candidate rows carry the NULL element.
+    The outer CASE folds to non-null 'T'/'F'/'U' strings; the DuckDB
+    oracle is a first-principles CASE-over-EXISTS expansion because
+    DuckDB has no multi-column IN."""
+    from flink_spark.catalog import TableEnvironment
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return TableEnvironment(spark).sql_query(_NIS_TUPLE_SPARK)
+
+
 _QUANTIFIED_SQL = """
 SELECT s_suppkey,
        CASE WHEN ga IS NULL THEN 'U' WHEN ga THEN 'T' ELSE 'F' END

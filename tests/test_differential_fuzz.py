@@ -1063,3 +1063,239 @@ def test_known_deviation_complementary_subquery_dedup(spark, duck,
         exp = [t[0] for t in duck.execute(dq).fetchall()]
         assert [r.i for r in spark.sql(q).collect()] == exp, c
         assert [r.i for r in win_env.sql_query(q).collect()] == exp, c
+
+
+# --- tuple-probe [NOT] IN subqueries (r12) ---------------------------------------
+#
+# Row-value probes `(a, b) [NOT] IN (SELECT x, y ...)` — the last
+# documented deviance the dialect layer passed through (r11 scope cut).
+# Upstream Spark 4.1.2 mirrors the single-column surface exactly
+# (mapped empirically this round): value position yields FALSE where
+# the standard says NULL for BOTH operators, complementary
+# same-subquery disjunctions collapse to const-TRUE, conjunctive
+# filters and single disjuncts are planned null-aware correctly.
+# DuckDB cannot parse multi-column IN at all ("Subquery returns 2
+# columns"), so the oracle side spells the SQL-standard definition
+# from first principles — a CASE over a pairwise-equality EXISTS
+# (TRUE), an UNKNOWN-row EXISTS (NULL), else FALSE — which is a
+# genuinely independent formulation of the same semantics, not an echo
+# of the engine's composite. Reference parity: Calcite plans row-value
+# IN null-aware everywhere (FlinkSubQueryRemoveRule.scala).
+
+
+def _tin3(pairs: list[tuple[str, str]], flt: str = "") -> str:
+    """DuckDB first-principles three-valued row-IN: pairs are
+    (probe_expr, w_column) against table alias ``w``."""
+    match = " AND ".join(f"(w.{c} = {p})" for p, c in pairs)
+    return (
+        f"CASE WHEN EXISTS (SELECT 1 FROM w WHERE ({match})"
+        f"{' AND (' + flt + ')' if flt else ''}) THEN TRUE "
+        f"WHEN EXISTS (SELECT 1 FROM w WHERE (({match})) IS NULL"
+        f"{' AND (' + flt + ')' if flt else ''}) THEN NULL "
+        f"ELSE FALSE END"
+    )
+
+
+def _tuple_atom(cols: list[tuple[str, str]], neg: bool, flt_s: str = "",
+                flt_d: str = "") -> tuple[str, str]:
+    """(spark_pred, duck_pred) for `(probes) [NOT] IN (SELECT wcols)`."""
+    probes = ", ".join(p for p, _ in cols)
+    wcols = ", ".join(c for _, c in cols)
+    inner = f"SELECT {wcols} FROM diff_w" + (
+        f" WHERE {flt_s}" if flt_s else ""
+    )
+    sp = f"({probes}) {'NOT ' if neg else ''}IN ({inner})"
+    du = _tin3(cols, flt_d)
+    return sp, (f"NOT ({du})" if neg else f"({du})")
+
+
+_TUPLE_ATOMS = [
+    _tuple_atom([("r.i", "v"), ("r.j", "id")], neg=False),
+    _tuple_atom([("r.i", "v"), ("r.j", "id")], neg=True),
+    _tuple_atom([("r.i", "v"), ("r.i", "v")], neg=True),
+    _tuple_atom([("r.j", "id"), ("r.j", "id")], neg=True),  # null-free set
+    _tuple_atom([("r.t", "g"), ("r.j", "v")], neg=False),
+    _tuple_atom([("r.t", "g"), ("r.j", "v")], neg=True),
+    _tuple_atom(
+        [("r.i", "v"), ("r.j", "id")], neg=True,
+        flt_s="v IS NOT NULL", flt_d="w.v IS NOT NULL",
+    ),
+]
+
+
+@given(
+    st.lists(st.sampled_from(range(len(_TUPLE_ATOMS))), min_size=1,
+             max_size=3, unique=True),
+    st.sampled_from(["{p}", "({p}) IS NULL", "NOT ({p})",
+                     "CASE WHEN {p} THEN 'y' ELSE 'n' END",
+                     "coalesce({p}, FALSE)"]),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_tuple_in_value_position_agree(spark, duck, spark_rel, win_rel,
+                                       win_env, idxs, wrap):
+    """VALUE-position tuple probes through every FALSE/UNKNOWN-
+    distinguishing wrapper, vs DuckDB's first-principles expansion."""
+    atoms = [_TUPLE_ATOMS[i] for i in idxs]
+    sel_s = ", ".join(
+        f"CAST({wrap.format(p=sp)} AS STRING) AS c{i}"
+        for i, (sp, _) in enumerate(atoms)
+    )
+    sel_d = ", ".join(
+        f"CAST({wrap.format(p=dp)} AS VARCHAR) AS c{i}"
+        for i, (_, dp) in enumerate(atoms)
+    )
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    got = [
+        tuple(x)
+        for x in win_env.sql_query(
+            f"SELECT r.i, r.j, {sel_s} FROM diff_r r {order}"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT r.i, r.j, {sel_d} FROM r r {order}"
+    ).fetchall()
+    assert got == exp, (idxs, wrap, got, exp)
+
+
+@given(
+    st.lists(st.sampled_from(range(len(_TUPLE_ATOMS))), min_size=1,
+             max_size=2, unique=True),
+    st.sampled_from(["AND", "OR"]),
+    st.sampled_from(["", "NOT "]),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_tuple_in_filter_agree(spark, duck, spark_rel, win_rel, win_env,
+                               idxs, conj, outer_not):
+    """FILTER-position tuple probes under AND/OR/NOT compositions —
+    covers the complementary-dedup shapes (a tuple IN and its NOT IN
+    twin under OR) and the NNF'd spellings the classifier must
+    re-route, plus conjunctive pass-through paths."""
+    atoms = [_TUPLE_ATOMS[i] for i in idxs]
+    where_s = f" {conj} ".join(f"({sp})" for sp, _ in atoms)
+    where_d = f" {conj} ".join(f"({dp})" for _, dp in atoms)
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    got = [
+        tuple(x)
+        for x in win_env.sql_query(
+            f"SELECT r.i, r.j FROM diff_r r "
+            f"WHERE {outer_not}({where_s}) {order}"
+        ).collect()
+    ]
+    exp = duck.execute(
+        f"SELECT r.i, r.j FROM r r WHERE {outer_not}({where_d}) {order}"
+    ).fetchall()
+    assert got == exp, (idxs, conj, outer_not, got, exp)
+
+
+def test_known_deviation_tuple_not_in_subquery(spark, duck, spark_rel,
+                                               win_rel, win_env):
+    """Pins the upstream tuple-probe deviance the r12 rewrite fixes:
+    in value position Spark 4.1.2 yields FALSE where the standard says
+    NULL for row-value [NOT] IN (same class as the single-column
+    deviance r11 fixed), and the complementary disjunction collapses to
+    const-TRUE. Conjunctive filters are upstream-correct (also pinned,
+    so the byte-identical pass-through stays justified). If a Spark
+    upgrade fixes the deviance, the plain-spark assertions fail: drop
+    the tuple branch of the rewrite and this pin together."""
+    proj = ("SELECT r.i, (r.i, r.i) NOT IN (SELECT v, v FROM diff_w) "
+            "AS f FROM diff_r r WHERE r.i IS NULL OR r.i IN (0, 42) "
+            "ORDER BY i NULLS FIRST")
+    # upstream: FALSE everywhere (three-valued logic lost)
+    assert [r.f for r in spark.sql(proj).collect()] == [
+        False, False, False, False
+    ]
+    # standard: NULL probe -> UNKNOWN; 0 -> UNKNOWN (NULL v rows);
+    # 42 matches (42,42) via w row v=42 -> definite FALSE for NOT IN
+    duck_pred = _tin3([("r.i", "v"), ("r.i", "v")])
+    exp = duck.execute(
+        f"SELECT r.i, NOT ({duck_pred}) AS f FROM r r "
+        "WHERE r.i IS NULL OR r.i IN (0, 42) ORDER BY i NULLS FIRST"
+    ).fetchall()
+    assert [t[1] for t in exp] == [None, None, None, False]
+    # the dialect layer restores the standard answer
+    got = [r.f for r in win_env.sql_query(proj).collect()]
+    assert got == [None, None, None, False]
+    # complementary disjunction: upstream admits every row
+    comp = ("SELECT i FROM diff_r r WHERE (r.i, r.i) IN (SELECT v, v "
+            "FROM diff_w) OR (r.i, r.i) NOT IN (SELECT v, v FROM diff_w) "
+            "ORDER BY i NULLS FIRST")
+    assert [r.i for r in spark.sql(comp).collect()] == [
+        None, None, -100, -7, 0, 9, 42, 100
+    ]
+    assert [r.i for r in win_env.sql_query(comp).collect()] == [42]
+    # conjunctive filter: upstream CORRECT (null-aware row-value anti
+    # join) — and the rewrite leaves it byte-identical
+    conj = ("SELECT i FROM diff_r r WHERE (r.i, r.j) NOT IN "
+            "(SELECT v, id FROM diff_w) ORDER BY i NULLS FIRST")
+    from flink_spark.catalog import _rewrite_nonconjunctive_not_in
+    assert _rewrite_nonconjunctive_not_in(conj) == conj
+    duck_c = _tin3([("r.i", "v"), ("r.j", "id")])
+    exp_c = [t[0] for t in duck.execute(
+        f"SELECT i FROM r r WHERE NOT ({duck_c}) ORDER BY i NULLS FIRST"
+    ).fetchall()]
+    assert [r.i for r in spark.sql(conj).collect()] == exp_c
+
+
+# --- paired boolean trees with tuple-IN and quantified leaves (r12) --------------
+#
+# The r11 generative tree surface found two real classifier bugs
+# precisely when a new leaf type was added (NNF collapse, probe
+# ordering); tuple probes are the next leaf, and they interact with the
+# NNF accounting the same way. DuckDB cannot parse tuple IN, so this
+# twin generator composes PAIRED (spark, duck) expressions structurally
+# — same tree, per-engine leaf spelling.
+
+_BT2_ATOMS = [
+    ("r.i > 0", "r.i > 0"),
+    ("r.j = 3", "r.j = 3"),
+    ("r.i IN (SELECT v FROM diff_w)",
+     "r.i IN (SELECT v FROM w)"),
+    ("r.i NOT IN (SELECT v FROM diff_w)",
+     "r.i NOT IN (SELECT v FROM w)"),
+    _TUPLE_ATOMS[1],   # (r.i, r.j) NOT IN (v, id)
+    _TUPLE_ATOMS[2],   # (r.i, r.i) NOT IN (v, v)
+    _TUPLE_ATOMS[4],   # (r.t, r.j) IN (g, v)
+    ("r.i >= ALL (SELECT v FROM diff_w)",
+     "r.i >= ALL (SELECT v FROM w)"),
+    ("r.j < ANY (SELECT v FROM diff_w)",
+     "r.j < ANY (SELECT v FROM w)"),
+]
+
+
+def _btrees2(depth: int):
+    leaf = st.sampled_from(_BT2_ATOMS)
+    if depth == 0:
+        return leaf
+    sub = _btrees2(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, sub).map(
+            lambda t: (f"({t[0][0]} AND {t[1][0]})",
+                       f"({t[0][1]} AND {t[1][1]})")
+        ),
+        st.tuples(sub, sub).map(
+            lambda t: (f"({t[0][0]} OR {t[1][0]})",
+                       f"({t[0][1]} OR {t[1][1]})")
+        ),
+        sub.map(lambda e: (f"(NOT {e[0]})", f"(NOT {e[1]})")),
+    )
+
+
+@given(_btrees2(2))
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_boolean_tree_tuple_quantified_agree(spark, duck, spark_rel,
+                                             win_rel, win_env, tree):
+    ts, td = tree
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    pairs = [
+        (f"SELECT r.i, r.j FROM diff_r r WHERE {ts} {order}",
+         f"SELECT r.i, r.j FROM r r WHERE {td} {order}"),
+        (f"SELECT r.i, r.j, CAST({ts} AS STRING) AS c0 "
+         f"FROM diff_r r {order}",
+         f"SELECT r.i, r.j, CAST({td} AS VARCHAR) AS c0 "
+         f"FROM r r {order}"),
+    ]
+    for qs, qd in pairs:
+        got = [tuple(x) for x in win_env.sql_query(qs).collect()]
+        exp = duck.execute(qd).fetchall()
+        assert got == exp, (qs, got, exp)

@@ -585,8 +585,14 @@ def test_not_in_rewrite_scope():
         "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w)",
         # literal IN-list (expression path is already standard)
         "SELECT i FROM r WHERE i NOT IN (1, 2, NULL) OR j = 3",
-        # tuple probe: out of scope
-        "SELECT i FROM r WHERE (i, j) NOT IN (SELECT v, u FROM w) OR j = 3",
+        # tuple probe in a CONJUNCTIVE filter: upstream plans the
+        # row-value null-aware anti join correctly — byte-identical
+        "SELECT i FROM r WHERE (i, j) NOT IN (SELECT v, u FROM w)",
+        # computed-expression tuple components: out of scope (r12 —
+        # only plain qualified identifiers are accepted)
+        "SELECT i, (i + 1, j) NOT IN (SELECT v, u FROM w) AS f FROM r",
+        # function-call argument list is NOT a tuple probe
+        "SELECT f(i, j) NOT IN (SELECT v FROM w) FROM r",
         # OR exists only DEEPER than the predicate's level
         "SELECT i FROM r WHERE i NOT IN (SELECT v FROM w WHERE a OR b)",
         # NOT IN inside a string literal
@@ -654,6 +660,15 @@ def test_not_in_rewrite_scope():
         "SELECT i FROM r WHERE NOT (j = 3 AND i IN (SELECT v FROM w))",
         "SELECT i FROM r WHERE NOT (i IN (SELECT v FROM w) "
         "AND i NOT IN (SELECT v FROM w))",
+        # tuple probes (r12): same position taxonomy as single-column
+        "SELECT i, (i, j) NOT IN (SELECT v, u FROM w) AS f FROM r",
+        "SELECT i, (r.i, r.j) IN (SELECT v, u FROM w) AS f FROM r",
+        "SELECT i FROM r WHERE j = 3 OR (i, j) NOT IN "
+        "(SELECT v, u FROM w)",
+        "SELECT i, ((i, j) NOT IN (SELECT v, u FROM w)) IS NULL "
+        "AS f FROM r",
+        "SELECT i, (a.`b`, c.d, e) NOT IN (SELECT x, y, z FROM w) "
+        "AS f FROM r",
     ]
     for stmt in rewritten:
         out = rw(stmt)
@@ -662,6 +677,11 @@ def test_not_in_rewrite_scope():
         # the replacement is balanced and idempotent-ish: no NOT IN
         # subquery survives outside the embedded original text
         assert out.count("(") == out.count(")")
+    # tuple emission shape: pairwise-equality match conjunction + the
+    # `(pairwise =) IS NULL` unknown guard, one alias column per part
+    tout = rw("SELECT i, (i, j) NOT IN (SELECT v, u FROM w) AS f FROM r")
+    assert "__nis_v0 = (i)" in tout and "__nis_v1 = (j)" in tout
+    assert ") IS NULL)" in tout and "__nis_v2" not in tout
 
     # both branches in one statement: disjunctive one rewritten, the
     # conjunctive one preserved verbatim
@@ -693,6 +713,18 @@ def test_quantified_cmp_rewrite_scope():
         "SELECT i FROM r WHERE i + 1 > ALL (SELECT v FROM w)",
         # quantifier inside a string literal
         "SELECT '> ALL (SELECT v FROM w)' AS s FROM r",
+        # ADVICE r11 (medium): composite probe under || — the charset
+        # walk would truncate to `t` and silently rewrite a string
+        # concat where the reference parses `(s || t) > ALL (q)`;
+        # the left adjacency guard skips it (fail-closed: Spark's own
+        # parse error surfaces)
+        "SELECT s || t > ALL (SELECT g FROM w) FROM r",
+        "SELECT i FROM r WHERE s || t > ALL (SELECT g FROM w)",
+        # ADVICE r11 (low): right-side adjacency — syntax BOTH engines
+        # reject must not be liberally accepted via the rewrite
+        "SELECT i FROM r WHERE i > ALL (SELECT v FROM w) IS NULL",
+        "SELECT i > ALL (SELECT v FROM w) || 'x' FROM r",
+        "SELECT i FROM r WHERE i - 1 < ANY (SELECT v FROM w)",
     ]
     for stmt in untouched:
         assert rw(stmt) == stmt, (stmt, rw(stmt))
@@ -705,6 +737,11 @@ def test_quantified_cmp_rewrite_scope():
         "SELECT v FROM c)",
         "SELECT i >= ALL (SELECT v FROM w) AS f FROM r",
         "SELECT i FROM r WHERE a.b.`c` < ANY (SELECT v FROM w)",
+        # parenthesized spellings: the adjacency guards must NOT block
+        # these (the operator abuts the GROUP, not the bare predicate)
+        "SELECT (i > ALL (SELECT v FROM w)) IS NULL AS f FROM r",
+        "SELECT i FROM r WHERE (s || t) > CAST(NULL AS STRING) "
+        "OR i > ALL (SELECT v FROM w)",
     ]
     for stmt in rewritten:
         out = rw(stmt)
