@@ -2966,15 +2966,32 @@ class TableEnvironment:
             # unparseable upstream, so a NOT IN probe on text still
             # containing ANY/ALL would always fail and silently drop
             # that fix (caught by the boolean-tree fuzz surface, r11).
+            # Correlated Q works through the same composite (r12,
+            # measured — see _rewrite_quantified_cmp). When a rewrite
+            # was attempted and does not analyze, the statement has no
+            # upstream meaning (Spark cannot parse ANY/SOME/ALL
+            # subquery comparisons at all), so raise a clean
+            # unsupported-shape error instead of falling through to
+            # Spark's opaque parse error.
             cand = _rewrite_quantified_cmp(stmt)
             if cand != stmt:
                 try:
                     self.spark.sql(cand)  # analysis probe, no execution
-                    stmt = cand
-                    masked = mask_literals(stmt)
-                    up = masked.upper()
-                except Exception:
-                    pass
+                except Exception as exc:
+                    raise ValueError(
+                        "quantified comparison (ANY/SOME/ALL "
+                        "<subquery>) could not be planned for this "
+                        "shape. Supported: identifier probes against "
+                        "a subquery, including correlated subqueries "
+                        "(aggregates, DISTINCT, ORDER/LIMIT, window "
+                        "functions); NOT supported: outer references "
+                        "more than one subquery level away from the "
+                        "quantified predicate. Underlying analysis "
+                        f"error: {exc}"
+                    ) from exc
+                stmt = cand
+                masked = mask_literals(stmt)
+                up = masked.upper()
         if _nis_is_query and re.search(r"\bIN\s*\(", up):
             # deviant-position [NOT] IN <subquery> (value position for
             # both operators; effectively-negated NNF-disjunctive
@@ -5130,7 +5147,6 @@ _QCMP_RE = re.compile(
     r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.IGNORECASE
 )
 
-
 def _rewrite_quantified_cmp(stmt: str) -> str:
     """Quantified subquery comparisons ``X <op> ANY|SOME|ALL
     (<subquery>)`` (r11) — SQL-standard syntax the reference supports
@@ -5155,9 +5171,26 @@ def _rewrite_quantified_cmp(stmt: str) -> str:
     yields UNKNOWN unless decided by a definite row (a FALSE for ALL, a
     TRUE for ANY). Scope mirrors the NOT IN rewrite: subquery operands,
     identifier probes; anything else is left for Spark to reject (there
-    is no upstream fallback semantics — upstream has no ANY/ALL). The
-    caller's analysis probe validates the rewrite and surfaces the
-    original parse error on failure (e.g. correlated Q)."""
+    is no upstream fallback semantics — upstream has no ANY/ALL).
+
+    CORRELATED Q is supported through the SAME composite (r12,
+    measured): Spark 4.1.2 resolves outer references nested inside the
+    derived-table wrap — plain correlation, correlated aggregates
+    (with and without GROUP BY), DISTINCT, ORDER/LIMIT, and window
+    functions in Q all analyze AND execute exactly (96-case matrix vs
+    DuckDB's first-principles expansion; DuckDB's own NATIVE correlated
+    `= ANY` is deviant there, see test_differential_fuzz). The r11
+    note that the wrap "nests one correlation level too deep" is
+    obsolete upstream. What still fails analysis — and then raises the
+    caller's clean unsupported-shape error, never a silent fallback —
+    is an outer reference MORE than one subquery level away from the
+    quantified predicate (e.g. `r.x` inside an EXISTS nested within Q,
+    or the whole comparison inside another subquery correlating out to
+    `r`): a rewrite cannot reduce that nesting (a splice form folding
+    the comparison into Q's WHERE was prototyped and rescued neither
+    shape — the depth is intrinsic). Reference parity: Calcite
+    decorrelates quantified comparisons natively (SqlQuantifyOperator;
+    flink-table-planner SubQueryITCase)."""
     from flink_spark.sqltok import mask_literals
 
     masked = mask_literals(stmt)

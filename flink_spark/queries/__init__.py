@@ -646,17 +646,21 @@ VERIFICATION_ROTATION_R11_CANDIDATES = [
 VERIFICATION_ROTATION_R11 = VERIFICATION_ROTATION_R11_CANDIDATES
 
 #: Round-12 head (PROMOTED below): mechanical output of
-#: tools/next_head.py over the r1-r11 archive. Zero never-sampled gates
-#: remain (debt retired r10), so after the entry the head is pure
-#: stalest-first freshness: join_salted_skew and agg_grouping_id (the
-#: last two r3-floor queries — promoting them raises the archive-wide
-#: freshness floor to r4), then the r4-r6-verified analytic/window/
-#: function/streaming/CEP core. test_registry.py pins this constant as
-#: the policy fixpoint (recomputing over the promoted registry + r1-r11
-#: archive must reproduce it byte-for-byte).
+#: tools/next_head.py over the r1-r11 archive, regenerated mid-round as
+#: each r12 gate landed (the policy slots never-sampled gates right
+#: behind the entry): sql_not_in_tuple (row-value [NOT] IN three-valued
+#: fix) and sql_quantified_correlated (correlated quantified
+#: comparisons), then stalest-first freshness: join_salted_skew and
+#: agg_grouping_id (the last two r3-floor queries — promoting them
+#: raises the archive-wide freshness floor to r4), then the
+#: r4-r6-verified analytic/window/function/streaming/CEP core.
+#: test_registry.py pins this constant as the policy fixpoint
+#: (recomputing over the promoted registry + r1-r11 archive must
+#: reproduce it byte-for-byte).
 VERIFICATION_ROTATION_R12_CANDIDATES = [
     "tpch_q1_pricing_summary",
     "sql_not_in_tuple",
+    "sql_quantified_correlated",
     "join_salted_skew",
     "agg_grouping_id",
     "over_rank_suite",
@@ -704,7 +708,6 @@ VERIFICATION_ROTATION_R12_CANDIDATES = [
     "fn_map_suite",
     "window_dedup",
     "window_session_tvf_sql",
-    "window_tumble_legacy_sql",
 ]
 
 VERIFICATION_ROTATION_R12 = VERIFICATION_ROTATION_R12_CANDIDATES

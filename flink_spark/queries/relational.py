@@ -364,6 +364,99 @@ def sql_quantified_any_all(spark, sf_dir):
     return TableEnvironment(spark).sql_query(_QUANTIFIED_SQL)
 
 
+#: Spark side: CORRELATED quantified comparisons — per-customer ALL
+#: over a null-capable order-price set and ANY over the raw set.
+_QUANTIFIED_CORR_SPARK = """
+SELECT c_custkey,
+       CASE WHEN ga IS NULL THEN 'U' WHEN ga THEN 'T' ELSE 'F' END
+           AS gt_all_3v,
+       CASE WHEN la IS NULL THEN 'U' WHEN la THEN 'T' ELSE 'F' END
+           AS lt_any_3v
+FROM (SELECT c.c_custkey,
+             c.c_acctbal > ALL (SELECT CASE WHEN o.o_orderstatus = 'P'
+                                            THEN NULL
+                                            ELSE o.o_totalprice END
+                                FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderkey % 7 = 0) AS ga,
+             c.c_acctbal < ANY (SELECT o.o_totalprice
+                                FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderkey % 5 = 0) AS la
+      FROM customer c) t
+"""
+
+#: DuckDB oracle: first-principles CASE-over-EXISTS expansion — DuckDB
+#: 1.0.0's NATIVE correlated quantified comparison is itself deviant in
+#: filter position (pinned in test_differential_fuzz
+#: test_known_deviation_duckdb_correlated_any), so the oracle never
+#: relies on it.
+_QUANTIFIED_CORR_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN ga IS NULL THEN 'U' WHEN ga THEN 'T' ELSE 'F' END
+           AS gt_all_3v,
+       CASE WHEN la IS NULL THEN 'U' WHEN la THEN 'T' ELSE 'F' END
+           AS lt_any_3v
+FROM (SELECT c.c_custkey,
+             CASE WHEN EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderkey % 7 = 0
+                         AND NOT (c.c_acctbal >
+                                  (CASE WHEN o.o_orderstatus = 'P'
+                                        THEN NULL
+                                        ELSE o.o_totalprice END)))
+                  THEN FALSE
+                  WHEN EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderkey % 7 = 0
+                         AND ((c.c_acctbal >
+                               (CASE WHEN o.o_orderstatus = 'P'
+                                     THEN NULL
+                                     ELSE o.o_totalprice END))
+                              IS NULL))
+                  THEN NULL
+                  ELSE TRUE END AS ga,
+             CASE WHEN EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderkey % 5 = 0
+                         AND (c.c_acctbal < o.o_totalprice))
+                  THEN TRUE
+                  WHEN EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderkey % 5 = 0
+                         AND ((c.c_acctbal < o.o_totalprice) IS NULL))
+                  THEN NULL
+                  ELSE FALSE END AS la
+      FROM customer c) t
+"""
+
+
+@query("sql_quantified_correlated", oracle=_QUANTIFIED_CORR_ORACLE)
+def sql_quantified_correlated(spark, sf_dir):
+    """CORRELATED quantified subquery comparisons (r12): ``> ALL`` /
+    ``< ANY`` where Q correlates on the probe row — reference-parity
+    syntax (Calcite SqlQuantifyOperator decorrelates natively;
+    flink-table-planner SubQueryITCase correlated quantified cases)
+    that upstream Spark cannot parse. The dialect layer's EXISTS
+    composite carries the correlated Q directly: Spark 4.1.2 resolves
+    outer references nested inside the derived-table wrap (measured
+    r12 — the r11 'one level too deep' note is obsolete). All three
+    states are reachable: ALL over an orderless customer's EMPTY set is
+    'T' (the classic trap), a definite lower price gives 'F', and
+    customers whose only undecided elements are the NULLed 'P'-status
+    prices give 'U'. ANY over the empty set is 'F'. The DuckDB oracle
+    is the first-principles CASE-over-EXISTS expansion because DuckDB's
+    own native correlated quantified filter is deviant (pinned)."""
+    from flink_spark.catalog import TableEnvironment
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return TableEnvironment(spark).sql_query(_QUANTIFIED_CORR_SPARK)
+
+
 @query(
     "join_theta_band",
     oracle="""

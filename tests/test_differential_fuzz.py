@@ -1299,3 +1299,120 @@ def test_boolean_tree_tuple_quantified_agree(spark, duck, spark_rel,
         got = [tuple(x) for x in win_env.sql_query(qs).collect()]
         exp = duck.execute(qd).fetchall()
         assert got == exp, (qs, got, exp)
+
+
+# --- correlated quantified comparisons (r12) -------------------------------------
+#
+# `X op ANY|ALL (<correlated Q>)` — reference parity:
+# flink-table-planner SubQueryITCase covers quantified comparisons over
+# correlated subqueries (Calcite SqlQuantifyOperator + decorrelation).
+# Spark 4.1.2 resolves outer references nested inside the rewrite's
+# derived-table wrap (measured this round — the r11 "one level too
+# deep" note is obsolete), so the SAME EXISTS composite carries
+# correlated Q; shapes whose outer references sit MORE than one
+# subquery level from the predicate raise the engine's clean
+# unsupported-shape error (pinned in test_rewrite_fuzz).
+#
+# ORACLE NOTE: DuckDB 1.0.0's NATIVE correlated quantified comparison
+# is itself deviant — `r.i = ANY (SELECT k.v FROM w k WHERE k.u = r.j)`
+# returns TRUE for a NULL probe against a NULL-element set (standard:
+# UNKNOWN), disagreeing with DuckDB's own first-principles expansion
+# (pinned below). So this surface uses the first-principles CASE-over-
+# EXISTS spelling on the DuckDB side, same device as the tuple-IN
+# surface.
+
+_CQ_SHAPES = [
+    # (spark Q, duck Q-body ending in a top-level WHERE so the
+    # comparison appends with AND, element column) — correlated on r.j
+    # against diff_w(id non-null, g nullable string, v nullable long)
+    ("(SELECT k.v FROM diff_w k WHERE k.id >= r.j)",
+     "FROM w k WHERE (k.id >= r.j)", "k.v"),
+    ("(SELECT k.v FROM diff_w k WHERE k.id = r.j)",
+     "FROM w k WHERE (k.id = r.j)", "k.v"),
+    ("(SELECT MAX(k.v) FROM diff_w k WHERE k.id >= r.j GROUP BY k.g)",
+     "FROM (SELECT MAX(k2.v) AS mv FROM w k2 WHERE k2.id >= r.j "
+     "GROUP BY k2.g) k WHERE TRUE", "k.mv"),
+    ("(SELECT SUM(k.v) FROM diff_w k WHERE k.id = r.j)",
+     "FROM (SELECT SUM(k2.v) AS sv FROM w k2 WHERE k2.id = r.j) k "
+     "WHERE TRUE", "k.sv"),
+    ("(SELECT DISTINCT k.v FROM diff_w k WHERE k.id <= r.j)",
+     "FROM (SELECT DISTINCT k2.v AS dv FROM w k2 WHERE k2.id <= r.j) k "
+     "WHERE TRUE", "k.dv"),
+]
+
+
+def _cq_duck(op: str, quant: str, body: str, col: str) -> str:
+    """First-principles three-valued quantified comparison for DuckDB."""
+    t = f"(r.i {op} {col})"
+    if quant == "ALL":
+        return (f"CASE WHEN EXISTS (SELECT 1 {body} AND NOT {t}) "
+                f"THEN FALSE WHEN EXISTS (SELECT 1 {body} AND "
+                f"({t} IS NULL)) THEN NULL ELSE TRUE END")
+    return (f"CASE WHEN EXISTS (SELECT 1 {body} AND {t}) THEN TRUE "
+            f"WHEN EXISTS (SELECT 1 {body} AND ({t} IS NULL)) "
+            f"THEN NULL ELSE FALSE END")
+
+
+@given(
+    st.sampled_from(["=", "<>", "<", "<=", ">", ">="]),
+    st.sampled_from(["ANY", "ALL"]),
+    st.sampled_from(range(len(_CQ_SHAPES))),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_correlated_quantified_agree(spark, duck, spark_rel, win_rel,
+                                     win_env, op, quant, qi):
+    sq, body, col = _CQ_SHAPES[qi]
+    pred_s = f"r.i {op} {quant} {sq}"
+    pred_d = _cq_duck(op, quant, body, col)
+    order = "ORDER BY i NULLS FIRST, j NULLS FIRST"
+    # predicate position
+    got = [tuple(x) for x in win_env.sql_query(
+        f"SELECT r.i, r.j FROM diff_r r WHERE {pred_s} {order}"
+    ).collect()]
+    exp = duck.execute(
+        f"SELECT r.i, r.j FROM r r WHERE {pred_d} {order}"
+    ).fetchall()
+    assert got == exp, ("WHERE", op, quant, qi, got, exp)
+    # value position (three-valued result projected)
+    got = [tuple(x) for x in win_env.sql_query(
+        f"SELECT r.i, r.j, CAST({pred_s} AS STRING) AS c0 "
+        f"FROM diff_r r {order}"
+    ).collect()]
+    exp = duck.execute(
+        f"SELECT r.i, r.j, CAST({pred_d} AS VARCHAR) AS c0 "
+        f"FROM r r {order}"
+    ).fetchall()
+    assert got == exp, ("SELECT", op, quant, qi, got, exp)
+
+
+def test_known_deviation_duckdb_correlated_any(duck, win_rel):
+    """Pins WHY the correlated-quantified oracles use first-principles
+    spelling: DuckDB 1.0.0's native correlated `= ANY` in FILTER
+    position admits a NULL-probe row whose candidate set is all-NULL —
+    a row DuckDB's OWN value-position evaluation of the same predicate
+    marks NULL (UNKNOWN), which a standard filter must exclude (and
+    DuckDB's own CASE-over-EXISTS expansion does exclude). If a DuckDB
+    upgrade fixes this, the native assertion fails: the surfaces can
+    then drop the first-principles device for correlated shapes."""
+    duck.execute("CREATE OR REPLACE TEMP TABLE cqr AS SELECT * FROM "
+                 "(VALUES (NULL::BIGINT, 1), (0, 2), (5, 3)) t(i, j)")
+    duck.execute("CREATE OR REPLACE TEMP TABLE cqw AS SELECT * FROM "
+                 "(VALUES (1, NULL::BIGINT), (2, 5), "
+                 "(2, NULL::BIGINT), (3, 7)) t(u, v)")
+    filt = ("SELECT r.i, r.j FROM cqr r WHERE r.i = ANY "
+            "(SELECT k.v FROM cqw k WHERE k.u = r.j) ORDER BY j")
+    val = ("SELECT r.i, r.j, (r.i = ANY (SELECT k.v FROM cqw k "
+           "WHERE k.u = r.j)) AS f FROM cqr r ORDER BY j")
+    got_filt = duck.execute(filt).fetchall()
+    got_val = duck.execute(val).fetchall()
+    # native value position: row (NULL, 1) evaluates to NULL (UNKNOWN)
+    assert got_val == [(None, 1, None), (0, 2, None), (5, 3, False)]
+    # ...yet the native FILTER admits exactly that row (the deviance)
+    assert got_filt == [(None, 1)]
+    # the first-principles expansion excludes it, per the standard
+    t = "(r.i = k.v)"
+    fp = (f"SELECT r.i, r.j FROM cqr r WHERE CASE WHEN EXISTS "
+          f"(SELECT 1 FROM cqw k WHERE (k.u = r.j) AND {t}) THEN TRUE "
+          f"WHEN EXISTS (SELECT 1 FROM cqw k WHERE (k.u = r.j) AND "
+          f"({t} IS NULL)) THEN NULL ELSE FALSE END ORDER BY j")
+    assert duck.execute(fp).fetchall() == []

@@ -32,7 +32,7 @@ ROWS_ONLY_PROMOTED: set = set()
 # gates first registered THIS round (never externally sampled yet): the
 # policy slots them immediately after the entry query. Update alongside
 # the promoted constant whenever a new query is gated mid-round.
-NEW_THIS_ROUND: set = {"sql_not_in_tuple"}
+NEW_THIS_ROUND: set = {"sql_not_in_tuple", "sql_quantified_correlated"}
 
 
 def _prior_round_keys(rounds) -> set:

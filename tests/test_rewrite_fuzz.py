@@ -950,3 +950,68 @@ def test_insert_body_null_capable_complement_standard(dialect_env, spark):
         assert rows == [42], rows
     finally:
         spark.sql("DROP TABLE IF EXISTS nis_ins_u")
+
+
+def test_quantified_correlated_executes(dialect_env, spark):
+    """Correlated quantified comparisons work through the SAME
+    derived-table composite (r12, measured): Spark 4.1.2 resolves
+    outer references nested inside the wrap — the r11 'one correlation
+    level too deep' note is obsolete. Exactness vs DuckDB's
+    first-principles expansion is proven in test_differential_fuzz
+    (test_correlated_quantified_agree, 96-case matrix); here: the
+    rewrite fires, analyzes, and executes for plain, aggregated, and
+    DISTINCT correlated Q."""
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "a long, b long"
+    ).createOrReplaceTempView("qc_r")
+    spark.createDataFrame(
+        [(1, 4), (1, None), (3, 2)], "k long, v long"
+    ).createOrReplaceTempView("qc_w")
+    for q in [
+        "SELECT r.a FROM qc_r r WHERE r.b > ALL "
+        "(SELECT w.v FROM qc_w w WHERE w.k = r.a) ORDER BY r.a",
+        "SELECT r.a FROM qc_r r WHERE r.b >= ANY "
+        "(SELECT SUM(w.v) FROM qc_w w WHERE w.k = r.a) ORDER BY r.a",
+        "SELECT r.a FROM qc_r r WHERE r.b <> ALL "
+        "(SELECT DISTINCT w.v FROM qc_w w WHERE w.k = r.a) "
+        "ORDER BY r.a",
+    ]:
+        rows = dialect_env.sql_query(q).collect()
+        assert isinstance(rows, list)
+    # ALL over the empty correlated set is TRUE: a=2 has no w rows
+    got = [r.a for r in dialect_env.sql_query(
+        "SELECT r.a FROM qc_r r WHERE r.b > ALL "
+        "(SELECT w.v FROM qc_w w WHERE w.k = r.a AND w.v IS NOT NULL) "
+        "ORDER BY r.a"
+    ).collect()]
+    assert 2 in got
+
+
+def test_quantified_unsupported_shape_clean_error(dialect_env, spark):
+    """Shapes whose outer references sit MORE than one subquery level
+    from the quantified predicate cannot be planned by any rewrite (a
+    splice form folding the comparison into Q's WHERE was prototyped
+    and rescued neither shape — the nesting depth is intrinsic to the
+    query). The engine must raise the clean unsupported-shape
+    ValueError, never silently fall through to Spark's opaque
+    ANY/ALL parse error."""
+    spark.createDataFrame(
+        [(1, 10)], "a long, b long"
+    ).createOrReplaceTempView("qc_r2")
+    spark.createDataFrame(
+        [(1, 4)], "k long, v long"
+    ).createOrReplaceTempView("qc_w2")
+    bad = [
+        # outer ref 2 levels deep inside Q (EXISTS within Q)
+        "SELECT r.a FROM qc_r2 r WHERE r.b > ALL "
+        "(SELECT w.v FROM qc_w2 w WHERE EXISTS "
+        "(SELECT 1 FROM qc_w2 m WHERE m.k = r.a AND m.v = w.v))",
+        # quantified inside a nested subquery correlating 2 levels out
+        "SELECT (SELECT COUNT(*) FROM qc_w2 w WHERE w.v > ALL "
+        "(SELECT m.v FROM qc_w2 m WHERE m.k = r.a)) AS c FROM qc_r2 r",
+    ]
+    import pytest as _pytest
+
+    for q in bad:
+        with _pytest.raises(ValueError, match="quantified comparison"):
+            dialect_env.sql_query(q)
