@@ -94,9 +94,35 @@ def check_layout(root: str) -> None:
             "its persisted buckets may be engine-hash derived (layout "
             "v1) and would silently stop matching this engine's md5 "
             "buckets (layout v2). Start a fresh root; if the store is "
-            f"KNOWN md5-bucketed, accept it by writing '{LAYOUT_VERSION}'"
-            f" to {os.path.join(root, LAYOUT_MARKER)!r}."
+            "KNOWN md5-bucketed (written by the r10+ engine), accept it "
+            "with flink_spark.streaming.storeutil.accept_layout(root)."
         )
+    BACKEND.write_marker(root, LAYOUT_MARKER, str(LAYOUT_VERSION))
+
+
+def accept_layout(root: str) -> None:
+    """Operator-invoked migration acceptance (ADVICE r11): stamp the
+    current layout marker onto a marker-less durable root the operator
+    KNOWS was written md5-bucketed (i.e. by the r10 engine, after the
+    portable_bucket change but before markers existed). This is the
+    supported spelling of the escape hatch — it refuses to overwrite an
+    existing CONFLICTING marker (that store genuinely belongs to a
+    different layout and needs a rewrite, not a stamp) and is a no-op
+    on a root already carrying the current marker. The acceptance is
+    deliberately explicit: nothing in the engine calls this; resuming a
+    pre-marker root without it still fails fast in
+    :func:`check_layout`."""
+    ver = BACKEND.read_marker(root, LAYOUT_MARKER)
+    if ver is not None:
+        if ver.strip() != str(LAYOUT_VERSION):
+            raise ValueError(
+                f"store root {root!r} already carries layout marker "
+                f"{ver.strip()!r}; accept_layout only stamps "
+                "marker-less pre-versioning roots — a conflicting "
+                "marker means the store needs a bucket rewrite, not "
+                "an acceptance stamp."
+            )
+        return
     BACKEND.write_marker(root, LAYOUT_MARKER, str(LAYOUT_VERSION))
 
 

@@ -78,9 +78,28 @@ def test_unversioned_store_with_data_fails_fast(tmp_path):
     (part / "part-0.parquet").write_bytes(b"x")
     with pytest.raises(ValueError, match="predates layout versioning"):
         check_layout(str(root))
-    # the documented manual acceptance: write the current marker
-    (root / LAYOUT_MARKER).write_text(str(LAYOUT_VERSION))
+    # the supported migration spelling (ADVICE r11): explicit operator
+    # acceptance stamps the marker, after which resume passes
+    storeutil.accept_layout(str(root))
     check_layout(str(root))
+
+
+def test_accept_layout_scope(tmp_path):
+    """accept_layout (ADVICE r11) is a stamp for MARKER-LESS roots
+    only: idempotent on an already-current root, and it refuses to
+    overwrite a conflicting marker (a v1 store needs a bucket rewrite,
+    not an acceptance)."""
+    cur = tmp_path / "cur"
+    cur.mkdir()
+    (cur / LAYOUT_MARKER).write_text(f"{LAYOUT_VERSION}\n")
+    storeutil.accept_layout(str(cur))  # no-op
+    assert (cur / LAYOUT_MARKER).read_text().strip() == str(LAYOUT_VERSION)
+    old = tmp_path / "old"
+    old.mkdir()
+    (old / LAYOUT_MARKER).write_text("1\n")
+    with pytest.raises(ValueError, match="bucket rewrite"):
+        storeutil.accept_layout(str(old))
+    assert (old / LAYOUT_MARKER).read_text().strip() == "1"
 
 
 # --- NonAtomicRenameBackend: recovery windows (filesystem-level) ------
@@ -329,3 +348,135 @@ def test_curation_fold_crash_exact_on_object_store(spark, sf_dir,
         map(tuple, _expected_curation_survivors(spark, sf_dir).collect())
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("window", WINDOWS)
+def test_ivf_fold_crash_exact_on_object_store(spark, sf_dir, tmp_path,
+                                              monkeypatch, window):
+    """IVF ingest's cells-store fold through EVERY object-store crash
+    window (VERDICT r11 #5: the dedup/deltajoin/curation matrices got
+    the adversarial backend in r11; the two ANN ingest paths fold
+    stores through the same replace_store protocol and deserve the
+    same windows). compact_every=2 over two id-chunk batches fires the
+    fold at batch 1; the resumed drain must recover the cells store,
+    keep the batch-0-frozen codebook byte-identical, replay the torn
+    batch idempotently, and probe exactly equal to the batch model."""
+    import json
+
+    from flink_spark.streaming.ann_stream import ivf_ingest_stream
+    from tests.test_ann_stream import (
+        _cands,
+        _expected_topk,
+        _land as _land_ann,
+        _queries,
+    )
+
+    be = NonAtomicRenameBackend(crash_at=window)
+    monkeypatch.setattr(storeutil, "BACKEND", be)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+    ids = sorted(r.vec_id for r in cands.select("vec_id").collect())
+    n = len(ids)
+    cuts = [ids[n // 4], ids[n // 2], ids[3 * n // 4]]
+    chunks = [
+        cands.filter(F.col("vec_id") < cuts[0]),
+        cands.filter((F.col("vec_id") >= cuts[0])
+                     & (F.col("vec_id") < cuts[1])),
+        cands.filter((F.col("vec_id") >= cuts[1])
+                     & (F.col("vec_id") < cuts[2])),
+        cands.filter(F.col("vec_id") >= cuts[2]),
+    ]
+    for i, ch in enumerate(chunks):
+        _land_ann(ch, tmp_path, src, f"b{i}")
+    cut = cuts[0]
+    # fold fires at batch 3 (compact_every=2; >2 __bid partitions)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(cands.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return ivf_ingest_stream(stream, root=root, compact_every=2)
+
+    with pytest.raises(Exception, match="injected object-store"):
+        run_once()
+    assert be.crashes == 1
+    cents = open(f"{root}/centroids.json").read()
+    assert len(json.loads(cents)) == 8
+
+    idx = run_once()  # crash cleared: recover + replay + re-fold
+    assert open(f"{root}/centroids.json").read() == cents
+    assert idx.assigned().count() == cands.count()
+    got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
+    exp = sorted(
+        map(tuple, _expected_topk(spark, sf_dir, train_cut=cut).collect())
+    )
+    assert got == exp
+
+
+def test_pq_fold_crash_exact_on_object_store(spark, sf_dir, tmp_path,
+                                             monkeypatch):
+    """PQ twin through the nastiest window (torn codes-store copy):
+    books frozen on the batch-0 slice survive byte-identical, the
+    resumed drain repairs the torn fold and replays, and the search
+    equals batch pq_topk under those books."""
+    from flink_spark.llm.similarity import pq_topk, pq_train
+    from flink_spark.streaming.ann_stream import pq_ingest_stream
+    from tests.test_ann_stream import (
+        _cands,
+        _land as _land_ann,
+        _queries,
+    )
+
+    be = NonAtomicRenameBackend(crash_at="store_copy_partial")
+    monkeypatch.setattr(storeutil, "BACKEND", be)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "pq_root")
+    cands = _cands(spark, sf_dir)
+    ids = sorted(r.vec_id for r in cands.select("vec_id").collect())
+    n = len(ids)
+    cuts = [ids[n // 4], ids[n // 2], ids[3 * n // 4]]
+    chunks = [
+        cands.filter(F.col("vec_id") < cuts[0]),
+        cands.filter((F.col("vec_id") >= cuts[0])
+                     & (F.col("vec_id") < cuts[1])),
+        cands.filter((F.col("vec_id") >= cuts[1])
+                     & (F.col("vec_id") < cuts[2])),
+        cands.filter(F.col("vec_id") >= cuts[2]),
+    ]
+    for i, ch in enumerate(chunks):
+        _land_ann(ch, tmp_path, src, f"b{i}")
+    cut = cuts[0]
+    # fold fires at batch 3 (compact_every=2; >2 __bid partitions)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(cands.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        return pq_ingest_stream(stream, root=root, compact_every=2)
+
+    with pytest.raises(Exception, match="injected object-store"):
+        run_once()
+    assert be.crashes == 1
+    books_json = open(f"{root}/codebooks.json").read()
+
+    idx = run_once()
+    assert open(f"{root}/codebooks.json").read() == books_json
+    assert idx.encoded().count() == cands.count()
+    books = pq_train(
+        cands.filter(F.col("vec_id") < cut),
+        cand_id="vec_id", vec="embedding", m=16, ks=16,
+    )
+    exp = pq_topk(
+        _queries(spark, sf_dir),
+        cands.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        k=5, m=16, ks=16, books=books,
+    )
+    got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
+    assert got == sorted(map(tuple, exp.collect()))
