@@ -126,6 +126,11 @@ EXTRA = [
     # r11 section: 1.98x / 1.00x)
     "sql_not_in_projected",
     "sql_quantified_any_all",
+    # round-12 operators: row-value (tuple) [NOT] IN three-valued
+    # rewrite and correlated quantified comparisons (sf1 ratios in
+    # BASELINE.md r12 section)
+    "sql_not_in_tuple",
+    "sql_quantified_correlated",
 ]
 
 

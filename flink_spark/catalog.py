@@ -5105,13 +5105,25 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
             # tuple composite (r12): row comparison TRUE iff every pair
             # matches (equi conjunction → hashable ExistenceJoin);
             # UNKNOWN iff the 3VL conjunction of the pair comparisons
-            # is UNKNOWN, which SQL's own AND computes — the guard
-            # tests `(pairwise =) IS NULL` per set row. The guard's
-            # non-equi correlated predicate plans as a broadcast
-            # nested-loop ExistenceJoin over the subquery side — the
-            # same cost class as upstream's own null-aware anti join
-            # (and Calcite's, FlinkSubQueryRemoveRule.scala row-value
-            # IN), so scale is bounded by the set side, not the probe.
+            # is UNKNOWN. The natural guard — `(pairwise =) IS NULL`
+            # per set row — is a CORRELATED NON-EQUI predicate that
+            # plans as a BroadcastNestedLoopJoin: O(probe·set), ~14 s
+            # at sf0.1 and a scale-killer at 10× (measured r12). So
+            # for the 2-column case the guard is DECOMPOSED by probe-
+            # null pattern × element-null pattern into 8 EXISTS that
+            # are each either UNCORRELATED (scalar reductions Catalyst
+            # broadcasts) or single-column EQUI-correlated (hashable
+            # ExistenceJoins): an UNKNOWN row exists iff
+            #   p1 NULL & p2 NULL  → Q non-empty (no pair can be FALSE)
+            #   p1 NULL & p2 ¬NULL → ∃ v2 NULL  ∨  ∃ v2 = p2
+            #   p2 NULL & p1 ¬NULL → ∃ v1 NULL  ∨  ∃ v1 = p1
+            #   both ¬NULL         → ∃ (v1 NULL ∧ v2 NULL)
+            #                      ∨ ∃ (v1 NULL ∧ v2 = p2)
+            #                      ∨ ∃ (v2 NULL ∧ v1 = p1)
+            # (pattern count is 3^k − 1, so k ≥ 3 probes keep the
+            # compact nested-loop guard — rare, and still bounded by
+            # the broadcast set side, matching upstream's own
+            # null-aware BNLJ cost class for row-value NOT IN.)
             cols = ", ".join(f"__nis_v{i}" for i in range(len(probes)))
             pairs = " AND ".join(
                 f"(__nis_v{i} = ({p}))" for i, p in enumerate(probes)
@@ -5120,10 +5132,35 @@ def _rewrite_nonconjunctive_not_in(stmt: str) -> str:
                 f"EXISTS (SELECT 1 FROM ({inner}) {tag}a({cols}) "
                 f"WHERE {pairs})"
             )
-            unknown_guard = (
-                f"EXISTS (SELECT 1 FROM ({inner}) {tag}b({cols}) "
-                f"WHERE ({pairs}) IS NULL)"
-            )
+            if len(probes) == 2:
+                p1, p2 = probes
+
+                def _g(sub: str, cond: str) -> str:
+                    where = f" WHERE {cond}" if cond else ""
+                    return (
+                        f"EXISTS (SELECT 1 FROM ({inner}) "
+                        f"{tag}{sub}({cols}){where})"
+                    )
+
+                unknown_guard = (
+                    f"((({p1}) IS NULL AND (({p2}) IS NULL AND "
+                    f"{_g('b', '')} OR ({p2}) IS NOT NULL AND "
+                    f"({_g('c', '__nis_v1 IS NULL')} OR "
+                    f"{_g('d', f'__nis_v1 = ({p2})')}))) OR "
+                    f"(({p1}) IS NOT NULL AND (({p2}) IS NULL AND "
+                    f"({_g('e', '__nis_v0 IS NULL')} OR "
+                    f"{_g('f', f'__nis_v0 = ({p1})')}) OR "
+                    f"({p2}) IS NOT NULL AND ("
+                    f"{_g('g', '__nis_v0 IS NULL AND __nis_v1 IS NULL')}"
+                    f" OR {_g('h', f'__nis_v0 IS NULL AND __nis_v1 = ({p2})')}"
+                    f" OR {_g('i', f'__nis_v1 IS NULL AND __nis_v0 = ({p1})')}"
+                    f"))))"
+                )
+            else:
+                unknown_guard = (
+                    f"EXISTS (SELECT 1 FROM ({inner}) {tag}b({cols}) "
+                    f"WHERE ({pairs}) IS NULL)"
+                )
         if op_not:
             rep = (
                 f"(NOT {match} AND NOT ({unknown_guard} "

@@ -677,11 +677,19 @@ def test_not_in_rewrite_scope():
         # the replacement is balanced and idempotent-ish: no NOT IN
         # subquery survives outside the embedded original text
         assert out.count("(") == out.count(")")
-    # tuple emission shape: pairwise-equality match conjunction + the
-    # `(pairwise =) IS NULL` unknown guard, one alias column per part
+    # tuple emission shape (k=2): pairwise-equality match conjunction
+    # plus the DECOMPOSED unknown guard — 8 equi/uncorrelated EXISTS
+    # (aliases a..i), never the nested-loop `(pairwise =) IS NULL` form
     tout = rw("SELECT i, (i, j) NOT IN (SELECT v, u FROM w) AS f FROM r")
     assert "__nis_v0 = (i)" in tout and "__nis_v1 = (j)" in tout
-    assert ") IS NULL)" in tout and "__nis_v2" not in tout
+    assert "__nis_v2" not in tout
+    for sub in "abcdefghi":
+        assert f"__nis17{sub}(__nis_v0, __nis_v1)" in tout, sub
+    assert ") IS NULL)" not in tout  # no compact non-equi guard at k=2
+    # k>=3 keeps the compact guard (documented scale cut)
+    t3 = rw("SELECT i, (a.b, c.d, e) NOT IN (SELECT x, y, z FROM w) "
+            "AS f FROM r")
+    assert ") IS NULL)" in t3 and "__nis_v2" in t3
 
     # both branches in one statement: disjunctive one rewritten, the
     # conjunctive one preserved verbatim
