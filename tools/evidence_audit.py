@@ -69,7 +69,8 @@ MANIFEST: list[C] = [
     C("2.1", "Values connector", gates=["values_inline"]),
     C("2.1", "Rate / socket sources", tests=["test_catalog"]),
     C("2.1", "Unified Sink V2 / upsert sinks (PK contract)",
-      gates=["stream_upsert_materialize", "ddl_upsert_sink"]),
+      gates=["stream_upsert_materialize", "ddl_upsert_sink"],
+      crash=["test_restore_upsert_materialize_sink"]),
     C("2.1", "Bounded DataStream scan / fluent Table API pipeline",
       gates=["datastream_pipeline", "tableapi_pricing_summary"],
       tests=["test_datastream", "test_table_api"]),
@@ -104,7 +105,9 @@ MANIFEST: list[C] = [
     C("2.3", "Join hints (BROADCAST/SHUFFLE_*/LOOKUP)",
       gates=["join_hints_gate"]),
     C("2.3", "Regular streaming join w/ retractions",
-      gates=["stream_upsert_materialize"]),
+      gates=["stream_upsert_materialize"],
+      crash=["test_restore_changelog_normalize",
+             "test_restore_upsert_materialize_sink"]),
     C("2.3", "Semi/anti streaming join",
       gates=["join_left_semi", "join_left_anti", "join_null_aware_anti"]),
     C("2.3", "Multi-way streaming join",
@@ -116,7 +119,8 @@ MANIFEST: list[C] = [
       crash=["test_restore_stream_interval_join"]),
     C("2.3", "Window join (+session-window join)",
       gates=["window_join_events", "stream_window_join",
-             "session_window_join", "stream_session_window_join"]),
+             "session_window_join", "stream_session_window_join"],
+      crash=["test_restore_stream_window_join"]),
     C("2.3", "Temporal / as-of join (+SQL spellings)",
       gates=["asof_join_events", "temporal_table_function_sql"],
       fuzz=["test_asof_join_matches_bruteforce"]),
@@ -178,7 +182,9 @@ MANIFEST: list[C] = [
              "window_delta_evictor"]),
     C("2.5", "Window rank / dedup / join",
       gates=["window_topn", "window_dedup", "stream_window_topn",
-             "stream_window_dedup"]),
+             "stream_window_dedup"],
+      crash=["test_restore_window_topn_straddle",
+             "test_restore_window_dedup_straddle"]),
     # §2.6 Over windows (3)
     C("2.6", "Batch over agg, all frames",
       gates=["over_running_rows_frame", "over_sliding_rows_frame",
@@ -317,15 +323,23 @@ MANIFEST: list[C] = [
             "test_quantified_unsupported_shape_clean_error"]),
     # §2.13 Streaming machinery (14)
     C("2.13", "Watermarks (bounded out-of-orderness)",
-      gates=["stream_current_watermark"], tests=["test_streaming"]),
+      gates=["stream_current_watermark"],
+      crash=["test_restore_watermark_survives_restart"],
+      tests=["test_streaming"]),
     C("2.13", "Watermark strategy DDL",
       gates=["ddl_watermark_strategies"]),
     C("2.13", "STATE_TTL hint", gates=["hint_state_ttl_gate"],
       fuzz=["test_state_ttl_accepts_reference_labels",
             "test_state_ttl_rejects_unknown_labels",
             "test_state_ttl_excision_preserves_siblings"]),
-    C("2.13", "Source idleness", gates=["stream_source_idleness"]),
-    C("2.13", "Watermark alignment", gates=["stream_watermark_alignment"]),
+    # idleness/alignment are per-drain watermark-valve TRACES (fresh
+    # checkpoint per invocation by design); the durable-restart
+    # watermark mechanism itself is pinned by
+    # test_restore_watermark_survives_restart
+    C("2.13", "Source idleness (per-drain trace)",
+      gates=["stream_source_idleness"], stateless=True),
+    C("2.13", "Watermark alignment (per-drain trace)",
+      gates=["stream_watermark_alignment"], stateless=True),
     C("2.13", "Keyed state + timers",
       gates=["ptf_event_gaps"], tests=["test_twstate"]),
     C("2.13", "Checkpointing / state backends / state reader",
@@ -340,7 +354,9 @@ MANIFEST: list[C] = [
     C("2.13", "Async I/O (ordered/unordered)",
       gates=["async_lookup_join_events", "async_calc_enrich"]),
     C("2.13", "Co-process / broadcast state",
-      gates=["stream_coprocess_threshold"], tests=["test_coprocess"]),
+      gates=["stream_coprocess_threshold"],
+      crash=["test_rules_stream_steers_data_stream"],
+      tests=["test_coprocess"]),
     C("2.13", "Exchange / partitioning", native=True),
     C("2.13", "Operator fusion / codegen", native=True,
       plan_kw="WholeStageCodegen"),
