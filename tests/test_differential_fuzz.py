@@ -1416,3 +1416,157 @@ def test_known_deviation_duckdb_correlated_any(duck, win_rel):
           f"WHEN EXISTS (SELECT 1 FROM cqw k WHERE (k.u = r.j) AND "
           f"({t} IS NULL)) THEN NULL ELSE FALSE END ORDER BY j")
     assert duck.execute(fp).fetchall() == []
+
+
+# --- distinct / filtered aggregates (r12, audit sev-1) ---------------------------
+#
+# DISTINCT aggs ride Spark's expand-based split path and FILTER
+# (WHERE ...) clauses ride per-agg conditional evaluation — both are
+# easy to get subtly wrong against NULL groups/values, and the existing
+# grouped surface covered neither. Exact comparison vs DuckDB across
+# agg x filter x grouping combinations over the NULL-bearing diff_w.
+
+_DF_AGGS = [
+    "COUNT(DISTINCT v)",
+    "COUNT(DISTINCT g)",
+    "CAST(SUM(DISTINCT v) AS STRING)",
+    "COUNT(*) FILTER (WHERE v > 7)",
+    "COUNT(v) FILTER (WHERE g = 'a')",
+    "CAST(SUM(v) FILTER (WHERE g IS NULL) AS STRING)",
+    "CAST(MIN(v) FILTER (WHERE v > 0) AS STRING)",
+    "CAST(MAX(v) FILTER (WHERE g <> 'a') AS STRING)",
+    "COUNT(DISTINCT v) FILTER (WHERE g = 'b')",
+    "CAST(CAST(AVG(DISTINCT v) AS DECIMAL(20, 4)) AS STRING)",
+]
+_DF_GROUPS = ["g", "COALESCE(g, 'zz')", "v % 3", ""]
+
+
+@given(
+    st.lists(st.sampled_from(_DF_AGGS), min_size=2, max_size=4,
+             unique=True),
+    st.sampled_from(_DF_GROUPS),
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_distinct_filtered_aggregates_agree(spark, duck, win_rel, win_env,
+                                            aggs, grp):
+    sel = ", ".join(f"{a} AS c{i}" for i, a in enumerate(aggs))
+    if grp:
+        q = (f"SELECT CAST({grp} AS STRING) AS k, {sel} FROM diff_w "
+             f"GROUP BY {grp} ORDER BY k NULLS FIRST")
+    else:
+        q = f"SELECT {sel} FROM diff_w"
+    got = [tuple(x) for x in win_env.sql_query(q).collect()]
+    exp = duck.execute(
+        q.replace("diff_w", "w").replace("AS STRING", "AS VARCHAR")
+    ).fetchall()
+    assert got == exp, (aggs, grp, got, exp)
+
+
+# --- theta / band joins (r12, audit sev-1) ---------------------------------------
+#
+# Non-equi joins plan as BroadcastNestedLoopJoin; the band predicates
+# here sweep width (empty through all-pairs), strictness, an extra
+# equi conjunct (→ hash join with residual), and inner/left types over
+# the NULL-bearing fixtures. Exact agreement with DuckDB required.
+
+_TJ_CONDS = [
+    "w.v BETWEEN r.i - {b} AND r.i + {b}",
+    "w.v > r.i - {b} AND w.v < r.i + {b}",
+    "w.v >= r.i AND w.v <= r.i + {b}",
+    "ABS(w.v - r.i) <= {b}",
+]
+
+
+@given(
+    st.sampled_from(_TJ_CONDS),
+    st.sampled_from([0, 3, 50, 1000]),
+    st.sampled_from(["JOIN", "LEFT JOIN"]),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_theta_band_join_agree(spark, duck, spark_rel, win_rel, win_env,
+                               cond, b, jt, extra_equi):
+    on = cond.format(b=b)
+    if extra_equi:
+        on = f"({on}) AND w.id = r.j"
+    q = (f"SELECT r.i, r.j, w.id, w.v FROM diff_r r {jt} diff_w w "
+         f"ON {on} ORDER BY i NULLS FIRST, j NULLS FIRST, "
+         f"id NULLS FIRST, v NULLS FIRST")
+    got = [tuple(x) for x in win_env.sql_query(q).collect()]
+    exp = duck.execute(
+        q.replace("diff_r", "r").replace("diff_w", "w")
+    ).fetchall()
+    assert got == exp, (on, jt, got, exp)
+
+
+# --- sort / limit / offset (r12, audit sev-1) ------------------------------------
+#
+# Full ORDER BY x LIMIT/OFFSET over every direction x NULLS placement,
+# with a unique (i, j) tiebreak so both engines see a TOTAL order and
+# the prefix is well-defined. Covers the sort-limit operator family's
+# null-ordering corners the single gate can't sweep.
+
+_SL_KEYS = [
+    "i {d} NULLS {n}",
+    "j {d} NULLS {n}",
+    "s {d} NULLS {n}",
+    "COALESCE(i, -999) {d}",
+    "(i + j) {d} NULLS {n}",
+]
+
+
+@given(
+    st.sampled_from(_SL_KEYS),
+    st.sampled_from(["ASC", "DESC"]),
+    st.sampled_from(["FIRST", "LAST"]),
+    st.sampled_from([0, 1, 3, 8, 20]),
+    st.sampled_from([0, 2, 7]),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_sort_limit_offset_agree(spark, duck, spark_rel, win_env,
+                                 key, d, n, lim, off):
+    k = key.format(d=d, n=n)
+    q = (f"SELECT i, j FROM diff_r ORDER BY {k}, "
+         f"i ASC NULLS FIRST, j ASC NULLS FIRST "
+         f"LIMIT {lim} OFFSET {off}")
+    got = [tuple(x) for x in win_env.sql_query(q).collect()]
+    exp = duck.execute(q.replace("diff_r", "r")).fetchall()
+    assert got == exp, (k, lim, off, got, exp)
+
+
+# --- UNNEST / lateral explode (r12, audit sev-1) ---------------------------------
+#
+# Paired spellings (engines disagree on syntax): Spark LATERAL VIEW
+# explode/posexplode vs DuckDB unnest/generate_subscripts — over the
+# array fixture's NULL and EMPTY arrays (the rows both engines must
+# DROP without OUTER, and preserve with OUTER/LEFT LATERAL).
+
+def test_unnest_lateral_agree(spark, duck, arr_rel, win_env):
+    cases = [
+        # plain explode drops NULL and empty arrays
+        ("SELECT n, x FROM diff_a LATERAL VIEW explode(a) t AS x "
+         "ORDER BY n, x NULLS FIRST",
+         "SELECT n, unnest(a) AS x FROM arr "
+         "ORDER BY n, x NULLS FIRST"),
+        # WITH ORDINALITY (1-based) — posexplode pos is 0-based
+        ("SELECT n, p + 1 AS o, x FROM diff_a "
+         "LATERAL VIEW posexplode(a) t AS p, x ORDER BY n, o",
+         "SELECT n, generate_subscripts(a, 1) AS o, unnest(a) AS x "
+         "FROM arr ORDER BY n, o"),
+        # OUTER explode keeps NULL/empty rows with NULL element
+        ("SELECT n, x FROM diff_a LATERAL VIEW OUTER explode(a) t AS x "
+         "ORDER BY n, x NULLS FIRST",
+         "SELECT r.n, u.x FROM arr r LEFT JOIN LATERAL "
+         "(SELECT unnest(r.a) AS x) u ON TRUE "
+         "ORDER BY n, x NULLS FIRST"),
+        # aggregate over the exploded rows
+        ("SELECT n, COUNT(x) AS c, CAST(SUM(x) AS STRING) AS s FROM "
+         "(SELECT n, x FROM diff_a LATERAL VIEW explode(a) t AS x) "
+         "GROUP BY n ORDER BY n",
+         "SELECT n, COUNT(x) AS c, CAST(SUM(x) AS VARCHAR) AS s FROM "
+         "(SELECT n, unnest(a) AS x FROM arr) GROUP BY n ORDER BY n"),
+    ]
+    for qs, qd in cases:
+        got = [tuple(x) for x in win_env.sql_query(qs).collect()]
+        exp = duck.execute(qd).fetchall()
+        assert got == exp, (qs, got, exp)

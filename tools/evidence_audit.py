@@ -98,7 +98,8 @@ MANIFEST: list[C] = [
       fuzz=["test_join_fragment_agree",
             "test_correlated_scalar_subquery_agree",
             "test_subquery_fragment_agree"]),
-    C("2.3", "Theta / non-equi join", gates=["join_theta_band"]),
+    C("2.3", "Theta / non-equi join", gates=["join_theta_band"],
+      fuzz=["test_theta_band_join_agree"]),
     C("2.3", "Skew salting + AQE skew split",
       gates=["join_salted_skew", "join_skew_salted"],
       tests=["test_adaptive"]),
@@ -109,7 +110,8 @@ MANIFEST: list[C] = [
       crash=["test_restore_changelog_normalize",
              "test_restore_upsert_materialize_sink"]),
     C("2.3", "Semi/anti streaming join",
-      gates=["join_left_semi", "join_left_anti", "join_null_aware_anti"]),
+      gates=["join_left_semi", "join_left_anti", "join_null_aware_anti"],
+      fuzz=["test_subquery_fragment_agree"]),
     C("2.3", "Multi-way streaming join",
       gates=["stream_multiway_join"], crash=["test_restore_multiway_join"]),
     C("2.3", "Interval join (inner + outer)",
@@ -145,7 +147,8 @@ MANIFEST: list[C] = [
       crash=["test_restore_group_agg_retract"]),
     C("2.4", "MiniBatch / local-global / incremental", native=True),
     C("2.4", "Distinct agg + split-distinct",
-      gates=["agg_split_distinct", "agg_distinct_mix"]),
+      gates=["agg_split_distinct", "agg_distinct_mix"],
+      fuzz=["test_distinct_filtered_aggregates_agree"]),
     C("2.4", "Grouping sets/cube/rollup/GROUPING_ID/GROUP_ID",
       gates=["agg_grouping_sets", "agg_cube", "agg_rollup",
              "agg_grouping_id", "agg_group_id", "pivot_status"],
@@ -221,7 +224,8 @@ MANIFEST: list[C] = [
       gates=["stream_drop_update_before"], stateless=True),
     # §2.8 Sort / limit (4)
     C("2.8", "Full sort / sort-limit / limit / offset",
-      gates=["sort_limit_offset"]),
+      gates=["sort_limit_offset"],
+      fuzz=["test_sort_limit_offset_agree"]),
     C("2.8", "Streaming temporal sort ±TTL",
       gates=["stream_temporal_sort", "stream_temporal_sort_ttl"],
       crash=["test_restore_temporal_sort"]),
@@ -238,9 +242,11 @@ MANIFEST: list[C] = [
       fuzz=["test_set_operations_agree"]),
     # §2.10 Correlate / UDTF / unnest (4)
     C("2.10", "Correlate / lateral table function",
-      gates=["lateral_topk_per_nation"], tests=["test_udf"]),
+      gates=["lateral_topk_per_nation"],
+      fuzz=["test_unnest_lateral_agree"], tests=["test_udf"]),
     C("2.10", "UNNEST (+ORDINALITY)",
-      gates=["unnest_words", "unnest_with_ordinality"]),
+      gates=["unnest_words", "unnest_with_ordinality"],
+      fuzz=["test_unnest_lateral_agree"]),
     C("2.10", "Process Table Function", gates=["ptf_event_gaps"]),
     C("2.10", "Replicate rows (changelog expansion)", native=True),
     # §2.11 CEP (3)
