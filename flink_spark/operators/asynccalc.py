@@ -25,8 +25,17 @@ def async_calc(
     concurrency: int = 64,
 ) -> DataFrame:
     """Append columns computed by ``async_fn(row_dict) -> dict`` awaited
-    concurrently (bounded by ``concurrency``) per Arrow batch."""
+    concurrently (bounded by ``concurrency``) per Arrow batch. A result
+    dict may omit columns — absent values null-pad (same contract as
+    the lookup joins; see joins._null_padded)."""
     import pandas as pd
+
+    from flink_spark.operators.joins import (
+        _null_padded,
+        _result_field_names,
+    )
+
+    res_names = _result_field_names(result_schema)
 
     async def run_batch(rows: list[dict]) -> list[dict]:
         sem = asyncio.Semaphore(concurrency)
@@ -40,7 +49,7 @@ def async_calc(
     def mapper(it):
         for pdf in it:
             results = asyncio.run(run_batch(pdf.to_dict("records")))
-            res = pd.DataFrame(results, index=pdf.index)
+            res = _null_padded(pd, results, pdf.index, res_names)
             yield pd.concat([pdf, res], axis=1)
 
     out_schema = df.schema.simpleString()[7:-1] + "," + result_schema

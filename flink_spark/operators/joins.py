@@ -115,6 +115,27 @@ def asof_join(
     return out
 
 
+def _result_field_names(result_schema: str) -> list[str]:
+    """Field names of an appended-columns schema string ("a INT, b
+    STRING")."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return [f.name for f in _parse_datatype_string(result_schema).fields]
+
+
+def _null_padded(pd, dicts: list[dict], index, names: list[str]):
+    """Row dicts → a DataFrame carrying EXACTLY the result columns, with
+    None (not NaN) for absent values: a lookup MISS must null-pad — the
+    reference's left-join lookup contract (LookupJoinRunner pads
+    unmatched rows). The naive ``pd.DataFrame(dicts)`` breaks it twice:
+    an all-miss batch yields NO columns (schema-arity error), and a
+    partial miss yields float NaN, which Arrow refuses to cast to an
+    int/string result column (r12 model-fuzz find,
+    test_lookup_join_matches_model)."""
+    out = pd.DataFrame(dicts, index=index, columns=names, dtype=object)
+    return out.where(pd.notna(out), None)
+
+
 def lookup_join(
     stream: DataFrame,
     build_lookup,  # Callable[[pd.Series], pd.DataFrame-like dict lookups]
@@ -131,14 +152,17 @@ def lookup_join(
     """
     import pandas as pd  # local import: only the lookup path needs pandas
 
+    res_names = _result_field_names(result_schema)
+
     def run(iterator):
         cache: dict = {}
         for pdf in iterator:
             missing = pdf[key][~pdf[key].isin(cache.keys())].drop_duplicates()
             if len(missing):
                 cache.update(build_lookup(missing))
-            looked = pd.DataFrame(
-                [cache.get(k, {}) for k in pdf[key]], index=pdf.index
+            looked = _null_padded(
+                pd, [cache.get(k, {}) for k in pdf[key]], pdf.index,
+                res_names,
             )
             yield pd.concat([pdf, looked], axis=1)
 
@@ -252,6 +276,8 @@ def async_lookup_join(
 
     import pandas as pd
 
+    res_names = _result_field_names(result_schema)
+
     def run(iterator):
         cache: dict = {}
 
@@ -285,8 +311,9 @@ def async_lookup_join(
             missing = pdf[key][~pdf[key].isin(cache.keys())].drop_duplicates()
             if len(missing):
                 cache.update(dict(asyncio.run(fetch_all(list(missing)))))
-            looked = pd.DataFrame(
-                [cache.get(k, {}) for k in pdf[key]], index=pdf.index
+            looked = _null_padded(
+                pd, [cache.get(k, {}) for k in pdf[key]], pdf.index,
+                res_names,
             )
             yield pd.concat([pdf, looked], axis=1)
 

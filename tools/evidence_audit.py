@@ -43,6 +43,9 @@ class C:
     plan_kw: str | None = None  # PLANS.md keyword when no gate matches
     native: bool = False  # inherent to Spark (no dedicated artifact)
     stateless: bool = False  # stream_-gated but carries no state
+    sf1_fixed: bool = False  # input is a deliberately FIXED-SIZE slice
+    # (e.g. fn suites cap p_partkey <= 300) or pure metadata — the sf1
+    # scale column is n/a by construction
 
 
 # --------------------------------------------------------------------------
@@ -64,9 +67,9 @@ MANIFEST: list[C] = [
       gates=["format_protobuf_roundtrip", "format_sequence_file_roundtrip",
              "format_compressed_write", "format_avro_confluent_roundtrip"]),
     C("2.1", "DataGen source (random + sequence)",
-      gates=["ddl_datagen_sequence"], tests=["test_catalog"]),
+      gates=["ddl_datagen_sequence"], tests=["test_catalog"], sf1_fixed=True),
     C("2.1", "Print / Blackhole sinks", tests=["test_formats"]),
-    C("2.1", "Values connector", gates=["values_inline"]),
+    C("2.1", "Values connector", gates=["values_inline"], sf1_fixed=True),
     C("2.1", "Rate / socket sources", tests=["test_catalog"]),
     C("2.1", "Unified Sink V2 / upsert sinks (PK contract)",
       gates=["stream_upsert_materialize", "ddl_upsert_sink"],
@@ -83,7 +86,8 @@ MANIFEST: list[C] = [
       gates=["tpch_q6_forecast_revenue"],
       fuzz=["test_expression_compositions_agree",
             "test_date_compositions_agree", "test_array_functions_agree"]),
-    C("2.2", "Async calc", gates=["async_calc_enrich"]),
+    C("2.2", "Async calc", gates=["async_calc_enrich"],
+      fuzz=["test_async_calc_matches_sync_map"]),
     C("2.2", "Expand (grouping sets)",
       gates=["agg_grouping_sets", "agg_cube", "agg_rollup"],
       fuzz=["test_grouping_sets_agree"]),
@@ -129,6 +133,8 @@ MANIFEST: list[C] = [
     C("2.3", "Lookup join sync/async/cached/retry",
       gates=["lookup_join_events", "async_lookup_join_events",
              "stream_static_lookup_join"],
+      fuzz=["test_lookup_join_matches_model",
+            "test_async_lookup_join_matches_sync_model"],
       crash=["test_restore_lookup_join_cache"]),
     C("2.3", "Delta join (±TTL, replay-exact)",
       gates=["stream_delta_join", "stream_delta_join_left",
@@ -268,27 +274,28 @@ MANIFEST: list[C] = [
     # §2.12 Scalar function library (12 families)
     C("2.12", "String / regexp family",
       gates=["fn_string_suite", "fn_regexp_suite", "fn_string_extra_suite"],
-      fuzz=["test_expression_compositions_agree"]),
+      fuzz=["test_expression_compositions_agree"], sf1_fixed=True),
     C("2.12", "Math / bitwise / numeric-extra family",
       gates=["fn_math_suite", "fn_bitwise_suite", "fn_numeric_extra_suite",
              "fn_trig_hyper_suite"],
-      fuzz=["test_expression_compositions_agree"]),
+      fuzz=["test_expression_compositions_agree"], sf1_fixed=True),
     C("2.12", "Temporal family (+OVERLAPS, CONVERT_TZ)",
       gates=["fn_datetime_suite", "fn_temporal_extract_suite",
              "fn_overlaps_suite"],
       fuzz=["test_date_compositions_agree",
             "test_overlaps_executes_and_matches_model",
-            "test_overlaps_rewrite_structure"]),
+            "test_overlaps_rewrite_structure"], sf1_fixed=True),
     C("2.12", "Conditional / comparison family",
       gates=["fn_conditional_suite", "fn_misc_suite"],
-      fuzz=["test_expression_compositions_agree"]),
+      fuzz=["test_expression_compositions_agree"], sf1_fixed=True),
     C("2.12", "Array / map / collection family",
       gates=["fn_array_suite", "fn_map_suite"],
-      fuzz=["test_array_functions_agree"]),
+      fuzz=["test_array_functions_agree"], sf1_fixed=True),
     C("2.12", "JSON family (construct/query/JSON_TABLE/variant)",
       gates=["fn_json_suite", "fn_json_suite2", "fn_json_construct_suite",
              "fn_json_table", "fn_json_variant_suite"],
-      tests=["test_jsontable"]),
+      fuzz=["test_get_json_object_matches_python_json"],
+      tests=["test_jsontable"], sf1_fixed=True),
     C("2.12", "Hash / URL / inet / codec / random family",
       gates=["fn_hash_json_random_suite", "fn_url_inet_suite"],
       fuzz=["test_rand_integer_rewrite_structure",
@@ -298,12 +305,13 @@ MANIFEST: list[C] = [
       fuzz=["test_precision_cast_rewrite_structure",
             "test_precision_cast_char_model",
             "test_precision_cast_ntz_truncation_tz_independent",
-            "test_precision_cast_property"]),
+            "test_precision_cast_property"], sf1_fixed=True),
     C("2.12", "ML_PREDICT / ML_EVALUATE / MODEL DDL",
       gates=["ml_predict_linear", "ml_predict_sql", "ml_evaluate_metrics"],
       tests=["test_models"]),
     C("2.12", "VECTOR_SEARCH (SQL TVF + ANN routing)",
-      gates=["llm_vector_search_sql", "llm_vector_search_sql_ann"]),
+      gates=["llm_vector_search_sql", "llm_vector_search_sql_ann"],
+      fuzz=["test_brute_force_topk_matches_numpy"]),
     C("2.12", "[NOT] IN three-valued dialect rewrite (value-position, "
               "disjunctive, tuple probes)",
       gates=["sql_not_in_disjunctive", "sql_not_in_projected",
@@ -333,11 +341,11 @@ MANIFEST: list[C] = [
       crash=["test_restore_watermark_survives_restart"],
       tests=["test_streaming"]),
     C("2.13", "Watermark strategy DDL",
-      gates=["ddl_watermark_strategies"]),
+      gates=["ddl_watermark_strategies"], sf1_fixed=True),
     C("2.13", "STATE_TTL hint", gates=["hint_state_ttl_gate"],
       fuzz=["test_state_ttl_accepts_reference_labels",
             "test_state_ttl_rejects_unknown_labels",
-            "test_state_ttl_excision_preserves_siblings"]),
+            "test_state_ttl_excision_preserves_siblings"], sf1_fixed=True),
     # idleness/alignment are per-drain watermark-valve TRACES (fresh
     # checkpoint per invocation by design); the durable-restart
     # watermark mechanism itself is pinned by
@@ -358,7 +366,9 @@ MANIFEST: list[C] = [
       tests=["test_streaming"]),
     C("2.13", "Trigger / emit-strategy DSL", tests=["test_triggers"]),
     C("2.13", "Async I/O (ordered/unordered)",
-      gates=["async_lookup_join_events", "async_calc_enrich"]),
+      gates=["async_lookup_join_events", "async_calc_enrich"],
+      fuzz=["test_async_lookup_join_matches_sync_model",
+            "test_async_calc_matches_sync_map"]),
     C("2.13", "Co-process / broadcast state",
       gates=["stream_coprocess_threshold"],
       crash=["test_rules_stream_steers_data_stream"],
@@ -376,9 +386,10 @@ MANIFEST: list[C] = [
     C("2.14", "TableAggregateFunction",
       gates=["agg_table_agg_top2"], tests=["test_udf"]),
     C("2.14", "ProcessTableFunction", gates=["ptf_event_gaps"]),
-    C("2.14", "AsyncScalarFunction", gates=["async_calc_enrich"]),
+    C("2.14", "AsyncScalarFunction", gates=["async_calc_enrich"],
+      fuzz=["test_async_calc_matches_sync_map"]),
     C("2.14", "SQL function DDL (CREATE FUNCTION)",
-      gates=["ddl_create_function_sql"]),
+      gates=["ddl_create_function_sql"], sf1_fixed=True),
     # §2.15 Statement surface (6)
     C("2.15", "DDL families (tables/catalogs/partitions/MT-schema)",
       gates=["ddl_catalog_module_roundtrip", "ddl_alter_partition_roundtrip",
@@ -394,12 +405,12 @@ MANIFEST: list[C] = [
             "test_insert_body_gets_subquery_rewrites",
             "test_insert_body_null_capable_complement_standard"]),
     C("2.15", "Statement sets / modules",
-      gates=["ddl_statement_set"], tests=["test_catalog"]),
+      gates=["ddl_statement_set"], tests=["test_catalog"], sf1_fixed=True),
     C("2.15", "COMPILE PLAN v2 + migrate-on-load",
-      gates=["ddl_compile_execute_plan"], tests=["test_catalog"]),
+      gates=["ddl_compile_execute_plan"], tests=["test_catalog"], sf1_fixed=True),
     C("2.15", "EXPLAIN plan advice / changelog mode",
       gates=["explain_plan_advice_gate", "explain_changelog_mode_gate"],
-      tests=["test_plan_advice", "test_changelog_mode"]),
+      tests=["test_plan_advice", "test_changelog_mode"], sf1_fixed=True),
     C("2.15", "SQL gateway REST (v4 path set)", tests=["test_gateway"]),
 ]
 
@@ -554,7 +565,7 @@ def gaps(rows):
                 missing.append("no fuzz surface")
             else:
                 missing.append("no fuzz surface (plumbing; low value)")
-        if c.gates and not has_sf1:
+        if c.gates and not has_sf1 and not c.sf1_fixed:
             missing.append("no sf1 row")
         if missing:
             sev = (0 if any(m.startswith("stateful") for m in missing)
@@ -576,7 +587,7 @@ def emit(rows):
         g = f"{len(c.gates)}" if c.gates else ("native" if c.native else "—")
         fz = f"{len(c.fuzz)}" if c.fuzz else "—"
         cr = f"{len(c.crash)}" if c.crash else "—"
-        s1 = "✓" if has_sf1 else "—"
+        s1 = ("n/a" if c.sf1_fixed else "✓" if has_sf1 else "—")
         pl = "✓" if has_plan else "—"
         print(f"| {c.name} | {g} | {fz} | {cr} | {s1} | {pl} |")
 
