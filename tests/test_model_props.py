@@ -233,3 +233,232 @@ def test_get_json_object_matches_python_json(spark, doc):
     for i, p in enumerate(paths):
         exp = _model_get(doc, p)
         assert row[f"c{i}"] == exp, (text, p, row[f"c{i}"], exp)
+
+
+# --- salted skew join == plain join (r12, audit sev-1) ---------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lkeys=st.lists(
+        st.sampled_from(["hot", "hot", "hot", "w1", "w2", "none"]),
+        min_size=1, max_size=24,
+    ),
+    n_salts=st.sampled_from([1, 2, 8]),
+)
+def test_salted_join_matches_plain_join(spark, lkeys, n_salts):
+    """salted_join == the plain inner equi-join as a multiset, for any
+    skew profile and salt count (the manual FLIP-510 path must be a
+    pure physical transform — never change results)."""
+    from flink_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(lkeys)], "lid long, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("w1", 200), ("w2", 300), ("hot", 101)],
+        "rk string, rv long",
+    )
+    got = sorted(
+        (r.lid, r.rv)
+        for r in salted_join(left, right, "k", "rk", n_salts=n_salts,
+                             id_col="lid").collect()
+    )
+    exp = sorted(
+        (r.lid, r.rv)
+        for r in left.join(right, left.k == right.rk).collect()
+    )
+    assert got == exp
+
+
+# --- bitmap family == python set model (r12, audit sev-1) ------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 500)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_bitmap_family_matches_set_model(spark, rows):
+    """bitmap_build → cardinality/to_array, and the OR/AND/XOR merge
+    aggs, against plain Python sets — any dedup or word-boundary bug
+    (keys straddling 64-bit words) shows immediately."""
+    from flink_spark.functions.bitmap import (
+        bitmap_and_cardinality_agg,
+        bitmap_build,
+        bitmap_build_cardinality_agg,
+        bitmap_or_cardinality_agg,
+        bitmap_to_array,
+    )
+
+    df = spark.createDataFrame(rows, "g string, k long")
+    sets = {}
+    for g, k in rows:
+        sets.setdefault(g, set()).add(k)
+
+    built = bitmap_build(df, "g", "k")
+    got_arrays = {
+        r.g: sorted(r.arr)
+        for r in built.select("g", bitmap_to_array("bitmap").alias("arr"))
+        .collect()
+    }
+    assert got_arrays == {g: sorted(s) for g, s in sets.items()}
+    got_cards = {
+        r.g: r.card
+        for r in bitmap_build_cardinality_agg(df, "g", "k").collect()
+    }
+    assert got_cards == {g: len(s) for g, s in sets.items()}
+    # merge aggs: collapse ALL groups' bitmaps into one (constant group)
+    both = built.withColumn("one", F.lit(1))
+    union_card = bitmap_or_cardinality_agg(both, "one", "bitmap").collect()
+    assert union_card[0].card == len(set().union(*sets.values()))
+    inter_card = bitmap_and_cardinality_agg(both, "one", "bitmap").collect()
+    exp_inter = (
+        len(set.intersection(*sets.values())) if len(sets) == len(
+            ["g1", "g2"]) else len(next(iter(sets.values())))
+    )
+    assert inter_card[0].card == exp_inter
+
+
+# --- exact percentile family == interpolation model (r12, audit sev-1) -----------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-100, 100), st.none()),
+        min_size=1, max_size=20,
+    ).filter(lambda v: any(x is not None for x in v)),
+    p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_percentile_matches_interpolation_model(spark, vals, p):
+    """Spark's exact percentile() == linear interpolation at rank
+    p·(n−1) over the sorted non-null values — the reference
+    PERCENTILE_CONT contract the agg_percentile_family oracle leans
+    on, swept across probabilities and null densities."""
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.agg(F.expr(f"percentile(v, {p})").alias("q")).collect()[0].q
+    xs = sorted(v for v in vals if v is not None)
+    rank = p * (len(xs) - 1)
+    lo, hi = int(math.floor(rank)), int(math.ceil(rank))
+    exp = xs[lo] + (rank - lo) * (xs[hi] - xs[lo])
+    assert got == pytest.approx(exp, rel=1e-12), (vals, p, got, exp)
+
+
+# --- UDTAF (table aggregate) == python model (r12, audit sev-1) ------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1, max_size=20,
+    ),
+)
+def test_udtaf_top2_matches_model(spark, rows):
+    """apply_table_aggregate with a Top-2 emitter == the python model
+    (reference Top2 TableAggregateFunction example — the canonical
+    UDTAF), any group sizes including singletons."""
+    from flink_spark.functions.udf import (
+        TableAggregateFunction,
+        apply_table_aggregate,
+    )
+
+    class Top2(TableAggregateFunction):
+        result_schema = "rank int, val long"
+
+        def create_accumulator(self):
+            return []
+
+        def accumulate(self, acc, v):
+            acc.append(v)
+            return sorted(acc, reverse=True)[:2]
+
+        def emit_value(self, acc):
+            return [(i + 1, v) for i, v in enumerate(acc)]
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(
+        (r.g, r.rank, r.val)
+        for r in apply_table_aggregate(df, Top2(), ["g"], ["v"]).collect()
+    )
+    exp = []
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        for i, v in enumerate(sorted(vs, reverse=True)[:2]):
+            exp.append((g, i + 1, v))
+    assert got == sorted(exp)
+
+
+# --- PTF batch mode == python model (r12, audit sev-1) ---------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 100)),
+        min_size=1, max_size=20,
+    ),
+)
+def test_ptf_batch_matches_model(spark, rows):
+    """apply_ptf_batch running a per-key gap computation == the python
+    model: rows arrive seq-ordered per key, emissions are the
+    consecutive deltas (the reference ProcessTableFunction batch
+    contract — one virtual micro-batch per key)."""
+    import pandas as pd
+
+    from flink_spark.functions.udf import (
+        ProcessTableFunction,
+        apply_ptf_batch,
+    )
+
+    class Gaps(ProcessTableFunction):
+        result_schema = "g string, gap long"
+
+        def process(self, key, pdf, state):
+            ts = pdf["t"].tolist()
+            return pd.DataFrame(
+                {"g": [key[0]] * max(0, len(ts) - 1),
+                 "gap": [b - a for a, b in zip(ts, ts[1:])]}
+            )
+
+    df = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(rows)],
+        "g string, t long, rid long",
+    )
+    got = sorted(
+        (r.g, r.gap)
+        for r in apply_ptf_batch(df, Gaps(), ["g"], ["t", "rid"]).collect()
+    )
+    exp = []
+    groups: dict = {}
+    for i, (g, t) in enumerate(rows):
+        groups.setdefault(g, []).append((t, i))
+    for g, ts in groups.items():
+        s = [t for t, _ in sorted(ts)]
+        exp.extend((g, b - a) for a, b in zip(s, s[1:]))
+    assert got == sorted(exp)

@@ -106,6 +106,7 @@ MANIFEST: list[C] = [
       fuzz=["test_theta_band_join_agree"]),
     C("2.3", "Skew salting + AQE skew split",
       gates=["join_salted_skew", "join_skew_salted"],
+      fuzz=["test_salted_join_matches_plain_join"],
       tests=["test_adaptive"]),
     C("2.3", "Join hints (BROADCAST/SHUFFLE_*/LOOKUP)",
       gates=["join_hints_gate"]),
@@ -166,14 +167,18 @@ MANIFEST: list[C] = [
       fuzz=["test_grouped_aggregates_agree"]),
     C("2.4", "Imperative aggs (percentile/multiset/JSON aggs)",
       gates=["agg_percentile_family", "agg_json_objectagg",
-             "agg_collect_multiset"]),
+             "agg_collect_multiset"],
+      fuzz=["test_percentile_matches_interpolation_model"]),
     C("2.4", "approx_count_distinct (HLL++)",
       gates=["agg_approx_count_distinct"]),
     C("2.4", "Bitmap agg/scalar family",
       gates=["agg_bitmap_build", "agg_bitmap_ops",
-             "agg_bitmap_merge_family"], tests=["test_bitmap"]),
+             "agg_bitmap_merge_family"],
+      fuzz=["test_bitmap_family_matches_set_model"],
+      tests=["test_bitmap"]),
     C("2.4", "Table aggregate (UDTAF)",
-      gates=["agg_table_agg_top2"], tests=["test_udf"]),
+      gates=["agg_table_agg_top2"],
+      fuzz=["test_udtaf_top2_matches_model"], tests=["test_udf"]),
     # §2.5 Window TVFs (5)
     C("2.5", "TUMBLE/HOP/SESSION/CUMULATE (+SQL TVF spellings)",
       gates=["window_tumble", "window_hop", "window_session",
@@ -253,7 +258,8 @@ MANIFEST: list[C] = [
     C("2.10", "UNNEST (+ORDINALITY)",
       gates=["unnest_words", "unnest_with_ordinality"],
       fuzz=["test_unnest_lateral_agree"]),
-    C("2.10", "Process Table Function", gates=["ptf_event_gaps"]),
+    C("2.10", "Process Table Function", gates=["ptf_event_gaps"],
+      fuzz=["test_ptf_batch_matches_model"]),
     C("2.10", "Replicate rows (changelog expansion)", native=True),
     # §2.11 CEP (3)
     C("2.11", "CEP NFA (quantifiers/within/skip)",
@@ -355,7 +361,8 @@ MANIFEST: list[C] = [
     C("2.13", "Watermark alignment (per-drain trace)",
       gates=["stream_watermark_alignment"], stateless=True),
     C("2.13", "Keyed state + timers",
-      gates=["ptf_event_gaps"], tests=["test_twstate"]),
+      gates=["ptf_event_gaps"],
+      fuzz=["test_ptf_batch_matches_model"], tests=["test_twstate"]),
     C("2.13", "Checkpointing / state backends / state reader",
       gates=["stream_state_reader"],
       crash=["test_checkpoint_restore_dedup_keep_first"],
@@ -384,8 +391,10 @@ MANIFEST: list[C] = [
     C("2.14", "AggregateFunction (accumulate/retract/merge)",
       tests=["test_udf"]),
     C("2.14", "TableAggregateFunction",
-      gates=["agg_table_agg_top2"], tests=["test_udf"]),
-    C("2.14", "ProcessTableFunction", gates=["ptf_event_gaps"]),
+      gates=["agg_table_agg_top2"],
+      fuzz=["test_udtaf_top2_matches_model"], tests=["test_udf"]),
+    C("2.14", "ProcessTableFunction", gates=["ptf_event_gaps"],
+      fuzz=["test_ptf_batch_matches_model"]),
     C("2.14", "AsyncScalarFunction", gates=["async_calc_enrich"],
       fuzz=["test_async_calc_matches_sync_map"]),
     C("2.14", "SQL function DDL (CREATE FUNCTION)",
