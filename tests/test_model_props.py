@@ -462,3 +462,177 @@ def test_ptf_batch_matches_model(spark, rows):
         s = [t for t, _ in sorted(ts)]
         exp.extend((g, b - a) for a, b in zip(s, s[1:]))
     assert got == sorted(exp)
+
+
+# --- delta join == batch interval join (r12, audit sev-1) ------------------------
+
+
+def test_delta_join_matches_batch_interval_join(spark, tmp_path):
+    """delta_join (ΔL⋈R ∪ L⋈ΔR over bucketed stores) == the brute-force
+    banded join, across four derandomized profiles (hot keys, empty
+    sides, band edges, multi-batch chunking). A streaming drain per case
+    keeps this affordable while exercising the store fold + replay
+    path the restore tests don't randomize."""
+    import pandas as pd
+
+    from flink_spark.streaming.deltajoin import delta_join, tag_union
+
+    profiles = [
+        # (left (k, minute, tag), right (k, minute, tag))
+        ([(0, 0), (0, 1), (1, 5)], [(0, 2), (1, 5), (2, 9)]),
+        ([(0, 0)], []),
+        ([(0, 0), (0, 3)], [(0, 3), (0, 6)]),  # exact TTL-edge deltas
+        ([(i % 2, i) for i in range(8)], [(i % 3, i) for i in range(9)]),
+    ]
+    for case, (lrows, rrows) in enumerate(profiles):
+        base = pd.Timestamp("2024-01-01")
+        lpdf = pd.DataFrame(
+            {"lk": [k for k, _ in lrows],
+             "lts": pd.Series(
+                 [base + pd.Timedelta(minutes=m) for _, m in lrows]
+             ).astype("datetime64[us]"),
+             "lv": [f"l{i}" for i in range(len(lrows))]}
+        )
+        rpdf = pd.DataFrame(
+            {"rk": [k for k, _ in rrows],
+             "rts": pd.Series(
+                 [base + pd.Timedelta(minutes=m) for _, m in rrows]
+             ).astype("datetime64[us]"),
+             "rv": [f"r{i}" for i in range(len(rrows))]}
+        )
+        d = tmp_path / f"case{case}"
+        for name, pdf in (("l", lpdf), ("r", rpdf)):
+            (d / name).mkdir(parents=True)
+            n = max(1, len(pdf))
+            for i in range(2):
+                chunk = pdf.iloc[i * n // 2:(i + 1) * n // 2]
+                chunk.to_parquet(d / name / f"part-{i}.parquet",
+                                 index=False)
+        lt = (spark.readStream
+              .schema("lk long, lts timestamp_ntz, lv string")
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "l")))
+        rt = (spark.readStream
+              .schema("rk long, rts timestamp_ntz, rv string")
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "r")))
+        lc, rc = ["lk", "lts", "lv"], ["rk", "rts", "rv"]
+        got = sorted(
+            (r.lk, str(r.lts), r.lv, r.rk, str(r.rts), r.rv)
+            for r in delta_join(
+                tag_union(lt, rt, lc, rc), lc, rc, ["lk"], ["rk"],
+                num_buckets=2, ttl="3 minutes", left_ts="lts",
+                right_ts="rts", compact_every=2,
+                root=str(d / "root"),
+            ).collect()
+        )
+        exp = sorted(
+            (lr.lk, str(lr.lts), lr.lv, rr.rk, str(rr.rts), rr.rv)
+            for _, lr in lpdf.iterrows()
+            for _, rr in rpdf.iterrows()
+            if lr.lk == rr.rk
+            and abs((lr.lts - rr.rts).total_seconds()) <= 180.0
+        )
+        assert got == exp, (case, got, exp)
+
+
+# --- CDC envelope decode == final-state model (r12, audit sev-1) -----------------
+
+
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 3]),               # key
+        st.sampled_from(["c", "u", "d"]),         # op
+        st.integers(0, 99),                        # new value
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CDC_OPS, fmt=st.sampled_from(["debezium", "canal", "maxwell",
+                                          "ogg"]))
+def test_cdc_envelopes_match_state_model(spark, ops, fmt):
+    """Random change sequences encoded as each CDC envelope format,
+    decoded, and folded with materialize_upserts == a python dict
+    replay of the same sequence (the four decoders must agree on
+    RowKind emission for the fold to land on the same final state)."""
+    from flink_spark.streaming import cdc
+
+    # build envelopes + the reference state by replaying the ops
+    state: dict[int, int] = {}
+    envs = []
+    for seq, (k, op, v) in enumerate(ops):
+        before = state.get(k)
+        if op == "c":
+            if before is not None:
+                op = "u"  # a second insert is an update in substance
+        if op in ("u", "d") and before is None:
+            op = "c" if op == "u" else None
+        if op is None:
+            continue
+        if op == "c":
+            state[k] = v
+        elif op == "u":
+            state[k] = v
+        else:
+            del state[k]
+        b = (None if before is None
+             else {"k": k, "v": before, "seq": seq})
+        a = None if op == "d" else {"k": k, "v": v, "seq": seq}
+        if fmt == "debezium":
+            envs.append(json.dumps(
+                {"before": b, "after": a,
+                 "op": {"c": "c", "u": "u", "d": "d"}[op]}))
+        elif fmt == "canal":
+            envs.append(json.dumps({
+                "type": {"c": "INSERT", "u": "UPDATE", "d": "DELETE"}[op],
+                "data": [a if a is not None else b],
+                "old": [b] if op == "u" else None,
+            }))
+        elif fmt == "maxwell":
+            envs.append(json.dumps({
+                "type": {"c": "insert", "u": "update", "d": "delete"}[op],
+                "data": a if a is not None else b,
+                "old": b if op == "u" else None,
+            }))
+        else:  # ogg
+            envs.append(json.dumps({
+                "op_type": {"c": "I", "u": "U", "d": "D"}[op],
+                "before": b, "after": a,
+            }))
+    if not envs:
+        return
+    df = spark.createDataFrame([(e,) for e in envs], "value string")
+    decode = {"debezium": cdc.decode_debezium, "canal": cdc.decode_canal,
+              "maxwell": cdc.decode_maxwell, "ogg": cdc.decode_ogg}[fmt]
+    changelog = decode(df, "value", "k int, v int, seq long")
+    final = cdc.materialize_upserts(changelog, ["k"], ["seq"])
+    got = {r.k: r.v for r in final.collect()}
+    assert got == state, (fmt, ops, got, state)
+
+
+# --- approx_count_distinct error bound (r12, audit sev-1) ------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.sampled_from([1, 10, 100, 2000]),
+    rsd=st.sampled_from([0.05, 0.01]),
+)
+def test_approx_count_distinct_error_bound(spark, n, rsd):
+    """HLL++ relative error stays within 5·rsd of the exact distinct
+    count across cardinality regimes (deterministic input → the
+    estimate is reproducible; the loose multiple keeps the bound
+    honest without flaking on HLL bias corners)."""
+    df = spark.range(n * 3).select((F.col("id") % n).alias("v"))
+    got = df.agg(
+        F.approx_count_distinct("v", rsd).alias("a")
+    ).collect()[0].a
+    assert abs(got - n) <= max(1, 5 * rsd * n), (n, rsd, got)

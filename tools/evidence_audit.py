@@ -140,6 +140,7 @@ MANIFEST: list[C] = [
     C("2.3", "Delta join (±TTL, replay-exact)",
       gates=["stream_delta_join", "stream_delta_join_left",
              "stream_delta_join_full", "stream_delta_join_ttl"],
+      fuzz=["test_delta_join_matches_batch_interval_join"],
       crash=["test_restore_delta_join",
              "test_deltajoin_ttl_compaction_crash_exact_on_object_store"]),
     C("2.3", "Lateral snapshot / temporal table fn",
@@ -170,7 +171,8 @@ MANIFEST: list[C] = [
              "agg_collect_multiset"],
       fuzz=["test_percentile_matches_interpolation_model"]),
     C("2.4", "approx_count_distinct (HLL++)",
-      gates=["agg_approx_count_distinct"]),
+      gates=["agg_approx_count_distinct"],
+      fuzz=["test_approx_count_distinct_error_bound"]),
     C("2.4", "Bitmap agg/scalar family",
       gates=["agg_bitmap_build", "agg_bitmap_ops",
              "agg_bitmap_merge_family"],
@@ -230,6 +232,7 @@ MANIFEST: list[C] = [
       crash=["test_restore_changelog_normalize"]),
     C("2.7", "CDC envelopes (debezium/canal/maxwell/ogg; stateless decode)",
       gates=["cdc_debezium_materialize", "cdc_ogg_materialize"],
+      fuzz=["test_cdc_envelopes_match_state_model"],
       tests=["test_streaming"], stateless=True),
     C("2.7", "Drop update-before (stateless rowkind filter)",
       gates=["stream_drop_update_before"], stateless=True),
