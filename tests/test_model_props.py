@@ -636,3 +636,197 @@ def test_approx_count_distinct_error_bound(spark, n, rsd):
         F.approx_count_distinct("v", rsd).alias("a")
     ).collect()[0].a
     assert abs(got - n) <= max(1, 5 * rsd * n), (n, rsd, got)
+
+
+# --- window TVF assignment == python model (r12, audit sev-1) --------------------
+
+_WTS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 120)),
+    min_size=1, max_size=20,
+)
+
+
+def _mins(m):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_WTS)
+def test_window_tvfs_match_model(spark, rows):
+    """tumble / hop / cumulate / tumble-offset assignment == the window
+    arithmetic model (reference SliceAssigners semantics): every row's
+    emitted window set compared exactly, minute-granular."""
+    from flink_spark.operators.windows import (
+        cumulate,
+        hop,
+        tumble,
+        tumble_offset,
+    )
+
+    df = spark.createDataFrame(
+        [(k, _mins(m), i) for i, (k, m) in enumerate(rows)],
+        "k string, ts timestamp_ntz, rid long",
+    )
+
+    def got_windows(out):
+        d: dict = {}
+        for r in out.select("rid", "window_start").collect():
+            d.setdefault(r.rid, set()).add(str(r.window_start))
+        return d
+
+    # TUMBLE 10m: start = floor(m/10)*10
+    got = got_windows(tumble(df, "ts", "10 minutes"))
+    exp = {
+        i: {str(_mins(m // 10 * 10))} for i, (_, m) in enumerate(rows)
+    }
+    assert got == exp
+    # HOP slide 5m size 15m: starts s=5k with s <= m < s+15
+    got = got_windows(hop(df, "ts", "5 minutes", "15 minutes"))
+    exp = {
+        i: {
+            str(_mins(s))
+            for s in range(-15, 121, 5)
+            if s <= m < s + 15
+        }
+        for i, (_, m) in enumerate(rows)
+    }
+    assert got == exp
+    # TUMBLE 10m OFFSET 3m: start = floor((m-3)/10)*10 + 3
+    got = got_windows(tumble_offset(df, "ts", "10 minutes", "3 minutes"))
+    exp = {
+        i: {str(_mins((m - 3) // 10 * 10 + 3))}
+        for i, (_, m) in enumerate(rows)
+    }
+    assert got == exp
+    # CUMULATE step 5m size 15m: base S=floor(m/15)*15, ends S+5k > m
+    out = cumulate(df, "ts", "5 minutes", "15 minutes")
+    got_ends: dict = {}
+    for r in out.select("rid", "window_end").collect():
+        got_ends.setdefault(r.rid, set()).add(str(r.window_end))
+    exp_ends = {}
+    for i, (_, m) in enumerate(rows):
+        s = m // 15 * 15
+        exp_ends[i] = {
+            str(_mins(e)) for e in range(s + 5, s + 16, 5) if e > m
+        }
+    assert got_ends == exp_ends
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_WTS, gap=st.sampled_from([3, 7, 15]))
+def test_session_window_matches_merge_model(spark, rows, gap):
+    """session() == the greedy gap-merge model per key: sessions split
+    where consecutive gaps exceed `gap`; end = last event + gap."""
+    from flink_spark.operators.windows import session
+
+    df = spark.createDataFrame(
+        [(k, _mins(m)) for k, m in rows],
+        "k string, ts timestamp_ntz",
+    )
+    agg = (
+        session(df, "ts", f"{gap} minutes")
+        .groupBy("k", "__w")
+        .count()
+        .select(
+            "k", F.col("__w.start").alias("s"),
+            F.col("__w.end").alias("e"), "count",
+        )
+    )
+    got = sorted(
+        (r.k, str(r.s), str(r.e), r["count"]) for r in agg.collect()
+    )
+    exp = []
+    per_key: dict = {}
+    for k, m in rows:
+        per_key.setdefault(k, []).append(m)
+    for k, ms in per_key.items():
+        ms.sort()
+        cur = [ms[0]]
+        for m in ms[1:]:
+            # TOUCHING sessions merge (inclusive boundary): both Spark's
+            # session_window and the reference's TimeWindow.intersects
+            # treat an event at exactly last+gap as the same session
+            if m - cur[-1] > gap:
+                exp.append((k, str(_mins(cur[0])),
+                            str(_mins(cur[-1] + gap)), len(cur)))
+                cur = [m]
+            else:
+                cur.append(m)
+        exp.append((k, str(_mins(cur[0])),
+                    str(_mins(cur[-1] + gap)), len(cur)))
+    assert got == sorted(exp), (rows, gap, got, sorted(exp))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_WTS, n=st.sampled_from([1, 2, 4]))
+def test_count_window_and_evictors_match_model(spark, rows, n):
+    """count_window ids and the three evictors == python models over
+    per-key event order (reference CountTumblingWindowAssigner,
+    Time/Count/DeltaEvictor)."""
+    from flink_spark.operators.evictors import (
+        count_evictor,
+        delta_evictor,
+        time_evictor,
+    )
+    from flink_spark.operators.windows import count_window
+
+    df = spark.createDataFrame(
+        [(k, _mins(m), i, float(m)) for i, (k, m) in enumerate(rows)],
+        "k string, ts timestamp_ntz, rid long, v double",
+    )
+    # count windows: id = (per-key rank by (ts, rid) - 1) // n
+    got = {
+        r.rid: (r.k, r.window_id)
+        for r in count_window(df, ["k"], ["ts", "rid"], n).collect()
+    }
+    order: dict = {}
+    for i, (k, m) in enumerate(rows):
+        order.setdefault(k, []).append((m, i))
+    exp = {}
+    for k, lst in order.items():
+        for rank, (_, i) in enumerate(sorted(lst)):
+            exp[i] = (k, rank // n)
+    assert got == exp
+    # evictors over the per-key "window" (key = the window here)
+    kept = {
+        r.rid for r in time_evictor(df, ["k"], "ts", "10 minutes").collect()
+    }
+    exp_kept = set()
+    for k, lst in order.items():
+        mx = max(m for m, _ in lst)
+        exp_kept |= {i for m, i in lst if m > mx - 10}
+    assert kept == exp_kept
+    kept = {
+        r.rid
+        for r in count_evictor(df, ["k"], ["ts", "rid"], n).collect()
+    }
+    exp_kept = {
+        i for k, lst in order.items()
+        for _, i in sorted(lst)[-n:]
+    }
+    assert kept == exp_kept
+    kept = {
+        r.rid
+        for r in delta_evictor(
+            df, ["k"], ["ts", "rid"], "v", 20.0
+        ).collect()
+    }
+    exp_kept = set()
+    for k, lst in order.items():
+        last_v = float(sorted(lst)[-1][0])
+        exp_kept |= {i for m, i in lst if abs(float(m) - last_v) <= 20.0}
+    assert kept == exp_kept

@@ -183,6 +183,8 @@ MANIFEST: list[C] = [
       fuzz=["test_udtaf_top2_matches_model"], tests=["test_udf"]),
     # §2.5 Window TVFs (5)
     C("2.5", "TUMBLE/HOP/SESSION/CUMULATE (+SQL TVF spellings)",
+      fuzz=["test_window_tvfs_match_model",
+            "test_session_window_matches_merge_model"],
       gates=["window_tumble", "window_hop", "window_session",
              "window_cumulate", "stream_tumble_agg", "stream_hop_agg",
              "stream_session_agg", "stream_cumulate_agg",
@@ -190,12 +192,17 @@ MANIFEST: list[C] = [
       crash=["test_restore_window_tumble_agg",
              "test_restore_session_window_agg"]),
     C("2.5", "Legacy group windows (GROUP BY TUMBLE/HOP/SESSION)",
-      gates=["window_tumble_legacy_sql", "window_session_legacy_sql"]),
+      gates=["window_tumble_legacy_sql", "window_session_legacy_sql"],
+      fuzz=["test_window_tvfs_match_model",
+            "test_session_window_matches_merge_model"]),
     C("2.5", "Count windows + window offset",
-      gates=["window_count_tumble", "window_tumble_offset"]),
+      gates=["window_count_tumble", "window_tumble_offset"],
+      fuzz=["test_count_window_and_evictors_match_model",
+            "test_window_tvfs_match_model"]),
     C("2.5", "Evictors (time/count/delta)",
       gates=["window_time_evictor", "window_count_evictor",
-             "window_delta_evictor"]),
+             "window_delta_evictor"],
+      fuzz=["test_count_window_and_evictors_match_model"]),
     C("2.5", "Window rank / dedup / join",
       gates=["window_topn", "window_dedup", "stream_window_topn",
              "stream_window_dedup"],
@@ -217,7 +224,8 @@ MANIFEST: list[C] = [
     # §2.7 Rank / TopN / dedup (6)
     C("2.7", "Batch rank/TopN (+salted two-phase)",
       gates=["topn_per_group", "lateral_topk_per_nation",
-             "topn_variable_rank_range"]),
+             "topn_variable_rank_range"],
+      fuzz=["test_salted_top_n_matches_plain"]),
     C("2.7", "Streaming TopN ±TTL (retracting)",
       gates=["stream_topn_changelog", "stream_topn_ttl"],
       crash=["test_restore_streaming_topn"]),
@@ -463,6 +471,7 @@ MANIFEST += [
       gates=["llm_cosine_topk", "llm_lsh_topk", "llm_ivf_topk",
              "llm_pq_topk", "llm_lsh_recall_gate", "llm_ivf_recall_gate",
              "llm_pq_recall_gate"],
+      fuzz=["test_brute_force_topk_matches_numpy"],
       tests=["test_annsql"]),
     C("LLM", "SimHash / n-gram Jaccard / embedding-cosine near-dup",
       gates=["llm_simhash_pairs", "llm_ngram_jaccard_pairs",
