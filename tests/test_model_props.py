@@ -830,3 +830,223 @@ def test_count_window_and_evictors_match_model(spark, rows, n):
         last_v = float(sorted(lst)[-1][0])
         exp_kept |= {i for m, i in lst if abs(float(m) - last_v) <= 20.0}
     assert kept == exp_kept
+
+
+# --- streaming changelog operators == replay models (r12, audit sev-1) -----------
+#
+# One availableNow drain per derandomized profile (the delta-join
+# pattern): chunked files arrive as ordered micro-batches
+# (maxFilesPerTrigger=1 + mtimes), so the python replay model knows the
+# exact batch sequence the keyed state saw.
+
+
+def _land_chunks(spark, tmp_path, name, chunks, schema):
+    import os
+
+    d = tmp_path / name
+    d.mkdir()
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, schema)
+        staging = tmp_path / f"_stg_{name}_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        import glob as _g
+        import shutil as _sh
+
+        (part,) = _g.glob(str(staging / "part-*.parquet"))
+        dest = str(d / f"b{i}.parquet")
+        _sh.move(part, dest)
+        t = 1_600_000_000 + i * 60
+        os.utime(dest, (t, t))
+    return d
+
+
+def _drain_to(spark, out, sink, ckpt):
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink))
+
+
+def test_changelog_normalize_matches_replay_model(spark, tmp_path):
+    """changelog_normalize == the version-replay model: versions emit in
+    (batch order, per-batch seq order); the first overall is +I, every
+    later one a (-U prev, +U cur) pair chaining through state across
+    batches — including late (seq-regressing) versions, which the
+    operator treats as NEW versions (arrival order wins across batches;
+    the model mirrors that contract)."""
+    from flink_spark.streaming import changelog as CL
+
+    profiles = [
+        # chunks of (k, seq, v)
+        [[(1, 1, "a")], [(1, 2, "b")], [(1, 3, "c")]],
+        [[(1, 2, "a"), (1, 1, "z")], [(2, 1, "x")], [(1, 3, "b"),
+                                                     (2, 2, "y")]],
+        [[(1, 5, "a")], [(1, 4, "late")], []],
+        [[(1, 1, "a"), (2, 1, "b"), (1, 2, "c")]],
+    ]
+    for case, chunks in enumerate(profiles):
+        d = _land_chunks(spark, tmp_path, f"cn{case}", chunks,
+                         "k int, seq int, v string")
+        stream = (
+            spark.readStream.schema("k int, seq int, v string")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = CL.changelog_normalize(stream, ["k"], ["seq"])
+        got = sorted(
+            map(tuple, _drain_to(
+                spark, out, tmp_path / f"cns{case}",
+                tmp_path / f"cnc{case}").collect())
+        )
+        exp = []
+        state: dict = {}
+        for batch in chunks:
+            for k, seq, v in sorted(batch, key=lambda r: r[1]):
+                prev = state.get(k)
+                if prev is None:
+                    exp.append((CL.OP_INSERT, k, seq, v))
+                else:
+                    exp.append((CL.OP_UPDATE_BEFORE, *prev))
+                    exp.append((CL.OP_UPDATE_AFTER, k, seq, v))
+                state[k] = (k, seq, v)
+        assert got == sorted(exp), (case, got, sorted(exp))
+
+
+def test_streaming_topn_changelog_net_state_matches_batch(spark, tmp_path):
+    """streaming_topn's rank-movement changelog, net-applied, lands on
+    the batch Top-N: per emitted row, #(+I) − #(−D) ∈ {0,1}, and the
+    net survivors equal the batch top-n multiset — across profiles
+    with ties, displacement chains, and per-key partitions."""
+    from flink_spark.streaming import changelog as CL
+
+    profiles = [
+        [[("g", 10, 1)], [("g", 20, 2)], [("g", 30, 3)]],     # displace
+        [[("g", 10, 1), ("g", 10, 2)], [("g", 10, 3)]],       # ties
+        [[("a", 5, 1), ("b", 7, 2)], [("a", 9, 3), ("b", 1, 4)]],
+        [[("g", 3, 1), ("g", 2, 2), ("g", 1, 3)], [("g", 0, 4)]],
+    ]
+    n = 2
+    for case, chunks in enumerate(profiles):
+        d = _land_chunks(spark, tmp_path, f"tn{case}", chunks,
+                         "g string, score long, rid long")
+        stream = (
+            spark.readStream.schema("g string, score long, rid long")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = CL.streaming_topn(
+            stream, ["g"], ["score", "rid"], n,
+            ascending=[False, True],
+        )
+        rows = _drain_to(spark, out, tmp_path / f"tns{case}",
+                         tmp_path / f"tnc{case}").collect()
+        net: dict = {}
+        for r in rows:
+            t = (r.g, r.score, r.rid)
+            if r.op == CL.OP_INSERT:
+                net[t] = net.get(t, 0) + 1
+            elif r.op == CL.OP_DELETE:
+                net[t] = net.get(t, 0) - 1
+        assert all(v in (0, 1) for v in net.values()), (case, net)
+        survivors = sorted(t for t, v in net.items() if v == 1)
+        # batch model: per group, top-n by (-score, rid)
+        allrows = [r for c in chunks for r in c]
+        exp = []
+        groups: dict = {}
+        for g, s, rid in allrows:
+            groups.setdefault(g, []).append((s, rid))
+        for g, lst in groups.items():
+            top = sorted(lst, key=lambda t: (-t[0], t[1]))[:n]
+            exp.extend((g, s, rid) for s, rid in top)
+        assert survivors == sorted(exp), (case, survivors, sorted(exp))
+
+
+def test_dedup_keep_first_matches_arrival_model(spark, tmp_path):
+    """dedup_keep_first == the arrival model: the FIRST batch containing
+    a key contributes its seq-min row; later batches are absorbed even
+    when they carry an earlier seq (state already holds the winner) —
+    the documented event-time-within-arrival contract."""
+    from flink_spark.streaming import changelog as CL
+
+    profiles = [
+        [[(1, 3, "a"), (1, 1, "b")], [(1, 0, "late")]],
+        [[(1, 2, "a")], [(2, 9, "b"), (2, 1, "c")], [(1, 1, "d")]],
+        [[(1, 1, "x"), (2, 2, "y"), (1, 0, "z")]],
+    ]
+    for case, chunks in enumerate(profiles):
+        d = _land_chunks(spark, tmp_path, f"df{case}", chunks,
+                         "k int, seq int, v string")
+        stream = (
+            spark.readStream.schema("k int, seq int, v string")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = CL.dedup_keep_first(stream, ["k"], ["seq"])
+        got = sorted(
+            map(tuple, _drain_to(
+                spark, out, tmp_path / f"dfs{case}",
+                tmp_path / f"dfc{case}").collect())
+        )
+        exp = {}
+        for batch in chunks:
+            batch_keys: dict = {}
+            for k, seq, v in batch:
+                if k in exp:
+                    continue
+                cur = batch_keys.get(k)
+                if cur is None or (seq, v) < (cur[1], cur[2]):
+                    batch_keys[k] = (k, seq, v)
+            exp.update(batch_keys)
+        assert got == sorted(exp.values()), (case, got)
+
+
+# --- ML_PREDICT == numpy model (r12, audit sev-1) --------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.lists(st.integers(-5, 5).map(float), min_size=3, max_size=3),
+        min_size=1, max_size=12,
+    ),
+    w=st.lists(st.integers(-3, 3).map(float), min_size=3, max_size=3),
+)
+def test_ml_predict_matches_numpy_model(spark, rows, w):
+    """ml_predict with a linear model == the numpy dot-product computed
+    in-process: batch serving must neither reorder rows nor perturb the
+    arithmetic, whatever the Arrow batch split."""
+    from flink_spark.functions.ml import ml_predict
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)],
+        "rid long, features array<double>",
+    )
+
+    def factory(dim):
+        import numpy as np
+
+        weights = np.array(w)
+
+        def model(x):
+            return {"score": (x @ weights)}
+
+        return model
+
+    got = {
+        r.rid: r.score
+        for r in ml_predict(
+            df, factory, "features", result_schema="score double"
+        ).collect()
+    }
+    exp = {
+        i: sum(a * b for a, b in zip(v, w)) for i, v in enumerate(rows)
+    }
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12), (i, got, exp)

@@ -228,15 +228,18 @@ MANIFEST: list[C] = [
       fuzz=["test_salted_top_n_matches_plain"]),
     C("2.7", "Streaming TopN ±TTL (retracting)",
       gates=["stream_topn_changelog", "stream_topn_ttl"],
+      fuzz=["test_streaming_topn_changelog_net_state_matches_batch"],
       crash=["test_restore_streaming_topn"]),
     C("2.7", "Dedup keep-first/keep-last (+TTL, JVM store form)",
       gates=["dedup_keep_first", "dedup_keep_last", "stream_dedup_first",
              "stream_dedup_first_ttl", "stream_dedup_first_tws"],
+      fuzz=["test_dedup_keep_first_matches_arrival_model"],
       crash=["test_checkpoint_restore_dedup_keep_first",
              "test_dedup_compaction_crash_exact_on_object_store"]),
     C("2.7", "Changelog normalize (+from/to-changelog bridges)",
       gates=["stream_changelog_normalize", "changelog_from_changelog",
              "changelog_to_changelog"],
+      fuzz=["test_changelog_normalize_matches_replay_model"],
       crash=["test_restore_changelog_normalize"]),
     C("2.7", "CDC envelopes (debezium/canal/maxwell/ogg; stateless decode)",
       gates=["cdc_debezium_materialize", "cdc_ogg_materialize"],
@@ -253,6 +256,7 @@ MANIFEST: list[C] = [
       crash=["test_restore_temporal_sort"]),
     C("2.8", "Streaming sort-limit (changelog TopN form)",
       gates=["stream_topn_changelog"],
+      fuzz=["test_streaming_topn_changelog_net_state_matches_batch"],
       crash=["test_restore_streaming_topn"]),
     C("2.8", "Proc-time sort", tests=["test_streaming"]),
     # §2.9 Set ops (3)
@@ -325,6 +329,7 @@ MANIFEST: list[C] = [
             "test_precision_cast_property"], sf1_fixed=True),
     C("2.12", "ML_PREDICT / ML_EVALUATE / MODEL DDL",
       gates=["ml_predict_linear", "ml_predict_sql", "ml_evaluate_metrics"],
+      fuzz=["test_ml_predict_matches_numpy_model"],
       tests=["test_models"]),
     C("2.12", "VECTOR_SEARCH (SQL TVF + ANN routing)",
       gates=["llm_vector_search_sql", "llm_vector_search_sql_ann"],
