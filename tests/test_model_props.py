@@ -1050,3 +1050,138 @@ def test_ml_predict_matches_numpy_model(spark, rows, w):
     }
     for i in exp:
         assert got[i] == pytest.approx(exp[i], rel=1e-12), (i, got, exp)
+
+
+# --- group-agg retract / over-agg / temporal sort replay models (r12) ------------
+
+
+def test_group_agg_retract_matches_replay_model(spark, tmp_path):
+    """group_agg_retract == the accumulator replay: per key, rows in
+    (batch order, per-batch seq order) emit +I(first) then
+    -U(old agg)/+U(new agg) per update, with (count, sum) chaining
+    across batches."""
+    from flink_spark.streaming import changelog as CL
+
+    profiles = [
+        [[(1, 1, 10)], [(1, 2, 5)], [(1, 3, -2)]],
+        [[(1, 2, 4), (1, 1, 6), (2, 1, 1)], [(2, 2, 3), (1, 3, 0)]],
+        [[(1, 1, 7), (2, 1, 8), (1, 2, 9)]],
+    ]
+    for case, chunks in enumerate(profiles):
+        d = _land_chunks(spark, tmp_path, f"gar{case}", chunks,
+                         "k int, seq int, v long")
+        stream = (
+            spark.readStream.schema("k int, seq int, v long")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = CL.group_agg_retract(stream, ["k"], "v", ["seq"])
+        got = sorted(
+            map(tuple, _drain_to(
+                spark, out, tmp_path / f"gars{case}",
+                tmp_path / f"garc{case}").collect())
+        )
+        exp = []
+        state: dict = {}
+        for batch in chunks:
+            for k, seq, v in sorted(batch, key=lambda r: r[1]):
+                cnt, total = state.get(k, (0, 0))
+                if cnt:
+                    exp.append((CL.OP_UPDATE_BEFORE, k, cnt, total))
+                    exp.append((CL.OP_UPDATE_AFTER, k, cnt + 1, total + v))
+                else:
+                    exp.append((CL.OP_INSERT, k, 1, v))
+                state[k] = (cnt + 1, total + v)
+        assert got == sorted(exp), (case, got, sorted(exp))
+
+
+def test_streaming_over_rows_matches_prefix_model(spark, tmp_path):
+    """streaming_over_rows == the per-key prefix count/sum over rows in
+    (batch, seq) order — accumulators carried across batches."""
+    from flink_spark.streaming.overagg import streaming_over_rows
+
+    profiles = [
+        [[(1, 1, 10)], [(1, 2, 5)]],
+        [[(1, 2, 4), (2, 1, 7), (1, 1, 6)], [(1, 3, 1), (2, 2, 2)]],
+    ]
+    for case, chunks in enumerate(profiles):
+        d = _land_chunks(spark, tmp_path, f"sor{case}", chunks,
+                         "k int, seq int, v long")
+        stream = (
+            spark.readStream.schema("k int, seq int, v long")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = streaming_over_rows(stream, ["k"], ["seq"], "v")
+        got = sorted(
+            (r.k, r.seq, r.running_cnt, r.running_sum)
+            for r in _drain_to(
+                spark, out, tmp_path / f"sors{case}",
+                tmp_path / f"sorc{case}").collect()
+        )
+        exp = []
+        state: dict = {}
+        for batch in chunks:
+            for k, seq, v in sorted(batch, key=lambda r: r[1]):
+                cnt, total = state.get(k, (0, 0))
+                state[k] = (cnt + 1, total + v)
+                exp.append((k, seq, cnt + 1, float(total + v)))
+        # running_sum may come back int or float depending on schema
+        got = [(a, b, c, float(d_)) for a, b, c, d_ in got]
+        assert got == sorted(exp), (case, got, sorted(exp))
+
+
+def test_temporal_sort_matches_seq_model(spark, tmp_path):
+    """temporal_sort == per-key seq numbering over (batch, ts) order,
+    with the TTL variant restarting the counter when the EVENT-TIME gap
+    between consecutive rows exceeds the TTL (the documented
+    event-time-gap contract)."""
+    import datetime
+
+    from flink_spark.streaming.temporal_sort import temporal_sort
+
+    def mins(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    profiles = [
+        ([[("a", 0), ("a", 1)], [("a", 2)]], None),
+        ([[("a", 0), ("a", 1)], [("a", 30), ("b", 31)]], "10 minutes"),
+        ([[("a", 0), ("a", 25), ("a", 26)]], "10 minutes"),
+    ]
+    sentinel = datetime.datetime(2099, 1, 1)
+    for case, (chunks, ttl) in enumerate(profiles):
+        rows_chunks = [
+            [(k, mins(m), i * 100 + j) for j, (k, m) in enumerate(batch)]
+            for i, batch in enumerate(chunks)
+        ]
+        # two trailing sentinel batches: the first advances the watermark
+        # past every real row, the second gives the event-time timers a
+        # batch to fire in (buffered rows emit then)
+        rows_chunks.append([("zz", sentinel, 9001)])
+        rows_chunks.append([("zz", sentinel + datetime.timedelta(1), 9002)])
+        d = _land_chunks(spark, tmp_path, f"ts{case}", rows_chunks,
+                         "k string, ts timestamp, rid long")
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, rid long")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+            .withWatermark("ts", "1 second")
+        )
+        out = temporal_sort(stream, ["k"], "ts", ["rid"], state_ttl=ttl)
+        got = sorted(
+            (r.k, str(r.ts), r.seq)
+            for r in _drain_to(
+                spark, out, tmp_path / f"tss{case}",
+                tmp_path / f"tsc{case}").collect()
+            if r.k != "zz"
+        )
+        ttl_min = (int(ttl.split()[0]) if ttl else None)
+        exp = []
+        state: dict = {}
+        for i, batch in enumerate(chunks):
+            for j, (k, m) in enumerate(sorted(batch, key=lambda r: r[1])):
+                seq, last = state.get(k, (0, None))
+                if (ttl_min is not None and last is not None
+                        and m - last > ttl_min):
+                    seq = 0
+                seq += 1
+                state[k] = (seq, m)
+                exp.append((k, str(mins(m)), seq))
+        assert got == sorted(exp), (case, ttl, got, sorted(exp))

@@ -152,6 +152,7 @@ MANIFEST: list[C] = [
       fuzz=["test_grouped_aggregates_agree"]),
     C("2.4", "Streaming group agg, retracting (±TTL)",
       gates=["stream_group_agg_retract", "stream_group_agg_retract_ttl"],
+      fuzz=["test_group_agg_retract_matches_replay_model"],
       crash=["test_restore_group_agg_retract"]),
     C("2.4", "MiniBatch / local-global / incremental", native=True),
     C("2.4", "Distinct agg + split-distinct",
@@ -220,6 +221,7 @@ MANIFEST: list[C] = [
     C("2.6", "Streaming over agg ({ROWS,RANGE} x bounds)",
       gates=["stream_over_rows", "stream_over_rows_bounded",
              "stream_over_range_bounded"],
+      fuzz=["test_streaming_over_rows_matches_prefix_model"],
       crash=["test_restore_streaming_over_agg"]),
     # §2.7 Rank / TopN / dedup (6)
     C("2.7", "Batch rank/TopN (+salted two-phase)",
@@ -253,6 +255,7 @@ MANIFEST: list[C] = [
       fuzz=["test_sort_limit_offset_agree"]),
     C("2.8", "Streaming temporal sort ±TTL",
       gates=["stream_temporal_sort", "stream_temporal_sort_ttl"],
+      fuzz=["test_temporal_sort_matches_seq_model"],
       crash=["test_restore_temporal_sort"]),
     C("2.8", "Streaming sort-limit (changelog TopN form)",
       gates=["stream_topn_changelog"],
