@@ -1185,3 +1185,113 @@ def test_temporal_sort_matches_seq_model(spark, tmp_path):
                 state[k] = (seq, m)
                 exp.append((k, str(mins(m)), seq))
         assert got == sorted(exp), (case, ttl, got, sorted(exp))
+
+
+# --- window join / drop-update-before / exact dedup models (r12) -----------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                             st.integers(0, 60)),
+                   min_size=1, max_size=12),
+    rrows=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                             st.integers(0, 60)),
+                   min_size=1, max_size=12),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_window_join_matches_model(spark, lrows, rrows, how):
+    """window_join == pair rows sharing the same tumbling window AND
+    keys (reference WindowJoinOperator): inner and left-outer, minute
+    granularity, 10-minute windows."""
+    from flink_spark.operators.joins import window_join
+
+    left = spark.createDataFrame(
+        [(k, _mins(m), i) for i, (k, m) in enumerate(lrows)],
+        "lk string, lts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, _mins(m), i) for i, (k, m) in enumerate(rrows)],
+        "rk string, rts timestamp_ntz, rid long",
+    )
+    out = window_join(
+        left, right, "lts", "rts", "10 minutes", [("lk", "rk")], how=how
+    )
+    key = lambda t: (t[0], t[1] is not None, t[1] if t[1] is not None else -1)
+    got = sorted(
+        ((r.lid, r.rid) for r in out.select("lid", "rid").collect()),
+        key=key,
+    )
+    exp = []
+    for i, (lk, lm) in enumerate(lrows):
+        matches = [
+            j for j, (rk, rm) in enumerate(rrows)
+            if rk == lk and rm // 10 == lm // 10
+        ]
+        if matches:
+            exp.extend((i, j) for j in matches)
+        elif how == "left":
+            exp.append((i, None))
+    assert got == sorted(exp, key=key), (lrows, rrows, how, got, exp)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.sampled_from(["+I", "-U", "+U", "-D"]),
+                    min_size=1, max_size=16))
+def test_drop_update_before_matches_filter_model(spark, ops):
+    """drop_update_before == drop exactly the -U rows, keep everything
+    else byte-identical (the upsert-consumer contract)."""
+    from flink_spark.streaming import changelog as CL
+
+    df = spark.createDataFrame(
+        [(op, i) for i, op in enumerate(ops)], "op string, rid long"
+    )
+    got = sorted(
+        (r.op, r.rid) for r in CL.drop_update_before(df).collect()
+    )
+    exp = sorted(
+        (op, i) for i, op in enumerate(ops) if op != CL.OP_UPDATE_BEFORE
+    )
+    assert got == exp
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.sampled_from(["hello  world", "Hello World", " hello world ",
+                         "HELLO\tWORLD", "other doc", "OTHER  DOC",
+                         "unique"]),
+        min_size=1, max_size=14,
+    )
+)
+def test_exact_dedup_matches_normalization_model(spark, docs):
+    """dedup_exact == the whitespace-collapse + casefold fingerprint
+    model: min-id survivor and copy count per normalized group."""
+    import re as _re
+
+    from flink_spark.llm.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.keep_id, r.n_copies) for r in dedup_exact(df).collect()
+    )
+    groups: dict = {}
+    for i, d in enumerate(docs):
+        norm = _re.sub(r"\s+", " ", d.strip()).lower()
+        groups.setdefault(norm, []).append(i)
+    exp = sorted((min(v), len(v)) for v in groups.values())
+    assert got == exp, (docs, got, exp)

@@ -127,6 +127,7 @@ MANIFEST: list[C] = [
     C("2.3", "Window join (+session-window join)",
       gates=["window_join_events", "stream_window_join",
              "session_window_join", "stream_session_window_join"],
+      fuzz=["test_window_join_matches_model"],
       crash=["test_restore_stream_window_join"]),
     C("2.3", "Temporal / as-of join (+SQL spellings)",
       gates=["asof_join_events", "temporal_table_function_sql"],
@@ -207,6 +208,8 @@ MANIFEST: list[C] = [
     C("2.5", "Window rank / dedup / join",
       gates=["window_topn", "window_dedup", "stream_window_topn",
              "stream_window_dedup"],
+      fuzz=["test_window_join_matches_model",
+            "test_window_tvfs_match_model"],
       crash=["test_restore_window_topn_straddle",
              "test_restore_window_dedup_straddle"]),
     # §2.6 Over windows (3)
@@ -248,7 +251,9 @@ MANIFEST: list[C] = [
       fuzz=["test_cdc_envelopes_match_state_model"],
       tests=["test_streaming"], stateless=True),
     C("2.7", "Drop update-before (stateless rowkind filter)",
-      gates=["stream_drop_update_before"], stateless=True),
+      gates=["stream_drop_update_before"],
+      fuzz=["test_drop_update_before_matches_filter_model"],
+      stateless=True),
     # §2.8 Sort / limit (4)
     C("2.8", "Full sort / sort-limit / limit / offset",
       gates=["sort_limit_offset"],
@@ -445,7 +450,8 @@ MANIFEST: list[C] = [
 # LLM training-data pipeline pack (beyond-reference mandate; graded
 # first-class by the driver alongside §2)
 MANIFEST += [
-    C("LLM", "Exact dedup (batch)", gates=["llm_dedup_exact"]),
+    C("LLM", "Exact dedup (batch)", gates=["llm_dedup_exact"],
+      fuzz=["test_exact_dedup_matches_normalization_model"]),
     C("LLM", "MinHash+LSH near-dup pairs/clusters/spans",
       gates=["llm_minhash_lsh_pairs", "llm_dedup_clusters",
              "pipe_passage_dedup"]),
