@@ -312,10 +312,6 @@ def pq_encode(
     growing with corpus size. ``train_limit=None`` opts back into
     full-corpus training (still via the bounded numpy path only after a
     full collect — reserved for small corpora)."""
-    d = len(candidates.select(vec).first()[0])
-    if d % m:
-        raise ValueError(f"pq: dim {d} not divisible by m={m}")
-    sub = d // m
     cv = candidates.select(cand_id, F.col(vec).alias("__cv"))
     if books is not None:
         if len(books) != m or any(len(b) != ks for b in books):
@@ -323,7 +319,14 @@ def pq_encode(
                 f"pq: saved codebooks shaped {len(books)}×"
                 f"{len(books[0]) if books else 0}, expected {m}×{ks}"
             )
+        # dim comes from the saved books — no .first() probe job on the
+        # add-after-train path (one driver job per call saved)
+        sub = len(books[0][0])
         return _pq_encode_with_books(cv, cand_id, m, sub, books), books
+    d = len(candidates.select(vec).first()[0])
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    sub = d // m
     books = pq_train(candidates, cand_id=cand_id, vec=vec, m=m, ks=ks,
                      train_limit=train_limit)
     return _pq_encode_with_books(cv, cand_id, m, sub, books), books
@@ -402,35 +405,58 @@ def pq_train(
     return books
 
 
-def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
-                          books: list) -> DataFrame:
-    """Map-only PQ encoding against fixed codebooks: per subspace, argmin
-    over the ks literal centroids (codegen'd) + the reconstruction."""
+def _pq_books_lit(books: list) -> str:
+    """The m×ks×sub codebooks as ONE 3-level array literal (same
+    ``CAST(repr AS DOUBLE)`` element spelling the per-centroid literals
+    used, so values are bit-identical)."""
 
     def _arr(vals: list[float]) -> str:
         return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
-    enc = cv
-    recon_parts = []
-    for j in range(m):
-        dists = ",".join(
-            "aggregate(zip_with("
-            f"slice(__cv, {j * sub + 1}, {sub}), {_arr(c)}, "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            for c in books[j]
-        )
-        code = (
-            f"array_position(array({dists}), array_min(array({dists})))"
-        )
-        enc = enc.withColumn(f"__code{j}", F.expr(code).cast("int"))
-        book_lit = "array(" + ",".join(_arr(c) for c in books[j]) + ")"
-        recon_parts.append(f"element_at({book_lit}, __code{j})")
-    return enc.withColumn(
-        "__recon", F.expr("concat(" + ",".join(recon_parts) + ")")
-    ).withColumn(
-        "__code", F.array(*[F.col(f"__code{j}") for j in range(m)])
-    ).select(cand_id, "__cv", "__code", "__recon")
+    return "array(" + ",".join(
+        "array(" + ",".join(_arr(c) for c in book) + ")" for book in books
+    ) + ")"
+
+
+def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
+                          books: list) -> DataFrame:
+    """Map-only PQ encoding against fixed codebooks: per subspace, argmin
+    over the ks literal centroids + the reconstruction.
+
+    Both outputs are ONE higher-order expression each over a single
+    3-level codebook literal, not m×ks separate parsed snippets: the old
+    per-centroid form built ~m·ks·2 aggregate() trees (the distance list
+    appeared twice inside array_position(array(...), array_min(...))),
+    which cost seconds of driver parse/analysis per call and evaluated
+    every distance twice. The struct-sort argmin evaluates each distance
+    once and keeps the exact tie-break (ascending (d, code): lowest code
+    among equal distances = array_position's first-of-min); the distance
+    itself is the same sequential zip_with/aggregate fold, so codes and
+    reconstructions are bit-identical."""
+    bl = _pq_books_lit(books)
+    argmin = (
+        f"CAST(sort_array(transform(element_at({bl}, j + 1), (c, i) -> "
+        f"struct(aggregate(zip_with(slice(__cv, j * {sub} + 1, {sub}), c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, i AS i)"
+        "))[0].i + 1 AS INT)"
+    )
+    code_expr = f"transform(sequence(0, {m - 1}), j -> {argmin})"
+    # recon embeds its own per-subspace argmin instead of referencing
+    # __code: a column reference here would be INLINED by projection
+    # collapse — each of the m element_at(__code, ·) lookups would
+    # re-evaluate the full m-subspace codes transform (m× the work,
+    # measured 17 s vs 1 s on the bench box). Self-contained, a caller
+    # that prunes to __recon alone evaluates each distance exactly once.
+    recon_expr = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(element_at({bl}, j + 1), {argmin})))"
+    )
+    return (
+        cv.withColumn("__code", F.expr(code_expr))
+        .withColumn("__recon", F.expr(recon_expr))
+        .select(cand_id, "__cv", "__code", "__recon")
+    )
 
 
 def pq_topk(

@@ -54,7 +54,9 @@ def hybrid_stream(
 
     prepare_session(spark)
     if schema is None:
-        schema = spark.read.parquet(bounded_dir).schema
+        from flink_spark.sources.tables import table_schema
+
+        schema = table_schema(spark, bounded_dir)
     # pin bounded files strictly older than any live file: the file
     # source's mtime ordering then IS the reference's source sequence
     base = 1_500_000_000

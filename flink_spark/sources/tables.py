@@ -36,11 +36,43 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Inferred parquet schemas keyed by (path, mtime): the declared-schema
+#: catalog every real deployment has (Flink DDL declares table schemas;
+#: Spark metastore tables carry theirs). Without it every
+#: ``spark.read.parquet`` launches a driver-side footer-inference job —
+#: ~0.1-0.15 s each on the bench box, one per table per query. Metadata
+#: only (a StructType), never row data; keyed on mtime so a rewritten
+#: path re-infers.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def table_schema(spark: SparkSession, path: str):
+    """Schema of the parquet file/dir at ``path``, cached per (path,
+    mtime, nanos-mode). The nanos flag joins the key because inference
+    maps TIMESTAMP(NANOS) to bigint only under it — a session where
+    ``prepare_session`` could not set the flag must not share entries
+    with one where it could."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        nanos = "unset"
+    key = (path, mtime, nanos)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes the events nanos timestamp."""
     prepare_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(table_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")

@@ -257,18 +257,18 @@ class PqStreamIndex:
 
     def _recon_expr(self) -> str:
         """Codebook reconstruction as one JVM expression over the stored
-        code array (no recon stored — m bytes per vector stay m bytes)."""
-        def arr(vals):
-            return ("array(" + ",".join(
-                f"CAST({v!r} AS DOUBLE)" for v in vals) + ")")
+        code array (no recon stored — m bytes per vector stay m bytes).
+        One flatten/transform over a single 3-level codebook literal
+        instead of m per-book parsed snippets (same values: the code
+        VALUES are 1-based array_position results, element_at is
+        1-based)."""
+        from flink_spark.llm.similarity import _pq_books_lit
 
-        parts = []
-        for j, book in enumerate(self.books):
-            lit = "array(" + ",".join(arr(c) for c in book) + ")"
-            # __code[j] is Spark's 0-based array indexing; the code
-            # VALUES are 1-based (array_position) — element_at is 1-based
-            parts.append(f"element_at({lit}, __code[{j}])")
-        return "concat(" + ",".join(parts) + ")"
+        bl = _pq_books_lit(self.books)
+        return (
+            f"flatten(transform(sequence(0, {len(self.books) - 1}), j -> "
+            f"element_at(element_at({bl}, j + 1), element_at(__code, j + 1))))"
+        )
 
     def topk(self, queries: DataFrame, k: int = 5,
              shortlist: int | None = None,

@@ -120,7 +120,9 @@ def stream_table(
     """
     prepare_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = spark.read.parquet(path).schema
+    from flink_spark.sources.tables import table_schema
+
+    schema = table_schema(spark, path)
     if closed:
         if watermark is None:
             raise ValueError("closed=True requires a watermark")
@@ -284,7 +286,9 @@ def chunked_table_stream(
             os.utime(p, (base + i * 60, base + i * 60))
     # schema from the CHUNK files (µs-normalized), not the original table:
     # the ns-column legacy/bigint handling never applies to the chunks
-    schema = spark.read.parquet(d).schema
+    from flink_spark.sources.tables import table_schema
+
+    schema = table_schema(spark, d)
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

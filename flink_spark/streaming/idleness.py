@@ -78,7 +78,9 @@ def tagged_ts_chunk_stream(
         p = os.path.join(d, f"part-{i}.parquet")
         if os.path.exists(p):
             os.utime(p, (base + i * 60, base + i * 60))
-    schema = spark.read.parquet(d).schema
+    from flink_spark.sources.tables import table_schema
+
+    schema = table_schema(spark, d)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
