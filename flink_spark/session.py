@@ -71,6 +71,19 @@ def get_spark(
     """Build (or fetch) the tuned local session."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    # Python workers fork from a per-executor daemon; point it at our
+    # preloading daemon module (flink_spark/pydaemon.py) so forked workers
+    # inherit numpy/pandas/pyarrow already imported instead of paying the
+    # import per worker — stateful-streaming runners spawn fresh workers
+    # per query, so without this every streaming drain pays it again. The
+    # executor-launched daemon needs the repo on PYTHONPATH to import the
+    # module; set it before the JVM starts (local mode inherits this env).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -78,6 +91,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.python.daemon.module", "flink_spark.pydaemon")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

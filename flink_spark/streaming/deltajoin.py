@@ -302,13 +302,11 @@ def delta_join(
         finally:
             batch.unpersist()
 
-    q = (
-        tagged.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # drain under the streaming shuffle sizing (storeutil.run_drain):
+    # per-batch joins/writes at the batch shuffle.partitions fan every
+    # micro-batch's tiny delta into that many shuffle partitions and
+    # part-files — pure per-batch fixed cost at the delta-join's scale
+    storeutil.run_drain(tagged, process, ckpt)
 
     if store_stats is not None:
         for side, store in (("left", l_store), ("right", r_store)):
@@ -515,13 +513,10 @@ def delta_join_outer(
         finally:
             batch.unpersist()
 
-    q = (
-        tagged.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same streaming shuffle sizing as delta_join (see comment there)
+    from flink_spark.streaming import storeutil
+
+    storeutil.run_drain(tagged, process, ckpt)
 
     if not _has_parquet(out_dir):
         from pyspark.sql.types import LongType, StringType, StructField, StructType
