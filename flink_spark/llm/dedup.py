@@ -317,8 +317,28 @@ def connected_components(
                 )
                 .select(F.col("v").alias("node"), "comp")
             )
+            # pointer jumping: also adopt the label OF my current label
+            # (comp is always itself a node, so the self-join is total).
+            # Plain hash-to-min needs O(diameter) rounds — a dup CHAIN
+            # A~B~C~... converges one hop per round (measured 12 rounds
+            # at sf0.1); jumping doubles the collapsed distance per
+            # round, O(log d), at the cost of one extra tiny |V|-row
+            # join per round. The fixpoint (component min) and the
+            # monotone-potential convergence test are unchanged.
+            jump = (
+                labels.alias("l1")
+                .join(
+                    labels.select(
+                        F.col("node").alias("comp"),
+                        F.col("comp").alias("comp2"),
+                    ).alias("l2"),
+                    "comp",
+                )
+                .select(F.col("node"), F.col("comp2").alias("comp"))
+            )
             new_labels = (
                 labels.union(prop)
+                .union(jump)
                 .groupBy("node")
                 .agg(F.min("comp").alias("comp"))
                 .localCheckpoint(eager=True)

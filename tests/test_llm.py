@@ -232,6 +232,69 @@ def test_pq_codebook_reuse(spark):
         pq_encode(df, m=8, ks=4, books=books)
 
 
+def test_pq_single_expression_codec_matches_per_centroid_form(spark):
+    """The r12 single-higher-order-expression PQ codec must be
+    bit-identical to the per-centroid formulation it replaced: distances
+    via the same sequential zip_with/aggregate fold, argmin tie-break =
+    first-of-min (lowest code), reconstruction = per-subspace book rows
+    concatenated. The old form is rebuilt inline here as the reference."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.llm.similarity import pq_encode, pq_train
+
+    m, ks, sub = 4, 4, 4
+    # duplicate rows force argmin TIES so the tie-break is exercised
+    rows = [(i, [float((i * 3 + j * 5) % 7) for j in range(16)])
+            for i in range(60)] + [(100 + i, [1.0] * 16) for i in range(4)]
+    df = spark.createDataFrame(rows, "cand_id bigint, embedding array<double>")
+    books = pq_train(df, m=m, ks=ks)
+    enc, _ = pq_encode(df, m=m, ks=ks, books=books)
+
+    def _arr(vals):
+        return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+    old = df.select("cand_id", F.col("embedding").alias("__cv"))
+    recon_parts = []
+    for j in range(m):
+        dists = ",".join(
+            "aggregate(zip_with("
+            f"slice(__cv, {j * sub + 1}, {sub}), {_arr(c)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            for c in books[j]
+        )
+        code = f"array_position(array({dists}), array_min(array({dists})))"
+        old = old.withColumn(f"__code{j}", F.expr(code).cast("int"))
+        book_lit = "array(" + ",".join(_arr(c) for c in books[j]) + ")"
+        recon_parts.append(f"element_at({book_lit}, __code{j})")
+    old = old.withColumn(
+        "__recon", F.expr("concat(" + ",".join(recon_parts) + ")")
+    ).withColumn("__code", F.array(*[F.col(f"__code{j}") for j in range(m)]))
+
+    want = {
+        r["cand_id"]: (tuple(r["__code"]), tuple(r["__recon"]))
+        for r in old.select("cand_id", "__code", "__recon").collect()
+    }
+    got = {
+        r["cand_id"]: (tuple(r["__code"]), tuple(r["__recon"]))
+        for r in enc.select("cand_id", "__code", "__recon").collect()
+    }
+    assert got == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping (r12) collapses a path graph in O(log diameter)
+    rounds: a 200-node chain must converge inside the default
+    max_iter=25 (plain one-hop min propagation would need ~199 rounds)
+    and label every node with the chain minimum."""
+    from flink_spark.llm.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(200)}
+
+
 def test_pq_training_is_sample_bounded_and_deterministic(spark):
     """Codebook training touches only the md5-ordered top-train_limit
     sample (FAISS train() discipline — cost must not grow with corpus
