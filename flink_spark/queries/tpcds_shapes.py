@@ -2245,7 +2245,8 @@ def tpcds_q1_return_threshold(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_triples
     FROM cl s
     JOIN cl r ON s.cust = r.cust AND s.brand = r.brand
-    JOIN cl b ON s.cust = b.cust AND s.brand = b.brand
+    JOIN cl b ON r.cust = b.cust AND r.brand = b.brand
+             AND s.cust = b.cust AND s.brand = b.brand
     WHERE s.rf <> 'R' AND r.rf = 'R' AND b.rf <> 'R'
       AND s.d <= r.d AND r.d <= b.d
     GROUP BY s.cust, s.brand

@@ -106,7 +106,8 @@ def tpcds_q20_windowed_class_share(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_triples
     FROM cl s
     JOIN cl r ON s.cust = r.cust AND s.brand = r.brand
-    JOIN cl b ON s.cust = b.cust AND s.brand = b.brand
+    JOIN cl b ON r.cust = b.cust AND r.brand = b.brand
+             AND s.cust = b.cust AND s.brand = b.brand
     WHERE s.rf <> 'R' AND r.rf = 'R' AND b.rf <> 'R'
       AND s.d <= r.d AND r.d <= b.d
       AND EXTRACT(YEAR FROM s.d) = 1995
