@@ -293,11 +293,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # LAZY local checkpoints throughout the loop: the potential aggregate
+    # that follows every label update computes all partitions anyway, so
+    # it materializes the checkpoint inside its own job — one driver job
+    # per round instead of (eager checkpoint + collect) two (the lineage
+    # cut is identical; only the materializing action changes)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _potential(lbl: DataFrame):
@@ -341,7 +346,7 @@ def connected_components(
                 .union(jump)
                 .groupBy("node")
                 .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur = _potential(new_labels)
             labels = new_labels

@@ -55,10 +55,15 @@ def brute_force_topk(
     """
     q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
     c = candidates.select(F.col(cand_id), F.col(vec).alias("__cv"))
+    # score in the scan stage, then project to (query_id, cand_id,
+    # cos_sim) BEFORE the top-k window's exchange (guide §2.3): the
+    # partitionBy(query_id) shuffle moves 3 narrow columns per candidate
+    # instead of both embedding payloads — at corpus scale the payload
+    # bytes dominate that exchange
     scored = (
         F.broadcast(q)
         .crossJoin(c)
-        .withColumn("cos_sim", cosine("__qv", "__cv"))
+        .select(query_id, cand_id, cosine("__qv", "__cv").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
@@ -141,9 +146,17 @@ def lsh_topk(
     pairs = per_table[0]
     for p in per_table[1:]:
         pairs = pairs.unionByName(p)
+    # score BEFORE the dedup/top-k exchanges and project the embedding
+    # payloads away (guide §2.3): duplicate collisions across tables are
+    # identical (same vectors → bitwise-same fold), so deduplicating the
+    # scored narrow rows keeps exactly the old values while the
+    # dropDuplicates and window shuffles move (query_id, cand_id,
+    # cos_sim) instead of two payload vectors per pair
+    scored = pairs.select(
+        query_id, cand_id, cosine("__qv", "__cv").alias("cos_sim")
+    )
     if n_tables > 1:
-        pairs = pairs.dropDuplicates([query_id, cand_id])
-    scored = pairs.withColumn("cos_sim", cosine("__qv", "__cv"))
+        scored = scored.dropDuplicates([query_id, cand_id])
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -231,10 +244,17 @@ def ivf_topk(
         .select(query_id, "__qv", "__cell")
     )
     pairs = probes.join(assigned, "__cell")
+    # score in the probe-join stage, then project to narrow rows before
+    # any exchange (guide §2.3): the dedup (multi-assign spill — rows for
+    # the same pair are identical, so deduplicating scored rows keeps the
+    # old values bitwise) and the top-k window shuffle (query_id,
+    # cand_id, cos_sim), not the embedding payloads
+    scored = pairs.select(
+        query_id, cand_id, cosine("__qv", "__cv").alias("cos_sim")
+    )
     if n_assign > 1:
         # a candidate spilled into several probed cells must score once
-        pairs = pairs.dropDuplicates([query_id, cand_id])
-    scored = pairs.withColumn("cos_sim", cosine("__qv", "__cv"))
+        scored = scored.dropDuplicates([query_id, cand_id])
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -441,7 +461,24 @@ def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, i AS i)"
         "))[0].i + 1 AS INT)"
     )
-    code_expr = f"transform(sequence(0, {m - 1}), j -> {argmin})"
+    # dim guard (ADVICE r12): the saved-books path derives sub from the
+    # books and never probes the data, so a caller whose vectors don't
+    # match m×sub would silently encode null-padded garbage (zip_with
+    # pads, null distances sort first). One size() comparison per row —
+    # negligible next to the m×ks distance folds — turns that into a
+    # clean error; the train path's d % m check is unchanged.
+    dim_ok = (
+        f"(__cv IS NULL OR size(__cv) = {m * sub})"
+    )
+    dim_err = (
+        f"raise_error(concat('pq_encode: vector dim ', size(__cv), "
+        f"' does not match saved codebooks (m={m} × sub={sub} = "
+        f"{m * sub})'))"
+    )
+    code_expr = (
+        f"IF({dim_ok}, transform(sequence(0, {m - 1}), j -> {argmin}), "
+        f"{dim_err})"
+    )
     # recon embeds its own per-subspace argmin instead of referencing
     # __code: a column reference here would be INLINED by projection
     # collapse — each of the m element_at(__code, ·) lookups would
@@ -449,8 +486,8 @@ def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
     # measured 17 s vs 1 s on the bench box). Self-contained, a caller
     # that prunes to __recon alone evaluates each distance exactly once.
     recon_expr = (
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"element_at(element_at({bl}, j + 1), {argmin})))"
+        f"IF({dim_ok}, flatten(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(element_at({bl}, j + 1), {argmin}))), {dim_err})"
     )
     return (
         cv.withColumn("__code", F.expr(code_expr))
@@ -491,21 +528,33 @@ def pq_topk(
     enc, _ = pq_encode(candidates, cand_id, vec, m, ks, seed, books=books,
                        train_limit=train_limit)
     q = queries.select(query_id, F.col(vec).alias("__qv"))
+    # ADC-score in the scan stage and shuffle ONLY (query_id, cand_id,
+    # __approx) into the shortlist window (guide §2.3): the old shape
+    # carried __qv + __recon (two d-dim payloads) through the exchange
+    # per candidate. The query vector is re-attached to the k·shortlist
+    # survivors by re-joining the (broadcast, tiny) query set — queries
+    # are keyed by a unique query_id, the search-API contract.
     approx = (
         F.broadcast(q)
         .crossJoin(enc.select(cand_id, "__recon"))
-        .withColumn("__approx", cosine("__qv", "__recon"))
+        .select(
+            query_id, cand_id, cosine("__qv", "__recon").alias("__approx")
+        )
     )
     ws = Window.partitionBy(query_id).orderBy(F.desc("__approx"), F.asc(cand_id))
     short = (
         approx.withColumn("__sr", F.row_number().over(ws))
         .filter(F.col("__sr") <= shortlist)
-        .select(query_id, "__qv", cand_id)
+        .select(query_id, cand_id)
     )
-    # exact rerank of the shortlist only
+    # exact rerank of the shortlist only — true vectors join back by
+    # cand_id, query vectors by broadcast; the final top-k window again
+    # shuffles narrow scored rows, not payloads
     true_vec = candidates.select(cand_id, F.col(vec).alias("__cv"))
-    rer = short.join(true_vec, cand_id).withColumn(
-        "cos_sim", cosine("__qv", "__cv")
+    rer = (
+        short.join(true_vec, cand_id)
+        .join(F.broadcast(q), query_id)
+        .select(query_id, cand_id, cosine("__qv", "__cv").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (

@@ -78,6 +78,13 @@ def get_spark(
     # per query, so without this every streaming drain pays it again. The
     # executor-launched daemon needs the repo on PYTHONPATH to import the
     # module; set it before the JVM starts (local mode inherits this env).
+    # Deliberate process-global side effect (ADVICE r12): the prepend
+    # persists in os.environ for the life of this process and is
+    # inherited by ANY subprocess it spawns — a host that also launches
+    # unrelated Python programs with a conflicting installed copy of
+    # this package should launch them with an explicit PYTHONPATH. On a
+    # cluster the same preload rides spark.executorEnv.PYTHONPATH
+    # instead of the driver's environment.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if repo_root not in existing.split(os.pathsep):

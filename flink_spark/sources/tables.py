@@ -51,7 +51,15 @@ def table_schema(spark: SparkSession, path: str):
     mtime, nanos-mode). The nanos flag joins the key because inference
     maps TIMESTAMP(NANOS) to bigint only under it — a session where
     ``prepare_session`` could not set the flag must not share entries
-    with one where it could."""
+    with one where it could.
+
+    Invalidation invariant (ADVICE r12): for a DIRECTORY path the mtime
+    is the directory's own, which changes when entries are added/removed
+    but NOT when a contained file is overwritten in place. Every writer
+    in this engine (and the testdata generator) replaces tables by
+    delete-and-recreate, which bumps it; a deployment that rewrites
+    part-files in place under a long-lived driver must bust the cache
+    (new path or touch the dir)."""
     try:
         mtime = os.path.getmtime(path)
     except OSError:

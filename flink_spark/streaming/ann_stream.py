@@ -294,21 +294,31 @@ class PqStreamIndex:
         if shortlist is None:
             shortlist = 30 * k
         q = queries.select(query_id, F.col(vec).alias("__qv"))
+        # ADC-score in the scan stage, shuffle only (query_id, cand_id,
+        # __approx) into the shortlist window, and re-attach the
+        # (broadcast, unique-keyed) query vectors to the shortlist for
+        # the rerank — guide §2.3, same shape as similarity.pq_topk: the
+        # exchanges move narrow scored rows, never the d-dim payloads
         approx = (
             F.broadcast(q)
             .crossJoin(enc.select(
                 "cand_id", F.expr(self._recon_expr()).alias("__recon")))
-            .withColumn("__approx", cosine("__qv", "__recon"))
+            .select(query_id, "cand_id",
+                    cosine("__qv", "__recon").alias("__approx"))
         )
         ws = Window.partitionBy(query_id).orderBy(
             F.desc("__approx"), F.asc("cand_id"))
         short = (
             approx.withColumn("__sr", F.row_number().over(ws))
             .filter(F.col("__sr") <= shortlist)
-            .select(query_id, "__qv", "cand_id")
+            .select(query_id, "cand_id")
         )
-        rer = short.join(enc.select("cand_id", "__cv"), "cand_id") \
-            .withColumn("cos_sim", cosine("__qv", "__cv"))
+        rer = (
+            short.join(enc.select("cand_id", "__cv"), "cand_id")
+            .join(F.broadcast(q), query_id)
+            .select(query_id, "cand_id",
+                    cosine("__qv", "__cv").alias("cos_sim"))
+        )
         w = Window.partitionBy(query_id).orderBy(
             F.desc("cos_sim"), F.asc("cand_id"))
         return (

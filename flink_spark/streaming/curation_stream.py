@@ -44,6 +44,7 @@ from flink_spark.streaming.storeutil import (
     read_earlier,
     recover_swap,
     run_drain,
+    run_parallel,
     write_bid_partition,
 )
 
@@ -109,15 +110,23 @@ def curation_stream(
         new_sigs = new_sigs.persist()
         survivors = survivors.persist()
         try:
-            write_bid_partition(survivors.select(*cols), out_dir, batch_id)
-            write_bid_partition(
-                exact_kept.select(_FP), fps_store, batch_id
+            # the four per-batch store commits are independent idempotent
+            # __bid overwrites — overlap them (storeutil.run_parallel,
+            # guide §2.6) so the batch pays ~max instead of the sum of
+            # four commit fixed costs; the near-dup index grows by every
+            # exact survivor
+            run_parallel(
+                lambda: write_bid_partition(
+                    survivors.select(*cols), out_dir, batch_id
+                ),
+                lambda: write_bid_partition(
+                    exact_kept.select(_FP), fps_store, batch_id
+                ),
+                lambda: write_bid_partition(
+                    new_bands, bands_store, batch_id, ["__bucket"]
+                ),
+                lambda: write_bid_partition(new_sigs, sigs_store, batch_id),
             )
-            # the near-dup index grows by every exact survivor
-            write_bid_partition(
-                new_bands, bands_store, batch_id, ["__bucket"]
-            )
-            write_bid_partition(new_sigs, sigs_store, batch_id)
             if compact_every and batch_id % compact_every == compact_every - 1:
                 fold_bid_partitions(sess, fps_store, [], batch_id)
                 fold_bid_partitions(

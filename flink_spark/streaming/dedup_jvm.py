@@ -52,6 +52,7 @@ from flink_spark.streaming.storeutil import (
     read_earlier,
     recover_swap,
     run_drain,
+    run_parallel,
     write_bid_partition,
 )
 
@@ -126,10 +127,16 @@ def dedup_keep_first_jvm(
             batch, key_cols, seq_cols, num_buckets, seen
         ).persist()
         try:
-            write_bid_partition(firsts.select(*cols), out_dir, batch_id)
-            write_bid_partition(
-                firsts.select(_BUCKET, *key_cols), seen_store, batch_id,
-                [_BUCKET],
+            # two independent idempotent __bid commits — overlapped
+            # (storeutil.run_parallel, guide §2.6)
+            run_parallel(
+                lambda: write_bid_partition(
+                    firsts.select(*cols), out_dir, batch_id
+                ),
+                lambda: write_bid_partition(
+                    firsts.select(_BUCKET, *key_cols), seen_store,
+                    batch_id, [_BUCKET],
+                ),
             )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 fold_bid_partitions(

@@ -166,14 +166,16 @@ def delta_join(
             # store rows its own (or a later) execution already landed —
             # without the cut, ΔL ⋈ (R_before ∪ ΔR) double-counts ΔL⋈ΔR
             # because R_before already contains ΔR from the first attempt
+            # memoized-schema reads (storeutil.read_store): one footer-
+            # inference job per store per process, not one per batch
             old_l = (
-                sess.read.parquet(l_store)
+                storeutil.read_store(sess, l_store)
                 .filter(F.col("__dj_bid") < F.lit(batch_id))
                 .drop("__dj_bid")
                 if have_l else None
             )
             old_r = (
-                sess.read.parquet(r_store)
+                storeutil.read_store(sess, r_store)
                 .filter(F.col("__dj_bid") < F.lit(batch_id))
                 .drop("__dj_bid")
                 if have_r else None
@@ -182,34 +184,49 @@ def delta_join(
             if ttl_delta is not None:
                 # state TTL: under in-order delivery, store rows older
                 # than (batch's earliest event time - ttl) can never be
-                # matched by this or any later batch — skip them
-                lo = (
-                    delta_l.select(F.col(left_ts).alias("t"))
-                    .unionByName(delta_r.select(F.col(right_ts).alias("t")))
-                    .agg(F.min("t").alias("m"))
-                    .collect()[0]
-                    .m
-                )  # one 1-row job per batch, not two
-                lwm = lo
-                if lwm is not None:
-                    cutoff = lwm - ttl_delta
-                    # NTZ columns need an NTZ literal: F.lit(naive dt)
-                    # builds an LTZ literal through the Python process
-                    # tz, which skews under a non-UTC session tz
-                    dts = dict(tagged.dtypes)
+                # matched by this or any later batch — skip them. The
+                # cutoff is a broadcast 1-row aggregate attached by
+                # cross join instead of a driver collect (VERDICT r12
+                # #10, guide §2.4/§5: no driver-side collect in the
+                # batch loop); the comparison runs in the same
+                # NTZ→LTZ→epoch-double domain as the join band below
+                # (and DuckDB's epoch()), so the prefilter and the band
+                # agree bitwise on boundaries. An all-empty batch yields
+                # a NULL cutoff → the IS NULL arm keeps every row, the
+                # old code's no-op.
+                cut_df = (
+                    delta_l.select(
+                        F.col(left_ts).cast("timestamp").cast("double")
+                        .alias("t")
+                    )
+                    .unionByName(delta_r.select(
+                        F.col(right_ts).cast("timestamp").cast("double")
+                        .alias("t")
+                    ))
+                    .agg(
+                        (F.min("t") - F.lit(ttl_delta.total_seconds()))
+                        .alias("__dj_cut")
+                    )
+                )
 
-                    def cut(col_name: str):
-                        if dts.get(col_name) == "timestamp_ntz":
-                            return F.expr(
-                                f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ')}'"
+                def cut(df: DataFrame, col_name: str) -> DataFrame:
+                    return (
+                        df.crossJoin(F.broadcast(cut_df))
+                        .filter(
+                            F.col("__dj_cut").isNull()
+                            | (
+                                F.col(col_name).cast("timestamp")
+                                .cast("double") >= F.col("__dj_cut")
                             )
-                        return F.lit(cutoff)
+                        )
+                        .drop("__dj_cut")
+                    )
 
-                    if old_l is not None:
-                        old_l = old_l.filter(F.col(left_ts) >= cut(left_ts))
-                    if old_r is not None:
-                        old_r = old_r.filter(F.col(right_ts) >= cut(right_ts))
-                    cut_fn = cut
+                if old_l is not None:
+                    old_l = cut(old_l, left_ts)
+                if old_r is not None:
+                    old_r = cut(old_r, right_ts)
+                cut_fn = cut
 
             def join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 # explicit aliases: both deltas descend from the same
@@ -252,14 +269,16 @@ def delta_join(
             # identical content — the documented foreachBatch idempotence
             # pattern, and the parquet stand-in for the MERGE a table
             # format would give the reference's store.
-            (
-                out.withColumn("__dj_bid", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__dj_bid")
-                .parquet(out_dir)
-            )
-            for delta, store in ((delta_l, l_store), (delta_r, r_store)):
+            def write_out():
+                (
+                    out.withColumn("__dj_bid", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__dj_bid")
+                    .parquet(out_dir)
+                )
+
+            def write_side(delta, store):
                 (
                     delta.withColumn("__dj_bid", F.lit(batch_id))
                     .write.mode("overwrite")
@@ -267,6 +286,15 @@ def delta_join(
                     .partitionBy("__dj_bid", _BUCKET)
                     .parquet(store)
                 )
+
+            # the sink and the two side-store commits are independent
+            # idempotent __dj_bid overwrites — overlap them
+            # (storeutil.run_parallel, guide §2.6)
+            storeutil.run_parallel(
+                write_out,
+                lambda: write_side(delta_l, l_store),
+                lambda: write_side(delta_r, r_store),
+            )
             if (
                 cut_fn is not None
                 and compact_every
@@ -287,8 +315,7 @@ def delta_join(
                         continue
                     tmp = store + ".compacting"
                     (
-                        sess.read.parquet(store)
-                        .filter(F.col(ts_col) >= cut_fn(ts_col))
+                        cut_fn(storeutil.read_store(sess, store), ts_col)
                         .write.mode("overwrite")
                         .partitionBy("__dj_bid", _BUCKET)
                         .parquet(tmp)
@@ -316,7 +343,7 @@ def delta_join(
                     for _, _, fs in os.walk(store)
                 )
                 store_stats[side] = {
-                    "rows": spark.read.parquet(store).count(),
+                    "rows": storeutil.read_store(spark, store).count(),
                     "files": nfiles,
                 }
 
@@ -333,10 +360,10 @@ def delta_join(
         return spark.createDataFrame([], empty)
     if persistent:
         # durable root: leave stores/out/checkpoint in place for resume
-        return spark.read.parquet(out_dir).drop("__dj_bid")
+        return storeutil.read_store(spark, out_dir).drop("__dj_bid")
     # materialize off the temp store so it can be pruned eagerly
     result = (
-        spark.read.parquet(out_dir).drop("__dj_bid")
+        storeutil.read_store(spark, out_dir).drop("__dj_bid")
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -412,8 +439,14 @@ def delta_join_outer(
                 batch.filter(F.col("__side") == "R").select(*right_cols),
                 right_keys, num_buckets,
             ).persist()
-            old_l = sess.read.parquet(l_store) if _has_parquet(l_store) else None
-            old_r = sess.read.parquet(r_store) if _has_parquet(r_store) else None
+            old_l = (
+                storeutil.read_store(sess, l_store)
+                if _has_parquet(l_store) else None
+            )
+            old_r = (
+                storeutil.read_store(sess, r_store)
+                if _has_parquet(r_store) else None
+            )
 
             def pair_join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 l, r = lf.alias("__dj_l"), rf.alias("__dj_r")
@@ -444,9 +477,13 @@ def delta_join_outer(
             parts = [out.select(F.lit("+I").alias("__op"), "*")]
 
             cached = []
+            pending_writes = []
             if how in ("left", "full"):
                 unm_v = _latest_version(unm_l_root)
-                unm_old = sess.read.parquet(unm_v) if unm_v else None
+                unm_old = (
+                    storeutil.read_store(sess, unm_v, key=unm_l_root)
+                    if unm_v else None
+                )
                 # fresh feeds BOTH the changelog write and the unmatched
                 # store write — persist so the anti-join runs once
                 fresh = key_join(
@@ -469,12 +506,17 @@ def delta_join_outer(
                     unm_new = keep.unionByName(fresh)
                 else:
                     unm_new = fresh
-                unm_new.write.mode("overwrite").parquet(
-                    f"{unm_l_root}/v{batch_id}"
+                pending_writes.append(
+                    lambda df=unm_new: df.write.mode("overwrite").parquet(
+                        f"{unm_l_root}/v{batch_id}"
+                    )
                 )
             if how in ("right", "full"):
                 unm_v = _latest_version(unm_r_root)
-                unm_old = sess.read.parquet(unm_v) if unm_v else None
+                unm_old = (
+                    storeutil.read_store(sess, unm_v, key=unm_r_root)
+                    if unm_v else None
+                )
                 fresh = key_join(
                     delta_r, right_keys, l_all, left_keys, "left_anti"
                 ).persist()
@@ -495,19 +537,39 @@ def delta_join_outer(
                     unm_new = keep.unionByName(fresh)
                 else:
                     unm_new = fresh
-                unm_new.write.mode("overwrite").parquet(
-                    f"{unm_r_root}/v{batch_id}"
+                pending_writes.append(
+                    lambda df=unm_new: df.write.mode("overwrite").parquet(
+                        f"{unm_r_root}/v{batch_id}"
+                    )
                 )
 
             changelog = parts[0]
             for p in parts[1:]:
                 changelog = changelog.unionByName(p)
-            changelog.select(
-                "__op", F.lit(batch_id).alias("__bid"), *left_cols, *right_cols
-            ).write.mode("append").parquet(out_dir)
 
-            delta_l.write.mode("append").partitionBy(_BUCKET).parquet(l_store)
-            delta_r.write.mode("append").partitionBy(_BUCKET).parquet(r_store)
+            # Two overlap stages (guide §2.6). Stage 1: the changelog
+            # sink and the unmatched-store version writes — independent
+            # destinations, and both only READ l_store/r_store. Stage 2:
+            # the side-store appends. The stages must not merge: unlike
+            # delta_join's __dj_bid-filtered reads, this variant's store
+            # reads are plain scans, so an append landing concurrently
+            # with a stage-1 job's scan would let the batch see its own
+            # delta in the store (double-counting ΔL⋈ΔR).
+            from flink_spark.streaming.storeutil import run_parallel
+
+            run_parallel(
+                lambda: changelog.select(
+                    "__op", F.lit(batch_id).alias("__bid"),
+                    *left_cols, *right_cols
+                ).write.mode("append").parquet(out_dir),
+                *pending_writes,
+            )
+            run_parallel(
+                lambda: delta_l.write.mode("append")
+                .partitionBy(_BUCKET).parquet(l_store),
+                lambda: delta_r.write.mode("append")
+                .partitionBy(_BUCKET).parquet(r_store),
+            )
             for c in cached:
                 c.unpersist()
         finally:

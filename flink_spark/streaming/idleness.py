@@ -214,7 +214,12 @@ def aligned_union_trace(
     def run_round(batch: DataFrame) -> None:
         flush = batch is None
         if os.path.isdir(buf_dir):
-            buffered = spark.read.parquet(buf_dir)
+            # memoized-schema read: the buffer is rewritten every round
+            # with a fixed schema, so one inference job per drain, not
+            # one per alignment round
+            from flink_spark.streaming.storeutil import read_store
+
+            buffered = read_store(spark, buf_dir)
             batch = batch.unionByName(buffered) if batch is not None else buffered
         if batch is None:
             return

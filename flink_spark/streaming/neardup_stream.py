@@ -70,6 +70,7 @@ from flink_spark.streaming.storeutil import (
     read_earlier,
     recover_swap,
     run_drain,
+    run_parallel,
     write_bid_partition,
 )
 
@@ -184,10 +185,18 @@ def minhash_neardup_stream(
         new_sigs = new_sigs.persist()
         survivors = survivors.persist()
         try:
-            write_bid_partition(survivors.select(*cols), out_dir, batch_id)
-            # the index grows by EVERY seen doc (kept or dropped)
-            write_bid_partition(new_bands, bands_store, batch_id, [_BUCKET])
-            write_bid_partition(new_sigs, sigs_store, batch_id)
+            # three independent idempotent __bid commits — overlapped
+            # (guide §2.6); the index grows by EVERY seen doc (kept or
+            # dropped)
+            run_parallel(
+                lambda: write_bid_partition(
+                    survivors.select(*cols), out_dir, batch_id
+                ),
+                lambda: write_bid_partition(
+                    new_bands, bands_store, batch_id, [_BUCKET]
+                ),
+                lambda: write_bid_partition(new_sigs, sigs_store, batch_id),
+            )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 fold_bid_partitions(sess, bands_store, [_BUCKET], batch_id)
                 fold_bid_partitions(sess, sigs_store, [], batch_id)
@@ -303,10 +312,18 @@ def semantic_neardup_stream(
         )
         survivors = batch.join(dup_ids, [id_col], "left_anti").persist()
         try:
-            write_bid_partition(survivors.select(*cols), out_dir, batch_id)
-            # the index grows by EVERY seen vector (kept or dropped)
-            write_bid_partition(bks, buckets_store, batch_id, ["__table"])
-            write_bid_partition(new_vecs, vecs_store, batch_id)
+            # three independent idempotent __bid commits — overlapped
+            # (guide §2.6); the index grows by EVERY seen vector (kept
+            # or dropped)
+            run_parallel(
+                lambda: write_bid_partition(
+                    survivors.select(*cols), out_dir, batch_id
+                ),
+                lambda: write_bid_partition(
+                    bks, buckets_store, batch_id, ["__table"]
+                ),
+                lambda: write_bid_partition(new_vecs, vecs_store, batch_id),
+            )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 fold_bid_partitions(
                     sess, buckets_store, ["__table"], batch_id)

@@ -21,11 +21,64 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BID = "__bid"
+
+#: Per-path memo of a store's READ schema (StructType, metadata only —
+#: never row data, so re-runs still compute everything from the stores).
+#: Every ``read.parquet`` without an explicit schema launches a
+#: driver-side footer-inference job; a store's schema is fixed for the
+#: life of the process (same writer, and compaction folds rewrite the
+#: same columns), so one inference per store suffices instead of one per
+#: micro-batch read (guide §1.2/§6 — the same declared-schema-catalog
+#: discipline sources/tables.py applies to source tables). Keyed on the
+#: exact path: tmp roots are mkdtemp-unique and durable roots keep their
+#: schema across drains by the resume contract.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def read_store(
+    sess: SparkSession, store: str, key: str | None = None
+) -> DataFrame:
+    """Read a store directory with the memoized schema (first read per
+    path infers and fills the memo). The memo deliberately comes from an
+    inferred read — not hand-built from the written DataFrame — so
+    partition-column types match what discovery produces (``__bid=3``
+    dirs infer back as int regardless of the literal's write-side
+    type). ``key`` overrides the memo key for stores whose PATH rotates
+    per version while the schema stays fixed (delta_join_outer's
+    unmatched-store ``v<N>`` dirs)."""
+    memo_key = key or store
+    schema = _SCHEMA_MEMO.get(memo_key)
+    if schema is not None:
+        return sess.read.schema(schema).parquet(store)
+    df = sess.read.parquet(store)
+    _SCHEMA_MEMO[memo_key] = df.schema
+    return df
+
+
+def run_parallel(*thunks) -> None:
+    """Run independent per-batch store writes concurrently (guide §2.6:
+    overlap independent jobs). Every caller's writes are idempotent
+    per-store commits whose ORDER was never part of the crash contract —
+    a replayed batch overwrites each store's own partition regardless of
+    which subset a crashed attempt landed — so overlapping them turns
+    the per-batch commit fixed cost from a sum into roughly a max. A
+    failure in any write propagates after the in-flight ones finish,
+    exactly like the sequential spelling's fail-fast-at-the-batch."""
+    thunks = [t for t in thunks if t is not None]
+    if len(thunks) <= 1:
+        for t in thunks:
+            t()
+        return
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
 
 #: Persisted-store layout version. History:
 #:   1 — buckets derived from Spark's internal ``hash()`` (pre-r10);
@@ -146,7 +199,13 @@ def run_drain(stream: DataFrame, process, ckpt: str) -> None:
     foreachBatch(batch, batch_id) callable) under the streaming shuffle
     sizing (SPARK_GRAFT_STREAM_SHUFFLE — state-store instances are fixed
     at query start from shuffle.partitions and each pays per-batch
-    commit overhead); the batch setting is restored after the drain."""
+    commit overhead); the batch setting is restored after the drain.
+
+    (Measured and rejected, r13: disabling AQE inside the drain — the
+    per-shuffle query-stage jobs looked like pure driver round-trip
+    overhead at delta scale, but an interleaved same-process A/B over
+    curation/delta-join-ttl/semantic-neardup measured no win outside
+    box noise, so the conf stays at the session default.)"""
     spark = stream.sparkSession
     stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -174,7 +233,7 @@ def collect_out(
         if not persistent:
             shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame([], schema)
-    out = spark.read.parquet(out_dir).select(*cols)
+    out = read_store(spark, out_dir).select(*cols)
     if persistent:
         return out
     result = out.localCheckpoint(eager=True)
@@ -384,7 +443,7 @@ def read_earlier(
     if not has_parquet(store):
         return None
     return (
-        sess.read.parquet(store)
+        read_store(sess, store)
         .filter(F.col(BID) < F.lit(batch_id))
         .drop(BID)
     )
@@ -418,7 +477,7 @@ def fold_bid_partitions(
         return
     tmp = store + ".compacting"
     (
-        sess.read.parquet(store)
+        read_store(sess, store)
         .withColumn(
             BID,
             F.when(F.col(BID) < F.lit(batch_id), F.lit(-1))

@@ -232,6 +232,35 @@ def test_pq_codebook_reuse(spark):
         pq_encode(df, m=8, ks=4, books=books)
 
 
+def test_pq_saved_books_dim_mismatch_raises(spark):
+    """The saved-books path derives sub from the books and never probes
+    the data, so a caller whose vector dim doesn't match m×sub used to
+    silently encode null-padded garbage (ADVICE r12) — the embedded
+    size() guard must raise instead, while NULL vectors keep their old
+    passthrough behavior (no raise)."""
+    import pytest
+
+    from flink_spark.llm.similarity import pq_encode
+
+    rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "cand_id bigint, embedding array<double>")
+    _, books = pq_encode(df, m=4, ks=4)
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "cand_id bigint, embedding array<double>"
+    )
+    enc_bad, _ = pq_encode(bad, m=4, ks=4, books=books)
+    with pytest.raises(Exception, match="does not match saved codebooks"):
+        enc_bad.collect()
+
+    nul = spark.createDataFrame(
+        [(1, None)], "cand_id bigint, embedding array<double>"
+    )
+    enc_nul, _ = pq_encode(nul, m=4, ks=4, books=books)
+    assert enc_nul.count() == 1  # no raise on NULL vectors
+
+
 def test_pq_single_expression_codec_matches_per_centroid_form(spark):
     """The r12 single-higher-order-expression PQ codec must be
     bit-identical to the per-centroid formulation it replaced: distances

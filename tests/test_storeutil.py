@@ -480,3 +480,50 @@ def test_pq_fold_crash_exact_on_object_store(spark, sf_dir, tmp_path,
     )
     got = sorted(map(tuple, idx.topk(_queries(spark, sf_dir)).collect()))
     assert got == sorted(map(tuple, exp.collect()))
+
+
+# --- r13: schema memo + overlapped writes ----------------------------
+
+
+def test_read_store_memoizes_schema(spark, tmp_path):
+    """read_store infers a store's schema ONCE per path and serves later
+    reads from the memo (metadata only — rows always come from disk):
+    a second batch's rows written after the memo fills must still be
+    visible through a memoized read."""
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    storeutil.write_bid_partition(df, store, 0)
+    first = storeutil.read_store(spark, store)
+    assert store in storeutil._SCHEMA_MEMO
+    assert storeutil._SCHEMA_MEMO[store] == first.schema
+    # rows written AFTER the memo filled are served by a memoized read
+    storeutil.write_bid_partition(
+        spark.createDataFrame([(2, "b")], "k long, v string"), store, 1
+    )
+    again = storeutil.read_store(spark, store)
+    assert again.schema == first.schema
+    assert sorted(r.k for r in again.collect()) == [1, 2]
+    # read_earlier sees exactly the strictly-earlier rows through it
+    earlier = storeutil.read_earlier(spark, store, 1)
+    assert [r.k for r in earlier.collect()] == [1]
+
+
+def test_run_parallel_runs_all_and_propagates_errors(tmp_path):
+    """run_parallel executes every thunk (overlapped per-batch store
+    commits) and re-raises a failing thunk's error after the in-flight
+    ones finish — the sequential spelling's fail-the-batch contract."""
+    hits = []
+    storeutil.run_parallel(
+        lambda: hits.append("a"),
+        lambda: hits.append("b"),
+        lambda: hits.append("c"),
+        None,  # conditional writes may pass None
+    )
+    assert sorted(hits) == ["a", "b", "c"]
+
+    with pytest.raises(RuntimeError, match="boom"):
+        storeutil.run_parallel(
+            lambda: hits.append("d"),
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+    assert "d" in hits

@@ -1,8 +1,9 @@
-"""Dump .explain('formatted') for a list of queries to plans/<outdir>/.
+"""Dump .explain('formatted') for a list of queries to <outdir>/.
 
 Usage: python tools/dump_plans.py <outdir> <suffix> <query> [<query> ...]
 
-Writes plans/<outdir>/<query>_<suffix>.txt for each query. For queries whose
+Writes <outdir>/<query>_<suffix>.txt for each query — pass the full
+destination (e.g. ``plans/r13``); the script uses it verbatim. For queries whose
 entry point drains a stream and returns a store read (the foreachBatch
 operators), the captured plan is the returned DataFrame's — the per-batch
 plan shape is documented separately in OPTIMIZATION_r12.md.
