@@ -410,6 +410,66 @@ bitmap_and_agg = _merge_agg("and")
 bitmap_xor_agg = _merge_agg("xor")
 
 
+def bitmap_merge_family_agg(
+    df: DataFrame,
+    group: str,
+    col: str,
+    or_out: str = "orb",
+    and_out: str = "and_card",
+    xor_out: str = "xor_card",
+) -> DataFrame:
+    """Fused OR/AND/XOR merge: one grouped pass computing the OR bitmap
+    plus the AND- and XOR-cardinalities together.
+
+    Optimization fusion of ``bitmap_or_agg`` + ``bitmap_and_cardinality_agg``
+    + ``bitmap_xor_cardinality_agg`` over the SAME input: calling the three
+    separately re-executes the (expensive) upstream build lineage per call
+    and shuffles the per-group partials three times — Spark does not reuse
+    exchanges across separate ``applyInPandas`` branches (PythonUDF
+    expressions never canonicalize equal). Per-group semantics are
+    bit-identical to the individual aggregates: NULL inputs are skipped
+    (never read as empty — an empty bitmap would collapse AND to {}), an
+    all-NULL group yields NULL for all three outputs, and the merge ops are
+    associative/commutative so fold order cannot change the result.
+    """
+    gtype = df.schema[group].dataType.simpleString()
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [x for x in pdf[col] if x is not None]
+        if not vals:
+            orv, andc, xorc = None, None, None
+        else:
+            n = max(len(_words(x)) for x in vals)
+            acc_or = acc_and = acc_xor = None
+            for x in vals:
+                w = np.zeros(n, dtype=np.uint64)
+                ww = _words(x)
+                w[: len(ww)] = ww
+                if acc_or is None:
+                    acc_or, acc_and, acc_xor = w, w.copy(), w.copy()
+                else:
+                    acc_or |= w
+                    acc_and &= w
+                    acc_xor ^= w
+            orv = acc_or.tobytes()
+            andc = _popcount(acc_and)
+            xorc = _popcount(acc_xor)
+        return pd.DataFrame(
+            {
+                group: [pdf[group].iloc[0]],
+                or_out: [orv],
+                and_out: [andc],
+                xor_out: [xorc],
+            }
+        )
+
+    return df.select(group, col).groupBy(group).applyInPandas(
+        merge,
+        f"{group} {gtype}, {or_out} binary, {and_out} bigint, "
+        f"{xor_out} bigint",
+    )
+
+
 def bitmap_or_cardinality_agg(df, group, col, out="card"):
     """BITMAP_OR_CARDINALITY_AGG → BIGINT."""
     return bitmap_or_agg(df, group, col, out, cardinality=True)

@@ -263,8 +263,16 @@ def agg_bitmap_merge_family(spark, sf_dir):
     per = BM.bitmap_build(ev2, "g2", "user_id", out="bmp").withColumn(
         "event_type", F.substring_index("g2", "|", 1)
     )
-    orb = BM.bitmap_or_agg(per, "event_type", "bmp", out="orb")
-    rt = orb.select(
+    # r13: one fused grouped pass for the OR bitmap + AND/XOR cardinalities.
+    # The three separate aggregates re-executed the build lineage (8 parquet
+    # scans / 8 MapInPandas in the r12 plan — exchange reuse never fires
+    # across applyInPandas branches) and shuffled the partials three times;
+    # per-group results are bit-identical (see bitmap_merge_family_agg).
+    merged = BM.bitmap_merge_family_agg(
+        per, "event_type", "bmp", or_out="orb",
+        and_out="and_card", xor_out="xor_card",
+    )
+    rt = merged.select(
         "event_type",
         BM.bitmap_cardinality("orb").alias("or_card"),
         (
@@ -273,17 +281,13 @@ def agg_bitmap_merge_family(spark, sf_dir):
             )
             == BM.bitmap_cardinality("orb")
         ).alias("rt_ok"),
+        "and_card",
+        "xor_card",
     )
-    andc = BM.bitmap_and_cardinality_agg(per, "event_type", "bmp", "and_card")
-    xorc = BM.bitmap_xor_cardinality_agg(per, "event_type", "bmp", "xor_card")
     bc = BM.bitmap_build_cardinality_agg(
         ev, "event_type", "user_id", "build_card"
     )
-    out = (
-        rt.join(andc, "event_type")
-        .join(xorc, "event_type")
-        .join(bc, "event_type")
-    )
+    out = rt.join(bc, "event_type")
     return out.withColumn(
         "ts",
         BM.bitmap_to_string(

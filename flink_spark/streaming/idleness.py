@@ -194,18 +194,33 @@ def aligned_union_trace(
     throttled source never processes a row beyond combined+drift as of
     its batch start.
 
-    Scale shape: per batch one filter + one per-source max aggregate
-    (#sources rows collected); the buffer holds only the drift overhang
-    of fast sources."""
+    Scale shape: per batch one gated per-(source, taken?) aggregate
+    (≤ 2·#sources rows collected) plus the deferred-rows buffer write —
+    two driver jobs per round. (r13, guide §1.2/§5: the earlier spelling
+    paid ~4-5 jobs per round — an eager localCheckpoint to freeze the
+    batch before the buffer overwrite, a defer-probe ``limit(1).count()``,
+    separate take-stats, and a ``distinct()`` on flush rounds. The
+    checkpoint job is gone via buffer ROTATION — the new buffer version
+    is written while the old one still exists, so nothing read is ever
+    overwritten in place; defer-presence, take-stats and flush liveness
+    all come out of the single gated aggregate.)"""
     import shutil
     import tempfile
+
+    from flink_spark.streaming.storeutil import read_store
 
     spark = stream.sparkSession
     drift_td = pd.Timedelta(max_drift)
     root = tempfile.mkdtemp(prefix="flink_spark_alignment_")
-    buf_dir = os.path.join(root, "buf")
     ckpt = os.path.join(root, "ckpt")
-    state = {"max_ts": {s: None for s in sources}, "trace": [], "bid": 0}
+    state = {
+        "max_ts": {s: None for s in sources},
+        "trace": [],
+        "bid": 0,
+        # current deferred-rows buffer: (path, {src: n_buffered}) — the
+        # buffered-source set replaces the flush rounds' distinct() job
+        "buf": None,
+    }
 
     def combined():
         seen = [v for v in state["max_ts"].values() if v is not None]
@@ -213,30 +228,20 @@ def aligned_union_trace(
 
     def run_round(batch: DataFrame) -> None:
         flush = batch is None
-        if os.path.isdir(buf_dir):
-            # memoized-schema read: the buffer is rewritten every round
-            # with a fixed schema, so one inference job per drain, not
-            # one per alignment round
-            from flink_spark.streaming.storeutil import read_store
-
-            buffered = read_store(spark, buf_dir)
+        if state["buf"] is not None:
+            # memoized-schema read (key pinned to the root: the buffer
+            # path rotates per round, the schema never changes)
+            buffered = read_store(spark, state["buf"][0], key=root)
             batch = batch.unionByName(buffered) if batch is not None else buffered
         if batch is None:
             return
-        batch = batch.localCheckpoint(eager=True)  # freeze before buffer rewrite
-        shutil.rmtree(buf_dir, ignore_errors=True)
         if flush:
             # input exhausted: a source with nothing left is FINISHED and
             # its frontier is +inf (reference: sources emit MAX_WATERMARK
             # on end of input), so the group frontier is the min over
             # sources that still hold buffered rows — the min such source
             # is exempt and drains, which terminates the flush
-            live_srcs = [
-                r["s"]
-                for r in batch.select(F.col(src_col).alias("s"))
-                .distinct()
-                .collect()
-            ]
+            live_srcs = list(state["buf"][1])
             comb = min(
                 (state["max_ts"][s] for s in live_srcs
                  if state["max_ts"][s] is not None),
@@ -254,8 +259,7 @@ def aligned_union_trace(
             or (comb is not None and state["max_ts"][s] <= comb)
         ]
         if allowed is None:
-            take = batch
-            defer = batch.filter(F.lit(False))
+            gate = F.lit(True)
         else:
             # NTZ literal via SQL text: F.lit(naive datetime) would build
             # an LTZ literal through the process tz (see core._wm_lit)
@@ -265,16 +269,33 @@ def aligned_union_trace(
             gate = F.col(src_col).isin(list(exempt)) | (
                 F.col(ts_col) <= allowed_lit
             )
-            take = batch.filter(gate)
-            defer = batch.filter(~gate)
-        if defer.limit(1).count():
-            defer.write.mode("overwrite").parquet(buf_dir)
-        stats = {
-            r["s"]: (r["n"], r["m"])
-            for r in take.groupBy(F.col(src_col).alias("s"))
+        # ONE aggregate drives everything: per-(source, taken?) counts and
+        # the taken rows' max event time. Taken groups update frontiers and
+        # the trace; deferred groups tell us whether (and for which
+        # sources) a buffer write is needed, with no separate probe job.
+        rows = (
+            batch.withColumn("__take", gate)
+            .groupBy(F.col(src_col).alias("s"), "__take")
             .agg(F.count("*").alias("n"), F.max(ts_col).alias("m"))
             .collect()
+        )
+        stats = {
+            r["s"]: (r["n"], r["m"]) for r in rows if r["__take"] is True
         }
+        deferred = {
+            r["s"]: r["n"]
+            for r in rows
+            if r["__take"] is False and r["n"] > 0
+        }
+        prev_buf = state["buf"]
+        if deferred:
+            new_buf = os.path.join(root, f"buf_v{state['bid']}")
+            batch.filter(~gate).write.mode("overwrite").parquet(new_buf)
+            state["buf"] = (new_buf, deferred)
+        else:
+            state["buf"] = None
+        if prev_buf is not None:
+            shutil.rmtree(prev_buf[0], ignore_errors=True)
         for s, (_, mx) in stats.items():
             if mx is not None:
                 prev = state["max_ts"][s]
@@ -296,7 +317,7 @@ def aligned_union_trace(
     )
     q.awaitTermination()
     flush_rounds = 0
-    while os.path.isdir(buf_dir):
+    while state["buf"] is not None:
         flush_rounds += 1
         if flush_rounds > 1000:
             raise ValueError("alignment flush did not terminate")

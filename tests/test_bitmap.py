@@ -213,3 +213,37 @@ def test_merge_aggs_skip_null_inputs(spark):
     # g2: no non-null input → NULL (not empty/0)
     assert got["g2"].ab is None
     assert got["g2"].ac is None
+
+
+def test_merge_family_fused_matches_individual_aggs(spark):
+    # r13 fusion: bitmap_merge_family_agg must be bit-identical to the
+    # three individual aggregates on the same input — including NULL
+    # skipping, all-NULL groups, and bitmaps of different word lengths.
+    rows = [
+        ("g1", _build_words(np.array([1, 2, 3]))),
+        ("g1", None),
+        ("g1", _build_words(np.array([2, 3, 4, 500]))),
+        ("g2", None),
+        ("g2", None),
+        ("g3", _build_words(np.array([0, 64, 128]))),
+    ]
+    df = spark.createDataFrame(rows, "g string, bmp binary")
+    fused = {
+        r.g: r
+        for r in BM.bitmap_merge_family_agg(
+            df, "g", "bmp", or_out="orb", and_out="ac", xor_out="xc"
+        ).collect()
+    }
+    sep = {
+        r.g: r
+        for r in BM.bitmap_or_agg(df, "g", "bmp", "orb")
+        .join(BM.bitmap_and_cardinality_agg(df, "g", "bmp", "ac"), "g")
+        .join(BM.bitmap_xor_cardinality_agg(df, "g", "bmp", "xc"), "g")
+        .collect()
+    }
+    assert set(fused) == set(sep) == {"g1", "g2", "g3"}
+    for g in fused:
+        assert fused[g].orb == sep[g].orb, g
+        assert fused[g].ac == sep[g].ac, g
+        assert fused[g].xc == sep[g].xc, g
+    assert fused["g2"].orb is None and fused["g2"].ac is None
