@@ -764,19 +764,31 @@ def ddl_delete_update_roundtrip(spark, sf_dir):
             "ELSE o_orderkey END) > 400"
         )
         before = spark.table("dml_orders")
-        n_true = before.filter(F.expr(null_pred)).count()
-        n_null = before.filter(F.expr(f"({null_pred}) IS NULL")).count()
+        # one aggregate per table pass instead of one count job per
+        # predicate (r13, guide §1.2/§5: the contract asserts stay, the
+        # driver round-trips per assert don't)
+        pre = before.agg(
+            F.sum(F.expr(f"CAST(({null_pred}) AS INT)")).alias("n_true"),
+            F.sum(F.expr(f"CAST(({null_pred}) IS NULL AS INT)"))
+            .alias("n_null"),
+        ).collect()[0]
+        n_true, n_null = int(pre.n_true or 0), int(pre.n_null or 0)
         assert n_true > 0 and n_null > 0, (n_true, n_null)
         dele2 = env.execute_sql(
             f"DELETE FROM dml_orders WHERE {null_pred}"
         ).collect()[0].rows_affected
         assert dele2 == n_true, (dele2, n_true)
         out = spark.table("dml_orders")
+        post = out.agg(
+            F.sum(F.expr(f"CAST(({null_pred}) IS NULL AS INT)"))
+            .alias("n_null_left"),
+            F.sum(
+                (F.col("o_orderpriority") == "1-URGENT").cast("int")
+            ).alias("n_urgent_left"),
+        ).collect()[0]
         # every NULL-evaluating row survived the delete
-        assert out.filter(F.expr(f"({null_pred}) IS NULL")).count() == n_null
-        n_urgent_left = out.filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        ).count()
+        assert int(post.n_null_left or 0) == n_null
+        n_urgent_left = int(post.n_urgent_left or 0)
         assert upd >= n_urgent_left and dele > 0, (upd, dele)
         return out.select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
