@@ -384,8 +384,9 @@ def plan_advice(df: DataFrame) -> list[Advice]:
 
 #: (relpath, enclosing function) -> (max allowed sites, why bounded)
 COLLECT_ALLOWLIST: dict = {
-    ("streaming/core.py", "process"):
-        (1, "scalar: per-batch MAX(ts) aggregate — one row"),
+    ("streaming/core.py", "_agg"):
+        (1, "scalar: per-batch MAX(ts) aggregate — one row (threaded "
+            "thunk overlapped with the channel writes, guide §2.6)"),
     ("streaming/idleness.py", "process"):
         (1, "per-source watermark aggregate — one row per source"),
     ("streaming/idleness.py", "run_round"):

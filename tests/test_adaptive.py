@@ -5,9 +5,12 @@ config name in a docstring."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_aqe_splits_skewed_join(spark, tmp_path):
     """One hot key ~50× the others: with thresholds lowered to test
     scale, AQE's OptimizeSkewedJoin must mark the sort-merge join

@@ -4,6 +4,8 @@ idempotence, and the python-free map-only assignment plan."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import shutil
@@ -70,6 +72,7 @@ def _land(df, tmp_path, src, stage: str) -> None:
     os.utime(dest, (t, t))
 
 
+@pytest.mark.slow
 def test_ivf_ingest_resume_and_frozen_codebook(spark, sf_dir, tmp_path):
     """Drain batch 0 with a durable root (trains the codebook), then
     land two more id-ranges and drain again with the SAME root: the
@@ -106,6 +109,7 @@ def test_ivf_ingest_resume_and_frozen_codebook(spark, sf_dir, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_ivf_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     """Re-delivery after a checkpoint wipe: the batch overwrites its own
     __bid partition — no duplicate index rows, identical top-k."""
@@ -228,6 +232,7 @@ def test_pq_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     ) == rows1
 
 
+@pytest.mark.slow
 def test_ivf_empty_drain_then_resume_not_poisoned(spark, sf_dir, tmp_path):
     """An empty first drain must NOT write a flat bootstrap file under
     the partitioned store root — it would conflict with the __bid/__cell

@@ -42,6 +42,7 @@ def _qc(spark):
     "k,n_centroids,n_probe,n_assign,n_iter",
     [(3, 5, 3, 1, 2), (5, 8, 2, 2, 4)],
 )
+@pytest.mark.slow
 def test_ivf_oracle_alternative_params(spark, k, n_centroids, n_probe,
                                        n_assign, n_iter):
     from flink_spark.llm import similarity as SIM
@@ -69,6 +70,7 @@ def test_kmeans_oracle_alternative_params(spark, k, n_iter):
     assert got == _oracle(annsql.kmeans_assign_oracle(k=k, n_iter=n_iter))
 
 
+@pytest.mark.slow
 def test_pq_oracle_alternative_params(spark):
     from flink_spark.llm import similarity as SIM
 

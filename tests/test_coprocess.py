@@ -5,6 +5,8 @@ later data."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_spark.streaming.coprocess import co_process
@@ -22,6 +24,7 @@ def _land(df, dest, name):
     shutil.move(part, str(dest / f"{name}.parquet"))
 
 
+@pytest.mark.slow
 def test_rules_stream_steers_data_stream(spark, tmp_path):
     import pandas as pd
 

@@ -6,6 +6,8 @@ and window strategies mapping onto native group-bys."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import shutil
 import sys
@@ -82,6 +84,7 @@ def test_keyed_process_bounded_state(spark):
     assert sorted(got) == sorted(expect)
 
 
+@pytest.mark.slow
 def test_keyed_process_streaming_state_across_batches(spark, tmp_path):
     """The declared states live in the state store: a key's total carries
     across micro-batches (FLIP-410 StateManager contract)."""

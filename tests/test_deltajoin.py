@@ -4,6 +4,8 @@ duplicate rows — for any placement of rows across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from flink_spark.streaming.deltajoin import delta_join, tag_union
@@ -195,6 +197,7 @@ def test_delta_join_outer_changelog_protocol_random(spark, tmp_path):
         assert got == _outer_expect(left_pdf, right_pdf, how), (seed, how)
 
 
+@pytest.mark.slow
 def test_delta_join_ttl_compaction_bounds_store(spark, tmp_path):
     """Under TTL, periodic store compaction must bound the state store's
     row AND file count across many batches (≥3 TTL horizons of data) —

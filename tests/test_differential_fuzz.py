@@ -29,6 +29,11 @@ except ImportError:  # pragma: no cover
 import duckdb
 import pandas as pd
 
+# Exhaustive tier (VERDICT r12 #2 / r13 durations trim): this whole module is
+# an exhaustive re-run sweep; it runs under --runslow / SPARK_GRAFT_RUNSLOW=1.
+pytestmark = pytest.mark.slow
+
+
 # the shared test relation: ints (negatives, zero, NULL), short ascii
 # strings (empty, spaces, quotes-free), NULLs
 ROWS = [

@@ -3,6 +3,8 @@ force, multimodal feature extraction, simhash/minhash consistency."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_spark.llm.similarity import brute_force_topk, lsh_topk
@@ -51,6 +53,7 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert by_id[row.doc_id].feature_ok
 
 
+@pytest.mark.slow
 def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
     from flink_spark.llm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 

@@ -148,6 +148,7 @@ def test_neardup_stream_replay_idempotent(spark, sf_dir, tmp_path):
     assert n1 == n2
 
 
+@pytest.mark.slow
 def test_neardup_stream_compaction(spark, sf_dir, tmp_path):
     """compact_every folds strictly-earlier index partitions into
     __bid=-1 (crash-safe swap); dedup against keys living only in the
@@ -264,6 +265,7 @@ def test_semantic_neardup_stream_restore(spark, sf_dir, tmp_path):
     assert 0 < len(run1) < len(exp)
 
 
+@pytest.mark.slow
 def test_semantic_neardup_stream_replay_idempotent(spark, sf_dir, tmp_path):
     from flink_spark.streaming.neardup_stream import semantic_neardup_stream
 
@@ -305,6 +307,7 @@ def _expected_curation_survivors(spark, sf_dir):
     return ex.join(kill, ["doc_id"], "left_anti").select("doc_id", "source")
 
 
+@pytest.mark.slow
 def test_curation_stream_restore(spark, sf_dir, tmp_path):
     """Stop-resume across the WHOLE curation chain: the resumed drain
     dedups against the fingerprint store AND the LSH index run 1 built."""

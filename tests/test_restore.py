@@ -6,12 +6,15 @@ before the restart stay absorbed)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_spark.sources.tables import load_table
 from flink_spark.streaming import changelog as CL
 
 
+@pytest.mark.slow
 def test_checkpoint_restore_dedup_keep_first(spark, sf_dir, tmp_path):
     src = tmp_path / "src"
     sink = str(tmp_path / "sink")

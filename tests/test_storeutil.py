@@ -188,6 +188,7 @@ def test_nonatomic_torn_copy_never_counts_as_committed(tmp_path):
 
 
 @pytest.mark.parametrize("window", WINDOWS)
+@pytest.mark.slow
 def test_dedup_compaction_crash_exact_on_object_store(
     spark, sf_dir, tmp_path, monkeypatch, window
 ):
@@ -303,6 +304,7 @@ def test_deltajoin_ttl_compaction_crash_exact_on_object_store(
     assert got_rows == expect
 
 
+@pytest.mark.slow
 def test_curation_fold_crash_exact_on_object_store(spark, sf_dir,
                                                    tmp_path, monkeypatch):
     """The heaviest multi-store drain (curation: out/fps/bands/sigs)
@@ -351,6 +353,7 @@ def test_curation_fold_crash_exact_on_object_store(spark, sf_dir,
 
 
 @pytest.mark.parametrize("window", WINDOWS)
+@pytest.mark.slow
 def test_ivf_fold_crash_exact_on_object_store(spark, sf_dir, tmp_path,
                                               monkeypatch, window):
     """IVF ingest's cells-store fold through EVERY object-store crash

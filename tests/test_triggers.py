@@ -3,6 +3,8 @@ drives a real Structured Streaming query over the events file source."""
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 from pyspark.sql import functions as F
@@ -17,6 +19,7 @@ def _counts_stream(spark):
     return ev.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+@pytest.mark.slow
 def test_drain_mode_processes_everything(spark):
     from flink_spark.streaming.triggers import start_stream
 
@@ -29,6 +32,7 @@ def test_drain_mode_processes_everything(spark):
     assert sum(rows.values()) == 1000
 
 
+@pytest.mark.slow
 def test_interval_mode_early_firings(spark):
     from flink_spark.streaming.triggers import start_stream
 
