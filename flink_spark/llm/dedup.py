@@ -39,7 +39,6 @@ def _portable_hash(col: Column) -> Column:
 def word_shingles(df: DataFrame, text_col: str, n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document (JVM transform+explode)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
@@ -93,6 +92,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+# Batch-independent Column trees, built ONCE per process (lazily) and
+# reused across every plan that embeds them. Column objects are immutable
+# unresolved-expression wrappers, so sharing them between DataFrames is
+# safe; building them is NOT free — each functions.* call is a py4j
+# round trip (~1-2 ms on the bench box), and the K=32 minhash family
+# costs several hundred round trips per construction. The streaming
+# operators rebuild their per-batch plans inside foreachBatch, so before
+# this memo every micro-batch re-paid the full construction (measured:
+# ~0.9 s of the ~2.0 s per-batch plan-build in batch_neardup_plan —
+# guide §1.2 step 2: per-task work includes the DRIVER's per-batch work).
+_EXPR_MEMO: dict = {}
+
+
+def _mh_agg_cols() -> list:
+    """The K min-aggregate columns of the wide signature table."""
+    cols = _EXPR_MEMO.get("mh_agg")
+    if cols is None:
+        cols = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(MH_PARAMS)
+        ]
+        _EXPR_MEMO["mh_agg"] = cols
+    return cols
+
+
+def _band_structs() -> Column:
+    """The bands array (band id, concatenated band signature)."""
+    col = _EXPR_MEMO.get("band_structs")
+    if col is None:
+        n_bands = MH_K // MH_BAND_ROWS
+        col = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * MH_BAND_ROWS + r}").cast("string")
+                            for r in range(MH_BAND_ROWS)
+                        ],
+                    ).alias("sig"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        _EXPR_MEMO["band_structs"] = col
+    return col
+
+
 def minhash_signatures_wide(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Wide minhash table (doc_id, mh_0..mh_{K-1}): all K mins in ONE
@@ -101,12 +149,7 @@ def minhash_signatures_wide(df: DataFrame, text_col: str = "text",
     explode-then-group formulation at any scale)."""
     sh = word_shingles(df, text_col, 3, id_col)
     hashed = sh.withColumn("h", _portable_hash(F.col("shingle")) % MH_PRIME)
-    return hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(MH_PARAMS)
-        ]
-    )
+    return hashed.groupBy(id_col).agg(*_mh_agg_cols())
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -114,12 +157,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """K-row minhash table (doc_id, i, mh) — the long-format view of
     ``minhash_signatures_wide`` (explode is per-row, no extra shuffle)."""
     wide = minhash_signatures_wide(df, text_col, id_col)
-    sig_pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("mh"))
-            for i in range(MH_K)
-        ]
-    )
+    sig_pairs = _EXPR_MEMO.get("sig_pairs")
+    if sig_pairs is None:
+        sig_pairs = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("mh"))
+                for i in range(MH_K)
+            ]
+        )
+        _EXPR_MEMO["sig_pairs"] = sig_pairs
     return wide.select(id_col, F.explode(sig_pairs).alias("p")).select(
         id_col, F.col("p.i").alias("i"), F.col("p.mh").alias("mh")
     )
@@ -130,23 +176,7 @@ def band_rows(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
     = concatenated minhashes of the band's MH_BAND_ROWS positions — a
     per-row expression (no (doc, band) regroup shuffle and no
     collect_list nondeterminism)."""
-    n_bands = MH_K // MH_BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * MH_BAND_ROWS + r}").cast("string")
-                        for r in range(MH_BAND_ROWS)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return wide.select(id_col, F.explode(band_structs).alias("p")).select(
+    return wide.select(id_col, F.explode(_band_structs()).alias("p")).select(
         id_col, F.col("p.band").alias("band"), F.col("p.sig").alias("sig")
     )
 

@@ -77,22 +77,27 @@ def curation_stream(
     norm_fp = F.md5(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     )
+    # batch-independent Column trees built ONCE per drain, not per
+    # micro-batch (every functions.* call is a py4j round trip — same
+    # memo discipline as neardup_stream._EXPR_MEMO)
+    keep_col = F.col("keep")
+    rn_col = F.row_number().over(Window.partitionBy(_FP).orderBy(id_col))
+    rn_pred = F.col("__rn") == 1
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         # 1. Gopher filter — stateless
         passed = (
             gopher_quality_flags(batch, text_col)
-            .filter(F.col("keep"))
+            .filter(keep_col)
             .select(*cols)
         )
         # 2. exact keep-first per fingerprint: batch-local window +
         #    anti-join against earlier kept fingerprints
         fped = passed.withColumn(_FP, norm_fp)
-        w = Window.partitionBy(_FP).orderBy(id_col)
         firsts = (
-            fped.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            fped.withColumn("__rn", rn_col)
+            .filter(rn_pred)
             .drop("__rn")
         )
         hist_fps = read_earlier(sess, fps_store, batch_id)

@@ -76,6 +76,44 @@ from flink_spark.streaming.storeutil import (
 
 _BUCKET = "__bucket"
 
+# Batch-independent Column lists/exprs, built once per (parameter) and
+# reused by every micro-batch's plan: foreachBatch rebuilds the per-batch
+# plan from scratch, and each functions.* call is a py4j round trip
+# (~1-2 ms on the bench box) — the K=32 alias lists and the 32-term
+# agreement sum alone cost ~0.5 s per construction (same memo discipline
+# as llm/dedup._EXPR_MEMO; guide §1.2: the driver's per-batch work is
+# part of the per-task work).
+_EXPR_MEMO: dict = {}
+
+
+def _memo(key, build):
+    val = _EXPR_MEMO.get(key)
+    if val is None:
+        val = build()
+        _EXPR_MEMO[key] = val
+    return val
+
+
+def _side_cols(id_col: str, alias: str) -> list:
+    return _memo(("side", id_col, alias), lambda: [
+        F.col(id_col).alias(alias), F.col("band"), F.col("sig"),
+        F.col(_BUCKET),
+    ])
+
+
+def _wide_alias_cols(id_col: str, out_id: str, prefix: str) -> list:
+    return _memo(("wide", id_col, out_id, prefix), lambda: [
+        F.col(id_col).alias(out_id),
+        *[F.col(f"mh_{i}").alias(f"{prefix}_{i}") for i in range(MH_K)],
+    ])
+
+
+def _n_agree():
+    return _memo("n_agree", lambda: sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(MH_K)
+    ))
+
 
 def batch_neardup_plan(
     batch: DataFrame,
@@ -95,25 +133,21 @@ def batch_neardup_plan(
     """
     wide = minhash_signatures_wide(batch, text_col, id_col)
     new_bands = band_rows(wide, id_col).withColumn(
-        _BUCKET, portable_bucket(num_buckets, "sig")
+        _BUCKET,
+        _memo(("bucket", num_buckets),
+              lambda: portable_bucket(num_buckets, "sig")),
     )
 
-    mine = new_bands.select(
-        F.col(id_col).alias("__new_id"), "band", "sig", _BUCKET
-    )
+    mine = new_bands.select(*_side_cols(id_col, "__new_id"))
     # same-batch candidates: smaller id claims seniority
-    intra = new_bands.select(
-        F.col(id_col).alias("__old_id"), "band", "sig", _BUCKET
-    )
+    intra = new_bands.select(*_side_cols(id_col, "__old_id"))
     cand = (
         mine.join(intra, ["band", "sig", _BUCKET])
         .filter(F.col("__old_id") < F.col("__new_id"))
         .select("__new_id", "__old_id")
     )
     if hist_bands is not None:
-        hist = hist_bands.select(
-            F.col(id_col).alias("__old_id"), "band", "sig", _BUCKET
-        )
+        hist = hist_bands.select(*_side_cols(id_col, "__old_id"))
         cand = cand.unionByName(
             mine.join(hist, ["band", "sig", _BUCKET]).select(
                 "__new_id", "__old_id"
@@ -123,21 +157,12 @@ def batch_neardup_plan(
 
     # verification: wide-row agreement (>= min_agree of MH_K positions)
     old_sigs = wide if hist_sigs is None else wide.unionByName(hist_sigs)
-    wa = old_sigs.select(
-        F.col(id_col).alias("__old_id"),
-        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MH_K)],
-    )
-    wb = wide.select(
-        F.col(id_col).alias("__new_id"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MH_K)],
-    )
-    n_agree = sum(
-        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(MH_K)
-    )
+    wa = old_sigs.select(*_wide_alias_cols(id_col, "__old_id", "a"))
+    wb = wide.select(*_wide_alias_cols(id_col, "__new_id", "b"))
     dup_ids = (
         cand.join(wa, "__old_id")
         .join(wb, "__new_id")
-        .filter(n_agree >= F.lit(min_agree))
+        .filter(_n_agree() >= F.lit(min_agree))
         .select(F.col("__new_id").alias(id_col))
         .distinct()
     )
