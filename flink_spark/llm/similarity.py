@@ -75,6 +75,11 @@ def brute_force_topk(
     )
 
 
+#: memoized sketch-bucket Columns keyed by (vec, n_planes, dim, table) —
+#: see hyperplane_sketch docstring
+_SKETCH_MEMO: dict = {}
+
+
 def hyperplane_plane(table: int, j: int, dim: int = 64) -> list[float]:
     """Plane r_j of family ``table``: ±1 per dimension from the first 8
     md5 hex digits of "table:j:i" — the same numbers the in-engine
@@ -102,20 +107,32 @@ def hyperplane_sketch(df: DataFrame, vec: str, n_planes: int = 16,
     expression tree shrinks from n_planes×dim nested CASE nodes to one
     literal fold per plane — the r9 lesson from stream_semantic_neardup,
     where the CASE-tree form was codegen-compile-bound (50 s → 4.8 s on
-    identical data)."""
-    bucket = None
-    for j in range(n_planes):
-        arr = "array(" + ",".join(
-            f"CAST({v!r} AS DOUBLE)" for v in hyperplane_plane(table, j, dim)
-        ) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with({vec}, {arr}, "
-            "(x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("int"))
+    identical data).
+
+    The bucket Column is memoized per (vec, n_planes, dim, table):
+    foreachBatch callers (semantic_neardup_stream) rebuild their plan
+    per micro-batch, and constructing the n_planes literal folds costs
+    ~0.1 s of py4j round trips each time while the expression itself is
+    batch-independent."""
+    key = (vec, n_planes, dim, table)
+    bucket = _SKETCH_MEMO.get(key)
+    if bucket is None:
+        bucket = None
+        for j in range(n_planes):
+            arr = "array(" + ",".join(
+                f"CAST({v!r} AS DOUBLE)"
+                for v in hyperplane_plane(table, j, dim)
+            ) + ")"
+            dot = F.expr(
+                f"aggregate(zip_with({vec}, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        bucket = bucket.cast("int")
+        _SKETCH_MEMO[key] = bucket
+    return df.withColumn("bucket", bucket)
 
 
 def lsh_topk(

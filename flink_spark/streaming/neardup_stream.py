@@ -273,18 +273,35 @@ def semantic_neardup_stream(
     for store in (buckets_store, vecs_store, out_dir):
         recover_swap(store)
 
+    # batch-independent Column trees built ONCE per drain, not per
+    # micro-batch (each functions.* call is a py4j round trip — same
+    # memo discipline as _EXPR_MEMO above); hyperplane_sketch memoizes
+    # its bucket expression internally
+    vec_in_cols = [F.col(id_col), F.col(vec_col).alias("__v")]
+    table_cols = [
+        [F.col(id_col), F.lit(t).alias("__table"), F.col("bucket")]
+        for t in range(n_tables)
+    ]
+    mine_cols = [F.col(id_col).alias("__new_id"), F.col("__table"),
+                 F.col("bucket")]
+    old_cols = [F.col(id_col).alias("__old_id"), F.col("__table"),
+                F.col("bucket")]
+    new_vec_cols = [F.col(id_col), F.col(vec_col).alias("__vv")]
+    va_cols = [F.col(id_col).alias("__old_id"), F.col("__vv").alias("__va")]
+    vb_cols = [F.col(id_col).alias("__new_id"), F.col("__vv").alias("__vb")]
+    verify_pred = F.round(cosine("__va", "__vb"), 12) >= F.lit(threshold)
+    dup_out_col = F.col("__new_id").alias(id_col)
+
     def batch_buckets(batch: DataFrame) -> DataFrame:
         # hyperplane_sketch inlines Python-precomputed literal planes
         # (the r9 plan-size lesson lives there now)
         per_table = []
         for t in range(n_tables):
             sk = hyperplane_sketch(
-                batch.select(id_col, F.col(vec_col).alias("__v")),
+                batch.select(*vec_in_cols),
                 "__v", n_planes, dim, table=t,
             )
-            per_table.append(
-                sk.select(id_col, F.lit(t).alias("__table"), "bucket")
-            )
+            per_table.append(sk.select(*table_cols[t]))
         out = per_table[0]
         for p in per_table[1:]:
             out = out.unionByName(p)
@@ -298,41 +315,31 @@ def semantic_neardup_stream(
         hist_bks = read_earlier(sess, buckets_store, batch_id)
         hist_vecs = read_earlier(sess, vecs_store, batch_id)
 
-        mine = bks.select(
-            F.col(id_col).alias("__new_id"), "__table", "bucket")
-        intra = bks.select(
-            F.col(id_col).alias("__old_id"), "__table", "bucket")
+        mine = bks.select(*mine_cols)
+        intra = bks.select(*old_cols)
         cand = (
             mine.join(intra, ["__table", "bucket"])
             .filter(F.col("__old_id") < F.col("__new_id"))
             .select("__new_id", "__old_id")
         )
         if hist_bks is not None:
-            hist = hist_bks.select(
-                F.col(id_col).alias("__old_id"), "__table", "bucket")
+            hist = hist_bks.select(*old_cols)
             cand = cand.unionByName(
                 mine.join(hist, ["__table", "bucket"]).select(
                     "__new_id", "__old_id")
             )
         cand = cand.distinct()
 
-        new_vecs = batch.select(id_col, F.col(vec_col).alias("__vv"))
+        new_vecs = batch.select(*new_vec_cols)
         old_vecs = (
             new_vecs if hist_vecs is None
             else new_vecs.unionByName(hist_vecs)
         )
         dup_ids = (
-            cand.join(
-                old_vecs.select(F.col(id_col).alias("__old_id"),
-                                F.col("__vv").alias("__va")),
-                "__old_id")
-            .join(
-                new_vecs.select(F.col(id_col).alias("__new_id"),
-                                F.col("__vv").alias("__vb")),
-                "__new_id")
-            .filter(F.round(cosine("__va", "__vb"), 12)
-                    >= F.lit(threshold))
-            .select(F.col("__new_id").alias(id_col))
+            cand.join(old_vecs.select(*va_cols), "__old_id")
+            .join(new_vecs.select(*vb_cols), "__new_id")
+            .filter(verify_pred)
+            .select(dup_out_col)
             .distinct()
         )
         survivors = batch.join(dup_ids, [id_col], "left_anti").persist()
