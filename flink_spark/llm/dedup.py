@@ -105,6 +105,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 _EXPR_MEMO: dict = {}
 
 
+def _memo(key, build):
+    val = _EXPR_MEMO.get(key)
+    if val is None:
+        val = build()
+        _EXPR_MEMO[key] = val
+    return val
+
+
 def _mh_agg_cols() -> list:
     """The K min-aggregate columns of the wide signature table."""
     cols = _EXPR_MEMO.get("mh_agg")
@@ -193,8 +201,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     wide = minhash_signatures_wide(df, text_col, id_col).cache()
     bands = band_rows(wide, id_col)
-    ba = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
-    bb = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    # batch-independent Column lists, built once per (id_col) and reused
+    # (same py4j-round-trip economics as _mh_agg_cols — this function is
+    # called per bench pass and inside dedup_clusters)
+    ba = bands.select(*_memo(("ba", id_col), lambda: [
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("sig")]))
+    bb = bands.select(*_memo(("bb", id_col), lambda: [
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("sig")]))
     cand = (
         ba.join(bb, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -203,21 +216,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     # verification: two wide-row joins + a 32-term agreement expression —
     # no per-position explode, no (doc, i) join
-    wa = wide.select(
+    wa = wide.select(*_memo(("wa", id_col), lambda: [
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MH_K)],
-    )
-    wb = wide.select(
+    ]))
+    wb = wide.select(*_memo(("wb", id_col), lambda: [
         F.col(id_col).alias("doc_b"),
         *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MH_K)],
-    )
-    n_agree = sum(
-        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(MH_K)
-    )
+    ]))
+    n_agree_col = _memo("n_agree_named", lambda: sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(MH_K)
+    ).alias("n_agree"))
     return (
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")
-        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+        .select("doc_a", "doc_b", n_agree_col)
         .filter(F.col("n_agree") >= min_agree)
         .withColumn("est_jaccard", F.col("n_agree") / F.lit(float(MH_K)))
     )
@@ -317,6 +331,9 @@ def connected_components(
     old-vs-new join + count (a full extra shuffle per iteration).
     DECIMAL(38,0) accumulation keeps the sum overflow-proof at any
     corpus size."""
+    import uuid
+
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -335,49 +352,48 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
-    def _potential(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    pot_col = _memo("cc_potential", lambda: F.sum(
+        F.col("comp").cast("decimal(38,0)")).alias("s"))
 
+    def _potential(lbl: DataFrame):
+        return lbl.agg(pot_col).collect()[0]["s"]
+
+    # The round update runs as ONE SQL statement over per-call temp views
+    # instead of a chain of DataFrame ops: each intermediate Dataset is
+    # eagerly analyzed at construction, and the join→select→union→union→
+    # groupBy chain cost ~0.5 s of driver time PER ROUND against a ~0.15 s
+    # round job (measured) — one spark.sql call is one parse+analysis.
+    # The statement is the verbatim relational form of the old chain:
+    #   labels ∪ (edges ⋈ labels on u).select(v, comp)       [propagate]
+    #         ∪ (l1 ⋈ l2 on l1.comp = l2.node).select(node, l2.comp)
+    #                                                        [pointer jump]
+    #   → groupBy(node).min(comp)
+    # Pointer jumping: adopt the label OF my current label (comp is
+    # always itself a node, so the self-join is total). Plain hash-to-min
+    # needs O(diameter) rounds — a dup CHAIN A~B~C~... converges one hop
+    # per round (measured 12 rounds at sf0.1); jumping doubles the
+    # collapsed distance per round, O(log d), at the cost of one extra
+    # tiny |V|-row join per round. The fixpoint (component min) and the
+    # monotone-potential convergence test are unchanged.
+    tag = uuid.uuid4().hex[:12]
+    v_edges, v_lbl = f"__cc_edges_{tag}", f"__cc_labels_{tag}"
+    edges.createOrReplaceTempView(v_edges)
+    round_sql = f"""
+        SELECT node, MIN(comp) AS comp FROM (
+          SELECT node, comp FROM {v_lbl}
+          UNION ALL
+          SELECT e.v AS node, l.comp FROM {v_edges} e
+          JOIN {v_lbl} l ON e.u = l.node
+          UNION ALL
+          SELECT l1.node, l2.comp FROM {v_lbl} l1
+          JOIN {v_lbl} l2 ON l1.comp = l2.node
+        ) GROUP BY node
+    """
     prev = _potential(labels)
     try:
         for _ in range(max_iter):
-            prop = (
-                edges.join(
-                    labels.select(
-                        F.col("node").alias("u"), F.col("comp")
-                    ),
-                    "u",
-                )
-                .select(F.col("v").alias("node"), "comp")
-            )
-            # pointer jumping: also adopt the label OF my current label
-            # (comp is always itself a node, so the self-join is total).
-            # Plain hash-to-min needs O(diameter) rounds — a dup CHAIN
-            # A~B~C~... converges one hop per round (measured 12 rounds
-            # at sf0.1); jumping doubles the collapsed distance per
-            # round, O(log d), at the cost of one extra tiny |V|-row
-            # join per round. The fixpoint (component min) and the
-            # monotone-potential convergence test are unchanged.
-            jump = (
-                labels.alias("l1")
-                .join(
-                    labels.select(
-                        F.col("node").alias("comp"),
-                        F.col("comp").alias("comp2"),
-                    ).alias("l2"),
-                    "comp",
-                )
-                .select(F.col("node"), F.col("comp2").alias("comp"))
-            )
-            new_labels = (
-                labels.union(prop)
-                .union(jump)
-                .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=False)
-            )
+            labels.createOrReplaceTempView(v_lbl)
+            new_labels = spark.sql(round_sql).localCheckpoint(eager=False)
             cur = _potential(new_labels)
             labels = new_labels
             if cur == prev:
@@ -388,6 +404,11 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+        spark.catalog.dropTempView(v_edges)
+        try:
+            spark.catalog.dropTempView(v_lbl)
+        except Exception:
+            pass
 
 
 def dedup_clusters(
