@@ -37,23 +37,39 @@ def _dist_sq(vec_col: Column, centroid: list[float]) -> Column:
     )
 
 
+def _ranked_cells_sql(vec_name: str, centroids: list[list[float]]) -> str:
+    """The (dist, idx)-sorted struct array as ONE SQL expression string.
+
+    Exactly the tree _dist_sq + sort_array(array(struct...)) builds —
+    same sequential zip_with/aggregate fold, same double-0.0 init, same
+    (d, i) struct sort — but inlined as text: the per-element F.lit
+    spelling costs k×d py4j round trips (~0.6-1.1 s per construction at
+    k=8, d=64 on the bench box), paid per Lloyd's ITERATION, while one
+    F.expr is a single round trip plus a JVM parse. repr() round-trips
+    every IEEE double exactly, so the literal values are bit-identical
+    (the hyperplane_sketch discipline)."""
+    structs = ", ".join(
+        "struct(aggregate(zip_with({v}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) AS d, {i} AS i)".format(
+            v=vec_name,
+            lits=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c),
+            i=i,
+        )
+        for i, c in enumerate(centroids)
+    )
+    return f"sort_array(array({structs}))"
+
+
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Add ``cluster`` (argmin over centroids, ties → lowest index) and
     ``dist_sq`` columns. All-JVM expression, no shuffle."""
-    v = F.col(vec_col)
-    scored = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    _dist_sq(v, c).alias("d"), F.lit(i).alias("i")
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )[0]
+    scored = f"{_ranked_cells_sql(vec_col, centroids)}[0]"
     return df.select(
-        "*", scored["i"].alias("cluster"), scored["d"].alias("dist_sq")
+        "*",
+        F.expr(f"{scored}.i").alias("cluster"),
+        F.expr(f"{scored}.d").alias("dist_sq"),
     )
 
 
@@ -117,18 +133,13 @@ def semantic_neardup_pairs(df, k: int = 8, n_iter: int = 3,
                           vec_col=vec_col)
     n_probe = 2
     v = F.col(vec_col)
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(_dist_sq(v, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )
+    # one-expr spelling of slice(transform(sort_array(...), s -> s.i)) —
+    # see _ranked_cells_sql for the py4j economics and bit-equivalence
+    ranked = _ranked_cells_sql(vec_col, centroids)
     probes = df.select(
         F.col(id_col), v,
         F.explode(
-            F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
+            F.expr(f"slice(transform({ranked}, s -> s.i), 1, {n_probe})")
         ).alias("cluster"),
     )
     a = probes.select(

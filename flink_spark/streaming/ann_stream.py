@@ -122,24 +122,15 @@ class IvfStreamIndex:
                 [], f"{query_id} long, cand_id long, cos_sim double, "
                     f"rank int"
             )
-        qv = F.col(vec).cast("array<double>")
-        cells = F.slice(
-            F.sort_array(F.array(*[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            qv,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0), lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(cents)
-            ])),
-            1, n_probe,
+        # one-expr spelling of the (dist, idx) argmin ranking — see
+        # clustering._ranked_cells_sql for the py4j economics and
+        # bit-equivalence of the literal inlining
+        from flink_spark.llm.clustering import _ranked_cells_sql
+
+        ranked = _ranked_cells_sql(
+            f"CAST({vec} AS ARRAY<DOUBLE>)", cents
         )
+        cells = F.expr(f"slice({ranked}, 1, {n_probe})")
         probes = queries.select(
             query_id, F.col(vec).alias("__qv"),
             F.explode(cells).alias("__p"),
