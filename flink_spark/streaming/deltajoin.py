@@ -146,16 +146,39 @@ def delta_join(
                 "a literal __dj_bid=-1 plus the existing bucket column"
             )
 
+    # batch-independent Column trees built ONCE per drain (each
+    # functions.* call is a py4j round trip; foreachBatch rebuilds the
+    # per-batch plan — same memo discipline as neardup_stream)
+    from flink_spark.streaming.storeutil import portable_bucket
+
+    l_bucket = portable_bucket(num_buckets, *left_keys)
+    r_bucket = portable_bucket(num_buckets, *right_keys)
+    l_side_pred = F.col("__side") == "L"
+    r_side_pred = F.col("__side") == "R"
+    l_out_cols = [F.col(f"__dj_l.{c}") for c in left_cols]
+    r_out_cols = [F.col(f"__dj_r.{c}") for c in right_cols]
+    join_cond = [F.col(f"__dj_l.{_BUCKET}") == F.col(f"__dj_r.{_BUCKET}")]
+    join_cond += [
+        F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}")
+        for lk, rk in zip(left_keys, right_keys)
+    ]
+    if ttl_delta is not None:
+        # NTZ → LTZ is value-preserving (session tz is UTC); LTZ →
+        # double = epoch seconds, same IEEE op DuckDB's epoch() performs
+        lts = F.col(f"__dj_l.{left_ts}").cast("timestamp").cast("double")
+        rts = F.col(f"__dj_r.{right_ts}").cast("timestamp").cast("double")
+        join_cond.append(F.abs(lts - rts) <= ttl_delta.total_seconds())
+
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            delta_l = _bucketed(
-                batch.filter(F.col("__side") == "L").select(*left_cols),
-                left_keys, num_buckets,
+            delta_l = (
+                batch.filter(l_side_pred).select(*left_cols)
+                .withColumn(_BUCKET, l_bucket)
             ).persist()
-            delta_r = _bucketed(
-                batch.filter(F.col("__side") == "R").select(*right_cols),
-                right_keys, num_buckets,
+            delta_r = (
+                batch.filter(r_side_pred).select(*right_cols)
+                .withColumn(_BUCKET, r_bucket)
             ).persist()
             sess = batch.sparkSession
             have_l = _has_parquet(l_store)
@@ -231,28 +254,10 @@ def delta_join(
             def join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 # explicit aliases: both deltas descend from the same
                 # micro-batch DataFrame, so bare column refs are ambiguous
+                # (cond/select lists hoisted to drain scope above)
                 l, r = lf.alias("__dj_l"), rf.alias("__dj_r")
-                cond = [F.col(f"__dj_l.{_BUCKET}") == F.col(f"__dj_r.{_BUCKET}")]
-                cond += [
-                    F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}")
-                    for lk, rk in zip(left_keys, right_keys)
-                ]
-                if ttl_delta is not None:
-                    # NTZ → LTZ is value-preserving (session tz is UTC);
-                    # LTZ → double = epoch seconds, same IEEE op DuckDB's
-                    # epoch() performs
-                    lts = (
-                        F.col(f"__dj_l.{left_ts}").cast("timestamp").cast("double")
-                    )
-                    rts = (
-                        F.col(f"__dj_r.{right_ts}").cast("timestamp").cast("double")
-                    )
-                    cond.append(
-                        F.abs(lts - rts) <= ttl_delta.total_seconds()
-                    )
-                return l.join(r, cond).select(
-                    *[F.col(f"__dj_l.{c}") for c in left_cols],
-                    *[F.col(f"__dj_r.{c}") for c in right_cols],
+                return l.join(r, join_cond).select(
+                    *l_out_cols, *r_out_cols
                 )
 
             # ΔL ⋈ (R_before ∪ ΔR)  ∪  L_before ⋈ ΔR  — each result pair
@@ -310,9 +315,7 @@ def delta_join(
                 # delivery), preserving the bucket layout. This is the
                 # foreachBatch stand-in for the store table format's
                 # MERGE/compaction job at 100 TB.
-                for store, ts_col in ((l_store, left_ts), (r_store, right_ts)):
-                    if not _has_parquet(store):
-                        continue
+                def compact(store: str, ts_col: str) -> None:
                     tmp = store + ".compacting"
                     (
                         cut_fn(storeutil.read_store(sess, store), ts_col)
@@ -326,6 +329,18 @@ def delta_join(
                     # at delta_join start: the store is never the only
                     # copy mid-swap
                     storeutil.BACKEND.replace_store(store, tmp)
+
+                # the two stores' compactions touch disjoint directories
+                # and recover independently (the start-of-drain sweep
+                # repairs each store's swap on its own) — overlap them
+                # (storeutil.run_parallel, guide §2.6)
+                storeutil.run_parallel(*[
+                    (lambda s=store, t=ts_col: compact(s, t))
+                    for store, ts_col in (
+                        (l_store, left_ts), (r_store, right_ts)
+                    )
+                    if _has_parquet(store)
+                ])
         finally:
             batch.unpersist()
 
@@ -426,17 +441,27 @@ def delta_join_outer(
     null_r = [F.lit(None).cast(rdt[c]).alias(c) for c in right_cols]
     null_l = [F.lit(None).cast(ldt[c]).alias(c) for c in left_cols]
     keymap = list(zip(left_keys, right_keys))
+    # batch-independent Column trees built ONCE per drain (py4j round
+    # trips — same memo discipline as delta_join above)
+    pj_cond = [F.col(f"__dj_l.{_BUCKET}") == F.col(f"__dj_r.{_BUCKET}")]
+    pj_cond += [
+        F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}") for lk, rk in keymap
+    ]
+    pj_l_cols = [F.col(f"__dj_l.{c}") for c in left_cols]
+    pj_r_cols = [F.col(f"__dj_r.{c}") for c in right_cols]
+    l_side_pred = F.col("__side") == "L"
+    r_side_pred = F.col("__side") == "R"
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
             sess = batch.sparkSession
             delta_l = _bucketed(
-                batch.filter(F.col("__side") == "L").select(*left_cols),
+                batch.filter(l_side_pred).select(*left_cols),
                 left_keys, num_buckets,
             ).persist()
             delta_r = _bucketed(
-                batch.filter(F.col("__side") == "R").select(*right_cols),
+                batch.filter(r_side_pred).select(*right_cols),
                 right_keys, num_buckets,
             ).persist()
             old_l = (
@@ -450,15 +475,7 @@ def delta_join_outer(
 
             def pair_join(lf: DataFrame, rf: DataFrame) -> DataFrame:
                 l, r = lf.alias("__dj_l"), rf.alias("__dj_r")
-                cond = [F.col(f"__dj_l.{_BUCKET}") == F.col(f"__dj_r.{_BUCKET}")]
-                cond += [
-                    F.col(f"__dj_l.{lk}") == F.col(f"__dj_r.{rk}")
-                    for lk, rk in keymap
-                ]
-                return l.join(r, cond).select(
-                    *[F.col(f"__dj_l.{c}") for c in left_cols],
-                    *[F.col(f"__dj_r.{c}") for c in right_cols],
-                )
+                return l.join(r, pj_cond).select(*pj_l_cols, *pj_r_cols)
 
             def key_join(
                 lf: DataFrame, lks: list[str], rf: DataFrame, rks: list[str],
