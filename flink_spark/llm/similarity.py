@@ -79,6 +79,10 @@ def brute_force_topk(
 #: see hyperplane_sketch docstring
 _SKETCH_MEMO: dict = {}
 
+#: memoized PQ code/recon expression Columns keyed by (m, sub, books
+#: content) — see _pq_encode_with_books docstring
+_PQ_ENC_MEMO: dict = {}
+
 
 def hyperplane_plane(table: int, j: int, dim: int = 64) -> list[float]:
     """Plane r_j of family ``table``: ±1 per dimension from the first 8
@@ -469,7 +473,22 @@ def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
     once and keeps the exact tie-break (ascending (d, code): lowest code
     among equal distances = array_position's first-of-min); the distance
     itself is the same sequential zip_with/aggregate fold, so codes and
-    reconstructions are bit-identical."""
+    reconstructions are bit-identical.
+
+    The two expression Columns are memoized on the codebook CONTENT
+    (plus m/sub): streaming ingest freezes the books after batch 0 and
+    then re-encodes every micro-batch, and building + parsing the two
+    ~30 KB expression strings costs ~0.3-0.4 s per call (metadata only —
+    the expressions, never data)."""
+    memo_key = (m, sub, str(books))
+    cached = _PQ_ENC_MEMO.get(memo_key)
+    if cached is not None:
+        code_col, recon_col = cached
+        return (
+            cv.withColumn("__code", code_col)
+            .withColumn("__recon", recon_col)
+            .select(cand_id, "__cv", "__code", "__recon")
+        )
     bl = _pq_books_lit(books)
     argmin = (
         f"CAST(sort_array(transform(element_at({bl}, j + 1), (c, i) -> "
@@ -506,9 +525,11 @@ def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
         f"IF({dim_ok}, flatten(transform(sequence(0, {m - 1}), j -> "
         f"element_at(element_at({bl}, j + 1), {argmin}))), {dim_err})"
     )
+    code_col, recon_col = F.expr(code_expr), F.expr(recon_expr)
+    _PQ_ENC_MEMO[memo_key] = (code_col, recon_col)
     return (
-        cv.withColumn("__code", F.expr(code_expr))
-        .withColumn("__recon", F.expr(recon_expr))
+        cv.withColumn("__code", code_col)
+        .withColumn("__recon", recon_col)
         .select(cand_id, "__cv", "__code", "__recon")
     )
 
