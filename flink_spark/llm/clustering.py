@@ -27,49 +27,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dist_sq(vec_col: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance via a sequential fold — deterministic order."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _ranked_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """The (dist, idx)-sorted struct array as ONE SMALL Column tree over
+    a single nested-array literal.
+
+    Same sequential zip_with/aggregate fold, same double-0.0 init, same
+    (d, i) struct sort/tie-break as the original per-centroid spelling —
+    but the k centroids enter the plan as ONE ``array<array<double>>``
+    Literal node instead of k×d ``CAST('…' AS DOUBLE)`` nodes. The
+    analysis cost of a plan is proportional to its tree size, and plans
+    embedding this ranking are re-analyzed at every downstream operator
+    (and per Lloyd's ITERATION in kmeans): at k=8, d=64 the CAST-tree
+    form measured ~212 ms per analysis vs ~41 ms for the single-Literal
+    form (r13 session 3). Values are bit-identical — see
+    flink_spark.exprutil for the construction and the ±0.0 nuance
+    (unobservable after ``(a-b)*(a-b)``: both subtraction results
+    square to +0.0); the transform index equals the old ``{i} AS i``
+    int literal."""
+    from pyspark.sql import SparkSession
+
+    from flink_spark.exprutil import double_array_lit
+
+    cents = double_array_lit(
+        SparkSession.getActiveSession(),
+        [[float(x) for x in c] for c in centroids],
     )
-
-
-def _ranked_cells_sql(vec_name: str, centroids: list[list[float]]) -> str:
-    """The (dist, idx)-sorted struct array as ONE SQL expression string.
-
-    Exactly the tree _dist_sq + sort_array(array(struct...)) builds —
-    same sequential zip_with/aggregate fold, same double-0.0 init, same
-    (d, i) struct sort — but inlined as text: the per-element F.lit
-    spelling costs k×d py4j round trips (~0.6-1.1 s per construction at
-    k=8, d=64 on the bench box), paid per Lloyd's ITERATION, while one
-    F.expr is a single round trip plus a JVM parse. repr() round-trips
-    every IEEE double exactly, so the literal values are bit-identical
-    (the hyperplane_sketch discipline)."""
-    structs = ", ".join(
-        "struct(aggregate(zip_with({v}, array({lits}), "
-        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x) AS d, {i} AS i)".format(
-            v=vec_name,
-            lits=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c),
-            i=i,
+    return F.sort_array(
+        F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("i"),
+            ),
         )
-        for i, c in enumerate(centroids)
     )
-    return f"sort_array(array({structs}))"
 
 
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Add ``cluster`` (argmin over centroids, ties → lowest index) and
     ``dist_sq`` columns. All-JVM expression, no shuffle."""
-    scored = f"{_ranked_cells_sql(vec_col, centroids)}[0]"
+    first = _ranked_cells(F.col(vec_col), centroids)[0]
     return df.select(
         "*",
-        F.expr(f"{scored}.i").alias("cluster"),
-        F.expr(f"{scored}.d").alias("dist_sq"),
+        first["i"].alias("cluster"),
+        first["d"].alias("dist_sq"),
     )
 
 
@@ -133,13 +139,13 @@ def semantic_neardup_pairs(df, k: int = 8, n_iter: int = 3,
                           vec_col=vec_col)
     n_probe = 2
     v = F.col(vec_col)
-    # one-expr spelling of slice(transform(sort_array(...), s -> s.i)) —
-    # see _ranked_cells_sql for the py4j economics and bit-equivalence
-    ranked = _ranked_cells_sql(vec_col, centroids)
+    # single-literal ranking — see _ranked_cells for the analysis-cost
+    # economics and bit-equivalence
+    ranked = _ranked_cells(v, centroids)
     probes = df.select(
         F.col(id_col), v,
         F.explode(
-            F.expr(f"slice(transform({ranked}, s -> s.i), 1, {n_probe})")
+            F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
         ).alias("cluster"),
     )
     a = probes.select(

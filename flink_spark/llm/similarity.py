@@ -121,16 +121,26 @@ def hyperplane_sketch(df: DataFrame, vec: str, n_planes: int = 16,
     key = (vec, n_planes, dim, table)
     bucket = _SKETCH_MEMO.get(key)
     if bucket is None:
+        from pyspark.sql import SparkSession
+
+        from flink_spark.exprutil import double_array_lit
+
+        sess = SparkSession.getActiveSession()
         bucket = None
+        vcol = F.expr(vec)
         for j in range(n_planes):
-            arr = "array(" + ",".join(
-                f"CAST({v!r} AS DOUBLE)"
-                for v in hyperplane_plane(table, j, dim)
-            ) + ")"
-            dot = F.expr(
-                f"aggregate(zip_with({vec}, {arr}, "
-                "(x, y) -> CAST(x AS DOUBLE) * y), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            # each plane is ONE array<double> Literal node
+            # (exprutil.double_array_lit), not dim CAST('…') nodes:
+            # plan analysis is tree-size-proportional and re-runs at
+            # every downstream operator — same economics (and
+            # bit-equivalence; ±1.0 has no -0.0 hazard) as
+            # clustering._ranked_cells
+            arr = double_array_lit(sess, hyperplane_plane(table, j, dim))
+            dot = F.aggregate(
+                F.zip_with(vcol, arr,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
             bit = F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
@@ -477,60 +487,92 @@ def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
 
     The two expression Columns are memoized on the codebook CONTENT
     (plus m/sub): streaming ingest freezes the books after batch 0 and
-    then re-encodes every micro-batch, and building + parsing the two
-    ~30 KB expression strings costs ~0.3-0.4 s per call (metadata only —
-    the expressions, never data)."""
+    then re-encodes every micro-batch (metadata only — the expressions,
+    never data). r13 second pass: the codebooks enter the plan as ONE
+    ``array<array<array<double>>>`` Literal node
+    (flink_spark.exprutil.double_array_lit) instead of m·ks·sub
+    ``CAST('…' AS DOUBLE)`` nodes, and the output is a single ``select``
+    instead of two ``withColumn`` chains — plan ANALYSIS is proportional
+    to tree size and re-runs at every downstream operator (and every
+    micro-batch in streaming ingest), so the ~1024-node literal tree
+    cost ~0.1 s per analysis on the bench box where the Literal leaf is
+    O(1). Values are bit-identical — see exprutil for the construction
+    and the ±0.0 nuance (unobservable: codebook elements only feed the
+    squared-difference fold and cosine sums)."""
     memo_key = (m, sub, str(books))
     cached = _PQ_ENC_MEMO.get(memo_key)
-    if cached is not None:
-        code_col, recon_col = cached
-        return (
-            cv.withColumn("__code", code_col)
-            .withColumn("__recon", recon_col)
-            .select(cand_id, "__cv", "__code", "__recon")
+    if cached is None:
+        from pyspark.sql import SparkSession
+
+        from flink_spark.exprutil import double_array_lit
+
+        bl = double_array_lit(
+            SparkSession.getActiveSession(),
+            [[[float(x) for x in cent] for cent in book] for book in books],
         )
-    bl = _pq_books_lit(books)
-    argmin = (
-        f"CAST(sort_array(transform(element_at({bl}, j + 1), (c, i) -> "
-        f"struct(aggregate(zip_with(slice(__cv, j * {sub} + 1, {sub}), c, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, i AS i)"
-        "))[0].i + 1 AS INT)"
-    )
-    # dim guard (ADVICE r12): the saved-books path derives sub from the
-    # books and never probes the data, so a caller whose vectors don't
-    # match m×sub would silently encode null-padded garbage (zip_with
-    # pads, null distances sort first). One size() comparison per row —
-    # negligible next to the m×ks distance folds — turns that into a
-    # clean error; the train path's d % m check is unchanged.
-    dim_ok = (
-        f"(__cv IS NULL OR size(__cv) = {m * sub})"
-    )
-    dim_err = (
-        f"raise_error(concat('pq_encode: vector dim ', size(__cv), "
-        f"' does not match saved codebooks (m={m} × sub={sub} = "
-        f"{m * sub})'))"
-    )
-    code_expr = (
-        f"IF({dim_ok}, transform(sequence(0, {m - 1}), j -> {argmin}), "
-        f"{dim_err})"
-    )
-    # recon embeds its own per-subspace argmin instead of referencing
-    # __code: a column reference here would be INLINED by projection
-    # collapse — each of the m element_at(__code, ·) lookups would
-    # re-evaluate the full m-subspace codes transform (m× the work,
-    # measured 17 s vs 1 s on the bench box). Self-contained, a caller
-    # that prunes to __recon alone evaluates each distance exactly once.
-    recon_expr = (
-        f"IF({dim_ok}, flatten(transform(sequence(0, {m - 1}), j -> "
-        f"element_at(element_at({bl}, j + 1), {argmin}))), {dim_err})"
-    )
-    code_col, recon_col = F.expr(code_expr), F.expr(recon_expr)
-    _PQ_ENC_MEMO[memo_key] = (code_col, recon_col)
-    return (
-        cv.withColumn("__code", code_col)
-        .withColumn("__recon", recon_col)
-        .select(cand_id, "__cv", "__code", "__recon")
+        cvc = F.col("__cv")
+
+        def argmin(j):
+            # per-subspace code: ascending (d, i) struct sort = lowest
+            # code among equal distances; +1 → the 1-based stored code
+            cents = F.element_at(bl, j + F.lit(1))
+            subv = F.slice(cvc, j * F.lit(sub) + F.lit(1), F.lit(sub))
+            ranked = F.sort_array(F.transform(
+                cents,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            subv, c,
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            ))
+            return (ranked[0]["i"] + F.lit(1)).cast("int")
+
+        # dim guard (ADVICE r12): the saved-books path derives sub from
+        # the books and never probes the data, so a caller whose vectors
+        # don't match m×sub would silently encode null-padded garbage
+        # (zip_with pads, null distances sort first). One size()
+        # comparison per row — negligible next to the m×ks distance
+        # folds — turns that into a clean error; the train path's
+        # d % m check is unchanged.
+        dim_ok = cvc.isNull() | (F.size(cvc) == F.lit(m * sub))
+        dim_err = F.raise_error(F.concat(
+            F.lit("pq_encode: vector dim "),
+            F.size(cvc).cast("string"),
+            F.lit(f" does not match saved codebooks (m={m} × sub={sub} "
+                  f"= {m * sub})"),
+        ))
+        seq = F.sequence(F.lit(0), F.lit(m - 1))
+        code_col = F.when(dim_ok, F.transform(seq, argmin)) \
+            .otherwise(dim_err)
+        # recon embeds its own per-subspace argmin instead of
+        # referencing __code: a column reference here would be INLINED
+        # by projection collapse — each of the m element_at(__code, ·)
+        # lookups would re-evaluate the full m-subspace codes transform
+        # (m× the work, measured 17 s vs 1 s on the bench box).
+        # Self-contained, a caller that prunes to __recon alone
+        # evaluates each distance exactly once.
+        recon_col = F.when(
+            dim_ok,
+            F.flatten(F.transform(
+                seq,
+                lambda j: F.element_at(
+                    F.element_at(bl, j + F.lit(1)), argmin(j)
+                ),
+            )),
+        ).otherwise(dim_err)
+        cached = (code_col, recon_col)
+        _PQ_ENC_MEMO[memo_key] = cached
+    code_col, recon_col = cached
+    return cv.select(
+        cand_id, "__cv",
+        code_col.alias("__code"), recon_col.alias("__recon"),
     )
 
 

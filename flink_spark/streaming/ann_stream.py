@@ -45,7 +45,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_spark.llm.clustering import assign_clusters, kmeans
@@ -122,15 +122,15 @@ class IvfStreamIndex:
                 [], f"{query_id} long, cand_id long, cos_sim double, "
                     f"rank int"
             )
-        # one-expr spelling of the (dist, idx) argmin ranking — see
-        # clustering._ranked_cells_sql for the py4j economics and
+        # single-literal spelling of the (dist, idx) argmin ranking — see
+        # clustering._ranked_cells for the analysis-cost economics and
         # bit-equivalence of the literal inlining
-        from flink_spark.llm.clustering import _ranked_cells_sql
+        from flink_spark.llm.clustering import _ranked_cells
 
-        ranked = _ranked_cells_sql(
-            f"CAST({vec} AS ARRAY<DOUBLE>)", cents
+        ranked = _ranked_cells(
+            F.col(vec).cast("array<double>"), cents
         )
-        cells = F.expr(f"slice({ranked}, 1, {n_probe})")
+        cells = F.slice(ranked, 1, n_probe)
         probes = queries.select(
             query_id, F.col(vec).alias("__qv"),
             F.explode(cells).alias("__p"),
@@ -246,20 +246,24 @@ class PqStreamIndex:
             self.id_col, self.vec_col, "__code"
         )
 
-    def _recon_expr(self) -> str:
+    def _recon_col(self) -> Column:
         """Codebook reconstruction as one JVM expression over the stored
         code array (no recon stored — m bytes per vector stay m bytes).
-        One flatten/transform over a single 3-level codebook literal
-        instead of m per-book parsed snippets (same values: the code
-        VALUES are 1-based array_position results, element_at is
-        1-based)."""
-        from flink_spark.llm.similarity import _pq_books_lit
+        One flatten/transform over a single 3-level codebook LITERAL
+        node (exprutil.double_array_lit — not m·ks·sub CAST('…') nodes;
+        see similarity._pq_encode_with_books for the analysis-cost
+        economics and bit-equivalence). Code VALUES are 1-based argmin
+        positions, element_at is 1-based."""
+        from flink_spark.exprutil import double_array_lit
 
-        bl = _pq_books_lit(self.books)
-        return (
-            f"flatten(transform(sequence(0, {len(self.books) - 1}), j -> "
-            f"element_at(element_at({bl}, j + 1), element_at(__code, j + 1))))"
-        )
+        bl = double_array_lit(self.spark, self.books)
+        return F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(len(self.books) - 1)),
+            lambda j: F.element_at(
+                F.element_at(bl, j + F.lit(1)),
+                F.element_at(F.col("__code"), j + F.lit(1)),
+            ),
+        ))
 
     def topk(self, queries: DataFrame, k: int = 5,
              shortlist: int | None = None,
@@ -293,7 +297,7 @@ class PqStreamIndex:
         approx = (
             F.broadcast(q)
             .crossJoin(enc.select(
-                "cand_id", F.expr(self._recon_expr()).alias("__recon")))
+                "cand_id", self._recon_col().alias("__recon")))
             .select(query_id, "cand_id",
                     cosine("__qv", "__recon").alias("__approx"))
         )

@@ -28,8 +28,25 @@ def _old_ranked(vec_col, centroids):
     )
 
 
-def test_ranked_cells_sql_matches_lit_form(spark):
-    from flink_spark.llm.clustering import _ranked_cells_sql
+def _old_ranked_sql(vec_name, centroids):
+    """The r13-sessions-1/2 SQL-string construction (CAST('…' AS DOUBLE)
+    per element), rebuilt inline — the second old form the single-
+    Literal spelling must keep matching."""
+    structs = ", ".join(
+        "struct(aggregate(zip_with({v}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) AS d, {i} AS i)".format(
+            v=vec_name,
+            lits=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c),
+            i=i,
+        )
+        for i, c in enumerate(centroids)
+    )
+    return f"sort_array(array({structs}))"
+
+
+def test_ranked_cells_matches_both_old_forms(spark):
+    from flink_spark.llm.clustering import _ranked_cells
 
     # centroids with awkward doubles: repr round-trip must reproduce them
     cents = [
@@ -46,10 +63,46 @@ def test_ranked_cells_sql_matches_lit_form(spark):
     ]
     df = spark.createDataFrame(rows, "id long, v array<double>")
     new = df.select(
-        "id", F.expr(_ranked_cells_sql("v", cents)).alias("r")
+        "id", _ranked_cells(F.col("v"), cents).alias("r")
     ).collect()
     old = df.select("id", _old_ranked(F.col("v"), cents).alias("r")).collect()
+    old_sql = df.select(
+        "id", F.expr(_old_ranked_sql("v", cents)).alias("r")
+    ).collect()
     assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old_sql))
+
+
+def test_double_array_lit_is_single_literal_and_bit_exact(spark):
+    """The folded-Literal construction must (a) produce ONE Literal node
+    (the analysis-cost contract) and (b) reproduce every IEEE double
+    bitwise, including signed zero and denormals."""
+    import math
+    import struct
+
+    from flink_spark.exprutil import double_array_lit
+
+    vals = [
+        0.1, 1.0 / 3.0, -2.2250738585072014e-308, 1.7976931348623157e308,
+        5e-324, -0.0, 123456789.123456789, float(2 ** 53 + 1), 1e-300,
+        -1.5e-8, 6.02e23, 7.0,
+    ]
+    col = double_array_lit(spark, [vals, list(reversed(vals))])
+    got = spark.range(1).select(col.alias("v")).first()["v"]
+    assert [struct.pack("<d", x) for x in got[0]] == \
+        [struct.pack("<d", v) for v in vals]
+    assert [struct.pack("<d", x) for x in got[1]] == \
+        [struct.pack("<d", v) for v in reversed(vals)]
+    # -0.0 keeps its sign through the literal
+    assert math.copysign(1.0, got[0][5]) == -1.0
+    # single Literal node in the ANALYZED plan (the analysis-cost
+    # contract): the aliased expression's child is a Literal leaf, not a
+    # CreateArray tree
+    df = spark.range(1).select(col.alias("v"))
+    child = (
+        df._jdf.queryExecution().analyzed().expressions().apply(0).child()
+    )
+    assert child.getClass().getSimpleName() == "Literal"
 
 
 def test_cc_sql_round_matches_dataframe_round(spark):
