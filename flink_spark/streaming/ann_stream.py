@@ -183,10 +183,17 @@ def ivf_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        if batch.isEmpty():
-            return  # nothing to index; never train a codebook on nothing
         cents = _load_centroids(cent_path)
         if cents is None:
+            # emptiness probe ONLY while untrained (never train a
+            # codebook on nothing, and never bootstrap the store from an
+            # empty drain — see the no-bootstrap note below). Once the
+            # codebook is frozen the probe is a pure extra driver job
+            # per batch: an empty batch's dynamic-partition overwrite
+            # writes no partition at all, so writing unconditionally is
+            # store-identical (r13).
+            if batch.isEmpty():
+                return
             base = batch.select(
                 id_col, F.col(vec_col).cast("array<double>").alias("__dv")
             )
@@ -360,10 +367,14 @@ def pq_ingest_stream(
         from flink_spark.llm.similarity import pq_encode, pq_train
 
         sess = batch.sparkSession
-        if batch.isEmpty():
-            return
         books = _load_centroids(books_path)
         if books is None:
+            # emptiness probe ONLY while untrained — see ivf_ingest's
+            # process(): after the books freeze, an empty batch's
+            # dynamic-partition overwrite writes nothing, so the
+            # per-batch probe job is pure overhead.
+            if batch.isEmpty():
+                return
             books = pq_train(
                 batch, cand_id=id_col, vec=vec_col, m=m, ks=ks,
                 train_limit=train_limit, n_iter=n_iter,

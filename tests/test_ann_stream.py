@@ -290,3 +290,48 @@ def test_pq_topk_default_shortlist_is_rows_independent(
     # same frozen semantics both ways, and the plans still execute
     assert batch_out.count() == 50
     assert stream_out.count() == 50
+
+
+def test_ivf_empty_batch_after_training_leaves_store_identical(
+    spark, sf_dir, tmp_path
+):
+    """r13: once the codebook is frozen, process() no longer probes
+    emptiness (one driver job per batch saved) and writes
+    unconditionally — an empty batch's dynamic-partition overwrite must
+    write NO partition and delete nothing: the store's committed files
+    and the probe results are identical to the pre-batch state."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "ivf_root")
+    cands = _cands(spark, sf_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(cands.schema).parquet(str(src))
+        return ivf_ingest_stream(stream, root=root)
+
+    _land(cands, tmp_path, src, "b0")
+    idx0 = run_once()
+    rows0 = sorted(map(tuple, idx0.topk(_queries(spark, sf_dir)).collect()))
+    files0 = sorted(
+        os.path.join(d, f)
+        for d, _dirs, fs in os.walk(f"{root}/cells")
+        for f in fs if f.endswith(".parquet")
+    )
+    # drain an EMPTY batch against the trained root
+    _land(cands.filter(F.lit(False)), tmp_path, src, "b1")
+    idx1 = run_once()
+    files1 = sorted(
+        os.path.join(d, f)
+        for d, _dirs, fs in os.walk(f"{root}/cells")
+        for f in fs if f.endswith(".parquet")
+    )
+    assert files1 == files0  # no new partition, nothing deleted
+    # and no stray flat file at the store root
+    assert not [
+        f for f in os.listdir(f"{root}/cells")
+        if f.endswith(".parquet")
+    ]
+    rows1 = sorted(map(tuple, idx1.topk(_queries(spark, sf_dir)).collect()))
+    assert rows1 == rows0
