@@ -456,19 +456,6 @@ def pq_train(
     return books
 
 
-def _pq_books_lit(books: list) -> str:
-    """The m×ks×sub codebooks as ONE 3-level array literal (same
-    ``CAST(repr AS DOUBLE)`` element spelling the per-centroid literals
-    used, so values are bit-identical)."""
-
-    def _arr(vals: list[float]) -> str:
-        return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
-
-    return "array(" + ",".join(
-        "array(" + ",".join(_arr(c) for c in book) + ")" for book in books
-    ) + ")"
-
-
 def _pq_encode_with_books(cv: DataFrame, cand_id: str, m: int, sub: int,
                           books: list) -> DataFrame:
     """Map-only PQ encoding against fixed codebooks: per subspace, argmin
